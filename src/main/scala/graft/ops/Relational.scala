@@ -1,0 +1,271 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** The relational skeleton of the reference's operator families
+  * (SURVEY.md §2.1/§2.2) re-expressed as declarative DataFrame plans.
+  *
+  * Each query maps to one or more reference ops (cited per method,
+  * file:line relative to /root/reference). Design rules, all in
+  * service of the 100 TB posture:
+  *   - filters/projections live directly on the scan so Catalyst pushes
+  *     them into parquet (`PushedFilters`, pruned `ReadSchema`);
+  *   - dimension joins are explicitly `broadcast()` (nation/region are
+  *     O(10..100) rows at any SF — shuffling the fact side on a join
+  *     key for them would be the classic 100 TB mistake);
+  *   - aggregates are plain `groupBy().agg()` so Spark runs them
+  *     partial (map-side combine) + final, replacing the reference's
+  *     hand-rolled side-channel partial aggregation
+  *     (src/edu/illinois/ga/MapReduce.java:132-148);
+  *   - double sums are routed through DECIMAL(18,2) so results are
+  *     exact and order-independent across engines (oracle parity).
+  */
+object Relational extends QueryPack {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Q1 — scan + projection + filter (reference ops 3/13: per-row map
+    * over a SequenceFile scan, src/edu/illinois/ga/MapReduce.java:114-130).
+    * Both predicates and the 3-column projection reach the parquet reader.
+    */
+  def q1FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_discount") > 0.05 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
+  /** Q2 — hash aggregate, partial+final (reference ops 4-6/17: mapper
+    * running max + side-file partial agg + driver final scan,
+    * src/edu/illinois/ga/MapReduce.java:87-148,386-426). Spark's
+    * HashAggregateExec does the partial/final split natively.
+    */
+  def q2Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        dec(sum(dec(col("l_quantity")))).as("qty"),
+        min(col("l_extendedprice")).as("minp"),
+        max(col("l_extendedprice")).as("maxp"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q3 — argmax per group (reference ops 4/6/18: global-best scan and
+    * cGA winner pick, src/edu/illinois/ga/CGA.java:195-260) via the
+    * built-in `max_by`, which aggregates partial+final like any other.
+    */
+  def q3Argmax(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+        max(col("o_totalprice")).as("best_price"))
+      .orderBy("o_custkey")
+
+  /** Q4 — equi-join chain over broadcast-sized dims (reference op 19's
+    * keyed gather, src/edu/illinois/ga/CGA.java:262-309). nation (25)
+    * and region (5) are broadcast: the customer side never shuffles.
+    */
+  def q4JoinChain(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("c"))
+      .orderBy("n_name")
+
+  /** Q5 — sliding-frame window max (reference op 9: ring buffer of the
+    * last 5 individuals, argmax per arrival,
+    * src/edu/illinois/ga/MapReduce.java:203-232). WindowExec over
+    * `ROWS BETWEEN 4 PRECEDING AND CURRENT ROW` is the declarative twin.
+    */
+  def q5SlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the test data, so the
+    // frame order carries a full tiebreak — a ROWS frame over an
+    // ambiguous sort is nondeterministic across engines.
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey")
+      .rowsBetween(-4, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        max(col("l_extendedprice")).over(w).as("win_max"))
+      .orderBy("l_orderkey", "l_linenumber", "win_max")
+  }
+
+  /** Q6 — ranking window + top-k (reference ops 9/11: tournament winner
+    * selection per window). row_number is rank-stable because the
+    * ORDER BY carries the tiebreak column.
+    */
+  def q6TopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 2)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Q7 — distinct / dedup (reference op 14: reducer-local HashMap
+    * dedup, src/edu/illinois/incr_ga/IncMapReduce.java:302-325).
+    * `dropDuplicates` = hash aggregate on the key columns, partial+final.
+    */
+  def q7Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus")
+      .dropDuplicates()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q8 — 1→N generation / explode (reference ops 2/16: one input row
+    * fanning out to `count` individuals / T candidates,
+    * src/edu/illinois/ga/CGA.java:95-117). posexplode is the Catalyst
+    * Generator form. pos is emitted 1-based to match SQL ordinality.
+    */
+  def q8Explode(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") <= 5)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "val")))
+      .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("val"))
+      .filter(col("val") > 0)
+      .orderBy("vec_id", "pos")
+
+  /** Q9 — bitwise scalar expressions (reference ops 3/10: popcount
+    * fitness and mask-based crossover,
+    * src/edu/illinois/ga/MapReduce.java:100-111,174-201). bit_count,
+    * AND, XOR are all codegen'd built-ins.
+    */
+  def q9Bitwise(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey"),
+        bit_count(col("l_orderkey").bitwiseAND(lit(255L))).as("pc"),
+        col("l_orderkey").bitwiseXOR(lit(255L)).as("xr"))
+      .orderBy("l_orderkey")
+
+  /** Q10 — tumbling time bucket (reference op 11's per-generation loop
+    * as a time dimension; §2.3 streaming skeleton shares this shape).
+    */
+  def q10TimeBucket(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("c"), dec(sum(dec(col("value")))).as("v"))
+      .orderBy("d", "event_type")
+
+  /** Q11 — anti join (reference op 19's gather discipline: rows with no
+    * partner). left_anti keeps the build side small and broadcastable.
+    */
+  def q11AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > 40000).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** Q12 — set intersection (reference op 11: generation union/overlap). */
+  def q12Intersect(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+      .intersect(Tables.customer(spark, dir).select(col("c_custkey").as("k")))
+      .orderBy("k")
+
+  /** Q13 — array-genome fitness (reference op 3 verbatim semantics:
+    * fitness(genome: long[]) = Σ popcount(word),
+    * src/edu/illinois/ga/MapReduce.java:100-111) over a deterministic
+    * genome built from table columns, so the oracle can check it.
+    * Runs entirely inside whole-stage codegen: transform + aggregate
+    * higher-order functions over bit_count.
+    */
+  def q13GenomeFitness(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        aggregate(
+          transform(
+            array(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+            x => bit_count(x).cast("long")),
+          lit(0L), (a, b) => a + b).as("fitness"))
+      .orderBy("l_orderkey", "l_linenumber", "fitness")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_filter_project" -> q1FilterProject _,
+    "q2_agg" -> q2Agg _,
+    "q3_argmax" -> q3Argmax _,
+    "q4_join_chain" -> q4JoinChain _,
+    "q5_sliding_window" -> q5SlidingWindow _,
+    "q6_topk" -> q6TopK _,
+    "q7_distinct" -> q7Distinct _,
+    "q8_explode" -> q8Explode _,
+    "q9_bitwise" -> q9Bitwise _,
+    "q10_time_bucket" -> q10TimeBucket _,
+    "q11_anti_join" -> q11AntiJoin _,
+    "q12_intersect" -> q12Intersect _,
+    "q13_genome_fitness" -> q13GenomeFitness _,
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q1_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_discount > 0.05 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q2_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty,
+        |  MIN(l_extendedprice) AS minp, MAX(l_extendedprice) AS maxp
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_argmax" ->
+      """SELECT o_custkey, MAX_BY(o_orderkey, o_totalprice) AS best_order,
+        |  MAX(o_totalprice) AS best_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q4_join_chain" ->
+      """SELECT n_name, COUNT(*) AS c FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q5_sliding_window" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  MAX(l_extendedprice) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS win_max
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, win_max""".stripMargin,
+    "q6_topk" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q7_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q8_explode" ->
+      """SELECT vec_id, pos, val FROM (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+        |         unnest(embedding) AS val
+        |  FROM embeddings WHERE vec_id <= 5) t
+        |WHERE val > 0 ORDER BY vec_id, pos""".stripMargin,
+    "q9_bitwise" ->
+      """SELECT l_orderkey,
+        |  CAST(bit_count(l_orderkey & 255) AS INTEGER) AS pc,
+        |  xor(l_orderkey, 255) AS xr
+        |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
+    "q10_time_bucket" ->
+      """SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS c,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q11_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 40000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_intersect" ->
+      """SELECT o_custkey AS k FROM orders
+        |INTERSECT SELECT c_custkey FROM customer ORDER BY k""".stripMargin,
+    "q13_genome_fitness" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(bit_count(l_orderkey) + bit_count(l_partkey) + bit_count(l_suppkey) AS BIGINT) AS fitness
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, fitness""".stripMargin,
+  )
+}
