@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.GaConfig
+import graft.sga.Sga
+
+/** The GA engines exposed through the driver's query surface.
+  *
+  * The GA loop is stochastic (seeded, but not SQL-expressible), so
+  * these entries have no DuckDB oracle — the driver records a
+  * rows-only check; deterministic invariants are asserted by the
+  * scalatest suites instead (SURVEY.md §5).
+  */
+object GaQueries extends QueryPack {
+
+  /** Full seeded SGA ONEMAX run (reference SGA,
+    * /root/reference/src/edu/illinois/ga/MapReduce.java): returns the
+    * per-generation best-fitness history. Small config so Verify stays
+    * fast; the engine itself scales by raising popSize/numPartitions.
+    */
+  def sgaOnemax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cfg = GaConfig(nBits = 64, popSize = 512, tournamentSize = 5,
+      numPartitions = 4, seed = 42, maxGenerations = 30)
+    val r = Sga.runLoop(spark, cfg)
+    r.history.zipWithIndex
+      .map { case (f, g) => (g, f) }
+      .toDF("generation", "best_fitness")
+      .orderBy("generation")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sga_onemax" -> sgaOnemax _,
+  )
+
+  override def oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,64 @@
+package graft.sga
+
+import graft.SparkSpec
+import graft.core.{GaConfig, Genome}
+
+class SgaSpec extends SparkSpec {
+
+  private val cfg = GaConfig(nBits = 64, popSize = 1024, tournamentSize = 5,
+    numPartitions = 4, seed = 42, maxGenerations = 40)
+
+  test("initPopulation: size, genome width, masked tail, fitness 0") {
+    val pop = Sga.initPopulation(spark, cfg).collect()
+    assert(pop.length == cfg.popSize)
+    assert(pop.forall(_.genome.length == Genome.words(cfg.nBits)))
+    assert(pop.forall(_.fitness == 0L))
+    val cfg100 = cfg.copy(nBits = 100)
+    val pop100 = Sga.initPopulation(spark, cfg100).collect()
+    assert(pop100.forall(i =>
+      (100 until 128).forall(b => Genome.bit(i.genome, b) == 0)))
+  }
+
+  test("initPopulation is deterministic for a seed") {
+    val a = Sga.initPopulation(spark, cfg).collect().map(_.genome.toSeq)
+    val b = Sga.initPopulation(spark, cfg).collect().map(_.genome.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("evaluate matches Genome.popcount") {
+    val pop = Sga.evaluate(Sga.initPopulation(spark, cfg)).collect()
+    assert(pop.forall(i => i.fitness == Genome.popcount(i.genome)))
+  }
+
+  test("mix preserves the population multiset") {
+    val pop = Sga.evaluate(Sga.initPopulation(spark, cfg))
+    val mixed = Sga.mix(pop, cfg, generation = 0)
+    val before = pop.collect().map(i => (i.genome.toSeq, i.fitness)).sortBy(_.hashCode)
+    val after = mixed.collect().map(i => (i.genome.toSeq, i.fitness)).sortBy(_.hashCode)
+    assert(before.toSeq == after.toSeq)
+    assert(mixed.rdd.getNumPartitions == cfg.numPartitions)
+  }
+
+  test("selectAndCross preserves population size") {
+    val pop = Sga.evaluate(Sga.initPopulation(spark, cfg))
+    val next = Sga.selectAndCross(Sga.mix(pop, cfg, 0), cfg, 0)
+    assert(next.count() == cfg.popSize)
+  }
+
+  test("one generation raises mean fitness (selection pressure)") {
+    val pop = Sga.evaluate(Sga.initPopulation(spark, cfg))
+    val m0 = pop.agg(org.apache.spark.sql.functions.avg("fitness")).head().getDouble(0)
+    val next = Sga.evaluate(Sga.selectAndCross(Sga.mix(pop, cfg, 0), cfg, 0))
+    val m1 = next.agg(org.apache.spark.sql.functions.avg("fitness")).head().getDouble(0)
+    assert(m1 > m0, s"gen1 mean $m1 should exceed gen0 mean $m0")
+  }
+
+  test("runLoop converges on ONEMAX n=64 (seeded)") {
+    val r = Sga.runLoop(spark, cfg)
+    assert(r.bestFitness >= cfg.nBits - cfg.convergenceSlack,
+      s"best ${r.bestFitness} after ${r.generations} gens, history=${r.history}")
+    assert(Genome.popcount(r.bestGenome) == r.bestFitness)
+    // best-so-far is nondecreasing in expectation; assert the endpoints
+    assert(r.history.last >= r.history.head)
+  }
+}
