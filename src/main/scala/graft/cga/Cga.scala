@@ -1,0 +1,217 @@
+package graft.cga
+
+import java.util.Random
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Genome
+
+/** One split of the distributed probability vector: `probs(b)` is the
+  * probability that gene bit b of this split is 1. The reference stores
+  * these as fixed-point int64 in [0, Long.MAX_VALUE]
+  * (/root/reference/src/edu/illinois/ga/CGA.java:56-66); the encoding
+  * was a Writable artifact, we use plain doubles in [0,1]. */
+case class VectorSplit(splitId: Long, probs: Array[Double])
+
+/** A vector split with its T sampled candidate sub-genomes for one
+  * iteration, kept CO-LOCATED with the split. The reference emitted
+  * candidates as separate tagged records and shuffled them back
+  * together by splitId (/root/reference/src/edu/illinois/ga/CGA.java:95-124,283);
+  * keeping them in one row removes that shuffle entirely. */
+case class SampledSplit(splitId: Long, probs: Array[Double],
+    candidates: Array[Array[Long]])
+
+/** cGA run configuration, mirroring the reference's conf knobs
+  * (cga.{lLimit,uLimit,tournamentSize,numSplits,population},
+  * /root/reference/src/edu/illinois/ga/CGA.java:350-376).
+  *
+  * @param nBits          total probability-vector length (gene count)
+  * @param numSplits      how many splits the vector is sharded into
+  * @param tournamentSize T — candidates sampled per iteration
+  * @param population     n in delta = 1/n, the per-bit update step
+  *                       (reference: delta = Long.MAX_VALUE / n, :276)
+  * @param lLimit,uLimit  the unconverged band: p in [lLimit, uLimit]
+  *                       counts as not-yet-converged (reference
+  *                       defaults 0.1 / 0.501, :350-352)
+  */
+case class CgaConfig(
+    nBits: Int,
+    numSplits: Int,
+    tournamentSize: Int,
+    population: Long,
+    lLimit: Double = 0.1,
+    uLimit: Double = 0.501,
+    seed: Long = 42L,
+    maxIterations: Int = 500) {
+  require(nBits % numSplits == 0, "nBits must divide evenly into splits")
+  def splitBits: Int = nBits / numSplits
+  def delta: Double = 1.0 / population.toDouble
+}
+
+/** Result of a cGA run. */
+case class CgaResult(
+    vector: Array[Double],
+    winnerFitness: Long,
+    iterations: Int,
+    converged: Boolean)
+
+/** Compact genetic algorithm re-expressed Spark-first
+  * (reference: /root/reference/src/edu/illinois/ga/CGA.java; op-by-op
+  * mapping in SURVEY.md §2.1 ops 15-22).
+  *
+  * Per-iteration physical shape — contrast with the reference's
+  * map/shuffle/reduce + three HDFS side channels:
+  *   1. `sample`: narrow map, each split draws its T candidate
+  *      sub-genomes in place (no shuffle, no tagged-union records);
+  *   2. `candidateTotals`: T per-candidate popcount sums as ONE
+  *      partial+final aggregate — T is a driver-side constant, so the
+  *      per-candidate sums are T columns, not a groupBy key: no
+  *      exchange at all, replacing the reference's global/<taskId>
+  *      side files + findWinner() re-read (:126-164,195-260);
+  *   3. winner/loser argmax/argmin over T numbers on the driver,
+  *      closed over by the update (a literal broadcast — replaces the
+  *      reference's static `firstTime` JVM-reuse hazard, :177);
+  *   4. `update`: narrow map, per-bit ±delta nudge + in-band count.
+  * Zero wide shuffles per iteration; the only cluster round-trip is
+  * the totals aggregation — the algorithmic minimum (a global
+  * tournament needs a global sum).
+  */
+object Cga {
+
+  /** Column expr: total set bits of a bit-packed Array[Long]. */
+  private def popcountArray(c: Column): Column =
+    aggregate(transform(c, w => bit_count(w).cast("long")), lit(0L),
+      (acc, x) => acc + x)
+
+  /** Reference op 15 (InitialCGAMapper, CGA.java:38-67): every cell
+    * starts at p = 0.5. */
+  def initVector(spark: SparkSession, cfg: CgaConfig): Dataset[VectorSplit] = {
+    import spark.implicits._
+    val bits = cfg.splitBits
+    spark.range(0L, cfg.numSplits.toLong, 1L,
+        math.min(cfg.numSplits, spark.sparkContext.defaultParallelism))
+      .map(id => VectorSplit(id, Array.fill(bits)(0.5)))
+  }
+
+  /** Reference op 16 (CGAMapper, CGA.java:70-124): sample T candidate
+    * sub-genomes per split; bit b is 1 with probability probs(b).
+    * The reference's `abs(nextLong) <= fixedPointProb` draw is the
+    * fixed-point spelling of `nextDouble < p`. Narrow (no shuffle);
+    * seeded per (iteration, partition). */
+  def sample(vectors: Dataset[VectorSplit], cfg: CgaConfig, iteration: Int)
+      : Dataset[SampledSplit] = {
+    import vectors.sparkSession.implicits._
+    val t = cfg.tournamentSize
+    val seed = cfg.seed
+    vectors.mapPartitions { it =>
+      val rng = new Random(seed * 6364136223846793005L + iteration * 9973L +
+        TaskContext.getPartitionId())
+      it.map { vs =>
+        val words = Genome.words(vs.probs.length)
+        val cands = Array.ofDim[Array[Long]](t)
+        var l = 0
+        while (l < t) {
+          val g = new Array[Long](words)
+          var b = 0
+          while (b < vs.probs.length) {
+            if (rng.nextDouble() < vs.probs(b)) g(b / 64) |= (1L << (b % 64))
+            b += 1
+          }
+          cands(l) = g
+          l += 1
+        }
+        SampledSplit(vs.splitId, vs.probs, cands)
+      }
+    }
+  }
+
+  /** Reference op 17+18 front half (CGA.java:126-164 side files +
+    * :195-260 findWinner re-read): per-candidate total ones across all
+    * splits, as T sum columns in one partial+final aggregate. */
+  def candidateTotals(sampled: Dataset[SampledSplit], cfg: CgaConfig): Array[Long] = {
+    val t = cfg.tournamentSize
+    val sums = (0 until t).map(l =>
+      sum(popcountArray(col("candidates").getItem(l))).as(s"c$l"))
+    val row = sampled.agg(sums.head, sums.tail: _*).head()
+    (0 until t).map(row.getLong).toArray
+  }
+
+  /** Reference op 18 (CGA.java:236-258): winner = argmax, loser =
+    * argmin, first index on ties (the reference's strict-comparison
+    * loops; minus its static-state carryover bug — SURVEY §2.1
+    * "semantic decisions"). */
+  def pickWinnerLoser(totals: Array[Long]): (Int, Int) = {
+    var w = 0; var l = 0
+    var i = 1
+    while (i < totals.length) {
+      if (totals(i) > totals(w)) w = i
+      if (totals(i) < totals(l)) l = i
+      i += 1
+    }
+    (w, l)
+  }
+
+  /** Reference op 19 (CGA.java:262-309): per bit where winner and loser
+    * disagree, nudge p by ±delta toward the winner; p clamped to [0,1]
+    * (the reference lets its fixed-point cells drift past the
+    * representable range — clamping is the well-defined spelling of the
+    * same sampling behavior). Returns updated splits and the count of
+    * cells still in the unconverged band [lLimit, uLimit] (op 20's
+    * per-task side write + driver sum, :310-324,443-496).
+    * Narrow map — candidates are already co-located with their split. */
+  def update(sampled: Dataset[SampledSplit], winner: Int, loser: Int,
+      cfg: CgaConfig): Dataset[(VectorSplit, Long)] = {
+    import sampled.sparkSession.implicits._
+    val delta = cfg.delta
+    val lLim = cfg.lLimit
+    val uLim = cfg.uLimit
+    sampled.map { ss =>
+      val w = ss.candidates(winner)
+      val l = ss.candidates(loser)
+      val probs = ss.probs.clone()
+      var unConverged = 0L
+      var b = 0
+      while (b < probs.length) {
+        val wb = (w(b / 64) >>> (b % 64)) & 1L
+        val lb = (l(b / 64) >>> (b % 64)) & 1L
+        if (wb != lb) {
+          val p = probs(b) + (if (wb == 1L) delta else -delta)
+          probs(b) = math.min(1.0, math.max(0.0, p))
+        }
+        if (probs(b) >= lLim && probs(b) <= uLim) unConverged += 1
+        b += 1
+      }
+      (VectorSplit(ss.splitId, probs), unConverged)
+    }
+  }
+
+  /** Reference ops 11/20/22 (driver loop CGA.java:443-496): iterate
+    * until no cell is in the unconverged band. localCheckpoint per
+    * iteration cuts the lineage (vs. the reference's per-iteration
+    * HDFS materialization). */
+  def runLoop(spark: SparkSession, cfg: CgaConfig): CgaResult = {
+    import spark.implicits._
+    var vectors = initVector(spark, cfg).localCheckpoint()
+    var it = 0
+    var winnerFitness = -1L
+    var unConverged = -1L
+    while (unConverged != 0L && it < cfg.maxIterations) {
+      // Checkpoint the sampled splits once: totals and update both read
+      // them, and the checkpoint doubles as the per-iteration lineage
+      // cut. `updated` is checkpointed so the unConverged action and the
+      // next iteration's vectors share one materialization.
+      val sampled = sample(vectors, cfg, it).localCheckpoint()
+      val totals = candidateTotals(sampled, cfg)
+      val (w, l) = pickWinnerLoser(totals)
+      winnerFitness = totals(w)
+      val updated = update(sampled, w, l, cfg).localCheckpoint()
+      unConverged = updated.map(_._2).reduce(_ + _)
+      vectors = updated.map(_._1)
+      it += 1
+    }
+    val finalVec = vectors.collect().sortBy(_.splitId).flatMap(_.probs)
+    CgaResult(finalVec, winnerFitness, it, unConverged == 0L)
+  }
+}

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.GaConfig
 import graft.sga.Sga
+import graft.cga.{Cga, CgaConfig}
 
 /** The GA engines exposed through the driver's query surface.
   *
@@ -29,8 +30,24 @@ object GaQueries extends QueryPack {
       .orderBy("generation")
   }
 
+  /** Full seeded cGA ONEMAX run (reference cGA,
+    * /root/reference/src/edu/illinois/ga/CGA.java): returns the final
+    * converged probability vector, one row per gene bit. */
+  def cgaOnemax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cfg = CgaConfig(nBits = 64, numSplits = 2, tournamentSize = 8,
+      population = 20, seed = 42, maxIterations = 400)
+    val r = Cga.runLoop(spark, cfg)
+    r.vector.zipWithIndex
+      .map { case (p, b) => (b, p, r.winnerFitness, r.iterations) }
+      .toSeq
+      .toDF("bit", "prob", "winner_fitness", "iterations")
+      .orderBy("bit")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sga_onemax" -> sgaOnemax _,
+    "cga_onemax" -> cgaOnemax _,
   )
 
   override def oracle: Map[String, String] = Map.empty
