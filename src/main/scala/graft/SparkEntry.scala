@@ -15,6 +15,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     Relational,
     GaQueries,
+    PipelineQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** The training-data-pipeline operator surface (SURVEY.md §2.3) on the
+  * driver's query gate. SQL-expressible ops carry a DuckDB oracle;
+  * hash-family ops (MinHash/SimHash/LSH — xxhash64 has no DuckDB twin)
+  * are rows-only checked here and invariant-tested in scalatest.
+  */
+object PipelineQueries extends QueryPack {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  // ---- dedup ----
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docs(s, d)).orderBy("keep_id", "content_key")
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPairs(docs(s, d), shingleN = 1, k = 32, bands = 8,
+      threshold = 0.8).orderBy("id_a", "id_b")
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(docs(s, d), maxHamming = 3).orderBy("id_a", "id_b")
+
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, d), maxId = 100L, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  // threshold tuned to the synthetic embeddings (max pairwise cosine
+  // ~0.51): 0.3 ~= the 99th percentile, so the verify path has real
+  // work to do while the bucket join still prunes hard
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDup(emb(s, d), planes = 8, threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
+  // ---- similarity search ----
+
+  def simTopkBrute(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(emb(s, d), maxQueryId = 10L, k = 5)
+      .orderBy("qid", "rn")
+
+  def simTopkLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(emb(s, d), maxQueryId = 10L, k = 5)
+      .orderBy("qid", "rn")
+
+  // ---- text analysis ----
+
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(s, d)).orderBy("doc_id")
+
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityScores(docs(s, d),
+      Seq("the", "a", "of", "and", "to", "in")).orderBy("doc_id")
+
+  def textLangid(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.languageId(docs(s, d)).orderBy("doc_id")
+
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprints(docs(s, d)).orderBy("doc_id")
+
+  // ---- multimodal ----
+
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.asMedia(docs(s, d))
+      .select(col("doc_id"), col("meta.nBytes").as("n_bytes"),
+        col("meta.kind").as("kind"))
+      .orderBy("doc_id")
+
+  def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.asMedia(docs(s, d)), frames = 4)
+      .orderBy("doc_id", "frame_idx")
+
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    val f = Multimodal.extractFeatures(Multimodal.asMedia(docs(s, d)))
+    f.toDF().select(col("doc_id"), col("nBytes").as("n_bytes"),
+      posexplode(col("features")).as(Seq("fidx", "fval")))
+      .orderBy("doc_id", "fidx")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact _,
+    "dedup_minhash" -> dedupMinhash _,
+    "dedup_simhash" -> dedupSimhash _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_embedding" -> dedupEmbedding _,
+    "sim_topk_brute" -> simTopkBrute _,
+    "sim_topk_lsh" -> simTopkLsh _,
+    "text_tokens" -> textTokens _,
+    "text_quality" -> textQuality _,
+    "text_langid" -> textLangid _,
+    "text_fingerprint" -> textFingerprint _,
+    "multimodal_meta" -> multimodalMeta _,
+    "multimodal_frames" -> multimodalFrames _,
+    "multimodal_features" -> multimodalFeatures _,
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS dups
+        |FROM documents GROUP BY 1 ORDER BY keep_id, content_key""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS j
+        |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "sim_topk_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |     s AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, v) AS cos
+        |           FROM q JOIN e ON e.vec_id != qid),
+        |     r AS (SELECT qid, nid,
+        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
+        |SELECT qid, nid, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |  length(text) AS n_chars_measured,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]+')) AS n_subtokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(CAST(length(text) AS DOUBLE) / len(toks) AS DECIMAL(18,6)) AS mean_tok_len,
+        |  CAST(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
+        |    AS DECIMAL(18,6)) AS punct_ratio,
+        |  CAST(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x)))
+        |    AS DOUBLE) / len(toks) AS DECIMAL(18,6)) AS stop_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS en_hits,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS de_hits,
+        |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une'], x))) AS fr_hits,
+        |  len(list_filter(toks, x -> list_contains(['el','la','los','y','es','un','una'], x))) AS es_hits
+        |  FROM t)
+        |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+        |  CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+        |       WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+        |       WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+        |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_md5,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> CAST(length(t) AS BIGINT))),
+        |    (a, b) -> (a*31 + b) % 1000000007) AS rolling_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  'text/plain' AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

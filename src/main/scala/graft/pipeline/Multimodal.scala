@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata accompanying an opaque media payload. */
+case class MediaMeta(nBytes: Long, kind: String)
+
+/** One media row: opaque payload bytes + typed metadata. */
+case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
+
+/** Extracted feature vector for one media row. */
+case class MediaFeatures(doc_id: Long, nBytes: Long, features: Array[Float])
+
+/** Multimodal-column plumbing (SURVEY.md §2.3): image/audio/video
+  * modeled as opaque `binary` columns with typed metadata, flowing
+  * through Parquet/Spark untouched until an explicit decode stage.
+  *
+  * The decode itself is STUBBED — no image/audio libraries exist in
+  * this environment — with a deterministic fake, but every Spark-side
+  * concern is real and tested: the binary schema, the batched
+  * per-partition decode shape (the Scala twin of a `mapInPandas`
+  * batch UDF: decoders amortize model/codec init per BATCH, not per
+  * row), the fixed-width feature schema, and the frame-sampling
+  * column expression.
+  *
+  * The test tables carry no real media, so `documents.text` bytes
+  * stand in as the payload.
+  */
+object Multimodal {
+
+  val FeatureDim = 8
+  val DecodeBatchSize = 64
+
+  /** Present documents as media rows: payload = utf8 bytes, metadata
+    * derived in-plan. */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        octet_length(col("text")).cast("long").as("nBytes"),
+        lit("text/plain").as("kind")).as("meta"))
+
+  /** STUB decode: a real pipeline would decode the payload with an
+    * image/audio codec here (the libraries are absent in this
+    * container). The fake is deterministic in the payload bytes so
+    * tests are stable: feature j = normalized splitmix64 of
+    * (byteHash, j). */
+  private[pipeline] def decodeStub(payload: Array[Byte]): Array[Float] = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < payload.length) {
+      h = (h ^ payload(i)) * 0xBF58476D1CE4E5B9L
+      i += 1
+    }
+    Array.tabulate(FeatureDim) { j =>
+      var z = h + j * 0x94D049BB133111EBL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) >>> 11).toFloat / (1L << 53).toFloat
+    }
+  }
+
+  /** Batched feature extraction over media rows: grouped into
+    * fixed-size batches inside each partition — the real decode-UDF
+    * shape (batch-level codec/model amortization), minus the codec. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        // batch boundary: a real decoder would init/reuse codec state here
+        batch.iterator.map { row =>
+          MediaFeatures(row.doc_id, row.meta.nBytes, decodeStub(row.payload))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling as a pure column expression: split the payload into
+    * `frames` fixed-width byte slices (think keyframe extraction),
+    * emitted (doc_id, frame_idx, frame_bytes). Runs in-plan — no UDF. */
+  def sampleFrames(media: DataFrame, frames: Int): DataFrame = {
+    val frameSize = (octet_length(col("payload")) / frames).cast("int")
+    media
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(frames - 1)),
+          i => col("payload").substr((i * frameSize + 1).cast("int"),
+            frameSize))).as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(col("frame")).as("frame_bytes"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** (query id, neighbor id, cosine) — the scored-pair row. */
+case class Score(qid: Long, nid: Long, cos: Double)
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.3; no reference counterpart).
+  *
+  * Scale design:
+  *  - the QUERY side is broadcast (queries are few; candidates are the
+  *    100 TB side and never shuffle for the join);
+  *  - top-k is two-phase: a per-partition k-heap (mapPartitions — the
+  *    genuine imperative case) prunes each partition to ≤ q·k rows, and
+  *    a final window over ≤ partitions·q·k rows finishes exactly. A
+  *    single global Window.partitionBy(qid) would funnel every
+  *    candidate row through q reducers — the classic top-k skew trap;
+  *  - the LSH variant buckets candidates by random-hyperplane signs so
+  *    only same-bucket candidates are scored (recall < 1, the knob is
+  *    `planes`).
+  */
+object Similarity {
+
+  /** Cosine similarity of two double arrays, as one codegen'd
+    * expression (zip_with product fold / norms). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+
+  /** All (query, candidate) cosine scores; query side broadcast. */
+  private def scores(emb: DataFrame, maxQueryId: Long): Dataset[Score] = {
+    import emb.sparkSession.implicits._
+    val e = asDouble(emb)
+    val q = e.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qe"), col("e")).as("cos"))
+      .as[Score]
+  }
+
+  /** Exact brute-force cosine top-k for each query id < maxQueryId.
+    * Baseline & oracle twin; the LSH route below is the scale path. */
+  def bruteForceTopK(emb: DataFrame, maxQueryId: Long, k: Int): DataFrame =
+    finishTopK(partialTopK(scores(emb, maxQueryId), k), k)
+
+  /** Phase 1: per-partition top-k heaps — narrow, bounds the data that
+    * reaches the final window to partitions·q·k rows. */
+  private[pipeline] def partialTopK(s: Dataset[Score], k: Int): Dataset[Score] = {
+    import s.sparkSession.implicits._
+    s.mapPartitions { it =>
+      // total order: higher cos wins, ties broken by smaller nid —
+      // identical to the final window's (cos DESC, nid ASC)
+      val ord = Ordering.by[Score, (Double, Long)](sc => (-sc.cos, sc.nid))
+      val heaps = scala.collection.mutable.Map[Long, scala.collection.mutable.PriorityQueue[Score]]()
+      it.foreach { sc =>
+        val h = heaps.getOrElseUpdate(sc.qid,
+          scala.collection.mutable.PriorityQueue.empty[Score](ord))
+        if (h.size < k) h.enqueue(sc)
+        else if (ord.lt(sc, h.head)) { h.dequeue(); h.enqueue(sc) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
+  /** Phase 2: exact finish over the pruned rows. */
+  private def finishTopK(s: Dataset[Score], k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    s.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "rn")
+  }
+
+  /** LSH-bucketed ANN top-k: random-hyperplane sign buckets (planes
+    * seeded on the driver, shipped as literal arrays); only same-bucket
+    * candidates are scored. Approximate — recall traded for never
+    * scoring the full candidate set. */
+  def lshTopK(emb: DataFrame, maxQueryId: Long, k: Int,
+      planes: Int = 8, seed: Long = 42L, dim: Int = 64): DataFrame = {
+    import emb.sparkSession.implicits._
+    val rng = new java.util.Random(seed)
+    val hyper = Array.fill(planes, dim)(rng.nextGaussian())
+    def dot(v: Column, plane: Array[Double]): Column =
+      aggregate(zip_with(v, array(plane.map(lit): _*), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    val bucketOf = (0 until planes).map { p =>
+      when(dot(col("e"), hyper(p)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val e = asDouble(emb).withColumn("bucket", bucketOf)
+    val q = e.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("bucket").as("qbucket"))
+    val s = e.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qe"), col("e")).as("cos"))
+      .as[Score]
+    finishTopK(partialTopK(s, k), k)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import TextFunctions._
+
+/** Text analysis for training-data curation (SURVEY.md §2.3): token
+  * counting, quality scoring, heuristic language ID, content
+  * fingerprinting. Every op is a narrow, codegen'd projection — the
+  * shape that streams at scan speed over 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace + regex ("BPE-ish": word pieces vs punctuation runs)
+    * token counts. */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      length(col("text")).as("n_chars_measured"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]+"), lit(0)))
+        .as("n_subtokens"))
+  }
+
+  /** Quality signals: mean token length, punctuation density, stopword
+    * ratio. Ratios are single IEEE divisions of exact ints — identical
+    * across engines — then pinned to DECIMAL(18,6) for the oracle. */
+  def qualityScores(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks,
+      t => array_contains(array(stopwords.map(lit): _*), t))).cast("double")
+    val punct = size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+      .cast("double")
+    docs.select(
+      col("doc_id"),
+      (length(col("text")).cast("double") / nTok).cast(DecimalType(18, 6))
+        .as("mean_tok_len"),
+      (punct / length(col("text"))).cast(DecimalType(18, 6)).as("punct_ratio"),
+      (stopHits / nTok).cast(DecimalType(18, 6)).as("stop_ratio"))
+  }
+
+  /** Per-language stopword lexicons for the heuristic language ID.
+    * Tiny by design — the heuristic is "count function-word hits per
+    * language, argmax, fixed precedence on ties". */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una"),
+  )
+
+  /** Heuristic language ID: stopword-hit counts per language (over the
+    * token multiset), predicted language = first max in lexicon order,
+    * "und" when nothing hits. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    def hits(lex: Seq[String]): Column =
+      size(filter(toks, t => array_contains(array(lex.map(lit): _*), t)))
+    val hitCols = lexicons.map { case (lang, lex) => lang -> hits(lex) }
+    val best = hitCols.map(_._2).reduce((a, b) => greatest(a, b))
+    // first-max-wins in declared lexicon order (en outermost)
+    val predFirst = hitCols.reverse.foldLeft(lit("und")) { case (els, (lang, h)) =>
+      when(h === best && best > 0, lit(lang)).otherwise(els)
+    }
+    docs.select(col("doc_id") +: hitCols.map { case (l, c) => c.as(s"${l}_hits") }
+      :+ predFirst.as("pred_lang"): _*)
+  }
+
+  /** Content fingerprints: exact MD5 of normalized text + a modular
+    * rolling hash over token lengths (Karp-Rabin structure, exact
+    * int64 arithmetic in both engines). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(normText(col("text"))).as("content_md5"),
+      rollingFingerprint(tokens(col("text"))).as("rolling_fp"))
+}

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the  QUICK  brown fox jumps over the lazy dog"), // norm dup of 0
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup (1 token)
+    (4L, "completely different content about spark engines"),
+    (5L, "spark engines completely different content about"), // permutation of 4
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeps min id") {
+    val r = Dedup.exact(docs).collect().map(r0 =>
+      (r0.getLong(1), r0.getLong(2))).sortBy(_._1)
+    // 0,1,2 collapse to one group (keep 0, dups 3); 3,4,5 singletons
+    assert(r.toSeq == Seq((0L, 3L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhash finds the near-dup pair and not the unrelated one") {
+    val pairs = Dedup.minhashPairs(docs, shingleN = 1, k = 32, bands = 8,
+      threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair missing")
+    assert(pairs.contains((0L, 3L)) || pairs.contains((1L, 3L)),
+      "near-dup pair missing")
+    assert(!pairs.contains((0L, 4L)), "unrelated pair reported")
+    // 4 and 5 share the same token SET (permuted) -> unigram Jaccard 1
+    assert(pairs.contains((4L, 5L)), "permuted token-set pair missing")
+  }
+
+  test("minhash candidate pairs are verified: every reported j is exact") {
+    val pairs = Dedup.minhashPairs(docs, shingleN = 1, k = 32, bands = 8,
+      threshold = 0.7).collect()
+    val ts = docs.select(col("doc_id"), TextFunctions.tokenSet(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    pairs.foreach { r =>
+      val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val exact = ts(a).intersect(ts(b)).size.toDouble / ts(a).union(ts(b)).size
+      assert(math.abs(j - exact) < 1e-12, s"pair ($a,$b): $j vs $exact")
+    }
+  }
+
+  test("simhash: identical docs have hamming 0; near-dups small hamming") {
+    val sh = Dedup.simhashes(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    val hammingNear = java.lang.Long.bitCount(sh(0L) ^ sh(3L))
+    val hammingFar = java.lang.Long.bitCount(sh(0L) ^ sh(4L))
+    assert(hammingNear < hammingFar,
+      s"near $hammingNear should be < far $hammingFar")
+  }
+
+  test("simhash pairs via banding match brute-force hamming filter") {
+    val viaBands = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashes(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)).toSet
+    // pigeonhole banding is EXACT for maxHamming 3 with 4 chunks
+    assert(viaBands == brute)
+  }
+
+  test("ngram jaccard pairs: hand-checkable") {
+    val r = Dedup.ngramJaccardPairs(docs, maxId = 10L, threshold = 0.99)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // token-set-identical groups: {0,1,2} and {4,5}
+    assert(r == Set((0L, 1L), (0L, 2L), (1L, 2L), (4L, 5L)))
+  }
+
+  test("embedding near-dup finds planted duplicate vector") {
+    val e = Seq(
+      (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
+      (1L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)), // dup of 0
+      (2L, Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)),
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(e, planes = 8, threshold = 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "The quick brown fox, and the lazy dog!"),
+    (1L, "der hund und die katze ist ein tier"),
+    (2L, "xyzzy plugh"),
+  ).toDF("doc_id", "text")
+
+  test("token counts") {
+    val r = TextAnalysis.tokenCounts(docs).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r(0L) == 8)
+    assert(r(1L) == 8)
+    assert(r(2L) == 2)
+  }
+
+  test("quality: stopword ratio and punct ratio") {
+    val r = TextAnalysis.qualityScores(docs, Seq("the", "a", "and")).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getDecimal(2).doubleValue, x.getDecimal(3).doubleValue))).toMap
+    // doc 0: 3 stopword hits of 8 tokens; 2 punct chars of 38 chars
+    assert(math.abs(r(0L)._2 - 3.0 / 8) < 1e-6)
+    assert(math.abs(r(0L)._1 - 2.0 / 38.0) < 1e-6)
+    assert(r(2L)._2 == 0.0)
+  }
+
+  test("language id: argmax with declared precedence, und on no hits") {
+    val r = TextAnalysis.languageId(docs).collect()
+      .map(x => x.getLong(0) -> x.getString(5)).toMap
+    assert(r(0L) == "en")
+    assert(r(1L) == "de")
+    assert(r(2L) == "und")
+  }
+
+  test("fingerprints: md5 normalization and rolling hash") {
+    val r = TextAnalysis.fingerprints(docs).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val byId = r.map(x => x._1 -> x).toMap
+    // rolling fp of doc 2: tokens "xyzzy"(5) "plugh"(5): ((0*31+5)%M*31+5)%M = 160
+    assert(byId(2L)._3 == 160L)
+    // md5 is of lowercased whitespace-normalized text
+    val dup = Seq((9L, "THE  quick   brown fox, and the lazy dog!"))
+      .toDF("doc_id", "text")
+    val fp9 = TextAnalysis.fingerprints(dup).collect().head.getString(1)
+    assert(fp9 == byId(0L)._2)
+  }
+
+  test("multimodal: metadata, batched features, frame sampling") {
+    val media = Multimodal.asMedia(docs)
+    val meta = media.select("doc_id", "meta.nBytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(meta(0L) == 38L)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 3)
+    assert(feats.forall(_.features.length == Multimodal.FeatureDim))
+    assert(feats.forall(_.features.forall(f => f >= 0f && f <= 1f)))
+    // determinism: same payload -> same features
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.sortBy(_.doc_id).zip(again.sortBy(_.doc_id))
+      .forall { case (a, b) => a.features.sameElements(b.features) })
+    val frames = Multimodal.sampleFrames(media, frames = 4).collect()
+    assert(frames.length == 12)
+    // frame bytes sum to ~payload size (integer division truncation tail)
+    val sums = frames.groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(2)).sum)
+    assert(sums(0L) <= 38 && sums(0L) >= 36)
+  }
+}
