@@ -16,6 +16,7 @@ object SparkEntry {
     Relational,
     GaQueries,
     PipelineQueries,
+    StreamQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

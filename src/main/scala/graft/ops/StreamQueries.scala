@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.streaming.Streams
+
+/** Batch twins of the streaming transforms (Streams.scala) on the
+  * driver's oracle gate: identical operator code runs over the batch
+  * events table here and over readStream in StreamingSpec — Spark's
+  * incremental execution is the only difference.
+  */
+object StreamQueries extends QueryPack {
+
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    Streams.tumblingCounts(Tables.events(s, d))
+      .orderBy("w_start", "event_type")
+
+  def sliding(s: SparkSession, d: String): DataFrame =
+    Streams.slidingCounts(Tables.events(s, d))
+      .orderBy("w_start", "event_type")
+
+  def session(s: SparkSession, d: String): DataFrame =
+    Streams.sessionCounts(Tables.events(s, d))
+      .orderBy("user_id", "w_start")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> tumbling _,
+    "stream_sliding" -> sliding _,
+    "stream_session" -> session _,
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        |  COUNT(*) AS c,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "stream_sliding" ->
+      """WITH starts AS (
+        |  SELECT event_type, unnest([
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR]) AS w_start
+        |  FROM events)
+        |SELECT w_start, event_type, COUNT(*) AS c
+        |FROM starts GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "stream_session" ->
+      """WITH x AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER
+        |        (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER
+        |        (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |y AS (SELECT user_id, ts,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT MIN(ts) AS w_start, MAX(ts) + INTERVAL 30 MINUTE AS w_end,
+        |  user_id, COUNT(*) AS c
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
+  )
+}

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A (user, running aggregate) row emitted by the stateful stream. */
+case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+/** Input event row for typed stateful processing. */
+case class Event(event_id: Long, tsMicros: Long, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured Streaming skeleton over the `events` table (SURVEY.md
+  * §1.4/§2.3). The reference's closest capability is the "incremental"
+  * SGA — reducer-held state flushed per task
+  * (/root/reference/src/edu/illinois/incr_ga/IncMapReduce.java:241-325);
+  * here that capability is expressed with watermarked windowed
+  * aggregation and `mapGroupsWithState`.
+  *
+  * Every transform is written against a plain DataFrame so the SAME
+  * code runs in batch (driver's oracle gate, via `StreamQueries`) and
+  * streaming (readStream → memory sink, exercised in StreamingSpec):
+  * incremental execution is Spark's job, not the operator author's.
+  */
+object Streams {
+
+  /** File-source stream of the events table. Schema comes from the
+    * batch reader (nanos ts arrives as long under nanosAsLong; we
+    * re-derive a proper timestamp exactly like Tables.events). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the test tables are single parquet FILES; the streaming file
+    // source wants a directory, so stream the parent dir with a glob
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Watermark when streaming; identity in batch (same code path runs
+    * under the driver's batch oracle gate). */
+  private def watermarked(df: DataFrame, wm: String): DataFrame =
+    if (df.isStreaming) df.withWatermark("ts", wm) else df
+
+  /** Tumbling 1-hour windows with a watermark: late data beyond
+    * `watermark` is dropped, state is bounded — the knob that makes
+    * windowed aggregation run forever at scale. */
+  def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    watermarked(events, watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("c"), col("v"))
+
+  /** Sliding windows (2h width, 1h slide): each event lands in 2
+    * windows. */
+  def slidingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    watermarked(events, watermark)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("c"))
+
+  /** Session windows: a session closes after `gap` of user inactivity.
+    * State per (user, open session) only — bounded by the watermark. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    watermarked(events, watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("user_id"), col("c"))
+
+  /** Exactly-once-style dedup on event_id with bounded state: duplicate
+    * ids arriving within the watermark horizon are dropped. */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom state: per-user running totals via mapGroupsWithState —
+    * the direct Spark twin of the reference's reducer-held HashMap
+    * state (IncMapReduce.java:241-325), with managed fault-tolerant
+    * state instead of task-lifetime memory. */
+  def userRunningTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserTotals(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run any of the above on a stream into an in-memory table and block
+    * until the file source drains — the synchronous harness used by
+    * tests and demos. Returns the materialized result. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame,
+      queryName: String, outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}
