@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection main: prints the formatted physical plan of each
+  * named query (all queries when no names given) so scan pushdown
+  * (`PushedFilters`, pruned `ReadSchema`), join strategies
+  * (BroadcastHashJoin vs SortMergeJoin), and WholeStageCodegen spans
+  * can be audited — the per-operator checklist from the builder brief.
+  *
+  * Usage: runMain graft.Explain [sfDir] [queryName...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-explain")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          println(s"\n========== $name ==========")
+          try fn(spark, sfDir).explain("formatted")
+          catch { case e: Throwable =>
+            println(s"explain failed: ${e.getMessage.linesIterator.next()}") }
+        case None => println(s"unknown query: $name")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -20,12 +20,20 @@ object PipelineQueries extends QueryPack {
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(docs(s, d)).orderBy("keep_id", "content_key")
 
+  // bounded to 1000 docs: the synthetic corpus draws every doc from
+  // one tiny vocabulary, so unigram near-dup output is inherently
+  // quadratic in the corpus — the bound keeps the demo SF-independent
+  // (real corpora + trigram shingles stay subquadratic unbounded)
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashPairs(docs(s, d), shingleN = 1, k = 32, bands = 8,
-      threshold = 0.8).orderBy("id_a", "id_b")
+    Dedup.minhashPairs(docs(s, d).filter(col("doc_id") < 1000),
+      shingleN = 1, k = 32, bands = 8, threshold = 0.8)
+      .orderBy("id_a", "id_b")
 
+  // same SF-independence bound as dedup_minhash: near-identical docs
+  // make chunk-collision candidates quadratic on this synthetic corpus
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(docs(s, d), maxHamming = 3).orderBy("id_a", "id_b")
+    Dedup.simhashPairs(docs(s, d).filter(col("doc_id") < 2000),
+      maxHamming = 3).orderBy("id_a", "id_b")
 
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, d), maxId = 100L, threshold = 0.8)

@@ -35,27 +35,37 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dups"))
 
   /** Candidate near-dup pairs via MinHash-LSH over word-shingle sets,
-    * verified with exact Jaccard. Returns (id_a, id_b, j). */
+    * verified with exact Jaccard. Returns (id_a, id_b, j).
+    *
+    * Shuffle discipline (the 100 TB shape): the bucket join and the
+    * pair `distinct` run over NARROW (doc_id, band, bkey) rows — token
+    * arrays never ride the wide exchange. Verified token sets are
+    * joined back onto the (small) surviving pair set afterwards.
+    * Candidate volume is corpus-dependent: a corpus where everything
+    * resembles everything (like the synthetic word-salad test docs
+    * under unigram shingles) is inherently quadratic in TRUE pairs;
+    * discriminative shingles (n >= 3) keep bucket sizes bounded on
+    * real corpora. */
   def minhashPairs(docs: DataFrame, shingleN: Int = 3, k: Int = 32,
       bands: Int = 8, threshold: Double = 0.7): DataFrame = {
     val r = k / bands
-    val withBands = docs
-      .select(col("doc_id"), tokenSet(col("text")).as("ts"),
-        wordShingles(col("text"), shingleN).as("sh"))
+    val banded = docs
+      .select(col("doc_id"), wordShingles(col("text"), shingleN).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
-      .select(col("doc_id"), col("ts"),
+      .select(col("doc_id"),
         posexplode(lshBands(col("sig"), bands, r)).as(Seq("band", "bkey")))
-    val a = withBands.alias("a")
-    val b = withBands.alias("b")
-    // The (band, bkey) equi-join is the one shuffle; doc_id < doc_id
-    // keeps each unordered pair once per shared band, distinct() below
-    // collapses multi-band agreement.
-    a.join(b,
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    // narrow candidate pairs; distinct collapses multi-band agreement
+    val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.ts").as("ts_a"), col("b.ts").as("ts_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    val ts = docs.select(col("doc_id"), tokenSet(col("text")).as("ts"))
+    pairs
+      .join(ts.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(ts.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
       .withColumn("j", jaccard(col("ts_a"), col("ts_b")))
       .filter(col("j") >= threshold)
       .select("id_a", "id_b", "j")
