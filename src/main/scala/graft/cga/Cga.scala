@@ -80,10 +80,10 @@ case class CgaResult(
   */
 object Cga {
 
-  /** Column expr: total set bits of a bit-packed Array[Long]. */
+  /** Column expr: total set bits of a bit-packed Array[Long] (native
+    * codegen'd expression, graft.functions.PopCountArray). */
   private def popcountArray(c: Column): Column =
-    aggregate(transform(c, w => bit_count(w).cast("long")), lit(0L),
-      (acc, x) => acc + x)
+    graft.functions.PopCountArray.popcountArray(c)
 
   /** Reference op 15 (InitialCGAMapper, CGA.java:38-67): every cell
     * starts at p = 0.5. */
@@ -187,14 +187,40 @@ object Cga {
     }
   }
 
+  /** Save/load the probability vector durably (reference op 22's
+    * generation-dir continuation, CGA.java:503-519,360-366). */
+  def saveVector(v: Dataset[VectorSplit], root: String, iteration: Int): Unit =
+    v.write.mode("overwrite").parquet(s"$root/iter=$iteration")
+
+  def loadVector(spark: SparkSession, root: String, iteration: Int): Dataset[VectorSplit] = {
+    import spark.implicits._
+    spark.read.parquet(s"$root/iter=$iteration").as[VectorSplit]
+  }
+
+  def latestIteration(spark: SparkSession, root: String): Option[Int] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("iter=") => s.drop(5).toInt }
+      .maxOption
+  }
+
   /** Reference ops 11/20/22 (driver loop CGA.java:443-496): iterate
     * until no cell is in the unconverged band. localCheckpoint per
     * iteration cuts the lineage (vs. the reference's per-iteration
-    * HDFS materialization). */
-  def runLoop(spark: SparkSession, cfg: CgaConfig): CgaResult = {
+    * HDFS materialization). `durableRoot` persists the vector every
+    * `saveEvery` iterations and resumes a rerun from the latest saved
+    * one. */
+  def runLoop(spark: SparkSession, cfg: CgaConfig,
+      durableRoot: Option[String] = None, saveEvery: Int = 10): CgaResult = {
     import spark.implicits._
-    var vectors = initVector(spark, cfg).localCheckpoint()
-    var it = 0
+    val resumed = durableRoot.flatMap(r =>
+      latestIteration(spark, r).map(i => (loadVector(spark, r, i), i)))
+    var vectors = resumed.map(_._1.localCheckpoint())
+      .getOrElse(initVector(spark, cfg).localCheckpoint())
+    var it = resumed.map(_._2).getOrElse(0)
     var winnerFitness = -1L
     var unConverged = -1L
     while (unConverged != 0L && it < cfg.maxIterations) {
@@ -210,6 +236,9 @@ object Cga {
       unConverged = updated.map(_._2).reduce(_ + _)
       vectors = updated.map(_._1)
       it += 1
+      durableRoot.foreach { r =>
+        if (it % saveEvery == 0 || unConverged == 0L) saveVector(vectors, r, it)
+      }
     }
     val finalVec = vectors.collect().sortBy(_.splitId).flatMap(_.probs)
     CgaResult(finalVec, winnerFitness, it, unConverged == 0L)

@@ -14,6 +14,10 @@ package graft.core
   * @param maxGenerations   hard stop
   * @param convergenceSlack stop when best >= nBits - slack
   *                         (/root/reference/src/edu/illinois/ga/MapReduce.java:433-434)
+  * @param dedupOffspring   the "incremental" variant's semantics:
+  *                         identical offspring collapse to one per
+  *                         generation (reference reducer-HashMap dedup,
+  *                         /root/reference/src/edu/illinois/incr_ga/IncMapReduce.java:241-325)
   */
 case class GaConfig(
     nBits: Int,
@@ -22,7 +26,8 @@ case class GaConfig(
     numPartitions: Int = 8,
     seed: Long = 42L,
     maxGenerations: Int = 100,
-    convergenceSlack: Int = 10) {
+    convergenceSlack: Int = 10,
+    dedupOffspring: Boolean = false) {
   require(nBits > 0 && popSize > 0 && tournamentSize > 1)
   def converged(bestFitness: Long): Boolean =
     bestFitness >= nBits - convergenceSlack

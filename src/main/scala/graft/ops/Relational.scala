@@ -161,7 +161,7 @@ object Relational extends QueryPack {
   def q11AntiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .join(Tables.orders(spark, dir)
-          .filter(col("o_totalprice") > 40000).select(col("o_custkey")),
+          .filter(col("o_totalprice") > 480000).select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey")
       .orderBy("c_custkey")
@@ -258,7 +258,7 @@ object Relational extends QueryPack {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q11_anti_join" ->
       """SELECT c_custkey FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 40000)
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 480000)
         |ORDER BY c_custkey""".stripMargin,
     "q12_intersect" ->
       """SELECT o_custkey AS k FROM orders

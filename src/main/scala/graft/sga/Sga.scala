@@ -32,11 +32,16 @@ case class SgaResult(
 object Sga {
 
   /** Column expression: ONEMAX fitness of a bit-packed genome — sum of
-    * per-word popcounts (reference op 3, MapReduce.java:100-111).
-    * Built entirely from codegen'd built-ins (bit_count inside
-    * transform + aggregate), no UDF.
+    * per-word popcounts (reference op 3, MapReduce.java:100-111), as
+    * the native codegen'd PopCountArray expression (one fused loop, no
+    * intermediate array — see graft.functions.PopCountArray).
     */
   def fitnessExpr(genome: Column): Column =
+    graft.functions.PopCountArray.popcountArray(genome)
+
+  /** The equivalent built-ins-only spelling (bit_count inside
+    * transform + aggregate); kept as the cross-check for tests. */
+  def fitnessExprBuiltin(genome: Column): Column =
     aggregate(
       transform(genome, w => bit_count(w).cast("long")),
       lit(0L), (acc, x) => acc + x)
@@ -107,6 +112,14 @@ object Sga {
     (row.getSeq[Long](0).toArray, row.getLong(1))
   }
 
+  /** One generation step: mix → select+cross → (optional incremental-
+    * variant offspring dedup, reference op 14) → evaluate. */
+  def step(pop: Dataset[Individual], cfg: GaConfig, gen: Int): Dataset[Individual] = {
+    val crossed = selectAndCross(mix(pop, cfg, gen), cfg, gen)
+    val next = if (cfg.dedupOffspring) crossed.dropDuplicates("genome") else crossed
+    evaluate(next)
+  }
+
   /** Reference op 11: the generation loop. localCheckpoint each
     * generation truncates lineage (and is the only materialization —
     * vs the reference's per-generation HDFS round trip). Stops on
@@ -119,8 +132,7 @@ object Sga {
     var (bg, bf) = best(pop)
     history += bf
     while (!cfg.converged(bf) && gen < cfg.maxGenerations) {
-      val next = evaluate(selectAndCross(mix(pop, cfg, gen), cfg, gen))
-        .localCheckpoint()
+      val next = step(pop, cfg, gen).localCheckpoint()
       pop.unpersist(blocking = false)
       pop = next
       gen += 1
@@ -129,6 +141,60 @@ object Sga {
       history += bf
     }
     pop.unpersist(blocking = false)
+    SgaResult(bg, bf, gen, history.toSeq)
+  }
+
+  // ---- durable generations (reference ops 13 + 22: per-generation
+  // materialization as Parquet instead of SequenceFiles, with
+  // resume-from-latest continuation) ----
+
+  /** Write one generation durably (op 13's per-iteration sink). */
+  def saveGeneration(pop: Dataset[Individual], root: String, gen: Int): Unit =
+    pop.write.mode("overwrite").parquet(s"$root/gen=$gen")
+
+  /** Read a generation back. */
+  def loadGeneration(spark: SparkSession, root: String, gen: Int): Dataset[Individual] = {
+    import spark.implicits._
+    spark.read.parquet(s"$root/gen=$gen").as[Individual]
+  }
+
+  /** Latest persisted generation id under `root`, if any. */
+  def latestGeneration(spark: SparkSession, root: String): Option[Int] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen=") => s.drop(4).toInt }
+      .maxOption
+  }
+
+  /** The loop with durable generations: every generation lands in
+    * `root/gen=k` Parquet, and a rerun resumes from the latest one
+    * (reference op 22's `iter` CLI continuation, CGA.java:503-519). */
+  def runLoopDurable(spark: SparkSession, cfg: GaConfig, root: String): SgaResult = {
+    val startGen = latestGeneration(spark, root)
+    var pop = startGen match {
+      case Some(g) => evaluate(loadGeneration(spark, root, g)).localCheckpoint()
+      case None =>
+        val p = evaluate(initPopulation(spark, cfg)).localCheckpoint()
+        saveGeneration(p, root, 0)
+        p
+    }
+    var gen = startGen.getOrElse(0)
+    val history = scala.collection.mutable.ArrayBuffer[Long]()
+    var (bg, bf) = best(pop)
+    history += bf
+    while (!cfg.converged(bf) && gen < cfg.maxGenerations) {
+      val next = step(pop, cfg, gen).localCheckpoint()
+      pop = next
+      gen += 1
+      saveGeneration(pop, root, gen)
+      val r = best(pop)
+      bg = r._1; bf = r._2
+      history += bf
+    }
     SgaResult(bg, bf, gen, history.toSeq)
   }
 }
