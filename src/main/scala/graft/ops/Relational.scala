@@ -189,6 +189,34 @@ object Relational extends QueryPack {
           lit(0L), (a, b) => a + b).as("fitness"))
       .orderBy("l_orderkey", "l_linenumber", "fitness")
 
+  /** Q14 — semi-structured props: parse the events JSON `props` column
+    * into MapType(string,string) with from_json (SURVEY §1.3's map-type
+    * surface) and aggregate a typed field out of it. At scale the parse
+    * happens in the scan pipeline (codegen'd JsonToStructs), no
+    * separate ETL pass. */
+  def q14JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)).as("m"))
+      .select(col("event_type"),
+        element_at(col("m"), "k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy("event_type")
+
+  /** Q15 — the salted twin of Q2: identical results, skew-resistant
+    * two-phase plan (Skew.saltedAgg). l_returnflag/l_linestatus have
+    * single-digit cardinality, the real heavy-hitter shape at 100 TB. */
+  def q15SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(Tables.lineitem(spark, dir),
+      Seq("l_returnflag", "l_linestatus"), salts = 8, seed = 42L,
+      Skew.CountAll("cnt"), Skew.SumDec("l_quantity", "qty"),
+      Skew.Min("l_extendedprice", "minp"), Skew.Max("l_extendedprice", "maxp"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> q1FilterProject _,
     "q2_agg" -> q2Agg _,
@@ -203,6 +231,8 @@ object Relational extends QueryPack {
     "q11_anti_join" -> q11AntiJoin _,
     "q12_intersect" -> q12Intersect _,
     "q13_genome_fitness" -> q13GenomeFitness _,
+    "q14_json_props" -> q14JsonProps _,
+    "q15_salted_agg" -> q15SaltedAgg _,
   )
 
   override def oracle: Map[String, String] = Map(
@@ -267,5 +297,17 @@ object Relational extends QueryPack {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(bit_count(l_orderkey) + bit_count(l_partkey) + bit_count(l_suppkey) AS BIGINT) AS fitness
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, fitness""".stripMargin,
+    "q14_json_props" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q15_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty,
+        |  MIN(l_extendedprice) AS minp, MAX(l_extendedprice) AS maxp
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
   )
 }

