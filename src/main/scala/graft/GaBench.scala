@@ -11,6 +11,13 @@ import graft.sga.Sga
   */
 object GaBench {
   def main(args: Array[String]): Unit = {
+    // optional args: nBits popSize generations partitions
+    // (defaults = the SURVEY §6 pinned yardstick; the reference's
+    // README:41 headline scale is `runMain graft.GaBench 10000 1330000 5 32`)
+    val nBits = args.lift(0).map(_.toInt).getOrElse(4096)
+    val popSize = args.lift(1).map(_.toLong).getOrElse(65536L)
+    val gens = args.lift(2).map(_.toInt).getOrElse(20)
+    val parts = args.lift(3).map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,13 +26,13 @@ object GaBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val cfg = GaConfig(nBits = 4096, popSize = 65536, tournamentSize = 5,
-      numPartitions = 8, seed = 42, maxGenerations = 20,
-      convergenceSlack = -1) // slack -1: never converges early, runs all 20
+    val cfg = GaConfig(nBits = nBits, popSize = popSize, tournamentSize = 5,
+      numPartitions = parts, seed = 42, maxGenerations = gens,
+      convergenceSlack = -1) // slack -1: never converges early, runs all gens
     val t0 = System.nanoTime()
     val r = Sga.runLoop(spark, cfg)
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"metric":"sga_sec_per_generation","value":${sec / r.generations}%.3f,"unit":"sec","generations":${r.generations},"total_sec":$sec%.3f,"best":${r.bestFitness},"n":4096,"pop":65536}""")
+    println(f"""{"metric":"sga_sec_per_generation","value":${sec / r.generations}%.3f,"unit":"sec","generations":${r.generations},"total_sec":$sec%.3f,"best":${r.bestFitness},"n":$nBits,"pop":$popSize}""")
     spark.stop()
   }
 }
