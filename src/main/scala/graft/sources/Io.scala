@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface of the engine (SURVEY §2.1 op 13 modernized).
+  * The reference's only format was uncompressed SequenceFiles, one dir
+  * per generation; a Spark-native library standardizes on columnar
+  * parquet/orc plus row formats (csv/json) for interchange, with the
+  * two layout levers that matter at 100 TB:
+  *
+  *  - `partitionBy` (hive-style directory partitioning) → partition
+  *    PRUNING: a filter on the partition column skips whole
+  *    directories at planning time;
+  *  - bucketed tables (`writeBucketed`) → co-located joins: two
+  *    tables bucketed by the same key and count sort-merge-join with
+  *    NO exchange on either side — the reference's "shuffle once,
+  *    reuse forever" pattern it never had.
+  */
+object Io {
+
+  /** Formats the engine reads/writes. */
+  val formats: Seq[String] = Seq("parquet", "orc", "csv", "json")
+
+  def write(df: DataFrame, path: String, format: String = "parquet",
+      partitionBy: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
+    require(formats.contains(format), s"unsupported format $format")
+    val w: DataFrameWriter[Row] = df.write.format(format).mode(mode)
+      .option("header", "true") // no-op outside csv
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
+
+  def read(spark: SparkSession, path: String, format: String = "parquet",
+      schema: Option[StructType] = None): DataFrame = {
+    require(formats.contains(format), s"unsupported format $format")
+    val r = spark.read.format(format)
+      .option("header", "true").option("inferSchema", schema.isEmpty)
+    schema.fold(r)(r.schema).load(path)
+  }
+
+  /** Persist as a bucketed managed table: pre-shuffled on `bucketCol`
+    * into `buckets` files per partition, so joins/aggregations on that
+    * key skip their exchange entirely. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(w.sortBy(_)).saveAsTable(table)
+  }
+}

@@ -53,6 +53,17 @@ class SgaSpec extends SparkSpec {
     assert(m1 > m0, s"gen1 mean $m1 should exceed gen0 mean $m0")
   }
 
+  test("golden: seeded run reproduces the pinned fitness trajectory") {
+    // SURVEY §5.5: exact per-generation best-fitness history for the
+    // pinned config (n=64, pop=1024, 4 parts, seed 42, local[4]/4
+    // shuffle partitions). Catches silent semantic drift in any of
+    // init/evaluate/mix/select/crossover. If a DELIBERATE semantic
+    // change moves this, re-pin with tools in the commit that does it.
+    val r = Sga.runLoop(spark, cfg)
+    assert(r.history == Seq(46L, 46L, 51L, 51L, 53L, 54L),
+      s"trajectory drifted: ${r.history}")
+  }
+
   test("runLoop converges on ONEMAX n=64 (seeded)") {
     val r = Sga.runLoop(spark, cfg)
     assert(r.bestFitness >= cfg.nBits - cfg.convergenceSlack,

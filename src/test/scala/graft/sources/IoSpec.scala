@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.ops.Tables
+import org.apache.spark.sql.functions._
+
+class IoSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft-io").toString
+
+  test("round-trips documents through every format") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val expected = docs.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    for (fmt <- Io.formats) {
+      val p = s"${tmp()}/docs-$fmt"
+      Io.write(docs, p, fmt)
+      val back = Io.read(spark, p, fmt, Some(docs.schema))
+      assert(back.orderBy("doc_id").collect().map(_.toSeq).toSeq == expected,
+        s"format $fmt")
+    }
+  }
+
+  test("hive-style partitioning enables partition pruning") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val p = s"${tmp()}/docs-part"
+    Io.write(docs, p, "parquet", partitionBy = Seq("lang"))
+    val pruned = Io.read(spark, p).filter(col("lang") === "en")
+    // pruning is visible in the scan's partition filters: the physical
+    // plan must not read non-en directories
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("lang"), s"no partition filter in:\n$plan")
+    val expected = docs.filter(col("lang") === "en").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("bucketed tables join without an exchange") {
+    val wh = tmp()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, sf("sf0.001"))
+        .select("doc_id", "lang", "n_chars")
+      val feats = Tables.documents(spark, sf("sf0.001"))
+        .select(col("doc_id"), length(col("text")).as("len"))
+      Io.writeBucketed(docs, "b_docs", "doc_id", 4, Some("doc_id"))
+      Io.writeBucketed(feats, "b_feats", "doc_id", 4, Some("doc_id"))
+      val joined = spark.table("b_docs")
+        .join(spark.table("b_feats"), "doc_id")
+      joined.count() // materialize with AQE final plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == docs.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_feats")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
