@@ -5,6 +5,7 @@ import java.util.Random
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.core.Genome
 
@@ -223,23 +224,32 @@ object Cga {
     var it = resumed.map(_._2).getOrElse(0)
     var winnerFitness = -1L
     var unConverged = -1L
+    var prevCache: Option[Dataset[_]] = None
+    // Exactly TWO jobs per iteration — the algorithmic minimum (the
+    // totals read and the convergence read are inherently sequential:
+    // the update needs the winner). Lazy persist()s make totals/update
+    // share one sampling pass without a dedicated checkpoint job; all
+    // RNG is (seed, iteration, partition)-keyed, so even a cache
+    // eviction only costs a deterministic recompute, never a different
+    // answer. localCheckpoint every 20 iterations bounds lineage depth.
     while (unConverged != 0L && it < cfg.maxIterations) {
-      // Checkpoint the sampled splits once: totals and update both read
-      // them, and the checkpoint doubles as the per-iteration lineage
-      // cut. `updated` is checkpointed so the unConverged action and the
-      // next iteration's vectors share one materialization.
-      val sampled = sample(vectors, cfg, it).localCheckpoint()
-      val totals = candidateTotals(sampled, cfg)
+      val sampled = sample(vectors, cfg, it).persist(StorageLevel.MEMORY_AND_DISK)
+      val totals = candidateTotals(sampled, cfg) // job 1 (materializes sampled)
       val (w, l) = pickWinnerLoser(totals)
       winnerFitness = totals(w)
-      val updated = update(sampled, w, l, cfg).localCheckpoint()
-      unConverged = updated.map(_._2).reduce(_ + _)
+      val updated = update(sampled, w, l, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+      unConverged = updated.map(_._2).reduce(_ + _) // job 2 (materializes updated)
+      prevCache.foreach(_.unpersist(blocking = false))
+      sampled.unpersist(blocking = false)
+      prevCache = Some(updated)
       vectors = updated.map(_._1)
       it += 1
+      if (it % 20 == 0) vectors = vectors.localCheckpoint()
       durableRoot.foreach { r =>
         if (it % saveEvery == 0 || unConverged == 0L) saveVector(vectors, r, it)
       }
     }
+    prevCache.foreach(_.unpersist(blocking = false))
     val finalVec = vectors.collect().sortBy(_.splitId).flatMap(_.probs)
     CgaResult(finalVec, winnerFitness, it, unConverged == 0L)
   }
