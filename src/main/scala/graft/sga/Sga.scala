@@ -124,7 +124,8 @@ object Sga {
     * generation truncates lineage (and is the only materialization —
     * vs the reference's per-generation HDFS round trip). Stops on
     * convergence (best >= n - slack) or maxGenerations. */
-  def runLoop(spark: SparkSession, cfg: GaConfig): SgaResult = {
+  def runLoop(spark: SparkSession, cfg: GaConfig,
+      onGeneration: (Int, Long, Long) => Unit = (_, _, _) => ()): SgaResult = {
     var pop = evaluate(initPopulation(spark, cfg))
       .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
     var gen = 0
@@ -132,6 +133,7 @@ object Sga {
     var (bg, bf) = best(pop)
     history += bf
     while (!cfg.converged(bf) && gen < cfg.maxGenerations) {
+      val t0 = System.nanoTime()
       val next = step(pop, cfg, gen).localCheckpoint()
       pop.unpersist(blocking = false)
       pop = next
@@ -139,6 +141,7 @@ object Sga {
       val r = best(pop)
       bg = r._1; bf = r._2
       history += bf
+      onGeneration(gen, bf, (System.nanoTime() - t0) / 1000000L)
     }
     pop.unpersist(blocking = false)
     SgaResult(bg, bf, gen, history.toSeq)
