@@ -52,6 +52,22 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b, "top-k must be partitioning-invariant")
   }
 
+  test("lshTopK recall against brute force is usable") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val brute = Similarity.bruteForceTopK(emb, 20L, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, 20L, 5, planes = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    // random embeddings are the worst case for hyperplane LSH (no
+    // cluster structure); 8 tables of 4 planes should recover over
+    // half the true neighbors (theory: 1-(1-p)^8, p=(1-θ/π)^4)
+    assert(recall > 0.5, s"recall $recall")
+    // and every LSH-returned neighbor shares the query's bucket by
+    // construction — sanity: no query returns more than k
+    assert(lsh.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
   test("lshTopK returns subset-consistent ranks") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val r = Similarity.lshTopK(emb, maxQueryId = 5L, k = 3).collect()

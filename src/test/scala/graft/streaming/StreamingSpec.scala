@@ -35,6 +35,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming sliding windows equal the batch twin") {
+    val streamed = Streams.slidingCounts(Streams.eventsStream(spark, dir))
+    val got = Streams.runToMemory(spark, streamed, "t_sliding",
+      OutputMode.Complete())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val batch = Streams.slidingCounts(Tables.events(spark, dir))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == batch)
+    // sliding 2h/1h: total window-rows ~= 2x tumbling rows
+    assert(got.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark drops duplicate event ids") {
     val s = Streams.eventsStream(spark, dir)
     // duplicate the stream by unioning it with itself: every event_id
