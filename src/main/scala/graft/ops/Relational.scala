@@ -217,6 +217,22 @@ object Relational extends QueryPack {
       Skew.Min("l_extendedprice", "minp"), Skew.Max("l_extendedprice", "maxp"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Q16 — star join: the lineitem fact against two broadcast dims
+    * (part, supplier). The fact side streams through both joins with
+    * zero exchanges before the grouped aggregate — the canonical
+    * 100 TB star-schema plan. */
+  def q16StarJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .filter(col("s_acctbal") > 0)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"),
+        dec(sum(dec(col("l_extendedprice")))).as("revenue"))
+      .orderBy("p_brand")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> q1FilterProject _,
     "q2_agg" -> q2Agg _,
@@ -233,6 +249,7 @@ object Relational extends QueryPack {
     "q13_genome_fitness" -> q13GenomeFitness _,
     "q14_json_props" -> q14JsonProps _,
     "q15_salted_agg" -> q15SaltedAgg _,
+    "q16_star_join" -> q16StarJoin _,
   )
 
   override def oracle: Map[String, String] = Map(
@@ -309,5 +326,13 @@ object Relational extends QueryPack {
         |  MIN(l_extendedprice) AS minp, MAX(l_extendedprice) AS maxp
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q16_star_join" ->
+      """SELECT p_brand, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_acctbal > 0
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
   )
 }

@@ -47,6 +47,19 @@ class PopCountArraySpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("stays inside WholeStageCodegen (no fallback in the hot path)") {
+    // (a Seq-backed frame constant-folds to LocalTableScan — itself
+    // proof the interpreted path runs — so assert on a range scan)
+    val ranged = spark.range(1000)
+      .select(PopCountArray.popcountArray(array(col("id"))).as("pc"))
+    val plan = ranged.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in the plan's simpleString
+    assert(plan.contains("*(1) Project [popcount_array"),
+      s"no codegen span around the expression:\n$plan")
+    assert(ranged.agg(sum("pc")).head().getLong(0) ==
+      (0L until 1000L).map(java.lang.Long.bitCount(_).toLong).sum)
+  }
+
   test("SQL registration") {
     PopCountArray.register(spark)
     df.createOrReplaceTempView("pc_test")
