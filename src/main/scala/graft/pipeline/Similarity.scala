@@ -25,11 +25,12 @@ case class Score(qid: Long, nid: Long, cos: Double)
 object Similarity {
 
   /** Cosine similarity of two double arrays, as one codegen'd
-    * expression (zip_with product fold / norms). */
+    * expression (zip_with product fold / norms). NULL for zero-norm
+    * vectors (try_divide — ANSI mode would otherwise throw). */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    try_divide(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
   private def asDouble(emb: DataFrame): DataFrame =

@@ -35,12 +35,15 @@ object TextAnalysis {
       t => array_contains(array(stopwords.map(lit): _*), t))).cast("double")
     val punct = size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
       .cast("double")
+    // try_divide: ANSI-safe NULL on empty docs (zero chars/tokens)
+    // instead of DIVIDE_BY_ZERO — scraped corpora contain empties
     docs.select(
       col("doc_id"),
-      (length(col("text")).cast("double") / nTok).cast(DecimalType(18, 6))
-        .as("mean_tok_len"),
-      (punct / length(col("text"))).cast(DecimalType(18, 6)).as("punct_ratio"),
-      (stopHits / nTok).cast(DecimalType(18, 6)).as("stop_ratio"))
+      try_divide(length(col("text")).cast("double"), nTok)
+        .cast(DecimalType(18, 6)).as("mean_tok_len"),
+      try_divide(punct, length(col("text"))).cast(DecimalType(18, 6))
+        .as("punct_ratio"),
+      try_divide(stopHits, nTok).cast(DecimalType(18, 6)).as("stop_ratio"))
   }
 
   /** Per-language stopword lexicons for the heuristic language ID.

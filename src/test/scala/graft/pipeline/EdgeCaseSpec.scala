@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Degenerate inputs through the text/dedup/multimodal surface: an
+  * engine that will meet 100 TB of scraped data must not throw on
+  * empty, whitespace-only, unicode, or single-token documents. */
+class EdgeCaseSpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  private lazy val weird = Seq(
+    (0L, ""),
+    (1L, "   "),
+    (2L, "one"),
+    (3L, "naïve café résumé — 日本語 テスト"),
+    (4L, "a\tb\nc\r\nd"),
+    (5L, "!!! ??? ..."),
+  ).toDF("doc_id", "text")
+
+  test("token counts survive degenerate docs") {
+    val r = TextAnalysis.tokenCounts(weird).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r(2L) == 1)
+    assert(r(4L) == 4) // tab/newline/CRLF all split
+    assert(r.size == 6) // nothing threw, nothing dropped
+  }
+
+  test("quality scores: no exceptions; empty docs yield nulls not crashes") {
+    val rows = TextAnalysis.qualityScores(weird, Seq("a", "the")).collect()
+    assert(rows.length == 6)
+    // empty text: length 0 -> punct ratio division by zero -> null
+    val empty = rows.find(_.getLong(0) == 0L).get
+    assert(empty.isNullAt(2) || empty.getDecimal(2) != null)
+  }
+
+  test("language id handles no-hit and unicode docs") {
+    val r = TextAnalysis.languageId(weird).collect()
+      .map(x => x.getLong(0) -> x.getString(5)).toMap
+    assert(r(3L) == "und")
+    assert(r(5L) == "und")
+    assert(r(4L) == "en") // contains "a"
+  }
+
+  test("fingerprints and exact dedup on degenerate docs") {
+    assert(TextAnalysis.fingerprints(weird).count() == 6)
+    // "" and "   " normalize to "" and "" -> same content key, deduped
+    val groups = Dedup.exact(weird).collect()
+    assert(groups.map(_.getLong(2)).sum == 6)
+    val emptyGroup = groups.find(_.getLong(1) == 0L).get
+    assert(emptyGroup.getLong(2) == 2L, "empty and whitespace-only collapse")
+  }
+
+  test("minhash/simhash do not throw on degenerate docs") {
+    assert(Dedup.minhashPairs(weird, 1, 16, 4, 0.9).count() >= 0)
+    assert(Dedup.simhashes(weird).count() == 6)
+  }
+
+  test("multimodal plumbing on empty payloads") {
+    val media = Multimodal.asMedia(weird)
+    val f = Multimodal.extractFeatures(media).collect()
+    assert(f.length == 6)
+    assert(f.forall(_.features.length == Multimodal.FeatureDim))
+  }
+}
