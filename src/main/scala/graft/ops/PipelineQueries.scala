@@ -90,6 +90,21 @@ object PipelineQueries extends QueryPack {
       .orderBy("doc_id", "fidx")
   }
 
+  /** Cardinality sketches over dedup-relevant keys: HLL
+    * approx_count_distinct next to the exact count. At 100 TB the
+    * exact distinct is a full shuffle of every key; the sketch is a
+    * constant-size mergeable state per partition — this query is the
+    * side-by-side demonstration (rows-only check: HLL estimates are
+    * engine-specific; accuracy is asserted in SketchSpec). */
+  def statsCardinality(s: SparkSession, d: String): DataFrame = {
+    val docs0 = docs(s, d)
+    docs0.select(
+      count(lit(1)).as("rows"),
+      countDistinct(col("text")).as("exact_distinct_text"),
+      approx_count_distinct(col("text"), 0.02).as("approx_distinct_text"),
+      approx_count_distinct(md5(col("text")), 0.02).as("approx_distinct_md5"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_minhash" -> dedupMinhash _,
@@ -105,6 +120,7 @@ object PipelineQueries extends QueryPack {
     "multimodal_meta" -> multimodalMeta _,
     "multimodal_frames" -> multimodalFrames _,
     "multimodal_features" -> multimodalFeatures _,
+    "stats_cardinality" -> statsCardinality _,
   )
 
   override def oracle: Map[String, String] = Map(
