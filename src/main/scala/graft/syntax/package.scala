@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** Fluent entry points: `import graft.syntax._` and call pipeline
+  * operators as methods on any DataFrame with the right columns
+  * (documents: doc_id/text; embeddings: vec_id/embedding).
+  */
+package object syntax {
+
+  implicit class DocumentOps(private val df: DataFrame) {
+
+    /** Exact dedup on normalized content → (content_key, keep_id, dups). */
+    def dedupExact(): DataFrame = Dedup.exact(df)
+
+    /** MinHash-LSH near-dup pairs verified by exact Jaccard. */
+    def nearDupsMinhash(shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+        threshold: Double = 0.7): DataFrame =
+      Dedup.minhashPairs(df, shingleN, k, bands, threshold)
+
+    /** SimHash near-dup pairs with hamming <= maxHamming. */
+    def nearDupsSimhash(maxHamming: Int = 3): DataFrame =
+      Dedup.simhashPairs(df, maxHamming)
+
+    /** Per-document token/char/subtoken counts. */
+    def tokenCounts(): DataFrame = TextAnalysis.tokenCounts(df)
+
+    /** Quality ratios (mean token length, punctuation, stopwords). */
+    def qualityScores(stopwords: Seq[String] = Seq("the", "a", "of", "and",
+        "to", "in")): DataFrame = TextAnalysis.qualityScores(df, stopwords)
+
+    /** Heuristic language ID with per-language hit counts. */
+    def languageId(): DataFrame = TextAnalysis.languageId(df)
+
+    /** MD5 + rolling content fingerprints. */
+    def fingerprints(): DataFrame = TextAnalysis.fingerprints(df)
+  }
+
+  implicit class EmbeddingOps(private val df: DataFrame) {
+
+    /** Exact cosine top-k for each vec_id < maxQueryId. */
+    def cosineTopK(maxQueryId: Long, k: Int): DataFrame =
+      Similarity.bruteForceTopK(df, maxQueryId, k)
+
+    /** Multi-table LSH approximate top-k. */
+    def cosineTopKApprox(maxQueryId: Long, k: Int, planes: Int = 4,
+        tables: Int = 8): DataFrame =
+      Similarity.lshTopK(df, maxQueryId, k, planes, tables)
+
+    /** Embedding near-dup pairs above a cosine threshold. */
+    def nearDupsEmbedding(planes: Int = 12, threshold: Double = 0.95): DataFrame =
+      Dedup.embeddingNearDup(df, planes, threshold = threshold)
+  }
+}
