@@ -233,6 +233,29 @@ object Relational extends QueryPack {
         dec(sum(dec(col("l_extendedprice")))).as("revenue"))
       .orderBy("p_brand")
 
+  /** Q17 — set difference (the other half of op 11's generation set
+    * algebra next to Q12's INTERSECT). */
+  def q17Except(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey").as("k"))
+      .except(Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 480000).select(col("o_custkey").as("k")))
+      .orderBy("k")
+
+  /** Q18 — hierarchical aggregate (ROLLUP): per-(flag,status), per-flag
+    * subtotals, and the grand total in one pass — one shuffle, Spark
+    * expands grouping sets map-side. NULL grouping keys are coalesced
+    * to a sentinel so Spark/DuckDB null-ordering differences can't
+    * touch the sort. */
+  def q18Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dec(sum(dec(col("l_quantity")))).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("cnt"), col("qty"))
+      .orderBy("flag", "status")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> q1FilterProject _,
     "q2_agg" -> q2Agg _,
@@ -250,6 +273,8 @@ object Relational extends QueryPack {
     "q14_json_props" -> q14JsonProps _,
     "q15_salted_agg" -> q15SaltedAgg _,
     "q16_star_join" -> q16StarJoin _,
+    "q17_except" -> q17Except _,
+    "q18_rollup" -> q18Rollup _,
   )
 
   override def oracle: Map[String, String] = Map(
@@ -334,5 +359,15 @@ object Relational extends QueryPack {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_acctbal > 0
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q17_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 480000
+        |ORDER BY k""".stripMargin,
+    "q18_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
   )
 }
