@@ -157,11 +157,11 @@ object PipelineQueries extends QueryPack {
       """WITH t AS (SELECT doc_id, text,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
         |SELECT doc_id,
-        |  CAST(CAST(length(text) AS DOUBLE) / len(toks) AS DECIMAL(18,6)) AS mean_tok_len,
-        |  CAST(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
-        |    AS DECIMAL(18,6)) AS punct_ratio,
-        |  CAST(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x)))
-        |    AS DOUBLE) / len(toks) AS DECIMAL(18,6)) AS stop_ratio
+        |  CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_tok_len,
+        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x)))
+        |    AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """WITH t AS (SELECT doc_id,

@@ -32,7 +32,7 @@ object StreamQueries extends QueryPack {
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |  COUNT(*) AS c,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "stream_sliding" ->
       """WITH starts AS (

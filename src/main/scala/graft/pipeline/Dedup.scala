@@ -48,6 +48,9 @@ object Dedup {
     * real corpora. */
   def minhashPairs(docs: DataFrame, shingleN: Int = 3, k: Int = 32,
       bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must be a multiple of bands=$bands " +
+        "(a remainder would silently drop tail hashes from every band)")
     val r = k / bands
     val banded = docs
       .select(col("doc_id"), wordShingles(col("text"), shingleN).as("sh"))

@@ -46,6 +46,9 @@ object Similarity {
     e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qe"), col("e")).as("cos"))
+      // zero-norm vectors score NULL (try_divide); drop them before the
+      // non-nullable Score decode — "no direction" can't rank anyway
+      .filter(col("cos").isNotNull)
       .as[Score]
   }
 
@@ -118,6 +121,7 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("qe"), col("e"))
       .dropDuplicates("qid", "nid")
       .select(col("qid"), col("nid"), cosine(col("qe"), col("e")).as("cos"))
+      .filter(col("cos").isNotNull)
       .as[Score]
     finishTopK(partialTopK(s, k), k)
   }

@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import TextFunctions._
 
@@ -26,8 +25,10 @@ object TextAnalysis {
   }
 
   /** Quality signals: mean token length, punctuation density, stopword
-    * ratio. Ratios are single IEEE divisions of exact ints — identical
-    * across engines — then pinned to DECIMAL(18,6) for the oracle. */
+    * ratio. Each ratio is a single IEEE division of exact integers —
+    * correctly rounded, so bit-identical across engines — and is kept
+    * as DOUBLE (decimal output columns canonicalize differently across
+    * the oracle engines' client stacks, round-1 driver gate). */
   def qualityScores(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
@@ -39,11 +40,9 @@ object TextAnalysis {
     // instead of DIVIDE_BY_ZERO — scraped corpora contain empties
     docs.select(
       col("doc_id"),
-      try_divide(length(col("text")).cast("double"), nTok)
-        .cast(DecimalType(18, 6)).as("mean_tok_len"),
-      try_divide(punct, length(col("text"))).cast(DecimalType(18, 6))
-        .as("punct_ratio"),
-      try_divide(stopHits, nTok).cast(DecimalType(18, 6)).as("stop_ratio"))
+      try_divide(length(col("text")).cast("double"), nTok).as("mean_tok_len"),
+      try_divide(punct, length(col("text")).cast("double")).as("punct_ratio"),
+      try_divide(stopHits, nTok).as("stop_ratio"))
   }
 
   /** Per-language stopword lexicons for the heuristic language ID.

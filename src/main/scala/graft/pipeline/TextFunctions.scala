@@ -34,10 +34,12 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** Exact Jaccard similarity of two distinct-element arrays. */
+  /** Exact Jaccard similarity of two distinct-element arrays. NULL for
+    * two empty sets (try_divide — same ANSI-safe discipline as
+    * cosine/qualityScores; callers may pass pre-tokenized empties). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+    try_divide(inter, size(a) + size(b) - size(array_intersect(a, b)))
   }
 
   /** MinHash signature: k minimum hashes over the shingle set. Hash

@@ -51,9 +51,12 @@ object Streams {
   def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     watermarked(events, watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      // sum in DECIMAL so the addition is exact/order-independent, but
+      // surface DOUBLE: decimal output columns canonicalize differently
+      // across the oracle engines' client stacks (round-1 driver gate)
       .agg(count(lit(1)).as("c"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+          .cast("double").as("v"))
       .select(col("w.start").as("w_start"), col("event_type"), col("c"), col("v"))
 
   /** Sliding windows (2h width, 1h slide): each event lands in 2

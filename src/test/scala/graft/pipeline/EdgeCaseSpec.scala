@@ -32,7 +32,7 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows.length == 6)
     // empty text: length 0 -> punct ratio division by zero -> null
     val empty = rows.find(_.getLong(0) == 0L).get
-    assert(empty.isNullAt(2) || empty.getDecimal(2) != null)
+    assert(empty.isNullAt(2))
   }
 
   test("language id handles no-hit and unicode docs") {

@@ -23,8 +23,7 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("quality: stopword ratio and punct ratio") {
     val r = TextAnalysis.qualityScores(docs, Seq("the", "a", "and")).collect()
-      .map(x => x.getLong(0) ->
-        ((x.getDecimal(2).doubleValue, x.getDecimal(3).doubleValue))).toMap
+      .map(x => x.getLong(0) -> ((x.getDouble(2), x.getDouble(3)))).toMap
     // doc 0: 3 stopword hits of 8 tokens; 2 punct chars of 38 chars
     assert(math.abs(r(0L)._2 - 3.0 / 8) < 1e-6)
     assert(math.abs(r(0L)._1 - 2.0 / 38.0) < 1e-6)

@@ -11,6 +11,24 @@ values; we diff directly so mismatches are debuggable).
 import sys, json, glob, os
 import duckdb
 
+# Output-column types that canonicalize differently between the two
+# engines' client stacks (round-1 driver gate: every DECIMAL-emitting
+# query hash-mismatched; DuckDB SUM(BIGINT) -> HUGEINT did too).
+# Queries must surface DOUBLE/BIGINT/STRING/TIMESTAMP instead.
+RISKY_DUCK = ("DECIMAL", "HUGEINT", "DATE")
+
+def type_lint(con, name, sql, spark_files):
+    import pyarrow.parquet as pq
+    risky = []
+    for f in pq.read_schema(spark_files[0]):
+        t = str(f.type)
+        if t.startswith("decimal") or t.startswith("date"):
+            risky.append(f"spark {f.name}:{t}")
+    for row in con.execute(f"DESCRIBE {sql}").fetchall():
+        if any(k in row[1] for k in RISKY_DUCK):
+            risky.append(f"oracle {row[0]}:{row[1]}")
+    return risky
+
 def canon(v):
     if v is None:
         return "NULL"
@@ -56,7 +74,11 @@ def main():
             continue
         o_canon = [tuple(canon(r[i]) for i in o_idx) for r in oracle_rows]
         s_canon = [tuple(canon(r[i]) for i in s_idx) for r in spark_rows]
-        if o_canon == s_canon:
+        risky = type_lint(con, name, sql, spark_glob)
+        if risky:
+            print(f"[TYPE] {name}: driver-hash-risky output types: {risky}")
+            n_bad += 1
+        elif o_canon == s_canon:
             print(f"[OK]   {name}: {len(o_canon)} rows")
             n_ok += 1
         else:
