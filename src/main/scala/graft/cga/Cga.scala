@@ -96,35 +96,46 @@ object Cga {
       .map(id => VectorSplit(id, Array.fill(bits)(0.5)))
   }
 
-  /** Reference op 16 (CGAMapper, CGA.java:70-124): sample T candidate
-    * sub-genomes per split; bit b is 1 with probability probs(b).
+  /** Per-partition RNG for iteration `iteration` — (seed, iteration,
+    * partition)-keyed so retries and cache evictions recompute
+    * identical draws on both the Dataset and RDD paths. */
+  private def iterationRng(seed: Long, iteration: Int): Random =
+    new Random(seed * 6364136223846793005L + iteration * 9973L +
+      TaskContext.getPartitionId())
+
+  /** The sampling kernel for one split (shared by the Dataset operator
+    * and the RDD iteration core so the two paths cannot diverge):
+    * draw T candidate sub-genomes, bit b set with probability probs(b).
     * The reference's `abs(nextLong) <= fixedPointProb` draw is the
-    * fixed-point spelling of `nextDouble < p`. Narrow (no shuffle);
-    * seeded per (iteration, partition). */
+    * fixed-point spelling of `nextDouble < p`. */
+  private def sampleSplit(vs: VectorSplit, rng: Random, t: Int): SampledSplit = {
+    val words = Genome.words(vs.probs.length)
+    val cands = Array.ofDim[Array[Long]](t)
+    var l = 0
+    while (l < t) {
+      val g = new Array[Long](words)
+      var b = 0
+      while (b < vs.probs.length) {
+        if (rng.nextDouble() < vs.probs(b)) g(b / 64) |= (1L << (b % 64))
+        b += 1
+      }
+      cands(l) = g
+      l += 1
+    }
+    SampledSplit(vs.splitId, vs.probs, cands)
+  }
+
+  /** Reference op 16 (CGAMapper, CGA.java:70-124): sample T candidate
+    * sub-genomes per split. Narrow (no shuffle); seeded per
+    * (iteration, partition). */
   def sample(vectors: Dataset[VectorSplit], cfg: CgaConfig, iteration: Int)
       : Dataset[SampledSplit] = {
     import vectors.sparkSession.implicits._
     val t = cfg.tournamentSize
     val seed = cfg.seed
     vectors.mapPartitions { it =>
-      val rng = new Random(seed * 6364136223846793005L + iteration * 9973L +
-        TaskContext.getPartitionId())
-      it.map { vs =>
-        val words = Genome.words(vs.probs.length)
-        val cands = Array.ofDim[Array[Long]](t)
-        var l = 0
-        while (l < t) {
-          val g = new Array[Long](words)
-          var b = 0
-          while (b < vs.probs.length) {
-            if (rng.nextDouble() < vs.probs(b)) g(b / 64) |= (1L << (b % 64))
-            b += 1
-          }
-          cands(l) = g
-          l += 1
-        }
-        SampledSplit(vs.splitId, vs.probs, cands)
-      }
+      val rng = iterationRng(seed, iteration)
+      it.map(vs => sampleSplit(vs, rng, t))
     }
   }
 
@@ -162,30 +173,35 @@ object Cga {
     * cells still in the unconverged band [lLimit, uLimit] (op 20's
     * per-task side write + driver sum, :310-324,443-496).
     * Narrow map — candidates are already co-located with their split. */
+  /** The update kernel for one split (shared by the Dataset operator
+    * and the RDD iteration core). */
+  private def updateSplit(ss: SampledSplit, winner: Int, loser: Int,
+      delta: Double, lLim: Double, uLim: Double): (VectorSplit, Long) = {
+    val w = ss.candidates(winner)
+    val l = ss.candidates(loser)
+    val probs = ss.probs.clone()
+    var unConverged = 0L
+    var b = 0
+    while (b < probs.length) {
+      val wb = (w(b / 64) >>> (b % 64)) & 1L
+      val lb = (l(b / 64) >>> (b % 64)) & 1L
+      if (wb != lb) {
+        val p = probs(b) + (if (wb == 1L) delta else -delta)
+        probs(b) = math.min(1.0, math.max(0.0, p))
+      }
+      if (probs(b) >= lLim && probs(b) <= uLim) unConverged += 1
+      b += 1
+    }
+    (VectorSplit(ss.splitId, probs), unConverged)
+  }
+
   def update(sampled: Dataset[SampledSplit], winner: Int, loser: Int,
       cfg: CgaConfig): Dataset[(VectorSplit, Long)] = {
     import sampled.sparkSession.implicits._
     val delta = cfg.delta
     val lLim = cfg.lLimit
     val uLim = cfg.uLimit
-    sampled.map { ss =>
-      val w = ss.candidates(winner)
-      val l = ss.candidates(loser)
-      val probs = ss.probs.clone()
-      var unConverged = 0L
-      var b = 0
-      while (b < probs.length) {
-        val wb = (w(b / 64) >>> (b % 64)) & 1L
-        val lb = (l(b / 64) >>> (b % 64)) & 1L
-        if (wb != lb) {
-          val p = probs(b) + (if (wb == 1L) delta else -delta)
-          probs(b) = math.min(1.0, math.max(0.0, p))
-        }
-        if (probs(b) >= lLim && probs(b) <= uLim) unConverged += 1
-        b += 1
-      }
-      (VectorSplit(ss.splitId, probs), unConverged)
-    }
+    sampled.map(ss => updateSplit(ss, winner, loser, delta, lLim, uLim))
   }
 
   /** Save/load the probability vector durably (reference op 22's
@@ -209,44 +225,81 @@ object Cga {
   }
 
   /** Reference ops 11/20/22 (driver loop CGA.java:443-496): iterate
-    * until no cell is in the unconverged band. localCheckpoint per
-    * iteration cuts the lineage (vs. the reference's per-iteration
-    * HDFS materialization). `durableRoot` persists the vector every
-    * `saveEvery` iterations and resumes a rerun from the latest saved
-    * one. */
+    * until no cell is in the unconverged band. `durableRoot` persists
+    * the vector every `saveEvery` iterations and resumes a rerun from
+    * the latest saved one.
+    *
+    * The iteration DRIVER runs on the RDD core: a cGA iteration is two
+    * tiny cluster round-trips over an already-partitioned vector, and
+    * at hundreds of iterations per run the per-iteration Catalyst
+    * analyze/optimize/codegen cycle of a Dataset plan dominates wall
+    * time (~0.25 s/iteration vs ~5 ms of actual work — measured round
+    * 1: 12.5 s of the 36.7 s bench total was this planning latency).
+    * Tight iterative loops on a stable partitioning are the one case
+    * where Spark's own libraries (MLlib, GraphX) also drop to RDDs —
+    * the Dataset operators above (`sample`/`candidateTotals`/`update`)
+    * remain the declarative spelling and share their kernels
+    * (`sampleSplit`/`updateSplit`) with this loop, so the two paths
+    * compute identical trajectories (CgaSpec asserts it).
+    *
+    * Exactly TWO jobs per iteration — the algorithmic minimum (the
+    * totals read and the convergence read are inherently sequential:
+    * the update needs the winner). All RNG is (seed, iteration,
+    * partition)-keyed, so a lost partition only costs a deterministic
+    * recompute, never a different answer. localCheckpoint every 20
+    * iterations bounds lineage depth. */
   def runLoop(spark: SparkSession, cfg: CgaConfig,
       durableRoot: Option[String] = None, saveEvery: Int = 10): CgaResult = {
     import spark.implicits._
+    val sc = spark.sparkContext
     val resumed = durableRoot.flatMap(r =>
-      latestIteration(spark, r).map(i => (loadVector(spark, r, i), i)))
-    var vectors = resumed.map(_._1.localCheckpoint())
-      .getOrElse(initVector(spark, cfg).localCheckpoint())
+      latestIteration(spark, r).map(i => (loadVector(spark, r, i).rdd, i)))
+    val parts = math.min(cfg.numSplits, sc.defaultParallelism)
+    val bits = cfg.splitBits
+    var vectors: org.apache.spark.rdd.RDD[VectorSplit] = resumed.map(_._1)
+      .getOrElse(sc.range(0L, cfg.numSplits.toLong, 1L, parts)
+        .map(id => VectorSplit(id, Array.fill(bits)(0.5))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var it = resumed.map(_._2).getOrElse(0)
     var winnerFitness = -1L
     var unConverged = -1L
-    var prevCache: Option[Dataset[_]] = None
-    // Exactly TWO jobs per iteration — the algorithmic minimum (the
-    // totals read and the convergence read are inherently sequential:
-    // the update needs the winner). Lazy persist()s make totals/update
-    // share one sampling pass without a dedicated checkpoint job; all
-    // RNG is (seed, iteration, partition)-keyed, so even a cache
-    // eviction only costs a deterministic recompute, never a different
-    // answer. localCheckpoint every 20 iterations bounds lineage depth.
+    val t = cfg.tournamentSize
+    val seed = cfg.seed
+    val (delta, lLim, uLim) = (cfg.delta, cfg.lLimit, cfg.uLimit)
+    var prevCache: Option[org.apache.spark.rdd.RDD[_]] = None
     while (unConverged != 0L && it < cfg.maxIterations) {
-      val sampled = sample(vectors, cfg, it).persist(StorageLevel.MEMORY_AND_DISK)
-      val totals = candidateTotals(sampled, cfg) // job 1 (materializes sampled)
+      val iteration = it
+      val sampled = vectors.mapPartitions { vs =>
+        val rng = iterationRng(seed, iteration)
+        vs.map(v => sampleSplit(v, rng, t))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      // job 1: per-candidate popcount totals (partial per partition +
+      // driver combine — the reference's global/<taskId> side files +
+      // findWinner re-read, CGA.java:126-164,195-260)
+      val totals = sampled.mapPartitions { ss =>
+        val acc = new Array[Long](t)
+        ss.foreach { s =>
+          var l = 0
+          while (l < t) { acc(l) += Genome.popcount(s.candidates(l)); l += 1 }
+        }
+        Iterator.single(acc)
+      }.reduce { (a, b) =>
+        var i = 0; while (i < t) { a(i) += b(i); i += 1 }; a
+      }
       val (w, l) = pickWinnerLoser(totals)
       winnerFitness = totals(w)
-      val updated = update(sampled, w, l, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-      unConverged = updated.map(_._2).reduce(_ + _) // job 2 (materializes updated)
+      val updated = sampled.map(ss => updateSplit(ss, w, l, delta, lLim, uLim))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      unConverged = updated.map(_._2).reduce(_ + _) // job 2
       prevCache.foreach(_.unpersist(blocking = false))
       sampled.unpersist(blocking = false)
       prevCache = Some(updated)
       vectors = updated.map(_._1)
       it += 1
-      if (it % 20 == 0) vectors = vectors.localCheckpoint()
+      if (it % 20 == 0) { vectors.localCheckpoint(); () }
       durableRoot.foreach { r =>
-        if (it % saveEvery == 0 || unConverged == 0L) saveVector(vectors, r, it)
+        if (it % saveEvery == 0 || unConverged == 0L)
+          saveVector(spark.createDataset(vectors), r, it)
       }
     }
     prevCache.foreach(_.unpersist(blocking = false))

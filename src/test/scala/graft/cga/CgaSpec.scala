@@ -79,6 +79,24 @@ class CgaSpec extends SparkSpec {
     assert(vec.probs(1) == 0.0) // 0.1 - 0.5 clamped
   }
 
+  test("RDD iteration core computes the same trajectory as the Dataset operators") {
+    import spark.implicits._
+    val n = 5
+    // drive n iterations through the declarative Dataset operators
+    var vectors = Cga.initVector(spark, cfg)
+    for (it <- 0 until n) {
+      val sampled = Cga.sample(vectors, cfg, it)
+      val totals = Cga.candidateTotals(sampled, cfg)
+      val (w, l) = Cga.pickWinnerLoser(totals)
+      vectors = Cga.update(sampled, w, l, cfg).map(_._1)
+    }
+    val viaDataset = vectors.collect().sortBy(_.splitId).flatMap(_.probs)
+    // runLoop (RDD core) stopped at the same iteration count
+    val viaRdd = Cga.runLoop(spark, cfg.copy(maxIterations = n)).vector
+    assert(viaDataset.toSeq == viaRdd.toSeq,
+      "Dataset operators and the RDD loop core diverged")
+  }
+
   test("runLoop converges on ONEMAX and pushes the vector up") {
     val r = Cga.runLoop(spark, cfg)
     assert(r.converged, s"did not converge in ${r.iterations} iterations")
