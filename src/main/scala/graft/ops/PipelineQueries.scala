@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** The training-data-pipeline operator surface (SURVEY.md §2.3) on the
   * driver's query gate. SQL-expressible ops carry a DuckDB oracle;
@@ -46,6 +46,19 @@ object PipelineQueries extends QueryPack {
     Dedup.embeddingNearDup(emb(s, d), planes = 8, threshold = 0.3)
       .orderBy("id_a", "id_b")
 
+  // near-dup clustering: pairwise output -> keep/drop components
+  // (same bounded subset as dedup_ngram_jaccard, which feeds it)
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupClusters(docs(s, d), maxId = 100L, threshold = 0.8)
+      .orderBy("doc_id")
+
+  // deterministic 10% systematic sample — reproducible across engines,
+  // partitionings, and reruns (the property rand() sampling lacks)
+  def sampleHash(s: SparkSession, d: String): DataFrame =
+    Sampling.hashSample(docs(s, d), "doc_id", permille = 100)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+
   // ---- similarity search ----
 
   def simTopkBrute(s: SparkSession, d: String): DataFrame =
@@ -70,6 +83,9 @@ object PipelineQueries extends QueryPack {
 
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, d)).orderBy("doc_id")
+
+  def textBigrams(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.topBigrams(docs(s, d), topK = 20)
 
   // ---- multimodal ----
 
@@ -111,12 +127,15 @@ object PipelineQueries extends QueryPack {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_embedding" -> dedupEmbedding _,
+    "dedup_clusters" -> dedupClusters _,
+    "sample_hash" -> sampleHash _,
     "sim_topk_brute" -> simTopkBrute _,
     "sim_topk_lsh" -> simTopkLsh _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangid _,
     "text_fingerprint" -> textFingerprint _,
+    "text_bigrams" -> textBigrams _,
     "multimodal_meta" -> multimodalMeta _,
     "multimodal_frames" -> multimodalFrames _,
     "multimodal_features" -> multimodalFeatures _,
@@ -139,6 +158,33 @@ object PipelineQueries extends QueryPack {
         |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
         |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+        |         FROM documents WHERE doc_id < 100),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |walk(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+        |  UNION
+        |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id)
+        |SELECT id AS doc_id, MIN(comp) AS component FROM walk
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "sample_hash" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE (doc_id * ${Sampling.Knuth}) % 4294967296 < ${Sampling.thresholdFor(100)}
+         |ORDER BY doc_id""".stripMargin,
+    "text_bigrams" ->
+      """WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        |           FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
+        |SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram
+        |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
     "sim_topk_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),

@@ -266,6 +266,103 @@ object Relational extends QueryPack {
         col("cnt"), col("qty"))
       .orderBy("flag", "status")
 
+  /** Q19 — semi join (the positive half of op 19's gather discipline,
+    * next to Q11's anti). left_semi never materializes the probe side's
+    * payload: at 100 TB the orders side reduces to a broadcast-able
+    * distinct key set. */
+  def q19SemiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > 480000).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** Q20 — full CUBE over (flag, status): all 4 grouping sets in one
+    * pass/one shuffle (Spark expands grouping sets map-side, partial
+    * aggregation applies per set). Same NULL-sentinel discipline as
+    * Q18's ROLLUP. */
+  def q20Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), sumDec(col("l_quantity")).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("cnt"), col("qty"))
+      .orderBy("flag", "status")
+
+  /** Q21 — lag/lead sequential deltas (op 9's ordered-neighborhood
+    * semantics as a time-series primitive): per-user inter-event gap in
+    * microseconds. One shuffle on user_id; BIGINT micros end-to-end so
+    * both engines do exact integer arithmetic. */
+  def q21LagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** Q22 — pivot: event_type rotated into per-type count columns. The
+    * value list is declared (not discovered), so the plan is a single
+    * partial+final aggregate with no extra distinct-values job — the
+    * only pivot shape that works at 100 TB. Absent combinations are
+    * pinned to 0 (Spark's pivot yields NULL, DuckDB's FILTER yields 0). */
+  def q22Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  /** Q23 — exact rank-based median per group (ops 4/6/9: argmax family
+    * generalized to order statistics). Deterministic across engines
+    * because the quantile is picked by ROW_NUMBER over a total order —
+    * no interpolation arithmetic to disagree on. Exact quantiles cost
+    * a per-group sort; at 100 TB the approximate twin is
+    * approx_percentile (same mergeable-sketch family as
+    * stats_cardinality's HLL). */
+  def q23MedianRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    val c = Window.partitionBy("l_returnflag")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(c))
+      .filter(expr("rn = (n + 1) div 2"))
+      .select(col("l_returnflag"), col("l_extendedprice").as("median"), col("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q24 — as-of join (AsOf.asofJoin): each purchase matched to the
+    * user's latest click at-or-before it. The click side is pre-reduced
+    * to one row per (user, ts) so the as-of match is total-order
+    * deterministic; the oracle spells it with DuckDB's native ASOF
+    * JOIN — result-level equivalence of two different physical
+    * strategies. */
+  def q24AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts_us").as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts_us").agg(max(col("event_id")).as("cid"))
+    AsOf.asofJoin(purchases, clicks, "user_id", "p_us", "ts_us",
+        Seq("cid", "ts_us"))
+      .filter(col("cid").isNotNull)
+      .select(col("pid"), col("user_id"), col("p_us"), col("cid"),
+        (col("p_us") - col("ts_us")).as("gap_us"))
+      .orderBy("pid")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> q1FilterProject _,
     "q2_agg" -> q2Agg _,
@@ -285,6 +382,12 @@ object Relational extends QueryPack {
     "q16_star_join" -> q16StarJoin _,
     "q17_except" -> q17Except _,
     "q18_rollup" -> q18Rollup _,
+    "q19_semi_join" -> q19SemiJoin _,
+    "q20_cube" -> q20Cube _,
+    "q21_lag_delta" -> q21LagDelta _,
+    "q22_pivot" -> q22Pivot _,
+    "q23_median_rank" -> q23MedianRank _,
+    "q24_asof_join" -> q24AsofJoin _,
   )
 
   override def oracle: Map[String, String] = Map(
@@ -379,5 +482,47 @@ object Relational extends QueryPack {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+    "q19_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 480000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q20_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q21_lag_delta" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+        |  FROM events)
+        |SELECT user_id, ts_us, event_id,
+        |  ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+        |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "q22_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q23_median_rank" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_extendedprice AS median, n FROM r
+        |WHERE rn = (n + 1) // 2 ORDER BY l_returnflag""".stripMargin,
+    "q24_asof_join" ->
+      """WITH p AS (SELECT event_id AS pid, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us,
+        |    MAX(event_id) AS cid
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT pid, p.user_id, p_us, cid, p_us - c_us AS gap_us
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.c_us <= p.p_us
+        |ORDER BY pid""".stripMargin,
   )
 }

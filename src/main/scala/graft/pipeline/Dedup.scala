@@ -112,6 +112,52 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
+  /** Near-dup CLUSTERS: connected components over a near-dup pair set,
+    * labeling every doc with the minimum doc_id reachable through
+    * near-dup edges (singletons label themselves). This is the step
+    * that turns pairwise dedup output into an actionable keep/drop
+    * decision: keep component == doc_id, drop the rest.
+    *
+    * Min-label propagation: each iteration is one join + one
+    * aggregate (two shuffles) and halves the remaining label distance;
+    * iterations = O(component diameter), and near-dup components are
+    * shallow by construction (dup clusters are dense). The same
+    * alternating propagate/aggregate shape is how large-scale CC is
+    * run in practice (cf. the map-reduce CC literature); a fixpoint
+    * check per iteration (empty "changed" set) terminates the loop.
+    * localCheckpoint per iteration cuts the growing lineage — the
+    * identical discipline to the GA generation loop. */
+  def nearDupClusters(docs: DataFrame, maxId: Long, threshold: Double,
+      maxIterations: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, maxId, threshold)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = docs.filter(col("doc_id") < maxId)
+      .select(col("doc_id").as("id"), col("doc_id").as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      val viaNeighbor = edges
+        .join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      converged = next.alias("n")
+        .join(labels.alias("p"), col("n.id") === col("p.id"))
+        .filter(col("n.comp") < col("p.comp"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
   /** Embedding near-dup: pairs with cosine >= threshold, candidate-
     * generated by random-hyperplane LSH buckets (planes seeded on the
     * driver, shipped as literals — a broadcast of ~planes×dim doubles),

@@ -72,6 +72,30 @@ object TextAnalysis {
       :+ predFirst.as("pred_lang"): _*)
   }
 
+  /** Corpus-level top-k token bigrams — the n-gram counting half of
+    * corpus analysis (vocabulary/contamination checks). Per-doc bigram
+    * generation is a narrow codegen'd projection; the count is one
+    * partial+final aggregate; the top-k ORDER BY runs over the
+    * (already tiny) aggregated set. */
+  def topBigrams(docs: DataFrame, topK: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    // zip tokens with their own 1-shifted tail rather than indexing via
+    // a transform lambda: element_at(split(...), i) inside a lambda
+    // re-evaluates the regex split PER ELEMENT (quadratic per doc —
+    // measured 6 s at sf0.1); zip_with evaluates each array input once
+    // per row. The shorter shifted side is null-padded by zip_with;
+    // those sentinel pairs are dropped by the higher-order filter.
+    val shifted = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val bigrams = filter(
+      zip_with(toks, shifted,
+        (x, y) => when(y.isNull, lit(null)).otherwise(concat_ws(" ", x, y))),
+      b => b.isNotNull)
+    docs.select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** Content fingerprints: exact MD5 of normalized text + a modular
     * rolling hash over token lengths (Karp-Rabin structure, exact
     * int64 arithmetic in both engines). */

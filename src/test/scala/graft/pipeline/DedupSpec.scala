@@ -77,6 +77,25 @@ class DedupSpec extends SparkSpec {
     assert(r == Set((0L, 1L), (0L, 2L), (1L, 2L), (4L, 5L)))
   }
 
+  test("near-dup clusters: connected components with min-id labels") {
+    // {0,1,2} are token-set-identical; {4,5} permuted-identical; 3 links
+    // to the 0-cluster only transitively below 0.99... use a chain doc
+    // set instead: a~b~c chain must land in ONE component even though
+    // a!~c directly.
+    val chain = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"),   // ~0 (7/9)
+      (2L, "alpha beta gamma delta epsilon zeta iota kappa"), // ~1 (7/9), !~0 (6/10)
+      (3L, "totally unrelated words here"),
+    ).toDF("doc_id", "text")
+    val r = Dedup.nearDupClusters(chain, maxId = 10L, threshold = 0.7)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) == 0L && r(1L) == 0L && r(2L) == 0L,
+      s"chain should merge transitively: $r")
+    assert(r(3L) == 3L, "singleton labels itself")
+    assert(r.size == 4)
+  }
+
   test("embedding near-dup finds planted duplicate vector") {
     val e = Seq(
       (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),

@@ -38,6 +38,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L) == "und")
   }
 
+  test("top bigrams: counted across docs, single-token docs contribute none") {
+    val b = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.topBigrams(b, topK = 2).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    // "a b" twice in doc0 + once in doc1; ties broken alphabetically
+    assert(r == Seq(("a b", 3L), ("b a", 1L)))
+  }
+
   test("fingerprints: md5 normalization and rolling hash") {
     val r = TextAnalysis.fingerprints(docs).collect()
       .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
