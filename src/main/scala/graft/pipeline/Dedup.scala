@@ -129,33 +129,48 @@ object Dedup {
     * identical discipline to the GA generation loop. */
   def nearDupClusters(docs: DataFrame, maxId: Long, threshold: Double,
       maxIterations: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // pair generation stays declarative (it IS a query); the label
+    // LOOP runs on the RDD core like the cGA iteration driver — a CC
+    // iteration is one co-partitioned join + one reduceByKey, and at
+    // O(diameter) iterations per run the per-iteration Catalyst
+    // planning would dominate the actual work (the same measurement
+    // that moved Cga.runLoop; GraphX makes the identical trade).
+    val parts = math.max(1, math.min(docs.rdd.getNumPartitions,
+      spark.sparkContext.defaultParallelism))
+    val part = new org.apache.spark.HashPartitioner(parts)
     val pairs = ngramJaccardPairs(docs, maxId, threshold)
-      .select(col("id_a"), col("id_b"))
-    val edges = pairs
-      .union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst")
-      .persist()
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].rdd
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = docs.filter(col("doc_id") < maxId)
-      .select(col("doc_id").as("id"), col("doc_id").as("comp"))
-      .localCheckpoint()
+      .select(col("doc_id")).as[Long].rdd
+      .map(id => (id, id)).partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (labels.isEmpty()) return labels.toDF("doc_id", "component")
+    // min-label propagation: labels only ever DECREASE, so the label
+    // sum is a strictly decreasing convergence witness — no extra
+    // old-vs-new join needed per iteration
+    var prevSum = labels.values.map(BigInt(_)).reduce(_ + _)
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
-      val viaNeighbor = edges
-        .join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("comp"))
+      val viaNeighbor = edges.join(labels) // co-partitioned: narrow
+        .map { case (_, (dst, comp)) => (dst, comp) }
       val next = labels.union(viaNeighbor)
-        .groupBy("id").agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
-      converged = next.alias("n")
-        .join(labels.alias("p"), col("n.id") === col("p.id"))
-        .filter(col("n.comp") < col("p.comp"))
-        .isEmpty
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sum = next.values.map(BigInt(_)).reduce(_ + _)
+      converged = sum == prevSum
+      prevSum = sum
+      labels.unpersist(blocking = false)
       labels = next
       it += 1
     }
     edges.unpersist(blocking = false)
-    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+    labels.toDF("doc_id", "component")
   }
 
   /** Embedding near-dup: pairs with cosine >= threshold, candidate-

@@ -36,10 +36,18 @@ object TextFunctions {
 
   /** Exact Jaccard similarity of two distinct-element arrays. NULL for
     * two empty sets (try_divide — same ANSI-safe discipline as
-    * cosine/qualityScores; callers may pass pre-tokenized empties). */
+    * cosine/qualityScores; callers may pass pre-tokenized empties).
+    * The intersection is built once and threaded through a zero-arg
+    * zip_with binding so the (expensive) array_intersect isn't
+    * evaluated twice per pair. */
   def jaccard(a: Column, b: Column): Column = {
+    // bind |a ∩ b| to a lambda variable: transform over a 1-element
+    // array gives us a cheap "let" without computing the intersect twice
     val inter = size(array_intersect(a, b)).cast("double")
-    try_divide(inter, size(a) + size(b) - size(array_intersect(a, b)))
+    element_at(
+      transform(array(inter),
+        i => try_divide(i, size(a) + size(b) - i)),
+      1)
   }
 
   /** MinHash signature: k minimum hashes over the shingle set. Hash

@@ -49,6 +49,58 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("append mode across micro-batches: watermark advances, closed windows emit once") {
+    import java.nio.file.Files
+    val tmpRoot = Files.createTempDirectory("graft-multibatch")
+    val tmp = tmpRoot.toFile.getAbsolutePath
+    val ev = Tables.events(spark, dir)
+    val schema = ev.schema
+    // five time-ordered files: each micro-batch (maxFilesPerTrigger=1)
+    // carries strictly later events, so the event-time watermark
+    // advances batch over batch — the condition append mode needs
+    // before it may emit anything at all
+    val rows = ev.orderBy("ts").collect()
+    val per = math.max(1, rows.length / 5 + 1)
+    rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+      val stage = s"$tmp/stage$i"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk.toIndexedSeq, 1), schema)
+        .write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$tmp/batch-$i.parquet")
+      Files.move(part.toPath, dst.toPath)
+      // pin ingestion order (FileStreamSource orders by mtime)
+      dst.setLastModified(1000000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "batch-*.parquet")
+      .parquet(tmp)
+    val q = Streams.tumblingCounts(src).writeStream
+      .format("memory").queryName("t_multibatch")
+      .outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    val nonEmptyBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    val got = spark.table("t_multibatch").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+    val batch = Streams.tumblingCounts(ev).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(nonEmptyBatches >= 3, s"wanted multiple micro-batches, got $nonEmptyBatches")
+    // append emits only after the watermark has advanced past a window:
+    // non-empty output is itself proof of cross-batch watermark motion
+    assert(got.nonEmpty, "no window ever closed — watermark did not advance")
+    assert(got.length == got.map(_._1).distinct.length, "a window emitted twice")
+    got.foreach { case (k, v) =>
+      assert(batch(k) == v, s"window $k: append-mode $v != batch ${batch(k)}")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   test("dropDuplicatesWithinWatermark drops duplicate event ids") {
     val s = Streams.eventsStream(spark, dir)
     // duplicate the stream by unioning it with itself: every event_id
