@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Hand the forked JVM's stdout through UNWRAPPED: sbt's default logger
+// prefixes every line with "[info] ", which breaks machine consumers
+// that parse Bench/Verify's single JSON output line from stdout
+// (driver round 1 recorded bench "parsed": null for exactly this).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -9,6 +9,33 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.core.{GaConfig, Genome, Individual, Tournament}
 
+/** Driver-merged running argmax over (genome, fitness) — the Spark
+  * accumulator spelling of the reference's side-channel best files +
+  * driver scan (/root/reference/src/edu/illinois/ga/MapReduce.java:132-148,
+  * 386-426). Strict `>` keeps the first-seen genome on fitness ties
+  * (same tie class as `max_by`); a pure max is idempotent, so task
+  * retries and speculative duplicates cannot corrupt it. */
+class BestAccumulator
+    extends org.apache.spark.util.AccumulatorV2[(Array[Long], Long), (Array[Long], Long)] {
+  private var bestG: Array[Long] = null
+  private var bestF: Long = Long.MinValue
+  override def isZero: Boolean = bestG == null
+  override def copy(): BestAccumulator = {
+    val c = new BestAccumulator
+    c.bestG = bestG; c.bestF = bestF
+    c
+  }
+  override def reset(): Unit = { bestG = null; bestF = Long.MinValue }
+  override def add(v: (Array[Long], Long)): Unit =
+    if (bestG == null || v._2 > bestF) { bestG = v._1; bestF = v._2 }
+  override def merge(
+      other: org.apache.spark.util.AccumulatorV2[(Array[Long], Long), (Array[Long], Long)]): Unit = {
+    val (g, f) = other.value
+    if (g != null) add((g, f))
+  }
+  override def value: (Array[Long], Long) = (bestG, bestF)
+}
+
 /** Result of an SGA run. */
 case class SgaResult(
     bestGenome: Array[Long],
@@ -124,6 +151,31 @@ object Sga {
     * generation truncates lineage (and is the only materialization —
     * vs the reference's per-generation HDFS round trip). Stops on
     * convergence (best >= n - slack) or maxGenerations. */
+  /** selectAndCross with fitness evaluation fused into the same
+    * mapPartitions and the global argmax tracked by `acc` as rows
+    * stream by. Values are identical to selectAndCross→evaluate→best
+    * (popcount is pure; the accumulator is an idempotent max, safe
+    * under task retries/speculation) — but the per-generation plan
+    * loses one full-population aggregate job: the checkpoint
+    * materialization is the ONLY action, and the best individual
+    * rides home on the accumulator instead of a second 2 GB cache
+    * scan (measured win at the reference's README:41 headline scale). */
+  def selectCrossEvaluate(pop: Dataset[Individual], cfg: GaConfig,
+      generation: Int, acc: BestAccumulator): Dataset[Individual] = {
+    import pop.sparkSession.implicits._
+    val s = cfg.tournamentSize
+    val seed = cfg.seed
+    pop.mapPartitions { it =>
+      val rng = new Random(seed * 7919L + generation * 104729L +
+        TaskContext.getPartitionId())
+      Tournament.selectAndCross(it, s, rng).map { ind =>
+        val f = Genome.popcount(ind.genome)
+        acc.add((ind.genome, f))
+        Individual(ind.genome, f)
+      }
+    }
+  }
+
   def runLoop(spark: SparkSession, cfg: GaConfig,
       onGeneration: (Int, Long, Long) => Unit = (_, _, _) => ()): SgaResult = {
     var pop = evaluate(initPopulation(spark, cfg))
@@ -134,11 +186,16 @@ object Sga {
     history += bf
     while (!cfg.converged(bf) && gen < cfg.maxGenerations) {
       val t0 = System.nanoTime()
-      val next = step(pop, cfg, gen).localCheckpoint()
+      val acc = new BestAccumulator
+      spark.sparkContext.register(acc, s"sga_best_gen_${gen + 1}")
+      val crossed = selectCrossEvaluate(mix(pop, cfg, gen), cfg, gen, acc)
+      val deduped = if (cfg.dedupOffspring) crossed.dropDuplicates("genome")
+        else crossed
+      val next = deduped.localCheckpoint() // the generation's ONE action
       pop.unpersist(blocking = false)
       pop = next
       gen += 1
-      val r = best(pop)
+      val r = acc.value
       bg = r._1; bf = r._2
       history += bf
       onGeneration(gen, bf, (System.nanoTime() - t0) / 1000000L)
