@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** The training-data-pipeline operator surface (SURVEY.md §2.3) on the
   * driver's query gate. SQL-expressible ops carry a DuckDB oracle;
@@ -58,6 +58,11 @@ object PipelineQueries extends QueryPack {
     Sampling.hashSample(docs(s, d), "doc_id", permille = 100)
       .select("doc_id", "n_chars")
       .orderBy("doc_id")
+
+  // the full curation funnel: quality gate -> exact dedup -> 50%
+  // deterministic sample -> per-language stats (Curation.curate)
+  def pipelineCurate(s: SparkSession, d: String): DataFrame =
+    Curation.curate(docs(s, d))
 
   // ---- similarity search ----
 
@@ -129,6 +134,7 @@ object PipelineQueries extends QueryPack {
     "dedup_embedding" -> dedupEmbedding _,
     "dedup_clusters" -> dedupClusters _,
     "sample_hash" -> sampleHash _,
+    "pipeline_curate" -> pipelineCurate _,
     "sim_topk_brute" -> simTopkBrute _,
     "sim_topk_lsh" -> simTopkLsh _,
     "text_tokens" -> textTokens _,
@@ -178,6 +184,27 @@ object PipelineQueries extends QueryPack {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE (doc_id * ${Sampling.Knuth}) % 4294967296 < ${Sampling.thresholdFor(100)}
          |ORDER BY doc_id""".stripMargin,
+    "pipeline_curate" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS DOUBLE) /
+         |      CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS mean_tok_len
+         |  FROM documents),
+         |filtered AS (
+         |  SELECT * FROM scored WHERE n_tokens >= 5 AND mean_tok_len <= 12.0),
+         |keepers AS (
+         |  SELECT MIN(doc_id) AS keep_id FROM (
+         |    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck
+         |    FROM filtered) GROUP BY ck),
+         |sampled AS (
+         |  SELECT * FROM filtered
+         |  WHERE doc_id IN (SELECT keep_id FROM keepers)
+         |    AND (doc_id * ${Sampling.Knuth}) % 4294967296 < ${Sampling.thresholdFor(500)})
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  SUM(CAST(n_tokens AS DOUBLE)) / COUNT(*) AS mean_tokens
+         |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
     "text_bigrams" ->
       """WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
         |           FROM documents),

@@ -54,7 +54,12 @@ object Dedup {
     val r = k / bands
     val banded = docs
       .select(col("doc_id"), wordShingles(col("text"), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      // native one-pass signature (graft.functions.MinHashSignature);
+      // the HOF spelling in TextFunctions.minhashSignature uses a
+      // different (k-string-hash) member of the same family and stays
+      // as the declarative reference
+      .withColumn("sig",
+        graft.functions.MinHashSignature.minhashSignature(col("sh"), k))
       .select(col("doc_id"),
         posexplode(lshBands(col("sig"), bands, r)).as(Seq("band", "bkey")))
     val a = banded.alias("a")
@@ -74,10 +79,13 @@ object Dedup {
       .select("id_a", "id_b", "j")
   }
 
-  /** 64-bit SimHash per document. */
+  /** 64-bit SimHash per document — the native fused expression
+    * (graft.functions.SimHash64). The built-ins-only spelling
+    * (TextFunctions.simhashCounters/simhashFromCounters) computes the
+    * identical value and remains the cross-check in DedupSpec. */
   def simhashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhashCounters(tokens(col("text"))).as("cnt"))
-      .select(col("doc_id"), simhashFromCounters(col("cnt")).as("simhash"))
+    docs.select(col("doc_id"),
+      graft.functions.SimHash64.simhash64(tokens(col("text"))).as("simhash"))
 
   /** Near-dup pairs with hamming(simhash) <= maxHamming, found via
     * 4-chunk pigeonhole banding (exact for maxHamming <= 3). */
