@@ -1,10 +1,11 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.PopCountArray
-import org.apache.spark.sql.catalyst.expressions.Expression
+import graft.functions.{MinHashSignature, PopCountArray, SimHash64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * functions available to ANY session via
@@ -18,5 +19,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("popcount_array"),
       new ExpressionInfo(classOf[PopCountArray].getName, "popcount_array"),
       (exprs: Seq[Expression]) => PopCountArray(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(arr, Literal(k: Int, IntegerType)) => MinHashSignature(arr, k)
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(array<string>, k) requires a literal int k")
+      }))
   }
 }

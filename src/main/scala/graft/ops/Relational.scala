@@ -304,19 +304,22 @@ object Relational extends QueryPack {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
-  /** Q22 — pivot: event_type rotated into per-type count columns. The
-    * value list is declared (not discovered), so the plan is a single
-    * partial+final aggregate with no extra distinct-values job — the
-    * only pivot shape that works at 100 TB. Absent combinations are
-    * pinned to 0 (Spark's pivot yields NULL, DuckDB's FILTER yields 0). */
+  /** Q22 — pivot: event_type rotated into per-type count columns, as
+    * conditional aggregates over a DECLARED value list. This is the
+    * 100 TB pivot shape: one partial+final hash aggregate, one
+    * exchange. (`RelationalGroupedDataset.pivot` — even with declared
+    * values — plans a two-level aggregate with a second exchange, and
+    * without declared values adds a distinct-values driver job on top;
+    * `.explain` on both confirmed the extra exchange.) Absent
+    * combinations count 0 in both engines. */
   def q22Pivot(spark: SparkSession, dir: String): DataFrame = {
     val types = Seq("click", "error", "purchase", "signup", "view")
     Tables.events(spark, dir)
       .groupBy("user_id")
-      .pivot("event_type", types)
-      .agg(count(lit(1)))
-      .select(col("user_id") +:
-        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .agg(
+        count(when(col("event_type") === types.head, 1)).as(types.head),
+        types.tail.map(t =>
+          count(when(col("event_type") === t, 1)).as(t)): _*)
       .orderBy("user_id")
   }
 

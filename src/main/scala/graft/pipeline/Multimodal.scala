@@ -27,10 +27,31 @@ case class MediaFeatures(doc_id: Long, nBytes: Long, features: Array[Float])
   * The test tables carry no real media, so `documents.text` bytes
   * stand in as the payload.
   */
+/** Pluggable decode contract: a real deployment implements this with
+  * an image/audio codec + model (libraries absent in this container);
+  * the engine owns the distribution concerns — batching, per-batch
+  * `open()`/`close()` lifecycle, schema. Implementations must be
+  * Serializable (shipped to executors once, opened per batch). */
+trait MediaDecoder extends Serializable {
+  /** Called once per decode batch before any `decode` — amortize
+    * codec/model initialization here. */
+  def open(): Unit = ()
+  /** Called once per batch after the last `decode`. */
+  def close(): Unit = ()
+  def decode(payload: Array[Byte], meta: MediaMeta): Array[Float]
+}
+
 object Multimodal {
 
   val FeatureDim = 8
   val DecodeBatchSize = 64
+
+  /** The container-default decoder: deterministic in the payload bytes
+    * (see decodeStub) so the pipeline is testable without codecs. */
+  object StubDecoder extends MediaDecoder {
+    override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] =
+      decodeStub(payload)
+  }
 
   /** Present documents as media rows: payload = utf8 bytes, metadata
     * derived in-plan. */
@@ -64,15 +85,18 @@ object Multimodal {
 
   /** Batched feature extraction over media rows: grouped into
     * fixed-size batches inside each partition — the real decode-UDF
-    * shape (batch-level codec/model amortization), minus the codec. */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    * shape (batch-level codec/model amortization via the decoder's
+    * open/close lifecycle). */
+  def extractFeatures(media: DataFrame,
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap { batch =>
-        // batch boundary: a real decoder would init/reuse codec state here
-        batch.iterator.map { row =>
-          MediaFeatures(row.doc_id, row.meta.nBytes, decodeStub(row.payload))
-        }
+        decoder.open()
+        try batch.map { row =>
+          MediaFeatures(row.doc_id, row.meta.nBytes,
+            decoder.decode(row.payload, row.meta))
+        } finally decoder.close()
       }
     }
   }

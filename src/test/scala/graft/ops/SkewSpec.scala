@@ -21,14 +21,28 @@ class SkewSpec extends SparkSpec {
     assert(run(1) == run(16))
   }
 
-  test("GraftExtensions registers popcount_array for plain SQL") {
+  test("GraftExtensions registers the native functions for plain SQL") {
     // simulate an extensions-configured session on the shared one
     new graft.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions {})
     // direct injection path is exercised via function registry:
     graft.functions.PopCountArray.register(spark)
+    graft.functions.SimHash64.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature", exprs => exprs match {
+        case scala.collection.Seq(arr,
+            org.apache.spark.sql.catalyst.expressions.Literal(k: Int,
+              org.apache.spark.sql.types.IntegerType)) =>
+          graft.functions.MinHashSignature(arr, k)
+        case _ => throw new IllegalArgumentException("literal int k required")
+      }, "built-in")
     val got = spark.sql("SELECT popcount_array(array(CAST(7 AS BIGINT))) AS pc")
       .collect().head.getLong(0)
     assert(got == 3L)
+    val sh = spark.sql(
+      "SELECT simhash64(array('a','b')), size(minhash_signature(array('a'), 8))")
+      .collect().head
+    assert(sh.getLong(0) != 0L)
+    assert(sh.getInt(1) == 8)
   }
 }

@@ -63,4 +63,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(f.length == 6)
     assert(f.forall(_.features.length == Multimodal.FeatureDim))
   }
+
+  test("pluggable decoder: open/close bracket every batch, custom decode applies") {
+    val media = Multimodal.asMedia(weird)
+    val decoder = new MediaDecoder {
+      @transient private var opened = false
+      override def open(): Unit = {
+        EdgeCaseSpec.opens.incrementAndGet(); opened = true
+      }
+      override def close(): Unit = EdgeCaseSpec.closes.incrementAndGet()
+      override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] = {
+        require(opened, "decode before open()")
+        Array.fill(2)(meta.nBytes.toFloat)
+      }
+    }
+    EdgeCaseSpec.opens.set(0); EdgeCaseSpec.closes.set(0)
+    val f = Multimodal.extractFeatures(media, decoder).collect()
+    assert(f.length == 6)
+    assert(f.forall(r => r.features.toSeq == Seq(r.nBytes.toFloat, r.nBytes.toFloat)))
+    // local[4] runs executors in this JVM: lifecycle counts are visible
+    assert(EdgeCaseSpec.opens.get() > 0)
+    assert(EdgeCaseSpec.opens.get() == EdgeCaseSpec.closes.get(),
+      "every open() must be paired with close()")
+  }
+}
+
+object EdgeCaseSpec {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
 }
