@@ -74,6 +74,10 @@ object PipelineQueries extends QueryPack {
     Similarity.lshTopK(emb(s, d), maxQueryId = 10L, k = 5)
       .orderBy("qid", "rn")
 
+  def simTopkIvf(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(emb(s, d), maxQueryId = 10L, k = 5)
+      .orderBy("qid", "rn")
+
   // ---- text analysis ----
 
   def textTokens(s: SparkSession, d: String): DataFrame =
@@ -137,6 +141,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_curate" -> pipelineCurate _,
     "sim_topk_brute" -> simTopkBrute _,
     "sim_topk_lsh" -> simTopkLsh _,
+    "sim_topk_ivf" -> simTopkIvf _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangid _,

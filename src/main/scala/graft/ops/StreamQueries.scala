@@ -22,10 +22,16 @@ object StreamQueries extends QueryPack {
     Streams.sessionCounts(Tables.events(s, d))
       .orderBy("user_id", "w_start")
 
+  def interval(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    Streams.intervalJoin(ev, ev).orderBy("pid", "cid")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> tumbling _,
     "stream_sliding" -> sliding _,
     "stream_session" -> session _,
+    "stream_interval_join" -> interval _,
   )
 
   override def oracle: Map[String, String] = Map(
@@ -42,6 +48,16 @@ object StreamQueries extends QueryPack {
         |  FROM events)
         |SELECT w_start, event_type, COUNT(*) AS c
         |FROM starts GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT p.event_id AS pid, c.event_id AS cid, p.user_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS p_us,
+        |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS c_us
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.user_id = p.user_id
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 60 MINUTE
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |ORDER BY pid, cid""".stripMargin,
     "stream_session" ->
       """WITH x AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -62,6 +62,11 @@ object Dedup {
         graft.functions.MinHashSignature.minhashSignature(col("sh"), k))
       .select(col("doc_id"),
         posexplode(lshBands(col("sig"), bands, r)).as(Seq("band", "bkey")))
+      // persisted because both sides of the self-join read it: at
+      // sort-merge scale Catalyst's ReuseExchange already computes the
+      // shared child once, but a broadcast-sized side would otherwise
+      // recompute the whole shingle->signature pipeline per branch
+      .persist()
     val a = banded.alias("a")
     val b = banded.alias("b")
     // narrow candidate pairs; distinct collapses multi-band agreement
@@ -70,7 +75,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val ts = docs.select(col("doc_id"), tokenSet(col("text")).as("ts"))
+    // also read twice (id_a and id_b sides) — same persist rationale
+    val ts = docs.select(col("doc_id"), tokenSet(col("text")).as("ts")).persist()
     pairs
       .join(ts.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
       .join(ts.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")

@@ -84,6 +84,106 @@ object Similarity {
       .select("qid", "nid", "rn")
   }
 
+  /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
+    * next to LSH: k-means centroids partition the corpus into cells;
+    * a query probes only its `nprobe` nearest cells, so the scored
+    * fraction is ~nprobe/nCells of the corpus.
+    *
+    * Scale shape: the quantizer trains on a BOUNDED driver-side sample
+    * (the standard IVF recipe — at 100 TB you sample the corpus, never
+    * scan it, to fit 10^2..10^5 centroids); cell assignment is a pure
+    * codegen'd expression (nCells dot products + argmin — centroids
+    * ship as literals, same discipline as the LSH hyperplanes); the
+    * probe join is an equi-join on cell id with the tiny query side
+    * broadcast. No cross join anywhere.
+    */
+  def ivfTopK(emb: DataFrame, maxQueryId: Long, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      trainIters: Int = 8, sampleSize: Int = 512, dim: Int = 64): DataFrame = {
+    import emb.sparkSession.implicits._
+    val e = asDouble(emb)
+    // --- train the coarse quantizer on a bounded, seeded sample ---
+    val sample = e.select(col("vec_id"), col("e"))
+      .orderBy(pmod(xxhash64(col("vec_id") + seed), lit(1000000007L)))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val centroids = kmeans(sample, nCells, trainIters, seed)
+    // --- cell assignment as a declarative argmin expression ---
+    def dot(v: Column, c: Array[Double]): Column =
+      aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    // nearest centroid by (normalized) inner product: cells follow the
+    // cosine geometry the search uses
+    def sims(v: Column): Column =
+      array(centroids.map(c => dot(v, c)): _*)
+    // bind sims to a named column so the argmin reads it instead of
+    // duplicating the nCells x dim dot-product tree
+    val indexed = e.withColumn("sims", sims(col("e")))
+      .withColumn("cell", array_position(col("sims"), array_max(col("sims"))))
+      .drop("sims")
+    // --- queries probe their nprobe nearest cells ---
+    val probeW = Window.partitionBy("qid").orderBy(col("sim").desc, col("pcell"))
+    val probes = e.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        posexplode(sims(col("e"))).as(Seq("pcell0", "sim")))
+      .withColumn("pcell", col("pcell0") + 1)
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qe"), col("pcell"))
+    val s = indexed.join(broadcast(probes),
+        col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qe"), col("e")).as("cos"))
+      .filter(col("cos").isNotNull)
+      .as[Score]
+    finishTopK(partialTopK(s, k), k)
+  }
+
+  /** Lloyd's iterations over an in-memory sample (quantizer training —
+    * driver-side by design, see ivfTopK). Empty cells re-seed from the
+    * sample deterministically. */
+  private[pipeline] def kmeans(sample: Array[Array[Double]], kCells: Int,
+      iters: Int, seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val rng = new java.util.Random(seed)
+    val dim = sample.head.length
+    val centroids = Array.tabulate(kCells)(i => sample(i % sample.length).clone())
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < kCells) {
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = v(j) - centroids(c)(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kCells)(new Array[Double](dim))
+      val counts = new Array[Int](kCells)
+      sample.foreach { v =>
+        val c = nearest(v)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      var c = 0
+      while (c < kCells) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        } else {
+          centroids(c) = sample(rng.nextInt(sample.length)).clone()
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
   /** Multi-table LSH ANN top-k: `tables` independent random-hyperplane
     * sign buckets (planes seeded on the driver, shipped as literal
     * arrays); a candidate is scored iff it shares ANY table's bucket

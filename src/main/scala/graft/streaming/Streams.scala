@@ -77,6 +77,32 @@ object Streams {
       .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
         col("user_id"), col("c"))
 
+  /** Stream-stream interval join: each purchase joined to the SAME
+    * user's clicks in the window [purchase - within, purchase] —
+    * attribution, the canonical two-stream join. The interval bound +
+    * watermarks on BOTH sides are what let Spark expire join state:
+    * a click older than (watermark + within) can never match a future
+    * purchase and is dropped from the state store. Pass the same
+    * DataFrame twice for the batch twin; pass two readStream instances
+    * when streaming. */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame,
+      withinMinutes: Int = 60, watermark: String = "1 hour"): DataFrame = {
+    val p = watermarked(purchases, watermark)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = watermarked(clicks, watermark)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c, expr(
+        s"""c_user = p_user AND
+           |c_ts >= p_ts - INTERVAL $withinMinutes MINUTES AND
+           |c_ts <= p_ts""".stripMargin))
+      .select(col("pid"), col("cid"), col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+  }
+
   /** Exactly-once-style dedup on event_id with bounded state: duplicate
     * ids arriving within the watermark horizon are dropped. */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =

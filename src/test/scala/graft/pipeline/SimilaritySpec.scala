@@ -68,6 +68,36 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("ivfTopK: probe-list search recalls most true neighbors, ranks well-formed") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val brute = Similarity.bruteForceTopK(emb, 20L, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, 20L, 5, nCells = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // probing 4 of 16 cells scores ~1/4 of the corpus; on unstructured
+    // embeddings cell membership of true neighbors is near-random, so
+    // recall ~ nprobe/nCells is the floor and locality lifts it
+    val recall = (brute intersect ivf.map(x => (x._1, x._2)).toSet).size.toDouble / brute.size
+    assert(recall > 0.25, s"recall $recall")
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // determinism: seeded sample + seeded kmeans -> same result
+    val again = Similarity.ivfTopK(emb, 20L, 5, nCells = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(ivf.sortBy(x => (x._1, x._3)).toSeq == again.sortBy(x => (x._1, x._3)).toSeq)
+  }
+
+  test("kmeans quantizer: converges on separable clusters, deterministic") {
+    val rng = new java.util.Random(1)
+    val clusterA = Array.fill(50)(Array.tabulate(8)(j => 10.0 + rng.nextGaussian() * 0.1))
+    val clusterB = Array.fill(50)(Array.tabulate(8)(j => -10.0 + rng.nextGaussian() * 0.1))
+    val cs = Similarity.kmeans(clusterA ++ clusterB, kCells = 2, iters = 10, seed = 42)
+    val means = cs.map(_.sum / 8.0).sorted
+    assert(math.abs(means(0) + 10.0) < 0.5 && math.abs(means(1) - 10.0) < 0.5,
+      s"centroid means ${means.toSeq}")
+  }
+
   test("lshTopK returns subset-consistent ranks") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val r = Similarity.lshTopK(emb, maxQueryId = 5L, k = 3).collect()

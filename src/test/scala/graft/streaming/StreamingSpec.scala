@@ -49,6 +49,18 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch twin") {
+    val streamed = Streams.intervalJoin(
+      Streams.eventsStream(spark, dir), Streams.eventsStream(spark, dir))
+    val got = Streams.runToMemory(spark, streamed, "t_interval")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.ops.Tables.events(spark, dir)
+    val batch = Streams.intervalJoin(ev, ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("append mode across micro-batches: watermark advances, closed windows emit once") {
     import java.nio.file.Files
     val tmpRoot = Files.createTempDirectory("graft-multibatch")
