@@ -366,6 +366,45 @@ object Relational extends QueryPack {
       .orderBy("pid")
   }
 
+  /** Q25 — full outer join: customers×their-order-stats with both
+    * unmatched sides surfaced (customers who never ordered AND orders
+    * whose cust filter excluded them from the dim — the data-quality
+    * join). NULL-sensitive columns are coalesced to sentinels so both
+    * engines sort identically. At scale the orders side pre-aggregates
+    * BEFORE the join (the build side shrinks from fact- to key-size). */
+  def q25OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val custs = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stats = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sumDec(col("o_totalprice")).as("spend"))
+    custs.join(stats, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), lit(-1L)).as("ck"),
+        coalesce(col("o_custkey"), lit(-1L)).as("ok"),
+        coalesce(col("c_mktsegment"), lit("NONE")).as("seg"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+      .orderBy("ck", "ok")
+  }
+
+  /** Q26 — distribution windows (ntile/cume_dist/percent_rank): the
+    * rank-statistics family over a total order. cume_dist and
+    * percent_rank are single divisions of exact window counts —
+    * bit-identical across engines. */
+  def q26Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_linenumber") === 1 && col("l_orderkey") < 300)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cd"),
+        percent_rank().over(w).as("pr"))
+      .orderBy("l_returnflag", "l_extendedprice", "l_orderkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> q1FilterProject _,
     "q2_agg" -> q2Agg _,
@@ -391,6 +430,8 @@ object Relational extends QueryPack {
     "q22_pivot" -> q22Pivot _,
     "q23_median_rank" -> q23MedianRank _,
     "q24_asof_join" -> q24AsofJoin _,
+    "q25_outer_join" -> q25OuterJoin _,
+    "q26_ntile" -> q26Ntile _,
   )
 
   override def oracle: Map[String, String] = Map(
@@ -527,5 +568,28 @@ object Relational extends QueryPack {
         |SELECT pid, p.user_id, p_us, cid, p_us - c_us AS gap_us
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.c_us <= p.p_us
         |ORDER BY pid""".stripMargin,
+    "q25_outer_join" ->
+      """WITH custs AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0),
+        |stats AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, -1) AS ck, COALESCE(o_custkey, -1) AS ok,
+        |  COALESCE(c_mktsegment, 'NONE') AS seg,
+        |  CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+        |  COALESCE(spend, 0.0) AS spend
+        |FROM custs FULL OUTER JOIN stats ON c_custkey = o_custkey
+        |ORDER BY ck, ok""".stripMargin,
+    "q26_ntile" ->
+      """SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  CUME_DIST() OVER w AS cd,
+        |  PERCENT_RANK() OVER w AS pr
+        |FROM lineitem
+        |WHERE l_linenumber = 1 AND l_orderkey < 300
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, l_extendedprice, l_orderkey""".stripMargin,
   )
 }

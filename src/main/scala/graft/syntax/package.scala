@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Fluent entry points: `import graft.syntax._` and call pipeline
   * operators as methods on any DataFrame with the right columns
@@ -35,6 +35,23 @@ package object syntax {
 
     /** MD5 + rolling content fingerprints. */
     def fingerprints(): DataFrame = TextAnalysis.fingerprints(df)
+
+    /** Near-dup connected components → (doc_id, component). */
+    def nearDupClusters(maxId: Long, threshold: Double = 0.8): DataFrame =
+      Dedup.nearDupClusters(df, maxId, threshold)
+
+    /** Corpus-wide top-k token bigrams. */
+    def topBigrams(topK: Int = 20): DataFrame =
+      TextAnalysis.topBigrams(df, topK)
+
+    /** Deterministic hash-based sample (permille of rows kept). */
+    def hashSample(permille: Int, keyCol: String = "doc_id"): DataFrame =
+      Sampling.hashSample(df, keyCol, permille)
+
+    /** The full curation funnel: quality gate → dedup → sample → stats. */
+    def curate(minTokens: Int = 5, maxMeanTokLen: Double = 12.0,
+        samplePermille: Int = 500): DataFrame =
+      Curation.curate(df, minTokens, maxMeanTokLen, samplePermille)
   }
 
   implicit class EmbeddingOps(private val df: DataFrame) {
@@ -51,5 +68,10 @@ package object syntax {
     /** Embedding near-dup pairs above a cosine threshold. */
     def nearDupsEmbedding(planes: Int = 12, threshold: Double = 0.95): DataFrame =
       Dedup.embeddingNearDup(df, planes, threshold = threshold)
+
+    /** IVF (coarse-quantizer) approximate top-k. */
+    def cosineTopKIvf(maxQueryId: Long, k: Int, nCells: Int = 16,
+        nprobe: Int = 4): DataFrame =
+      Similarity.ivfTopK(df, maxQueryId, k, nCells, nprobe)
   }
 }

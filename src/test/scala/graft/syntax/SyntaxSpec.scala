@@ -12,11 +12,17 @@ class SyntaxSpec extends SparkSpec {
     assert(docs.qualityScores().columns.contains("punct_ratio"))
     assert(docs.languageId().columns.contains("pred_lang"))
     assert(docs.fingerprints().columns.contains("rolling_fp"))
+    assert(docs.nearDupClusters(50L).columns.toSeq ==
+      Seq("doc_id", "component"))
+    assert(docs.topBigrams(5).count() == 5)
+    assert(docs.hashSample(1000).count() == docs.count())
+    assert(docs.curate().columns.contains("mean_tokens"))
   }
 
   test("fluent API: embeddings surface") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     assert(emb.cosineTopK(3L, 2).count() == 6)
     assert(emb.cosineTopKApprox(3L, 2).count() <= 6)
+    assert(emb.cosineTopKIvf(3L, 2).count() <= 6)
   }
 }
