@@ -185,17 +185,19 @@ object Relational extends QueryPack {
     * fitness(genome: long[]) = Σ popcount(word),
     * src/edu/illinois/ga/MapReduce.java:100-111) over a deterministic
     * genome built from table columns, so the oracle can check it.
-    * Runs entirely inside whole-stage codegen: transform + aggregate
-    * higher-order functions over bit_count.
+    * Uses the native PopCountArray expression: the higher-order
+    * `aggregate(transform(...))` spelling computes the same value but
+    * lambda-bearing expressions are NOT codegen-supported — they break
+    * the WholeStageCodegen span around the scan (caught by
+    * PlanAuditSpec); the native expression keeps the whole projection
+    * fused.
     */
   def q13GenomeFitness(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
-        aggregate(
-          transform(
-            array(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
-            x => bit_count(x).cast("long")),
-          lit(0L), (a, b) => a + b).as("fitness"))
+        graft.functions.PopCountArray.popcountArray(
+          array(col("l_orderkey"), col("l_partkey"), col("l_suppkey")))
+          .as("fitness"))
       .orderBy("l_orderkey", "l_linenumber", "fitness")
 
   /** Q14 — semi-structured props: parse the events JSON `props` column

@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Mechanical plan-quality audit: the 100 TB posture claims in the
+  * Scaladoc (filter pushdown, column pruning, broadcast dims,
+  * single-aggregate shapes) asserted against the ACTUAL physical
+  * plans, so a refactor that silently de-optimizes a query fails CI
+  * rather than a future benchmark. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def dir = sf("sf0.001")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def countOccurrences(s: String, pat: String): Int =
+    pat.r.findAllIn(s).length
+
+  test("q1: both predicates and the 3-column projection reach the parquet scan") {
+    val p = plan(Relational.q1FilterProject(spark, dir))
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThan(l_discount,0.05)") &&
+      p.contains("EqualTo(l_returnflag,R)"), p)
+    // pruned read schema: exactly the projected + filtered columns
+    assert(!p.contains("l_extendedprice") && !p.contains("l_shipdate"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q4/q16: dimension joins broadcast — the fact side never shuffles for a join") {
+    for (q <- Seq(Relational.q4JoinChain _, Relational.q16StarJoin _)) {
+      val p = plan(q(spark, dir))
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"),
+        "a dimension join fell back to sort-merge")
+    }
+  }
+
+  test("q19: semi join builds on the broadcast filtered key set") {
+    val p = plan(Relational.q19SemiJoin(spark, dir))
+    assert(p.contains("BroadcastHashJoin LeftSemi"), p)
+  }
+
+  test("q2/q22: one hash-aggregate pair, one data exchange (plus the output sort)") {
+    for (q <- Seq(Relational.q2Agg _, Relational.q22Pivot _)) {
+      val p = plan(q(spark, dir))
+      // partial+final = exactly 2 HashAggregate nodes
+      assert(countOccurrences(p, "\\(\\d+\\) HashAggregate") == 2, p)
+      // exactly 2 exchanges: hash (aggregate) + range (ORDER BY)
+      assert(countOccurrences(p, "\\(\\d+\\) Exchange") == 2, p)
+    }
+  }
+
+  test("q13: genome fitness stays inside whole-stage codegen") {
+    // AQE finalizes the physical plan lazily — execute, then audit the
+    // final plan for fused codegen spans
+    val df = Relational.q13GenomeFitness(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(N)" prefixes mark WholeStageCodegen membership; the fitness
+    // projection must carry one (the HOF aggregate/transform spelling
+    // does not — lambdas are not codegen-supported)
+    assert("\\*\\(\\d+\\) Project \\[.*popcount_array".r.findFirstIn(p).isDefined,
+      p.take(800))
+  }
+
+  test("q6: top-k uses a ranking window, not a global sort of the fact table") {
+    val p = plan(Relational.q6TopK(spark, dir))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    // the rn <= 2 filter must sit above the window, pre-pruning rows
+    // before the final output sort
+    assert(p.contains("WindowGroupLimit") || p.contains("Filter"), p)
+  }
+
+  test("sga mix: one hash exchange, no range/global sort") {
+    import SparkSpec.session.implicits._
+    val cfg = graft.core.GaConfig(nBits = 64, popSize = 64,
+      tournamentSize = 5, numPartitions = 2, seed = 1, maxGenerations = 1)
+    val pop = graft.sga.Sga.evaluate(graft.sga.Sga.initPopulation(spark, cfg))
+    val p = plan(graft.sga.Sga.mix(pop, cfg, 0).toDF())
+    assert(countOccurrences(p, "\\(\\d+\\) Exchange") == 1, p)
+    assert(!p.contains("rangepartitioning"),
+      "mix must hash-repartition, not range-sort globally")
+  }
+
+  test("similarity: query side broadcasts; candidates never cross-join") {
+    val p = plan(graft.pipeline.Similarity.bruteForceTopK(
+      Tables.embeddings(spark, dir), 5L, 3))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"),
+      "top-k degenerated into a cartesian product")
+  }
+
+  test("sample_hash: the sampling predicate reaches the scan pipeline as a filter") {
+    val p = plan(graft.pipeline.Sampling.hashSample(
+      Tables.documents(spark, dir), "doc_id", 100))
+    assert(p.contains("Filter"), p)
+    assert(!p.contains("Exchange"), "a pure filter must not shuffle")
+  }
+}
