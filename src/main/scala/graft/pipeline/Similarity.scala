@@ -24,14 +24,14 @@ case class Score(qid: Long, nid: Long, cos: Double)
   */
 object Similarity {
 
-  /** Cosine similarity of two double arrays, as one codegen'd
-    * expression (zip_with product fold / norms). NULL for zero-norm
-    * vectors (try_divide — ANSI mode would otherwise throw). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    try_divide(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two float/double arrays — the native fused
+    * CosineSim expression (graft.functions.VectorOps). NULL for
+    * zero-norm vectors (the try_divide discipline). The HOF spelling
+    * (`try_divide(aggregate(zip_with(...)), ...)`) computes identical
+    * bits (VectorOpsSpec asserts it) but lambda expressions are not
+    * codegen-supported and would run the scoring loop interpreted. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.cosineSim(a, b)
 
   private def asDouble(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
@@ -110,8 +110,7 @@ object Similarity {
     val centroids = kmeans(sample, nCells, trainIters, seed)
     // --- cell assignment as a declarative argmin expression ---
     def dot(v: Column, c: Array[Double]): Column =
-      aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      graft.functions.VectorOps.dotProduct(v, array(c.map(lit): _*))
     // nearest centroid by (normalized) inner product: cells follow the
     // cosine geometry the search uses
     def sims(v: Column): Column =
@@ -201,8 +200,7 @@ object Similarity {
     val rng = new java.util.Random(seed)
     val hyper = Array.fill(tables, planes, dim)(rng.nextGaussian())
     def dot(v: Column, plane: Array[Double]): Column =
-      aggregate(zip_with(v, array(plane.map(lit): _*), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      graft.functions.VectorOps.dotProduct(v, array(plane.map(lit): _*))
     def bucketOf(t: Int): Column = (0 until planes).map { p =>
       when(dot(col("e"), hyper(t)(p)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))

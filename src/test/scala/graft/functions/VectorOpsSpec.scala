@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorOpsSpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  private lazy val pairs = {
+    val rng = new scala.util.Random(7)
+    (Seq(
+      (Array.fill(64)(rng.nextFloat()), Array.fill(64)(rng.nextDouble())),
+      (Array.fill(64)(0.0f), Array.fill(64)(rng.nextDouble())), // zero norm
+      (Array(1.0f, 2.0f), Array(3.0, 4.0)),
+    )).toDF("a", "b")
+  }
+
+  /** The HOF spelling both expressions replaced. */
+  private def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    try_divide(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  test("native cosine is bit-identical to the HOF spelling (incl. zero-norm NULL)") {
+    val ad = transform(col("a"), x => x.cast("double"))
+    val rows = pairs.select(
+      VectorOps.cosineSim(ad, col("b")).as("native"),
+      hofCosine(ad, col("b")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)),
+          s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+    assert(rows.exists(_.isNullAt(0)), "zero-norm row must be NULL")
+  }
+
+  test("float arrays are accepted directly and widen exactly like cast+HOF") {
+    val viaCast = pairs.select(VectorOps.dotProduct(
+      transform(col("a"), x => x.cast("double")), col("b"))).collect().map(_.getDouble(0))
+    val direct = pairs.select(VectorOps.dotProduct(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(viaCast.zip(direct).forall { case (x, y) =>
+      java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y) })
+  }
+
+  test("codegen and interpreted paths agree") {
+    val on = pairs.select(VectorOps.cosineSim(col("a"), col("b"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val off = pairs.select(VectorOps.cosineSim(col("a"), col("b"))).collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      assert(on.toSeq == off.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("SQL registration") {
+    VectorOps.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(CAST(1.0 AS DOUBLE), 2.0), array(CAST(3.0 AS DOUBLE), 4.0))")
+      .collect().head.getDouble(0)
+    assert(r == 11.0)
+  }
+}
