@@ -130,6 +130,20 @@ object PipelineQueries extends QueryPack {
       approx_count_distinct(md5(col("text")), 0.02).as("approx_distinct_md5"))
   }
 
+  /** Exact vs sketched quantiles side by side (the quantile member of
+    * the sketch family next to stats_cardinality's HLL): the exact
+    * median needs a per-group sort; approx_percentile is one pass of
+    * constant-size mergeable state — the 100 TB path. Rows-only check
+    * (sketch estimates are engine-specific); SketchSpec asserts the
+    * approximation error bound. */
+  def statsQuantiles(s: SparkSession, d: String): DataFrame = {
+    val docs0 = docs(s, d)
+    docs0.select(
+      expr("percentile(n_chars, 0.5)").as("exact_median_chars"),
+      expr("approx_percentile(n_chars, 0.5, 1000)").as("approx_median_chars"),
+      expr("approx_percentile(n_chars, array(0.1, 0.9), 1000)").as("p10_p90"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_minhash" -> dedupMinhash _,
@@ -151,6 +165,7 @@ object PipelineQueries extends QueryPack {
     "multimodal_frames" -> multimodalFrames _,
     "multimodal_features" -> multimodalFeatures _,
     "stats_cardinality" -> statsCardinality _,
+    "stats_quantiles" -> statsQuantiles _,
   )
 
   override def oracle: Map[String, String] = Map(

@@ -17,6 +17,18 @@ class SketchSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("approx quantiles track the exact rank median within accuracy bounds") {
+    val r = PipelineQueries.statsQuantiles(spark, sf("sf0.01")).head()
+    val exact = r.getDouble(0) // percentile() interpolates -> double
+    val approx = r.getLong(1).toDouble // approx keeps the input type
+    // accuracy=1000 bounds the rank error to n/1000 ranks; on 5k docs
+    // the value error at the median is small
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+    val Seq(p10, p90) = r.getSeq[Long](2).toSeq
+    assert(p10 <= approx && approx <= p90, "p10 <= median <= p90")
+  }
+
   test("sketch is partitioning-invariant (mergeable state)") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val a = docs.repartition(1)
