@@ -46,6 +46,11 @@ object PipelineQueries extends QueryPack {
     Dedup.embeddingNearDup(emb(s, d), planes = 8, threshold = 0.3)
       .orderBy("id_a", "id_b")
 
+  // character-level (edit distance) fuzzy pairs on a bounded subset
+  def dedupFuzzy(s: SparkSession, d: String): DataFrame =
+    Dedup.fuzzyPairs(docs(s, d), maxId = 200L, maxDist = 12)
+      .orderBy("id_a", "id_b")
+
   // near-dup clustering: pairwise output -> keep/drop components
   // (same bounded subset as dedup_ngram_jaccard, which feeds it)
   def dedupClusters(s: SparkSession, d: String): DataFrame =
@@ -151,6 +156,7 @@ object PipelineQueries extends QueryPack {
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_embedding" -> dedupEmbedding _,
     "dedup_clusters" -> dedupClusters _,
+    "dedup_fuzzy" -> dedupFuzzy _,
     "sample_hash" -> sampleHash _,
     "pipeline_curate" -> pipelineCurate _,
     "sim_topk_brute" -> simTopkBrute _,
@@ -200,6 +206,16 @@ object PipelineQueries extends QueryPack {
         |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id)
         |SELECT id AS doc_id, MIN(comp) AS component FROM walk
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_fuzzy" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS s
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 12
+        |ORDER BY id_a, id_b""".stripMargin,
     "sample_hash" ->
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE (doc_id * ${Sampling.Knuth}) % 4294967296 < ${Sampling.thresholdFor(100)}

@@ -126,6 +126,26 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
+  /** Edit-distance fuzzy dedup: pairs whose normalized-text PREFIXES
+    * are within `maxDist` Levenshtein edits — the character-level dedup
+    * family (catches typo-level near-copies that token-set Jaccard
+    * misses, e.g. OCR noise). The prefix bound caps the O(len²) DP per
+    * pair; like ngramJaccardPairs this exact quadratic verify is for
+    * bounded subsets — the scale path generates candidates with
+    * MinHash/SimHash banding first and verifies survivors here. */
+  def fuzzyPairs(docs: DataFrame, maxId: Long, maxDist: Int,
+      prefixLen: Int = 40): DataFrame = {
+    val t = docs.filter(col("doc_id") < maxId)
+      .select(col("doc_id"),
+        substring(normText(col("text")), 1, prefixLen).as("s"))
+    val a = t.alias("a")
+    val b = t.alias("b")
+    a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        levenshtein(col("a.s"), col("b.s")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Near-dup CLUSTERS: connected components over a near-dup pair set,
     * labeling every doc with the minimum doc_id reachable through
     * near-dup edges (singletons label themselves). This is the step

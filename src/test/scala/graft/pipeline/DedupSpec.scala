@@ -77,6 +77,21 @@ class DedupSpec extends SparkSpec {
     assert(r == Set((0L, 1L), (0L, 2L), (1L, 2L), (4L, 5L)))
   }
 
+  test("fuzzy pairs: edit-distance dedup catches character-level near-copies") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the dog"),
+      (1L, "the quick brown fax jumps over the dog"),  // 1 substitution
+      (2L, "the quick brown fox jumps over a dog"),    // small edit
+      (3L, "完全に別の文書 something else entirely"),
+    ).toDF("doc_id", "text")
+    val r = Dedup.fuzzyPairs(d, maxId = 10L, maxDist = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+    val pairs = r.map(x => (x._1, x._2)).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(r.find(x => x._1 == 0L && x._2 == 1L).get._3 == 1)
+  }
+
   test("near-dup clusters: connected components with min-id labels") {
     // {0,1,2} are token-set-identical; {4,5} permuted-identical; 3 links
     // to the 0-cluster only transitively below 0.99... use a chain doc
