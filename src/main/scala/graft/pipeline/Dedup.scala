@@ -219,7 +219,7 @@ object Dedup {
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("e"))
     def dot(v: Column, plane: Array[Double]): Column =
-      graft.functions.VectorOps.dotProduct(v, array(plane.map(lit): _*))
+      graft.functions.VectorOps.dotProduct(v, array(plane.toIndexedSeq.map(lit): _*))
     val bucket = (0 until planes).map { p =>
       when(dot(col("e"), hyper(p)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))

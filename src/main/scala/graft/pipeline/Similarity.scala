@@ -110,11 +110,11 @@ object Similarity {
     val centroids = kmeans(sample, nCells, trainIters, seed)
     // --- cell assignment as a declarative argmin expression ---
     def dot(v: Column, c: Array[Double]): Column =
-      graft.functions.VectorOps.dotProduct(v, array(c.map(lit): _*))
+      graft.functions.VectorOps.dotProduct(v, array(c.toIndexedSeq.map(lit): _*))
     // nearest centroid by (normalized) inner product: cells follow the
     // cosine geometry the search uses
     def sims(v: Column): Column =
-      array(centroids.map(c => dot(v, c)): _*)
+      array(centroids.toIndexedSeq.map(c => dot(v, c)): _*)
     // bind sims to a named column so the argmin reads it instead of
     // duplicating the nCells x dim dot-product tree
     val indexed = e.withColumn("sims", sims(col("e")))
@@ -200,7 +200,7 @@ object Similarity {
     val rng = new java.util.Random(seed)
     val hyper = Array.fill(tables, planes, dim)(rng.nextGaussian())
     def dot(v: Column, plane: Array[Double]): Column =
-      graft.functions.VectorOps.dotProduct(v, array(plane.map(lit): _*))
+      graft.functions.VectorOps.dotProduct(v, array(plane.toIndexedSeq.map(lit): _*))
     def bucketOf(t: Int): Column = (0 until planes).map { p =>
       when(dot(col("e"), hyper(t)(p)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
