@@ -171,8 +171,12 @@ object Dedup {
     // O(diameter) iterations per run the per-iteration Catalyst
     // planning would dominate the actual work (the same measurement
     // that moved Cga.runLoop; GraphX makes the identical trade).
-    val parts = math.max(1, math.min(docs.rdd.getNumPartitions,
-      spark.sparkContext.defaultParallelism))
+    // partitions sized to the LABEL set, not the core count — a
+    // 100-node component graph on 32 partitions pays 32 task launches
+    // per tiny job (the manual twin of AQE's partition coalescing,
+    // which RDD loops must do themselves); ~50k labels per partition
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (maxId / 50000L).toInt + 1))
     val part = new org.apache.spark.HashPartitioner(parts)
     val pairs = ngramJaccardPairs(docs, maxId, threshold)
       .select(col("id_a"), col("id_b")).as[(Long, Long)].rdd
