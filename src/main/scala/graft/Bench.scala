@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
   * Timing includes full plan execution (count() drives the whole
   * DAG). One untimed warmup query initializes codegen/JIT and the
   * parquet footer caches so per-query numbers measure the plan, not
-  * first-touch JVM costs.
+  * first-touch JVM costs. Each query runs SPARK_GRAFT_BENCH_RUNS
+  * times (default 3) and reports the per-query MEDIAN — single-run
+  * numbers on a shared machine carry ±15% load noise, larger than
+  * most round-over-round deltas worth detecting.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,12 +35,18 @@ object Bench {
     catch { case _: Throwable => () }
 
     // a failed query reports null (never a bogus near-zero timing) and
-    // lands in "errors" so breakage can't masquerade as speed
+    // lands in "errors" so breakage can't masquerade as speed; the
+    // reported time is the median of `runs` repetitions
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      val ok = times.length == runs
+      val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.length / 2)
+      (name, median, ok)
     }
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null")

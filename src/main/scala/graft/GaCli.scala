@@ -29,6 +29,9 @@ object GaCli {
     require(args.length >= 4, usage)
     val mode = args(0)
     val parts = args(1).toInt
+    // only stop a session this invocation created — embedding callers
+    // (tests, notebooks) keep theirs
+    val ownSession = SparkSession.getDefaultSession.isEmpty
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName(s"graft-ga-$mode")
@@ -42,13 +45,20 @@ object GaCli {
         val n = args(2).toInt
         val iters = args(3).toInt
         val popMult = args.lift(4).map(_.toDouble).getOrElse(1.0)
+        // the reference's `iter` continuation arg (MapReduce.java CLI):
+        // with a resume dir, generations land durably under it and a
+        // rerun picks up from the latest one — matching cga's arg
+        val resumeDir = args.lift(5)
         // pop = ceil(k·n·log2 n), MapReduce.java:454
         val pop = GaConfig.populationSize(n, popMult)
         val cfg = GaConfig(nBits = n, popSize = pop, numPartitions = parts,
           maxGenerations = iters, dedupOffspring = mode == "inc")
-        val r = Sga.runLoop(spark, cfg, (gen, best, ms) =>
-          // reference log line: GA:<it>:<n>:<pop>:<best>:<millis>
-          println(s"GA:$gen:$n:$pop:$best:$ms"))
+        val r = resumeDir match {
+          case Some(root) => Sga.runLoopDurable(spark, cfg, root)
+          case None => Sga.runLoop(spark, cfg, (gen, best, ms) =>
+            // reference log line: GA:<it>:<n>:<pop>:<best>:<millis>
+            println(s"GA:$gen:$n:$pop:$best:$ms"))
+        }
         println(s"SGA done: best=${r.bestFitness}/${cfg.nBits} " +
           s"generations=${r.generations} converged=${cfg.converged(r.bestFitness)}")
       case "cga" =>
@@ -70,13 +80,13 @@ object GaCli {
         println(s"cGA done: winnerFitness=${r.winnerFitness} " +
           s"iterations=${r.iterations} converged=${r.converged}")
       case other => sys.error(s"unknown mode $other\n$usage")
-    } finally spark.stop()
+    } finally if (ownSession) spark.stop()
   }
 
   private val usage: String =
     """usage:
-      |  GaCli sga <partitions> <vars> <maxIters> [popMult]
-      |  GaCli inc <partitions> <vars> <maxIters> [popMult]
+      |  GaCli sga <partitions> <vars> <maxIters> [popMult] [resumeDir]
+      |  GaCli inc <partitions> <vars> <maxIters> [popMult] [resumeDir]
       |  GaCli cga <partitions> <strLen> <maxIters> [popMult] [tournamentSize] [resumeDir]
       |""".stripMargin
 }

@@ -38,6 +38,14 @@ private[functions] trait VectorBinaryOp extends BinaryExpression {
   protected def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  /** Whether a side's array may carry NULL slots. A null element makes
+    * the whole result NULL — matching the HOF twin, where the
+    * null product poisons the `aggregate` fold. The check is emitted
+    * only when the schema admits nulls, so the
+    * containsNull=false hot path stays a branch-free loop. */
+  protected def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   /** Interpreted element read, widened to double. */
   protected def elem(arr: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
@@ -45,15 +53,25 @@ private[functions] trait VectorBinaryOp extends BinaryExpression {
   /** Codegen element read, widened to double. */
   protected def elemCode(arr: String, i: String, isFloat: Boolean): String =
     if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  /** Codegen null-slot guard: breaks the loop with the hasNull flag
+    * set; empty when the schema forbids null slots. */
+  protected def nullGuard(arr: String, i: String, nullable: Boolean,
+      hasNull: String): String =
+    if (nullable) s"if ($arr.isNullAt($i)) { $hasNull = true; break; }" else ""
 }
 
 /** Σ a(i)·b(i) over min(len) elements (zip_with semantics: the HOF
   * twin null-pads the shorter side, making those products null and the
   * fold null — we instead stop at the shorter length; callers in this
-  * library always pass equal-length vectors). */
+  * library always pass equal-length vectors). A NULL element in the
+  * read range yields NULL (the HOF twin's poisoned fold). */
 case class DotProduct(left: Expression, right: Expression) extends VectorBinaryOp {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -62,7 +80,11 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryO
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += elem(x, i, fx) * elem(y, i, fy); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += elem(x, i, fx) * elem(y, i, fy)
+      i += 1
+    }
     acc
   }
 
@@ -71,14 +93,25 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryO
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val hasNull = ctx.freshName("hasNull")
+      // when neither schema admits null slots the guards are empty and
+      // hasNull is statically false — emit the plain assignment (and
+      // never touch ev.isNull, which is a literal for non-nullable ev)
+      val finish =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($hasNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }"
+        else s"${ev.value} = $acc;"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  ${nullGuard(x, i, elemNullable(left), hasNull)}
+         |  ${nullGuard(y, i, elemNullable(right), hasNull)}
          |  $acc += ${elemCode(x, i, elemIsFloat(left))} *
          |    ${elemCode(y, i, elemIsFloat(right))};
          |}
-         |${ev.value} = $acc;
+         |$finish
        """.stripMargin
     })
 
@@ -89,7 +122,9 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryO
 }
 
 /** cos(a, b) = a·b / (|a|·|b|); NULL for a zero-norm side (the
-  * try_divide discipline — a direction-less vector cannot rank). */
+  * try_divide discipline — a direction-less vector cannot rank) and
+  * for any NULL element on either side (the HOF twin's poisoned
+  * fold — norms are dot(a,a)/dot(b,b), so a null slot nulls them). */
 case class CosineSim(left: Expression, right: Expression) extends VectorBinaryOp {
 
   override def dataType: DataType = DoubleType
@@ -99,11 +134,16 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryOp
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+    // norms run each side's FULL length (matching dot(a,a)/dot(b,b)),
+    // so a null slot ANYWHERE in either array poisons the result
+    var i = 0
+    while (i < x.numElements()) { if (x.isNullAt(i)) return null; i += 1 }
+    i = 0
+    while (i < y.numElements()) { if (y.isNullAt(i)) return null; i += 1 }
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
-    var i = 0
+    i = 0
     while (i < n) { dot += elem(x, i, fx) * elem(y, i, fy); i += 1 }
-    // norms over each side's FULL length, matching dot(a,a)/dot(b,b)
     var aa = 0.0
     i = 0
     while (i < x.numElements()) { val v = elem(x, i, fx); aa += v * v; i += 1 }
@@ -123,28 +163,50 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryOp
       val bb = ctx.freshName("bb")
       val v = ctx.freshName("v")
       val denom = ctx.freshName("denom")
+      val hasNull = ctx.freshName("hasNull")
+      // null-slot scans emitted only for sides whose schema admits
+      // null elements; ev.isNull always exists (nullable = true)
+      val scanX =
+        if (elemNullable(left))
+          s"""for (int $i = 0; $i < $x.numElements() && !$hasNull; $i++) {
+             |  if ($x.isNullAt($i)) $hasNull = true;
+             |}""".stripMargin
+        else ""
+      val scanY =
+        if (elemNullable(right))
+          s"""for (int $i = 0; $i < $y.numElements() && !$hasNull; $i++) {
+             |  if ($y.isNullAt($i)) $hasNull = true;
+             |}""".stripMargin
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ${elemCode(x, i, elemIsFloat(left))} *
-         |    ${elemCode(y, i, elemIsFloat(right))};
-         |}
-         |double $aa = 0.0;
-         |for (int $i = 0; $i < $x.numElements(); $i++) {
-         |  double $v = ${elemCode(x, i, elemIsFloat(left))};
-         |  $aa += $v * $v;
-         |}
-         |double $bb = 0.0;
-         |for (int $i = 0; $i < $y.numElements(); $i++) {
-         |  double $v = ${elemCode(y, i, elemIsFloat(right))};
-         |  $bb += $v * $v;
-         |}
-         |double $denom = java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb);
-         |if ($denom == 0.0) {
+         |boolean $hasNull = false;
+         |$scanX
+         |$scanY
+         |if ($hasNull) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = $dot / $denom;
+         |  int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ${elemCode(x, i, elemIsFloat(left))} *
+         |      ${elemCode(y, i, elemIsFloat(right))};
+         |  }
+         |  double $aa = 0.0;
+         |  for (int $i = 0; $i < $x.numElements(); $i++) {
+         |    double $v = ${elemCode(x, i, elemIsFloat(left))};
+         |    $aa += $v * $v;
+         |  }
+         |  double $bb = 0.0;
+         |  for (int $i = 0; $i < $y.numElements(); $i++) {
+         |    double $v = ${elemCode(y, i, elemIsFloat(right))};
+         |    $bb += $v * $v;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb);
+         |  if ($denom == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / $denom;
+         |  }
          |}
        """.stripMargin
     })

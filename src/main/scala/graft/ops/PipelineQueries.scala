@@ -57,6 +57,22 @@ object PipelineQueries extends QueryPack {
     Dedup.nearDupClusters(docs(s, d), maxId = 100L, threshold = 0.8)
       .orderBy("doc_id")
 
+  // the PRODUCTION composition: LSH candidate generation feeding the
+  // CC clustering — the shape a 100 TB corpus runs (no quadratic pair
+  // generator anywhere). Banding at r=2 rows/band makes a J>=0.8 true
+  // pair miss with prob (1-0.64)^32 ~ 6e-15, so on this bounded
+  // subset the exact-Jaccard-verified pair set — and therefore the
+  // clustering — equals dedup_clusters', letting the same recursive-
+  // CTE oracle hash-gate the whole LSH->CC chain end to end.
+  def dedupClustersLsh(s: SparkSession, d: String): DataFrame = {
+    val subset = docs(s, d).filter(col("doc_id") < 100)
+    Dedup.clusterPairs(
+      Dedup.minhashPairs(subset, shingleN = 1, k = 64, bands = 32,
+        threshold = 0.8),
+      subset.select(col("doc_id")))
+      .orderBy("doc_id")
+  }
+
   // deterministic 10% systematic sample — reproducible across engines,
   // partitionings, and reruns (the property rand() sampling lacks)
   def sampleHash(s: SparkSession, d: String): DataFrame =
@@ -75,13 +91,32 @@ object PipelineQueries extends QueryPack {
     Similarity.bruteForceTopK(emb(s, d), maxQueryId = 10L, k = 5)
       .orderBy("qid", "rn")
 
+  // the approximate variants carry an in-plan recall-vs-brute column,
+  // so an ANN regression (bad seed interaction, broken banding) shows
+  // up in the driver gate as changed recall values — not only in the
+  // scalatest recall-floor assertions
   def simTopkLsh(s: SparkSession, d: String): DataFrame =
-    Similarity.lshTopK(emb(s, d), maxQueryId = 10L, k = 5)
+    withRecall(Similarity.lshTopK(emb(s, d), maxQueryId = 10L, k = 5),
+      Similarity.bruteForceTopK(emb(s, d), maxQueryId = 10L, k = 5), k = 5)
       .orderBy("qid", "rn")
 
   def simTopkIvf(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfTopK(emb(s, d), maxQueryId = 10L, k = 5)
+    withRecall(Similarity.ivfTopK(emb(s, d), maxQueryId = 10L, k = 5),
+      Similarity.bruteForceTopK(emb(s, d), maxQueryId = 10L, k = 5), k = 5)
       .orderBy("qid", "rn")
+
+  /** recall@k per query = |approx top-k ∩ exact top-k| / k, computed
+    * in-plan (a semi join on the two k-row-per-query sets + one tiny
+    * aggregate) and repeated on every output row of that query. */
+  private def withRecall(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = approx.select(col("qid"), col("nid"))
+      .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    approx.join(hits, Seq("qid"), "left")
+      .withColumn("recall",
+        coalesce(col("hits"), lit(0L)).cast("double") / k)
+      .drop("hits")
+  }
 
   // ---- text analysis ----
 
@@ -140,14 +175,28 @@ object PipelineQueries extends QueryPack {
     * median needs a per-group sort; approx_percentile is one pass of
     * constant-size mergeable state — the 100 TB path. Rows-only check
     * (sketch estimates are engine-specific); SketchSpec asserts the
-    * approximation error bound. */
+    * approximation error bound. All columns SCALAR doubles — the
+    * round-2 array-typed p10_p90 column broke the driver's
+    * canonicalizer (arrays don't sort/hash in pandas). */
   def statsQuantiles(s: SparkSession, d: String): DataFrame = {
     val docs0 = docs(s, d)
     docs0.select(
       expr("percentile(n_chars, 0.5)").as("exact_median_chars"),
-      expr("approx_percentile(n_chars, 0.5, 1000)").as("approx_median_chars"),
-      expr("approx_percentile(n_chars, array(0.1, 0.9), 1000)").as("p10_p90"))
+      expr("approx_percentile(n_chars, 0.5, 1000)").cast("double")
+        .as("approx_median_chars"),
+      expr("approx_percentile(n_chars, 0.1, 1000)").cast("double").as("p10"),
+      expr("approx_percentile(n_chars, 0.9, 1000)").cast("double").as("p90"))
   }
+
+  /** The exact-quantile half alone, so the sketch family has a
+    * hash-gated member: Spark's exact `percentile` at p=0.5 computes
+    * (a+b)/2 on the two middle values — the same interpolation DuckDB's
+    * `median` performs, exactly representable in double for integer
+    * inputs, so the hashes agree. */
+  def statsMedian(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      expr("percentile(n_chars, 0.5)").as("exact_median_chars"),
+      count(lit(1)).as("n_docs"))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
@@ -156,6 +205,7 @@ object PipelineQueries extends QueryPack {
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_embedding" -> dedupEmbedding _,
     "dedup_clusters" -> dedupClusters _,
+    "dedup_clusters_lsh" -> dedupClustersLsh _,
     "dedup_fuzzy" -> dedupFuzzy _,
     "sample_hash" -> sampleHash _,
     "pipeline_curate" -> pipelineCurate _,
@@ -172,7 +222,27 @@ object PipelineQueries extends QueryPack {
     "multimodal_features" -> multimodalFeatures _,
     "stats_cardinality" -> statsCardinality _,
     "stats_quantiles" -> statsQuantiles _,
+    "stats_median" -> statsMedian _,
   )
+
+  /** Ground-truth components via DuckDB's recursive CTE — shared by
+    * the exact-fed and the LSH-fed clustering gate rows. */
+  private val clustersOracle: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+      |         FROM documents WHERE doc_id < 100),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+      |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |walk(id, comp) AS (
+      |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+      |  UNION
+      |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id)
+      |SELECT id AS doc_id, MIN(comp) AS component FROM walk
+      |GROUP BY id ORDER BY doc_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -190,22 +260,26 @@ object PipelineQueries extends QueryPack {
         |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
         |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
-    "dedup_clusters" ->
-      """WITH RECURSIVE
-        |toks AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
-        |         FROM documents WHERE doc_id < 100),
-        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
-        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION ALL SELECT id_b, id_a FROM pairs),
-        |walk(id, comp) AS (
-        |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
-        |  UNION
-        |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id)
-        |SELECT id AS doc_id, MIN(comp) AS component FROM walk
-        |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> clustersOracle,
+    // the LSH-fed composition verifies against the SAME ground truth:
+    // its exact-Jaccard verify at recall ~1 banding reproduces the
+    // exact pair set (see dedupClustersLsh), hence the same components
+    "dedup_clusters_lsh" -> clustersOracle,
+    "stats_median" ->
+      """SELECT CAST(median(n_chars) AS DOUBLE) AS exact_median_chars,
+        |  COUNT(*) AS n_docs FROM documents""".stripMargin,
+    // every slice substr(payload, i*fs+1, fs) with fs = len//4 is
+    // exactly fs bytes (4*fs <= len; fs=0 -> empty slice), so the
+    // byte-count twin is pure integer arithmetic — DuckDB's substring
+    // does not take BLOBs, and it doesn't need to
+    "multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) // 4 AS INTEGER) AS fs
+        |  FROM documents)
+        |SELECT doc_id, CAST(unnest(range(4)) AS INTEGER) AS frame_idx,
+        |  fs AS frame_bytes
+        |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
     "dedup_fuzzy" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -218,7 +292,7 @@ object PipelineQueries extends QueryPack {
         |ORDER BY id_a, id_b""".stripMargin,
     "sample_hash" ->
       s"""SELECT doc_id, n_chars FROM documents
-         |WHERE (doc_id * ${Sampling.Knuth}) % 4294967296 < ${Sampling.thresholdFor(100)}
+         |WHERE ((doc_id % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P} < ${Sampling.thresholdFor(100)}
          |ORDER BY doc_id""".stripMargin,
     "pipeline_curate" ->
       s"""WITH scored AS (
@@ -236,7 +310,7 @@ object PipelineQueries extends QueryPack {
          |sampled AS (
          |  SELECT * FROM filtered
          |  WHERE doc_id IN (SELECT keep_id FROM keepers)
-         |    AND (doc_id * ${Sampling.Knuth}) % 4294967296 < ${Sampling.thresholdFor(500)})
+         |    AND ((doc_id % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P} < ${Sampling.thresholdFor(500)})
          |SELECT lang, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
          |  SUM(CAST(n_tokens AS DOUBLE)) / COUNT(*) AS mean_tokens

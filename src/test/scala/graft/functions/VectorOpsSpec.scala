@@ -62,6 +62,43 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  private lazy val withNullSlots = Seq(
+    (Seq[Option[Double]](Some(1.0), None, Some(3.0)),
+      Seq[Option[Double]](Some(1.0), Some(2.0), Some(3.0))),
+    (Seq[Option[Double]](Some(1.0), Some(2.0)),
+      Seq[Option[Double]](Some(3.0), Some(4.0))),
+  ).toDF("a", "b")
+
+  test("null element slots propagate NULL, matching the HOF twin") {
+    val rows = withNullSlots.select(
+      VectorOps.dotProduct(col("a"), col("b")).as("nd"),
+      VectorOps.cosineSim(col("a"), col("b")).as("nc"),
+      hofCosine(col("a"), col("b")).as("hc")).collect()
+    // row 0 carries a null slot: every spelling must yield NULL (the
+    // round-2 expressions read the slot as garbage instead)
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    // row 1 is null-free: values unaffected by the guards
+    assert(rows(1).getDouble(0) == 11.0)
+    assert(java.lang.Double.doubleToLongBits(rows(1).getDouble(1)) ==
+      java.lang.Double.doubleToLongBits(rows(1).getDouble(2)))
+  }
+
+  test("null-slot handling agrees between codegen and interpreted paths") {
+    def run() = withNullSlots.select(
+      VectorOps.dotProduct(col("a"), col("b")),
+      VectorOps.cosineSim(col("a"), col("b"))).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    val on = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(on == run())
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("SQL registration") {
     VectorOps.register(spark)
     val r = spark.sql(

@@ -93,6 +93,35 @@ class PlanAuditSpec extends SparkSpec {
       "top-k degenerated into a cartesian product")
   }
 
+  test("q23: the median window ranks aggregated (flag, price) rows, not the raw fact table") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LogicalWindow}
+    val lp = Relational.q23MedianRank(spark, dir).queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LogicalWindow => w }
+    assert(windows.nonEmpty, lp.toString)
+    // every window's input subtree must contain the pre-aggregate —
+    // the round-2 plan sorted RAW fact rows in 3 window partitions
+    windows.foreach { w =>
+      assert(w.find { case _: Aggregate => true; case _ => false }.isDefined,
+        s"window input must be the aggregated relation:\n$lp")
+    }
+  }
+
+  test("minhash: the banded self-join reuses one exchange instead of recomputing signatures") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // at sort-merge scale (broadcast off = the 100 TB shape) both
+      // sides of the band-bucket self-join must come from ONE shuffle
+      val df = graft.pipeline.Dedup.minhashPairs(
+        Tables.documents(spark, dir), shingleN = 1, k = 16, bands = 4,
+        threshold = 0.9)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sample_hash: the sampling predicate reaches the scan pipeline as a filter") {
     val p = plan(graft.pipeline.Sampling.hashSample(
       Tables.documents(spark, dir), "doc_id", 100))

@@ -20,13 +20,26 @@ class SketchSpec extends SparkSpec {
   test("approx quantiles track the exact rank median within accuracy bounds") {
     val r = PipelineQueries.statsQuantiles(spark, sf("sf0.01")).head()
     val exact = r.getDouble(0) // percentile() interpolates -> double
-    val approx = r.getLong(1).toDouble // approx keeps the input type
+    val approx = r.getDouble(1) // surfaced as scalar DOUBLE for the gate
     // accuracy=1000 bounds the rank error to n/1000 ranks; on 5k docs
     // the value error at the median is small
     assert(math.abs(approx - exact) / exact < 0.05,
       s"approx $approx vs exact $exact")
-    val Seq(p10, p90) = r.getSeq[Long](2).toSeq
+    val (p10, p90) = (r.getDouble(2), r.getDouble(3))
     assert(p10 <= approx && approx <= p90, "p10 <= median <= p90")
+  }
+
+  test("stats_median exact half matches a driver-side exact computation") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val r = PipelineQueries.statsMedian(spark, sf("sf0.01")).head()
+    val chars = docs.select(col("n_chars").cast("double")).collect()
+      .map(_.getDouble(0)).sorted
+    val n = chars.length
+    val expect =
+      if (n % 2 == 1) chars(n / 2)
+      else (chars(n / 2 - 1) + chars(n / 2)) / 2.0
+    assert(r.getDouble(0) == expect, s"${r.getDouble(0)} vs $expect")
+    assert(r.getLong(1) == n)
   }
 
   test("sketch is partitioning-invariant (mergeable state)") {

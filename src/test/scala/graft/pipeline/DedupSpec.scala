@@ -111,6 +111,37 @@ class DedupSpec extends SparkSpec {
     assert(r.size == 4)
   }
 
+  test("clusterPairs: LSH-fed clustering equals exact-fed clustering") {
+    // the production composition (minhashPairs -> clusterPairs) must
+    // reproduce the oracle-checkable exact composition when banding
+    // recall is ~1 (r=2 rows/band: a J>=0.7 pair misses all 32 bands
+    // with prob (1-0.49)^32 ~ 4e-10)
+    val chain = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta iota kappa"),
+      (3L, "totally unrelated words here"),
+    ).toDF("doc_id", "text")
+    val viaLsh = Dedup.clusterPairs(
+      Dedup.minhashPairs(chain, shingleN = 1, k = 64, bands = 32,
+        threshold = 0.7),
+      chain.select(col("doc_id")))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val viaExact = Dedup.nearDupClusters(chain, maxId = 10L, threshold = 0.7)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(viaLsh == viaExact, s"lsh $viaLsh vs exact $viaExact")
+  }
+
+  test("minhashPairs strands no cache blocks in the caller's session") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minhashPairs(docs, shingleN = 1, k = 32, bands = 8,
+      threshold = 0.7).count()
+    System.gc() // let ContextCleaner reap anything merely unreferenced
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"library call left cached RDDs behind: $leaked")
+  }
+
   test("embedding near-dup finds planted duplicate vector") {
     val e = Seq(
       (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),

@@ -57,6 +57,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.simhashes(weird).count() == 6)
   }
 
+  test("blank docs never form near-dup candidate pairs (exact dedup owns them)") {
+    // docs 0 ("") and 1 ("   ") are content-empty: banding them would
+    // pair every blank doc with every other — quadratic in blanks
+    val mh = Dedup.minhashPairs(weird, 1, 16, 4, 0.0)
+      .select("id_a", "id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!mh.contains(0L) && !mh.contains(1L), s"blank doc paired: $mh")
+    val sh = Dedup.simhashPairs(weird, maxHamming = 64)
+      .select("id_a", "id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!sh.contains(0L) && !sh.contains(1L), s"blank doc paired: $sh")
+  }
+
   test("multimodal plumbing on empty payloads") {
     val media = Multimodal.asMedia(weird)
     val f = Multimodal.extractFeatures(media).collect()

@@ -17,15 +17,25 @@ import duckdb
 # Queries must surface DOUBLE/BIGINT/STRING/TIMESTAMP instead.
 RISKY_DUCK = ("DECIMAL", "HUGEINT", "DATE")
 
-def type_lint(con, name, sql, spark_files):
+def spark_type_lint(spark_files):
+    """Schema risks in a Spark result, oracled or not: DECIMAL/DATE
+    canonicalize differently across engines; ARRAY/STRUCT/MAP columns
+    crash the driver's pandas sort outright (round-2 stats_quantiles:
+    'unhashable type: numpy.ndarray' — and it had no oracle, so only
+    an all-outputs lint can catch that class)."""
     import pyarrow.parquet as pq
     risky = []
     for f in pq.read_schema(spark_files[0]):
         t = str(f.type)
-        if t.startswith("decimal") or t.startswith("date"):
+        if t.startswith(("decimal", "date", "list", "large_list",
+                         "struct", "map", "fixed_size_list")):
             risky.append(f"spark {f.name}:{t}")
+    return risky
+
+def type_lint(con, name, sql, spark_files):
+    risky = spark_type_lint(spark_files)
     for row in con.execute(f"DESCRIBE {sql}").fetchall():
-        if any(k in row[1] for k in RISKY_DUCK):
+        if any(k in row[1] for k in RISKY_DUCK) or row[1].endswith("[]"):
             risky.append(f"oracle {row[0]}:{row[1]}")
     return risky
 
@@ -87,6 +97,16 @@ def main():
                 if a != b:
                     print(f"   first diff at row {i}:\n   oracle: {a}\n   spark:  {b}")
                     break
+            n_bad += 1
+    # rows-only queries (no oracle) still flow through the driver's
+    # canonicalizer — lint their schemas too
+    for d in sorted(os.listdir(out_dir)):
+        if d in oracle or not os.path.isdir(os.path.join(out_dir, d)):
+            continue
+        files = glob.glob(os.path.join(out_dir, d, "*.parquet"))
+        risky = spark_type_lint(files) if files else []
+        if risky:
+            print(f"[TYPE] {d}: driver-hash-risky output types: {risky}")
             n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} bad")
     sys.exit(1 if n_bad else 0)
