@@ -71,14 +71,16 @@ object Dedup {
         graft.functions.MinHashSignature.minhashSignature(col("sh"), k))
       .select(col("doc_id"),
         posexplode(lshBands(col("sig"), bands, r)).as(Seq("band", "bkey")))
-    // NOT persisted although both sides of the self-join read it: at
-    // sort-merge scale Catalyst's ReuseExchange computes the shared
-    // shuffle child once (PlanAuditSpec asserts it), and a library
-    // function must not strand cache blocks in the caller's session —
-    // the round-2 spelling persisted here and leaked both datasets
-    // for the session lifetime. A broadcast-sized side recomputes the
-    // signature pipeline once more; that is a bounded-corpus case by
-    // definition, and the native signature pass is cheap.
+      // explicit hash partitioning on the join keys: both self-join
+      // branches now share ONE identical exchange subtree, which
+      // ReuseExchange collapses — the signatures are computed once at
+      // ANY scale (even when the planner picks a broadcast join, whose
+      // build side would otherwise recompute the whole pipeline).
+      // NOT persisted: a library function must not strand cache blocks
+      // in the caller's session — the round-2 spelling persisted here
+      // and leaked both datasets for the session lifetime
+      // (PlanAuditSpec asserts the reuse, DedupSpec the no-leak).
+      .repartition(col("band"), col("bkey"))
     val a = banded.alias("a")
     val b = banded.alias("b")
     // narrow candidate pairs; distinct collapses multi-band agreement
