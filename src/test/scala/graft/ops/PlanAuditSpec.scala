@@ -93,6 +93,16 @@ class PlanAuditSpec extends SparkSpec {
       "top-k degenerated into a cartesian product")
   }
 
+  test("curation funnel: two data shuffles end-to-end, dedup keys broadcast back") {
+    val p = plan(graft.pipeline.Curation.curate(
+      Tables.documents(spark, dir)))
+    // dedup aggregate + final per-lang stats = 2 hash exchanges; the
+    // output ORDER BY adds one range exchange; the keep-id semi join
+    // must be a broadcast, never a shuffle
+    assert(countOccurrences(p, "\\(\\d+\\) Exchange") <= 3, p)
+    assert(p.contains("BroadcastHashJoin LeftSemi"), p)
+  }
+
   test("q23: the median window ranks aggregated (flag, price) rows, not the raw fact table") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LogicalWindow}
     val lp = Relational.q23MedianRank(spark, dir).queryExecution.optimizedPlan

@@ -132,6 +132,14 @@ class DedupSpec extends SparkSpec {
     assert(viaLsh == viaExact, s"lsh $viaLsh vs exact $viaExact")
   }
 
+  test("clusterPairs: empty pair set labels every id a singleton") {
+    val ids = Seq(3L, 7L, 9L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val r = Dedup.clusterPairs(noPairs, ids)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(3L -> 3L, 7L -> 7L, 9L -> 9L))
+  }
+
   test("minhashPairs strands no cache blocks in the caller's session") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.minhashPairs(docs, shingleN = 1, k = 32, bands = 8,
