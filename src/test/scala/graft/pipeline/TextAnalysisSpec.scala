@@ -47,6 +47,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r == Seq(("a b", 3L), ("b a", 1L)))
   }
 
+  test("repetition stats: distinct ratio and top-token share, hand-computed") {
+    val d = Seq(
+      (0L, "spam spam spam spam eggs"),          // 5 tokens, 2 distinct, max mult 4
+      (1L, "all words here are unique tokens"),  // 6 tokens, all distinct
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(d).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r(0L) == ((5, 2.0 / 5, 4.0 / 5)))
+    assert(r(1L) == ((6, 1.0, 1.0 / 6)))
+  }
+
   test("fingerprints: md5 normalization and rolling hash") {
     val r = TextAnalysis.fingerprints(docs).collect()
       .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
