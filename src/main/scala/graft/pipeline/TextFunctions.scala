@@ -35,7 +35,8 @@ object TextFunctions {
     * decontam trigram query at sf0.1). Callers bind:
     * `df.select(tokens(col("text")).as("toks"))` then shingle. */
   def shinglesOfTokens(toks: Column, n: Int): Column =
-    array_distinct(
+    if (n == 1) array_distinct(toks) // unigram shingles ARE the token set
+    else array_distinct(
       transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
