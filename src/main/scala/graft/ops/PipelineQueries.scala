@@ -139,6 +139,10 @@ object PipelineQueries extends QueryPack {
   def textRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, d)).orderBy("doc_id")
 
+  def textChunks(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkTokens(docs(s, d), chunkSize = 64)
+      .orderBy("doc_id", "chunk_idx")
+
   // benchmark decontamination: docs 0..19 stand in for the eval set,
   // the rest are the training corpus; any shared trigram flags the doc
   def decontamOverlap(s: SparkSession, d: String): DataFrame = {
@@ -231,6 +235,7 @@ object PipelineQueries extends QueryPack {
     "text_fingerprint" -> textFingerprint _,
     "text_bigrams" -> textBigrams _,
     "text_repetition" -> textRepetition _,
+    "text_chunks" -> textChunks _,
     "decontam_overlap" -> decontamOverlap _,
     "multimodal_meta" -> multimodalMeta _,
     "multimodal_frames" -> multimodalFrames _,
@@ -400,6 +405,18 @@ object PipelineQueries extends QueryPack {
         |      d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
         |    / CAST(len(toks) AS DOUBLE) AS top_token_share
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    unnest(range(0, CAST((len(toks)-1)//64 AS INTEGER) + 1)) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |  CAST(len(toks[chunk_idx*64+1 : chunk_idx*64+64]) AS INTEGER)
+        |    AS n_chunk_tokens,
+        |  array_to_string(toks[chunk_idx*64+1 : chunk_idx*64+64], ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // trigram shingles mirror TextFunctions.wordShingles: indices
     // 1..max(len-2, 1), slice truncated at the end, per-doc distinct
     "decontam_overlap" ->

@@ -27,14 +27,24 @@ object StreamQueries extends QueryPack {
     Streams.intervalJoin(ev, ev).orderBy("pid", "cid")
   }
 
+  // exactly-once dedup: same dropDuplicatesWithinWatermark code path
+  // the stream runs (StreamingSpec), executed as its batch twin here
+  def dedup(s: SparkSession, d: String): DataFrame =
+    Streams.dedupEvents(Tables.events(s, d))
+      .select(org.apache.spark.sql.functions.col("event_id"))
+      .orderBy("event_id")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> tumbling _,
     "stream_sliding" -> sliding _,
     "stream_session" -> session _,
     "stream_interval_join" -> interval _,
+    "stream_dedup" -> dedup _,
   )
 
   override def oracle: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT DISTINCT event_id FROM events ORDER BY event_id""",
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |  COUNT(*) AS c,

@@ -117,6 +117,26 @@ object TextAnalysis {
       try_divide(maxMult.cast("double"), nTok).as("top_token_share"))
   }
 
+  /** Context-window packing: split each document's token stream into
+    * fixed-size chunks — the sequence-packing step that turns a curated
+    * corpus into training windows. Pure column expressions over a bound
+    * token column (one scan, no shuffle, no UDF): chunk i is tokens
+    * [i·size+1, (i+1)·size], the final chunk ragged. Emits
+    * (doc_id, chunk_idx, n_chunk_tokens, chunk_text). */
+  def chunkTokens(docs: DataFrame, chunkSize: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ((size(col("toks")) - 1) / lit(chunkSize)).cast("int")),
+          i => slice(col("toks"), i * chunkSize + 1, lit(chunkSize))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
   /** Content fingerprints: exact MD5 of normalized text + a modular
     * rolling hash over token lengths (Karp-Rabin structure, exact
     * int64 arithmetic in both engines). */

@@ -104,11 +104,15 @@ object Streams {
   }
 
   /** Exactly-once-style dedup on event_id with bounded state: duplicate
-    * ids arriving within the watermark horizon are dropped. */
+    * ids arriving within the watermark horizon are dropped. Batch twin
+    * is a plain dropDuplicates (dropDuplicatesWithinWatermark is
+    * streaming-only — unlike the window aggregates, Spark has no
+    * batch spelling of it). */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /** Custom state: per-user running totals via mapGroupsWithState —
     * the direct Spark twin of the reference's reducer-held HashMap

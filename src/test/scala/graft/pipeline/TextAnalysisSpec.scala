@@ -47,6 +47,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r == Seq(("a b", 3L), ("b a", 1L)))
   }
 
+  test("token chunking: fixed windows, ragged tail, order preserved") {
+    val d = Seq((0L, "a b c d e"), (1L, "x y")).toDF("doc_id", "text")
+    val r = TextAnalysis.chunkTokens(d, chunkSize = 2).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getString(3))).toSeq
+      .sortBy(x => (x._1, x._2))
+    assert(r == Seq(
+      (0L, 0, 2, "a b"), (0L, 1, 2, "c d"), (0L, 2, 1, "e"),
+      (1L, 0, 2, "x y")))
+  }
+
   test("repetition stats: distinct ratio and top-token share, hand-computed") {
     val d = Seq(
       (0L, "spam spam spam spam eggs"),          // 5 tokens, 2 distinct, max mult 4
