@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.pipeline.{Curation, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Decontamination, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Fluent entry points: `import graft.syntax._` and call pipeline
   * operators as methods on any DataFrame with the right columns
@@ -39,6 +39,23 @@ package object syntax {
     /** Near-dup connected components → (doc_id, component). */
     def nearDupClusters(maxId: Long, threshold: Double = 0.8): DataFrame =
       Dedup.nearDupClusters(df, maxId, threshold)
+
+    /** Connected components over a caller-supplied pair set — the
+      * at-scale composition (feed `nearDupsMinhash` output). */
+    def clusterPairs(pairs: DataFrame): DataFrame =
+      Dedup.clusterPairs(pairs, df.select("doc_id"))
+
+    /** Repetition signals (distinct-token ratio, top-token share). */
+    def repetitionStats(): DataFrame = TextAnalysis.repetitionStats(df)
+
+    /** Fixed-size token context windows (sequence packing). */
+    def chunkTokens(chunkSize: Int): DataFrame =
+      TextAnalysis.chunkTokens(df, chunkSize)
+
+    /** Docs sharing ≥ minHits word n-grams with a benchmark corpus. */
+    def contaminatedBy(benchmark: DataFrame, n: Int = 3,
+        minHits: Int = 1): DataFrame =
+      Decontamination.contaminated(df, benchmark, n, minHits)
 
     /** Corpus-wide top-k token bigrams. */
     def topBigrams(topK: Int = 20): DataFrame =

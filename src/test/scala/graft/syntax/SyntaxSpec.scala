@@ -17,6 +17,13 @@ class SyntaxSpec extends SparkSpec {
     assert(docs.topBigrams(5).count() == 5)
     assert(docs.hashSample(1000).count() == docs.count())
     assert(docs.curate().columns.contains("mean_tokens"))
+    assert(docs.repetitionStats().columns.contains("top_token_share"))
+    assert(docs.chunkTokens(64).columns.contains("chunk_text"))
+    val bench = docs.filter("doc_id < 10")
+    assert(docs.filter("doc_id >= 10").contaminatedBy(bench)
+      .columns.toSeq == Seq("doc_id", "hits"))
+    assert(docs.clusterPairs(docs.nearDupsMinhash(shingleN = 1, k = 16,
+      bands = 8, threshold = 0.9).select("id_a", "id_b")).count() > 0)
   }
 
   test("fluent API: embeddings surface") {
