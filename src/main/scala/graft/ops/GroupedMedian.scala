@@ -1,0 +1,109 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/** Exact per-group median WITHOUT a per-group sort funnel — the
+  * operator Spark's built-ins cannot express scale-safely when groups
+  * are few and values are many.
+  *
+  * The declarative spellings both hit a wall at 100 TB: a Window
+  * partitioned by the group column funnels every row of a group
+  * through ONE sort task (3 groups ⇒ 3 tasks for the whole table —
+  * q23's shape, already softened by pre-aggregation but still bounded
+  * by 3-way parallelism when the value column is near-unique), and
+  * approx_percentile trades exactness away. The classic answer is
+  * distributed order statistics via prefix sums:
+  *
+  *  1. partial+final `groupBy(group, value).count()` — skew-free,
+  *     shrinks ties, narrows rows;
+  *  2. `repartitionByRange(group, value)` + in-partition sort — the
+  *     sort parallelizes over ALL partitions (range boundaries split
+  *     WITHIN a group), no per-group funnel anywhere;
+  *  3. pass 1: per-(partition, group) count totals — #partitions ×
+  *     #groups longs to the driver (the "few groups" premise makes
+  *     this tiny);
+  *  4. driver: global n per group, target rank ⌈n/2⌉, and each
+  *     partition's per-group prefix offset;
+  *  5. pass 2: each partition walks its sorted run with its offset and
+  *     emits the row whose cumulative range covers the target — at
+  *     most one row per (partition, group).
+  *
+  * Two passes over the aggregated relation (persisted between them,
+  * released before returning); the result — one row per group — is
+  * built eagerly, so no lazy recompute can observe the unpersisted
+  * RDD. Values are compared only through the range partitioner's
+  * ordering; the value column's type passes through untouched, so the
+  * result hash-matches the declarative spelling (q27 vs q23's oracle).
+  */
+object GroupedMedian {
+
+  /** (group, median, n) for each group; `median` keeps `valueCol`'s
+    * type, rank semantics = the ⌈n/2⌉-th value in ascending order
+    * (identical to q23's ROW_NUMBER spelling). */
+  def exactMedian(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val agg = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(col(groupCol), col(valueCol))
+      .sortWithinPartitions(groupCol, valueCol)
+    val rdd = agg.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-(partition, group) totals; LinkedHashMap keeps the
+      // in-partition group order (sorted ⇒ groups are contiguous runs)
+      val perPart: Array[(Int, Seq[(Any, Long)])] =
+        rdd.mapPartitionsWithIndex { (i, it) =>
+          val m = mutable.LinkedHashMap[Any, Long]()
+          it.foreach { r =>
+            val g = r.get(0)
+            m.update(g, m.getOrElse(g, 0L) + r.getLong(2))
+          }
+          Iterator((i, m.toSeq))
+        }.collect()
+      val totals = mutable.Map[Any, Long]()
+      perPart.foreach { case (_, gs) =>
+        gs.foreach { case (g, c) => totals.update(g, totals.getOrElse(g, 0L) + c) }
+      }
+      val target = totals.map { case (g, n) => g -> (n + 1L) / 2L }.toMap
+      // prefix offset of group g at partition i = counts in partitions < i
+      val offsets: Map[(Int, Any), Long] = {
+        val running = mutable.Map[Any, Long]()
+        perPart.sortBy(_._1).flatMap { case (i, gs) =>
+          gs.map { case (g, c) =>
+            val off = running.getOrElse(g, 0L)
+            running.update(g, off + c)
+            ((i, g), off)
+          }
+        }.toMap
+      }
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      val bTarget = spark.sparkContext.broadcast(target)
+      val bTotals = spark.sparkContext.broadcast(totals.toMap)
+      // pass 2: emit the covering row per group (eager: result is tiny)
+      val medianRows: Array[Row] = rdd.mapPartitionsWithIndex { (i, it) =>
+        val cum = mutable.Map[Any, Long]()
+        it.flatMap { r =>
+          val g = r.get(0)
+          val c = r.getLong(2)
+          val before = cum.getOrElse(g, bOffsets.value.getOrElse((i, g), 0L))
+          val after = before + c
+          cum.update(g, after)
+          val t = bTarget.value(g)
+          if (before < t && t <= after)
+            Some(Row(g, r.get(1), bTotals.value(g)))
+          else None
+        }
+      }.collect()
+      val schema = StructType(Seq(
+        agg.schema(groupCol),
+        StructField("median", agg.schema(valueCol).dataType),
+        StructField("n", LongType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(medianRows.toIndexedSeq, 1), schema)
+    } finally rdd.unpersist(blocking = false)
+  }
+}

@@ -414,6 +414,21 @@ object Relational extends QueryPack {
       .orderBy("l_returnflag", "l_extendedprice", "l_orderkey")
   }
 
+  /** Q27 — the AT-SCALE exact grouped median (ops.GroupedMedian): same
+    * semantics, same oracle as Q23, different physical strategy —
+    * range-partitioned parallel sort + two-pass prefix sums instead of
+    * a per-group window. Q23 remains the declarative spelling; this is
+    * the one to run when the value column is near-unique (here 594k
+    * distinct prices in 600k rows at sf0.1, so Q23's window still
+    * funnels the table through 3 sort tasks — Q27's sort splits WITHIN
+    * groups across every partition). */
+  def q27MedianPrefix(spark: SparkSession, dir: String): DataFrame =
+    GroupedMedian.exactMedian(
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice")
+      .orderBy("l_returnflag")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> q1FilterProject _,
     "q2_agg" -> q2Agg _,
@@ -441,7 +456,19 @@ object Relational extends QueryPack {
     "q24_asof_join" -> q24AsofJoin _,
     "q25_outer_join" -> q25OuterJoin _,
     "q26_ntile" -> q26Ntile _,
+    "q27_median_prefix" -> q27MedianPrefix _,
   )
+
+  /** Shared by q23 (declarative window) and q27 (prefix-sum operator):
+    * one ground truth, two physical strategies. */
+  private val medianOracle: String =
+    """WITH r AS (SELECT l_returnflag, l_extendedprice,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag, l_extendedprice AS median, n FROM r
+      |WHERE rn = (n + 1) // 2 ORDER BY l_returnflag""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     "q1_filter_project" ->
@@ -559,14 +586,9 @@ object Relational extends QueryPack {
         |  COUNT(*) FILTER (event_type = 'signup') AS signup,
         |  COUNT(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "q23_median_rank" ->
-      """WITH r AS (SELECT l_returnflag, l_extendedprice,
-        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
-        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
-        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-        |  FROM lineitem)
-        |SELECT l_returnflag, l_extendedprice AS median, n FROM r
-        |WHERE rn = (n + 1) // 2 ORDER BY l_returnflag""".stripMargin,
+    "q23_median_rank" -> medianOracle,
+    // same ground truth, different physical strategy under test
+    "q27_median_prefix" -> medianOracle,
     "q24_asof_join" ->
       """WITH p AS (SELECT event_id AS pid, user_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GroupedMedianSpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  /** Driver-side reference: the ⌈n/2⌉-th value ascending. */
+  private def refMedian(vals: Seq[Long]): (Long, Long) = {
+    val s = vals.sorted
+    (s(((s.length + 1) / 2) - 1), s.length.toLong)
+  }
+
+  test("matches a driver-side sort on random data, odd and even counts, ties") {
+    val rng = new scala.util.Random(11)
+    val rows = (Seq.fill(1001)(("a", rng.nextInt(50).toLong)) ++ // odd n, heavy ties
+      Seq.fill(500)(("b", rng.nextLong() % 100000)) ++           // even n
+      Seq(("c", 7L)))                                           // singleton group
+    val df = rows.toDF("g", "v").repartition(7)
+    val got = GroupedMedian.exactMedian(df, "g", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val byG = rows.groupBy(_._1).map { case (g, vs) => g -> refMedian(vs.map(_._2)) }
+    assert(got == byG, s"got $got expected $byG")
+  }
+
+  test("groups spanning multiple range partitions get correct prefix offsets") {
+    // one huge group forces the range partitioner to split WITHIN it —
+    // the case the per-group window cannot parallelize and the prefix
+    // offsets exist for
+    val df = (0L until 20000L).map(i => ("only", i)).toDF("g", "v")
+      .repartition(8)
+    val r = GroupedMedian.exactMedian(df, "g", "v").collect().head
+    assert(r.getLong(1) == 9999L && r.getLong(2) == 20000L) // rank 10000 of 0..19999
+  }
+
+  test("empty input yields empty output; no stranded cache blocks") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val empty = Seq.empty[(String, Long)].toDF("g", "v")
+    assert(GroupedMedian.exactMedian(empty, "g", "v").count() == 0)
+    val big = (0L until 1000L).map(i => (s"g${i % 3}", i)).toDF("g", "v")
+    GroupedMedian.exactMedian(big, "g", "v").count()
+    System.gc()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"stranded: $leaked")
+  }
+
+  test("q27 equals q23 row-for-row on the test tables") {
+    val a = Relational.q23MedianRank(spark, sf("sf0.001")).collect().toSeq
+    val b = Relational.q27MedianPrefix(spark, sf("sf0.001")).collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
+}
