@@ -124,6 +124,12 @@ class StreamingSpec extends SparkSpec {
     val distinctIds = Tables.events(spark, dir)
       .select("event_id").distinct().count()
     assert(n == distinctIds, s"expected $distinctIds deduped rows, got $n")
+    // mode parity: the batch twin (plain dropDuplicates — Spark has no
+    // batch spelling of WithinWatermark) keeps the same id set
+    val batchIds = Streams.dedupEvents(Tables.events(spark, dir))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val streamIds = got.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(batchIds == streamIds, "batch twin and streaming dedup diverge")
   }
 
   test("mapGroupsWithState per-user running totals match batch groupBy") {
