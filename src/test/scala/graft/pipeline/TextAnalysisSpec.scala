@@ -57,6 +57,24 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 0, 2, "x y")))
   }
 
+  test("token chunking reconstructs the token stream exactly (corpus invariant)") {
+    val corpus = graft.ops.Tables.documents(spark, sf("sf0.001"))
+    val chunks = TextAnalysis.chunkTokens(corpus, chunkSize = 64)
+    // collect_list order is not preserved across the aggregation
+    // shuffle — sort the (idx, text) structs explicitly
+    val rebuilt = chunks
+      .groupBy("doc_id")
+      .agg(sum(col("n_chunk_tokens")).as("n"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("joined"))
+    val expected = corpus.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n"),
+      concat_ws(" ", TextFunctions.tokens(col("text"))).as("joined"))
+    assert(rebuilt.join(expected, Seq("doc_id", "n", "joined"), "inner").count()
+      == corpus.count(), "chunks must partition the token stream losslessly")
+  }
+
   test("repetition stats: distinct ratio and top-token share, hand-computed") {
     val d = Seq(
       (0L, "spam spam spam spam eggs"),          // 5 tokens, 2 distinct, max mult 4
