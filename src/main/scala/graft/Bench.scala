@@ -34,27 +34,37 @@ object Bench {
     try SparkEntry.queries("q2_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    // a failed query reports null (never a bogus near-zero timing) and
-    // lands in "errors" so breakage can't masquerade as speed; the
-    // reported time is the median of `runs` repetitions
+    // a query with ZERO successful runs reports null and lands in
+    // "errors" (breakage can't masquerade as speed) — and its first
+    // failure short-circuits the remaining repetitions, so a
+    // deterministically broken query pays the failure cost once, not
+    // `runs` times. A query that succeeded at least once but also
+    // flaked (e.g. one OOM out of 3) reports the median of its
+    // SUCCESSFUL runs and lands in "flaky" instead — a transient
+    // failure must not null out real timings.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var failures = 0
+      var rep = 0
+      while (rep < runs && !(failures > 0 && times.isEmpty)) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
+        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => failures += 1 }
+        rep += 1
       }
-      val ok = times.length == runs
       val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.length / 2)
-      (name, median, ok)
+      (name, median, times.nonEmpty, failures)
     }
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val errs = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val flaky = results.collect { case (k, _, true, f) if f > 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,6 +13,8 @@ object CgaBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // reference op 21 (CGA.java:339-341): straggler re-launch
+      .config("spark.speculation", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -48,6 +48,9 @@ object GaBench {
       .master(s"local[$cpus]")
       .appName("graft-ga-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // reference op 21 (MapReduce.java:281): straggler re-launch;
+      // no-op under local[*], effective on a cluster manager
+      .config("spark.speculation", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

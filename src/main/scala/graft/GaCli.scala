@@ -37,6 +37,13 @@ object GaCli {
       .appName(s"graft-ga-$mode")
       .config("spark.sql.shuffle.partitions",
         math.max(parts, 4).toString)
+      // reference op 21: setSpeculativeExecution(true)
+      // (/root/reference/src/edu/illinois/ga/MapReduce.java:281,
+      // CGA.java:339-341). A straggler task re-launches elsewhere — the
+      // GA loop is a barrier per generation, so one slow executor
+      // gates the whole iteration. No-op under local[*] (one JVM),
+      // effective on a real cluster manager.
+      .config("spark.speculation", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

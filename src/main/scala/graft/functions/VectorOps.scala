@@ -35,16 +35,24 @@ private[functions] trait VectorBinaryOp extends BinaryExpression {
         s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
   }
 
-  protected def elemIsFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // both guards match instead of casting: `nullable` can be queried
+  // during analysis BEFORE checkInputDataTypes rejects a mistyped
+  // plan, and an asInstanceOf here would surface a ClassCastException
+  // in place of the intended clean type-check error
+  protected def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   /** Whether a side's array may carry NULL slots. A null element makes
     * the whole result NULL — matching the HOF twin, where the
     * null product poisons the `aggregate` fold. The check is emitted
     * only when the schema admits nulls, so the
     * containsNull=false hot path stays a branch-free loop. */
-  protected def elemNullable(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].containsNull
+  protected def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
 
   /** Interpreted element read, widened to double. */
   protected def elem(arr: ArrayData, i: Int, isFloat: Boolean): Double =

@@ -4,12 +4,12 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
-/** Exact per-group median WITHOUT a per-group sort funnel — the
-  * operator Spark's built-ins cannot express scale-safely when groups
-  * are few and values are many.
+/** Exact per-group order statistics WITHOUT a per-group sort funnel —
+  * the operator Spark's built-ins cannot express scale-safely when
+  * groups are few and values are many.
   *
   * The declarative spellings both hit a wall at 100 TB: a Window
   * partitioned by the group column funnels every row of a group
@@ -27,25 +27,33 @@ import org.apache.spark.storage.StorageLevel
   *  3. pass 1: per-(partition, group) count totals — #partitions ×
   *     #groups longs to the driver (the "few groups" premise makes
   *     this tiny);
-  *  4. driver: global n per group, target rank ⌈n/2⌉, and each
-  *     partition's per-group prefix offset;
+  *  4. driver: global n per group, target rank ⌈q·n⌉ for EACH
+  *     requested quantile, and each partition's per-group prefix
+  *     offset;
   *  5. pass 2: each partition walks its sorted run with its offset and
-  *     emits the row whose cumulative range covers the target — at
-  *     most one row per (partition, group).
+  *     emits the row whose cumulative range covers a target — at most
+  *     |quantiles| rows per (partition, group).
   *
   * Two passes over the aggregated relation (persisted between them,
-  * released before returning); the result — one row per group — is
-  * built eagerly, so no lazy recompute can observe the unpersisted
-  * RDD. Values are compared only through the range partitioner's
-  * ordering; the value column's type passes through untouched, so the
-  * result hash-matches the declarative spelling (q27 vs q23's oracle).
+  * released before returning); the result — |quantiles| rows per
+  * group — is built eagerly, so no lazy recompute can observe the
+  * unpersisted RDD. Values are compared only through the range
+  * partitioner's ordering; the value column's type passes through
+  * untouched, so the result hash-matches the declarative spelling
+  * (q27 vs q23's oracle) and DuckDB's `quantile_disc` (identical
+  * ⌈q·n⌉ rank semantics, probed empirically: n=4 q=.5→rank 2,
+  * n=5 q=.9→rank 5, n=10 q=.1→rank 1).
   */
 object GroupedMedian {
 
-  /** (group, median, n) for each group; `median` keeps `valueCol`'s
-    * type, rank semantics = the ⌈n/2⌉-th value in ascending order
-    * (identical to q23's ROW_NUMBER spelling). */
-  def exactMedian(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  /** (group, q, value, n) for each group × requested quantile
+    * fraction; `value` keeps `valueCol`'s type, rank semantics = the
+    * max(1, ⌈q·n⌉)-th value in ascending order (DuckDB
+    * `quantile_disc`; q=0.5 degenerates to exactMedian's ⌈n/2⌉). */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must lie in (0, 1], got $qs")
     val spark = df.sparkSession
     val agg = df.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("cnt"))
@@ -68,7 +76,11 @@ object GroupedMedian {
       perPart.foreach { case (_, gs) =>
         gs.foreach { case (g, c) => totals.update(g, totals.getOrElse(g, 0L) + c) }
       }
-      val target = totals.map { case (g, n) => g -> (n + 1L) / 2L }.toMap
+      // target ranks per group: max(1, ⌈q·n⌉) — the same naive double
+      // ceil DuckDB applies, so borderline products agree cross-engine
+      val target: Map[Any, Seq[(Double, Long)]] = totals.map { case (g, n) =>
+        g -> qs.map(q => q -> math.max(1L, math.ceil(q * n).toLong))
+      }.toMap
       // prefix offset of group g at partition i = counts in partitions < i
       val offsets: Map[(Int, Any), Long] = {
         val running = mutable.Map[Any, Long]()
@@ -83,8 +95,9 @@ object GroupedMedian {
       val bOffsets = spark.sparkContext.broadcast(offsets)
       val bTarget = spark.sparkContext.broadcast(target)
       val bTotals = spark.sparkContext.broadcast(totals.toMap)
-      // pass 2: emit the covering row per group (eager: result is tiny)
-      val medianRows: Array[Row] = rdd.mapPartitionsWithIndex { (i, it) =>
+      // pass 2: emit the covering row per (group, target) — eager: the
+      // result is |groups| × |qs| rows
+      val quantileRows: Array[Row] = rdd.mapPartitionsWithIndex { (i, it) =>
         val cum = mutable.Map[Any, Long]()
         it.flatMap { r =>
           val g = r.get(0)
@@ -92,18 +105,27 @@ object GroupedMedian {
           val before = cum.getOrElse(g, bOffsets.value.getOrElse((i, g), 0L))
           val after = before + c
           cum.update(g, after)
-          val t = bTarget.value(g)
-          if (before < t && t <= after)
-            Some(Row(g, r.get(1), bTotals.value(g)))
-          else None
+          bTarget.value(g).collect {
+            case (q, t) if before < t && t <= after =>
+              Row(g, q, r.get(1), bTotals.value(g))
+          }
         }
       }.collect()
       val schema = StructType(Seq(
         agg.schema(groupCol),
-        StructField("median", agg.schema(valueCol).dataType),
+        StructField("q", DoubleType, nullable = false),
+        StructField("value", agg.schema(valueCol).dataType),
         StructField("n", LongType, nullable = false)))
       spark.createDataFrame(
-        spark.sparkContext.parallelize(medianRows.toIndexedSeq, 1), schema)
+        spark.sparkContext.parallelize(quantileRows.toIndexedSeq, 1), schema)
     } finally rdd.unpersist(blocking = false)
   }
+
+  /** (group, median, n) for each group; `median` keeps `valueCol`'s
+    * type, rank semantics = the ⌈n/2⌉-th value in ascending order
+    * (identical to q23's ROW_NUMBER spelling) — the q=0.5 member of
+    * `exactQuantiles`. */
+  def exactMedian(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    exactQuantiles(df, groupCol, valueCol, Seq(0.5))
+      .select(col(groupCol), col("value").as("median"), col("n"))
 }

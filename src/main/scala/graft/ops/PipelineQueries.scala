@@ -41,10 +41,28 @@ object PipelineQueries extends QueryPack {
 
   // threshold tuned to the synthetic embeddings (max pairwise cosine
   // ~0.51): 0.3 ~= the 99th percentile, so the verify path has real
-  // work to do while the bucket join still prunes hard
-  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDup(emb(s, d), planes = 8, threshold = 0.3)
+  // work to do while the bucket join still prunes hard. Multi-table
+  // params sized for this low-cosine regime (4 planes × 12 tables:
+  // per-pair hit ≈ 1−(1−0.6⁴)¹² ≈ 0.8 at cos 0.3); at the 0.95
+  // production threshold the defaults (8×8) give recall ≈ 0.99 —
+  // DedupSpec asserts that floor on boundary-planted pairs. The row
+  // carries an in-plan recall column vs the exact O(subset²) ground
+  // truth on vec_id < 500 (the sim_topk_lsh pattern), so an ANN
+  // regression surfaces in the driver gate as a changed recall value.
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.embeddingNearDup(emb(s, d), planes = 4, tables = 12,
+      threshold = 0.3)
+    val exact = Dedup.exactCosinePairs(emb(s, d), maxId = 500L, threshold = 0.3)
+    // id_a < id_b, so id_b < 500 bounds BOTH ids into the subset
+    val hits = pairs.filter(col("id_b") < 500)
+      .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val tot = exact.agg(count(lit(1)).as("n_true"))
+    pairs.crossJoin(broadcast(hits)).crossJoin(broadcast(tot))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      .select("id_a", "id_b", "cos", "recall")
       .orderBy("id_a", "id_b")
+  }
 
   // character-level (edit distance) fuzzy pairs on a bounded subset
   def dedupFuzzy(s: SparkSession, d: String): DataFrame =
@@ -215,6 +233,19 @@ object PipelineQueries extends QueryPack {
       expr("percentile(n_chars, 0.5)").as("exact_median_chars"),
       count(lit(1)).as("n_docs"))
 
+  /** Exact DISTRIBUTED p10/p50/p90 per language — the scale-safe
+    * GroupedMedian machinery generalized to arbitrary rank lists
+    * (max(1, ⌈q·n⌉), DuckDB quantile_disc semantics), hash-gated
+    * against quantile_disc itself. This makes stats_quantiles'
+    * approx_percentile row checkable end to end: its sketch estimates
+    * stay rows-only, but the exact values they approximate now have an
+    * oracle-verified producer with no per-group sort funnel. */
+  def statsQuantilesExact(s: SparkSession, d: String): DataFrame =
+    GroupedMedian.exactQuantiles(
+      docs(s, d).select(col("lang"), col("n_chars")),
+      "lang", "n_chars", Seq(0.1, 0.5, 0.9))
+      .orderBy("lang", "q")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_minhash" -> dedupMinhash _,
@@ -243,6 +274,7 @@ object PipelineQueries extends QueryPack {
     "stats_cardinality" -> statsCardinality _,
     "stats_quantiles" -> statsQuantiles _,
     "stats_median" -> statsMedian _,
+    "stats_quantiles_exact" -> statsQuantilesExact _,
   )
 
   /** Ground-truth components via DuckDB's recursive CTE — shared by
@@ -250,7 +282,7 @@ object PipelineQueries extends QueryPack {
   private val clustersOracle: String =
     """WITH RECURSIVE
       |toks AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
-      |         FROM documents WHERE doc_id < 100),
+      |         FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0),
       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
       |  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
@@ -272,7 +304,7 @@ object PipelineQueries extends QueryPack {
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
-        |  FROM documents WHERE doc_id < 100)
+        |  FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
         |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS j
@@ -288,6 +320,20 @@ object PipelineQueries extends QueryPack {
     "stats_median" ->
       """SELECT CAST(median(n_chars) AS DOUBLE) AS exact_median_chars,
         |  COUNT(*) AS n_docs FROM documents""".stripMargin,
+    // quantile_disc picks rank ⌈q·n⌉ ascending — the exact rank
+    // semantics exactQuantiles implements (probed: n=4 q=.5 → rank 2,
+    // n=5 q=.9 → rank 5, n=10 q=.1 → rank 1)
+    "stats_quantiles_exact" ->
+      """SELECT lang, CAST(0.1 AS DOUBLE) AS q,
+        |  quantile_disc(n_chars, 0.1) AS value, COUNT(*) AS n
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT lang, CAST(0.5 AS DOUBLE), quantile_disc(n_chars, 0.5), COUNT(*)
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT lang, CAST(0.9 AS DOUBLE), quantile_disc(n_chars, 0.9), COUNT(*)
+        |FROM documents GROUP BY lang
+        |ORDER BY lang, q""".stripMargin,
     // every slice substr(payload, i*fs+1, fs) with fs = len//4 is
     // exactly fs bytes (4*fs <= len; fs=0 -> empty slice), so the
     // byte-count twin is pure integer arithmetic — DuckDB's substring

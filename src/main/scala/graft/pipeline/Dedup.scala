@@ -136,7 +136,14 @@ object Dedup {
     * the oracle-checkable ground truth for the approximate paths.
     * O(subset²) by construction; keep maxId small. */
   def ngramJaccardPairs(docs: DataFrame, maxId: Long, threshold: Double): DataFrame = {
+    // same blank-doc discipline as the approximate paths: two
+    // content-empty docs share the degenerate token set [""] (Jaccard
+    // 1), but "no content" is exact dedup's class, not near-dup's —
+    // and the exact generator must agree with minhashPairs here, or
+    // the LSH-fed and exact-fed clusterings (which share one oracle)
+    // would diverge on any corpus containing two blank docs
     val t = docs.filter(col("doc_id") < maxId)
+      .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), tokenSet(col("text")).as("ts"))
     val a = t.alias("a")
     val b = t.alias("b")
@@ -212,6 +219,10 @@ object Dedup {
     // Sizing costs one count() of the narrow id column — noise next
     // to the O(diameter) loop it right-sizes.
     val nIds = ids.count()
+    // empty universe: nothing to label — return the empty relation
+    // BEFORE building (and persisting) any loop state
+    if (nIds == 0)
+      return ids.select(col("doc_id"), col("doc_id").as("component"))
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (nIds / 50000L).toInt + 1))
     val part = new org.apache.spark.HashPartitioner(parts)
@@ -222,7 +233,6 @@ object Dedup {
     var labels = ids.select(col("doc_id")).as[Long].rdd
       .map(id => (id, id)).partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (nIds == 0) return labels.toDF("doc_id", "component")
     // min-label propagation: labels only ever DECREASE, so the label
     // sum is a strictly decreasing convergence witness — no extra
     // old-vs-new join needed per iteration
@@ -242,31 +252,87 @@ object Dedup {
       labels = next
       it += 1
     }
+    // hand the result its OWN storage before releasing the loop's:
+    // localCheckpoint(eager) materializes the converged labels and
+    // truncates their lineage, so unpersisting edges/labels neither
+    // strands loop caches in the caller's session (the minhashPairs
+    // round-2 leak, same discipline) nor leaves the returned frame
+    // lazily recomputing O(diameter) iterations. The checkpoint
+    // blocks belong to the result — the ContextCleaner reaps them
+    // when the caller drops it, like any Dataset the caller cached.
+    val out = labels.toDF("doc_id", "component").localCheckpoint(true)
     edges.unpersist(blocking = false)
-    labels.toDF("doc_id", "component")
+    labels.unpersist(blocking = false)
+    out
   }
 
   /** Embedding near-dup: pairs with cosine >= threshold, candidate-
-    * generated by random-hyperplane LSH buckets (planes seeded on the
-    * driver, shipped as literals — a broadcast of ~planes×dim doubles),
-    * verified with exact cosine. */
-  def embeddingNearDup(emb: DataFrame, planes: Int = 12, seed: Long = 42L,
-      threshold: Double = 0.95): DataFrame = {
-    val dim = 64
+    * generated by MULTI-TABLE random-hyperplane LSH (the
+    * Similarity.lshTopK scheme), verified with exact cosine.
+    *
+    * Why multi-table: a single table of p planes finds a true pair at
+    * angle θ with probability (1−θ/π)^p — at the default threshold
+    * (cos 0.95, θ ≈ 0.32 rad) 12 planes collide with probability
+    * ≈ 0.28, silently dropping ~72% of boundary near-dups. L
+    * independent tables lift recall to 1−(1−p₁)^L while still scoring
+    * only bucket-mates: the defaults here (8 planes × 8 tables) give
+    * ≈ 0.99 at cos 0.95. `planes` trades candidate volume (halved per
+    * plane on unstructured data) against per-table recall; `tables`
+    * buys recall linearly in cost. DedupSpec asserts the recall floor
+    * on pairs planted AT the threshold boundary.
+    *
+    * Shuffle discipline (same as minhashPairs): the bucket self-join
+    * and the pair `distinct` run over NARROW (vec_id, table, bucket)
+    * rows — vectors never ride the wide exchange; the explicit
+    * repartition makes both self-join branches one ReuseExchange'd
+    * subtree. Vectors are joined back onto the (small) surviving
+    * candidate set for the exact verify. */
+  def embeddingNearDup(emb: DataFrame, planes: Int = 8, tables: Int = 8,
+      seed: Long = 42L, threshold: Double = 0.95, dim: Int = 64): DataFrame = {
     val rng = new java.util.Random(seed)
-    val hyper = Array.fill(planes, dim)(rng.nextGaussian())
+    val hyper = Array.fill(tables, planes, dim)(rng.nextGaussian())
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("e"))
     def dot(v: Column, plane: Array[Double]): Column =
       graft.functions.VectorOps.dotProduct(v, array(plane.toIndexedSeq.map(lit): _*))
-    val bucket = (0 until planes).map { p =>
-      when(dot(col("e"), hyper(p)) > 0, lit(1L << p)).otherwise(lit(0L))
+    def bucketOf(t: Int): Column = (0 until planes).map { p =>
+      when(dot(col("e"), hyper(t)(p)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    val withBucket = e.withColumn("bucket", bucket)
-    val a = withBucket.alias("a")
-    val b = withBucket.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
+    val banded = e
+      .select(col("vec_id"),
+        posexplode(array((0 until tables).map(bucketOf): _*))
+          .as(Seq("t", "bucket")))
+      .repartition(col("t"), col("bucket"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    // narrow candidates; distinct collapses multi-table agreement so
+    // every surviving pair is verified exactly once
+    val cand = a.join(b,
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    // vector join-back: one exchange subtree (repartitioned BELOW the
+    // renames) feeds both the id_a and id_b sides via ReuseExchange
+    val ev = e.repartition(col("vec_id"))
+    cand
+      .join(ev.select(col("vec_id").as("id_a"), col("e").as("e_a")), "id_a")
+      .join(ev.select(col("vec_id").as("id_b"), col("e").as("e_b")), "id_b")
+      .withColumn("cos", Similarity.cosine(col("e_a"), col("e_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Exact all-pairs cosine over a bounded id range — the O(subset²)
+    * ground truth for `embeddingNearDup`'s recall (the embedding
+    * family's twin of `ngramJaccardPairs`). Keep maxId small. */
+  def exactCosinePairs(emb: DataFrame, maxId: Long, threshold: Double): DataFrame = {
+    val e = emb.filter(col("vec_id") < maxId)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val a = e.alias("a")
+    val b = e.alias("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         Similarity.cosine(col("a.e"), col("b.e")).as("cos"))
       .filter(col("cos") >= threshold)

@@ -46,6 +46,35 @@ class GroupedMedianSpec extends SparkSpec {
     assert(leaked.isEmpty, s"stranded: $leaked")
   }
 
+  test("exactQuantiles matches driver-side ⌈q·n⌉ ranks on random data with ties") {
+    val rng = new scala.util.Random(13)
+    val rows = (Seq.fill(997)(("a", rng.nextInt(40).toLong)) ++ // heavy ties
+      Seq.fill(256)(("b", rng.nextLong() % 10000)) ++
+      Seq(("c", 42L)))                                          // singleton group
+    val qs = Seq(0.1, 0.5, 0.9)
+    val df = rows.toDF("g", "v").repartition(5)
+    val got = GroupedMedian.exactQuantiles(df, "g", "v", qs).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val expected = rows.groupBy(_._1).flatMap { case (g, vs) =>
+      val s = vs.map(_._2).sorted
+      qs.map { q =>
+        val rank = math.max(1L, math.ceil(q * s.length).toLong)
+        (g, q) -> ((s((rank - 1).toInt), s.length.toLong))
+      }
+    }
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("exactQuantiles q=0.5 agrees with exactMedian") {
+    val df = (0L until 5000L).map(i => (s"g${i % 2}", i * 7 % 1000)).toDF("g", "v")
+    val viaQ = GroupedMedian.exactQuantiles(df, "g", "v", Seq(0.5)).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val viaM = GroupedMedian.exactMedian(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaQ == viaM)
+  }
+
   test("q27 equals q23 row-for-row on the test tables") {
     val a = Relational.q23MedianRank(spark, sf("sf0.001")).collect().toSeq
     val b = Relational.q27MedianPrefix(spark, sf("sf0.001")).collect().toSeq

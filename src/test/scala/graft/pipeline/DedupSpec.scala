@@ -150,6 +150,25 @@ class DedupSpec extends SparkSpec {
       s"library call left cached RDDs behind: $leaked")
   }
 
+  test("clusterPairs strands no loop caches; empty input persists nothing") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // empty id universe: the early return must not build loop state
+    val emptyIds = Seq.empty[Long].toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusterPairs(noPairs, emptyIds).count() == 0)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "empty-input early return persisted loop state")
+    // normal path: loop internals (edges + per-iteration labels) are
+    // released before returning; the ONLY surviving blocks are the
+    // result's own localCheckpoint, which the ContextCleaner reaps
+    // when the caller drops the result
+    Dedup.nearDupClusters(docs, maxId = 10L, threshold = 0.7).count()
+    System.gc()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"clusterPairs loop caches leaked beyond the result's own blocks: $leaked")
+  }
+
   test("embedding near-dup finds planted duplicate vector") {
     val e = Seq(
       (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
@@ -159,5 +178,46 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.embeddingNearDup(e, planes = 8, threshold = 0.99)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
+  }
+
+  test("embedding near-dup: recall >= 0.95 on pairs planted AT the threshold boundary") {
+    // the round-3 test planted a near-identical vector (cos ~ 1.0),
+    // which any banding finds — this one plants pairs at cos 0.952-
+    // 0.965, just above the 0.95 default threshold, where single-table
+    // LSH recall collapses to ~0.28 (the round-3 weak spot)
+    val dim = 64
+    val rng = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val planted = (0 until 40).flatMap { i =>
+      val u = unit()
+      // w = random direction orthogonalized against u, normalized
+      val w0 = unit()
+      val d = (0 until dim).map(j => u(j) * w0(j)).sum
+      val w1 = Array.tabulate(dim)(j => w0(j) - d * u(j))
+      val n1 = math.sqrt(w1.map(x => x * x).sum)
+      val w = w1.map(_ / n1)
+      val c = 0.952 + 0.013 * rng.nextDouble() // target cos in [0.952, 0.965]
+      val s = math.sqrt(1 - c * c)
+      val v = Array.tabulate(dim)(j => c * u(j) + s * w(j))
+      Seq((2L * i, u), (2L * i + 1, v))
+    }
+    val background = (0 until 40).map(i => (1000L + i, unit()))
+    val e = (planted ++ background).map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val found = Dedup.embeddingNearDup(e, threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: exact cosine over the SAME float data
+    val exact = Dedup.exactCosinePairs(e, maxId = 10000L, threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 35, s"fixture must plant boundary pairs, got ${exact.size}")
+    val recall = found.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95,
+      s"boundary recall $recall (found ${found.intersect(exact).size} of ${exact.size})")
+    // the exact verify guarantees zero false positives
+    assert(found.subsetOf(exact), s"false positives: ${found -- exact}")
   }
 }
