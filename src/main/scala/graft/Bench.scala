@@ -35,19 +35,20 @@ object Bench {
     catch { case _: Throwable => () }
 
     // a query with ZERO successful runs reports null and lands in
-    // "errors" (breakage can't masquerade as speed) — and its first
-    // failure short-circuits the remaining repetitions, so a
-    // deterministically broken query pays the failure cost once, not
-    // `runs` times. A query that succeeded at least once but also
-    // flaked (e.g. one OOM out of 3) reports the median of its
-    // SUCCESSFUL runs and lands in "flaky" instead — a transient
-    // failure must not null out real timings.
+    // "errors" (breakage can't masquerade as speed) — but only after
+    // TWO consecutive failures with no success: a single transient
+    // flake on run 1 (load spike, OOM race) must not null out a query
+    // that would have timed fine, so the short-circuit needs a second
+    // confirming failure before treating breakage as deterministic.
+    // A query that succeeded at least once but also flaked (e.g. one
+    // OOM out of 3) reports the median of its SUCCESSFUL runs and
+    // lands in "flaky" instead.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var failures = 0
       var rep = 0
-      while (rep < runs && !(failures > 0 && times.isEmpty)) {
+      while (rep < runs && !(failures >= 2 && times.isEmpty)) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => failures += 1 }

@@ -54,6 +54,8 @@ object GroupedMedian {
       qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantile fractions must lie in (0, 1], got $qs")
+    require(qs.distinct.size == qs.size,
+      s"duplicate quantile fractions would emit duplicate (group, q) rows, got $qs")
     val spark = df.sparkSession
     val agg = df.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("cnt"))

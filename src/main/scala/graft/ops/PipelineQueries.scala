@@ -50,16 +50,27 @@ object PipelineQueries extends QueryPack {
   // truth on vec_id < 500 (the sim_topk_lsh pattern), so an ANN
   // regression surfaces in the driver gate as a changed recall value.
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    // both `pairs` and `exact` feed TWO consumers (the output rows and
+    // the recall aggregate) — localCheckpoint(eager) materializes each
+    // once so the full LSH pipeline / the O(subset²) exact join don't
+    // execute twice per run (blocks belong to the returned frame; the
+    // ContextCleaner reaps them when the caller drops it)
     val pairs = Dedup.embeddingNearDup(emb(s, d), planes = 4, tables = 12,
-      threshold = 0.3)
+      threshold = 0.3).localCheckpoint(true)
     val exact = Dedup.exactCosinePairs(emb(s, d), maxId = 500L, threshold = 0.3)
+      .localCheckpoint(true)
     // id_a < id_b, so id_b < 500 bounds BOTH ids into the subset
     val hits = pairs.filter(col("id_b") < 500)
       .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
     val tot = exact.agg(count(lit(1)).as("n_true"))
     pairs.crossJoin(broadcast(hits)).crossJoin(broadcast(tot))
-      .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      // n_true = 0 would divide by zero (NULL recall in every row,
+      // silently vacating the gate); surface an explicit -1 sentinel
+      // instead so a dead ground-truth subset is visible, not blank
+      .withColumn("recall",
+        when(col("n_true") > 0,
+          col("n_hit").cast("double") / col("n_true")).otherwise(lit(-1.0)))
       .select("id_a", "id_b", "cos", "recall")
       .orderBy("id_a", "id_b")
   }
@@ -241,8 +252,14 @@ object PipelineQueries extends QueryPack {
     * stay rows-only, but the exact values they approximate now have an
     * oracle-verified producer with no per-group sort funnel. */
   def statsQuantilesExact(s: SparkSession, d: String): DataFrame =
+    // NULL discipline: Spark's groupBy(lang, n_chars) would rank NULL
+    // as a value and count(1) would include it, while DuckDB's
+    // quantile_disc ignores NULLs — filter them out before ranking
+    // (and COUNT(n_chars) in the oracle) so the engines agree even if
+    // a future testdata refresh introduces NULL n_chars
     GroupedMedian.exactQuantiles(
-      docs(s, d).select(col("lang"), col("n_chars")),
+      docs(s, d).select(col("lang"), col("n_chars"))
+        .filter(col("n_chars").isNotNull),
       "lang", "n_chars", Seq(0.1, 0.5, 0.9))
       .orderBy("lang", "q")
 
@@ -323,15 +340,18 @@ object PipelineQueries extends QueryPack {
     // quantile_disc picks rank ⌈q·n⌉ ascending — the exact rank
     // semantics exactQuantiles implements (probed: n=4 q=.5 → rank 2,
     // n=5 q=.9 → rank 5, n=10 q=.1 → rank 1)
+    // COUNT(n_chars), not COUNT(*): quantile_disc ignores NULLs and the
+    // Spark side filters them before ranking — both engines count the
+    // ranked population
     "stats_quantiles_exact" ->
       """SELECT lang, CAST(0.1 AS DOUBLE) AS q,
-        |  quantile_disc(n_chars, 0.1) AS value, COUNT(*) AS n
+        |  quantile_disc(n_chars, 0.1) AS value, COUNT(n_chars) AS n
         |FROM documents GROUP BY lang
         |UNION ALL
-        |SELECT lang, CAST(0.5 AS DOUBLE), quantile_disc(n_chars, 0.5), COUNT(*)
+        |SELECT lang, CAST(0.5 AS DOUBLE), quantile_disc(n_chars, 0.5), COUNT(n_chars)
         |FROM documents GROUP BY lang
         |UNION ALL
-        |SELECT lang, CAST(0.9 AS DOUBLE), quantile_disc(n_chars, 0.9), COUNT(*)
+        |SELECT lang, CAST(0.9 AS DOUBLE), quantile_disc(n_chars, 0.9), COUNT(n_chars)
         |FROM documents GROUP BY lang
         |ORDER BY lang, q""".stripMargin,
     // every slice substr(payload, i*fs+1, fs) with fs = len//4 is

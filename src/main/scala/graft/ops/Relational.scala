@@ -429,6 +429,32 @@ object Relational extends QueryPack {
       "l_returnflag", "l_extendedprice")
       .orderBy("l_returnflag")
 
+  /** Q28 — the salted SKEWED JOIN (Skew.saltedJoin), completing the
+    * skew family: q15 salts the aggregate, this salts the join. The
+    * fact table joins a 3-row per-flag dim on l_returnflag — the
+    * adversarial heavy-hitter shape (a third of 100 TB behind one key,
+    * so an unsalted shuffle join funnels it through ONE task). The dim
+    * carries a shuffle_hash hint to pin the shuffle-join regime the
+    * operator exists for (a 3-row dim would otherwise broadcast and
+    * demonstrate nothing; at real scale the dim is the
+    * too-big-to-broadcast middle regime). Salting spreads each flag
+    * across 8 tasks; results are exactly the plain join's, which is
+    * what the oracle spells. PlanAuditSpec asserts the salt rides the
+    * join exchange. */
+  def q28SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val dim = li.groupBy("l_returnflag")
+      .agg(max(col("l_extendedprice")).as("maxp"))
+      .hint("shuffle_hash")
+    Skew.saltedJoin(li, dim, Seq("l_returnflag"), salts = 8, seed = 42L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("l_extendedprice") > col("maxp") * 0.5, 1L)
+          .otherwise(0L)).as("n_above"))
+      .orderBy("l_returnflag")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> q1FilterProject _,
     "q2_agg" -> q2Agg _,
@@ -457,6 +483,7 @@ object Relational extends QueryPack {
     "q25_outer_join" -> q25OuterJoin _,
     "q26_ntile" -> q26Ntile _,
     "q27_median_prefix" -> q27MedianPrefix _,
+    "q28_skew_join" -> q28SkewJoin _,
   )
 
   /** Shared by q23 (declarative window) and q27 (prefix-sum operator):
@@ -589,6 +616,15 @@ object Relational extends QueryPack {
     "q23_median_rank" -> medianOracle,
     // same ground truth, different physical strategy under test
     "q27_median_prefix" -> medianOracle,
+    // the UNSALTED spelling — the salted join must match it exactly
+    "q28_skew_join" ->
+      """WITH dim AS (SELECT l_returnflag, MAX(l_extendedprice) AS maxp
+        |             FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice > maxp * 0.5
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM lineitem l JOIN dim USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q24_asof_join" ->
       """WITH p AS (SELECT event_id AS pid, user_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us

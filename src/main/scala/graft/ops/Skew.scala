@@ -58,4 +58,46 @@ object Skew {
     }
     partial.groupBy(keys.map(col): _*).agg(phase2.head, phase2.tail: _*)
   }
+
+  /** Salted inner equi-join for a skewed BIG side against a small-but-
+    * not-broadcastable dim — the join twin of `saltedAgg`.
+    *
+    * A shuffle join partitions both sides by the join keys, so a
+    * heavy-hitter key (one l_returnflag value holding a third of a
+    * 100 TB fact table) funnels its entire key group through ONE task
+    * regardless of cluster size. Salting splits that funnel: the big
+    * side gets a uniform salt in [0, salts), the small side is
+    * replicated once per salt value, and the join runs on
+    * (keys…, salt) — every hot key now spreads across `salts` tasks
+    * while the small side pays a ×salts replication that is trivial by
+    * premise. Results are exactly the plain join's (every big row
+    * meets every matching small row exactly once: the one replica
+    * sharing its salt).
+    *
+    * When the small side fits the broadcast threshold, prefer plain
+    * `broadcast(small)` — no shuffle, no skew, no salt. This operator
+    * is for the middle regime (dim too big to broadcast, fact skewed)
+    * and for engines/paths where AQE's runtime skew splitting is
+    * unavailable (AQE only splits SORT-MERGE join partitions, and only
+    * post-shuffle — a static salt also protects the first execution,
+    * composes with bucketed layouts, and keeps working under
+    * shuffle-hash joins).
+    *
+    * Deterministic for the same reason as `saltedAgg`: `rand(seed)` is
+    * per-partition seeded, so retries recompute identical salts; the
+    * RESULT is salt-value independent regardless (each pair is emitted
+    * exactly once for any salt assignment).
+    *
+    * `big` and `small` must not share non-key column names (standard
+    * join hygiene); the salt column never escapes. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int, seed: Long = 42L): DataFrame = {
+    require(salts > 0)
+    require(keys.nonEmpty)
+    val saltedBig = big.withColumn("__salt",
+      pmod((rand(seed) * salts).cast("int"), lit(salts)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(replicated, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -132,6 +132,20 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q28: the salt rides the join exchange — no single-task key funnel") {
+    val df = Relational.q28SkewJoin(spark, dir)
+    val p = plan(df)
+    // the skew demo must run in the shuffle-join regime (broadcast has
+    // no shuffle to skew) ...
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // ... and the join-side hash partitioning must include the salt,
+    // so a hot l_returnflag value spreads across `salts` partitions
+    // instead of funneling through one task
+    assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(p).isDefined,
+      p.take(2000))
+  }
+
   test("sample_hash: the sampling predicate reaches the scan pipeline as a filter") {
     val p = plan(graft.pipeline.Sampling.hashSample(
       Tables.documents(spark, dir), "doc_id", 100))

@@ -21,6 +21,36 @@ class SkewSpec extends SparkSpec {
     assert(run(1) == run(16))
   }
 
+  test("salted join equals the plain join exactly") {
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+    val dim = li.groupBy("l_returnflag")
+      .agg(max(col("l_orderkey")).as("max_ok"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+        .collect().map(_.toSeq).toSeq
+    val plain = canon(li.join(dim, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("max_ok")))
+    val salted = canon(
+      Skew.saltedJoin(li, dim, Seq("l_returnflag"), salts = 8, seed = 7L)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("max_ok")))
+    assert(salted == plain)
+  }
+
+  test("salted join is salt-count invariant") {
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+    val dim = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("flag_rows"))
+    def run(salts: Int) =
+      Skew.saltedJoin(li, dim, Seq("l_returnflag"), salts, seed = 42L)
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+        .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(16))
+  }
+
   test("GraftExtensions registers the native functions for plain SQL") {
     // simulate an extensions-configured session on the shared one
     new graft.GraftExtensions().apply(
