@@ -39,6 +39,18 @@ object PipelineQueries extends QueryPack {
     Dedup.ngramJaccardPairs(docs(s, d), maxId = 100L, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
+  // the HASH-GATED LSH row: at r=2 banding a j>=0.7 true pair misses
+  // all 32 bands with prob (1-0.49)^32 ~ 4e-10, and the exact-Jaccard
+  // verify kills every false candidate — so the full MinHash->banding->
+  // verify pipeline's output on this bounded subset IS the exact pair
+  // set, letting DuckDB's all-pairs Jaccard reproduce it row-for-row
+  // (dedup_minhash keeps the production default-banding spelling as a
+  // rows-only row; DedupSpec asserts its boundary recall separately)
+  def dedupMinhashVerified(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPairs(docs(s, d).filter(col("doc_id") < 100),
+      shingleN = 1, k = 64, bands = 32, threshold = 0.7)
+      .orderBy("id_a", "id_b")
+
   // threshold tuned to the synthetic embeddings (max pairwise cosine
   // ~0.51): 0.3 ~= the 99th percentile, so the verify path has real
   // work to do while the bucket join still prunes hard. Multi-table
@@ -268,6 +280,7 @@ object PipelineQueries extends QueryPack {
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_minhash_verified" -> dedupMinhashVerified _,
     "dedup_embedding" -> dedupEmbedding _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_clusters_lsh" -> dedupClustersLsh _,
@@ -328,6 +341,21 @@ object PipelineQueries extends QueryPack {
         |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
         |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    // the LSH pipeline at recall-1 banding + exact verify equals the
+    // exact all-pairs Jaccard set on the bounded subset (see the Spark
+    // side's miss-probability argument; DedupSpec's boundary test
+    // asserts the r=2 equality on planted threshold-boundary pairs)
+    "dedup_minhash_verified" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+        |  FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS j
+        |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     // the LSH-fed composition verifies against the SAME ground truth:

@@ -93,8 +93,16 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // read twice (id_a and id_b sides) — same ReuseExchange rationale
+    // token-set join-back: repartition BELOW the per-side renames (the
+    // embeddingNearDup pattern) so the id_a and id_b branches reference
+    // ONE identical exchange subtree — ReuseExchange collapses them and
+    // the corpus is tokenized exactly once (renaming first would give
+    // each branch its own exchange; whether canonicalization unifies
+    // those is planner-version luck, and round-3 measured it NOT
+    // reusing: tokenization ran twice). PlanAuditSpec asserts both this
+    // reuse and the banded self-join's.
     val ts = docs.select(col("doc_id"), tokenSet(col("text")).as("ts"))
+      .repartition(col("doc_id"))
     pairs
       .join(ts.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
       .join(ts.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")

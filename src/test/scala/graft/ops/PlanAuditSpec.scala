@@ -127,7 +127,11 @@ class PlanAuditSpec extends SparkSpec {
         threshold = 0.9)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      // TWO reuses: the banded self-join's signature pipeline AND the
+      // token-set join-back (id_a/id_b sides share one tokenization)
+      val reuses = countOccurrences(p, "ReusedExchange") +
+        countOccurrences(p, "ReusedQueryStage")
+      assert(reuses >= 2, s"expected 2 reused exchanges, got $reuses:\n" +
         p.take(2000))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }

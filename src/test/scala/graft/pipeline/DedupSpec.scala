@@ -169,6 +169,68 @@ class DedupSpec extends SparkSpec {
       s"clusterPairs loop caches leaked beyond the result's own blocks: $leaked")
   }
 
+  test("minhash: recall >= 0.8 on pairs planted AT the Jaccard threshold boundary") {
+    // default banding (k=32, bands=8, r=4) finds a j=0.724 pair with
+    // prob 1-(1-0.724^4)^8 ~ 0.92 per pair — this plants 40 pairs AT
+    // the boundary (disjoint vocabularies, so the exact pair set is
+    // exactly the planted set) and asserts the family-level floor.
+    // Deterministic: MinHashSignature is a fixed hash family, so the
+    // found set is a function of the text alone.
+    val planted = (0 until 40).flatMap { i =>
+      val shared = (0 until 21).map(t => s"w${i}_$t")
+      val aOnly = (21 until 25).map(t => s"w${i}_$t")
+      val bOnly = (0 until 4).map(t => s"x${i}_$t")
+      // |A|=|B|=25, shared 21 -> j = 21/29 ~ 0.724
+      Seq((2L * i, (shared ++ aOnly).mkString(" ")),
+        (2L * i + 1, (shared ++ bOnly).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(planted, maxId = 1000L, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 40, s"fixture must plant exactly the 40 pairs, got ${exact.size}")
+    val found = Dedup.minhashPairs(planted, shingleN = 1, k = 32, bands = 8,
+      threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = found.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"boundary recall $recall (found ${found.intersect(exact).size} of ${exact.size})")
+    // exact-Jaccard verify guarantees zero false positives
+    assert(found.subsetOf(exact), s"false positives: ${found -- exact}")
+    // recall-1 banding (r=2) must find EVERY boundary pair: miss prob
+    // per pair is (1-0.724^2)^32 ~ 4e-10 — this is the configuration
+    // the dedup_minhash_verified gate row hash-matches against the
+    // exact generator's oracle
+    val foundR2 = Dedup.minhashPairs(planted, shingleN = 1, k = 64, bands = 32,
+      threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(foundR2 == exact, s"r=2 banding must equal the exact pair set")
+  }
+
+  test("simhash: pairs at hamming EXACTLY 3 (the banding boundary) are found") {
+    // 4-chunk pigeonhole banding claims exactness up to hamming 3 —
+    // the boundary case is a pair differing in exactly 3 bits. Build
+    // single-token variants of a base doc (deterministic simhashes),
+    // require the corpus to contain hamming-3 pairs, and assert the
+    // banded output equals the brute-force filter INCLUDING them.
+    val base = (0 until 30).map(t => s"tok$t")
+    val variants = (0 until 60).map { i =>
+      (i.toLong, base.updated(i % 30, s"var${i}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = Dedup.simhashes(variants).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDist = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+    } yield ((a, b), java.lang.Long.bitCount(sh(a) ^ sh(b)))).toMap
+    val brute = byDist.filter(_._2 <= 3).keySet
+    val atBoundary = byDist.filter(_._2 == 3).keySet
+    assert(atBoundary.nonEmpty,
+      "fixture must contain a hamming-3 pair; regenerate variants")
+    val viaBands = Dedup.simhashPairs(variants, maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBands == brute,
+      s"banding missed ${brute -- viaBands}, invented ${viaBands -- brute}")
+    assert(atBoundary.subsetOf(viaBands), "hamming-3 boundary pairs dropped")
+  }
+
   test("embedding near-dup finds planted duplicate vector") {
     val e = Seq(
       (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
