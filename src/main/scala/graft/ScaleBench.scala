@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{GroupedMedian, Tables}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** Empirical scaling-curve harness (BASELINE.md §scaling): times the
+  * UNBOUNDED operator pipelines — not the SF-independent demo-bounded
+  * gate rows — across a list of scale dirs, so sec-vs-sf exponents can
+  * back the "survives 100×" plan-shape claims with measurements.
+  *
+  * The near-dup run uses trigram shingles (the real-corpus
+  * configuration): unigram shingles on the synthetic word-salad corpus
+  * make TRUE near-dup output quadratic in corpus size at any engine
+  * (every doc resembles every doc), which would measure the fixture's
+  * pathology, not the operator's scaling.
+  *
+  * Usage: runMain graft.ScaleBench <sfDir> [<sfDir> ...]
+  * Prints one JSON line per dir: {"dir":...,"queries":{name:sec,...}}.
+  */
+object ScaleBench {
+
+  private def ops(spark: SparkSession, dir: String): Seq[(String, () => DataFrame)] = {
+    def docs = Tables.documents(spark, dir)
+    def emb = Tables.embeddings(spark, dir)
+    def li = Tables.lineitem(spark, dir)
+    Seq(
+      "dedup_exact" -> (() => Dedup.exact(docs)),
+      "minhash_trigram" -> (() => Dedup.minhashPairs(docs,
+        shingleN = 3, k = 32, bands = 8, threshold = 0.7)),
+      "clusters_lsh" -> (() => Dedup.clusterPairs(
+        Dedup.minhashPairs(docs, shingleN = 3, k = 32, bands = 8,
+          threshold = 0.7).select(col("id_a"), col("id_b")),
+        docs.select(col("doc_id")))),
+      "simhash" -> (() => Dedup.simhashPairs(docs, maxHamming = 3)),
+      "sim_topk_brute" -> (() => Similarity.bruteForceTopK(emb, 10L, 10)),
+      "sim_topk_lsh" -> (() => Similarity.lshTopK(emb, 10L, 10)),
+      "text_quality" -> (() => TextAnalysis.qualityScores(docs,
+        Seq("the", "a", "of", "and", "to", "in"))),
+      "grouped_median" -> (() => GroupedMedian.exactMedian(
+        li.select(col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice")),
+      "agg_partial_final" -> (() => li
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))),
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleBench <sfDir> [<sfDir> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scalebench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    args.foreach { dir =>
+      // warmup: touch every table so footer caches/JIT don't bill the
+      // first query of each dir
+      Seq("documents", "embeddings", "lineitem")
+        .foreach(t => Tables(spark, dir, t).count())
+      val timed = ops(spark, dir).map { case (name, build) =>
+        val ts = (0 until runs).map { _ =>
+          val t0 = System.nanoTime()
+          build().count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> ts.min // min-of-N: scaling wants the noise floor
+      }
+      val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      println(s"""{"dir":"$dir","queries":$qs}""")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up generator for the empirical scaling curve
+  * (BASELINE.md §scaling): replicates the driver's sf0.1 tables ×N
+  * into a local dir so ScaleBench can measure sec-vs-sf exponents at
+  * one decade above the largest driver-provided SF.
+  *
+  * Replication discipline — the point is to grow the DATA without
+  * changing its STRUCTURE per unit:
+  *  - `documents`: doc_id' = doc_id·N + rep keeps ids unique; every
+  *    replica's tokens are prefixed with a rep tag (`r3_the`), so
+  *    replica universes share ZERO tokens — the corpus is N disjoint
+  *    copies of the original's near-dup structure. Without the prefix
+  *    every doc would near-dup its own N replicas and pair output
+  *    would grow quadratically in N by construction, measuring the
+  *    fixture instead of the operator.
+  *  - `embeddings`: vec_id remapped the same way; vectors kept
+  *    verbatim (ANN timing is row-count-driven; exact-dup vectors
+  *    across replicas don't distort bucket geometry for the fixed
+  *    10-query probe set).
+  *  - `lineitem`: l_orderkey' = l_orderkey·N + rep keeps
+  *    (orderkey, linenumber) unique; measures/flags verbatim so group
+  *    cardinalities and value distributions are SF-invariant.
+  *
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <factor>
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scalegen")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val reps = spark.range(factor).toDF("rep")
+
+    ops.Tables.documents(spark, srcDir).crossJoin(reps)
+      .select(
+        (col("doc_id") * factor + col("rep")).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("r"), col("rep").cast("string"), lit("_$1"))))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    ops.Tables.embeddings(spark, srcDir).crossJoin(reps)
+      .select((col("vec_id") * factor + col("rep")).as("vec_id"),
+        col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    ops.Tables.lineitem(spark, srcDir).crossJoin(reps)
+      .select(
+        (col("l_orderkey") * factor + col("rep")).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    println(s"""{"generated":"$outDir","factor":$factor}""")
+    spark.stop()
+  }
+}

@@ -114,6 +114,27 @@ object PipelineQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // the keep/drop DECISION on top of the clustering: per near-dup
+  // component, keep the best document (longest n_chars, ties to the
+  // smallest doc_id) — the canonical-document selection every dedup
+  // pipeline ends with. One max_by aggregate over the component join;
+  // at 100 TB the clustering output is key-sized and the argmax is a
+  // partial+final hash agg, no window/sort anywhere.
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val comp = Dedup.nearDupClusters(docs(s, d), maxId = 100L, threshold = 0.8)
+    val meta = docs(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("n_chars"))
+    comp.join(meta, "doc_id")
+      .groupBy("component")
+      .agg(
+        // lexicographic (n_chars, -doc_id) ⇒ max n_chars, min doc_id
+        max_by(col("doc_id"), struct(col("n_chars"), (-col("doc_id")).as("nd")))
+          .as("keep_id"),
+        max(col("n_chars")).as("best_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("component")
+  }
+
   // deterministic 10% systematic sample — reproducible across engines,
   // partitionings, and reruns (the property rand() sampling lacks)
   def sampleHash(s: SparkSession, d: String): DataFrame =
@@ -183,6 +204,13 @@ object PipelineQueries extends QueryPack {
   def textChunks(s: SparkSession, d: String): DataFrame =
     TextAnalysis.chunkTokens(docs(s, d), chunkSize = 64)
       .orderBy("doc_id", "chunk_idx")
+
+  // inverted-index term statistics: document frequency + total term
+  // frequency for the top-50 terms by df — the index-build shape (one
+  // explode + one partial+final agg; counts exact BIGINTs). The LIMIT
+  // boundary is total-ordered by (df DESC, tf DESC, term).
+  def textPostings(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.postings(docs(s, d), topK = 50)
 
   // benchmark decontamination: docs 0..19 stand in for the eval set,
   // the rest are the training corpus; any shared trigram flags the doc
@@ -284,6 +312,7 @@ object PipelineQueries extends QueryPack {
     "dedup_embedding" -> dedupEmbedding _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_clusters_lsh" -> dedupClustersLsh _,
+    "dedup_keep_best" -> dedupKeepBest _,
     "dedup_fuzzy" -> dedupFuzzy _,
     "sample_hash" -> sampleHash _,
     "pipeline_curate" -> pipelineCurate _,
@@ -297,6 +326,7 @@ object PipelineQueries extends QueryPack {
     "text_bigrams" -> textBigrams _,
     "text_repetition" -> textRepetition _,
     "text_chunks" -> textChunks _,
+    "text_postings" -> textPostings _,
     "decontam_overlap" -> decontamOverlap _,
     "multimodal_meta" -> multimodalMeta _,
     "multimodal_frames" -> multimodalFrames _,
@@ -307,9 +337,10 @@ object PipelineQueries extends QueryPack {
     "stats_quantiles_exact" -> statsQuantilesExact _,
   )
 
-  /** Ground-truth components via DuckDB's recursive CTE — shared by
-    * the exact-fed and the LSH-fed clustering gate rows. */
-  private val clustersOracle: String =
+  /** Ground-truth components via DuckDB's recursive CTE — the WITH
+    * body is shared by the exact-fed clustering, the LSH-fed
+    * clustering, and the keep-best selection gate rows. */
+  private val clustersCte: String =
     """WITH RECURSIVE
       |toks AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
       |         FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0),
@@ -322,9 +353,13 @@ object PipelineQueries extends QueryPack {
       |walk(id, comp) AS (
       |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
       |  UNION
-      |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id)
-      |SELECT id AS doc_id, MIN(comp) AS component FROM walk
-      |GROUP BY id ORDER BY doc_id""".stripMargin
+      |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+      |comp AS (SELECT id AS doc_id, MIN(comp) AS component FROM walk
+      |         GROUP BY id)""".stripMargin
+
+  private val clustersOracle: String =
+    clustersCte +
+      "\nSELECT doc_id, component FROM comp ORDER BY doc_id"
 
   override def oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -362,6 +397,27 @@ object PipelineQueries extends QueryPack {
     // its exact-Jaccard verify at recall ~1 banding reproduces the
     // exact pair set (see dedupClustersLsh), hence the same components
     "dedup_clusters_lsh" -> clustersOracle,
+    // canonical-doc selection on the same components: rn=1 over
+    // (n_chars DESC, doc_id) == max_by's lexicographic (n_chars, -id)
+    "dedup_keep_best" -> (clustersCte +
+      """
+        |, j AS (SELECT c.component, d.doc_id, d.n_chars
+        |        FROM comp c JOIN documents d USING (doc_id)),
+        |r AS (SELECT component, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY component) AS n_docs
+        |  FROM j)
+        |SELECT component, doc_id AS keep_id, n_chars AS best_chars, n_docs
+        |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
+    "text_postings" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |dt AS (SELECT doc_id, term, COUNT(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT term, COUNT(*) AS df, CAST(SUM(n) AS BIGINT) AS tf
+        |FROM dt GROUP BY term
+        |ORDER BY df DESC, tf DESC, term LIMIT 50""".stripMargin,
     "stats_median" ->
       """SELECT CAST(median(n_chars) AS DOUBLE) AS exact_median_chars,
         |  COUNT(*) AS n_docs FROM documents""".stripMargin,

@@ -455,6 +455,27 @@ object Relational extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** Q29 — binned RANGE join (ops.RangeJoin): customers matched into
+    * per-supplier account-balance bands [s_acctbal−50, s_acctbal+50].
+    * The naive spelling is a non-equi theta join — Spark plans it as
+    * BroadcastNestedLoop (O(n·m) probe work, broadcast-bound build);
+    * the binned operator turns it into a plain hash equi-join on the
+    * bin key + an exact residual filter, the shape that scales.
+    * PlanAuditSpec asserts no nested-loop/cartesian node survives; the
+    * oracle spells the plain theta join. */
+  def q29RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val bands = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"),
+        (col("s_acctbal") - 50.0).as("lo"), (col("s_acctbal") + 50.0).as("hi"))
+    RangeJoin.binnedRangeJoin(cust, bands, "c_acctbal", "lo", "hi",
+        binWidth = 100.0)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_cust"), min(col("c_custkey")).as("min_cust"))
+      .orderBy("s_suppkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> q1FilterProject _,
     "q2_agg" -> q2Agg _,
@@ -484,6 +505,7 @@ object Relational extends QueryPack {
     "q26_ntile" -> q26Ntile _,
     "q27_median_prefix" -> q27MedianPrefix _,
     "q28_skew_join" -> q28SkewJoin _,
+    "q29_range_join" -> q29RangeJoin _,
   )
 
   /** Shared by q23 (declarative window) and q27 (prefix-sum operator):
@@ -625,6 +647,12 @@ object Relational extends QueryPack {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_above
         |FROM lineitem l JOIN dim USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the plain theta-join spelling of the binned range join
+    "q29_range_join" ->
+      """SELECT s_suppkey, COUNT(*) AS n_cust, MIN(c_custkey) AS min_cust
+        |FROM supplier JOIN customer
+        |  ON c_acctbal >= s_acctbal - 50.0 AND c_acctbal <= s_acctbal + 50.0
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
     "q24_asof_join" ->
       """WITH p AS (SELECT event_id AS pid, user_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us

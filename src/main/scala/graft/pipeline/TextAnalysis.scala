@@ -96,6 +96,22 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Inverted-index term statistics: for the topK terms by document
+    * frequency, (term, df, tf) where df = #docs containing the term and
+    * tf = total occurrences. This is the index-BUILD dataflow (the
+    * grouped posting-list aggregation without materializing the lists):
+    * explode tokens → one partial+final aggregate keyed by (doc, term)
+    * to collapse within-doc repeats cheaply (map-side combine does most
+    * of it), then by term. Counts are exact BIGINTs; the topK boundary
+    * is total-ordered by (df DESC, tf DESC, term). */
+  def postings(docs: DataFrame, topK: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("n")).as("tf"))
+      .orderBy(col("df").desc, col("tf").desc, col("term"))
+      .limit(topK)
+
   /** Repetition signals (the Gopher-style repetition filters): distinct
     * token ratio and the share of the document owned by its single most
     * frequent token — low distinct ratio / high top-token share marks

@@ -150,6 +150,15 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q29: the range join runs as a binned equi-join, never a nested loop") {
+    val p = plan(Relational.q29RangeJoin(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "range join degenerated into an O(n*m) nested loop:\n" + p.take(1500))
+    // the bin key must be a real equi-join key
+    assert(p.contains("__bin"), p.take(1500))
+  }
+
   test("sample_hash: the sampling predicate reaches the scan pipeline as a filter") {
     val p = plan(graft.pipeline.Sampling.hashSample(
       Tables.documents(spark, dir), "doc_id", 100))

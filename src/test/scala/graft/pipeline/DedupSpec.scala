@@ -132,6 +132,23 @@ class DedupSpec extends SparkSpec {
     assert(viaLsh == viaExact, s"lsh $viaLsh vs exact $viaExact")
   }
 
+  test("keep-best selection: per component max n_chars, ties to min doc_id") {
+    val chain = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),     // 8 toks
+      (1L, "alpha beta gamma delta epsilon zeta eta iota padpad"),// longest
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "totally unrelated words here"),
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val comp = Dedup.nearDupClusters(chain, maxId = 10L, threshold = 0.7)
+    val best = comp.join(chain.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("component")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("keep_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // component 0 = {0,1,2}: doc 1 is longest; singleton keeps itself
+    assert(best == Map(0L -> 1L, 3L -> 3L))
+  }
+
   test("clusterPairs: empty pair set labels every id a singleton") {
     val ids = Seq(3L, 7L, 9L).toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -99,6 +99,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp9 == byId(0L)._2)
   }
 
+  test("postings: df counts docs once, tf counts every occurrence, total-order top-k") {
+    import SparkSpec.session.implicits._
+    val d = Seq(
+      (0L, "a a b c"),
+      (1L, "a b b"),
+      (2L, "c"),
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.postings(d, topK = 10).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    // a: df 2 tf 3; b: df 2 tf 3; c: df 2 tf 2 — ties broken by term
+    assert(r.toSeq == Seq(("a", 2L, 3L), ("b", 2L, 3L), ("c", 2L, 2L)))
+    // topK boundary is deterministic: k=2 keeps the (df,tf,term) prefix
+    val top2 = TextAnalysis.postings(d, topK = 2).collect().map(_.getString(0))
+    assert(top2.toSeq == Seq("a", "b"))
+  }
+
   test("multimodal: metadata, batched features, frame sampling") {
     val media = Multimodal.asMedia(docs)
     val meta = media.select("doc_id", "meta.nBytes").collect()
