@@ -15,6 +15,9 @@ import org.apache.spark.sql.types.IntegerType
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // planner extension: pure range-condition joins become binned
+    // equi-joins (plans.RangeJoinRewrite) instead of nested loops
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
     e.injectFunction((
       new FunctionIdentifier("popcount_array"),
       new ExpressionInfo(classOf[PopCountArray].getName, "popcount_array"),

@@ -1,0 +1,101 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ops.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class RangeJoinRewriteSpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  private def withRule[A](f: => A): A = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeJoinRewrite()
+    try f finally spark.experimental.extraOptimizations = prev
+  }
+
+  private def rangeJoinDf: DataFrame = {
+    val cust = Tables.customer(spark, sf("sf0.001"))
+      .select(col("c_custkey"), col("c_acctbal"))
+    val bands = Tables.supplier(spark, sf("sf0.001"))
+      .select(col("s_suppkey"),
+        (col("s_acctbal") - 50.0).as("lo"), (col("s_acctbal") + 50.0).as("hi"))
+    cust.join(bands, col("c_acctbal") >= col("lo") && col("c_acctbal") <= col("hi"))
+      .select("c_custkey", "s_suppkey")
+  }
+
+  test("the naive range join is rewritten into a binned equi-join") {
+    withRule {
+      val df = rangeJoinDf
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__graft_bin"), opt.take(1500))
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin") &&
+        !phys.contains("CartesianProduct"),
+        "rule did not remove the nested loop:\n" + phys.take(1500))
+    }
+  }
+
+  test("rewritten results equal the nested-loop results exactly") {
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = canon(rangeJoinDf)
+    val rewritten = withRule(canon(rangeJoinDf))
+    assert(naive.nonEmpty && rewritten == naive)
+  }
+
+  test("bin width only changes the plan constants, never the result") {
+    def run(): Seq[(Long, Long)] = withRule {
+      rangeJoinDf.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    val at100 = run()
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "7.5")
+    val at7 = try run()
+      finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+    assert(at7 == at100)
+  }
+
+  test("joins with a cross-side equi key are left untouched") {
+    withRule {
+      val orders = Tables.orders(spark, sf("sf0.001"))
+        .select(col("o_custkey"), col("o_totalprice"))
+      val cust = Tables.customer(spark, sf("sf0.001"))
+        .select(col("c_custkey"), col("c_acctbal"))
+      // equi key + a range conjunct: hash join already applies
+      val df = orders.join(cust,
+        col("o_custkey") === col("c_custkey") &&
+          col("o_totalprice") >= col("c_acctbal"))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+    }
+  }
+
+  test("strict bounds and NULLs keep exact semantics") {
+    val pts = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None),
+      (4L, Some(15.0))).toDF("pid", "v")
+    val ivs = Seq((10L, Some(10.0), Some(20.0)), (11L, None, Some(50.0)))
+      .toDF("iid", "lo", "hi")
+    def q() = pts.join(ivs, col("v") > col("lo") && col("v") < col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val naive = q()
+    val rewritten = withRule {
+      val df = pts.join(ivs, col("v") > col("lo") && col("v") < col("hi"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      q()
+    }
+    // strictly-inside only (boundary points excluded); NULL point and
+    // NULL bound rows never match
+    assert(naive == Seq((4L, 10L)))
+    assert(rewritten == naive)
+  }
+
+  test("disabled flag restores the planner's own strategy") {
+    withRule {
+      spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+      try assert(!rangeJoinDf.queryExecution.optimizedPlan.toString
+        .contains("__graft_bin"))
+      finally spark.conf.unset("spark.graft.rangeJoin.enabled")
+    }
+  }
+}
