@@ -51,6 +51,51 @@ class SkewSpec extends SparkSpec {
     assert(run(1) == run(16))
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the dynamic twin of saltedJoin)") {
+    import SparkSpec.session.implicits._
+    // one hot key owning ~all rows: the adversarial join-skew shape.
+    // Thresholds are lowered so the fixture-sized partitions qualify as
+    // skewed — the assertion is about the MECHANISM (AQE marks and
+    // splits the skewed partition), which is config, not code, at any
+    // scale.
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val big = spark.range(0, 20000)
+        .select((col("id") % 97).as("pad"),
+          when(col("id") % 100 < 99, lit(1L)).otherwise(col("id")).as("k"))
+      val dim = spark.range(0, 5000).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      val joined = big.join(dim, "k")
+      // collect() executes THIS queryExecution, finalizing its adaptive
+      // plan (count() would execute a separate derived plan)
+      val n = joined.collect().length.toLong
+      // correctness: hot key 1 matches once per hot row
+      assert(n == big.filter(col("k") <= 5000).count())
+      val phys = joined.queryExecution.executedPlan.toString
+      assert(phys.contains("SortMergeJoin"), phys.take(800))
+      assert(phys.contains("skew=true"),
+        "AQE did not mark/split the skewed join partition:\n" + phys.take(1500))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("GraftExtensions registers the native functions for plain SQL") {
     // simulate an extensions-configured session on the shared one
     new graft.GraftExtensions().apply(
