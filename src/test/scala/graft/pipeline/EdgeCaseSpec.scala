@@ -70,6 +70,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!sh.contains(0L) && !sh.contains(1L), s"blank doc paired: $sh")
   }
 
+  test("postings on degenerate docs: empty/whitespace docs contribute their normalized token") {
+    val r = TextAnalysis.postings(weird, topK = 100).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // "" and "   " both tokenize to the single empty token
+    assert(r.get("").exists(_._1 == 2L))
+    assert(r("one") == (1L, 1L))
+    // nothing threw; every df <= corpus size
+    assert(r.values.forall(_._1 <= 6L))
+  }
+
+  test("postings and keep-best on an EMPTY corpus return empty, not errors") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.postings(empty, topK = 10).count() == 0)
+    val comp = Dedup.nearDupClusters(
+      empty.withColumn("n_chars", length(col("text"))), maxId = 10L,
+      threshold = 0.7)
+    assert(comp.count() == 0)
+  }
+
   test("multimodal plumbing on empty payloads") {
     val media = Multimodal.asMedia(weird)
     val f = Multimodal.extractFeatures(media).collect()
