@@ -48,8 +48,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   */
 case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
 
-  private def binWidth: Double =
-    conf.getConfString("spark.graft.rangeJoin.binWidth", "100.0").toDouble
+  // an invalid width (non-numeric, zero, negative, non-finite) must
+  // DISABLE the rewrite, never apply it: dividing by 0 would produce
+  // NULL bins and silently drop every result row — a misconfiguration
+  // must degrade to the planner's own (slow, correct) strategy
+  private def binWidth: Option[Double] =
+    scala.util.Try(
+      conf.getConfString("spark.graft.rangeJoin.binWidth", "100.0").toDouble)
+      .toOption.filter(w => w > 0 && java.lang.Double.isFinite(w))
   private def enabled: Boolean =
     conf.getConfString("spark.graft.rangeJoin.enabled", "true").toBoolean
 
@@ -58,7 +64,7 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
       pointOnLeft: Boolean, isLower: Boolean)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!enabled) return plan
+    if (!enabled || binWidth.isEmpty) return plan
     plan.transform {
       case j @ Join(_, _, Inner, Some(_), _) =>
         rewrite(j).getOrElse(j)
@@ -110,7 +116,7 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
           hi.point.semanticEquals(lo.point)).get)
     }
     pair.map { case (lo, hi) =>
-      val w = Literal(binWidth, DoubleType)
+      val w = Literal(binWidth.get, DoubleType)
       def bin(e: Expression): Expression = Floor(Divide(Cast(e, DoubleType), w))
       val (pPlan, iPlan) = if (lo.pointOnLeft) (left, right) else (right, left)
       val pAlias = Alias(bin(lo.point), "__graft_bin_p")()

@@ -90,6 +90,36 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(rewritten == naive)
   }
 
+  test("mixed numeric types (int point, double bounds) rewrite and stay exact") {
+    val pts = Seq((1L, 5), (2L, 42), (3L, 100)).toDF("pid", "v")
+    val ivs = Seq((10L, 4.5, 42.0), (11L, 99.9, 200.1)).toDF("iid", "lo", "hi")
+    def q() = pts.join(ivs, col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val naive = q()
+    val rewritten = withRule {
+      val df = pts.join(ivs, col("v") >= col("lo") && col("v") <= col("hi"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      q()
+    }
+    assert(naive == Seq((1L, 10L), (2L, 10L), (3L, 11L)))
+    assert(rewritten == naive)
+  }
+
+  test("an invalid bin width disables the rewrite instead of corrupting results") {
+    withRule {
+      for (bad <- Seq("0", "-5", "NaN", "banana")) {
+        spark.conf.set("spark.graft.rangeJoin.binWidth", bad)
+        try {
+          val df = rangeJoinDf
+          assert(!df.queryExecution.optimizedPlan.toString.contains("__graft_bin"),
+            s"width '$bad' must disable the rule")
+          assert(df.count() > 0)
+        } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      }
+    }
+  }
+
   test("disabled flag restores the planner's own strategy") {
     withRule {
       spark.conf.set("spark.graft.rangeJoin.enabled", "false")
