@@ -205,6 +205,29 @@ object PipelineQueries extends QueryPack {
     TextAnalysis.chunkTokens(docs(s, d), chunkSize = 64)
       .orderBy("doc_id", "chunk_idx")
 
+  // per-domain document cap (the C4/RefinedWeb domain-downsampling
+  // step): keep at most 10 docs per source, preferring longer ones.
+  // The declarative ROW_NUMBER spelling is scale-safe in Spark 3.5+:
+  // WindowGroupLimit pushes the rank<=k filter INTO each partition
+  // before the per-domain sort, so a heavy-hitter domain never funnels
+  // its full row set through one sort task (the same mechanism q6
+  // rides; PlanAuditSpec asserts the node).
+  def pipelineDomainCap(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .orderBy("source", "rn")
+  }
+
+  // PII redaction statistics (emails / IPv4 scrub counts + cleaned
+  // length). The synthetic corpus contains no PII, so the gate row is
+  // a cross-engine regex-dialect parity check on real text; the
+  // semantics are asserted on planted fixtures in TextAnalysisSpec.
+  def textRedact(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.redactionStats(docs(s, d)).orderBy("doc_id")
+
   // inverted-index term statistics: document frequency + total term
   // frequency for the top-50 terms by df — the index-build shape (one
   // explode + one partial+final agg; counts exact BIGINTs). The LIMIT
@@ -327,6 +350,8 @@ object PipelineQueries extends QueryPack {
     "text_repetition" -> textRepetition _,
     "text_chunks" -> textChunks _,
     "text_postings" -> textPostings _,
+    "text_redact" -> textRedact _,
+    "pipeline_domain_cap" -> pipelineDomainCap _,
     "decontam_overlap" -> decontamOverlap _,
     "multimodal_meta" -> multimodalMeta _,
     "multimodal_frames" -> multimodalFrames _,
@@ -410,6 +435,23 @@ object PipelineQueries extends QueryPack {
         |  FROM j)
         |SELECT component, doc_id AS keep_id, n_chars AS best_chars, n_docs
         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
+    "pipeline_domain_cap" ->
+      """SELECT doc_id, source, n_chars, rn FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rn
+        |  FROM documents) WHERE rn <= 10
+        |ORDER BY source, rn""".stripMargin,
+    // RE2-compatible patterns run verbatim in both engines; DuckDB's
+    // regexp_replace needs the 'g' flag to match Java's replace-all
+    "text_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(length(regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS BIGINT) AS clean_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_postings" ->
       """WITH t AS (SELECT doc_id,
         |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term

@@ -34,7 +34,23 @@ object StreamQueries extends QueryPack {
       .select(org.apache.spark.sql.functions.col("event_id"))
       .orderBy("event_id")
 
+  // stream-static enrichment: events decorated with the customer dim
+  // (left join keeps dim-less events visible; segment coalesced so
+  // both engines sort identically)
+  def enrich(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Streams.enrichEvents(
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type")),
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+      "user_id", "c_custkey")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+      .orderBy("event_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_enrich" -> enrich _,
     "stream_tumbling" -> tumbling _,
     "stream_sliding" -> sliding _,
     "stream_session" -> session _,
@@ -43,6 +59,11 @@ object StreamQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "stream_enrich" ->
+      """SELECT event_id, user_id, event_type,
+        |  COALESCE(c_mktsegment, 'NONE') AS segment
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT event_id FROM events ORDER BY event_id""",
     "stream_tumbling" ->

@@ -96,6 +96,27 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** PII redaction (the C4-style scrub pass): per-document counts of
+    * email / IPv4 matches and the post-redaction length. Patterns are
+    * deliberately RE2-compatible (no lookarounds, no backrefs) so the
+    * DuckDB oracle runs them verbatim; per-row regex work, no shuffle.
+    * The redacted text itself is produced the same single-pass way a
+    * production scrub would (nested regexp_replace) — the gate row
+    * surfaces its length rather than the string to keep output columns
+    * scalar and collation-free. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def redactionStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Pattern), lit(0)))
+        .cast("long").as("n_ipv4"),
+      length(regexp_replace(
+        regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>")).cast("long").as("clean_len"))
+
   /** Inverted-index term statistics: for the topK terms by document
     * frequency, (term, df, tf) where df = #docs containing the term and
     * tf = total occurrences. This is the index-BUILD dataflow (the

@@ -114,6 +114,19 @@ object Streams {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Stream-static enrichment: each event joined (left) to a static
+    * dimension — the canonical "decorate the stream with reference
+    * data" pattern. Stateless and append-safe: in streaming mode Spark
+    * re-plans the static side per micro-batch (picking up dim file
+    * changes) and broadcasts it; identical code runs in batch under
+    * the oracle gate. The explicit broadcast marks the intent — a
+    * stream must never shuffle per micro-batch to meet a dim that fits
+    * in memory. */
+  def enrichEvents(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+      .drop(dimKey)
+
   /** Custom state: per-user running totals via mapGroupsWithState —
     * the direct Spark twin of the reference's reducer-held HashMap
     * state (IncMapReduce.java:241-325), with managed fault-tolerant

@@ -99,6 +99,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp9 == byId(0L)._2)
   }
 
+  test("redaction: planted emails and IPs are counted and scrubbed") {
+    import SparkSpec.session.implicits._
+    val d = Seq(
+      (0L, "contact alice@example.com or bob.smith+tag@mail.co today"),
+      (1L, "server 10.0.0.1 and 192.168.1.255 are up"),
+      (2L, "mixed root@10.0.0.1 host"), // email pattern does NOT span the ip
+      (3L, "no pii here at all"),
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redactionStats(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(0L)._1 == 2 && r(0L)._2 == 0)
+    assert(r(1L)._1 == 0 && r(1L)._2 == 2)
+    assert(r(3L) == ((0L, 0L, "no pii here at all".length.toLong)))
+    // scrubbed length reflects the replacement tokens, not the PII
+    assert(r(1L)._3 == "server <IP> and <IP> are up".length)
+  }
+
   test("postings: df counts docs once, tf counts every occurrence, total-order top-k") {
     import SparkSpec.session.implicits._
     val d = Seq(

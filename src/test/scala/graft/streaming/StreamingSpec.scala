@@ -132,6 +132,22 @@ class StreamingSpec extends SparkSpec {
     assert(batchIds == streamIds, "batch twin and streaming dedup diverge")
   }
 
+  test("stream-static enrichment equals the batch twin") {
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      Streams.enrichEvents(df.select(col("event_id"), col("user_id")),
+        dim, "user_id", "c_custkey")
+        .select(col("event_id"),
+          coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+    val got = Streams.runToMemory(spark,
+      shape(Streams.eventsStream(spark, dir)), "t_enrich")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    val batch = shape(Tables.events(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    assert(batch.nonEmpty && got == batch)
+  }
+
   test("mapGroupsWithState per-user running totals match batch groupBy") {
     import SparkSpec.session.implicits._
     val typed = Streams.eventsStream(spark, dir)
