@@ -257,6 +257,15 @@ object PipelineQueries extends QueryPack {
     Multimodal.sampleFrames(Multimodal.asMedia(docs(s, d)), frames = 4)
       .orderBy("doc_id", "frame_idx")
 
+  // resize plumbing: output metadata is integer arithmetic (DuckDB
+  // twin: LEAST(64, octet_length)); the resampled byte content itself
+  // is asserted in TextAnalysisSpec (DuckDB can't index into BLOBs)
+  def multimodalResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.resize(Multimodal.asMedia(docs(s, d)), targetBytes = 64)
+      .toDF()
+      .select(col("doc_id"), col("meta.nBytes").as("n_bytes_out"))
+      .orderBy("doc_id")
+
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
     val f = Multimodal.extractFeatures(Multimodal.asMedia(docs(s, d)))
     f.toDF().select(col("doc_id"), col("nBytes").as("n_bytes"),
@@ -356,6 +365,7 @@ object PipelineQueries extends QueryPack {
     "multimodal_meta" -> multimodalMeta _,
     "multimodal_frames" -> multimodalFrames _,
     "multimodal_features" -> multimodalFeatures _,
+    "multimodal_resize" -> multimodalResize _,
     "stats_cardinality" -> statsCardinality _,
     "stats_quantiles" -> statsQuantiles _,
     "stats_median" -> statsMedian _,
@@ -586,6 +596,10 @@ object PipelineQueries extends QueryPack {
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  'text/plain' AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id,
+        |  CAST(LEAST(64, octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes_out
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id,

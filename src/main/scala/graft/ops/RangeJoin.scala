@@ -36,7 +36,10 @@ object RangeJoin {
     * match nothing and are dropped up front (Spark's `sequence` would
     * otherwise step BACKWARD through ⌊lo/W⌋..⌊hi/W⌋ and fabricate
     * bins). Null points/bounds never match, as in the theta-join
-    * spelling. */
+    * spelling. Bounds must be FINITE: a ±Infinity bound would ask for
+    * an unbounded bin sequence (Spark's `sequence` refuses loudly
+    * rather than silently dropping the row — an interval that matches
+    * "everything" belongs in a cross join, not a range join). */
   def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
       binWidth: Double): DataFrame = {

@@ -101,6 +101,27 @@ object Multimodal {
     }
   }
 
+  /** Resize as a decode-stage operation: payload downsampled to at
+    * most `targetBytes` via 1-D nearest-neighbor selection (index
+    * ⌊i·n/m⌋) — the actual resize algorithm, applied to raw bytes
+    * because the pixel decode is stubbed (a real deployment decodes
+    * with a codec first and resamples in pixel space; the Spark-side
+    * shape — typed rows in, typed rows out, metadata updated in step —
+    * is identical). Never upsamples: bytes cannot be invented without
+    * a codec. */
+  def resize(media: DataFrame, targetBytes: Int): Dataset[MediaRow] = {
+    require(targetBytes >= 0)
+    import media.sparkSession.implicits._
+    media.as[MediaRow].map { row =>
+      val n = row.payload.length
+      val m = math.min(targetBytes, n)
+      val out =
+        if (m == 0) Array.emptyByteArray
+        else Array.tabulate(m)(i => row.payload((i.toLong * n / m).toInt))
+      MediaRow(row.doc_id, out, MediaMeta(m.toLong, row.meta.kind))
+    }
+  }
+
   /** Frame sampling as a pure column expression: split the payload into
     * `frames` fixed-width byte slices (think keyframe extraction),
     * emitted (doc_id, frame_idx, frame_bytes). Runs in-plan — no UDF. */

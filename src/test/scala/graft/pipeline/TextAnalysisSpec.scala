@@ -132,6 +132,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top2.toSeq == Seq("a", "b"))
   }
 
+  test("multimodal resize: nearest-neighbor byte selection, never upsamples") {
+    import SparkSpec.session.implicits._
+    val d = Seq((0L, "abcdefgh"), (1L, "xy"), (2L, "")).toDF("doc_id", "text")
+    val r = Multimodal.resize(Multimodal.asMedia(d), targetBytes = 4)
+      .collect().map(m => m.doc_id -> m).toMap
+    // 8 bytes -> 4: indices floor(i*8/4) = 0,2,4,6 -> 'a','c','e','g'
+    assert(new String(r(0L).payload, "UTF-8") == "aceg")
+    assert(r(0L).meta.nBytes == 4L)
+    // shorter than target: passthrough, not upsampled
+    assert(new String(r(1L).payload, "UTF-8") == "xy" && r(1L).meta.nBytes == 2L)
+    assert(r(2L).payload.isEmpty && r(2L).meta.nBytes == 0L)
+  }
+
   test("multimodal: metadata, batched features, frame sampling") {
     val media = Multimodal.asMedia(docs)
     val meta = media.select("doc_id", "meta.nBytes").collect()
