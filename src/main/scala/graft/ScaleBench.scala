@@ -46,6 +46,23 @@ object ScaleBench {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"),
           sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))),
+      "range_join_binned" -> (() => {
+        val cust = Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_acctbal"))
+        val bands = Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), (col("s_acctbal") - 50.0).as("lo"),
+            (col("s_acctbal") + 50.0).as("hi"))
+        graft.ops.RangeJoin.binnedRangeJoin(cust, bands,
+          "c_acctbal", "lo", "hi", binWidth = 100.0)
+      }),
+      "postings" -> (() => TextAnalysis.postings(docs, topK = 50)),
+      "salted_join" -> (() => {
+        val l = Tables.lineitem(spark, dir)
+          .select(col("l_returnflag"), col("l_extendedprice"))
+        val dim = l.groupBy("l_returnflag")
+          .agg(max(col("l_extendedprice")).as("maxp")).hint("shuffle_hash")
+        graft.ops.Skew.saltedJoin(l, dim, Seq("l_returnflag"), salts = 8)
+      }),
     )
   }
 
@@ -68,7 +85,7 @@ object ScaleBench {
     args.foreach { dir =>
       // warmup: touch every table so footer caches/JIT don't bill the
       // first query of each dir
-      Seq("documents", "embeddings", "lineitem")
+      Seq("documents", "embeddings", "lineitem", "customer", "supplier")
         .foreach(t => Tables(spark, dir, t).count())
       val timed = ops(spark, dir).map { case (name, build) =>
         val ts = (0 until runs).map { _ =>

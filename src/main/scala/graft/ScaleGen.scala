@@ -69,6 +69,22 @@ object ScaleGen {
         col("l_shipdate"))
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
+    // customer/supplier for the range-join scaling rows: keys remapped,
+    // acctbal jittered per rep (deterministic) so replica bands don't
+    // stack on identical values
+    ops.Tables.customer(spark, srcDir).crossJoin(reps)
+      .select((col("c_custkey") * factor + col("rep")).as("c_custkey"),
+        col("c_name"), col("c_nationkey"),
+        (col("c_acctbal") + col("rep") * 0.25).as("c_acctbal"),
+        col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    ops.Tables.supplier(spark, srcDir).crossJoin(reps)
+      .select((col("s_suppkey") * factor + col("rep")).as("s_suppkey"),
+        col("s_name"), col("s_nationkey"),
+        (col("s_acctbal") + col("rep") * 0.25).as("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+
     println(s"""{"generated":"$outDir","factor":$factor}""")
     spark.stop()
   }

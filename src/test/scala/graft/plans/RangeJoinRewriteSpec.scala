@@ -120,6 +120,30 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("randomized: rewrite equals naive over random points, intervals, widths") {
+    val rng = new scala.util.Random(42)
+    for (round <- 0 until 3) {
+      val pts = (0 until 300).map(i =>
+        (i.toLong, rng.nextDouble() * 2000 - 500)).toDF("pid", "v")
+      // interval lengths vary 0..110 and ~8% are degenerate (lo > hi)
+      val ivs = (0 until 80).map { i =>
+        val a = rng.nextDouble() * 2000 - 500
+        (i.toLong, a, a + rng.nextDouble() * 120 - 10)
+      }.toDF("iid", "lo", "hi")
+      def q() = pts.join(ivs,
+          col("v") >= col("lo") && col("v") <= col("hi"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      val naive = q()
+      val w = Seq("3.0", "50.0", "400.0")(round)
+      spark.conf.set("spark.graft.rangeJoin.binWidth", w)
+      val rewritten = try withRule(q())
+        finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      assert(naive.nonEmpty, s"round $round fixture matched nothing")
+      assert(rewritten == naive, s"round $round width $w diverged")
+    }
+  }
+
   test("disabled flag restores the planner's own strategy") {
     withRule {
       spark.conf.set("spark.graft.rangeJoin.enabled", "false")
