@@ -44,6 +44,9 @@ object RangeJoin {
       pointCol: String, loCol: String, hiCol: String,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(!points.columns.contains("__bin") &&
+      !intervals.columns.contains("__bin"),
+      "inputs must not already carry a __bin column")
     val pb = points
       .filter(col(pointCol).isNotNull)
       .withColumn("__bin", floor(col(pointCol) / binWidth))

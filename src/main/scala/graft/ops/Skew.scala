@@ -94,6 +94,8 @@ object Skew {
       salts: Int, seed: Long = 42L): DataFrame = {
     require(salts > 0)
     require(keys.nonEmpty)
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "inputs must not already carry a __salt column")
     val saltedBig = big.withColumn("__salt",
       pmod((rand(seed) * salts).cast("int"), lit(salts)))
     val replicated = small.withColumn("__salt",

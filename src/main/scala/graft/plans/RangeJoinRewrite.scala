@@ -79,9 +79,16 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
       else if (e.references.subsetOf(right.outputSet)) Some(false)
       else None
     def numeric(e: Expression): Boolean = e.dataType.isInstanceOf[NumericType]
+    // non-deterministic operands are excluded (defense-in-depth: the
+    // analyzer already rejects non-deterministic join conditions, but
+    // this rule must never rely on that — it duplicates the point and
+    // bound expressions into the bin projection, which would change
+    // semantics for a rand()-bearing condition evaluated once per row
+    // pair in the naive join)
     def cand(p: Expression, b: Expression, isLower: Boolean): Seq[Bound] =
       (side(p), side(b)) match {
-        case (Some(ps), Some(bs)) if ps != bs && numeric(p) && numeric(b) =>
+        case (Some(ps), Some(bs)) if ps != bs && numeric(p) && numeric(b) &&
+            p.deterministic && b.deterministic =>
           Seq(Bound(p, b, ps, isLower))
         case _ => Nil
       }
