@@ -288,6 +288,19 @@ object PipelineQueries extends QueryPack {
       approx_count_distinct(md5(col("text")), 0.02).as("approx_distinct_md5"))
   }
 
+  /** Per-group exact distinct counts — the grouped, hash-gated twin of
+    * stats_cardinality's global exact-vs-HLL comparison (the sketch
+    * estimate itself stays in that rows-only row; this one pins the
+    * exact values the sketch approximates, per group). count(DISTINCT)
+    * per group is the expensive op at 100 TB — the one the mergeable
+    * HLL state replaces when ±2% suffices. */
+  def statsDistinctByLang(s: SparkSession, d: String): DataFrame =
+    docs(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("distinct_texts"),
+        countDistinct(col("source")).as("distinct_sources"))
+      .orderBy("lang")
+
   /** Exact vs sketched quantiles side by side (the quantile member of
     * the sketch family next to stats_cardinality's HLL): the exact
     * median needs a per-group sort; approx_percentile is one pass of
@@ -367,6 +380,7 @@ object PipelineQueries extends QueryPack {
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_resize" -> multimodalResize _,
     "stats_cardinality" -> statsCardinality _,
+    "stats_distinct_by_lang" -> statsDistinctByLang _,
     "stats_quantiles" -> statsQuantiles _,
     "stats_median" -> statsMedian _,
     "stats_quantiles_exact" -> statsQuantilesExact _,
@@ -445,6 +459,11 @@ object PipelineQueries extends QueryPack {
         |  FROM j)
         |SELECT component, doc_id AS keep_id, n_chars AS best_chars, n_docs
         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
+    "stats_distinct_by_lang" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT text) AS distinct_texts,
+        |  COUNT(DISTINCT source) AS distinct_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "pipeline_domain_cap" ->
       """SELECT doc_id, source, n_chars, rn FROM (
         |  SELECT doc_id, source, n_chars,
