@@ -27,6 +27,13 @@ object StreamQueries extends QueryPack {
     Streams.intervalJoin(ev, ev).orderBy("pid", "cid")
   }
 
+  // the outer variant: purchases without an attributable click surface
+  // with -1 sentinels instead of vanishing
+  def intervalOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    Streams.intervalJoinOuter(ev, ev).orderBy("pid", "cid")
+  }
+
   // exactly-once dedup: same dropDuplicatesWithinWatermark code path
   // the stream runs (StreamingSpec), executed as its batch twin here
   def dedup(s: SparkSession, d: String): DataFrame =
@@ -55,6 +62,7 @@ object StreamQueries extends QueryPack {
     "stream_sliding" -> sliding _,
     "stream_session" -> session _,
     "stream_interval_join" -> interval _,
+    "stream_interval_outer" -> intervalOuter _,
     "stream_dedup" -> dedup _,
   )
 
@@ -88,6 +96,18 @@ object StreamQueries extends QueryPack {
         | AND c.user_id = p.user_id
         | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 60 MINUTE
         | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |ORDER BY pid, cid""".stripMargin,
+    "stream_interval_outer" ->
+      """WITH p AS (SELECT event_id AS pid, user_id,
+        |    CAST(ts AS TIMESTAMP) AS p_ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS cid, user_id,
+        |    CAST(ts AS TIMESTAMP) AS c_ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT pid, COALESCE(cid, -1) AS cid, p.user_id,
+        |  epoch_us(p_ts) AS p_us, COALESCE(epoch_us(c_ts), -1) AS c_us
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c_ts >= p_ts - INTERVAL 60 MINUTE AND c_ts <= p_ts
         |ORDER BY pid, cid""".stripMargin,
     "stream_session" ->
       """WITH x AS (

@@ -103,6 +103,37 @@ object Streams {
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like `intervalJoin`, but
+    * purchases with NO click in the window surface with a −1 sentinel
+    * (attribution-gap visibility — the rows an inner join silently
+    * hides). A fundamentally different state machine than inner: an
+    * unmatched purchase can only be declared unmatched once the
+    * watermark has passed its window, so outer rows emit with
+    * watermark latency, and purchases inside the final watermark
+    * horizon of a bounded stream never emit their null row (the
+    * StreamingSpec parity asserts equality BELOW that horizon; the
+    * batch twin — which the oracle gates — has no horizon and emits
+    * everything). */
+  def intervalJoinOuter(purchases: DataFrame, clicks: DataFrame,
+      withinMinutes: Int = 60, watermark: String = "1 hour"): DataFrame = {
+    val p = watermarked(purchases, watermark)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = watermarked(clicks, watermark)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c, expr(
+        s"""c_user = p_user AND
+           |c_ts >= p_ts - INTERVAL $withinMinutes MINUTES AND
+           |c_ts <= p_ts""".stripMargin), "left_outer")
+      .select(col("pid"), coalesce(col("cid"), lit(-1L)).as("cid"),
+        col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_us"),
+        coalesce(unix_micros(col("c_ts")), lit(-1L)).as("c_us"))
+  }
+
   /** Exactly-once-style dedup on event_id with bounded state: duplicate
     * ids arriving within the watermark horizon are dropped. Batch twin
     * is a plain dropDuplicates (dropDuplicatesWithinWatermark is

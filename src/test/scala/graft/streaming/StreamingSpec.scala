@@ -61,6 +61,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("LEFT OUTER interval join: matches equal batch; null rows emitted below the watermark horizon") {
+    val streamed = Streams.intervalJoinOuter(
+      Streams.eventsStream(spark, dir), Streams.eventsStream(spark, dir))
+    val got = Streams.runToMemory(spark, streamed, "t_interval_outer")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.ops.Tables.events(spark, dir)
+    val batch = Streams.intervalJoinOuter(ev, ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // matched rows behave exactly like the inner join: equal sets
+    assert(got.filter(_._2 >= 0) == batch.filter(_._2 >= 0))
+    // unmatched (sentinel) rows: a bounded stream can only declare a
+    // purchase unmatched once the watermark passes its window, so the
+    // final watermark horizon (1 h delay + 1 h window) withholds the
+    // tail — below that horizon the null rows must agree exactly
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val horizonUs = maxUs - 2L * 3600L * 1000000L
+    def nullsBelow(s: Set[(Long, Long)], pUs: Map[Long, Long]) =
+      s.filter(x => x._2 < 0 && pUs(x._1) < horizonUs)
+    val pUs = Streams.intervalJoinOuter(ev, ev)
+      .select("pid", "p_us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nullsBelow(got, pUs) == nullsBelow(batch, pUs))
+    assert(nullsBelow(batch, pUs).nonEmpty,
+      "fixture must contain unmatched purchases below the horizon")
+    // and the stream never invents a null row the batch lacks
+    assert(got.filter(_._2 < 0).subsetOf(batch.filter(_._2 < 0)))
+  }
+
   test("append mode across micro-batches: watermark advances, closed windows emit once") {
     import java.nio.file.Files
     val tmpRoot = Files.createTempDirectory("graft-multibatch")
