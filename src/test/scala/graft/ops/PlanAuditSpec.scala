@@ -159,6 +159,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("__bin"), p.take(1500))
   }
 
+  test("domain cap: the rank<=k filter is pushed into partitions (WindowGroupLimit)") {
+    val p = plan(graft.ops.PipelineQueries.pipelineDomainCap(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      "per-domain cap lost its group-limit pushdown:\n" + p.take(1200))
+  }
+
+  test("stream enrich: the static dim joins by broadcast, the stream never shuffles for it") {
+    val p = plan(graft.ops.StreamQueries.enrich(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "the static dim fell back to a shuffle join")
+  }
+
   test("sample_hash: the sampling predicate reaches the scan pipeline as a filter") {
     val p = plan(graft.pipeline.Sampling.hashSample(
       Tables.documents(spark, dir), "doc_id", 100))
