@@ -47,6 +47,12 @@ object RangeJoin {
     require(!points.columns.contains("__bin") &&
       !intervals.columns.contains("__bin"),
       "inputs must not already carry a __bin column")
+    // fail-fast on the documented no-collision contract: without this,
+    // a shared column name surfaces much later as an ambiguous-reference
+    // AnalysisException from the residual filter
+    require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
+      "points and intervals must not share column names; overlapping: " +
+        points.columns.toSet.intersect(intervals.columns.toSet).mkString(", "))
     val pb = points
       .filter(col(pointCol).isNotNull)
       .withColumn("__bin", floor(col(pointCol) / binWidth))

@@ -45,6 +45,22 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * width only shifts the replicas-vs-candidates balance, never the
   * result — RangeJoinSpec/RangeJoinRewriteSpec assert invariance);
   * `spark.graft.rangeJoin.enabled=false` turns the rule off.
+  *
+  * Replication bound: an interval that is enormous relative to the bin
+  * width (epoch-micros against the default width, or a ±Infinity
+  * bound whose floor clamps to ±Long.MaxValue) would ask `sequence`
+  * for millions-to-billions of bins PER ROW — the rewrite would turn a
+  * working (slow) nested-loop query into an OOM/array-size failure.
+  * The injected generator therefore guards each row: if the interval
+  * spans ≥ `spark.graft.rangeJoin.maxBinsPerRow` bins (default 10k,
+  * parsed fail-safe like binWidth), the row raises a loud, actionable
+  * error (raise bin width, raise the cap, or disable the rule) instead
+  * of materializing the array. The span test runs on the RAW bounds in
+  * double space BEFORE any floor, so non-finite bounds hit the guard,
+  * never `sequence`. NaN bounds follow Spark's NaN-is-largest
+  * comparison ordering: a NaN lower bound matches nothing (empty bin
+  * array), a NaN upper bound means "everything ≥ lo" and errors like
+  * ±Infinity does.
   */
 case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -56,8 +72,19 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
     scala.util.Try(
       conf.getConfString("spark.graft.rangeJoin.binWidth", "100.0").toDouble)
       .toOption.filter(w => w > 0 && java.lang.Double.isFinite(w))
+  // same fail-safe posture as binWidth: an unparseable flag value must
+  // disable the rule (one bad conf string must not break every query
+  // in the session with a parse exception thrown mid-optimization)
   private def enabled: Boolean =
-    conf.getConfString("spark.graft.rangeJoin.enabled", "true").toBoolean
+    scala.util.Try(
+      conf.getConfString("spark.graft.rangeJoin.enabled", "true").toBoolean)
+      .getOrElse(false)
+
+  private def maxBinsPerRow: Double =
+    scala.util.Try(
+      conf.getConfString("spark.graft.rangeJoin.maxBinsPerRow", "10000").toDouble)
+      .toOption.filter(m => m > 0 && java.lang.Double.isFinite(m))
+      .getOrElse(10000.0)
 
   /** (point, bound) candidate where both sit purely on opposite sides. */
   private case class Bound(point: Expression, bound: Expression,
@@ -130,9 +157,41 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
       val pProj = Project(pPlan.output :+ pAlias, pPlan)
       val binAttr = AttributeReference("__graft_bin_i", LongType,
         nullable = false)()
+      // Per-row replication guard, evaluated on the RAW bounds in
+      // double space (never overflows, and catches ±Infinity before
+      // floor clamps it to ±Long.MaxValue). Three-way branch:
+      //  - lo = NaN: the interval matches nothing under Spark's
+      //    NaN-is-largest ordering (p >= NaN is false for every p) →
+      //    empty bin array, exactly the naive join's output;
+      //  - |span| >= cap, or span = NaN (a NaN/±Inf hi — which under
+      //    NaN-is-largest ordering means "matches everything ≥ lo" and
+      //    is un-binnable; NOTE the unguarded rewrite would have binned
+      //    NaN to 0 and silently DROPPED those matches): loud error
+      //    instead of asking sequence() for an enormous array. The abs
+      //    catches descending (lo > hi) spans too, where Sequence's
+      //    implicit step -1 would replicate just as unboundedly;
+      //  - else: the bounded sequence. NULL bounds make every predicate
+      //    NULL (If takes the else branch), where the NULL bound yields
+      //    a NULL sequence that generates no rows — naive semantics.
+      val spanBins = Divide(
+        Subtract(Cast(hi.bound, DoubleType), Cast(lo.bound, DoubleType)), w)
+      val seq = new Sequence(bin(lo.bound), bin(hi.bound), None,
+        Some(conf.sessionLocalTimeZone))
+      val bad = Or(IsNaN(spanBins),
+        GreaterThanOrEqual(Abs(spanBins), Literal(maxBinsPerRow)))
+      val guarded = If(IsNaN(Cast(lo.bound, DoubleType)),
+        Literal.create(Array.empty[Long], seq.dataType),
+        If(bad,
+          Cast(new RaiseError(Literal(
+            s"graft range-join rewrite: an interval spans >= $maxBinsPerRow " +
+              s"bins at binWidth ${binWidth.get} (non-finite or enormous " +
+              "bounds). Raise spark.graft.rangeJoin.binWidth, raise " +
+              "spark.graft.rangeJoin.maxBinsPerRow, or set " +
+              "spark.graft.rangeJoin.enabled=false to fall back to the " +
+              "planner's nested-loop strategy.")), seq.dataType),
+          seq))
       val gen = Generate(
-        Explode(new Sequence(bin(lo.bound), bin(hi.bound), None,
-          Some(conf.sessionLocalTimeZone))),
+        Explode(guarded),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(binAttr), child = iPlan)
       val (nl, nr) = if (lo.pointOnLeft) (pProj, gen) else (gen, pProj)

@@ -56,4 +56,13 @@ class RangeJoinSpec extends SparkSpec {
     val ivs = Seq((10L, 9.0, 1.0)).toDF("iid", "lo", "hi")
     assert(RangeJoin.binnedRangeJoin(pts, ivs, "v", "lo", "hi", 2.0).count() == 0)
   }
+
+  test("shared column names fail fast at the precondition, not as a late ambiguity") {
+    val pts = Seq((1L, 5.0)).toDF("id", "v")
+    val ivs = Seq((10L, 1.0, 9.0)).toDF("id", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.binnedRangeJoin(pts, ivs, "v", "lo", "hi", 2.0)
+    }
+    assert(e.getMessage.contains("id"))
+  }
 }

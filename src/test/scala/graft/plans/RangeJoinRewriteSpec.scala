@@ -152,4 +152,91 @@ class RangeJoinRewriteSpec extends SparkSpec {
       finally spark.conf.unset("spark.graft.rangeJoin.enabled")
     }
   }
+
+  test("an unparseable enabled flag disables the rule instead of throwing") {
+    withRule {
+      spark.conf.set("spark.graft.rangeJoin.enabled", "banana")
+      try {
+        val df = rangeJoinDf // must not throw during optimization
+        assert(!df.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+        assert(df.count() > 0)
+      } finally spark.conf.unset("spark.graft.rangeJoin.enabled")
+    }
+  }
+
+  test("an interval spanning >= maxBinsPerRow bins fails loudly, not with an OOM") {
+    val pts = Seq((1L, 10.0)).toDF("pid", "v")
+    val ivs = Seq((10L, 0.0, 5.0e9)).toDF("iid", "lo", "hi") // 5e7 bins at W=100
+    spark.conf.set("spark.graft.rangeJoin.maxBinsPerRow", "1000")
+    val e = try withRule {
+      intercept[Exception] {
+        pts.join(ivs, col("v") >= col("lo") && col("v") <= col("hi")).count()
+      }
+    } finally spark.conf.unset("spark.graft.rangeJoin.maxBinsPerRow")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("graft range-join rewrite")),
+      s"expected the guard's actionable message, got: $e")
+  }
+
+  test("a non-finite bound hits the guard before sequence materializes") {
+    val pts = Seq((1L, 10.0)).toDF("pid", "v")
+    val ivs = Seq((10L, Double.NegativeInfinity, 20.0)).toDF("iid", "lo", "hi")
+    val e = withRule {
+      intercept[Exception] {
+        pts.join(ivs, col("v") >= col("lo") && col("v") <= col("hi")).count()
+      }
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("graft range-join rewrite")),
+      s"expected the guard's actionable message, got: $e")
+  }
+
+  test("a NaN lower bound matches nothing, with or without the rewrite") {
+    // Spark orders NaN above every value, so p >= NaN is false for all p
+    val pts = Seq((1L, 10.0)).toDF("pid", "v")
+    val ivs = Seq((10L, Double.NaN, 20.0), (11L, 5.0, 15.0))
+      .toDF("iid", "lo", "hi")
+    def q() = pts.join(ivs, col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val naive = q()
+    val rewritten = withRule(q())
+    assert(naive == Seq((1L, 11L)) && rewritten == naive)
+  }
+
+  test("a NaN upper bound (matches everything >= lo) errors instead of silently dropping") {
+    // under NaN-is-largest ordering, hi = NaN behaves like +Infinity in
+    // the naive join; binning it would floor NaN to bin 0 and lose
+    // matches, so the guard must refuse loudly
+    val pts = Seq((1L, 500.0)).toDF("pid", "v")
+    val ivs = Seq((10L, 5.0, Double.NaN)).toDF("iid", "lo", "hi")
+    val cond = col("v") >= col("lo") && col("v") <= col("hi")
+    assert(pts.join(ivs, cond).count() == 1) // naive: NaN hi matches
+    val e = withRule {
+      intercept[Exception] { pts.join(ivs, cond).count() }
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("graft range-join rewrite")),
+      s"expected the guard's actionable message, got: $e")
+  }
+
+  test("a descending (lo > hi) span wider than the cap errors instead of replicating") {
+    // Sequence's implicit -1 step would otherwise walk bin-by-bin from
+    // lo down to hi — the same unbounded replication, mirrored
+    val pts = Seq((1L, 10.0)).toDF("pid", "v")
+    val ivs = Seq((10L, 5.0e9, 0.0)).toDF("iid", "lo", "hi")
+    spark.conf.set("spark.graft.rangeJoin.maxBinsPerRow", "1000")
+    val e = try withRule {
+      intercept[Exception] {
+        pts.join(ivs, col("v") >= col("lo") && col("v") <= col("hi")).count()
+      }
+    } finally spark.conf.unset("spark.graft.rangeJoin.maxBinsPerRow")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("graft range-join rewrite")),
+      s"expected the guard's actionable message, got: $e")
+  }
 }
