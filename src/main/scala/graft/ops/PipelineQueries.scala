@@ -142,6 +142,14 @@ object PipelineQueries extends QueryPack {
       .select("doc_id", "n_chars")
       .orderBy("doc_id")
 
+  // deterministic stratified sample: exactly 25 docs per language by
+  // smallest Lehmer hash — fixed per-stratum quotas (eval sets,
+  // per-domain caps), WindowGroupLimit-pushed like the domain cap
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(docs(s, d), "lang", "doc_id", k = 25)
+      .select("doc_id", "lang")
+      .orderBy("lang", "doc_id")
+
   // the full curation funnel: quality gate -> exact dedup -> 50%
   // deterministic sample -> per-language stats (Curation.curate)
   def pipelineCurate(s: SparkSession, d: String): DataFrame =
@@ -360,6 +368,7 @@ object PipelineQueries extends QueryPack {
     "dedup_keep_best" -> dedupKeepBest _,
     "dedup_fuzzy" -> dedupFuzzy _,
     "sample_hash" -> sampleHash _,
+    "sample_stratified" -> sampleStratified _,
     "pipeline_curate" -> pipelineCurate _,
     "sim_topk_brute" -> simTopkBrute _,
     "sim_topk_lsh" -> simTopkLsh _,
@@ -535,6 +544,17 @@ object PipelineQueries extends QueryPack {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE ((doc_id % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P} < ${Sampling.thresholdFor(100)}
          |ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    ((doc_id % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P} AS hk
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+         |  FROM h)
+         |SELECT doc_id, lang FROM r WHERE rn <= 25
+         |ORDER BY lang, doc_id""".stripMargin,
     "pipeline_curate" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang, text,

@@ -476,6 +476,32 @@ object Relational extends QueryPack {
       .orderBy("s_suppkey")
   }
 
+  /** Q30 — BUCKETED co-located join (sources.Io.writeBucketed): orders
+    * and lineitem are persisted bucketed+sorted on their join key, then
+    * joined — the "shuffle once, reuse forever" layout lever. Because
+    * both tables are pre-partitioned into the same bucket count on the
+    * same key, the sort-merge join consumes bucket files directly: NO
+    * exchange on either side (PlanAuditSpec asserts it), which at
+    * 100 TB means the dominant fact-fact join cost — reshuffling both
+    * tables on every query — is paid once at write time and amortized
+    * over every subsequent join/agg on that key. The oracle spells the
+    * plain join: layout never changes results. */
+  def q30BucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Io.writeBucketed(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus")),
+      "graft_q30_orders", "o_orderkey", 8, Some("o_orderkey"))
+    graft.sources.Io.writeBucketed(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice")),
+      "graft_q30_lineitem", "l_orderkey", 8, Some("l_orderkey"))
+    spark.table("graft_q30_orders")
+      .join(spark.table("graft_q30_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sumDec(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> q1FilterProject _,
     "q2_agg" -> q2Agg _,
@@ -506,6 +532,7 @@ object Relational extends QueryPack {
     "q27_median_prefix" -> q27MedianPrefix _,
     "q28_skew_join" -> q28SkewJoin _,
     "q29_range_join" -> q29RangeJoin _,
+    "q30_bucket_join" -> q30BucketJoin _,
   )
 
   /** Shared by q23 (declarative window) and q27 (prefix-sum operator):
@@ -647,6 +674,12 @@ object Relational extends QueryPack {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_above
         |FROM lineitem l JOIN dim USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the plain-join spelling — bucketed layout never changes results
+    "q30_bucket_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the plain theta-join spelling of the binned range join
     "q29_range_join" ->
       """SELECT s_suppkey, COUNT(*) AS n_cust, MIN(c_custkey) AS min_cust

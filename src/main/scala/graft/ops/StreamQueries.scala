@@ -56,7 +56,35 @@ object StreamQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  private def typedEvents(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.events(s, d)
+      .selectExpr("event_id", "unix_micros(ts) AS tsMicros", "user_id",
+        "event_type", "value")
+      .as[graft.streaming.Event]
+  }
+
+  // mapGroupsWithState running totals, executed on its batch path: the
+  // gate checks the per-user event COUNTS (exact longs); the double
+  // total is iteration-order-dependent and stays spec-gated
+  def runningTotals(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Streams.userRunningTotals(typedEvents(s, d)).toDF()
+      .select(col("user_id"), col("n_events"))
+      .orderBy("user_id")
+  }
+
+  // flatMapGroupsWithState multi-row emission: milestone rows at every
+  // 10th cumulative event per user — count crossings are
+  // order-independent, so the full emitted set is exactly
+  // SQL-expressible and hash-gated
+  def milestones(s: SparkSession, d: String): DataFrame =
+    Streams.userMilestones(typedEvents(s, d), every = 10).toDF()
+      .orderBy("user_id", "milestone")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_running_totals" -> runningTotals _,
+    "stream_milestones" -> milestones _,
     "stream_enrich" -> enrich _,
     "stream_tumbling" -> tumbling _,
     "stream_sliding" -> sliding _,
@@ -67,6 +95,16 @@ object StreamQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "stream_running_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_milestones" ->
+      """WITH c AS (
+        |  SELECT user_id, COUNT(*) // 10 AS k FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT user_id, 10 * unnest(range(1, k + 1)) AS milestone FROM c)
+        |SELECT user_id, CAST(milestone AS BIGINT) AS milestone FROM m
+        |ORDER BY user_id, milestone""".stripMargin,
     "stream_enrich" ->
       """SELECT event_id, user_id, event_type,
         |  COALESCE(c_mktsegment, 'NONE') AS segment

@@ -43,4 +43,31 @@ object Sampling {
     require(permille >= 0 && permille <= 1000, "rate must be 0..1000 permille")
     df.filter((col(keyCol) % P) * A % P * A % P < thresholdFor(permille))
   }
+
+  /** Deterministic STRATIFIED sample: exactly min(k, |group|) rows per
+    * group — the quota-per-stratum cousin of `hashSample` (which keeps
+    * a global RATE but leaves group proportions to chance; curation
+    * wants e.g. "25 docs per language" for eval sets and per-domain
+    * caps). The k survivors are the group's smallest double-Lehmer key
+    * hashes: membership is a pure function of (key, group, k), so the
+    * sample is reproducible across engines/retries, and quotas NEST
+    * (k=10 selects a subset of k=25 — shrinking an eval set never
+    * swaps its members).
+    *
+    * At 100 TB: rank ≤ k over (group, hash-order) is exactly the shape
+    * Spark's WindowGroupLimit optimizer pushes below the exchange —
+    * every map task pre-selects its local top-k per group before
+    * shuffling, so the wide exchange carries ≈ k·groups·tasks rows, not
+    * the corpus (same mechanism PlanAuditSpec asserts for the domain
+    * cap). */
+  def stratifiedSample(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = (col(keyCol) % P) * A % P * A % P
+    val w = Window.partitionBy(groupCol).orderBy(h.asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

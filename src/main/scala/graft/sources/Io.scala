@@ -40,9 +40,21 @@ object Io {
 
   /** Persist as a bucketed managed table: pre-shuffled on `bucketCol`
     * into `buckets` files per partition, so joins/aggregations on that
-    * key skip their exchange entirely. */
+    * key skip their exchange entirely.
+    *
+    * Idempotent across sessions: a managed table's warehouse directory
+    * outlives the in-memory catalog that created it, and a fresh
+    * session's `saveAsTable` refuses to adopt the stray location
+    * (LOCATION_ALREADY_EXISTS) — so drop any registered table AND
+    * clear a leftover location before writing. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       buckets: Int, sortCol: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCol)
     sortCol.fold(w)(w.sortBy(_)).saveAsTable(table)

@@ -7,6 +7,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** A (user, running aggregate) row emitted by the stateful stream. */
 case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
+/** A milestone row: emitted when a user's cumulative event count
+  * crosses a multiple of the configured stride. */
+case class UserMilestone(user_id: Long, milestone: Long)
+
 /** Input event row for typed stateful processing. */
 case class Event(event_id: Long, tsMicros: Long, user_id: Long,
     event_type: String, value: Double)
@@ -174,6 +178,34 @@ object Streams {
           val next = UserTotals(uid, n, tot)
           state.update(next)
           next
+      }
+  }
+
+  /** Custom MULTI-ROW state: flatMapGroupsWithState — the general form
+    * of mapGroupsWithState, emitting zero-to-many rows per group per
+    * trigger. Fires a row each time a user's cumulative event count
+    * crosses a multiple of `every` ("user hit 10/20/30 events" — the
+    * alerting/progress shape where one input row can release several
+    * output rows and most release none).
+    *
+    * Milestones are defined on COUNT CROSSINGS, deliberately: a count
+    * is order-independent, so the emitted set is a pure function of
+    * the input multiset — identical whether the rows arrive in one
+    * batch (the oracle-gated twin) or dribble across micro-batches
+    * (StreamingSpec parity), and immune to Spark's unspecified
+    * within-group iteration order. State per user is ONE long. */
+  def userMilestones(events: Dataset[Event], every: Int = 10): Dataset[UserMilestone] = {
+    require(every > 0, s"milestone stride must be positive, got $every")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserMilestone](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[Long]) =>
+          val before = state.getOption.getOrElse(0L)
+          val after = before + rows.size
+          state.update(after)
+          ((before / every + 1) to (after / every))
+            .map(m => UserMilestone(uid, m * every)).iterator
       }
   }
 

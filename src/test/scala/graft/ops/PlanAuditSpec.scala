@@ -178,4 +178,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Filter"), p)
     assert(!p.contains("Exchange"), "a pure filter must not shuffle")
   }
+
+  test("sample_stratified: the per-group quota is pushed into partitions (WindowGroupLimit)") {
+    val p = plan(graft.pipeline.Sampling.stratifiedSample(
+      Tables.documents(spark, dir), "lang", "doc_id", 25))
+    assert(p.contains("WindowGroupLimit"),
+      "stratified sample lost its group-limit pushdown:\n" + p.take(1200))
+  }
+
+  test("q30: the bucketed fact-fact join runs with NO exchange on either side") {
+    // force the shuffle-join regime a real fact-fact join lives in —
+    // a broadcast would hide whether bucketing removed the shuffles
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Relational.q30BucketJoin(spark, dir)
+      df.collect() // materialize so AQE finalizes THIS QueryExecution
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(1500))
+      // both scans must consume bucket files directly: no exchange may
+      // partition on a JOIN key (the post-join aggregation's exchange
+      // on o_orderstatus is the one legitimate shuffle)
+      assert(countOccurrences(p, "Bucketed: true") >= 2, p.take(1500))
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+        !p.contains("Exchange hashpartitioning(l_orderkey"),
+        "bucketed join still shuffles an input:\n" + p.take(1500))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_q30_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_q30_lineitem")
+    }
+  }
 }

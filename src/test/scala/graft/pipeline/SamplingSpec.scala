@@ -34,4 +34,37 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(ids, "doc_id", 0).count() == 0L)
     assert(Sampling.hashSample(ids, "doc_id", 1000).count() == 10000L)
   }
+
+  private lazy val grouped = (0L until 1000L)
+    .map(i => (i, s"g${i % 7}")).toDF("doc_id", "grp")
+
+  test("stratified sample takes exactly min(k, group size) per group") {
+    val got = Sampling.stratifiedSample(grouped, "grp", "doc_id", k = 25)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 7 && got.values.forall(_ == 25L), got.toString)
+    // a group smaller than k survives whole
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "grp")
+    val t = Sampling.stratifiedSample(tiny, "grp", "doc_id", k = 25)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("stratified sample is deterministic and partitioning-independent") {
+    val a = Sampling.stratifiedSample(grouped, "grp", "doc_id", 25)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSample(grouped.repartition(13), "grp", "doc_id", 25)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("stratified quotas nest: k=10 selects a subset of k=25") {
+    val small = Sampling.stratifiedSample(grouped, "grp", "doc_id", 10)
+      .collect().map(_.getLong(0)).toSet
+    val big = Sampling.stratifiedSample(grouped, "grp", "doc_id", 25)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.size == 70 && small.subsetOf(big),
+      "shrinking an eval set must never swap its members")
+  }
 }

@@ -190,4 +190,36 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == batch)
   }
+
+  test("flatMapGroupsWithState milestones accumulate across micro-batches to the batch set") {
+    import SparkSpec.session.implicits._
+    // split events over 4 files and trigger one file per micro-batch,
+    // so milestone state genuinely carries across triggers (streaming
+    // the single source file would collapse to one batch)
+    val chunked = java.nio.file.Files
+      .createTempDirectory("graft-milestones").toString
+    Tables.events(spark, dir)
+      .selectExpr("event_id", "unix_micros(ts) AS tsMicros", "user_id",
+        "event_type", "value")
+      .repartition(4).write.mode("overwrite").parquet(chunked)
+    val typedStream = spark.readStream
+      .schema(spark.read.parquet(chunked).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(chunked).as[Event]
+    val got = Streams.runToMemory(spark,
+        Streams.userMilestones(typedStream).toDF(), "t_milestones",
+        OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchTyped = spark.read.parquet(chunked).as[Event]
+    val batch = Streams.userMilestones(batchTyped)
+      .collect().map(m => (m.user_id, m.milestone)).toSet
+    assert(batch.nonEmpty && got == batch)
+    // milestones are cumulative-count crossings: per user they must be
+    // exactly every multiple of 10 up to the user's event count
+    val counts = Tables.events(spark, dir).groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = counts.flatMap { case (u, n) =>
+      (1L to n / 10).map(k => (u, k * 10)) }.toSet
+    assert(got == expected)
+  }
 }
