@@ -150,6 +150,22 @@ object PipelineQueries extends QueryPack {
       .select("doc_id", "lang")
       .orderBy("lang", "doc_id")
 
+  // deterministic weighted sample: keep probability proportional to
+  // doc length (quality/importance-weighted corpus mixing), pure int64
+  // predicate — same reproducibility contract as sample_hash
+  def sampleWeighted(s: SparkSession, d: String): DataFrame =
+    Sampling.weightedSample(docs(s, d), "doc_id", "n_chars",
+        maxWeight = 2000L, permille = 200)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+
+  // per-language z-score of doc length: exact integer moments folded
+  // through a fixed IEEE double tree — bit-matching the SQL spelling
+  def statsZscoreByLang(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Normalize.zscoreByGroup(docs(s, d), "lang", "n_chars")
+      .select("doc_id", "lang", "z")
+      .orderBy("doc_id")
+
   // the full curation funnel: quality gate -> exact dedup -> 50%
   // deterministic sample -> per-language stats (Curation.curate)
   def pipelineCurate(s: SparkSession, d: String): DataFrame =
@@ -369,6 +385,8 @@ object PipelineQueries extends QueryPack {
     "dedup_fuzzy" -> dedupFuzzy _,
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
+    "sample_weighted" -> sampleWeighted _,
+    "stats_zscore_by_lang" -> statsZscoreByLang _,
     "pipeline_curate" -> pipelineCurate _,
     "sim_topk_brute" -> simTopkBrute _,
     "sim_topk_lsh" -> simTopkLsh _,
@@ -544,6 +562,25 @@ object PipelineQueries extends QueryPack {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE ((doc_id % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P} < ${Sampling.thresholdFor(100)}
          |ORDER BY doc_id""".stripMargin,
+    "sample_weighted" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE n_chars IS NOT NULL AND n_chars > 0
+         |  AND (((doc_id % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P}) * 2000 < LEAST(n_chars, 2000) * ${Sampling.thresholdFor(200)}
+         |ORDER BY doc_id""".stripMargin,
+    "stats_zscore_by_lang" ->
+      """WITH m AS (
+        |  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS s,
+        |    CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sq,
+        |    COUNT(n_chars) AS n
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang,
+        |  CASE WHEN n > 1
+        |      AND (sq - s * s / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) > 0
+        |    THEN (CAST(d.n_chars AS DOUBLE) - s / CAST(n AS DOUBLE))
+        |      / sqrt((sq - s * s / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+        |    END AS z
+        |FROM documents d JOIN m USING (lang)
+        |ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang,

@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Group-wise feature normalization (SURVEY.md §2.3 extension; no
+  * reference counterpart). Training pipelines normalize per-stratum —
+  * "token-length z-score within each language" — because raw feature
+  * scales differ wildly across strata; a global mean would let one
+  * dominant language define "normal" for all of them.
+  *
+  * Determinism discipline: the group moments are computed as EXACT
+  * integer sums (sum, sum of squares, count — all BIGINT, overflow-free
+  * for 32-bit features at gate scale; swap to DECIMAL(38,0) sums at
+  * 100 TB where Σx² outgrows int64), and only then folded into doubles
+  * through a FIXED IEEE expression tree:
+  * mean = s/n, var = (sq − s·s/n)/(n−1), z = (x − mean)/√var.
+  * Every step is a single correctly-rounded IEEE-754 operation on
+  * identical inputs, so any engine spelling this formula bit-matches —
+  * which is what lets the DuckDB oracle hash-gate a DOUBLE output.
+  *
+  * At 100 TB: one partial+final aggregation over the corpus (the
+  * moments), then the per-group moment table — |groups| rows — joins
+  * back by BROADCAST; the corpus is scanned twice but never shuffled.
+  */
+object Normalize {
+
+  /** Append `z` — the within-group z-score of integer `valueCol` —
+    * using sample (n−1) variance. Groups with fewer than 2 rows or
+    * zero variance yield NULL z (no meaningful scale), mirroring
+    * SQL's NULLIF guard. */
+  def zscoreByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val moments = df.groupBy(col(groupCol))
+      .agg(sum(v).as("__s"), sum(v * v).as("__sq"),
+        count(v).as("__n"))
+    val s = col("__s").cast("double")
+    val n = col("__n").cast("double")
+    val varS = (col("__sq").cast("double") - s * s / n) /
+      (col("__n") - lit(1L)).cast("double")
+    df.join(broadcast(moments), groupCol)
+      .withColumn("z",
+        when(col("__n") > 1L && varS > 0.0,
+          (v.cast("double") - s / n) / sqrt(varS)))
+      .drop("__s", "__sq", "__n")
+  }
+}

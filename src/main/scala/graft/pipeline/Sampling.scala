@@ -70,4 +70,30 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Deterministic WEIGHTED sampling: keep a row with probability
+    * proportional to `weightCol` (importance/quality-weighted corpus
+    * mixing — upweight long or high-quality docs without a second
+    * pass). A row survives iff
+    * `lehmer²(key) · maxWeight < weight · P · rate‰/1000`: pure int64
+    * arithmetic throughout, so membership is a deterministic function
+    * of (key, weight) — reproducible across engines, partitionings and
+    * reruns, exactly like `hashSample` (which this degenerates to when
+    * every weight equals `maxWeight`). Worst product is P·maxWeight —
+    * the require keeps it inside int64 with headroom.
+    *
+    * At 100 TB: a scan-level integer predicate, no shuffle, no state;
+    * the expected kept fraction of a group with mean weight w̄ is
+    * rate‰/1000 · w̄/maxWeight. Weights above `maxWeight` are clamped
+    * (kept with the full rate probability). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      maxWeight: Long, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, "rate must be 0..1000 permille")
+    require(maxWeight > 0 && maxWeight <= 1000000L,
+      s"maxWeight must be in 1..1e6 (int64 headroom), got $maxWeight")
+    val h = (col(keyCol) % P) * A % P * A % P
+    val w = least(col(weightCol).cast("long"), lit(maxWeight))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
+      h * maxWeight < w * lit(thresholdFor(permille)))
+  }
 }

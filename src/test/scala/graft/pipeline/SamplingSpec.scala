@@ -59,6 +59,46 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  private lazy val weighted = (0L until 10000L)
+    .map(i => (i, 100L + (i % 5) * 450L)).toDF("doc_id", "w")
+
+  test("weighted sample keeps rows in proportion to their weight") {
+    // weights 100,550,1000,1450,1900 under maxWeight 2000, rate 50% —
+    // expected keep fraction per class: w/2000 * 0.5
+    val kept = Sampling.weightedSample(weighted, "doc_id", "w", 2000L, 500)
+      .groupBy("w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((w, n) <- kept) {
+      val expect = 2000 * (w / 2000.0) * 0.5
+      assert(math.abs(n - expect) < 90,
+        s"weight $w kept $n, expected ~$expect")
+    }
+    // heavier rows must be kept strictly more often
+    val byW = kept.toSeq.sortBy(_._1).map(_._2)
+    assert(byW == byW.sorted, s"keep counts not monotone in weight: $kept")
+  }
+
+  test("weighted sample is deterministic; zero/null weights never survive") {
+    val a = Sampling.weightedSample(weighted, "doc_id", "w", 2000L, 500)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(weighted.repartition(13), "doc_id", "w", 2000L, 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val withZero = Seq((1L, 0L), (2L, -5L)).toDF("doc_id", "w")
+      .union(weighted)
+    val z = Sampling.weightedSample(withZero, "doc_id", "w", 2000L, 1000)
+    assert(z.filter($"w" <= 0).count() == 0)
+  }
+
+  test("weighted sample with uniform max weight degenerates to hashSample") {
+    val uni = (0L until 5000L).map(i => (i, 2000L)).toDF("doc_id", "w")
+    val ws = Sampling.weightedSample(uni, "doc_id", "w", 2000L, 300)
+      .collect().map(_.getLong(0)).toSet
+    val hs = Sampling.hashSample(uni, "doc_id", 300)
+      .collect().map(_.getLong(0)).toSet
+    assert(ws == hs)
+  }
+
   test("stratified quotas nest: k=10 selects a subset of k=25") {
     val small = Sampling.stratifiedSample(grouped, "grp", "doc_id", 10)
       .collect().map(_.getLong(0)).toSet
