@@ -63,6 +63,20 @@ object ScaleBench {
           .agg(max(col("l_extendedprice")).as("maxp")).hint("shuffle_hash")
         graft.ops.Skew.saltedJoin(l, dim, Seq("l_returnflag"), salts = 8)
       }),
+      "stratified_sample" -> (() => graft.pipeline.Sampling
+        .stratifiedSample(docs, "lang", "doc_id", k = 25)),
+      "weighted_sample" -> (() => graft.pipeline.Sampling
+        .weightedSample(docs, "doc_id", "n_chars", 2000L, 200)),
+      "zscore_by_lang" -> (() => graft.pipeline.Normalize
+        .zscoreByGroup(docs, "lang", "n_chars")),
+      "milestones_batch" -> (() => {
+        import spark.implicits._
+        graft.streaming.Streams.userMilestones(
+          Tables.events(spark, dir)
+            .selectExpr("event_id", "unix_micros(ts) AS tsMicros",
+              "user_id", "event_type", "value")
+            .as[graft.streaming.Event]).toDF()
+      }),
     )
   }
 

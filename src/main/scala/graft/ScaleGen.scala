@@ -73,6 +73,19 @@ object ScaleGen {
         col("l_shipdate"))
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
+    // events for the stateful-streaming scaling rows: user_id remapped
+    // per replica so per-user event counts (and thus milestone/session
+    // structure) are SF-invariant — N disjoint copies of the original
+    // user population; ts kept verbatim (raw nanos long under
+    // nanosAsLong — written back as-is, re-derived by Tables.events)
+    spark.read.parquet(s"$srcDir/events.parquet").crossJoin(reps)
+      .select(
+        (col("event_id") * factor + col("rep")).as("event_id"),
+        col("ts"),
+        (col("user_id") * factor + col("rep")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
     // customer/supplier for the range-join scaling rows: keys remapped,
     // acctbal jittered per rep (deterministic) so replica bands don't
     // stack on identical values
