@@ -325,6 +325,22 @@ object PipelineQueries extends QueryPack {
         countDistinct(col("source")).as("distinct_sources"))
       .orderBy("lang")
 
+  // the GROUPED HLL beside the exact twin above: per-language sketched
+  // distinct with its relative error computed in-plan against the
+  // exact count — the 100 TB form (countDistinct shuffles every
+  // distinct value per group; the HLL ships mergeable kilobyte state)
+  // with its accuracy self-audited in the same row. rows-only gate
+  // (sketch estimates are engine-specific); SketchSpec bounds the
+  // error mechanically.
+  def statsHllByLang(s: SparkSession, d: String): DataFrame =
+    docs(s, d).groupBy("lang")
+      .agg(countDistinct(col("text")).as("exact_texts"),
+        approx_count_distinct(col("text"), 0.02).as("approx_texts"))
+      .withColumn("rel_err",
+        abs(col("approx_texts") - col("exact_texts")).cast("double") /
+          col("exact_texts").cast("double"))
+      .orderBy("lang")
+
   /** Exact vs sketched quantiles side by side (the quantile member of
     * the sketch family next to stats_cardinality's HLL): the exact
     * median needs a per-group sort; approx_percentile is one pass of
@@ -408,6 +424,7 @@ object PipelineQueries extends QueryPack {
     "multimodal_resize" -> multimodalResize _,
     "stats_cardinality" -> statsCardinality _,
     "stats_distinct_by_lang" -> statsDistinctByLang _,
+    "stats_hll_by_lang" -> statsHllByLang _,
     "stats_quantiles" -> statsQuantiles _,
     "stats_median" -> statsMedian _,
     "stats_quantiles_exact" -> statsQuantilesExact _,

@@ -502,6 +502,24 @@ object Relational extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  /** Q31 — RANGE-framed window (value-based frame, vs q5's ROWS
+    * frame): for each lineitem, how many same-flag rows price within
+    * [price − 100, price] — the "neighbors within a value band" shape
+    * (price banding, trailing-window counts over a numeric axis).
+    * RANGE frames are well-defined under ties (the frame is a set
+    * selected by VALUE, so tied rows share one frame — no
+    * underspecified-order hazard), and the COUNT output is exact
+    * integer, so the row hash-gates cleanly. One partition sort, the
+    * same cost shape as any window; bounded to q26's subset for a
+    * stable demo cardinality. */
+  def q31RangeFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_linenumber") === 1 && col("l_orderkey") < 300)
+      .selectExpr("l_returnflag", "l_orderkey", "l_extendedprice",
+        """count(*) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+          |RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_band""".stripMargin)
+      .orderBy("l_returnflag", "l_extendedprice", "l_orderkey")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> q1FilterProject _,
     "q2_agg" -> q2Agg _,
@@ -533,6 +551,7 @@ object Relational extends QueryPack {
     "q28_skew_join" -> q28SkewJoin _,
     "q29_range_join" -> q29RangeJoin _,
     "q30_bucket_join" -> q30BucketJoin _,
+    "q31_range_frame" -> q31RangeFrame _,
   )
 
   /** Shared by q23 (declarative window) and q27 (prefix-sum operator):
@@ -674,6 +693,12 @@ object Relational extends QueryPack {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_above
         |FROM lineitem l JOIN dim USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q31_range_frame" ->
+      """SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |  COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |    RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_band
+        |FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 300
+        |ORDER BY l_returnflag, l_extendedprice, l_orderkey""".stripMargin,
     // the plain-join spelling — bucketed layout never changes results
     "q30_bucket_join" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt,

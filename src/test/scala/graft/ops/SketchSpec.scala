@@ -50,4 +50,15 @@ class SketchSpec extends SparkSpec {
       .select(approx_count_distinct(col("text"), 0.02)).head().getLong(0)
     assert(a == b, "HLL merge must not depend on partitioning")
   }
+
+  test("grouped HLL: every language's in-plan rel_err stays inside the rsd budget") {
+    val rows = PipelineQueries.statsHllByLang(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      // rsd 0.02 -> 3-sigma budget 6%; exact column must be the truth
+      assert(r.getDouble(3) < 0.06,
+        s"lang ${r.getString(0)}: rel_err ${r.getDouble(3)}")
+      assert(r.getLong(1) > 0)
+    }
+  }
 }
