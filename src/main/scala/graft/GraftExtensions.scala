@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // planner extension: pure range-condition joins become binned
     // equi-joins (plans.RangeJoinRewrite) instead of nested loops
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
+    // physical-operator extension: plans.ExactGroupedMedian logical
+    // nodes execute as GroupedMedianExec (range-partitioned two-pass
+    // prefix sums)
+    e.injectPlannerStrategy(_ => graft.plans.GroupedMedianStrategy)
     e.injectFunction((
       new FunctionIdentifier("popcount_array"),
       new ExpressionInfo(classOf[PopCountArray].getName, "popcount_array"),

@@ -520,6 +520,22 @@ object Relational extends QueryPack {
           |RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_band""".stripMargin)
       .orderBy("l_returnflag", "l_extendedprice", "l_orderkey")
 
+  /** Q32 — the exact grouped median as a PLANNER-INTEGRATED custom
+    * physical operator (plans.GroupedMedianPlan): the third physical
+    * strategy for q23/q27's ground truth. Where q27 drops to the RDD
+    * API behind a function call, this spelling contributes an
+    * `ExactGroupedMedian` LogicalPlan node and lets EnsureRequirements
+    * build the layout from the node's declared OrderedDistribution —
+    * the range exchange and in-partition sort appear in EXPLAIN like
+    * any built-in, and AQE sizes them. Same oracle as q23/q27: one
+    * ground truth, three physical strategies. */
+  def q32MedianPlan(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.GroupedMedianPlan.exactMedian(
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice")
+      .orderBy("l_returnflag")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> q1FilterProject _,
     "q2_agg" -> q2Agg _,
@@ -552,6 +568,7 @@ object Relational extends QueryPack {
     "q29_range_join" -> q29RangeJoin _,
     "q30_bucket_join" -> q30BucketJoin _,
     "q31_range_frame" -> q31RangeFrame _,
+    "q32_median_plan" -> q32MedianPlan _,
   )
 
   /** Shared by q23 (declarative window) and q27 (prefix-sum operator):
@@ -684,6 +701,8 @@ object Relational extends QueryPack {
     "q23_median_rank" -> medianOracle,
     // same ground truth, different physical strategy under test
     "q27_median_prefix" -> medianOracle,
+    // and a third: the planner-integrated ExactGroupedMedian node
+    "q32_median_plan" -> medianOracle,
     // the UNSALTED spelling — the salted join must match it exactly
     "q28_skew_join" ->
       """WITH dim AS (SELECT l_returnflag, MAX(l_extendedprice) AS maxp
