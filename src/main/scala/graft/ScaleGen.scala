@@ -52,11 +52,14 @@ object ScaleGen {
           .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("r"), col("rep").cast("string"), lit("_$1"))))
           .as("text"),
-        col("lang"), col("source"),
-        // replicas' text gains rN_ prefixes, so n_chars is recomputed
-        // from the rewritten text — keeping the n_chars==length(text)
-        // invariant any length-based op (domain cap, keep-best) relies on
-        length(col("text")).cast("bigint").as("n_chars"))
+        col("lang"), col("source"))
+      // replicas' text gains rN_ prefixes, so n_chars is recomputed
+      // from the REWRITTEN text — keeping the n_chars==length(text)
+      // invariant any length-based op (domain cap, keep-best) relies
+      // on. This must happen in a second projection: inside the select
+      // above, `col("text")` still resolves against the INPUT relation
+      // (the original text), not the alias being built
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     ops.Tables.embeddings(spark, srcDir).crossJoin(reps)
