@@ -51,6 +51,17 @@ object PipelineQueries extends QueryPack {
       shingleN = 1, k = 64, bands = 32, threshold = 0.7)
       .orderBy("id_a", "id_b")
 
+  // the EXACT scale path (prefix filtering): recall 1 by construction
+  // — no banding miss probability to argue about — so it hash-matches
+  // the all-pairs oracle on the same subset at the same threshold as
+  // dedup_ngram_jaccard. One ground truth, three generators: brute
+  // O(n²), MinHash-LSH at recall~1 banding, and this (the only one
+  // that is BOTH exact and scale-shaped)
+  def dedupPrefixJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.prefixJaccardPairs(docs(s, d).filter(col("doc_id") < 100),
+      threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
   // threshold tuned to the synthetic embeddings (max pairwise cosine
   // ~0.51): 0.3 ~= the 99th percentile, so the verify path has real
   // work to do while the bucket join still prunes hard. Multi-table
@@ -394,6 +405,7 @@ object PipelineQueries extends QueryPack {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash_verified" -> dedupMinhashVerified _,
+    "dedup_prefix_jaccard" -> dedupPrefixJaccard _,
     "dedup_embedding" -> dedupEmbedding _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_clusters_lsh" -> dedupClustersLsh _,
@@ -450,6 +462,20 @@ object PipelineQueries extends QueryPack {
       |comp AS (SELECT id AS doc_id, MIN(comp) AS component FROM walk
       |         GROUP BY id)""".stripMargin
 
+  // one all-pairs ground truth, shared by every exact J>=0.8 generator
+  // on the doc_id<100 subset (brute force and prefix-filter)
+  private val allPairsJaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+      |  FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+      |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS j
+      |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+      |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
   private val clustersOracle: String =
     clustersCte +
       "\nSELECT doc_id, component FROM comp ORDER BY doc_id"
@@ -459,17 +485,11 @@ object PipelineQueries extends QueryPack {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS dups
         |FROM documents GROUP BY 1 ORDER BY keep_id, content_key""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
-        |  FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
-        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS j
-        |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
-        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram_jaccard" -> allPairsJaccardOracle,
+    // the prefix-filter path is exact by construction (recall 1, no
+    // probabilistic argument needed): same subset, same threshold,
+    // SAME oracle text as the brute-force generator
+    "dedup_prefix_jaccard" -> allPairsJaccardOracle,
     // the LSH pipeline at recall-1 banding + exact verify equals the
     // exact all-pairs Jaccard set on the bounded subset (see the Spark
     // side's miss-probability argument; DedupSpec's boundary test

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextFunctions._
@@ -158,6 +159,72 @@ object Dedup {
     a.join(b, col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         jaccard(col("a.ts"), col("b.ts")).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
+  /** Exact Jaccard-threshold similarity JOIN at scale via prefix
+    * filtering (the SSJoin/All-Pairs family: Chaudhuri et al. ICDE'06,
+    * Bayardo et al. WWW'07) — recall-1 near-dup pairs WITHOUT the
+    * O(n²) cross join ngramJaccardPairs needs and WITHOUT the
+    * probabilistic misses of MinHash banding. Returns (id_a, id_b, j),
+    * identical to ngramJaccardPairs on any input.
+    *
+    * The filter: order the token universe globally by ascending
+    * document frequency (rarest first, ties by token — a total order
+    * both sides share). For J(A,B) >= t the overlap must satisfy
+    * |A∩B| >= t·|∪| >= t·max(|A|,|B|) >= t·|A|, and a pair whose
+    * overlap is >= o must share a token within the first |x|-o+1
+    * tokens of EACH side's ordering (if all shared tokens sat past
+    * that point, fewer than o would fit). So probing only each doc's
+    * length |x| - ⌊t·|x|⌋ + 1 prefix generates a candidate SUPERSET —
+    * ⌊·⌋ rather than the tight ⌈·⌉ deliberately: one token of margin
+    * means fp jitter in t·|x| can never shorten the prefix below the
+    * required length. Rarest-first ordering makes prefix buckets the
+    * SMALLEST buckets in the corpus — the same reason the cost stays
+    * bucket-bounded at 100 TB (cf. minhashPairs, whose buckets are
+    * hash-random instead, trading exactness for fewer probes).
+    *
+    * Shuffle shape: df count (one agg on tok), per-doc rank (window
+    * on doc_id — per-doc state only, no global sort), candidate
+    * equi-join on tok, pair distinct, then exact-Jaccard verify joined
+    * back on the (small) surviving pair set — every shuffle is on
+    * narrow keyed rows; token arrays ride only the final verify join.
+    * A size-compatibility prune (min(|A|,|B|) >= t·max - ε) drops
+    * impossible pairs before the distinct; ε=1e-9 keeps integer-sized
+    * boundary pairs (e.g. |A|=4, |B|=5 at t=0.8) from being rejected
+    * by fp round-up of t·max, and only ever ADMITS candidates — the
+    * verify is exact. */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    // same blank-doc discipline as ngramJaccardPairs/minhashPairs:
+    // content-empty docs are exact dedup's class, not near-dup's
+    val t = docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokenSet(col("text")).as("ts"))
+    val dfreq = t.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val prefix = t
+      .select(col("doc_id"), size(col("ts")).as("n"), explode(col("ts")).as("tok"))
+      .join(dfreq, "tok")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("n") - floor(lit(threshold) * col("n")).cast("int") + 1)
+      .select(col("doc_id"), col("tok"), col("n"))
+    val cand = prefix.select(col("doc_id").as("id_a"), col("tok"),
+        col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("id_b"), col("tok"),
+        col("n").as("nb")), Seq("tok"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("na"), col("nb")).cast("double") >=
+          lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(t.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(t.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("ts_a"), col("ts_b")).as("j"))
       .filter(col("j") >= threshold)
   }
 

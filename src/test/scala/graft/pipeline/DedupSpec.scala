@@ -299,4 +299,56 @@ class DedupSpec extends SparkSpec {
     // the exact verify guarantees zero false positives
     assert(found.subsetOf(exact), s"false positives: ${found -- exact}")
   }
+
+  test("prefix-filter jaccard == brute force on random corpora across thresholds") {
+    // seeded random corpus over a SHARED small vocabulary: docs
+    // overlap heavily and at every similarity level, so the exact pair
+    // set exercises boundary, near-boundary, and disjoint pairs alike.
+    // Equality (not recall) is the contract: prefix filtering is exact.
+    val rng = new scala.util.Random(0xC0FFEE)
+    val vocab = (0 until 60).map(i => s"v$i")
+    val corpus = (0 until 80).map { i =>
+      val n = 3 + rng.nextInt(18)
+      val toks = rng.shuffle(vocab).take(n)
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.724, 0.8, 1.0)) {
+      val brute = Dedup.ngramJaccardPairs(corpus, maxId = 1000L, threshold = t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prefix = Dedup.prefixJaccardPairs(corpus, threshold = t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(prefix == brute,
+        s"t=$t: prefix-filter diverged from brute force " +
+          s"(missing ${brute -- prefix}, extra ${prefix -- brute})")
+    }
+  }
+
+  test("prefix-filter jaccard keeps integer-boundary pairs the fp size filter could drop") {
+    // |A|=4, |B|=5, A ⊂ B at t=0.8: j = 4/5 = 0.8 EXACTLY, and the
+    // size-compatibility prune computes 4 >= 0.8*5 where fp 0.8*5 is
+    // 4.000000000000000222 — without the ε slack this true pair is
+    // rejected before the verify ever sees it
+    val d = Seq(
+      (0L, "a b c d"),
+      (1L, "a b c d e"),
+      (2L, "p q r s t u v w x y")).toDF("doc_id", "text")
+    val pairs = Dedup.prefixJaccardPairs(d, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((0L, 1L, 0.8)),
+      s"expected exactly the (0,1) boundary pair, got ${pairs.toSeq}")
+  }
+
+  test("prefix-filter jaccard: blank docs follow the exact generator's discipline") {
+    val d = Seq(
+      (0L, "shared tokens here exactly"),
+      (1L, "shared tokens here exactly"),
+      (2L, "   "), // blank — exact dedup's class, never near-dup's
+      (3L, "")).toDF("doc_id", "text")
+    val pairs = Dedup.prefixJaccardPairs(d, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), s"got $pairs")
+    val brute = Dedup.ngramJaccardPairs(d, maxId = 10L, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == brute)
+  }
 }
