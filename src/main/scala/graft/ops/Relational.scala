@@ -536,6 +536,25 @@ object Relational extends QueryPack {
       "l_returnflag", "l_extendedprice")
       .orderBy("l_returnflag")
 
+  /** Q33 — Bloom-pruned semi join (ops.BloomPrune): the selective
+    * fact-dim shape with an in-plan sketch prune. The dim (urgent
+    * orders, ~1/5 of orders) builds a Bloom filter in one aggregate,
+    * shipped to the lineitem scan as a scalar subquery; fact rows
+    * failing might_contain never reach the semi-join exchange. The
+    * result is identical to the plain semi join — the oracle is the
+    * unpruned spelling — and BloomPruneSpec asserts the probe sits
+    * below the join on the fact side of the physical plan. */
+  def q33BloomSemi(spark: SparkSession, dir: String): DataFrame =
+    BloomPrune.prunedSemiJoin(
+      Tables.lineitem(spark, dir),
+      Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT"),
+      "l_orderkey", "o_orderkey")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sumDec(col("l_quantity")).as("qty"))
+      .orderBy("l_returnflag")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> q1FilterProject _,
     "q2_agg" -> q2Agg _,
@@ -569,6 +588,7 @@ object Relational extends QueryPack {
     "q30_bucket_join" -> q30BucketJoin _,
     "q31_range_frame" -> q31RangeFrame _,
     "q32_median_plan" -> q32MedianPlan _,
+    "q33_bloom_semi" -> q33BloomSemi _,
   )
 
   /** Shared by q23 (declarative window) and q27 (prefix-sum operator):
@@ -712,6 +732,14 @@ object Relational extends QueryPack {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_above
         |FROM lineitem l JOIN dim USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the UNPRUNED spelling — the Bloom prune must never change rows
+    "q33_bloom_semi" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q31_range_frame" ->
       """SELECT l_returnflag, l_orderkey, l_extendedprice,
         |  COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
