@@ -3,7 +3,9 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.CmsEstimateCount
 import graft.pipeline.{Curation, Decontamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.TextFunctions
 
 /** The training-data-pipeline operator surface (SURVEY.md §2.3) on the
   * driver's query gate. SQL-expressible ops carry a DuckDB oracle;
@@ -352,6 +354,43 @@ object PipelineQueries extends QueryPack {
           col("exact_texts").cast("double"))
       .orderBy("lang")
 
+  /** Exact corpus heavy hitters: top-k tokens by raw term frequency.
+    * The plan is the scale shape for "what dominates my corpus": one
+    * partial+final count aggregate on the exploded tokens, then
+    * TakeOrderedAndProject (per-partition top-k, k-sized driver merge
+    * — never a global sort). Total order (cnt DESC, tok) makes the
+    * k-cutoff deterministic, so the row hash-gates. */
+  def statsHeavyHitters(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(20)
+
+  /** The sketched twin: a Count-Min sketch built over xxhash64(token)
+    * in ONE aggregate (constant-size mergeable state — the 100 TB
+    * path when exact token counts would mean a giant exchange), probed
+    * in-plan by the native CmsEstimateCount expression for the exact
+    * top-20's keys. Rows-only (estimates are engine-specific): the
+    * audit columns carry the CMS one-sided error per row — overcount
+    * is >= 0 always (CMS never undercounts) and <= eps·N with 99%
+    * confidence; SketchSpec asserts both, and a drifting estimate
+    * shows up in the driver gate as changed values. */
+  def statsCmsTopk(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val sketch = toks
+      .select(count_min_sketch(xxhash64(col("tok")), lit(0.001d),
+        lit(0.99d), lit(42)).as("cms"))
+      .scalar()
+    statsHeavyHitters(s, d)
+      .withColumn("est", CmsEstimateCount.cmsEstimate(sketch, xxhash64(col("tok"))))
+      .withColumn("overcount", col("est") - col("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   /** Exact vs sketched quantiles side by side (the quantile member of
     * the sketch family next to stats_cardinality's HLL): the exact
     * median needs a per-group sort; approx_percentile is one pass of
@@ -437,6 +476,8 @@ object PipelineQueries extends QueryPack {
     "stats_cardinality" -> statsCardinality _,
     "stats_distinct_by_lang" -> statsDistinctByLang _,
     "stats_hll_by_lang" -> statsHllByLang _,
+    "stats_heavy_hitters" -> statsHeavyHitters _,
+    "stats_cms_topk" -> statsCmsTopk _,
     "stats_quantiles" -> statsQuantiles _,
     "stats_median" -> statsMedian _,
     "stats_quantiles_exact" -> statsQuantilesExact _,
@@ -523,6 +564,15 @@ object PipelineQueries extends QueryPack {
         |  FROM j)
         |SELECT component, doc_id AS keep_id, n_chars AS best_chars, n_docs
         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
+    // stats_cms_topk is rows-only by design (sketch estimates are
+    // engine-specific); this exact row pins the top-k the sketch
+    // approximates
+    "stats_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)
+        |SELECT tok, COUNT(*) AS cnt FROM t WHERE length(tok) > 0
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
     "stats_distinct_by_lang" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT text) AS distinct_texts,

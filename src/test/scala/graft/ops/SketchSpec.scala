@@ -61,4 +61,56 @@ class SketchSpec extends SparkSpec {
       assert(r.getLong(1) > 0)
     }
   }
+
+  test("CMS top-k: estimates carry the one-sided guarantee (est >= exact, overcount <= eps*N)") {
+    val d = sf("sf0.01")
+    val rows = PipelineQueries.statsCmsTopk(spark, d).collect()
+    assert(rows.length == 20, s"expected the exact top-20, got ${rows.length}")
+    val n = Tables.documents(spark, d)
+      .select(explode(graft.pipeline.TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0).count()
+    for (r <- rows) {
+      val (tok, cnt, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est >= cnt, s"CMS undercounted '$tok': est $est < exact $cnt")
+      // eps = 0.001 at 99% confidence per query; 20 queries on a fixed
+      // seed are deterministic — this asserts the realized error, not
+      // a probabilistic bound
+      assert(est - cnt <= (0.001 * n).toLong + 1,
+        s"'$tok' overcount ${est - cnt} exceeds eps*N ${(0.001 * n).toLong}")
+    }
+  }
+
+  test("CMS probe: interpreted path matches codegen path") {
+    val d = sf("sf0.001")
+    val gen = PipelineQueries.statsCmsTopk(spark, d).collect().toSeq
+    val conf = spark.conf
+    val keys = Seq("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+    val old = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val interp = PipelineQueries.statsCmsTopk(spark, d).collect().toSeq
+      assert(gen == interp)
+    } finally old.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("CMS probe: empty build input yields an empty sketch (all-zero estimates)") {
+    // unlike BloomFilterAggregate (which returns NULL on empty input),
+    // count_min_sketch serializes the empty sketch — every estimate is
+    // 0, the correct count for a corpus with no items
+    import SparkSpec.session.implicits._
+    val empty = Seq.empty[Long].toDF("k")
+    val sketch = empty
+      .select(count_min_sketch(col("k"), lit(0.001d), lit(0.99d), lit(42))
+        .as("cms")).scalar()
+    val probed = Seq(1L, 2L).toDF("k")
+      .withColumn("est",
+        graft.functions.CmsEstimateCount.cmsEstimate(sketch, col("k")))
+      .collect()
+    assert(probed.forall(r => !r.isNullAt(1) && r.getLong(1) == 0L),
+      "expected zero estimates from the empty sketch")
+  }
 }
