@@ -179,6 +179,14 @@ object PipelineQueries extends QueryPack {
       .select("doc_id", "lang", "z")
       .orderBy("doc_id")
 
+  // per-language winsorization of doc length: exact discrete-quantile
+  // limits (rank ceil(q*n) == quantile_disc), broadcast-joined back —
+  // the outlier-robust sibling of the z-score row
+  def statsWinsorizeByLang(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Normalize.winsorizeByGroup(docs(s, d), "lang", "n_chars")
+      .select("doc_id", "lang", "n_chars", "clipped")
+      .orderBy("doc_id")
+
   // the full curation funnel: quality gate -> exact dedup -> 50%
   // deterministic sample -> per-language stats (Curation.curate)
   def pipelineCurate(s: SparkSession, d: String): DataFrame =
@@ -454,6 +462,7 @@ object PipelineQueries extends QueryPack {
     "sample_stratified" -> sampleStratified _,
     "sample_weighted" -> sampleWeighted _,
     "stats_zscore_by_lang" -> statsZscoreByLang _,
+    "stats_winsorize_by_lang" -> statsWinsorizeByLang _,
     "pipeline_curate" -> pipelineCurate _,
     "sim_topk_brute" -> simTopkBrute _,
     "sim_topk_lsh" -> simTopkLsh _,
@@ -667,6 +676,16 @@ object PipelineQueries extends QueryPack {
         |      / sqrt((sq - s * s / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
         |    END AS z
         |FROM documents d JOIN m USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+    "stats_winsorize_by_lang" ->
+      """WITH l AS (
+        |  SELECT lang, quantile_disc(n_chars, 0.1) AS lo,
+        |    quantile_disc(n_chars, 0.9) AS hi
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang)
+        |SELECT doc_id, d.lang AS lang, n_chars,
+        |  CASE WHEN n_chars IS NOT NULL
+        |    THEN GREATEST(lo, LEAST(hi, n_chars)) END AS clipped
+        |FROM documents d JOIN l USING (lang)
         |ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       s"""WITH h AS (

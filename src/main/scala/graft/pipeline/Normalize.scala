@@ -44,4 +44,33 @@ object Normalize {
           (v.cast("double") - s / n) / sqrt(varS)))
       .drop("__s", "__sq", "__n")
   }
+
+  /** Append `clipped` — `valueCol` winsorized to its within-group
+    * [loQ, hiQ] exact discrete quantiles — the outlier-robust
+    * alternative to z-scoring (a feature pipeline clips before
+    * scaling so a single 10 MB document doesn't define the tail).
+    * Quantile semantics are exactQuantiles' rank ⌈q·n⌉, identical to
+    * DuckDB's quantile_disc, so the output hash-gates. NULL values
+    * pass through unclipped (no meaningful limits).
+    *
+    * At 100 TB: the limits table is |groups| rows (computed by the
+    * range-partitioned two-pass prefix-sum machinery — no per-group
+    * sort funnel) and joins back by BROADCAST; the corpus is never
+    * shuffled. */
+  def winsorizeByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      loQ: Double = 0.1, hiQ: Double = 0.9): DataFrame = {
+    require(loQ < hiQ, s"loQ=$loQ must be < hiQ=$hiQ")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol))
+    val lims = graft.ops.GroupedMedian
+      .exactQuantiles(vals, groupCol, valueCol, Seq(loQ, hiQ))
+      .groupBy(groupCol)
+      .agg(max(when(col("q") === loQ, col("value"))).as("__lo"),
+        max(when(col("q") === hiQ, col("value"))).as("__hi"))
+    df.join(broadcast(lims), groupCol)
+      .withColumn("clipped",
+        when(col(valueCol).isNotNull,
+          greatest(col("__lo"), least(col("__hi"), col(valueCol)))))
+      .drop("__lo", "__hi")
+  }
 }

@@ -50,4 +50,29 @@ class NormalizeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     assert(!p.contains("SortMergeJoin"), "moment join fell back to shuffle")
   }
+
+  test("winsorize clips to the exact discrete p10/p90 per group") {
+    // group a: 1..10 -> rank ceil(0.1*10)=1 => lo=1, rank ceil(0.9*10)=9 => hi=9
+    val df = ((1L to 10L).map(v => ("a", v, v)) ++
+      Seq(("b", 100L, 7L), ("b", 101L, 7L)))
+      .toDF("grp", "id", "v")
+    val got = Normalize.winsorizeByGroup(df, "grp", "v")
+      .select("id", "clipped").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(9L) == 9L)
+    assert(got(10L) == 9L, "the max must clip down to p90")
+    // constant group: lo == hi == 7, everything clips to 7
+    assert(got(100L) == 7L && got(101L) == 7L)
+  }
+
+  test("winsorize passes NULL values through unclipped") {
+    val df = Seq(("a", 1L, Some(5L)), ("a", 2L, Some(10L)),
+      ("a", 3L, Option.empty[Long])).toDF("grp", "id", "v")
+    val rows = Normalize.winsorizeByGroup(df, "grp", "v")
+      .select("id", "clipped").collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byId(3L).isEmpty, "NULL value must yield NULL clipped")
+    assert(byId(1L).nonEmpty && byId(2L).nonEmpty)
+  }
 }
