@@ -64,6 +64,18 @@ object PipelineQueries extends QueryPack {
       threshold = 0.8)
       .orderBy("id_a", "id_b")
 
+  // incremental ingestion at recall-1 banding (r=2 — the
+  // dedup_minhash_verified argument): the batch (doc_id 100..149)
+  // dedups against the settled corpus (doc_id < 100) and itself, never
+  // corpus-vs-corpus — so the pair set is EXACTLY the all-pairs truth
+  // restricted to id_b >= 100, and DuckDB reproduces it row-for-row
+  def dedupIncremental(s: SparkSession, d: String): DataFrame =
+    Dedup.incrementalMinhashPairs(
+      docs(s, d).filter(col("doc_id") >= 100 && col("doc_id") < 150),
+      docs(s, d).filter(col("doc_id") < 100),
+      shingleN = 1, k = 64, bands = 32, threshold = 0.7)
+      .orderBy("id_a", "id_b")
+
   // threshold tuned to the synthetic embeddings (max pairwise cosine
   // ~0.51): 0.3 ~= the 99th percentile, so the verify path has real
   // work to do while the bucket join still prunes hard. Multi-table
@@ -453,6 +465,7 @@ object PipelineQueries extends QueryPack {
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash_verified" -> dedupMinhashVerified _,
     "dedup_prefix_jaccard" -> dedupPrefixJaccard _,
+    "dedup_incremental" -> dedupIncremental _,
     "dedup_embedding" -> dedupEmbedding _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_clusters_lsh" -> dedupClustersLsh _,
@@ -553,6 +566,20 @@ object PipelineQueries extends QueryPack {
         |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS j
         |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+    // the incremental batch vs the all-pairs truth: id_a < id_b makes
+    // "at least one side new" equivalent to id_b >= 100
+    "dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+        |  FROM documents WHERE doc_id < 150 AND length(trim(text)) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS j
+        |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        |WHERE b.doc_id >= 100
+        |  AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
         |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_clusters" -> clustersOracle,

@@ -52,30 +52,7 @@ object Dedup {
     require(k % bands == 0,
       s"signature length k=$k must be a multiple of bands=$bands " +
         "(a remainder would silently drop tail hashes from every band)")
-    val r = k / bands
-    val banded = docs
-      // blank/NULL docs all tokenize to the same degenerate shingle
-      // set, so every one of them would collide with every other on
-      // every band — candidate volume quadratic in the number of empty
-      // docs (and genuinely-empty shingle arrays would all carry
-      // MinHashSignature's identical all-sentinel signature, same
-      // blowup). A doc with no content has nothing to NEAR-dup
-      // against — exact dedup owns that class; drop before banding.
-      .filter(length(trim(col("text"))) > 0)
-      // bind tokens before shingling — an unbound split expression
-      // inside the shingle lambda re-evaluates per element (quadratic
-      // per doc; see TextFunctions.shinglesOfTokens)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesOfTokens(col("toks"), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      // native one-pass signature (graft.functions.MinHashSignature);
-      // the HOF spelling in TextFunctions.minhashSignature uses a
-      // different (k-string-hash) member of the same family and stays
-      // as the declarative reference
-      .withColumn("sig",
-        graft.functions.MinHashSignature.minhashSignature(col("sh"), k))
-      .select(col("doc_id"),
-        posexplode(lshBands(col("sig"), bands, r)).as(Seq("band", "bkey")))
+    val banded = bandedKeys(docs, shingleN, k, bands)
       // explicit hash partitioning on the join keys: both self-join
       // branches now share ONE identical exchange subtree, which
       // ReuseExchange collapses — the signatures are computed once at
@@ -103,6 +80,86 @@ object Dedup {
     // reusing: tokenization ran twice). PlanAuditSpec asserts both this
     // reuse and the banded self-join's.
     val ts = docs.select(col("doc_id"), tokenSet(col("text")).as("ts"))
+      .repartition(col("doc_id"))
+    pairs
+      .join(ts.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(ts.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .withColumn("j", jaccard(col("ts_a"), col("ts_b")))
+      .filter(col("j") >= threshold)
+      .select("id_a", "id_b", "j")
+  }
+
+  /** (doc_id, band, bkey) LSH bucket keys per document — the shared
+    * candidate-generation front half of minhashPairs and
+    * incrementalMinhashPairs. */
+  private def bandedKeys(docs: DataFrame, shingleN: Int, k: Int,
+      bands: Int): DataFrame = {
+    val r = k / bands
+    docs
+      // blank/NULL docs all tokenize to the same degenerate shingle
+      // set, so every one of them would collide with every other on
+      // every band — candidate volume quadratic in the number of empty
+      // docs (and genuinely-empty shingle arrays would all carry
+      // MinHashSignature's identical all-sentinel signature, same
+      // blowup). A doc with no content has nothing to NEAR-dup
+      // against — exact dedup owns that class; drop before banding.
+      .filter(length(trim(col("text"))) > 0)
+      // bind tokens before shingling — an unbound split expression
+      // inside the shingle lambda re-evaluates per element (quadratic
+      // per doc; see TextFunctions.shinglesOfTokens)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesOfTokens(col("toks"), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      // native one-pass signature (graft.functions.MinHashSignature);
+      // the HOF spelling in TextFunctions.minhashSignature uses a
+      // different (k-string-hash) member of the same family and stays
+      // as the declarative reference
+      .withColumn("sig",
+        graft.functions.MinHashSignature.minhashSignature(col("sh"), k))
+      .select(col("doc_id"),
+        posexplode(lshBands(col("sig"), bands, r)).as(Seq("band", "bkey")))
+  }
+
+  /** Incremental near-dup detection: pairs between a NEW batch and an
+    * EXISTING corpus, plus new-vs-new — but never corpus-vs-corpus,
+    * which was settled when the corpus was built. This is the daily
+    * ingestion shape (the batch analog of the reference's incremental
+    * GA entry point, /root/reference/src/edu/illinois/incr_ga/
+    * IncMapReduce.java, which re-evaluates only the offspring against
+    * accumulated state): each batch pays banding for ITS OWN rows plus
+    * one bucket join against the corpus's bucket keys. At 100 TB the
+    * corpus side is a precomputed signature table stored bucketed by
+    * (band, bkey), so a batch run shuffles only batch-sized data; here
+    * both sides band from text to keep the function self-contained.
+    *
+    * doc_ids must be disjoint across the two inputs (they are one id
+    * space — a shared id would alias a pair into self-comparison and
+    * be dropped by the a < b guard). Returns (id_a, id_b, j) with at
+    * least one side from `newDocs`, exact-Jaccard verified. */
+  def incrementalMinhashPairs(newDocs: DataFrame, corpus: DataFrame,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must be a multiple of bands=$bands " +
+        "(a remainder would silently drop tail hashes from every band)")
+    val both =
+      bandedKeys(newDocs, shingleN, k, bands).withColumn("is_new", lit(true))
+        .unionByName(
+          bandedKeys(corpus, shingleN, k, bands).withColumn("is_new", lit(false)))
+        // one exchange shared by both self-join branches (the
+        // minhashPairs ReuseExchange discipline)
+        .repartition(col("band"), col("bkey"))
+    val a = both.alias("a")
+    val b = both.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.is_new") || col("b.is_new")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val ts = newDocs.select(col("doc_id"), col("text"))
+      .unionByName(corpus.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokenSet(col("text")).as("ts"))
       .repartition(col("doc_id"))
     pairs
       .join(ts.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")

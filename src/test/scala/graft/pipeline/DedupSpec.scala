@@ -300,6 +300,41 @@ class DedupSpec extends SparkSpec {
     assert(found.subsetOf(exact), s"false positives: ${found -- exact}")
   }
 
+  test("incremental minhash: batch-vs-corpus pairs exactly, never corpus-vs-corpus") {
+    // seeded shared-vocabulary corpus (the prefix-join fixture's
+    // recipe) split into a settled corpus and a new batch; recall-1
+    // banding makes the found set a deterministic function of the text
+    val rng = new scala.util.Random(0xBEEF)
+    val vocab = (0 until 50).map(i => s"v$i")
+    val base = (0 until 40).map { i =>
+      val n = 8 + rng.nextInt(10)
+      (i.toLong, rng.shuffle(vocab).take(n).mkString(" "))
+    }
+    // the batch: near-copies of corpus docs (one token dropped — high
+    // j), near-copies of other BATCH docs, and fresh random docs
+    val batch0 = (40 until 45).map { i =>
+      (i.toLong, base(i - 40)._2.split(" ").drop(1).mkString(" "))
+    } ++ Seq((45L, base(0)._2), (46L, "q1 q2 q3 q4 q5"),
+      (47L, "q1 q2 q3 q4 q5 q6")) ++ (48 until 60).map { i =>
+      (i.toLong, rng.shuffle(vocab).take(8 + rng.nextInt(10)).mkString(" "))
+    }
+    val all = base ++ batch0
+    val corpus = base.toDF("doc_id", "text")
+    val batch = batch0.toDF("doc_id", "text")
+    val full = Dedup.ngramJaccardPairs(all.toDF("doc_id", "text"),
+      maxId = 1000L, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (_, b) => b >= 40 } // at least one new
+    val got = Dedup.incrementalMinhashPairs(batch, corpus,
+      shingleN = 1, k = 64, bands = 32, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture must produce cross pairs")
+    assert(got == expected,
+      s"missing ${expected -- got}, extra ${got -- expected}")
+    assert(got.forall { case (a, b) => a >= 40 || b >= 40 },
+      "emitted a corpus-vs-corpus pair")
+  }
+
   test("prefix-filter jaccard == brute force on random corpora across thresholds") {
     // seeded random corpus over a SHARED small vocabulary: docs
     // overlap heavily and at every similarity level, so the exact pair
