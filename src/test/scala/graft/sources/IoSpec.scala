@@ -35,6 +35,27 @@ class IoSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("dynamic partition pruning reaches the partitioned scan through a join") {
+    // the 100 TB layout contract: when the partition column is a JOIN
+    // key and the dim side is filtered, the fact scan must receive a
+    // runtime partition filter (DPP) — directories for langs the dim
+    // filter eliminates are never read, even though the eliminated set
+    // is only known at run time
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val p = s"${tmp()}/docs-dpp"
+    Io.write(docs, p, "parquet", partitionBy = Seq("lang"))
+    val fact = Io.read(spark, p)
+    val dim = docs.groupBy("lang").count()
+      .filter(col("count") > 0 && col("lang") < lit("zz"))
+      .select("lang")
+    val j = fact.join(dim, "lang").groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n${plan.take(2000)}")
+  }
+
   test("bucketed tables join without an exchange") {
     val wh = tmp()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
