@@ -69,6 +69,29 @@ object ScaleBench {
         .weightedSample(docs, "doc_id", "n_chars", 2000L, 200)),
       "zscore_by_lang" -> (() => graft.pipeline.Normalize
         .zscoreByGroup(docs, "lang", "n_chars")),
+      // exact prefix-filter similarity join over the WHOLE dir: on
+      // ScaleGen dirs replica token universes are disjoint, so true
+      // pairs — and therefore output and cost — grow linearly in the
+      // replication factor (the within-replica pair set just repeats)
+      "prefix_jaccard" -> (() => Dedup.prefixJaccardPairs(docs, 0.8)),
+      // ~6% batch vs the rest of the corpus; banding cost is the whole
+      // dir once, bucket-join cost is batch-driven
+      "incremental_minhash" -> (() => Dedup.incrementalMinhashPairs(
+        docs.filter(col("doc_id") % 17 === 0),
+        docs.filter(col("doc_id") % 17 =!= 0),
+        shingleN = 3, k = 32, bands = 8, threshold = 0.7)),
+      "bloom_semi" -> (() => graft.ops.BloomPrune.prunedSemiJoin(
+        li, Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        "l_orderkey", "o_orderkey")),
+      "heavy_hitters" -> (() => docs
+        .select(explode(graft.pipeline.TextFunctions.tokens(col("text")))
+          .as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(20)),
+      "winsorize_by_lang" -> (() => graft.pipeline.Normalize
+        .winsorizeByGroup(docs, "lang", "n_chars")),
       "milestones_batch" -> (() => {
         import spark.implicits._
         graft.streaming.Streams.userMilestones(
@@ -99,8 +122,8 @@ object ScaleBench {
     args.foreach { dir =>
       // warmup: touch every table so footer caches/JIT don't bill the
       // first query of each dir
-      Seq("documents", "embeddings", "lineitem", "customer", "supplier")
-        .foreach(t => Tables(spark, dir, t).count())
+      Seq("documents", "embeddings", "lineitem", "customer", "supplier",
+        "orders").foreach(t => Tables(spark, dir, t).count())
       val timed = ops(spark, dir).map { case (name, build) =>
         val ts = (0 until runs).map { _ =>
           val t0 = System.nanoTime()

@@ -76,6 +76,17 @@ object ScaleGen {
         col("l_shipdate"))
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
+    // orders with the SAME orderkey remap as lineitem, so the fact-dim
+    // join structure (each lineitem's order exists exactly once) is
+    // SF-invariant — required by the bloom_semi scaling row
+    ops.Tables.orders(spark, srcDir).crossJoin(reps)
+      .select(
+        (col("o_orderkey") * factor + col("rep")).as("o_orderkey"),
+        (col("o_custkey") * factor + col("rep")).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
     // events for the stateful-streaming scaling rows: user_id remapped
     // per replica so per-user event counts (and thus milestone/session
     // structure) are SF-invariant — N disjoint copies of the original

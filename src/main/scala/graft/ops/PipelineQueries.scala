@@ -199,6 +199,17 @@ object PipelineQueries extends QueryPack {
       .select("doc_id", "lang", "n_chars", "clipped")
       .orderBy("doc_id")
 
+  // Z-order (Morton) layout key over (n_chars, doc_id): the
+  // multi-column clustering key a 100 TB table sorts by before writing
+  // so min/max file stats serve predicates on EITHER column. Masking
+  // to 31 bits is the expression's contract, spelled identically in
+  // the oracle; pure integer bit arithmetic, so the row hash-gates.
+  def pipelineZorder(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), col("n_chars"),
+        graft.functions.ZOrderInterleave.zorder2(
+          col("n_chars").cast("long"), col("doc_id").cast("long")).as("z"))
+      .orderBy("doc_id")
+
   // the full curation funnel: quality gate -> exact dedup -> 50%
   // deterministic sample -> per-language stats (Curation.curate)
   def pipelineCurate(s: SparkSession, d: String): DataFrame =
@@ -476,6 +487,7 @@ object PipelineQueries extends QueryPack {
     "sample_weighted" -> sampleWeighted _,
     "stats_zscore_by_lang" -> statsZscoreByLang _,
     "stats_winsorize_by_lang" -> statsWinsorizeByLang _,
+    "pipeline_zorder" -> pipelineZorder _,
     "pipeline_curate" -> pipelineCurate _,
     "sim_topk_brute" -> simTopkBrute _,
     "sim_topk_lsh" -> simTopkLsh _,
@@ -704,6 +716,15 @@ object PipelineQueries extends QueryPack {
         |    END AS z
         |FROM documents d JOIN m USING (lang)
         |ORDER BY doc_id""".stripMargin,
+    // bit-by-bit spelling of the Morton interleave (the Spark side
+    // uses the magic-number spread; same function, 62 explicit terms)
+    "pipeline_zorder" ->
+      """WITH m AS (SELECT doc_id, n_chars,
+        |    n_chars & 2147483647 AS a, doc_id & 2147483647 AS b
+        |  FROM documents)
+        |SELECT doc_id, n_chars, TERMS AS z
+        |FROM m ORDER BY doc_id""".stripMargin
+      .replace("TERMS", "(((a >> 0) & 1) << 1) | (((b >> 0) & 1) << 0) | (((a >> 1) & 1) << 3) | (((b >> 1) & 1) << 2) | (((a >> 2) & 1) << 5) | (((b >> 2) & 1) << 4) | (((a >> 3) & 1) << 7) | (((b >> 3) & 1) << 6) | (((a >> 4) & 1) << 9) | (((b >> 4) & 1) << 8) | (((a >> 5) & 1) << 11) | (((b >> 5) & 1) << 10) | (((a >> 6) & 1) << 13) | (((b >> 6) & 1) << 12) | (((a >> 7) & 1) << 15) | (((b >> 7) & 1) << 14) | (((a >> 8) & 1) << 17) | (((b >> 8) & 1) << 16) | (((a >> 9) & 1) << 19) | (((b >> 9) & 1) << 18) | (((a >> 10) & 1) << 21) | (((b >> 10) & 1) << 20) | (((a >> 11) & 1) << 23) | (((b >> 11) & 1) << 22) | (((a >> 12) & 1) << 25) | (((b >> 12) & 1) << 24) | (((a >> 13) & 1) << 27) | (((b >> 13) & 1) << 26) | (((a >> 14) & 1) << 29) | (((b >> 14) & 1) << 28) | (((a >> 15) & 1) << 31) | (((b >> 15) & 1) << 30) | (((a >> 16) & 1) << 33) | (((b >> 16) & 1) << 32) | (((a >> 17) & 1) << 35) | (((b >> 17) & 1) << 34) | (((a >> 18) & 1) << 37) | (((b >> 18) & 1) << 36) | (((a >> 19) & 1) << 39) | (((b >> 19) & 1) << 38) | (((a >> 20) & 1) << 41) | (((b >> 20) & 1) << 40) | (((a >> 21) & 1) << 43) | (((b >> 21) & 1) << 42) | (((a >> 22) & 1) << 45) | (((b >> 22) & 1) << 44) | (((a >> 23) & 1) << 47) | (((b >> 23) & 1) << 46) | (((a >> 24) & 1) << 49) | (((b >> 24) & 1) << 48) | (((a >> 25) & 1) << 51) | (((b >> 25) & 1) << 50) | (((a >> 26) & 1) << 53) | (((b >> 26) & 1) << 52) | (((a >> 27) & 1) << 55) | (((b >> 27) & 1) << 54) | (((a >> 28) & 1) << 57) | (((b >> 28) & 1) << 56) | (((a >> 29) & 1) << 59) | (((b >> 29) & 1) << 58) | (((a >> 30) & 1) << 61) | (((b >> 30) & 1) << 60)"),
     "stats_winsorize_by_lang" ->
       """WITH l AS (
         |  SELECT lang, quantile_disc(n_chars, 0.1) AS lo,
