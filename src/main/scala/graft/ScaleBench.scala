@@ -69,11 +69,14 @@ object ScaleBench {
         .weightedSample(docs, "doc_id", "n_chars", 2000L, 200)),
       "zscore_by_lang" -> (() => graft.pipeline.Normalize
         .zscoreByGroup(docs, "lang", "n_chars")),
-      // exact prefix-filter similarity join over the WHOLE dir: on
-      // ScaleGen dirs replica token universes are disjoint, so true
-      // pairs — and therefore output and cost — grow linearly in the
-      // replication factor (the within-replica pair set just repeats)
-      "prefix_jaccard" -> (() => Dedup.prefixJaccardPairs(docs, 0.8)),
+      // exact prefix-filter similarity join over the WHOLE dir, at the
+      // production trigram setting (the unigram spelling on this
+      // word-salad corpus has Θ(n²) TRUE pairs — any exact engine is
+      // quadratic there; measured: 50.8 s at sf0.1, the fixture's
+      // density, not the operator). On ScaleGen dirs replica shingle
+      // universes are disjoint, so cost grows linearly in the factor
+      "prefix_jaccard" -> (() => Dedup.prefixJaccardPairs(docs, 0.8,
+        shingleN = 3)),
       // ~6% batch vs the rest of the corpus; banding cost is the whole
       // dir once, bucket-join cost is batch-driven
       "incremental_minhash" -> (() => Dedup.incrementalMinhashPairs(

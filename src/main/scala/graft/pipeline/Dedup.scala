@@ -251,14 +251,21 @@ object Dedup {
     * boundary pairs (e.g. |A|=4, |B|=5 at t=0.8) from being rejected
     * by fp round-up of t·max, and only ever ADMITS candidates — the
     * verify is exact. */
-  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double,
+      shingleN: Int = 1): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     // same blank-doc discipline as ngramJaccardPairs/minhashPairs:
-    // content-empty docs are exact dedup's class, not near-dup's
+    // content-empty docs are exact dedup's class, not near-dup's.
+    // shingleN=1 is the token-set semantics the oracle spells; larger
+    // n (discriminative shingles) is the production setting on corpora
+    // whose token sets are non-discriminative — same reason
+    // minhashPairs defaults to trigrams
     val t = docs
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), tokenSet(col("text")).as("ts"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesOfTokens(col("toks"), shingleN).as("ts"))
+      .filter(size(col("ts")) > 0)
     val dfreq = t.select(explode(col("ts")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))

@@ -358,6 +358,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filter jaccard at trigram shingles == shingle-set brute force") {
+    // 11 shared tokens + 1 unique tail: 9 shared trigrams, 1 unique
+    // per doc -> pairwise shingle j = 9/11 ~ 0.82; plus disjoint docs
+    val common = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"
+    val corpus = ((0 until 20).map(i => (i.toLong, s"$common u$i")) ++
+      (20 until 25).map(i => (i.toLong, s"x${i}a x${i}b x${i}c x${i}d")))
+      .toDF("doc_id", "text")
+    val sh = corpus
+      .select(col("doc_id"),
+        TextFunctions.wordShingles(col("text"), 3).as("ts"))
+    val brute = sh.alias("a").join(sh.alias("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        TextFunctions.jaccard(col("a.ts"), col("b.ts")).as("j"))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefix = Dedup.prefixJaccardPairs(corpus, 0.5, shingleN = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must overlap at the shingle level")
+    assert(prefix == brute,
+      s"missing ${brute -- prefix}, extra ${prefix -- brute}")
+  }
+
   test("prefix-filter jaccard keeps integer-boundary pairs the fp size filter could drop") {
     // |A|=4, |B|=5, A ⊂ B at t=0.8: j = 4/5 = 0.8 EXACTLY, and the
     // size-compatibility prune computes 4 >= 0.8*5 where fp 0.8*5 is
