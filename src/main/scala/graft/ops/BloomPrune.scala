@@ -62,8 +62,14 @@ object BloomPrune {
     * but rows failing the sketch never reach the exchange. */
   def prunedSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedItems: Long = 1000000L): DataFrame = {
+    require(!fact.columns.contains("__graft_dim_key"),
+      "fact must not already carry a __graft_dim_key column")
     val sketch = sketchOf(dim, dimKey, expectedItems)
+    // alias the dim key: when factKey and dimKey share a name the
+    // bare-column join condition would be an ambiguous reference (the
+    // rename never leaks — a semi join outputs fact columns only)
     fact.filter(mightContainKey(sketch, col(factKey)))
-      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
+      .join(dim.select(col(dimKey).as("__graft_dim_key")),
+        col(factKey) === col("__graft_dim_key"), "left_semi")
   }
 }

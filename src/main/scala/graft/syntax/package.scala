@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.pipeline.{Curation, Decontamination, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Decontamination, Dedup, Normalize, Sampling, Similarity, TextAnalysis}
 
 /** Fluent entry points: `import graft.syntax._` and call pipeline
   * operators as methods on any DataFrame with the right columns
@@ -69,6 +69,31 @@ package object syntax {
     def curate(minTokens: Int = 5, maxMeanTokLen: Double = 12.0,
         samplePermille: Int = 500): DataFrame =
       Curation.curate(df, minTokens, maxMeanTokLen, samplePermille)
+
+    /** EXACT Jaccard-threshold pairs via prefix filtering (recall 1,
+      * no O(n²) cross join). */
+    def nearDupsPrefix(threshold: Double = 0.8, shingleN: Int = 1): DataFrame =
+      Dedup.prefixJaccardPairs(df, threshold, shingleN)
+
+    /** Near-dup pairs of THIS batch vs a settled corpus (plus
+      * batch-vs-batch) — corpus-vs-corpus never recomputed. */
+    def nearDupsAgainst(corpus: DataFrame, shingleN: Int = 3, k: Int = 32,
+        bands: Int = 8, threshold: Double = 0.7): DataFrame =
+      Dedup.incrementalMinhashPairs(df, corpus, shingleN, k, bands, threshold)
+
+    /** Within-group z-score of an integer column. */
+    def zscoreBy(groupCol: String, valueCol: String): DataFrame =
+      Normalize.zscoreByGroup(df, groupCol, valueCol)
+
+    /** Winsorize a column to its within-group exact [loQ, hiQ]. */
+    def winsorizeBy(groupCol: String, valueCol: String, loQ: Double = 0.1,
+        hiQ: Double = 0.9): DataFrame =
+      Normalize.winsorizeByGroup(df, groupCol, valueCol, loQ, hiQ)
+
+    /** Bloom-pruned LEFT SEMI join (identical rows, pruned exchange). */
+    def semiJoinPruned(dim: DataFrame, key: String, dimKey: String,
+        expectedItems: Long = 1000000L): DataFrame =
+      graft.ops.BloomPrune.prunedSemiJoin(df, dim, key, dimKey, expectedItems)
   }
 
   implicit class EmbeddingOps(private val df: DataFrame) {

@@ -24,6 +24,15 @@ class SyntaxSpec extends SparkSpec {
       .columns.toSeq == Seq("doc_id", "hits"))
     assert(docs.clusterPairs(docs.nearDupsMinhash(shingleN = 1, k = 16,
       bands = 8, threshold = 0.9).select("id_a", "id_b")).count() > 0)
+    assert(docs.filter("doc_id < 50").nearDupsPrefix(0.8)
+      .columns.toSeq == Seq("id_a", "id_b", "j"))
+    assert(docs.filter("doc_id >= 450").nearDupsAgainst(
+      docs.filter("doc_id < 50"), shingleN = 1)
+      .columns.toSeq == Seq("id_a", "id_b", "j"))
+    assert(docs.zscoreBy("lang", "n_chars").columns.contains("z"))
+    assert(docs.winsorizeBy("lang", "n_chars").columns.contains("clipped"))
+    assert(docs.semiJoinPruned(docs.filter("doc_id < 100"),
+      "doc_id", "doc_id").count() == 100)
   }
 
   test("fluent API: embeddings surface") {
