@@ -39,7 +39,21 @@ object AsOf {
     *                   column, so a NULL in one value column would let
     *                   that column fall back to an older right row. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame =
+    join(left, right, key, leftTs, rightTs, rightVals, forward = false)
+
+  /** The FORWARD direction: for each left row, the EARLIEST right row
+    * with the same key and right ts >= left ts — "what happened next"
+    * (next click after a purchase, next error after a deploy). Same
+    * union + one-window machinery, ts sort reversed; a right row at
+    * ts == left ts IS matched (inclusive), mirroring asofJoin. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame =
+    join(left, right, key, leftTs, rightTs, rightVals, forward = true)
+
+  private def join(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      forward: Boolean): DataFrame = {
     require(rightVals.nonEmpty, "rightVals must name at least one column")
     val lCols = left.columns.toSeq
     val conflict = rightVals.toSet.intersect(lCols.toSet -- Seq(key))
@@ -58,9 +72,13 @@ object AsOf {
         rTyped.map { case (c, _) => F.col(c).as(s"__r_$c") } ++
         Seq(F.lit(0).as("__side"), F.col(rightTs).as("__ts")): _*)
 
+    // forward reverses ONLY the ts ordering: at equal __ts the right
+    // row (side 0) still sorts before the left row, so the inclusive
+    // boundary match holds in both directions
+    val tsOrder = if (forward) F.col("__ts").desc else F.col("__ts").asc
     val w = Window.partitionBy(key)
-      .orderBy(Seq(F.col("__ts"), F.col("__side")) ++
-        rightVals.map(c => F.col(s"__r_$c")): _*)
+      .orderBy(Seq(tsOrder, F.col("__side").asc) ++
+        rightVals.map(c => F.col(s"__r_$c").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSide.unionByName(rSide)
       .select(lCols.map(F.col) ++ rTyped.map { case (c, _) =>

@@ -375,6 +375,27 @@ object Relational extends QueryPack {
       .orderBy("pid")
   }
 
+  /** Q34 — the FORWARD as-of join (AsOf.asofJoinForward): for each
+    * purchase, the NEXT click at-or-after it — the mirror of q24's
+    * "latest click before". Same union + one-window plan, ts sort
+    * reversed; the oracle spells it with DuckDB's native ASOF on the
+    * <= comparison. */
+  def q34AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts_us").as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts_us").agg(max(col("event_id")).as("cid"))
+    AsOf.asofJoinForward(purchases, clicks, "user_id", "p_us", "ts_us",
+        Seq("cid", "ts_us"))
+      .filter(col("cid").isNotNull)
+      .select(col("pid"), col("user_id"), col("p_us"), col("cid"),
+        (col("ts_us") - col("p_us")).as("gap_us"))
+      .orderBy("pid")
+  }
+
   /** Q25 — full outer join: customers×their-order-stats with both
     * unmatched sides surfaced (customers who never ordered AND orders
     * whose cust filter excluded them from the dim — the data-quality
@@ -589,6 +610,7 @@ object Relational extends QueryPack {
     "q31_range_frame" -> q31RangeFrame _,
     "q32_median_plan" -> q32MedianPlan _,
     "q33_bloom_semi" -> q33BloomSemi _,
+    "q34_asof_forward" -> q34AsofForward _,
   )
 
   /** Shared by q23 (declarative window) and q27 (prefix-sum operator):
@@ -767,6 +789,16 @@ object Relational extends QueryPack {
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT pid, p.user_id, p_us, cid, p_us - c_us AS gap_us
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.c_us <= p.p_us
+        |ORDER BY pid""".stripMargin,
+    "q34_asof_forward" ->
+      """WITH p AS (SELECT event_id AS pid, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us,
+        |    MAX(event_id) AS cid
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT pid, p.user_id, p_us, cid, c_us - p_us AS gap_us
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.c_us >= p.p_us
         |ORDER BY pid""".stripMargin,
     "q25_outer_join" ->
       """WITH custs AS (
