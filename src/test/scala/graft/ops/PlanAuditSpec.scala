@@ -186,6 +186,34 @@ class PlanAuditSpec extends SparkSpec {
       "stratified sample lost its group-limit pushdown:\n" + p.take(1200))
   }
 
+  test("prefix/incremental similarity joins carry no cartesian or nested-loop node") {
+    // the whole point of both operators is replacing the O(n²) join
+    // with equi-joins on narrow keys — a planner regression to a
+    // cartesian/BNLJ would still produce correct rows, slowly
+    for (q <- Seq(
+        PipelineQueries.dedupPrefixJaccard _,
+        PipelineQueries.dedupIncremental _)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        "similarity join regressed to an all-pairs plan:\n" + p.take(1500))
+    }
+  }
+
+  test("stats_heavy_hitters: top-k is TakeOrderedAndProject, never a global sort") {
+    val p = plan(PipelineQueries.statsHeavyHitters(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k lost its per-partition limit:\n" + p.take(1200))
+  }
+
+  test("stats_winsorize: the quantile limits join back by broadcast") {
+    val p = plan(graft.pipeline.Normalize.winsorizeByGroup(
+      Tables.documents(spark, dir), "lang", "n_chars"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "limits join fell back to a corpus shuffle")
+  }
+
   test("q30: the bucketed fact-fact join runs with NO exchange on either side") {
     // force the shuffle-join regime a real fact-fact join lives in —
     // a broadcast would hide whether bucketing removed the shuffles
