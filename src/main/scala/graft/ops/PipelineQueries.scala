@@ -334,6 +334,17 @@ object PipelineQueries extends QueryPack {
       .select(col("doc_id"), col("meta.nBytes").as("n_bytes_out"))
       .orderBy("doc_id")
 
+  // perceptual (aHash) fingerprints over the media payloads — the
+  // image-dedup member of the dedup family. The gate row emits the
+  // per-doc 64-bit hashes (deterministic; rows-only — the hash
+  // consumes raw payload bytes, no DuckDB twin); the banded pair
+  // generator (perceptualNearDup, the dedup_simhash shape) is
+  // spec-gated instead: this corpus has no byte-level near-dup media,
+  // so its pair set here is empty by fixture, not by operator
+  def multimodalPhash(s: SparkSession, d: String): DataFrame =
+    Multimodal.perceptualHashes(Multimodal.asMedia(docs(s, d)))
+      .orderBy("doc_id")
+
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
     val f = Multimodal.extractFeatures(Multimodal.asMedia(docs(s, d)))
     f.toDF().select(col("doc_id"), col("nBytes").as("n_bytes"),
@@ -507,6 +518,7 @@ object PipelineQueries extends QueryPack {
     "multimodal_frames" -> multimodalFrames _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_resize" -> multimodalResize _,
+    "multimodal_phash" -> multimodalPhash _,
     "stats_cardinality" -> statsCardinality _,
     "stats_distinct_by_lang" -> statsDistinctByLang _,
     "stats_hll_by_lang" -> statsHllByLang _,

@@ -122,6 +122,64 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash (aHash) per media row — the classic
+    * perceptual fingerprint: downsample the payload to 64 "pixels"
+    * (nearest-neighbor index ⌊i·n/64⌋, the resize op's kernel), bit i
+    * = pixel i above the mean. Runs in the decode stage (typed rows),
+    * like every payload-touching op here; with a real codec the same
+    * 64 samples come from an 8×8 grayscale resize — the algorithm and
+    * everything downstream are unchanged. Empty payloads hash to 0
+    * and are excluded by the pair generator (the blank-doc discipline
+    * of the text dedup family). */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].map { row =>
+      val n = row.payload.length
+      val h =
+        if (n == 0) 0L
+        else {
+          val px = Array.tabulate(64)(i =>
+            row.payload((i.toLong * n / 64).toInt) & 0xFF)
+          val mean = px.sum.toDouble / 64
+          var acc = 0L
+          var b = 0
+          while (b < 64) {
+            if (px(b) > mean) acc |= 1L << b
+            b += 1
+          }
+          acc
+        }
+      (row.doc_id, n.toLong, h)
+    }.toDF("doc_id", "n_bytes", "phash")
+  }
+
+  /** Near-duplicate media pairs: aHash hamming distance <= maxHamming,
+    * found via the same 4-chunk pigeonhole banding as the text
+    * SimHash family (exact for maxHamming <= 3: 4 chunks, <= 3
+    * differing bits, so >= 1 chunk matches). The 100 TB shape is the
+    * bucket join on (chunk, ckey) — never an all-pairs comparison. */
+  def perceptualNearDup(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-chunk pigeonhole banding is exact only for maxHamming <= 3, " +
+        s"got $maxHamming")
+    val ph = perceptualHashes(media)
+      .filter(col("n_bytes") > 0)
+      .select(col("doc_id"), col("phash"),
+        posexplode(array((0 until 4).map { c =>
+          shiftright(col("phash"), c * 16).bitwiseAND(lit(0xFFFFL))
+        }: _*)).as(Seq("chunk", "ckey")))
+    val a = ph.alias("a")
+    val b = ph.alias("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        graft.pipeline.TextFunctions.hamming64(
+          col("a.phash"), col("b.phash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling as a pure column expression: split the payload into
     * `frames` fixed-width byte slices (think keyframe extraction),
     * emitted (doc_id, frame_idx, frame_bytes). Runs in-plan — no UDF. */

@@ -164,4 +164,55 @@ class TextAnalysisSpec extends SparkSpec {
     val sums = frames.groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(2)).sum)
     assert(sums(0L) <= 38 && sums(0L) >= 36)
   }
+
+  test("perceptual aHash: stable under small payload edits, distinct otherwise") {
+    import SparkSpec.session.implicits._
+    val base = "A" * 200 + "B" * 56 // 256 bytes, strong block structure
+    val d = Seq(
+      (0L, base),
+      (1L, base.updated(10, 'C').updated(150, 'D')), // 2 bytes edited
+      (2L, "z" * 100 + "q" * 156), // different structure
+      (3L, "")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(d)
+    val hashes = Multimodal.perceptualHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // determinism + empty-payload sentinel
+    assert(hashes(3L) == 0L)
+    // tiny edits perturb few of the 64 sampled pixels
+    assert(java.lang.Long.bitCount(hashes(0L) ^ hashes(1L)) <= 3,
+      s"small edit moved hamming too far: ${hashes(0L)} vs ${hashes(1L)}")
+    val pairs = Multimodal.perceptualNearDup(media, maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "edited near-copy not found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "empty payloads must not pair")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
+      "structurally different payloads paired")
+  }
+
+  test("perceptual near-dup banding equals brute force at hamming <= 3") {
+    import SparkSpec.session.implicits._
+    val rng = new scala.util.Random(7)
+    // random 128-byte payloads + planted 1-byte-edit near-copies
+    val base = (0 until 30).map(i =>
+      (i.toLong, Array.fill(128)((rng.nextInt(26) + 'a').toChar).mkString))
+    val edited = (0 until 10).map { i =>
+      (100L + i, base(i)._2.updated(rng.nextInt(128), '!'))
+    }
+    val d = (base ++ edited).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(d)
+    val hashes = Multimodal.perceptualHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+    } yield (a, b)).toSet
+    val banded = Multimodal.perceptualNearDup(media, maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must plant hamming<=3 pairs")
+    assert(banded == brute,
+      s"missing ${brute -- banded}, extra ${banded -- brute}")
+  }
 }
