@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSim, DotProduct, MinHashSignature, PopCountArray, SimHash64}
+import graft.functions.{CmsEstimateCount, CosineSim, DotProduct, MinHashSignature, PopCountArray, SimHash64, ZOrderInterleave}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -46,5 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "minhash_signature(array<string>, k) requires a literal int k")
       }))
+    e.injectFunction((
+      new FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrderInterleave].getName, "zorder2"),
+      (exprs: Seq[Expression]) => ZOrderInterleave(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("cms_estimate_count"),
+      new ExpressionInfo(classOf[CmsEstimateCount].getName, "cms_estimate_count"),
+      (exprs: Seq[Expression]) => CmsEstimateCount(exprs(0), exprs(1))))
   }
 }

@@ -119,5 +119,13 @@ class SkewSpec extends SparkSpec {
       .collect().head
     assert(sh.getLong(0) != 0L)
     assert(sh.getInt(1) == 8)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder2", exprs => graft.functions.ZOrderInterleave(exprs(0), exprs(1)),
+      "built-in")
+    // a=1 -> bit 0 lands at output bit 1; b=1 -> output bit 0
+    val z = spark.sql(
+      "SELECT zorder2(CAST(1 AS BIGINT), CAST(0 AS BIGINT)), " +
+        "zorder2(CAST(0 AS BIGINT), CAST(1 AS BIGINT))").collect().head
+    assert(z.getLong(0) == 2L && z.getLong(1) == 1L)
   }
 }
