@@ -59,4 +59,34 @@ object Io {
       .bucketBy(buckets, bucketCol)
     sortCol.fold(w)(w.sortBy(_)).saveAsTable(table)
   }
+
+  /** Compact a parquet directory to ~`targetBytes` per output file —
+    * the small-files housekeeping every long-lived 100 TB table needs
+    * (streaming sinks and fine-grained partitions accrete kilobyte
+    * files; each costs a task + a footer read forever after).
+    * Rewrites into max(1, ⌈dirBytes/targetBytes⌉) files via coalesce
+    * (no shuffle — coalesce only merges read splits) and atomically
+    * swaps directories only after the rewrite commits, so a crash
+    * mid-compaction leaves the original data intact. Returns the
+    * output file count. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataBytes = fs.listStatus(hp).filter(_.isFile)
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (dataBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(path).coalesce(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(hp, old), s"could not move $path aside")
+    require(fs.rename(tmp, hp), s"could not move compacted dir into $path")
+    fs.delete(old, true)
+    nFiles
+  }
 }

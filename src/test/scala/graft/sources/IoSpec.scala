@@ -35,6 +35,26 @@ class IoSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("compact merges a many-small-files dir, preserving rows exactly") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val p = s"${tmp()}/docs-compact"
+    docs.repartition(23).write.parquet(p) // 23 tiny files
+    val before = docs.collect().map(_.getLong(0)).sorted.toSeq
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .filter(_.isFile).map(_.getPath.getName)
+      .count(_.endsWith(".parquet"))
+    assert(parquetFiles() == 23)
+    val n = Io.compact(spark, p, targetBytes = 512L * 1024)
+    assert(parquetFiles() == n && n < 23, s"got $n files")
+    val after = spark.read.parquet(p).collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before, "compaction changed the data")
+    // no temp/old dirs left behind
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "._compact_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "._compact_old")))
+  }
+
   test("dynamic partition pruning reaches the partitioned scan through a join") {
     // the 100 TB layout contract: when the partition column is a JOIN
     // key and the dim side is filtered, the fact scan must receive a
