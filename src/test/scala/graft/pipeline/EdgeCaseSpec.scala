@@ -118,6 +118,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(EdgeCaseSpec.opens.get() == EdgeCaseSpec.closes.get(),
       "every open() must be paired with close()")
   }
+
+  test("round-7 operators survive empty and degenerate inputs") {
+    val empty = weird.filter(lit(false))
+    assert(Dedup.prefixJaccardPairs(empty, 0.8).count() == 0L)
+    assert(Dedup.prefixJaccardPairs(weird, 0.8, shingleN = 3).count() == 0L)
+    // blank-only corpus: every doc filtered before banding
+    assert(Dedup.prefixJaccardPairs(
+      weird.filter(col("doc_id") < 2), 0.5).count() == 0L)
+    assert(Dedup.incrementalMinhashPairs(empty, weird,
+      shingleN = 1).count() == 0L)
+    assert(Dedup.incrementalMinhashPairs(weird, empty,
+      shingleN = 1).collect().forall(r => r.getLong(0) != r.getLong(1)))
+    assert(Normalize.winsorizeByGroup(empty, "doc_id", "doc_id")
+      .count() == 0L)
+    assert(Multimodal.perceptualNearDup(Multimodal.asMedia(empty))
+      .count() == 0L)
+    // single-doc media: no self-pairs
+    assert(Multimodal.perceptualNearDup(
+      Multimodal.asMedia(weird.filter(col("doc_id") === 2))).count() == 0L)
+  }
 }
 
 object EdgeCaseSpec {
