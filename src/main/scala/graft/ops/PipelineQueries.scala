@@ -64,6 +64,14 @@ object PipelineQueries extends QueryPack {
       threshold = 0.8)
       .orderBy("id_a", "id_b")
 
+  // the asymmetric sibling: |A∩B|/|A| — finds docs (nearly) contained
+  // in others, which Jaccard's union term hides. Exact, so hash-gated
+  // against the DuckDB all-pairs containment on the same subset
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(docs(s, d).filter(col("doc_id") < 100),
+      threshold = 0.9)
+      .orderBy("id_a", "id_b")
+
   // incremental ingestion at recall-1 banding (r=2 — the
   // dedup_minhash_verified argument): the batch (doc_id 100..149)
   // dedups against the settled corpus (doc_id < 100) and itself, never
@@ -488,6 +496,7 @@ object PipelineQueries extends QueryPack {
     "dedup_minhash_verified" -> dedupMinhashVerified _,
     "dedup_prefix_jaccard" -> dedupPrefixJaccard _,
     "dedup_incremental" -> dedupIncremental _,
+    "dedup_containment" -> dedupContainment _,
     "dedup_embedding" -> dedupEmbedding _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_clusters_lsh" -> dedupClustersLsh _,
@@ -605,6 +614,15 @@ object PipelineQueries extends QueryPack {
         |WHERE b.doc_id >= 100
         |  AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
         |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+        |  FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts) AS containment
+        |FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     // the LSH-fed composition verifies against the SAME ground truth:

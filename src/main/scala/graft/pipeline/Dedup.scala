@@ -292,6 +292,59 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
+  /** Exact CONTAINMENT join: pairs where |A∩B|/|A| >= t — doc A's
+    * token set is (nearly) contained in doc B's. The asymmetric
+    * sibling of the Jaccard join: Jaccard misses a short quote inside
+    * a long document (the union term drowns it); containment is how a
+    * pipeline finds sub-document duplication, quotation, and
+    * boilerplate embedding. Returns (id_a, id_b, containment) for
+    * ordered pairs a != b (a is the contained side — both directions
+    * of every doc pair are evaluated independently).
+    *
+    * Candidate generation is the asymmetric prefix filter: A probes
+    * only its |A| - ⌊t·|A|⌋ + 1 RAREST tokens (same ⌊·⌋ fp margin as
+    * prefixJaccardPairs — overlap >= ⌈t·|A|⌉ forces a shared token in
+    * that prefix regardless of |B|), while the container side indexes
+    * ALL its tokens (containment puts no lower bound on B's overlap
+    * fraction, so B cannot be prefix-pruned). Probe cost is
+    * rare-token-bounded; the index side is the full posting list —
+    * the standard cost shape for containment joins (cf. the
+    * SSJoin/All-Pairs family). Blank docs are excluded on both sides
+    * (exact dedup's class). */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      shingleN: Int = 1): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val t = docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesOfTokens(col("toks"), shingleN).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val dfreq = t.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val exploded = t
+      .select(col("doc_id"), size(col("ts")).as("n"), explode(col("ts")).as("tok"))
+      .join(dfreq, "tok")
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val probe = exploded
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("n") - floor(lit(threshold) * col("n")).cast("int") + 1)
+      .select(col("doc_id").as("id_a"), col("tok"))
+    val index = exploded.select(col("doc_id").as("id_b"), col("tok"))
+    val cand = probe.join(index, Seq("tok"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val ts = t.repartition(col("doc_id"))
+    cand
+      .join(ts.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(ts.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("ts_a"), col("ts_b"))).cast("double") /
+          size(col("ts_a"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Edit-distance fuzzy dedup: pairs whose normalized-text PREFIXES
     * are within `maxDist` Levenshtein edits — the character-level dedup
     * family (catches typo-level near-copies that token-set Jaccard

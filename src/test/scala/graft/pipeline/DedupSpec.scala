@@ -358,6 +358,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment join == brute force across thresholds; direction matters") {
+    val rng = new scala.util.Random(0xACE)
+    val vocab = (0 until 40).map(i => s"v$i")
+    val corpus = ((0 until 50).map { i =>
+      val n = 3 + rng.nextInt(12)
+      (i.toLong, rng.shuffle(vocab).take(n).mkString(" "))
+    } ++ Seq(
+      (100L, "v0 v1 v2"),                 // strictly contained in 101
+      (101L, "v0 v1 v2 v3 v4 v5 v6 v7"))).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.75, 0.9, 1.0)) {
+      val ts = corpus.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), TextFunctions.tokenSet(col("text")).as("ts"))
+      val brute = ts.alias("a").join(ts.alias("b"),
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          (size(array_intersect(col("a.ts"), col("b.ts"))).cast("double") /
+            size(col("a.ts"))).as("c"))
+        .filter(col("c") >= t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Dedup.containmentPairs(corpus, t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute,
+        s"t=$t: missing ${brute -- got}, extra ${got -- brute}")
+    }
+    // the planted strict containment is found at t=1 in ONE direction
+    val exact = Dedup.containmentPairs(corpus, 1.0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((100L, 101L)), "contained doc not found")
+    assert(!exact.contains((101L, 100L)), "containment must be directional")
+  }
+
   test("prefix-filter jaccard at trigram shingles == shingle-set brute force") {
     // 11 shared tokens + 1 unique tail: 9 shared trigrams, 1 unique
     // per doc -> pairwise shingle j = 9/11 ~ 0.82; plus disjoint docs
