@@ -83,6 +83,8 @@ object ScaleBench {
         docs.filter(col("doc_id") % 17 === 0),
         docs.filter(col("doc_id") % 17 =!= 0),
         shingleN = 3, k = 32, bands = 8, threshold = 0.7)),
+      "containment" -> (() => Dedup.containmentPairs(docs, 0.9,
+        shingleN = 3)),
       "bloom_semi" -> (() => graft.ops.BloomPrune.prunedSemiJoin(
         li, Tables.orders(spark, dir)
           .filter(col("o_orderpriority") === "1-URGENT"),

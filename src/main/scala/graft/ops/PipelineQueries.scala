@@ -207,6 +207,19 @@ object PipelineQueries extends QueryPack {
       .select("doc_id", "lang", "n_chars", "clipped")
       .orderBy("doc_id")
 
+  // Unicode canonicalization audit: per-doc NFC digest + changed
+  // flag — the first stage of web-scale curation (composed vs
+  // decomposed encodings of the same text defeat exact dedup and
+  // token stats). Hash-gated: DuckDB ships nfc_normalize
+  def textNfc(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+        md5(graft.functions.UnicodeNormalize
+          .unicodeNormalize(col("text"), "NFC")).as("nfc_md5"),
+        when(graft.functions.UnicodeNormalize
+          .unicodeNormalize(col("text"), "NFC") === col("text"), 0L)
+          .otherwise(1L).as("changed"))
+      .orderBy("doc_id")
+
   // Z-order (Morton) layout key over (n_chars, doc_id): the
   // multi-column clustering key a 100 TB table sorts by before writing
   // so min/max file stats serve predicates on EITHER column. Masking
@@ -508,6 +521,7 @@ object PipelineQueries extends QueryPack {
     "stats_zscore_by_lang" -> statsZscoreByLang _,
     "stats_winsorize_by_lang" -> statsWinsorizeByLang _,
     "pipeline_zorder" -> pipelineZorder _,
+    "text_nfc" -> textNfc _,
     "pipeline_curate" -> pipelineCurate _,
     "sim_topk_brute" -> simTopkBrute _,
     "sim_topk_lsh" -> simTopkLsh _,
@@ -746,6 +760,11 @@ object PipelineQueries extends QueryPack {
         |    END AS z
         |FROM documents d JOIN m USING (lang)
         |ORDER BY doc_id""".stripMargin,
+    "text_nfc" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+        |  CAST(CASE WHEN nfc_normalize(text) = text THEN 0 ELSE 1 END
+        |    AS BIGINT) AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // bit-by-bit spelling of the Morton interleave (the Spark side
     // uses the magic-number spread; same function, 62 explicit terms)
     "pipeline_zorder" ->
