@@ -22,37 +22,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // nodes execute as GroupedMedianExec (range-partitioned two-pass
     // prefix sums)
     e.injectPlannerStrategy(_ => graft.plans.GroupedMedianStrategy)
-    e.injectFunction((
-      new FunctionIdentifier("popcount_array"),
-      new ExpressionInfo(classOf[PopCountArray].getName, "popcount_array"),
-      (exprs: Seq[Expression]) => PopCountArray(exprs.head)))
-    e.injectFunction((
-      new FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
-    e.injectFunction((
-      new FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
-    e.injectFunction((
-      new FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
-    e.injectFunction((
-      new FunctionIdentifier("minhash_signature"),
-      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-      (exprs: Seq[Expression]) => exprs match {
-        case Seq(arr, Literal(k: Int, IntegerType)) => MinHashSignature(arr, k)
-        case _ => throw new IllegalArgumentException(
-          "minhash_signature(array<string>, k) requires a literal int k")
-      }))
-    e.injectFunction((
-      new FunctionIdentifier("zorder2"),
-      new ExpressionInfo(classOf[ZOrderInterleave].getName, "zorder2"),
-      (exprs: Seq[Expression]) => ZOrderInterleave(exprs(0), exprs(1))))
-    e.injectFunction((
-      new FunctionIdentifier("cms_estimate_count"),
-      new ExpressionInfo(classOf[CmsEstimateCount].getName, "cms_estimate_count"),
-      (exprs: Seq[Expression]) => CmsEstimateCount(exprs(0), exprs(1))))
+    GraftExtensions.sqlFunctions.foreach { case (name, className, builder) =>
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(className, name),
+        builder))
+    }
   }
+}
+
+object GraftExtensions {
+
+  private def wrongArity(sig: String, got: Seq[Expression]): Nothing =
+    throw new IllegalArgumentException(
+      s"$sig called with ${got.length} argument(s)")
+
+  /** The SQL-registered function surface: (name, class, builder).
+    * Every builder pattern-matches its arity so a wrong argument count
+    * surfaces as a descriptive IllegalArgumentException at analysis,
+    * never an IndexOutOfBoundsException from positional indexing. */
+  private[graft] val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("popcount_array", classOf[PopCountArray].getName, {
+      case Seq(arr) => PopCountArray(arr)
+      case e => wrongArity("popcount_array(array<bigint>)", e)
+    }),
+    ("simhash64", classOf[SimHash64].getName, {
+      case Seq(toks) => SimHash64(toks)
+      case e => wrongArity("simhash64(array<string>)", e)
+    }),
+    ("dot_product", classOf[DotProduct].getName, {
+      case Seq(a, b) => DotProduct(a, b)
+      case e => wrongArity("dot_product(array<float>, array<float>)", e)
+    }),
+    ("cosine_sim", classOf[CosineSim].getName, {
+      case Seq(a, b) => CosineSim(a, b)
+      case e => wrongArity("cosine_sim(array<float>, array<float>)", e)
+    }),
+    ("minhash_signature", classOf[MinHashSignature].getName, {
+      case Seq(arr, Literal(k: Int, IntegerType)) => MinHashSignature(arr, k)
+      case _ => throw new IllegalArgumentException(
+        "minhash_signature(array<string>, k) requires a literal int k")
+    }),
+    ("zorder2", classOf[ZOrderInterleave].getName, {
+      case Seq(a, b) => ZOrderInterleave(a, b)
+      case e => wrongArity("zorder2(bigint, bigint)", e)
+    }),
+    ("cms_estimate_count", classOf[CmsEstimateCount].getName, {
+      case Seq(sketch, key) => CmsEstimateCount(sketch, key)
+      case e => wrongArity("cms_estimate_count(binary, bigint)", e)
+    }))
 }

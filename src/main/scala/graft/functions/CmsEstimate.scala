@@ -5,7 +5,7 @@ import java.io.ByteArrayInputStream
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, JavaCode, TrueLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.graft.ColumnBridge
@@ -36,24 +36,27 @@ import org.apache.spark.util.sketch.CountMinSketch
   * Reference counterpart: none (SURVEY.md §2.3 extension surface).
   */
 case class CmsEstimateCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (BinaryType, LongType) =>
-        left match {
-          case e if e.foldable => TypeCheckResult.TypeCheckSuccess
-          case _: PlanExpression[_] => TypeCheckResult.TypeCheckSuccess
-          case _ => TypeCheckResult.TypeCheckFailure(
-            "the sketch input to cms_estimate_count must be a constant " +
-              "or a scalar subquery (it is deserialized once per task)")
-        }
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"cms_estimate_count requires (binary, bigint), got $other")
+  // integral keys coerce to bigint like Spark built-ins; the binary
+  // sketch operand additionally has to be constant-per-query, which
+  // no cast rule can express — checked after the type coercion pass
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] = Seq(BinaryType, LongType)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val typed = super.checkInputDataTypes()
+    if (typed.isFailure) typed
+    else left match {
+      case e if e.foldable => TypeCheckResult.TypeCheckSuccess
+      case _: PlanExpression[_] => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "the sketch input to cms_estimate_count must be a constant " +
+          "or a scalar subquery (it is deserialized once per task)")
     }
+  }
 
   // constant by contract (checked above): deserialize once, reuse for
   // every row of every batch this task evaluates

@@ -4,7 +4,7 @@ import java.text.Normalizer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -27,25 +27,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * Reference counterpart: none (SURVEY.md §2.3 extension surface).
   */
 case class UnicodeNormalize(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = StringType
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (StringType, StringType) if right.foldable =>
-        scala.util.Try(Normalizer.Form.valueOf(
-          right.eval().asInstanceOf[UTF8String].toString)) match {
-          case scala.util.Success(_) => TypeCheckResult.TypeCheckSuccess
-          case scala.util.Failure(_) => TypeCheckResult.TypeCheckFailure(
-            s"unicode_normalize form must be one of " +
-              s"${Normalizer.Form.values.mkString(", ")}, got ${right.eval()}")
-        }
-      case (StringType, StringType) => TypeCheckResult.TypeCheckFailure(
-        "unicode_normalize form must be a literal string")
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"unicode_normalize requires (string, string), got $other")
+  // non-string arguments coerce to string like Spark built-ins; the
+  // form additionally has to be a foldable, valid Normalizer.Form
+  // name, checked after the type coercion pass
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] = Seq(StringType, StringType)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val typed = super.checkInputDataTypes()
+    if (typed.isFailure) typed
+    else if (!right.foldable) TypeCheckResult.TypeCheckFailure(
+      "unicode_normalize form must be a literal string")
+    else scala.util.Try(Normalizer.Form.valueOf(
+      right.eval().asInstanceOf[UTF8String].toString)) match {
+      case scala.util.Success(_) => TypeCheckResult.TypeCheckSuccess
+      case scala.util.Failure(_) => TypeCheckResult.TypeCheckFailure(
+        s"unicode_normalize form must be one of " +
+          s"${Normalizer.Form.values.mkString(", ")}, got ${right.eval()}")
     }
+  }
 
   @transient private lazy val form: Normalizer.Form =
     Normalizer.Form.valueOf(right.eval().asInstanceOf[UTF8String].toString)

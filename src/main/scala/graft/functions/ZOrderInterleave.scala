@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -27,16 +26,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * Reference counterpart: none (SURVEY.md §2.3 extension surface).
   */
 case class ZOrderInterleave(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"zorder2 requires (bigint, bigint), got $other")
-    }
+  // integral arguments coerce to bigint like Spark built-ins, so SQL
+  // callers can write zorder2(1, 2) without explicit CASTs
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] = Seq(LongType, LongType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     ZOrderInterleave.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])

@@ -28,7 +28,8 @@ object Normalize {
   /** Append `z` — the within-group z-score of integer `valueCol` —
     * using sample (n−1) variance. Groups with fewer than 2 rows or
     * zero variance yield NULL z (no meaningful scale), mirroring
-    * SQL's NULLIF guard. */
+    * SQL's NULLIF guard; rows with a NULL group key are kept (LEFT
+    * join) with z NULL. */
   def zscoreByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val v = col(valueCol).cast("long")
     val moments = df.groupBy(col(groupCol))
@@ -38,7 +39,7 @@ object Normalize {
     val n = col("__n").cast("double")
     val varS = (col("__sq").cast("double") - s * s / n) /
       (col("__n") - lit(1L)).cast("double")
-    df.join(broadcast(moments), groupCol)
+    df.join(broadcast(moments), Seq(groupCol), "left")
       .withColumn("z",
         when(col("__n") > 1L && varS > 0.0,
           (v.cast("double") - s / n) / sqrt(varS)))
@@ -50,8 +51,14 @@ object Normalize {
     * alternative to z-scoring (a feature pipeline clips before
     * scaling so a single 10 MB document doesn't define the tail).
     * Quantile semantics are exactQuantiles' rank ⌈q·n⌉, identical to
-    * DuckDB's quantile_disc, so the output hash-gates. NULL values
-    * pass through unclipped (no meaningful limits).
+    * DuckDB's quantile_disc, so the output hash-gates. Every input row
+    * is preserved (the limits join is a LEFT join, matching
+    * zscoreByGroup which likewise never drops rows): NULL values yield
+    * NULL clipped; rows whose group has NO limits row — groups with no
+    * non-null value, and NULL group keys (equality joins don't match
+    * NULL) — pass through with `clipped` = the UNCLIPPED value, since
+    * Spark's greatest/least ignore the NULL bounds. "No limits" means
+    * "nothing to clip against", not "discard the row".
     *
     * At 100 TB: the limits table is |groups| rows (computed by the
     * range-partitioned two-pass prefix-sum machinery — no per-group
@@ -67,7 +74,7 @@ object Normalize {
       .groupBy(groupCol)
       .agg(max(when(col("q") === loQ, col("value"))).as("__lo"),
         max(when(col("q") === hiQ, col("value"))).as("__hi"))
-    df.join(broadcast(lims), groupCol)
+    df.join(broadcast(lims), Seq(groupCol), "left")
       .withColumn("clipped",
         when(col(valueCol).isNotNull,
           greatest(col("__lo"), least(col("__hi"), col(valueCol)))))

@@ -64,29 +64,51 @@ object Io {
     * the small-files housekeeping every long-lived 100 TB table needs
     * (streaming sinks and fine-grained partitions accrete kilobyte
     * files; each costs a task + a footer read forever after).
-    * Rewrites into max(1, ⌈dirBytes/targetBytes⌉) files via coalesce
-    * (no shuffle — coalesce only merges read splits) and atomically
-    * swaps directories only after the rewrite commits, so a crash
-    * mid-compaction leaves the original data intact. Returns the
+    *
+    * Hive-partitioned layouts (`col=value` subdirectories) are
+    * compacted leaf by leaf — each partition directory is rewritten
+    * IN PLACE, so the directory structure, and with it planning-time
+    * partition pruning, survives compaction; sizing uses each leaf's
+    * own bytes, never the (empty) top level. Leaves compact
+    * independently, so a crash mid-run leaves every leaf either fully
+    * old or fully new.
+    *
+    * Each leaf rewrites into max(1, ⌈leafBytes/targetBytes⌉) files via
+    * coalesce (no shuffle — coalesce only merges read splits) and
+    * swaps directories only after the rewrite commits. The swap is two
+    * renames — CRASH-SAFE but not atomic: a crash between them leaves
+    * the leaf path absent with the data intact under
+    * `<leaf>._compact_old` (recover by renaming it back), and a
+    * concurrent reader can catch the gap between the renames — run
+    * compaction when the table has no readers. Returns the total
     * output file count. */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetBytes > 0)
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataBytes = fs.listStatus(hp).filter(_.isFile)
+    val children = fs.listStatus(hp)
       .filterNot(_.getPath.getName.startsWith("_"))
-      .map(_.getLen).sum
-    val nFiles = math.max(1L, (dataBytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    spark.read.parquet(path).coalesce(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(hp, old), s"could not move $path aside")
-    require(fs.rename(tmp, hp), s"could not move compacted dir into $path")
-    fs.delete(old, true)
-    nFiles
+      .filterNot(_.getPath.getName.startsWith("."))
+    val parts = children.filter(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+    if (parts.nonEmpty) {
+      // hive-partitioned: recurse (handles multi-level partitioning),
+      // leaving the col=value directory skeleton untouched
+      parts.map(p => compact(spark, p.getPath.toString, targetBytes)).sum
+    } else {
+      val dataBytes = children.filter(_.isFile).map(_.getLen).sum
+      val nFiles = math.max(1L, (dataBytes + targetBytes - 1) / targetBytes).toInt
+      val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      spark.read.parquet(path).coalesce(nFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(hp, old), s"could not move $path aside")
+      require(fs.rename(tmp, hp), s"could not move compacted dir into $path")
+      fs.delete(old, true)
+      nFiles
+    }
   }
 }

@@ -100,17 +100,13 @@ class SkewSpec extends SparkSpec {
     // simulate an extensions-configured session on the shared one
     new graft.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions {})
-    // direct injection path is exercised via function registry:
-    graft.functions.PopCountArray.register(spark)
-    graft.functions.SimHash64.register(spark)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_signature", exprs => exprs match {
-        case scala.collection.Seq(arr,
-            org.apache.spark.sql.catalyst.expressions.Literal(k: Int,
-              org.apache.spark.sql.types.IntegerType)) =>
-          graft.functions.MinHashSignature(arr, k)
-        case _ => throw new IllegalArgumentException("literal int k required")
-      }, "built-in")
+    // register the REAL builders (the ones GraftExtensions injects)
+    // into the shared session's registry, so the SQL below exercises
+    // the production arity/argument handling
+    graft.GraftExtensions.sqlFunctions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
     val got = spark.sql("SELECT popcount_array(array(CAST(7 AS BIGINT))) AS pc")
       .collect().head.getLong(0)
     assert(got == 3L)
@@ -119,13 +115,17 @@ class SkewSpec extends SparkSpec {
       .collect().head
     assert(sh.getLong(0) != 0L)
     assert(sh.getInt(1) == 8)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "zorder2", exprs => graft.functions.ZOrderInterleave(exprs(0), exprs(1)),
-      "built-in")
-    // a=1 -> bit 0 lands at output bit 1; b=1 -> output bit 0
+    // a=1 -> bit 0 lands at output bit 1; b=1 -> output bit 0.
+    // INT literals, no CASTs: ImplicitCastInputTypes coerces integral
+    // arguments to bigint exactly like Spark built-ins
     val z = spark.sql(
-      "SELECT zorder2(CAST(1 AS BIGINT), CAST(0 AS BIGINT)), " +
-        "zorder2(CAST(0 AS BIGINT), CAST(1 AS BIGINT))").collect().head
+      "SELECT zorder2(1, 0), zorder2(0, 1)").collect().head
     assert(z.getLong(0) == 2L && z.getLong(1) == 1L)
+    // wrong arity is a descriptive IllegalArgumentException at
+    // analysis, not an IndexOutOfBoundsException
+    val err = intercept[Exception](spark.sql("SELECT zorder2(1, 2, 3)").collect())
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("zorder2(bigint, bigint)"), msgs)
   }
 }

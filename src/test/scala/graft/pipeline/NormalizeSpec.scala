@@ -75,4 +75,24 @@ class NormalizeSpec extends SparkSpec {
     assert(byId(3L).isEmpty, "NULL value must yield NULL clipped")
     assert(byId(1L).nonEmpty && byId(2L).nonEmpty)
   }
+
+  test("winsorize never drops rows: limitless groups pass through unclipped") {
+    // group "b" has only NULL values (no limits row exists); the NULL
+    // group key matches no limits row (equality join). All rows must
+    // survive the LEFT join; values without limits pass UNCLIPPED
+    // (greatest/least ignore the NULL bounds), NULL values stay NULL.
+    val df = Seq(
+      (Some("a"), 1L, Some(5L)), (Some("a"), 2L, Some(10L)),
+      (Some("b"), 3L, Option.empty[Long]),
+      (Option.empty[String], 4L, Some(7L)))
+      .toDF("grp", "id", "v")
+    val rows = Normalize.winsorizeByGroup(df, "grp", "v")
+      .select("id", "clipped").collect()
+    assert(rows.length == 4, s"rows were dropped: ${rows.mkString(",")}")
+    val byId = rows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byId(3L).isEmpty, "all-NULL group's NULL value stays NULL")
+    assert(byId(4L).contains(7L), "NULL group key passes through unclipped")
+    assert(byId(1L).nonEmpty && byId(2L).nonEmpty)
+  }
 }

@@ -55,6 +55,33 @@ class IoSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "._compact_old")))
   }
 
+  test("compact preserves a hive-partitioned layout and its pruning") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val p = s"${tmp()}/docs-part-compact"
+    // many tiny files inside EACH lang=... partition directory
+    docs.repartition(7).write.partitionBy("lang").parquet(p)
+    val before = docs.collect().map(_.getLong(0)).sorted.toSeq
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("lang=")).sorted.toSeq
+    val dirsBefore = partDirs()
+    assert(dirsBefore.nonEmpty)
+    val n = Io.compact(spark, p, targetBytes = 512L * 1024)
+    // partition skeleton intact, each leaf compacted to few files
+    assert(partDirs() == dirsBefore, "partition directories changed")
+    assert(n == dirsBefore.size, s"expected 1 file per leaf, got $n total")
+    val after = spark.read.parquet(p)
+    assert(after.collect().map(_.getLong(0)).sorted.toSeq == before,
+      "compaction changed the data")
+    // pruning still works: the compacted layout keeps partition filters
+    val plan = after.filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"no partition filter after compaction:\n${plan.take(1200)}")
+  }
+
   test("dynamic partition pruning reaches the partitioned scan through a join") {
     // the 100 TB layout contract: when the partition column is a JOIN
     // key and the dim side is filtered, the fact scan must receive a
