@@ -105,6 +105,28 @@ object ScaleBench {
               "user_id", "event_type", "value")
             .as[graft.streaming.Event]).toDF()
       }),
+      // candidates are O(n·window) by construction — the unconditional
+      // bound is the point; expected exponent ~1 plus the sort
+      "sorted_neighborhood" -> (() => Dedup.sortedNeighborhoodPairs(
+        docs, threshold = 0.8, window = 5)),
+      "corr_by_lang" -> (() => graft.pipeline.Normalize.corrByGroup(
+        docs.withColumn("n_tokens",
+          size(graft.pipeline.TextFunctions.tokens(col("text")))),
+        "lang", "n_chars", "n_tokens")),
+      "profile" -> (() => graft.pipeline.Profile.profile(
+        docs, Seq("doc_id", "lang", "source", "n_chars"))),
+      "histogram_by_lang" -> (() => graft.pipeline.Profile.histogram(
+        docs, "lang", "n_chars", buckets = 10)),
+      "asof_enrich_batch" -> (() => {
+        val ev = Tables.events(spark, dir)
+        val dim = ev.filter(col("event_type") === "signup")
+          .select(col("user_id").as("dim_user"), col("ts").as("dim_ts"),
+            col("event_id").as("dim_event"), col("value").as("prof_value"))
+        graft.streaming.Streams.asofEnrich(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          dim, "user_id", "dim_user", "ts", "dim_ts",
+          tieBreak = Seq("dim_event"))
+      }),
     )
   }
 

@@ -501,8 +501,62 @@ object PipelineQueries extends QueryPack {
       "lang", "n_chars", Seq(0.1, 0.5, 0.9))
       .orderBy("lang", "q")
 
+  // sorted-neighborhood blocking on the doc_id<200 subset: the window
+  // bounds candidates to O(n·w) unconditionally (the third candidate-
+  // generation family; see Dedup.sortedNeighborhoodPairs), and the
+  // in-window pair set under the total (n_chars, doc_id) order is
+  // deterministic, so DuckDB's ROW_NUMBER twin reproduces it exactly
+  def dedupSortedNeighborhood(s: SparkSession, d: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(docs(s, d).filter(col("doc_id") < 200),
+      threshold = 0.8, window = 5)
+      .orderBy("id_a", "id_b")
+
+  // per-language Pearson corr of doc length vs token count — exact
+  // integer sums folded through a fixed IEEE tree (Normalize.
+  // corrByGroup), so the double output hash-gates where Spark's own
+  // corr aggregate (partition-order double accumulation) never could
+  def statsCorrByLang(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Normalize.corrByGroup(
+      docs(s, d).withColumn("n_tokens",
+        size(TextFunctions.tokens(col("text")))),
+      "lang", "n_chars", "n_tokens")
+      .orderBy("lang")
+
+  // per-language equi-width histogram of doc length with data-derived
+  // global bounds — integer-exact bucketing (Profile.histogram)
+  def statsHistogram(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Profile.histogram(docs(s, d), "lang", "n_chars",
+        buckets = 10)
+      .orderBy("lang", "bucket")
+
+  // one-scan multi-column profile: completeness, exact cardinality,
+  // min/max per column (Profile.profile) — the trust audit a corpus
+  // gets before anyone trains on it
+  def pipelineProfile(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Profile.profile(docs(s, d),
+        Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy("col_name")
+
+  // rule-based constraint audit (Profile.validate): four row rules +
+  // doc_id uniqueness, reported as violation counts per rule
+  def pipelineValidate(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Profile.validate(docs(s, d),
+        Seq(
+          "doc_id_nonnegative" -> (col("doc_id") >= 0),
+          "lang_in_universe" ->
+            col("lang").isin("de", "en", "es", "fr", "zh"),
+          "n_chars_matches_text" -> (col("n_chars") === length(col("text"))),
+          "text_nonblank" -> (length(trim(col("text"))) > 0)),
+        uniqueCols = Seq("doc_id"))
+      .orderBy("rule")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
+    "dedup_sorted_neighborhood" -> dedupSortedNeighborhood _,
+    "stats_corr_by_lang" -> statsCorrByLang _,
+    "stats_histogram" -> statsHistogram _,
+    "pipeline_profile" -> pipelineProfile _,
+    "pipeline_validate" -> pipelineValidate _,
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
@@ -591,6 +645,91 @@ object PipelineQueries extends QueryPack {
       "\nSELECT doc_id, component FROM comp ORDER BY doc_id"
 
   override def oracle: Map[String, String] = Map(
+    // in-window pairs under the total (n_chars, doc_id) order; rn is
+    // 0-based on both sides, offsets 1..window-1
+    "dedup_sorted_neighborhood" ->
+      """WITH toks AS (
+        |  SELECT doc_id, n_chars,
+        |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+        |  FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0),
+        |r AS (SELECT doc_id, ts,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS rn FROM toks),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.ts AS ta, b.ts AS tb
+        |  FROM r a JOIN r b ON b.rn >= a.rn + 1 AND b.rn <= a.rn + 4)
+        |SELECT LEAST(da, db) AS id_a, GREATEST(da, db) AS id_b,
+        |  CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+        |    (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS j
+        |FROM p
+        |WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+        |    (len(ta) + len(tb) - len(list_intersect(ta, tb))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    // exact int64 sums, then the identical fixed double tree the Spark
+    // side folds: every op correctly rounded on identical inputs
+    "stats_corr_by_lang" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars AS x,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |a AS (SELECT lang, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n,
+        |  CASE WHEN n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |    END AS r
+        |FROM a ORDER BY lang""".stripMargin,
+    // integer-exact bucketing: b = least(9, ((v-lo)*10) // (hi-lo+1))
+    "stats_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(MIN(n_chars) AS BIGINT) AS lo,
+        |    CAST(MAX(n_chars) AS BIGINT) AS hi
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT lang,
+        |  LEAST(9, ((n_chars - lo) * 10) // (hi - lo + 1)) AS bucket,
+        |  COUNT(*) AS cnt,
+        |  CAST(MIN(n_chars) AS BIGINT) AS bucket_min,
+        |  CAST(MAX(n_chars) AS BIGINT) AS bucket_max
+        |FROM documents, b WHERE n_chars IS NOT NULL
+        |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "pipeline_profile" ->
+      """SELECT 'doc_id' AS col_name, COUNT(doc_id) AS n_values,
+        |  COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS n_nulls,
+        |  COUNT(DISTINCT doc_id) AS n_distinct,
+        |  CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+        |  CAST(MAX(doc_id) AS VARCHAR) AS max_val FROM documents
+        |UNION ALL
+        |SELECT 'lang', COUNT(lang), COUNT(CASE WHEN lang IS NULL THEN 1 END),
+        |  COUNT(DISTINCT lang), CAST(MIN(lang) AS VARCHAR),
+        |  CAST(MAX(lang) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'source', COUNT(source), COUNT(CASE WHEN source IS NULL THEN 1 END),
+        |  COUNT(DISTINCT source), CAST(MIN(source) AS VARCHAR),
+        |  CAST(MAX(source) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', COUNT(n_chars), COUNT(CASE WHEN n_chars IS NULL THEN 1 END),
+        |  COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+        |  CAST(MAX(n_chars) AS VARCHAR) FROM documents
+        |ORDER BY col_name""".stripMargin,
+    // NULL predicate counts as a violation on both sides (NOT COALESCE)
+    "pipeline_validate" ->
+      """WITH r AS (SELECT COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN NOT COALESCE(doc_id >= 0, FALSE) THEN 1 END) AS v0,
+        |  COUNT(CASE WHEN NOT COALESCE(lang IN ('de','en','es','fr','zh'), FALSE) THEN 1 END) AS v1,
+        |  COUNT(CASE WHEN NOT COALESCE(n_chars = length(text), FALSE) THEN 1 END) AS v2,
+        |  COUNT(CASE WHEN NOT COALESCE(length(trim(text)) > 0, FALSE) THEN 1 END) AS v3
+        |  FROM documents)
+        |SELECT 'doc_id_nonnegative' AS rule, n_rows, v0 AS n_violations FROM r
+        |UNION ALL SELECT 'lang_in_universe', n_rows, v1 FROM r
+        |UNION ALL SELECT 'n_chars_matches_text', n_rows, v2 FROM r
+        |UNION ALL SELECT 'text_nonblank', n_rows, v3 FROM r
+        |UNION ALL SELECT 'doc_id_unique', COUNT(*),
+        |  COUNT(*) - COUNT(DISTINCT doc_id) FROM documents
+        |ORDER BY rule""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS dups

@@ -56,6 +56,29 @@ object StreamQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // stream-static AS-OF enrichment: each event decorated with the
+  // user's most recent signup at-or-before its timestamp (the
+  // slowly-changing-dimension lookup), spelled as STATELESS interval
+  // containment — the static side is closed into [asof_ts, next)
+  // validity intervals so the stream join needs no watermark or state
+  // (Streams.asofEnrich); -1 sentinels keep never-signed-up events
+  // visible and the sort total
+  def asof(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, d)
+    val dim = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("dim_user"), col("ts").as("dim_ts"),
+        col("event_id").as("dim_event"), col("value").as("prof_value"))
+    Streams.asofEnrich(
+      ev.select(col("event_id"), col("user_id"), col("ts")),
+      dim, "user_id", "dim_user", "ts", "dim_ts",
+      tieBreak = Seq("dim_event"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(unix_micros(col("asof_ts")), lit(-1L)).as("asof_us"),
+        coalesce(col("prof_value"), lit(-1.0)).as("prof_value"))
+      .orderBy("event_id")
+  }
+
   private def typedEvents(s: SparkSession, d: String) = {
     import s.implicits._
     Tables.events(s, d)
@@ -86,6 +109,7 @@ object StreamQueries extends QueryPack {
     "stream_running_totals" -> runningTotals _,
     "stream_milestones" -> milestones _,
     "stream_enrich" -> enrich _,
+    "stream_asof" -> asof _,
     "stream_tumbling" -> tumbling _,
     "stream_sliding" -> sliding _,
     "stream_session" -> session _,
@@ -112,6 +136,23 @@ object StreamQueries extends QueryPack {
         |ORDER BY event_id""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT event_id FROM events ORDER BY event_id""",
+    // the dim filter lives in the CTE, never the ON clause (an
+    // ON-clause left-side filter would null-extend instead of filter);
+    // version-time ties totalized by event_id on both engines
+    "stream_asof" ->
+      """WITH dim AS (
+        |  SELECT user_id AS dim_user, CAST(ts AS TIMESTAMP) AS dim_ts,
+        |    value AS prof_value,
+        |    LEAD(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS v_until
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT e.event_id, e.user_id,
+        |  COALESCE(epoch_us(d.dim_ts), -1) AS asof_us,
+        |  COALESCE(d.prof_value, -1.0) AS prof_value
+        |FROM events e LEFT JOIN dim d ON e.user_id = d.dim_user
+        |  AND CAST(e.ts AS TIMESTAMP) >= d.dim_ts
+        |  AND (d.v_until IS NULL OR CAST(e.ts AS TIMESTAMP) < d.v_until)
+        |ORDER BY event_id""".stripMargin,
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |  COUNT(*) AS c,

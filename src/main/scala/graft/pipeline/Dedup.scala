@@ -365,6 +365,66 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Sorted-neighborhood near-dup blocking (the merge/purge method,
+    * Hernández & Stolfo SIGMOD'95): order the corpus by a blocking
+    * key, slide a window of `window` consecutive positions, and
+    * exact-Jaccard-verify only the in-window pairs — O(n·window)
+    * candidates REGARDLESS of how skewed the corpus is, which makes it
+    * the third member of the candidate-generation family: hash-random
+    * buckets (minhashPairs) bound cost probabilistically, rarest-token
+    * prefixes (prefixJaccardPairs) bound it by token rarity, and the
+    * neighborhood bounds it unconditionally. The price is recall tied
+    * to key quality: a true pair sorted further than `window`-1
+    * positions apart is missed (multi-pass with different keys is the
+    * classic remedy). Blocking key: (n_chars, doc_id) — near-dup texts
+    * have near-equal lengths, and doc_id totalizes the order so the
+    * pair set is deterministic on any engine.
+    *
+    * Scale shape: the global position comes from a range-partitioned
+    * sort + zipWithIndex over NARROW (doc_id, n_chars) rows — two
+    * passes, no single-task funnel (a global ROW_NUMBER() window would
+    * pull the whole corpus through one task); candidates are one
+    * explode(1..window-1) + equi-join on position (still narrow); the
+    * surviving O(n·window) pair ids get token sets joined back with
+    * the repartition-below-rename ReuseExchange discipline
+    * (cf. minhashPairs), so the corpus tokenizes exactly once.
+    * Each unordered pair arises from exactly one (position, offset),
+    * so no distinct is needed. Returns (id_a, id_b, j). */
+  def sortedNeighborhoodPairs(docs: DataFrame, threshold: Double,
+      window: Int = 5): DataFrame = {
+    require(window >= 2, s"window must cover at least 2 rows, got $window")
+    val spark = docs.sparkSession
+    val clean = docs.filter(length(trim(col("text"))) > 0)
+    // narrow global index in blocking-key order (no single-task window)
+    val keyed = clean.select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val idxRdd = keyed.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(i, r.getLong(0))
+    }
+    val ids = spark.createDataFrame(idxRdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rn",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    val probes = ids
+      .select(col("rn"), col("doc_id").as("id_x"))
+      .withColumn("off", explode(sequence(lit(1), lit(window - 1))))
+      .select((col("rn") + col("off")).as("rn_b"), col("id_x"))
+    val pairIds = probes
+      .join(ids.select(col("rn").as("rn_b"), col("doc_id").as("id_y")), "rn_b")
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+    val ts = clean.select(col("doc_id"), tokenSet(col("text")).as("ts"))
+      .repartition(col("doc_id"))
+    pairIds
+      .join(ts.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(ts.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .withColumn("j", jaccard(col("ts_a"), col("ts_b")))
+      .filter(col("j") >= threshold)
+      .select("id_a", "id_b", "j")
+  }
+
   /** Near-dup CLUSTERS: connected components over a near-dup pair set,
     * labeling every doc with the minimum doc_id reachable through
     * near-dup edges (singletons label themselves). This is the step

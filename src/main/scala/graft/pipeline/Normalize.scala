@@ -80,4 +80,37 @@ object Normalize {
           greatest(col("__lo"), least(col("__hi"), col(valueCol)))))
       .drop("__lo", "__hi")
   }
+
+  /** Per-group Pearson correlation of two integer columns — "does doc
+    * length track token count within each language" and every other
+    * feature-vs-feature sanity check a curation pipeline runs. Spark's
+    * `corr` aggregate accumulates doubles in partition order, so its
+    * low bits are partitioning-dependent and can never hash-gate; this
+    * spelling accumulates the five EXACT integer sums (the zscore
+    * discipline — int64 is ample at gate scale, swap to DECIMAL(38,0)
+    * at 100 TB) and folds them through a fixed IEEE tree:
+    * r = (n·sxy − sx·sy) / (√(n·sxx − sx²)·√(n·syy − sy²)), every
+    * step one correctly-rounded op on identical inputs in any engine.
+    * Rows with a NULL in either column are excluded (SQL corr
+    * semantics); groups with n < 2 or zero variance on either side
+    * yield NULL r. One partial+final aggregate — the corpus never
+    * shuffles. */
+  def corrByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val sums = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+        sum(x * y).as("__sxy"))
+    // exact int64 pieces, then one fixed double tree
+    val dx = col("n") * col("__sxx") - col("__sx") * col("__sx")
+    val dy = col("n") * col("__syy") - col("__sy") * col("__sy")
+    val num = col("n") * col("__sxy") - col("__sx") * col("__sy")
+    sums.select(col(groupCol), col("n"),
+      when(col("n") > 1L && dx > 0L && dy > 0L,
+        num.cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))).as("r"))
+  }
 }

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data profiling and constraint auditing (SURVEY.md §2.3 extension;
+  * no reference counterpart). Before a 100 TB corpus is worth
+  * training on it has to be worth TRUSTING: completeness/cardinality
+  * profiles and rule-based validation are the standard first audit
+  * (the Deequ/TFDV capability class), and both reduce to aggregation
+  * shapes Spark executes as ONE partial+final pass — profiling a
+  * corpus costs one scan, never one scan per column.
+  *
+  * Determinism discipline: every statistic is an exact integer count
+  * or a string min/max under binary collation — no doubles anywhere —
+  * so the DuckDB oracle hash-gates each output row.
+  */
+object Profile {
+
+  /** Per-column profile: one output row per profiled column with
+    * non-null count, null count, exact distinct count, and min/max
+    * rendered as strings (one schema for any column type). ALL columns
+    * profile in a single aggregate — one corpus scan; the distinct
+    * counts expand to the standard Expand-based multi-distinct plan.
+    * At 100 TB swap `countDistinct` for approx_count_distinct when an
+    * estimate suffices — the frame shape is unchanged. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__distinct_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single wide row to (col_name, stats...) — stack is
+    // a generator, so this stays one job with no shuffle after the agg
+    val stackArgs = cols.map(c =>
+      s"'$c', __n_$c, __nulls_$c, __distinct_$c, __min_$c, __max_$c")
+      .mkString(", ")
+    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+      "(col_name, n_values, n_nulls, n_distinct, min_val, max_val)")
+  }
+
+  /** Rule-based constraint audit: `rowRules` are named boolean
+    * predicates evaluated per row (a NULL predicate counts as a
+    * violation — "not known to hold" fails an audit); `uniqueCols`
+    * adds a uniqueness rule per column (violations = rows − distinct
+    * values, counting every row beyond the first of a duplicate key).
+    * Returns (rule, n_rows, n_violations), one row per rule.
+    *
+    * All row rules share ONE aggregate (one corpus scan); each
+    * uniqueness rule is its own exact-distinct aggregate. The audit
+    * never fails the job — it REPORTS, and the caller decides the
+    * threshold (gate-on-zero, alert-on-rate, …). */
+  def validate(df: DataFrame, rowRules: Seq[(String, Column)],
+      uniqueCols: Seq[String] = Nil): DataFrame = {
+    require(rowRules.nonEmpty || uniqueCols.nonEmpty, "no rules given")
+    val spark = df.sparkSession
+    val rowPart: Option[DataFrame] = if (rowRules.isEmpty) None else {
+      val aggs = count(lit(1)).as("__n") +: rowRules.zipWithIndex.map {
+        case ((_, pred), i) =>
+          count(when(!coalesce(pred, lit(false)), lit(1))).as(s"__v_$i")
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = rowRules.zipWithIndex.map { case ((name, _), i) =>
+        s"'$name', __n, __v_$i"
+      }.mkString(", ")
+      Some(one.selectExpr(s"stack(${rowRules.length}, $stackArgs) AS " +
+        "(rule, n_rows, n_violations)"))
+    }
+    val uniqueParts = uniqueCols.map { c =>
+      df.agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - countDistinct(col(c))).as("n_violations"))
+        .select(lit(s"${c}_unique").as("rule"), col("n_rows"),
+          col("n_violations"))
+    }
+    (rowPart.toSeq ++ uniqueParts).reduce(_.unionByName(_))
+  }
+
+  /** Per-group equi-width histogram of an integer column with
+    * data-derived global [min, max] bounds: bucket i covers
+    * [lo + i·W, lo + (i+1)·W) for W = ⌈(hi − lo + 1)/buckets⌉-ish via
+    * the exact integer formula b = min(buckets−1, ((v − lo)·buckets)
+    * div (hi − lo + 1)) — pure int64 arithmetic, so the bucketing is
+    * engine-exact (no float edges that could flip a boundary value
+    * across engines). Two passes: a 1-row bounds aggregate broadcast
+    * back (cross join with a literal-sized side), then one
+    * (group, bucket) count — the corpus never shuffles wide. */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val bounds = df.filter(col(valueCol).isNotNull)
+      .agg(min(col(valueCol)).cast("long").as("__lo"),
+        max(col(valueCol)).cast("long").as("__hi"))
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        expr(s"least(${buckets - 1}, " +
+          s"(($valueCol - __lo) * $buckets) div (__hi - __lo + 1))"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col(valueCol)).cast("long").as("bucket_min"),
+        max(col(valueCol)).cast("long").as("bucket_max"))
+  }
+}

@@ -162,6 +162,43 @@ object Streams {
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
       .drop(dimKey)
 
+  /** Stream-static AS-OF enrichment: decorate each event with the most
+    * recent dim version at-or-before the event's timestamp — the
+    * slowly-changing-dimension lookup every feature pipeline needs
+    * ("which profile/rate/config was in force when this event
+    * happened"). Spark has no asof join, and a stream-side per-event
+    * argmax would demand stateful aggregation; instead the STATIC side
+    * is closed into half-open validity intervals [valid_from,
+    * valid_until) with one lead() window (batch-side, |dim|-sized), so
+    * "latest version ≤ ts" becomes STATELESS interval containment:
+    * each event matches at most one interval, the join is a broadcast
+    * stream-static LEFT join — append-safe, no watermark, no state —
+    * and identical code runs in batch under the oracle gate
+    * (cf. ops.AsOf for the batch-batch spelling). Version-time ties
+    * are totalized by `tieBreak`, making the interval set — and hence
+    * the output — deterministic on any engine. Events with no version
+    * at-or-before keep NULL enrichment. The dim's version time is
+    * returned as `asof_ts`; other dim column names must not collide
+    * with event columns (select/rename the dim first). */
+  def asofEnrich(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String,
+      eventTs: String, dimTs: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (col(dimTs) +: tieBreak.map(col)).map(_.asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(dimKey)).orderBy(ord: _*)
+    val closed = dim
+      .withColumn("__valid_until", lead(col(dimTs), 1).over(w))
+      .withColumnRenamed(dimTs, "asof_ts")
+      .withColumnRenamed(dimKey, "__dim_key")
+    events.join(broadcast(closed),
+        col(eventKey) === col("__dim_key") &&
+          col(eventTs) >= col("asof_ts") &&
+          (col("__valid_until").isNull || col(eventTs) < col("__valid_until")),
+        "left")
+      .drop("__dim_key", "__valid_until")
+  }
+
   /** Custom state: per-user running totals via mapGroupsWithState —
     * the direct Spark twin of the reference's reducer-held HashMap
     * state (IncMapReduce.java:241-325), with managed fault-tolerant

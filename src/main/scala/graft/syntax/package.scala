@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.pipeline.{Curation, Decontamination, Dedup, Normalize, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Decontamination, Dedup, Normalize, Profile, Sampling, Similarity, TextAnalysis}
 
 /** Fluent entry points: `import graft.syntax._` and call pipeline
   * operators as methods on any DataFrame with the right columns
@@ -94,6 +94,30 @@ package object syntax {
     def semiJoinPruned(dim: DataFrame, key: String, dimKey: String,
         expectedItems: Long = 1000000L): DataFrame =
       graft.ops.BloomPrune.prunedSemiJoin(df, dim, key, dimKey, expectedItems)
+
+    /** Sorted-neighborhood near-dup pairs: in-window candidates under
+      * the (n_chars, doc_id) order, exact-Jaccard verified. */
+    def nearDupsSortedNeighborhood(threshold: Double = 0.8,
+        window: Int = 5): DataFrame =
+      Dedup.sortedNeighborhoodPairs(df, threshold, window)
+
+    /** Within-group exact-moment Pearson correlation of two integer
+      * columns. */
+    def corrBy(groupCol: String, xCol: String, yCol: String): DataFrame =
+      Normalize.corrByGroup(df, groupCol, xCol, yCol)
+
+    /** One-scan per-column completeness/cardinality/min-max profile. */
+    def profileColumns(cols: String*): DataFrame =
+      Profile.profile(df, cols)
+
+    /** Rule-based constraint audit: violation counts per named rule. */
+    def validateRules(rules: (String, org.apache.spark.sql.Column)*): DataFrame =
+      Profile.validate(df, rules)
+
+    /** Per-group equi-width histogram with global data-derived bounds. */
+    def histogramBy(groupCol: String, valueCol: String,
+        buckets: Int = 10): DataFrame =
+      Profile.histogram(df, groupCol, valueCol, buckets)
   }
 
   implicit class EmbeddingOps(private val df: DataFrame) {

@@ -214,6 +214,35 @@ class PlanAuditSpec extends SparkSpec {
       "limits join fell back to a corpus shuffle")
   }
 
+  test("stream_asof: the interval-closed dim joins by broadcast with no state") {
+    // as-of enrichment is equality-on-key + interval containment: the
+    // planner must pick BroadcastHashJoin on the equi conjunct (the
+    // range conjuncts ride along as join condition) — a SortMergeJoin
+    // would shuffle the event stream per micro-batch, a nested loop
+    // would mean the equi key was lost
+    val p = plan(StreamQueries.asof(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "as-of join lost its equi-key:\n" + p.take(1500))
+  }
+
+  test("profile: all columns profile in ONE aggregation over one scan") {
+    // executedPlan prints each scan once (formatted mode lists nodes
+    // twice: tree + details); multi-distinct must rewrite through a
+    // single Expand, not one scan per column
+    val p = PipelineQueries.pipelineProfile(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(countOccurrences(p, "Scan parquet") == 1,
+      "profile re-scans the corpus per column:\n" + p.take(1500))
+  }
+
+  test("histogram: the bounds row broadcasts; the corpus never sort-merges") {
+    val p = plan(PipelineQueries.statsHistogram(spark, dir))
+    assert(!p.contains("SortMergeJoin"),
+      "1-row bounds joined by shuffle:\n" + p.take(1500))
+  }
+
   test("q30: the bucketed fact-fact join runs with NO exchange on either side") {
     // force the shuffle-join regime a real fact-fact join lives in —
     // a broadcast would hide whether bucketing removed the shuffles

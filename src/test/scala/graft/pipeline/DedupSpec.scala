@@ -445,4 +445,77 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == brute)
   }
+
+  test("sorted neighborhood == brute force restricted to the window") {
+    // deterministic lengths pin the (n_chars, doc_id) sort order
+    val raw = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta x"),      // near dup of 0, close length
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "unrelated words entirely here now"),
+      (4L, "alpha beta gamma delta epsilon"), // exact token dup of 2
+      (5L, "zz"),
+      (6L, "totally different content again with padding words"))
+    val d = raw.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val w = 3
+    val got = Dedup.sortedNeighborhoodPairs(d, threshold = 0.6, window = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // local reference: same sort, same window, same jaccard
+    def toks(s: String) = s.toLowerCase.trim.split("\\s+").toSet
+    val order = raw.filter(_._2.trim.nonEmpty)
+      .sortBy(t => (t._2.length, t._1)).map(_._1)
+    val expected = (for {
+      i <- order.indices
+      j <- (i + 1) until math.min(i + w, order.length)
+      a = raw.find(_._1 == order(i)).get._2
+      b = raw.find(_._1 == order(j)).get._2
+      inter = toks(a).intersect(toks(b)).size.toDouble
+      jac = inter / (toks(a).size + toks(b).size - inter)
+      if jac >= 0.6
+    } yield (math.min(order(i), order(j)), math.max(order(i), order(j)))).toSet
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.nonEmpty, "fixture must produce at least one in-window pair")
+  }
+
+  test("sorted neighborhood: a true pair beyond the window is missed (the declared trade)") {
+    // ids 0 and 9 share the same token set but whitespace padding puts
+    // 8 docs of intermediate length between them in (n_chars, id) order
+    val far = Seq(
+      (0L, "alpha beta gamma"),
+      (9L, "alpha   beta   gamma" + " " * 40)) ++
+      (1L to 8L).map(i => (i, s"filler$i words" + " " * (i.toInt * 3)))
+    val d = far.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val got = Dedup.sortedNeighborhoodPairs(d, threshold = 0.9, window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.contains((0L, 9L)),
+      "a pair >window apart in key order must be missed — that is the method")
+    // the same pair IS found by the exact generator (recall-1 family)
+    val brute = Dedup.ngramJaccardPairs(d, maxId = 100L, threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.contains((0L, 9L)))
+  }
+
+  test("sorted neighborhood: no global-window funnel in the physical plan") {
+    val d = docs.withColumn("n_chars", length(col("text")))
+    val out = Dedup.sortedNeighborhoodPairs(d, threshold = 0.6, window = 3)
+    out.collect() // finalize AQE
+    val plan = out.queryExecution.executedPlan.toString
+    // the global index comes from zipWithIndex over the range-
+    // partitioned sort — a Window operator here would mean the
+    // single-task ROW_NUMBER() funnel this operator exists to avoid
+    assert(!plan.contains("Window"), s"window funnel:\n${plan.take(1500)}")
+  }
+
+  test("sorted neighborhood: blank docs drop; singleton corpus yields no pairs") {
+    val d = Seq((0L, "only doc here"), (1L, "   "), (2L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    assert(Dedup.sortedNeighborhoodPairs(d, threshold = 0.1, window = 5)
+      .collect().isEmpty)
+    intercept[IllegalArgumentException](
+      Dedup.sortedNeighborhoodPairs(d, threshold = 0.5, window = 1))
+  }
 }

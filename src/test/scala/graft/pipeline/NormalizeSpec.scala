@@ -95,4 +95,42 @@ class NormalizeSpec extends SparkSpec {
     assert(byId(4L).contains(7L), "NULL group key passes through unclipped")
     assert(byId(1L).nonEmpty && byId(2L).nonEmpty)
   }
+
+  test("corr matches the same fixed IEEE tree computed locally") {
+    val data = Seq(("a", 3L, 9L), ("a", 7L, 2L), ("a", 11L, 30L),
+      ("a", 2L, 5L), ("b", 1L, 10L), ("b", 2L, 8L), ("b", 3L, 9L))
+    val got = Normalize.corrByGroup(data.toDF("grp", "x", "y"), "grp", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // replicate the exact formula: int64 sums, then the identical
+    // double tree — the results must be bit-equal, not approximately
+    def expect(rows: Seq[(Long, Long)]): Double = {
+      val n = rows.size.toLong
+      val sx = rows.map(_._1).sum; val sy = rows.map(_._2).sum
+      val sxx = rows.map(r => r._1 * r._1).sum
+      val syy = rows.map(r => r._2 * r._2).sum
+      val sxy = rows.map(r => r._1 * r._2).sum
+      (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+    }
+    for ((g, rows) <- data.groupBy(_._1))
+      assert(got(g) == expect(rows.map(r => (r._2, r._3))),
+        s"group $g: ${got(g)}")
+  }
+
+  test("corr: perfect linear dependence gives r ~ ±1; degenerate groups NULL") {
+    val df = Seq(
+      ("lin", 1L, 12L), ("lin", 2L, 22L), ("lin", 3L, 32L),  // y = 10x + 2
+      ("anti", 1L, 30L), ("anti", 2L, 20L), ("anti", 3L, 10L), // y = -10x + 40
+      ("one", 5L, 5L),                                        // n = 1
+      ("flat", 1L, 7L), ("flat", 2L, 7L), ("flat", 3L, 7L))   // zero y-variance
+      .toDF("grp", "x", "y")
+    val r = Normalize.corrByGroup(df, "grp", "x", "y").collect()
+      .map(x => x.getString(0) ->
+        (if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+    assert(math.abs(r("lin").get - 1.0) < 1e-12)
+    assert(math.abs(r("anti").get + 1.0) < 1e-12)
+    assert(r("one").isEmpty, "n=1 has no correlation")
+    assert(r("flat").isEmpty, "zero variance has no correlation")
+  }
 }

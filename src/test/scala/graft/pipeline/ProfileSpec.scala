@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  private lazy val df = Seq(
+    (Some(1L), Some("en"), Some(10L)),
+    (Some(2L), Some("en"), Some(20L)),
+    (Some(3L), Some("de"), None),
+    (Some(4L), None, Some(20L)),
+    (Some(4L), Some("fr"), Some(30L))) // duplicate id 4
+    .toDF("id", "lang", "v")
+
+  test("profile: one row per column with exact counts and string min/max") {
+    val r = Profile.profile(df, Seq("id", "lang", "v")).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4), x.getString(5)))
+      .toMap
+    assert(r("id") == ((5L, 0L, 4L, "1", "4")))
+    assert(r("lang") == ((4L, 1L, 3L, "de", "fr")))
+    assert(r("v") == ((4L, 1L, 3L, "10", "30")))
+  }
+
+  test("validate: planted violations are counted; NULL predicates violate") {
+    val out = Profile.validate(df,
+      Seq(
+        "v_positive" -> (col("v") > 0L),          // NULL v -> violation
+        "lang_known" -> col("lang").isin("en", "de", "fr"), // NULL lang -> violation
+        "id_small" -> (col("id") < 4L)),          // two rows with id=4
+      uniqueCols = Seq("id"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("v_positive") == ((5L, 1L)), "the NULL v row must violate")
+    assert(out("lang_known") == ((5L, 1L)), "the NULL lang row must violate")
+    assert(out("id_small") == ((5L, 2L)))
+    assert(out("id_unique") == ((5L, 1L)),
+      "one row beyond the first of the duplicated key")
+  }
+
+  test("validate: rejects an empty rule set") {
+    intercept[IllegalArgumentException](Profile.validate(df, Nil, Nil))
+  }
+
+  test("histogram: equi-width buckets partition the range; max lands in the last") {
+    val vals = (0L until 100L).map(v => ("g", v)).toDF("grp", "x")
+    val r = Profile.histogram(vals, "grp", "x", buckets = 10).collect()
+      .map(x => x.getLong(1) -> (x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toMap
+    assert(r.keySet == (0L until 10L).toSet)
+    // width = (99-0+1)/10 = 10: bucket b holds exactly [10b, 10b+9]
+    for (b <- 0L until 10L)
+      assert(r(b) == ((10L, 10 * b, 10 * b + 9)), s"bucket $b: ${r(b)}")
+  }
+
+  test("histogram: constant column collapses to one bucket; NULLs drop") {
+    val vals = Seq(("g", Some(7L)), ("g", Some(7L)), ("g", Option.empty[Long]))
+      .toDF("grp", "x")
+    val r = Profile.histogram(vals, "grp", "x", buckets = 10).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 0L && r.head.getLong(2) == 2L)
+  }
+
+  test("histogram: groups share the GLOBAL bounds, so buckets align across groups") {
+    val vals = ((0L until 50L).map(v => ("a", v)) ++
+      (50L until 100L).map(v => ("b", v))).toDF("grp", "x")
+    val r = Profile.histogram(vals, "grp", "x", buckets = 10).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    // group a occupies buckets 0-4 of the shared [0,99] range, b 5-9
+    assert((0L to 4L).forall(b => r(("a", b)) == 10L))
+    assert((5L to 9L).forall(b => r(("b", b)) == 10L))
+    assert(!r.contains(("a", 5L)) && !r.contains(("b", 4L)))
+  }
+}

@@ -176,6 +176,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && got == batch)
   }
 
+  test("as-of enrichment picks the latest version at-or-before each event") {
+    import SparkSpec.session.implicits._
+    // versions for user 1 at t=10 (v=100) and t=20 (v=200); user 2 none
+    val dim = Seq((1L, 10L, 100.0), (1L, 20L, 200.0))
+      .toDF("dim_user", "dim_ts", "prof_value")
+    val ev = Seq((0L, 1L, 5L), (1L, 1L, 10L), (2L, 1L, 15L),
+      (3L, 1L, 20L), (4L, 1L, 99L), (5L, 2L, 50L))
+      .toDF("event_id", "user_id", "ts")
+    val got = Streams.asofEnrich(ev, dim, "user_id", "dim_user", "ts", "dim_ts")
+      .select("event_id", "prof_value").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(0L).isEmpty, "before the first version: NULL")
+    assert(got(1L).contains(100.0), "at a version's own timestamp it applies")
+    assert(got(2L).contains(100.0))
+    assert(got(3L).contains(200.0), "a new version supersedes at its ts")
+    assert(got(4L).contains(200.0), "open-ended last interval")
+    assert(got(5L).isEmpty, "user with no versions stays NULL (left join)")
+  }
+
+  test("stream-static as-of enrichment equals the batch twin") {
+    val dim = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("dim_user"), col("ts").as("dim_ts"),
+        col("event_id").as("dim_event"), col("value").as("prof_value"))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      Streams.asofEnrich(df.select(col("event_id"), col("user_id"), col("ts")),
+        dim, "user_id", "dim_user", "ts", "dim_ts",
+        tieBreak = Seq("dim_event"))
+        .select(col("event_id"),
+          coalesce(unix_micros(col("asof_ts")), lit(-1L)).as("asof_us"),
+          coalesce(col("prof_value"), lit(-1.0)).as("prof_value"))
+    val got = Streams.runToMemory(spark,
+      shape(Streams.eventsStream(spark, dir)), "t_asof")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val batch = shape(Tables.events(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(batch.nonEmpty && got == batch)
+    assert(batch.exists(_._2 >= 0), "fixture must enrich at least one event")
+  }
+
   test("mapGroupsWithState per-user running totals match batch groupBy") {
     import SparkSpec.session.implicits._
     val typed = Streams.eventsStream(spark, dir)

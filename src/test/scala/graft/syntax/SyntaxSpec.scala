@@ -33,6 +33,15 @@ class SyntaxSpec extends SparkSpec {
     assert(docs.winsorizeBy("lang", "n_chars").columns.contains("clipped"))
     assert(docs.semiJoinPruned(docs.filter("doc_id < 100"),
       "doc_id", "doc_id").count() == 100)
+    assert(docs.filter("doc_id < 50").nearDupsSortedNeighborhood(0.8)
+      .columns.toSeq == Seq("id_a", "id_b", "j"))
+    assert(docs.corrBy("lang", "n_chars", "doc_id").columns.contains("r"))
+    assert(docs.profileColumns("lang", "n_chars").count() == 2)
+    assert(docs.validateRules(
+      "nonblank" -> (org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) > 0))
+      .columns.toSeq == Seq("rule", "n_rows", "n_violations"))
+    assert(docs.histogramBy("lang", "n_chars").columns.contains("bucket"))
   }
 
   test("fluent API: embeddings surface") {
