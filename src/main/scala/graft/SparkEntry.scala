@@ -17,6 +17,7 @@ object SparkEntry {
     GaQueries,
     PipelineQueries,
     StreamQueries,
+    BehaviorQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-behavior analytics (ops.Behavior) on the driver's oracle
+  * gate: ordered funnel, cohort retention, rolling anomaly flags —
+  * all exact arithmetic, all hash-gated against DuckDB twins.
+  */
+object BehaviorQueries extends QueryPack {
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  def funnel(s: SparkSession, d: String): DataFrame =
+    Behavior.funnel(ev(s, d), Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+
+  def retention(s: SparkSession, d: String): DataFrame =
+    Behavior.retention(ev(s, d))
+      .orderBy("cohort_day", "day_offset")
+
+  // k=2 trailing-7-day flags; boolean surfaced as BIGINT 0/1 (the
+  // gate's canonicalizer has no boolean precedent)
+  def anomaly(s: SparkSession, d: String): DataFrame =
+    Behavior.anomalyDays(ev(s, d), k = 2L, window = 7)
+      .withColumn("is_anomaly", col("is_anomaly").cast("long"))
+      .orderBy("key", "day")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> funnel _,
+    "events_retention" -> retention _,
+    "events_anomaly" -> anomaly _,
+  )
+
+  override def oracle: Map[String, String] = Map(
+    // strictly-after cascade; equal timestamps never advance the
+    // funnel (Behavior.funnel's portable-strictness contract)
+    "events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t
+        |  GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+        |    (SELECT COUNT(*) FROM s1) AS users
+        |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+        |ORDER BY step_idx""".stripMargin,
+    "events_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |cohorts AS (SELECT u, MIN(d) AS cohort_day FROM active GROUP BY u)
+        |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+        |  CAST(d - cohort_day AS BIGINT) AS day_offset,
+        |  COUNT(*) AS active_users
+        |FROM active JOIN cohorts USING (u)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the cross-multiplied integer spelling of |x − mean| > k·stddev
+    // over the trailing 7 closed days (current day excluded); rows
+    // without a gap-free full window are filtered on both sides
+    "events_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT key, day, x,
+        |    SUM(x) OVER w AS s, SUM(x * x) OVER w AS sq,
+        |    COUNT(x) OVER w AS n,
+        |    LAG(day, 7) OVER (PARTITION BY key ORDER BY day) AS day7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY key ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT key, CAST(day AS BIGINT) AS day, x,
+        |  CAST((n*x - s)*(n*x - s)*(n - 1) > 4*(n*sq - s*s)*n
+        |    AS BIGINT) AS is_anomaly
+        |FROM r WHERE n = 7 AND day - day7 = 7
+        |ORDER BY key, day""".stripMargin,
+  )
+}

@@ -529,6 +529,45 @@ object PipelineQueries extends QueryPack {
         buckets = 10)
       .orderBy("lang", "bucket")
 
+  // per-language robust z-score (median/MAD — Normalize.
+  // robustScaleByGroup): both statistics exact discrete order
+  // statistics from the GroupedMedian machinery, the only float op
+  // one final division, so the DOUBLE hash-gates vs quantile_disc
+  def statsRobustByLang(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Normalize.robustScaleByGroup(
+      docs(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+      "lang", "n_chars")
+      .orderBy("doc_id")
+
+  // per-language EQUI-DEPTH histogram of doc length — boundaries are
+  // the group's own exact quartiles (Profile.histogramEquiDepth), so
+  // heavy-tailed features get readable buckets where equi-width piles
+  // everything into bucket 0
+  def statsHistogramEqdepth(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Profile.histogramEquiDepth(docs(s, d), "lang",
+        "n_chars", buckets = 4)
+      .orderBy("lang", "bucket")
+
+  // CDC MERGE: a deterministic changeset derived from the corpus
+  // itself (doc_id%7==1 re-crawled, %7==0 taken down, %7==2 newly
+  // ingested under shifted ids) applied via Merge.applyChangeset —
+  // the anti-join + union spelling DuckDB reproduces row-for-row
+  def pipelineUpsert(s: SparkSession, d: String): DataFrame = {
+    val snap = docs(s, d)
+    val upd = snap.filter(col("doc_id") % 7 === 1)
+      .withColumn("source", lit("patched")).withColumn("op", lit("U"))
+    val del = snap.filter(col("doc_id") % 7 === 0)
+      .withColumn("op", lit("D"))
+    val ins = snap.filter(col("doc_id") % 7 === 2)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("source", lit("ingested")).withColumn("op", lit("U"))
+    graft.pipeline.Merge.applyChangeset(snap,
+        upd.unionByName(del).unionByName(ins), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   // one-scan multi-column profile: completeness, exact cardinality,
   // min/max per column (Profile.profile) — the trust audit a corpus
   // gets before anyone trains on it
@@ -554,7 +593,10 @@ object PipelineQueries extends QueryPack {
     "dedup_exact" -> dedupExact _,
     "dedup_sorted_neighborhood" -> dedupSortedNeighborhood _,
     "stats_corr_by_lang" -> statsCorrByLang _,
+    "stats_robust_by_lang" -> statsRobustByLang _,
+    "pipeline_upsert" -> pipelineUpsert _,
     "stats_histogram" -> statsHistogram _,
+    "stats_histogram_eqdepth" -> statsHistogramEqdepth _,
     "pipeline_profile" -> pipelineProfile _,
     "pipeline_validate" -> pipelineValidate _,
     "dedup_minhash" -> dedupMinhash _,
@@ -683,6 +725,64 @@ object PipelineQueries extends QueryPack {
         |       sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |    END AS r
         |FROM a ORDER BY lang""".stripMargin,
+    // every changeset key evicts its snapshot row (anti join), then
+    // upserts union back — identical construction on both engines
+    "pipeline_upsert" ->
+      """WITH cs AS (
+        |  SELECT doc_id, text, lang, 'patched' AS source, n_chars,
+        |    'U' AS op FROM documents WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, 'D'
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, 'ingested', n_chars, 'U'
+        |  FROM documents WHERE doc_id % 7 = 2),
+        |kept AS (
+        |  SELECT s.* FROM documents s LEFT JOIN cs ON s.doc_id = cs.doc_id
+        |  WHERE cs.doc_id IS NULL),
+        |merged AS (
+        |  SELECT * FROM kept
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars FROM cs WHERE op = 'U')
+        |SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM merged ORDER BY doc_id""".stripMargin,
+    // median/MAD both quantile_disc (rank ⌈q·n⌉ == exactQuantiles);
+    // the one float op is the final division on both sides
+    "stats_robust_by_lang" ->
+      """WITH med AS (
+        |  SELECT lang, quantile_disc(n_chars, 0.5) AS med
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang),
+        |mad AS (
+        |  SELECT d.lang, quantile_disc(abs(d.n_chars - m.med), 0.5) AS mad
+        |  FROM documents d JOIN med m USING (lang)
+        |  WHERE d.n_chars IS NOT NULL GROUP BY d.lang)
+        |SELECT d.lang, d.doc_id, d.n_chars,
+        |  CASE WHEN d.n_chars IS NOT NULL AND mad.mad > 0
+        |    THEN CAST(d.n_chars - med.med AS DOUBLE) /
+        |      CAST(mad.mad AS DOUBLE)
+        |  END AS robust_z
+        |FROM documents d
+        |LEFT JOIN med USING (lang) LEFT JOIN mad USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+    // boundaries = per-group quartiles (quantile_disc list form);
+    // bucket(v) = first boundary covering v — identical tie behavior
+    // to the Spark side's |{b < v}| + 1 on the sorted boundary array
+    "stats_histogram_eqdepth" ->
+      """WITH bl AS (
+        |  SELECT lang, quantile_disc(n_chars, [0.25, 0.5, 0.75, 1.0]) AS bs
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang),
+        |bounds AS (
+        |  SELECT lang, unnest(bs) AS b,
+        |    CAST(generate_subscripts(bs, 1) AS BIGINT) AS i
+        |  FROM bl),
+        |assign AS (
+        |  SELECT d.doc_id, d.lang, MIN(bounds.i) AS bucket
+        |  FROM documents d JOIN bounds ON d.lang = bounds.lang
+        |    AND d.n_chars <= bounds.b
+        |  WHERE d.n_chars IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT lang, bucket, COUNT(*) AS cnt
+        |FROM assign GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // integer-exact bucketing: b = least(9, ((v-lo)*10) // (hi-lo+1))
     "stats_histogram" ->
       """WITH b AS (

@@ -81,6 +81,48 @@ object Normalize {
       .drop("__lo", "__hi")
   }
 
+  /** Append `robust_z` — the within-group ROBUST z-score
+    * (x − median) / MAD — the outlier-immune twin of zscoreByGroup: a
+    * handful of 10 MB documents shifts a mean and explodes a stddev,
+    * but moves neither the median nor the median absolute deviation.
+    * Both statistics are exact discrete order statistics (rank ⌈q·n⌉ —
+    * `GroupedMedian.exactQuantiles`, computed WITHOUT a per-group sort
+    * funnel), both integers for an integer `valueCol`, so the only
+    * float op is the final single correctly-rounded division —
+    * (x − med) stays exact int64 — and the DOUBLE output hash-gates
+    * against DuckDB's quantile_disc spelling.
+    *
+    * Groups whose MAD is 0 (more than half the values identical) yield
+    * NULL robust_z — no meaningful scale, same contract as
+    * zscoreByGroup's zero-variance guard. LEFT joins keep every row:
+    * NULL values, NULL group keys, and limitless groups pass through
+    * with robust_z NULL.
+    *
+    * At 100 TB: two |groups|-row statistic tables broadcast back; the
+    * corpus is scanned for the deviation pass and the final append but
+    * never shuffled. */
+  def robustScaleByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol))
+    val med = graft.ops.GroupedMedian
+      .exactQuantiles(vals, groupCol, valueCol, Seq(0.5))
+      .select(col(groupCol), col("value").cast("long").as("__med"))
+    val devs = vals.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol),
+        abs(col(valueCol).cast("long") - col("__med")).as("__dev"))
+    val mad = graft.ops.GroupedMedian
+      .exactQuantiles(devs, groupCol, "__dev", Seq(0.5))
+      .select(col(groupCol), col("value").cast("long").as("__mad"))
+    df.join(broadcast(med), Seq(groupCol), "left")
+      .join(broadcast(mad), Seq(groupCol), "left")
+      .withColumn("robust_z",
+        when(col(valueCol).isNotNull && col("__mad") > 0L,
+          (col(valueCol).cast("long") - col("__med")).cast("double") /
+            col("__mad").cast("double")))
+      .drop("__med", "__mad")
+  }
+
   /** Per-group Pearson correlation of two integer columns — "does doc
     * length track token count within each language" and every other
     * feature-vs-feature sanity check a curation pipeline runs. Spark's

@@ -105,4 +105,40 @@ object Profile {
         min(col(valueCol)).cast("long").as("bucket_min"),
         max(col(valueCol)).cast("long").as("bucket_max"))
   }
+
+  /** Per-group EQUI-DEPTH histogram: bucket boundaries are the group's
+    * own exact discrete quantiles at i/buckets (rank ⌈q·n⌉ —
+    * `GroupedMedian.exactQuantiles`, so no per-group sort funnel
+    * computes them), and a value lands in the FIRST bucket whose upper
+    * boundary covers it: bucket(v) = |{i : bᵢ < v}| + 1, identical to
+    * min{i : v ≤ bᵢ} for the non-decreasing boundary array. Ties and
+    * duplicate boundaries resolve the same way in any engine — pure
+    * integer comparisons, so the (group, bucket) counts hash-gate
+    * against DuckDB's quantile_disc spelling. Equal-width histograms
+    * (above) starve on heavy-tailed features — doc lengths pile into
+    * bucket 0 and the tail is unreadable; equi-depth pins each bucket
+    * at ~n/buckets rows by construction.
+    *
+    * At 100 TB: the boundary table is |groups|×buckets rows, broadcast
+    * back; the corpus is scanned once for the assignment and the final
+    * aggregate is (group, bucket)-sized. */
+  def histogramEquiDepth(df: DataFrame, groupCol: String, valueCol: String,
+      buckets: Int = 4): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val qs = (1 to buckets).map(_.toDouble / buckets)
+    val vals = df.filter(col(valueCol).isNotNull)
+    val bounds = graft.ops.GroupedMedian
+      .exactQuantiles(vals, groupCol, valueCol, qs)
+      .groupBy(groupCol)
+      .agg(array_sort(collect_list(struct(col("q"), col("value"))))
+        .as("__qb"))
+      .select(col(groupCol),
+        transform(col("__qb"), x => x("value")).as("__bs"))
+    vals.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("bucket",
+        (size(filter(col("__bs"), b => b < col(valueCol))) + 1)
+          .cast("long"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.pipeline.{Curation, Decontamination, Dedup, Normalize, Profile, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Decontamination, Dedup, Merge, Normalize, Profile, Sampling, Similarity, TextAnalysis}
 
 /** Fluent entry points: `import graft.syntax._` and call pipeline
   * operators as methods on any DataFrame with the right columns
@@ -118,6 +118,33 @@ package object syntax {
     def histogramBy(groupCol: String, valueCol: String,
         buckets: Int = 10): DataFrame =
       Profile.histogram(df, groupCol, valueCol, buckets)
+
+    /** Apply a CDC changeset (op column, U/D) to this snapshot —
+      * key eviction by broadcast anti join, upserts unioned back. */
+    def applyChangeset(changeset: DataFrame, keyCol: String = "doc_id",
+        versionCol: Option[String] = None): DataFrame =
+      Merge.applyChangeset(df, changeset, keyCol, versionCol = versionCol)
+
+    /** Within-group robust z-score: (x − median) / MAD. */
+    def robustScaleBy(groupCol: String, valueCol: String): DataFrame =
+      Normalize.robustScaleByGroup(df, groupCol, valueCol)
+
+    /** Per-group EQUI-DEPTH histogram on exact quantile boundaries. */
+    def histogramEquiDepthBy(groupCol: String, valueCol: String,
+        buckets: Int = 4): DataFrame =
+      Profile.histogramEquiDepth(df, groupCol, valueCol, buckets)
+
+    /** Ordered-funnel completion counts over an event table. */
+    def funnelSteps(steps: String*): DataFrame =
+      graft.ops.Behavior.funnel(df, steps)
+
+    /** Cohort retention cells (cohort_day, day_offset, active_users). */
+    def retentionCohorts(): DataFrame = graft.ops.Behavior.retention(df)
+
+    /** Trailing-window integer-exact anomaly flags per (key, day). */
+    def anomalyDays(k: Long = 3L, window: Int = 7,
+        keyCol: String = "event_type"): DataFrame =
+      graft.ops.Behavior.anomalyDays(df, k, window, keyCol)
   }
 
   implicit class EmbeddingOps(private val df: DataFrame) {

@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // (user, type, ts-second) — u1 clean completion; u2's click TIES the
+  // view timestamp (must NOT advance); u3's first click precedes its
+  // view (must be ignored, later click counts); u4 stalls at view;
+  // u5 never views at all
+  private lazy val funnelEvents = Seq(
+    (1L, "view", 1), (1L, "click", 2), (1L, "purchase", 3),
+    (2L, "view", 1), (2L, "click", 1), (2L, "purchase", 5),
+    (3L, "click", 1), (3L, "view", 2), (3L, "click", 3), (3L, "purchase", 4),
+    (4L, "view", 7),
+    (5L, "click", 1), (5L, "purchase", 2),
+  ).map { case (u, t, sec) =>
+    (u, t, ts(f"2024-01-01 00:00:$sec%02d"))
+  }.toDF("user_id", "event_type", "ts")
+
+  test("funnel counts strictly-ordered prefix completions") {
+    val got = Behavior.funnel(funnelEvents, Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+      .select("step_idx", "step", "users")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "view", 4L), (2L, "click", 2L),
+      (3L, "purchase", 2L)))
+  }
+
+  test("funnel: an equal-timestamp step never advances") {
+    // u2 in isolation: click at the same instant as view
+    val got = Behavior.funnel(funnelEvents.filter($"user_id" === 2L),
+      Seq("view", "click")).orderBy("step_idx")
+      .select("users").as[Long].collect().toSeq
+    assert(got === Seq(1L, 0L))
+  }
+
+  test("funnel: single step equals distinct-user count of that type") {
+    val got = Behavior.funnel(funnelEvents, Seq("click"))
+      .select("users").as[Long].head()
+    assert(got === 4L) // u1 u2 u3 u5
+  }
+
+  test("retention cohorts by first-active day, exact cell counts") {
+    val d0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay // 19723
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 10:00:00"),
+      (1L, "2024-01-04 10:00:00"),
+      (2L, "2024-01-02 01:00:00"), (2L, "2024-01-02 23:00:00"), // same day
+      (2L, "2024-01-03 01:00:00"),
+      (3L, "2024-01-04 12:00:00"),
+    ).map { case (u, t) => (u, ts(t)) }.toDF("user_id", "ts")
+    val got = Behavior.retention(ev).orderBy("cohort_day", "day_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (d0, 0L, 1L), (d0, 1L, 1L), (d0, 3L, 1L),
+      (d0 + 1, 0L, 1L), (d0 + 1, 1L, 1L),
+      (d0 + 3, 0L, 1L)))
+  }
+
+  test("anomalyDays flags a planted spike and nothing else") {
+    // one key: days 0..9 at 10 events/day, day 10 spikes to 30
+    val rows = for {
+      day <- 0 to 10
+      n = if (day == 10) 30 else 10
+      i <- 1 to n
+    } yield ("err", ts(f"2024-01-${day + 1}%02d 00:00:${i % 60}%02d"), i)
+    val ev = rows.toDF("event_type", "ts", "i")
+    val got = Behavior.anomalyDays(ev, k = 2L, window = 7)
+      .orderBy("day").select("day", "x", "is_anomaly")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val d0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    // first full gap-free trailing window exists from day 7 on
+    assert(got.map(_._1) === Seq(d0 + 7, d0 + 8, d0 + 9, d0 + 10))
+    assert(got.map(_._3) === Seq(false, false, false, true))
+  }
+
+  test("anomalyDays: a gap in the trailing days disqualifies the row") {
+    // days 0..5 and 7..13 present, day 6 missing: day 13's trailing 7
+    // ROWS span days 5..12 (8 calendar days) — must be filtered
+    val rows = for {
+      day <- (0 to 5) ++ (7 to 13)
+      i <- 1 to 10
+    } yield ("err", ts(f"2024-01-${day + 1}%02d 00:00:${i % 60}%02d"))
+    val ev = rows.toDF("event_type", "ts")
+    val d0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    val days = Behavior.anomalyDays(ev, k = 2L, window = 7)
+      .select("day").as[Long].collect().toSet
+    assert(!days.contains(d0 + 13))
+    assert(days.contains(d0 + 14) === false) // no such day at all
+  }
+}

@@ -133,4 +133,41 @@ class NormalizeSpec extends SparkSpec {
     assert(r("one").isEmpty, "n=1 has no correlation")
     assert(r("flat").isEmpty, "zero variance has no correlation")
   }
+
+  test("robust z-scores match the hand-computed median/MAD per group") {
+    // group a: values 10,20,30,100 — median rank ⌈0.5·4⌉=2 → 20;
+    // deviations 10,0,10,80 — MAD rank 2 → 10; z = (v−20)/10.
+    // The 100 outlier lands at z=8 but moves NEITHER statistic —
+    // under zscoreByGroup it would have dragged the mean to 40
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("a", 4L, 100L)).toDF("grp", "id", "v")
+    val got = Normalize.robustScaleByGroup(df, "grp", "v")
+      .select("id", "robust_z").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == -1.0 && got(2L) == 0.0 && got(3L) == 1.0 &&
+      got(4L) == 8.0, got.toString)
+  }
+
+  test("robust z: zero MAD yields NULL, and no row is ever dropped") {
+    // "flat": 3 of 4 values identical → MAD 0 → NULL z everywhere;
+    // NULL value and NULL group key both survive with NULL z
+    val df = Seq(
+      (Some("flat"), 1L, Some(7L)), (Some("flat"), 2L, Some(7L)),
+      (Some("flat"), 3L, Some(7L)), (Some("flat"), 4L, Some(9L)),
+      (Some("a"), 5L, Option.empty[Long]),
+      (Option.empty[String], 6L, Some(3L)))
+      .toDF("grp", "id", "v")
+    val rows = Normalize.robustScaleByGroup(df, "grp", "v")
+      .select("id", "robust_z").collect()
+    assert(rows.length == 6, s"rows were dropped: ${rows.mkString(",")}")
+    assert(rows.forall(_.isNullAt(1)), rows.mkString(","))
+  }
+
+  test("robust z: the statistic joins are broadcast — the corpus never shuffles wide") {
+    val docs = graft.ops.Tables.documents(spark, sf("sf0.001"))
+    val p = Normalize.robustScaleByGroup(docs, "lang", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "statistic join fell back to shuffle")
+  }
 }

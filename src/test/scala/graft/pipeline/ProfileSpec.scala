@@ -74,4 +74,42 @@ class ProfileSpec extends SparkSpec {
     assert((5L to 9L).forall(b => r(("b", b)) == 10L))
     assert(!r.contains(("a", 5L)) && !r.contains(("b", 4L)))
   }
+
+  test("equi-depth: quartile boundaries give four equal buckets on 1..100") {
+    val vals = (1L to 100L).map(v => ("g", v)).toDF("grp", "x")
+    val r = Profile.histogramEquiDepth(vals, "grp", "x", buckets = 4)
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    // boundaries at ranks 25/50/75/100 → buckets of exactly 25
+    assert(r == Map(1L -> 25L, 2L -> 25L, 3L -> 25L, 4L -> 25L), r.toString)
+  }
+
+  test("equi-depth: a heavy tail still fills both buckets (where equi-width starves)") {
+    // 9 small values + one huge outlier: equi-depth splits 5/5 at the
+    // median; equi-width would pile 9 rows into bucket 0
+    val vals = ((1L to 9L) :+ 1000L).map(v => ("g", v)).toDF("grp", "x")
+    val r = Profile.histogramEquiDepth(vals, "grp", "x", buckets = 2)
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(r == Map(1L -> 5L, 2L -> 5L), r.toString)
+  }
+
+  test("equi-depth: duplicate boundaries collapse ties into the first bucket") {
+    // constant column: every boundary equals 5, every value lands in
+    // bucket 1 (|{b < 5}| = 0) — no empty-bucket artifacts, NULLs drop
+    val vals = Seq(("g", Some(5L)), ("g", Some(5L)), ("g", Some(5L)),
+      ("g", Option.empty[Long])).toDF("grp", "x")
+    val r = Profile.histogramEquiDepth(vals, "grp", "x", buckets = 4)
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(r == Map(1L -> 3L), r.toString)
+  }
+
+  test("equi-depth: per-group boundaries are independent across groups") {
+    val vals = ((1L to 8L).map(v => ("small", v)) ++
+      (101L to 108L).map(v => ("big", v))).toDF("grp", "x")
+    val r = Profile.histogramEquiDepth(vals, "grp", "x", buckets = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2))
+      .toMap
+    // each group splits 4/4 at its OWN median, not a shared range
+    assert(r == Map(("small", 1L) -> 4L, ("small", 2L) -> 4L,
+      ("big", 1L) -> 4L, ("big", 2L) -> 4L), r.toString)
+  }
 }

@@ -42,6 +42,17 @@ class SyntaxSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("text")) > 0))
       .columns.toSeq == Seq("rule", "n_rows", "n_violations"))
     assert(docs.histogramBy("lang", "n_chars").columns.contains("bucket"))
+    assert(docs.robustScaleBy("lang", "n_chars").columns.contains("robust_z"))
+    assert(docs.histogramEquiDepthBy("lang", "n_chars")
+      .columns.toSeq == Seq("lang", "bucket", "cnt"))
+  }
+
+  test("fluent API: event-behavior surface") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    assert(ev.funnelSteps("view", "click", "purchase").count() == 3)
+    assert(ev.retentionCohorts().columns.toSeq ==
+      Seq("cohort_day", "day_offset", "active_users"))
+    assert(ev.anomalyDays().columns.contains("is_anomaly"))
   }
 
   test("fluent API: embeddings surface") {
