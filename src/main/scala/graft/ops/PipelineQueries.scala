@@ -287,6 +287,20 @@ object PipelineQueries extends QueryPack {
   def textBigrams(s: SparkSession, d: String): DataFrame =
     TextAnalysis.topBigrams(docs(s, d), topK = 20)
 
+  // winnowing (MOSS) fingerprints on the doc_id<1000 subset: k-gram
+  // md5-40bit hashes + per-window minima are pure integer arithmetic,
+  // so the sampled (pos, hash) set hash-gates cross-engine
+  def textWinnow(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.winnowingFingerprints(
+      docs(s, d).filter(col("doc_id") < 1000), k = 3, window = 4)
+      .orderBy("doc_id", "fp_pos", "fp_hash")
+
+  // skip-gram co-occurrence top-20 at window 2 — the count-based
+  // embedding/PMI front half; DuckDB reproduces it by positional
+  // self-join where Spark generates pairs per row
+  def textCooccur(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.cooccurrence(docs(s, d), window = 2, topK = 20)
+
   def textRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, d)).orderBy("doc_id")
 
@@ -627,6 +641,8 @@ object PipelineQueries extends QueryPack {
     "text_langid" -> textLangid _,
     "text_fingerprint" -> textFingerprint _,
     "text_bigrams" -> textBigrams _,
+    "text_winnow" -> textWinnow _,
+    "text_cooccur" -> textCooccur _,
     "text_repetition" -> textRepetition _,
     "text_chunks" -> textChunks _,
     "text_postings" -> textPostings _,
@@ -1102,6 +1118,51 @@ object PipelineQueries extends QueryPack {
         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |       ELSE 'es' END AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
+    // the full winnowing construction mirrored: same 40-bit md5 kgram
+    // hash, same h·2^20+pos key, same full-window starts filter
+    "text_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 1000),
+        |kg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END AS kgrams
+        |  FROM t),
+        |kh AS (
+        |  SELECT doc_id, len(kgrams) AS m,
+        |    CAST(generate_subscripts(kgrams, 1) AS BIGINT) AS i,
+        |    CAST(('0x' || substring(md5(unnest(kgrams)), 1, 10)) AS BIGINT)
+        |      * 1048576 + generate_subscripts(kgrams, 1) AS key
+        |  FROM kg),
+        |win AS (
+        |  SELECT doc_id, i, m,
+        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM kh)
+        |SELECT DISTINCT doc_id, sel % 1048576 AS fp_pos,
+        |  sel // 1048576 AS fp_hash
+        |FROM win WHERE i <= GREATEST(m - 3, 1)
+        |ORDER BY doc_id, fp_pos, fp_hash""".stripMargin,
+    "text_cooccur" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(toks) AS tok,
+        |    generate_subscripts(toks, 1) AS i
+        |  FROM t),
+        |pairs AS (
+        |  SELECT a.tok || ' ' || b.tok AS pair
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2)
+        |SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_md5,

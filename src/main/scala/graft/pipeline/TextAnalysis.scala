@@ -182,4 +182,87 @@ object TextAnalysis {
       col("doc_id"),
       md5(normText(col("text"))).as("content_md5"),
       rollingFingerprint(tokens(col("text"))).as("rolling_fp"))
+
+  /** Winnowing document fingerprints (the MOSS algorithm, Schleimer et
+    * al. SIGMOD'03): hash every token k-gram, slide a window of
+    * `window` consecutive k-gram hashes, and keep the minimum of each
+    * window (ties to the smallest position). Guarantee: any shared
+    * token run of length ≥ window + k − 1 between two documents yields
+    * at least one SHARED fingerprint — substring-granularity overlap
+    * detection that whole-document shingling (MinHash) structurally
+    * misses, at an expected density of only 2/(window+1) fingerprints
+    * per position.
+    *
+    * Engine-portable construction, so the output hash-gates: k-gram
+    * hash = the first 10 hex chars of md5 (40 bits, exact in any
+    * engine); window minima are taken over the single int64 key
+    * h·2²⁰ + pos — the lexicographic (hash, position) order without a
+    * struct comparator, valid while docs stay under 2²⁰ = 1M k-grams
+    * (at 100 TB, chunk longer docs upstream). Everything up to the
+    * final DISTINCT is a per-row projection + one window over
+    * (doc, pos) — the corpus shuffles once.
+    *
+    * Returns (doc_id, fp_pos, fp_hash) — fp_pos is the 1-based k-gram
+    * position the fingerprint was sampled at (MOSS reports positions
+    * for match localization). */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 3,
+      window: Int = 4): DataFrame = {
+    require(k >= 1, s"k-gram size must be >= 1, got $k")
+    require(window >= 1, s"window must be >= 1, got $window")
+    import org.apache.spark.sql.expressions.Window
+
+    val bound = docs.select(col("doc_id"),
+      filter(tokens(col("text")), t => length(t) > 0).as("toks"))
+    val kgrams = bound.select(col("doc_id"),
+      when(size(col("toks")) >= k,
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
+        .otherwise(array().cast("array<string>")).as("kgrams"))
+    val keyed = kgrams
+      .select(col("doc_id"), size(col("kgrams")).as("m"),
+        posexplode(col("kgrams")).as(Seq("idx", "kgram")))
+      .select(col("doc_id"), col("m"), (col("idx") + 1).as("i"),
+        (conv(substring(md5(col("kgram")), 1, 10), 16, 10).cast("long") *
+          1048576L + col("idx") + 1L).as("key"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(0, window - 1)
+    keyed.withColumn("sel", min(col("key")).over(w))
+      .filter(col("i") <= greatest(col("m") - (window - 1), lit(1)))
+      .select(col("doc_id"), (col("sel") % 1048576L).as("fp_pos"),
+        // integer `div`, NOT `/`: the key tops 2^60 and a double
+        // quotient would lose low bits past 2^53
+        expr("sel div 1048576").as("fp_hash"))
+      .distinct()
+  }
+
+  /** Corpus-wide skip-gram co-occurrence counts: ordered token pairs
+    * (a, b) with b at most `window` positions after a — the
+    * co-occurrence matrix construction under every count-based
+    * embedding (GloVe/PMI) and collocation miner. Generalizes
+    * topBigrams (window = 1 is exactly it).
+    *
+    * Scale shape: pair generation is PER ROW — each distance d zips
+    * the bound token array with its own d-shifted tail (zip_with
+    * evaluates each input once; the shorter side's null padding is
+    * dropped), so the corpus is never self-joined on position and the
+    * only shuffle is the final partial+final count; top-k runs on the
+    * aggregated set under a total order. */
+  def cooccurrence(docs: DataFrame, window: Int = 2,
+      topK: Int = 20): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val bound = docs.select(tokens(col("text")).as("toks"))
+    val pairArrays = (1 to window).map { d =>
+      val shifted = slice(col("toks"), lit(d + 1),
+        greatest(size(col("toks")) - d, lit(0)))
+      filter(
+        zip_with(col("toks"), shifted,
+          (x, y) => when(y.isNull, lit(null))
+            .otherwise(concat_ws(" ", x, y))),
+        b => b.isNotNull)
+    }
+    bound.select(explode(pairArrays.reduce(concat(_, _))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+  }
 }

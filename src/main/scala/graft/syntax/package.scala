@@ -119,6 +119,15 @@ package object syntax {
         buckets: Int = 10): DataFrame =
       Profile.histogram(df, groupCol, valueCol, buckets)
 
+    /** Winnowing (MOSS) fingerprints: per-window minima of k-gram
+      * hashes — substring-granularity overlap detection. */
+    def winnowFingerprints(k: Int = 3, window: Int = 4): DataFrame =
+      TextAnalysis.winnowingFingerprints(df, k, window)
+
+    /** Corpus-wide skip-gram co-occurrence top-k. */
+    def cooccurrenceTopK(window: Int = 2, topK: Int = 20): DataFrame =
+      TextAnalysis.cooccurrence(df, window, topK)
+
     /** Apply a CDC changeset (op column, U/D) to this snapshot —
       * key eviction by broadcast anti join, upserts unioned back. */
     def applyChangeset(changeset: DataFrame, keyCol: String = "doc_id",

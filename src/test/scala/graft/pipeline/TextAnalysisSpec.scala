@@ -215,4 +215,81 @@ class TextAnalysisSpec extends SparkSpec {
     assert(banded == brute,
       s"missing ${brute -- banded}, extra ${banded -- brute}")
   }
+
+  // brute-force winnowing reference: same md5-40bit kgram hash, same
+  // h·2^20+pos key, same full-window starts
+  private def winnowRef(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val kgs = (0 to toks.size - k)
+      .map(i => toks.slice(i, i + k).mkString(" "))
+    val keys = kgs.zipWithIndex.map { case (g, idx) =>
+      java.lang.Long.parseLong(md5hex(g).take(10), 16) * 1048576L + idx + 1
+    }
+    val m = keys.size
+    if (m == 0) Set.empty
+    else (1 to math.max(m - w + 1, 1))
+      .map(s => keys.slice(s - 1, math.min(s - 1 + w, m)).min)
+      .toSet.map((sel: Long) => (sel % 1048576L, sel / 1048576L))
+  }
+
+  test("winnowing fingerprints match the brute-force reference per doc") {
+    val fixture = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "repeat repeat repeat repeat repeat repeat"),
+      (3L, "short doc"),          // fewer tokens than k -> no kgrams
+      (4L, "one two three"),      // exactly one kgram -> one window
+      (5L, "   "),                // blank -> no tokens
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowingFingerprints(fixture, k = 3, window = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet
+      }
+    val texts = Map(
+      0L -> "the quick brown fox jumps over the lazy dog again and again",
+      1L -> "a b c d e f g h i j k l m n o p",
+      2L -> "repeat repeat repeat repeat repeat repeat",
+      3L -> "short doc", 4L -> "one two three", 5L -> "   ")
+    for ((id, text) <- texts) {
+      val want = winnowRef(text, 3, 4)
+      assert(got.getOrElse(id, Set.empty) === want, s"doc $id")
+    }
+    assert(got(4L).size === 1, "single kgram -> exactly one fingerprint")
+    assert(!got.contains(3L) && !got.contains(5L))
+  }
+
+  test("winnowing guarantee: a shared run of window+k-1 tokens shares a fingerprint") {
+    // w=4, k=3: any common substring of >= 6 tokens must collide on
+    // at least one fingerprint HASH regardless of surrounding context
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val twoDocs = Seq(
+      (0L, s"intro words here $shared trailing stuff"),
+      (1L, s"completely different preamble text $shared and another ending"),
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(twoDocs, k = 3, window = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    assert((fps(0L) & fps(1L)).nonEmpty,
+      s"no shared fingerprint: ${fps(0L)} vs ${fps(1L)}")
+  }
+
+  test("cooccurrence counts skip-gram pairs up to the window distance") {
+    val d = Seq((0L, "a b c a")).toDF("doc_id", "text")
+    val got = TextAnalysis.cooccurrence(d, window = 2, topK = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // d=1: (a b)(b c)(c a); d=2: (a c)(b a)
+    assert(got === Map("a b" -> 1L, "b c" -> 1L, "c a" -> 1L,
+      "a c" -> 1L, "b a" -> 1L), got.toString)
+  }
+
+  test("cooccurrence at window 1 equals topBigrams") {
+    val co = TextAnalysis.cooccurrence(docs, window = 1, topK = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val bi = TextAnalysis.topBigrams(docs, topK = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(co === bi)
+  }
 }

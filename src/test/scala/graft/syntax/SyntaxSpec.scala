@@ -45,6 +45,9 @@ class SyntaxSpec extends SparkSpec {
     assert(docs.robustScaleBy("lang", "n_chars").columns.contains("robust_z"))
     assert(docs.histogramEquiDepthBy("lang", "n_chars")
       .columns.toSeq == Seq("lang", "bucket", "cnt"))
+    assert(docs.winnowFingerprints().columns.toSeq ==
+      Seq("doc_id", "fp_pos", "fp_hash"))
+    assert(docs.cooccurrenceTopK(window = 2, topK = 5).count() == 5)
   }
 
   test("fluent API: event-behavior surface") {
