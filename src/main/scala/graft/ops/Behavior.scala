@@ -74,11 +74,12 @@ object Behavior {
     * Days are epoch-day BIGINTs (no DATE column reaches the gate —
     * engines canonicalize DATE differently). Exact counts only.
     *
-    * At 100 TB: one distinct over (user, day) — partial+final —
-    * then the first-day aggregate and the join BOTH hash on the user
-    * key, so the already-partitioned distinct output flows through
-    * with no extra exchange; the final (cohort, offset) aggregate is
-    * |cohorts|×|offsets| rows.
+    * At 100 TB: one partial+final distinct over (user, day) collapses
+    * the event volume to active-user-days; everything after moves only
+    * those narrow rows — the first-day aggregate exchanges on the user
+    * key and its output is reused partition-for-partition by the join
+    * (only the active side re-hashes); the final (cohort, offset)
+    * aggregate is |cohorts|×|offsets| rows.
     */
   def retention(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts"): DataFrame = {

@@ -295,6 +295,14 @@ object PipelineQueries extends QueryPack {
       docs(s, d).filter(col("doc_id") < 1000), k = 3, window = 4)
       .orderBy("doc_id", "fp_pos", "fp_hash")
 
+  // winnowing-overlap pairs (the 4th candidate-generation family):
+  // docs sharing >=2 sampled fingerprints after the df<=100
+  // boilerplate filter — exact integer construction, hash-gated
+  def dedupWinnow(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowingOverlapPairs(docs(s, d).filter(col("doc_id") < 1000),
+      k = 3, window = 4, minShared = 2, maxDf = 100L)
+      .orderBy("id_a", "id_b")
+
   // skip-gram co-occurrence top-20 at window 2 — the count-based
   // embedding/PMI front half; DuckDB reproduces it by positional
   // self-join where Spark generates pairs per row
@@ -643,6 +651,7 @@ object PipelineQueries extends QueryPack {
     "text_bigrams" -> textBigrams _,
     "text_winnow" -> textWinnow _,
     "text_cooccur" -> textCooccur _,
+    "dedup_winnow" -> dedupWinnow _,
     "text_repetition" -> textRepetition _,
     "text_chunks" -> textChunks _,
     "text_postings" -> textPostings _,
@@ -1118,6 +1127,46 @@ object PipelineQueries extends QueryPack {
         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |       ELSE 'es' END AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
+    // winnowing fingerprints → df filter → hash self-join: the whole
+    // candidate pipeline reproduced relationally
+    "dedup_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 1000),
+        |kg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END AS kgrams
+        |  FROM t),
+        |kh AS (
+        |  SELECT doc_id, len(kgrams) AS m,
+        |    CAST(generate_subscripts(kgrams, 1) AS BIGINT) AS i,
+        |    CAST(('0x' || substring(md5(unnest(kgrams)), 1, 10)) AS BIGINT)
+        |      * 1048576 + generate_subscripts(kgrams, 1) AS key
+        |  FROM kg),
+        |win AS (
+        |  SELECT doc_id, i, m,
+        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM kh),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, sel // 1048576 AS fp_hash
+        |  FROM win WHERE i <= GREATEST(m - 3, 1)),
+        |rare AS (
+        |  SELECT fp_hash FROM fps GROUP BY fp_hash HAVING COUNT(*) <= 100),
+        |keyed AS (
+        |  SELECT f.doc_id, f.fp_hash FROM fps f JOIN rare USING (fp_hash)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        |  FROM keyed a JOIN keyed b
+        |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared FROM pairs WHERE shared >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // the full winnowing construction mirrored: same 40-bit md5 kgram
     // hash, same h·2^20+pos key, same full-window starts filter
     "text_winnow" ->

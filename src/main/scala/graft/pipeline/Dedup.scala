@@ -575,6 +575,49 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Substring-overlap candidate pairs from winnowing fingerprints
+    * (the FOURTH candidate-generation family, after MinHash banding,
+    * SimHash chunks, and sorted-neighborhood windows): two documents
+    * pair when they share ≥ `minShared` sampled k-gram fingerprints —
+    * which the winnowing guarantee ties to shared token RUNS of
+    * ≥ window+k−1, so this finds partial/quoted duplication that
+    * whole-document similarity scores dilute away (a 10-line license
+    * header inside two otherwise-different files).
+    *
+    * Scale shape: the self-join key is the fingerprint hash — bucket
+    * sizes are bounded by dropping fingerprints seen in more than
+    * `maxDf` documents first (boilerplate phrases pair everything and
+    * discriminate nothing — the banding family's blank-doc filter
+    * generalized to frequency), and the sampled density is only
+    * 2/(window+1) per token to begin with. The df filter is a COUNT
+    * window over the same fp_hash partitioning the self-join needs —
+    * one explicit repartition below everything, so the expensive
+    * fingerprint pipeline (md5 per k-gram) feeds every consumer
+    * through ONE ReuseExchange-collapsed exchange instead of running
+    * once per join branch.
+    *
+    * Returns (id_a, id_b, shared) — exact shared-fingerprint counts,
+    * engine-portable (the oracle reproduces them verbatim). */
+  def winnowingOverlapPairs(docs: DataFrame, k: Int = 3, window: Int = 4,
+      minShared: Int = 2, maxDf: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = TextAnalysis.winnowingFingerprints(docs, k, window)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .repartition(col("fp_hash"))
+    val keyed = fps
+      .withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("fp_hash"))))
+      .filter(col("__df") <= maxDf)
+      .select(col("fp_hash"), col("doc_id"))
+    keyed.select(col("fp_hash"), col("doc_id").as("id_a"))
+      .join(keyed.select(col("fp_hash"), col("doc_id").as("id_b")),
+        "fp_hash")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Exact all-pairs cosine over a bounded id range — the O(subset²)
     * ground truth for `embeddingNearDup`'s recall (the embedding
     * family's twin of `ngramJaccardPairs`). Keep maxId small. */

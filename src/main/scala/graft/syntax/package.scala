@@ -128,6 +128,12 @@ package object syntax {
     def cooccurrenceTopK(window: Int = 2, topK: Int = 20): DataFrame =
       TextAnalysis.cooccurrence(df, window, topK)
 
+    /** Substring-overlap pairs: docs sharing ≥ minShared winnowing
+      * fingerprints (boilerplate filtered above maxDf). */
+    def winnowOverlapPairs(k: Int = 3, window: Int = 4,
+        minShared: Int = 2, maxDf: Long = 1000L): DataFrame =
+      Dedup.winnowingOverlapPairs(df, k, window, minShared, maxDf)
+
     /** Apply a CDC changeset (op column, U/D) to this snapshot —
       * key eviction by broadcast anti join, upserts unioned back. */
     def applyChangeset(changeset: DataFrame, keyCol: String = "doc_id",

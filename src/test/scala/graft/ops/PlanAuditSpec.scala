@@ -265,4 +265,37 @@ class PlanAuditSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_q30_lineitem")
     }
   }
+
+  test("cooccurrence: pairs are generated per row — no positional self-join") {
+    val p = plan(PipelineQueries.textCooccur(spark, dir))
+    assert(!p.contains("Join"),
+      "co-occurrence must not self-join the corpus on position:\n" +
+        p.take(1500))
+    // top-k over the aggregated set, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("winnowing overlap: one fingerprint exchange feeds both self-join branches") {
+    // broadcast off = the 100 TB sort-merge shape (the minhash audit's
+    // discipline): both self-join branches must read ONE shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = PipelineQueries.dedupWinnow(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        "fingerprint pipeline is computed once per self-join branch:\n" +
+          p.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("behavior funnel: each frontier joins then re-aggregates on the user key") {
+    val p = plan(BehaviorQueries.funnel(spark, dir))
+    // the per-step frontier stays a hash aggregate (partial+final) —
+    // no window or global sort anywhere in the cascade
+    assert(!p.contains("Window"), p.take(1500))
+  }
 }

@@ -518,4 +518,50 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.sortedNeighborhoodPairs(d, threshold = 0.5, window = 1))
   }
+
+  test("winnowing overlap pairs == shared-fingerprint counts from the fingerprint op") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu unique tail zero"),
+      (1L, "different head one alpha beta gamma delta epsilon zeta eta " +
+        "theta iota kappa lambda mu other ending"),
+      (2L, "totally unrelated words about distributed query engines"),
+      (3L, "more unrelated text concerning columnar storage formats"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowingOverlapPairs(corpus, k = 3, window = 4,
+        minShared = 2, maxDf = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // independent reference: intersect each pair's fingerprint-hash set
+    val fps = TextAnalysis.winnowingFingerprints(corpus, k = 3, window = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    val want = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      n = (fps(a) & fps(b)).size if n >= 2
+    } yield (a, b) -> n.toLong).toMap
+    assert(got === want, s"got $got want $want")
+    assert(got.contains((0L, 1L)),
+      "the planted 12-token shared run must pair")
+    assert(!got.keys.exists { case (a, b) => a >= 2L || b >= 2L },
+      "unrelated docs must not pair")
+  }
+
+  test("winnowing overlap: boilerplate fingerprints above maxDf never pair docs") {
+    // every doc opens with the same 8-token header; their bodies are
+    // disjoint. At maxDf=1 the header fingerprints (df=3) are dropped,
+    // so NO pairs survive; at maxDf=100 the header pairs everything.
+    val header = "standard license header shared by every single file"
+    val corpus = Seq(
+      (0L, s"$header body one about alpha things"),
+      (1L, s"$header body two about beta matters"),
+      (2L, s"$header body three about gamma topics"),
+    ).toDF("doc_id", "text")
+    val loose = Dedup.winnowingOverlapPairs(corpus, k = 3, window = 4,
+      minShared = 1, maxDf = 100L).count()
+    val strict = Dedup.winnowingOverlapPairs(corpus, k = 3, window = 4,
+      minShared = 1, maxDf = 1L).count()
+    assert(loose === 3L, s"header must pair all 3 docs, got $loose")
+    assert(strict === 0L, "df-filtered fingerprints must not pair")
+  }
 }

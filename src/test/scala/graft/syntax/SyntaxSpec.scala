@@ -48,6 +48,8 @@ class SyntaxSpec extends SparkSpec {
     assert(docs.winnowFingerprints().columns.toSeq ==
       Seq("doc_id", "fp_pos", "fp_hash"))
     assert(docs.cooccurrenceTopK(window = 2, topK = 5).count() == 5)
+    assert(docs.filter("doc_id < 50").winnowOverlapPairs()
+      .columns.toSeq == Seq("id_a", "id_b", "shared"))
   }
 
   test("fluent API: event-behavior surface") {
