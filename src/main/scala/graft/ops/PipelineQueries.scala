@@ -120,6 +120,28 @@ object PipelineQueries extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  // SemDeDup (k-means-cell semantic dedup) beside the LSH spelling:
+  // same exact-cosine verify, complementary candidate generator; the
+  // in-plan recall column measures the declared cell-boundary trade
+  // against the same exact ground truth (rows-only row — cell
+  // assignment is engine-specific)
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.semanticNearDup(emb(s, d), threshold = 0.3,
+      nCells = 8, nAssign = 3).localCheckpoint(true)
+    val exact = Dedup.exactCosinePairs(emb(s, d), maxId = 500L,
+      threshold = 0.3).localCheckpoint(true)
+    val hits = pairs.filter(col("id_b") < 500)
+      .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val tot = exact.agg(count(lit(1)).as("n_true"))
+    pairs.crossJoin(broadcast(hits)).crossJoin(broadcast(tot))
+      .withColumn("recall",
+        when(col("n_true") > 0,
+          col("n_hit").cast("double") / col("n_true")).otherwise(lit(-1.0)))
+      .select("id_a", "id_b", "cos", "recall")
+      .orderBy("id_a", "id_b")
+  }
+
   // character-level (edit distance) fuzzy pairs on a bounded subset
   def dedupFuzzy(s: SparkSession, d: String): DataFrame =
     Dedup.fuzzyPairs(docs(s, d), maxId = 200L, maxDist = 12)
@@ -629,6 +651,7 @@ object PipelineQueries extends QueryPack {
     "dedup_incremental" -> dedupIncremental _,
     "dedup_containment" -> dedupContainment _,
     "dedup_embedding" -> dedupEmbedding _,
+    "dedup_semantic" -> dedupSemantic _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_clusters_lsh" -> dedupClustersLsh _,
     "dedup_keep_best" -> dedupKeepBest _,

@@ -181,5 +181,11 @@ package object syntax {
     def cosineTopKIvf(maxQueryId: Long, k: Int, nCells: Int = 16,
         nprobe: Int = 4): DataFrame =
       Similarity.ivfTopK(df, maxQueryId, k, nCells, nprobe)
+
+    /** SemDeDup: within-k-means-cell near-dup pairs above a cosine
+      * threshold. */
+    def semanticNearDups(threshold: Double = 0.95,
+        nCells: Int = 16): DataFrame =
+      Dedup.semanticNearDup(df, threshold, nCells)
   }
 }

@@ -564,4 +564,33 @@ class DedupSpec extends SparkSpec {
     assert(loose === 3L, s"header must pair all 3 docs, got $loose")
     assert(strict === 0L, "df-filtered fingerprints must not pair")
   }
+
+  test("semantic near-dup finds intra-cluster pairs; exact verify kills cross-cluster") {
+    // three well-separated directions with small perturbations: every
+    // intra-cluster pair has cos ~ 1, every cross-cluster pair cos ~ 0.
+    // Seeded k-means makes the outcome deterministic, not flaky.
+    val rng = new scala.util.Random(7)
+    def noisy(base: Array[Float]): Seq[Float] =
+      base.map(x => x + (rng.nextFloat() - 0.5f) * 0.1f).toSeq
+    val bases = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val vecs = for {
+      (b, c) <- bases.zipWithIndex
+      i <- 0 until 6
+    } yield ((c * 6 + i).toLong, noisy(b))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = Dedup.semanticNearDup(emb, threshold = 0.9, nCells = 3,
+        sampleSize = 18)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.exactCosinePairs(emb, maxId = 100L, threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must plant high-cos pairs")
+    assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
+    assert(got === exact,
+      s"cell-boundary misses on separated clusters: ${exact -- got}")
+    // no pair may straddle clusters
+    assert(got.forall { case (x, y) => x / 6 === y / 6 })
+  }
 }

@@ -65,5 +65,7 @@ class SyntaxSpec extends SparkSpec {
     assert(emb.cosineTopK(3L, 2).count() == 6)
     assert(emb.cosineTopKApprox(3L, 2).count() <= 6)
     assert(emb.cosineTopKIvf(3L, 2).count() <= 6)
+    assert(emb.semanticNearDups(threshold = 0.3, nCells = 4)
+      .columns.toSeq == Seq("id_a", "id_b", "cos"))
   }
 }
