@@ -127,6 +127,34 @@ object ScaleBench {
           dim, "user_id", "dim_user", "ts", "dim_ts",
           tieBreak = Seq("dim_event"))
       }),
+      // per-step join cascade over the user key; frontier shrinks
+      "funnel" -> (() => graft.ops.Behavior.funnel(
+        Tables.events(spark, dir), Seq("view", "click", "purchase"))),
+      // one (user, day) distinct then user-keyed narrow rows
+      "retention" -> (() => graft.ops.Behavior.retention(
+        Tables.events(spark, dir))),
+      // fingerprint pipeline: md5 per kgram, one window per doc
+      "winnow_fingerprints" -> (() => graft.pipeline.TextAnalysis
+        .winnowingFingerprints(docs, k = 3, window = 4)),
+      // fingerprint self-join with df cap (the pathological near-dup
+      // corpus makes pair output superlinear; df cap bounds it)
+      "winnow_overlap" -> (() => Dedup.winnowingOverlapPairs(
+        docs, k = 3, window = 4, minShared = 2, maxDf = 100L)),
+      // per-row pair generation + one count shuffle
+      "cooccurrence" -> (() => graft.pipeline.TextAnalysis
+        .cooccurrence(docs, window = 2, topK = 20)),
+      // two GroupedMedian passes + broadcast joins back
+      "robust_scale_by_lang" -> (() => graft.pipeline.Normalize
+        .robustScaleByGroup(docs.select(col("doc_id"), col("lang"),
+          col("n_chars")), "lang", "n_chars")),
+      // broadcast key eviction + union over the full snapshot
+      "upsert" -> (() => {
+        val cs = docs.filter(col("doc_id") % 7 === 1)
+          .withColumn("op", lit("U"))
+          .unionByName(docs.filter(col("doc_id") % 7 === 0)
+            .withColumn("op", lit("D")))
+        graft.pipeline.Merge.applyChangeset(docs, cs, "doc_id")
+      }),
     )
   }
 

@@ -126,7 +126,12 @@ object PipelineQueries extends QueryPack {
   // against the same exact ground truth (rows-only row — cell
   // assignment is engine-specific)
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup.semanticNearDup(emb(s, d), threshold = 0.3,
+    // vec_id < 2000 bound: the within-cell self-join is Σ|cell|² — on
+    // the demo cell count a full sf0.1 table would quadratically blow
+    // up the bench (the dedup_minhash SF-independence discipline; at
+    // scale nCells grows ~√n and the bound is unnecessary)
+    val pairs = Dedup.semanticNearDup(
+      emb(s, d).filter(col("vec_id") < 2000), threshold = 0.3,
       nCells = 8, nAssign = 3).localCheckpoint(true)
     val exact = Dedup.exactCosinePairs(emb(s, d), maxId = 500L,
       threshold = 0.3).localCheckpoint(true)

@@ -138,6 +138,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Multimodal.perceptualNearDup(
       Multimodal.asMedia(weird.filter(col("doc_id") === 2))).count() == 0L)
   }
+
+  test("round-8 operators survive empty and degenerate inputs") {
+    val empty = weird.filter(lit(false))
+    // winnowing: blank/short docs yield no fingerprints, never throw
+    assert(TextAnalysis.winnowingFingerprints(weird).count() ===
+      TextAnalysis.winnowingFingerprints(
+        weird.filter(col("doc_id") >= 3)).count())
+    assert(TextAnalysis.winnowingFingerprints(empty).count() == 0L)
+    assert(Dedup.winnowingOverlapPairs(empty).count() == 0L)
+    assert(Dedup.winnowingOverlapPairs(
+      weird.filter(col("doc_id") === 2)).count() == 0L)
+    // co-occurrence: blank and single-token docs contribute no pairs
+    assert(TextAnalysis.cooccurrence(
+      weird.filter(col("doc_id") < 3), window = 2).count() == 0L)
+    assert(TextAnalysis.cooccurrence(empty).count() == 0L)
+    // robust scale / equi-depth on empty input: empty out, no throw
+    assert(Normalize.robustScaleByGroup(empty, "doc_id", "doc_id")
+      .count() == 0L)
+    assert(Profile.histogramEquiDepth(empty, "doc_id", "doc_id")
+      .count() == 0L)
+    // merge: empty snapshot takes the changeset's upserts verbatim
+    val cs = weird.limit(2).withColumn("op", lit("U"))
+    assert(Merge.applyChangeset(empty, cs, "doc_id").count() == 2L)
+    // behavior ops on empty events
+    val emptyEv = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("user_id", "event_type", "ts")
+    assert(graft.ops.Behavior.funnel(emptyEv, Seq("a", "b"))
+      .collect().map(_.getLong(2)).toSeq === Seq(0L, 0L))
+    assert(graft.ops.Behavior.retention(emptyEv).count() == 0L)
+    assert(graft.ops.Behavior.anomalyDays(emptyEv).count() == 0L)
+  }
 }
 
 object EdgeCaseSpec {
