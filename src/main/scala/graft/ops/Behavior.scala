@@ -97,6 +97,45 @@ object Behavior {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  /** Hourly resample with gap-fill and forward fill: the (key, hour)
+    * grid is made DENSE — hours with no events appear with count 0 —
+    * and the per-hour value sum is forward-filled across gaps, so
+    * every downstream window/join sees a regular time series (the
+    * resample step under any rate/trend computation; rolling stats on
+    * a sparse series silently skip the empty hours that ARE the
+    * signal).
+    *
+    * Determinism: counts are exact; the hourly value sum runs in
+    * DECIMAL before surfacing DOUBLE (order-independent), and the
+    * forward fill is last-non-null over the total (key, hour) order.
+    *
+    * At 100 TB: the hourly aggregate collapses the event volume FIRST
+    * (partial+final); the grid is |keys|×|hours| narrow rows, and the
+    * forward-fill window runs over that aggregate, never the raw
+    * events (the q23 pre-aggregation discipline).
+    */
+  def resampleHourly(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val hourly = events
+      .groupBy(col(keyCol).as("key"),
+        date_trunc("hour", col(tsCol)).as("hour_ts"))
+      .agg(count(lit(1)).as("c"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("__v"))
+    val grid = hourly.groupBy($"key")
+      .agg(min($"hour_ts").as("__lo"), max($"hour_ts").as("__hi"))
+      .select($"key", explode(sequence($"__lo", $"__hi",
+        expr("interval 1 hour"))).as("hour_ts"))
+    val w = Window.partitionBy($"key").orderBy($"hour_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("key", "hour_ts"), "left")
+      .select($"key", $"hour_ts", coalesce($"c", lit(0L)).as("c"),
+        last($"__v", ignoreNulls = true).over(w).as("v_filled"))
+  }
+
   /** Rolling anomaly flags: for each (key, day) count, flag days whose
     * count deviates from the TRAILING `window`-day mean by more than
     * `k` sample standard deviations. The flag is computed entirely in

@@ -26,10 +26,15 @@ object BehaviorQueries extends QueryPack {
       .withColumn("is_anomaly", col("is_anomaly").cast("long"))
       .orderBy("key", "day")
 
+  def resample(s: SparkSession, d: String): DataFrame =
+    Behavior.resampleHourly(ev(s, d))
+      .orderBy("key", "hour_ts")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel" -> funnel _,
     "events_retention" -> retention _,
     "events_anomaly" -> anomaly _,
+    "events_resample" -> resample _,
   )
 
   override def oracle: Map[String, String] = Map(
@@ -66,6 +71,29 @@ object BehaviorQueries extends QueryPack {
         |  COUNT(*) AS active_users
         |FROM active JOIN cohorts USING (u)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // dense per-key hourly grid; DECIMAL-exact hour sums surfaced as
+    // DOUBLE; forward fill = last-non-null over the total hour order
+    "events_resample" ->
+      """WITH hourly AS (
+        |  SELECT event_type AS key,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+        |    COUNT(*) AS c,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT key, MIN(hour_ts) AS lo, MAX(hour_ts) AS hi
+        |  FROM hourly GROUP BY key),
+        |grid AS (
+        |  SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |    AS hour_ts
+        |  FROM bounds)
+        |SELECT g.key, g.hour_ts, COALESCE(h.c, 0) AS c,
+        |  last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.key
+        |    ORDER BY g.hour_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.key = h.key AND g.hour_ts = h.hour_ts
+        |ORDER BY g.key, g.hour_ts""".stripMargin,
     // the cross-multiplied integer spelling of |x − mean| > k·stddev
     // over the trailing 7 closed days (current day excluded); rows
     // without a gap-free full window are filtered on both sides

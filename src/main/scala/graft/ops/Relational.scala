@@ -576,7 +576,23 @@ object Relational extends QueryPack {
         sumDec(col("l_quantity")).as("qty"))
       .orderBy("l_returnflag")
 
+  /** Q35 — unpivot/melt (the inverse of q22's pivot): wide measure
+    * columns become long-form (metric, value) rows. Spark's native
+    * unpivot is a per-row Expand — no join, no shuffle beyond the
+    * output sort — and the values are copied verbatim (no arithmetic),
+    * so the reshape hash-matches the UNION ALL spelling any engine
+    * can produce. */
+  def q35Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_linenumber") === 1)
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .orderBy("l_orderkey", "metric")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_unpivot" -> q35Unpivot _,
     "q1_filter_project" -> q1FilterProject _,
     "q2_agg" -> q2Agg _,
     "q3_argmax" -> q3Argmax _,
@@ -790,6 +806,17 @@ object Relational extends QueryPack {
         |SELECT pid, p.user_id, p_us, cid, p_us - c_us AS gap_us
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.c_us <= p.p_us
         |ORDER BY pid""".stripMargin,
+    "q35_unpivot" ->
+      """SELECT l_orderkey, metric, value FROM (
+        |  SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS value
+        |  FROM lineitem WHERE l_linenumber = 1
+        |  UNION ALL
+        |  SELECT l_orderkey, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_linenumber = 1
+        |  UNION ALL
+        |  SELECT l_orderkey, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_linenumber = 1)
+        |ORDER BY l_orderkey, metric""".stripMargin,
     "q34_asof_forward" ->
       """WITH p AS (SELECT event_id AS pid, user_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us

@@ -160,6 +160,10 @@ package object syntax {
     def anomalyDays(k: Long = 3L, window: Int = 7,
         keyCol: String = "event_type"): DataFrame =
       graft.ops.Behavior.anomalyDays(df, k, window, keyCol)
+
+    /** Dense hourly resample with zero-filled gaps + forward fill. */
+    def resampleHourly(keyCol: String = "event_type"): DataFrame =
+      graft.ops.Behavior.resampleHourly(df, keyCol)
   }
 
   implicit class EmbeddingOps(private val df: DataFrame) {

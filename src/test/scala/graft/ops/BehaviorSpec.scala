@@ -79,6 +79,26 @@ class BehaviorSpec extends SparkSpec {
     assert(got.map(_._3) === Seq(false, false, false, true))
   }
 
+  test("resampleHourly fills gaps with zero counts and forward-fills values") {
+    val ev = Seq(
+      ("a", "2024-01-01 00:10:00", 1.5), ("a", "2024-01-01 00:50:00", 2.5),
+      ("a", "2024-01-01 01:10:00", 3.0),
+      ("a", "2024-01-01 04:10:00", 7.0), // hours 2,3 are gaps
+      ("b", "2024-01-01 10:10:00", 1.0), // independent bounds per key
+    ).map { case (k, t, v) => (k, ts(t), v) }
+      .toDF("event_type", "ts", "value")
+    val got = Behavior.resampleHourly(ev).orderBy("key", "hour_ts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3)))
+    assert(got === Array(
+      ("a", "2024-01-01 00:00:00.0", 2L, 4.0),
+      ("a", "2024-01-01 01:00:00.0", 1L, 3.0),
+      ("a", "2024-01-01 02:00:00.0", 0L, 3.0), // gap: c=0, value carried
+      ("a", "2024-01-01 03:00:00.0", 0L, 3.0),
+      ("a", "2024-01-01 04:00:00.0", 1L, 7.0),
+      ("b", "2024-01-01 10:00:00.0", 1L, 1.0)), got.mkString(","))
+  }
+
   test("anomalyDays: a gap in the trailing days disqualifies the row") {
     // days 0..5 and 7..13 present, day 6 missing: day 13's trailing 7
     // ROWS span days 5..12 (8 calendar days) — must be filtered
