@@ -147,6 +147,18 @@ object PipelineQueries extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  // PCA projection of the embedding table (Embeddings.pcaProject):
+  // one treeAggregate Gram pass, driver-side Jacobi eigen, broadcast
+  // basis. Rows-only (float eigensystems are engine-specific); the
+  // spec pins the math, the in-plan explained column monitors drift.
+  // Scalar output columns only — arrays crash the driver canonicalizer
+  def embPca(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Embeddings.pcaProject(emb(s, d), k = 4, dim = 64)
+      .select(col("vec_id"), col("proj")(0).as("p1"),
+        col("proj")(1).as("p2"), col("proj")(2).as("p3"),
+        col("proj")(3).as("p4"), col("explained"))
+      .orderBy("vec_id")
+
   // character-level (edit distance) fuzzy pairs on a bounded subset
   def dedupFuzzy(s: SparkSession, d: String): DataFrame =
     Dedup.fuzzyPairs(docs(s, d), maxId = 200L, maxDist = 12)
@@ -382,6 +394,23 @@ object PipelineQueries extends QueryPack {
       all.filter(col("doc_id") < 20), n = 3, minHits = 1)
       .orderBy("doc_id")
   }
+
+  // substring-level contamination: corpus docs sharing >=2 winnowing
+  // fingerprints with the benchmark slice — the sampled-with-guarantee
+  // sibling of decontam_overlap's exhaustive shingle match
+  def decontamWinnow(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Decontamination.contaminatedSubstring(
+      all.filter(col("doc_id") >= 20), all.filter(col("doc_id") < 20),
+      k = 3, window = 4, minShared = 2)
+      .orderBy("doc_id")
+  }
+
+  // corpus-derived top-100 vocabulary + per-doc OOV rates — exact
+  // counts, one final division
+  def textVocabOov(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabOov(docs(s, d), vocabSize = 100)
+      .orderBy("doc_id")
 
   // ---- multimodal ----
 
@@ -657,6 +686,7 @@ object PipelineQueries extends QueryPack {
     "dedup_containment" -> dedupContainment _,
     "dedup_embedding" -> dedupEmbedding _,
     "dedup_semantic" -> dedupSemantic _,
+    "emb_pca" -> embPca _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_clusters_lsh" -> dedupClustersLsh _,
     "dedup_keep_best" -> dedupKeepBest _,
@@ -686,6 +716,8 @@ object PipelineQueries extends QueryPack {
     "text_redact" -> textRedact _,
     "pipeline_domain_cap" -> pipelineDomainCap _,
     "decontam_overlap" -> decontamOverlap _,
+    "decontam_winnow" -> decontamWinnow _,
+    "text_vocab_oov" -> textVocabOov _,
     "multimodal_meta" -> multimodalMeta _,
     "multimodal_frames" -> multimodalFrames _,
     "multimodal_features" -> multimodalFeatures _,
@@ -1155,6 +1187,57 @@ object PipelineQueries extends QueryPack {
         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |       ELSE 'es' END AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
+    // fingerprints computed over ALL docs then split by id — identical
+    // to fingerprinting the slices separately (winnowing is per-doc)
+    "decontam_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |kg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END AS kgrams
+        |  FROM t),
+        |kh AS (
+        |  SELECT doc_id, len(kgrams) AS m,
+        |    CAST(generate_subscripts(kgrams, 1) AS BIGINT) AS i,
+        |    CAST(('0x' || substring(md5(unnest(kgrams)), 1, 10)) AS BIGINT)
+        |      * 1048576 + generate_subscripts(kgrams, 1) AS key
+        |  FROM kg),
+        |win AS (
+        |  SELECT doc_id, i, m,
+        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM kh),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, sel // 1048576 AS fp_hash
+        |  FROM win WHERE i <= GREATEST(m - 3, 1)),
+        |bfp AS (SELECT DISTINCT fp_hash FROM fps WHERE doc_id < 20)
+        |SELECT f.doc_id, COUNT(DISTINCT f.fp_hash) AS hits
+        |FROM fps f JOIN bfp USING (fp_hash)
+        |WHERE f.doc_id >= 20
+        |GROUP BY f.doc_id HAVING COUNT(DISTINCT f.fp_hash) >= 2
+        |ORDER BY doc_id""".stripMargin,
+    "text_vocab_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM toks GROUP BY tok
+        |  ORDER BY COUNT(*) DESC, tok LIMIT 100),
+        |scored AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |    COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+        |FROM scored ORDER BY doc_id""".stripMargin,
     // winnowing fingerprints → df filter → hash self-join: the whole
     // candidate pipeline reproduced relationally
     "dedup_winnow" ->

@@ -591,8 +591,28 @@ object Relational extends QueryPack {
         "metric", "value")
       .orderBy("l_orderkey", "metric")
 
+  /** Q36 — GROUPING SETS (the general form q18's ROLLUP and q20's CUBE
+    * specialize): two disjoint single-column groupings plus the grand
+    * total in ONE pass — Catalyst plans the same Expand + single
+    * aggregate the rollup/cube family uses, so three aggregations cost
+    * one shuffle. NULL group cells are COALESCEd to 'ALL' so the sort
+    * is total and engine-independent. */
+  def q36GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .createOrReplaceTempView("graft_q36_lineitem")
+    spark.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS c,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM graft_q36_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_unpivot" -> q35Unpivot _,
+    "q36_grouping_sets" -> q36GroupingSets _,
     "q1_filter_project" -> q1FilterProject _,
     "q2_agg" -> q2Agg _,
     "q3_argmax" -> q3Argmax _,
@@ -806,6 +826,14 @@ object Relational extends QueryPack {
         |SELECT pid, p.user_id, p_us, cid, p_us - c_us AS gap_us
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.c_us <= p.p_us
         |ORDER BY pid""".stripMargin,
+    "q36_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS c,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
     "q35_unpivot" ->
       """SELECT l_orderkey, metric, value FROM (
         |  SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS value

@@ -41,4 +41,29 @@ object Decontamination {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minHits)
+
+  /** Substring-level contamination via winnowing fingerprints: a
+    * corpus doc is flagged when ≥ `minShared` of its sampled k-gram
+    * fingerprints also occur in the benchmark — which the winnowing
+    * guarantee ties to shared token RUNS of ≥ window+k−1, so this
+    * catches a benchmark passage QUOTED inside an otherwise-unrelated
+    * document at 2/(window+1) the cost of exhaustive shingle overlap
+    * (`contaminated` above matches every shingle; this samples, with a
+    * guaranteed floor).
+    *
+    * Same scale shape as `contaminated`: the benchmark's distinct
+    * fingerprint set broadcasts, the corpus is fingerprinted in one
+    * pass and never shuffled except the per-doc count aggregate. */
+  def contaminatedSubstring(docs: DataFrame, benchmark: DataFrame,
+      k: Int = 3, window: Int = 4, minShared: Int = 2): DataFrame = {
+    val bfp = TextAnalysis.winnowingFingerprints(benchmark, k, window)
+      .select(col("fp_hash")).distinct()
+    TextAnalysis.winnowingFingerprints(docs, k, window)
+      .join(broadcast(bfp), "fp_hash")
+      .groupBy("doc_id")
+      // the same hash can be sampled at several positions — count
+      // distinct SHARED fingerprints, not sample sites
+      .agg(countDistinct(col("fp_hash")).as("hits"))
+      .filter(col("hits") >= minShared)
+  }
 }

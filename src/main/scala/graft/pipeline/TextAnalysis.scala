@@ -235,6 +235,36 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Vocabulary coverage / out-of-vocabulary rates: build the corpus's
+    * own top-`vocabSize` token vocabulary (total-ordered cutoff, the
+    * heavy-hitters discipline), then score every document by how much
+    * of it the vocabulary covers. The first question a tokenizer
+    * budget decision asks — a corpus whose OOV mass is high under the
+    * planned vocab wastes context window on fallback bytes.
+    *
+    * Exact integer counts; the only float is the final per-doc
+    * division (one correctly-rounded op), so the DOUBLE hash-gates.
+    *
+    * At 100 TB: one count aggregate + TakeOrderedAndProject for the
+    * vocab (k-sized driver state), vocab broadcast back, one per-doc
+    * aggregate — the corpus never shuffles wide. */
+  def vocabOov(docs: DataFrame, vocabSize: Int = 100): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Corpus-wide skip-gram co-occurrence counts: ordered token pairs
     * (a, b) with b at most `window` positions after a — the
     * co-occurrence matrix construction under every count-based

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.pipeline.{Curation, Decontamination, Dedup, Merge, Normalize, Profile, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Decontamination, Dedup, Embeddings, Merge, Normalize, Profile, Sampling, Similarity, TextAnalysis}
 
 /** Fluent entry points: `import graft.syntax._` and call pipeline
   * operators as methods on any DataFrame with the right columns
@@ -56,6 +56,17 @@ package object syntax {
     def contaminatedBy(benchmark: DataFrame, n: Int = 3,
         minHits: Int = 1): DataFrame =
       Decontamination.contaminated(df, benchmark, n, minHits)
+
+    /** Substring-level contamination via shared winnowing
+      * fingerprints. */
+    def contaminatedSubstringBy(benchmark: DataFrame, k: Int = 3,
+        window: Int = 4, minShared: Int = 2): DataFrame =
+      Decontamination.contaminatedSubstring(df, benchmark, k, window,
+        minShared)
+
+    /** Corpus top-k vocabulary coverage: per-doc OOV counts/rate. */
+    def vocabOovRates(vocabSize: Int = 100): DataFrame =
+      TextAnalysis.vocabOov(df, vocabSize)
 
     /** Corpus-wide top-k token bigrams. */
     def topBigrams(topK: Int = 20): DataFrame =
@@ -191,5 +202,9 @@ package object syntax {
     def semanticNearDups(threshold: Double = 0.95,
         nCells: Int = 16): DataFrame =
       Dedup.semanticNearDup(df, threshold, nCells)
+
+    /** PCA projection onto the top-k principal components. */
+    def pcaProject(k: Int, dim: Int = 64): DataFrame =
+      Embeddings.pcaProject(df, k, dim)
   }
 }

@@ -44,4 +44,34 @@ class DecontaminationSpec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("substring contamination: a quoted run is caught, word soup is not") {
+    // w=4, k=3 ⇒ any shared run of ≥ 6 tokens guarantees ≥ 1 shared
+    // fingerprint; the planted 8-token quote yields ≥ 2
+    val bench = Seq(
+      (100L, "ignore this preamble the quick brown fox jumps over the " +
+        "lazy dog and some closing words")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "report intro: the quick brown fox jumps over the lazy dog " +
+        "end of quote"),
+      // same words, scrambled order — no shared token run
+      (1L, "dog lazy the over jumps fox brown quick the analysis"),
+      (2L, "entirely unrelated content"),
+    ).toDF("doc_id", "text")
+    val r = Decontamination.contaminatedSubstring(docs, bench,
+        k = 3, window = 4, minShared = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.contains(0L), s"quoted passage not flagged: $r")
+    assert(!r.contains(1L), "scrambled words must not flag")
+    assert(!r.contains(2L))
+  }
+
+  test("substring contamination: benchmark fingerprints broadcast") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val p = Decontamination.contaminatedSubstring(corpus, bench)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
 }

@@ -285,6 +285,22 @@ class TextAnalysisSpec extends SparkSpec {
       "a c" -> 1L, "b a" -> 1L), got.toString)
   }
 
+  test("vocabOov: per-doc OOV counts against the corpus top-k vocabulary") {
+    // corpus counts: "the"x4, "cat"x3, "sat"x2, singles: mat, dog, ran
+    val d = Seq(
+      (0L, "the cat sat"),
+      (1L, "the cat sat the mat"),
+      (2L, "the dog ran the cat"),
+    ).toDF("doc_id", "text")
+    // vocab of 3 = {the, cat, sat} (count desc, token asc on ties)
+    val got = TextAnalysis.vocabOov(d, vocabSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) === ((3L, 0L, 0.0)), got.toString)
+    assert(got(1L) === ((5L, 1L, 0.2)), got.toString) // mat
+    assert(got(2L) === ((5L, 2L, 0.4)), got.toString) // dog ran
+  }
+
   test("cooccurrence at window 1 equals topBigrams") {
     val co = TextAnalysis.cooccurrence(docs, window = 1, topK = 50)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet

@@ -67,5 +67,6 @@ class SyntaxSpec extends SparkSpec {
     assert(emb.cosineTopKIvf(3L, 2).count() <= 6)
     assert(emb.semanticNearDups(threshold = 0.3, nCells = 4)
       .columns.toSeq == Seq("id_a", "id_b", "cos"))
+    assert(emb.pcaProject(k = 2).columns.contains("proj"))
   }
 }
