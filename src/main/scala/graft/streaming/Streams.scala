@@ -246,6 +246,54 @@ object Streams {
       }
   }
 
+  /** Streaming CDC apply — the MERGE sink: each micro-batch of change
+    * rows (snapshot columns + an op column, U/D) is applied to a
+    * parquet snapshot directory with `Merge.applyChangeset`, so the
+    * directory always holds the current upserted state. foreachBatch
+    * is Spark's documented idempotent-sink pattern: the batch is a
+    * plain DataFrame, the merge is the SAME code the batch path runs,
+    * and the swap is Io.compact's crash-safe tmp→old→live rename
+    * discipline (a crash between renames leaves the data intact under
+    * `._merge_old`). Within a batch, `versionCol` collapses multiple
+    * ops per key latest-wins; ACROSS batches, later batches win by
+    * construction.
+    *
+    * At 100 TB the snapshot rewrite is the cost — production systems
+    * put a log-structured table format (Delta/Iceberg/Hudi) here; this
+    * is the engine-native spelling of the same contract, and the
+    * per-batch work is one broadcast anti join + append. Blocks until
+    * the source drains (the test-harness contract, like runToMemory).
+    */
+  def runUpsertSink(spark: SparkSession, changes: DataFrame,
+      snapshotDir: String, keyCol: String, opCol: String = "op",
+      versionCol: Option[String] = None,
+      checkpointDir: Option[String] = None): Unit = {
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    val writer = changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val live = new org.apache.hadoop.fs.Path(snapshotDir)
+        val fs = live.getFileSystem(hadoop)
+        val next = graft.pipeline.Merge.applyChangeset(
+          spark.read.parquet(snapshotDir), batch, keyCol, opCol,
+          versionCol = versionCol)
+        val tmp = new org.apache.hadoop.fs.Path(snapshotDir + "._merge_tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        next.write.mode("overwrite").parquet(tmp.toString)
+        val old = new org.apache.hadoop.fs.Path(snapshotDir + "._merge_old")
+        if (fs.exists(old)) fs.delete(old, true)
+        require(fs.rename(live, old), s"could not move $snapshotDir aside")
+        require(fs.rename(tmp, live), s"could not publish $snapshotDir")
+        fs.delete(old, true)
+        ()
+      }
+    val q = checkpointDir
+      .map(writer.option("checkpointLocation", _))
+      .getOrElse(writer)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run any of the above on a stream into an in-memory table and block
     * until the file source drains — the synchronous harness used by
     * tests and demos. Returns the materialized result. */

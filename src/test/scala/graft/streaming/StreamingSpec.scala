@@ -265,4 +265,45 @@ class StreamingSpec extends SparkSpec {
       (1L to n / 10).map(k => (u, k * 10)) }.toSet
     assert(got == expected)
   }
+
+  test("streaming CDC sink: micro-batched changesets fold to the batch merge") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-upsert").toFile.getAbsolutePath
+    val snapDir = s"$root/snapshot"
+    Seq((1L, "alpha", 10L), (2L, "beta", 20L), (3L, "gamma", 30L))
+      .toDF("id", "body", "sz").write.parquet(snapDir)
+    // three time-ordered changeset files → three micro-batches:
+    // b0 updates 2, b1 deletes 3 + inserts 9, b2 re-updates 2 (later
+    // batch must win over b0's update)
+    val batches = Seq(
+      Seq((2L, "beta-v2", 21L, "U")),
+      Seq((3L, "", 0L, "D"), (9L, "iota", 90L, "U")),
+      Seq((2L, "beta-v3", 22L, "U")))
+    val csSchema = batches.head.toDF("id", "body", "sz", "op").schema
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = s"$root/stage$i"
+      rows.toDF("id", "body", "sz", "op").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$root/cs-$i.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+    val src = spark.readStream.schema(csSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "cs-*.parquet")
+      .parquet(root)
+    Streams.runUpsertSink(spark, src, snapDir, "id",
+      checkpointDir = Some(s"$root/ckpt"))
+    val got = spark.read.parquet(snapDir).orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "alpha", 10L), (2L, "beta-v3", 22L),
+      (9L, "iota", 90L)), got.toString)
+    // no residue from the swap discipline
+    assert(!new java.io.File(s"$snapDir._merge_tmp").exists())
+    assert(!new java.io.File(s"$snapDir._merge_old").exists())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
