@@ -295,6 +295,14 @@ object PipelineQueries extends QueryPack {
       Similarity.bruteForceTopK(emb(s, d), maxQueryId = 10L, k = 5), k = 5)
       .orderBy("qid", "rn")
 
+  // PQ + exact refine: the bytes-per-vector-bounded ANN member; the
+  // recall column audits the code/refine setting in-plan
+  def simTopkPq(s: SparkSession, d: String): DataFrame =
+    withRecall(Similarity.pqTopK(emb(s, d), maxQueryId = 10L, k = 5,
+        m = 16, codebookSize = 16, refine = 8),
+      Similarity.bruteForceTopK(emb(s, d), maxQueryId = 10L, k = 5), k = 5)
+      .orderBy("qid", "rn")
+
   /** recall@k per query = |approx top-k ∩ exact top-k| / k, computed
     * in-plan (a semi join on the two k-row-per-query sets + one tiny
     * aggregate) and repeated on every output row of that query. */
@@ -702,6 +710,7 @@ object PipelineQueries extends QueryPack {
     "sim_topk_brute" -> simTopkBrute _,
     "sim_topk_lsh" -> simTopkLsh _,
     "sim_topk_ivf" -> simTopkIvf _,
+    "sim_topk_pq" -> simTopkPq _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangid _,

@@ -223,4 +223,128 @@ object Similarity {
       .as[Score]
     finishTopK(partialTopK(s, k), k)
   }
+
+  /** Product-quantization codes: the d-dim vector (L2-normalized
+    * first, so inner product = cosine) splits into `m` subvectors and
+    * each subspace gets its own `codebookSize`-way k-means codebook
+    * trained driver-side on a bounded seeded sample (the IVF recipe,
+    * per subspace). A vector stores only its per-subspace
+    * nearest-centroid indexes — at m=8 that is 8 small ints in place
+    * of 64 floats (~32×), which is what lets a 100 TB corpus's index
+    * live in cluster memory. Assignment is a pure expression tree
+    * (codebooks ride as literals; per subspace the argmin is spelled
+    * argmax of dot − ½‖c‖², the monotone equivalent that reuses the
+    * fused dot product).
+    *
+    * Returns (vec_id, e (normalized), code array<int> 1-based) plus
+    * the trained codebooks for the query side. */
+  private def pqAssign(emb: DataFrame, m: Int, codebookSize: Int,
+      seed: Long, trainIters: Int, sampleSize: Int, dim: Int)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val e0 = asDouble(emb)
+    val norm = sqrt(graft.functions.VectorOps.dotProduct(col("e"), col("e")))
+    val n = e0.filter(norm > 0.0)
+      .withColumn("__n", norm)
+      .select(col("vec_id"),
+        transform(col("e"), x => x / col("__n")).as("e"))
+    val sample = n
+      .orderBy(pmod(xxhash64(col("vec_id") + seed), lit(1000000007L)))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      kmeans(sample.map(v => v.slice(j * sub, (j + 1) * sub)),
+        codebookSize, trainIters, seed + j)
+    }
+    def dot(v: Column, c: Array[Double]): Column =
+      graft.functions.VectorOps.dotProduct(v,
+        array(c.toIndexedSeq.map(lit): _*))
+    val withSims = (0 until m).foldLeft(n) { (df, j) =>
+      val xj = slice(col("e"), j * sub + 1, sub)
+      df.withColumn(s"__s$j", array(books(j).toIndexedSeq.map(c =>
+        dot(xj, c) - lit(0.5 * c.map(x => x * x).sum)): _*))
+    }
+    val coded = withSims
+      .withColumn("code", array((0 until m).map(j =>
+        array_position(col(s"__s$j"), array_max(col(s"__s$j")))
+          .cast("int")): _*))
+      .select(col("vec_id"), col("e"), col("code"))
+    (coded, books)
+  }
+
+  /** PQ ANN top-k by asymmetric distance computation (ADC) with exact
+    * re-ranking: database vectors are first scored through their codes
+    * ONLY — per query the dot with every codebook centroid is
+    * tabulated once driver-side (m·codebookSize entries) and a
+    * vector's approximate cosine is m table lookups instead of a
+    * d-wide dot product — then the ADC top-(refine·k) candidates are
+    * re-ranked with their exact vectors (the standard PQ refine step:
+    * ADC deliberately collapses near-identical vectors onto one code,
+    * so the fine ranking must come from a bounded exact pass). This is
+    * the memory-compression member of the ANN trio (LSH =
+    * hash-bounded, IVF = partition-bounded, PQ =
+    * bytes-per-vector-bounded); a deployment composes IVF cells over
+    * PQ codes (IVF-PQ) so the scan is sub-linear AND the index fits
+    * in RAM. Recall is approximate by construction — the gate row
+    * carries the in-plan recall column (the sim_topk_lsh
+    * discipline). */
+  def pqTopK(emb: DataFrame, maxQueryId: Long, k: Int, m: Int = 8,
+      codebookSize: Int = 16, refine: Int = 4, seed: Long = 42L,
+      trainIters: Int = 8, sampleSize: Int = 512,
+      dim: Int = 64): DataFrame = {
+    require(refine >= 1, s"refine factor must be >= 1, got $refine")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (coded0, books) = pqAssign(emb, m, codebookSize, seed,
+      trainIters, sampleSize, dim)
+    // the coded relation feeds the ADC scan AND the exact re-rank —
+    // materialize once (the dedupEmbedding dual-consumer discipline)
+    val coded = coded0.localCheckpoint(true)
+    val sub = dim / m
+    // bounded query set: collect normalized vectors, tabulate each
+    // query's LUT driver-side (m·codebookSize doubles per query)
+    val queries = coded.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id"), col("e")).collect()
+      .map { r =>
+        val qid = r.getLong(0)
+        val q = r.getSeq[Double](1).toArray
+        val lut = Array.tabulate(m * codebookSize) { t =>
+          val j = t / codebookSize
+          val c = books(j)(t % codebookSize)
+          var s = 0.0
+          var i = 0
+          while (i < sub) { s += q(j * sub + i) * c(i); i += 1 }
+          s
+        }
+        (qid, q.toSeq, lut.toSeq)
+      }.toIndexedSeq
+    val qdf = queries.map { case (qid, _, lut) => (qid, lut) }
+      .toDF("qid", "lut")
+    val adc = coded.join(broadcast(qdf), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
+          (acc, j) => acc + element_at(col("lut"),
+            (j * codebookSize).cast("int") +
+              element_at(col("code"), (j + 1).cast("int")))).as("cos"))
+      .as[Score]
+    // ADC shortlist: refine·k per query survives the heap+window pass
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    val shortlist = partialTopK(adc, refine * k)
+      .withColumn("rn0", row_number().over(w))
+      .filter(col("rn0") <= refine * k)
+      .select("qid", "nid")
+    // exact re-rank of the bounded shortlist (vectors are normalized,
+    // so the dot IS the cosine)
+    val qe = queries.map { case (qid, q, _) => (qid, q) }
+      .toDF("qid", "qe")
+    val exact = shortlist
+      .join(coded.select(col("vec_id").as("nid"), col("e").as("ne")), "nid")
+      .join(broadcast(qe), "qid")
+      .select(col("qid"), col("nid"),
+        graft.functions.VectorOps.dotProduct(col("qe"), col("ne"))
+          .as("cos"))
+      .as[Score]
+    finishTopK(exact, k)
+  }
 }

@@ -206,5 +206,10 @@ package object syntax {
     /** PCA projection onto the top-k principal components. */
     def pcaProject(k: Int, dim: Int = 64): DataFrame =
       Embeddings.pcaProject(df, k, dim)
+
+    /** PQ ANN top-k: ADC lookup scoring + exact refine. */
+    def cosineTopKPq(maxQueryId: Long, k: Int, m: Int = 8,
+        codebookSize: Int = 16, refine: Int = 4): DataFrame =
+      Similarity.pqTopK(df, maxQueryId, k, m, codebookSize, refine)
   }
 }
