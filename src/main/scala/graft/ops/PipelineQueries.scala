@@ -406,8 +406,11 @@ object PipelineQueries extends QueryPack {
   // substring-level contamination: corpus docs sharing >=2 winnowing
   // fingerprints with the benchmark slice — the sampled-with-guarantee
   // sibling of decontam_overlap's exhaustive shingle match
+  // doc_id < 1000 bound: the text_winnow/dedup_winnow SF-independence
+  // discipline — fingerprinting is linear but md5-per-kgram heavy, and
+  // the demo row should not dominate the bench at high SF
   def decontamWinnow(s: SparkSession, d: String): DataFrame = {
-    val all = docs(s, d)
+    val all = docs(s, d).filter(col("doc_id") < 1000)
     Decontamination.contaminatedSubstring(
       all.filter(col("doc_id") >= 20), all.filter(col("doc_id") < 20),
       k = 3, window = 4, minShared = 2)
@@ -1196,14 +1199,14 @@ object PipelineQueries extends QueryPack {
         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |       ELSE 'es' END AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
-    // fingerprints computed over ALL docs then split by id — identical
-    // to fingerprinting the slices separately (winnowing is per-doc)
+    // fingerprints computed over ALL bounded docs then split by id —
+    // identical to fingerprinting the slices separately (per-doc op)
     "decontam_winnow" ->
       """WITH t AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |      x -> length(x) > 0) AS toks
-        |  FROM documents),
+        |  FROM documents WHERE doc_id < 1000),
         |kg AS (
         |  SELECT doc_id,
         |    CASE WHEN len(toks) >= 3 THEN
