@@ -295,6 +295,15 @@ object PipelineQueries extends QueryPack {
       Similarity.bruteForceTopK(emb(s, d), maxQueryId = 10L, k = 5), k = 5)
       .orderBy("qid", "rn")
 
+  // the production composition: IVF cells bound WHICH vectors are
+  // scanned, PQ codes bound the BYTES per scanned vector; recall
+  // audited in-plan like its single-quantizer members
+  def simTopkIvfPq(s: SparkSession, d: String): DataFrame =
+    withRecall(Similarity.ivfPqTopK(emb(s, d), maxQueryId = 10L, k = 5,
+        nCells = 16, nprobe = 12, m = 16, codebookSize = 16, refine = 8),
+      Similarity.bruteForceTopK(emb(s, d), maxQueryId = 10L, k = 5), k = 5)
+      .orderBy("qid", "rn")
+
   // PQ + exact refine: the bytes-per-vector-bounded ANN member; the
   // recall column audits the code/refine setting in-plan
   def simTopkPq(s: SparkSession, d: String): DataFrame =
@@ -714,6 +723,7 @@ object PipelineQueries extends QueryPack {
     "sim_topk_lsh" -> simTopkLsh _,
     "sim_topk_ivf" -> simTopkIvf _,
     "sim_topk_pq" -> simTopkPq _,
+    "sim_topk_ivfpq" -> simTopkIvfPq _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangid _,

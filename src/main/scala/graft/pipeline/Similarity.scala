@@ -347,4 +347,93 @@ object Similarity {
       .as[Score]
     finishTopK(exact, k)
   }
+
+  /** IVF-PQ — the composition a production vector index actually runs
+    * (the FAISS IVFPQ layout): IVF cells bound WHICH vectors a query
+    * scans (~nprobe/nCells of the corpus), PQ codes bound the BYTES
+    * per scanned vector (m small ints), ADC makes the scan a
+    * lookup-table sum, and the exact refine pass restores fine
+    * ranking on the bounded shortlist. Both quantizers train
+    * driver-side on one bounded sample; probe lists for the bounded
+    * query set are computed driver-side against the same centroids
+    * (no window, no explode — centroids are already local).
+    *
+    * Per-query work: (n·nprobe/nCells) LUT sums + refine·k exact dots
+    * — sub-linear scan AND compressed residency, vs pqTopK's full
+    * scan and ivfTopK's full-width vectors. */
+  def ivfPqTopK(emb: DataFrame, maxQueryId: Long, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, m: Int = 16,
+      codebookSize: Int = 16, refine: Int = 8, seed: Long = 42L,
+      trainIters: Int = 8, sampleSize: Int = 512,
+      dim: Int = 64): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCells,
+      s"nprobe=$nprobe must be in [1, nCells=$nCells]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (coded0, books) = pqAssign(emb, m, codebookSize, seed,
+      trainIters, sampleSize, dim)
+    val sub = dim / m
+    // coarse quantizer on the SAME normalized vectors (cells follow
+    // the cosine geometry), trained on the same bounded-sample recipe
+    val sample = coded0
+      .orderBy(pmod(xxhash64(col("vec_id") + seed), lit(1000000007L)))
+      .limit(sampleSize)
+      .select(col("e")).collect().map(_.getSeq[Double](0).toArray)
+    val centroids = kmeans(sample, nCells, trainIters, seed + 7919)
+    def dot(v: Column, c: Array[Double]): Column =
+      graft.functions.VectorOps.dotProduct(v,
+        array(c.toIndexedSeq.map(lit): _*))
+    val sims = array(centroids.toIndexedSeq.map(c => dot(col("e"), c)): _*)
+    val coded = coded0
+      .withColumn("sims", sims)
+      .withColumn("cell",
+        array_position(col("sims"), array_max(col("sims"))).cast("int"))
+      .drop("sims")
+      .localCheckpoint(true) // feeds probe scan AND exact refine once
+    // bounded query set: LUTs and probe lists computed driver-side
+    val queries = coded.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id"), col("e")).collect()
+      .map { r =>
+        val qid = r.getLong(0)
+        val q = r.getSeq[Double](1).toArray
+        val lut = Array.tabulate(m * codebookSize) { t =>
+          val j = t / codebookSize
+          val c = books(j)(t % codebookSize)
+          var s = 0.0; var i = 0
+          while (i < sub) { s += q(j * sub + i) * c(i); i += 1 }
+          s
+        }
+        val probes = centroids.indices
+          .sortBy(ci => -centroids(ci).zip(q).map(p => p._1 * p._2).sum)
+          .take(nprobe).map(_ + 1) // 1-based like array_position
+        (qid, q.toSeq, lut.toSeq, probes)
+      }.toIndexedSeq
+    val probeDf = queries.flatMap { case (qid, _, lut, probes) =>
+      probes.map(p => (qid, p, lut))
+    }.toDF("qid", "pcell", "lut")
+    val adc = coded
+      .join(broadcast(probeDf),
+        col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
+          (acc, j) => acc + element_at(col("lut"),
+            (j * codebookSize).cast("int") +
+              element_at(col("code"), (j + 1).cast("int")))).as("cos"))
+      .as[Score]
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    val shortlist = partialTopK(adc, refine * k)
+      .withColumn("rn0", row_number().over(w))
+      .filter(col("rn0") <= refine * k)
+      .select("qid", "nid")
+    val qe = queries.map { case (qid, q, _, _) => (qid, q) }
+      .toDF("qid", "qe")
+    val exact = shortlist
+      .join(coded.select(col("vec_id").as("nid"), col("e").as("ne")), "nid")
+      .join(broadcast(qe), "qid")
+      .select(col("qid"), col("nid"),
+        graft.functions.VectorOps.dotProduct(col("qe"), col("ne"))
+          .as("cos"))
+      .as[Score]
+    finishTopK(exact, k)
+  }
 }

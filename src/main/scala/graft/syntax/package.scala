@@ -211,5 +211,10 @@ package object syntax {
     def cosineTopKPq(maxQueryId: Long, k: Int, m: Int = 8,
         codebookSize: Int = 16, refine: Int = 4): DataFrame =
       Similarity.pqTopK(df, maxQueryId, k, m, codebookSize, refine)
+
+    /** IVF-PQ ANN top-k: cell-bounded scan over compressed codes. */
+    def cosineTopKIvfPq(maxQueryId: Long, k: Int, nCells: Int = 16,
+        nprobe: Int = 4, m: Int = 16): DataFrame =
+      Similarity.ivfPqTopK(df, maxQueryId, k, nCells, nprobe, m)
   }
 }

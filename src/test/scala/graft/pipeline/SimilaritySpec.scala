@@ -149,4 +149,26 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute intersect pq).size.toDouble / brute.size
     assert(recall >= 0.8, s"clustered recall $recall")
   }
+
+  test("ivfPqTopK: cell-bounded compressed scan still recalls true neighbors") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val brute = Similarity.bruteForceTopK(emb, 20L, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfPqTopK(emb, 20L, 5, nCells = 16, nprobe = 8,
+        m = 16, codebookSize = 16, refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    // two approximations stack (cell miss + code noise); half the
+    // cells probed + deep refine must still recover > half on the
+    // unstructured worst case — deterministic seeds, not flaky
+    assert(recall > 0.5, s"recall $recall")
+    assert(got.groupBy(_._1).forall(_._2.size <= 5))
+    // IVF-PQ candidates are a subset of PQ's full-scan candidates
+    // at the same code setting: probing can only REMOVE candidates
+    val pqFull = Similarity.pqTopK(emb, 20L, 5, m = 16,
+      codebookSize = 16, refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecallVsPq = (pqFull intersect got).size.toDouble / pqFull.size
+    assert(ivfRecallVsPq > 0.4, s"vs full-scan PQ: $ivfRecallVsPq")
+  }
 }
