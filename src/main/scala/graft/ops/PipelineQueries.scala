@@ -666,6 +666,18 @@ object PipelineQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // per-language distribution drift between the even/odd doc halves
+  // (a deterministic A/B split): TVD in exact integer arithmetic
+  // (Profile.distributionDrift) — the corpus-shape monitor
+  def statsDriftByLang(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    graft.pipeline.Profile.distributionDrift(
+      all.filter(col("doc_id") % 2 === 0),
+      all.filter(col("doc_id") % 2 === 1),
+      "lang", "n_chars", buckets = 10)
+      .orderBy("lang")
+  }
+
   // one-scan multi-column profile: completeness, exact cardinality,
   // min/max per column (Profile.profile) — the trust audit a corpus
   // gets before anyone trains on it
@@ -695,6 +707,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_upsert" -> pipelineUpsert _,
     "stats_histogram" -> statsHistogram _,
     "stats_histogram_eqdepth" -> statsHistogramEqdepth _,
+    "stats_drift_by_lang" -> statsDriftByLang _,
     "pipeline_profile" -> pipelineProfile _,
     "pipeline_validate" -> pipelineValidate _,
     "dedup_minhash" -> dedupMinhash _,
@@ -871,6 +884,32 @@ object PipelineQueries extends QueryPack {
         |FROM documents d
         |LEFT JOIN med USING (lang) LEFT JOIN mad USING (lang)
         |ORDER BY doc_id""".stripMargin,
+    // the numerator is an order-independent integer sum; DuckDB's
+    // SUM(BIGINT) window is HUGEINT, so totals cast back to BIGINT
+    "stats_drift_by_lang" ->
+      """WITH u AS (
+        |  SELECT lang, n_chars, doc_id % 2 AS side FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |b AS (
+        |  SELECT CAST(MIN(n_chars) AS BIGINT) AS lo,
+        |    CAST(MAX(n_chars) AS BIGINT) AS hi FROM u),
+        |counted AS (
+        |  SELECT lang,
+        |    LEAST(9, ((n_chars - lo) * 10) // (hi - lo + 1)) AS bucket,
+        |    COUNT(CASE WHEN side = 0 THEN 1 END) AS ca,
+        |    COUNT(CASE WHEN side = 1 THEN 1 END) AS cb
+        |  FROM u, b GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lang, ca, cb,
+        |    CAST(SUM(ca) OVER (PARTITION BY lang) AS BIGINT) AS ta,
+        |    CAST(SUM(cb) OVER (PARTITION BY lang) AS BIGINT) AS tb
+        |  FROM counted)
+        |SELECT lang, MAX(ta) AS n_a, MAX(tb) AS n_b,
+        |  CASE WHEN MAX(ta) > 0 AND MAX(tb) > 0 THEN
+        |    CAST(SUM(abs(ca * tb - cb * ta)) AS DOUBLE) /
+        |      CAST(2 * MAX(ta) * MAX(tb) AS DOUBLE)
+        |  END AS tvd
+        |FROM tot GROUP BY lang ORDER BY lang""".stripMargin,
     // boundaries = per-group quartiles (quantile_disc list form);
     // bucket(v) = first boundary covering v — identical tie behavior
     // to the Spark side's |{b < v}| + 1 on the sorted boundary array

@@ -106,6 +106,62 @@ object Profile {
         max(col(valueCol)).cast("long").as("bucket_max"))
   }
 
+  /** Distribution drift between two corpus slices, per group: the
+    * total-variation distance between the two sides' bucketed value
+    * distributions — THE monitoring statistic for "did this week's
+    * crawl change shape" / "does the dedup output still look like the
+    * input". Buckets use the equi-width integer formula over SHARED
+    * global bounds (both sides bucket identically); TVD is computed
+    * entirely in exact integers —
+    *
+    *   TVD = Σ_buckets |ca·tb − cb·ta| / (2·ta·tb)
+    *
+    * — the numerator is an order-independent int64 sum (no per-bucket
+    * float division ever happens), and the single final division is
+    * one correctly-rounded op, so the DOUBLE hash-gates cross-engine.
+    * Int64 headroom: counts·totals ≤ ~3·10⁹ per term at gate scale;
+    * swap the sum to DECIMAL(38,0) beyond ~10⁹-row sides.
+    *
+    * At 100 TB: one union scan → (group, bucket, side) counts —
+    * partial+final — then |groups|×buckets narrow rows; the corpus
+    * never shuffles wide. Returns (group, n_a, n_b, tvd); groups with
+    * an empty side yield NULL tvd (nothing to compare). */
+  def distributionDrift(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val side = (df: DataFrame, s: Int) =>
+      df.select(col(groupCol), col(valueCol))
+        .filter(col(valueCol).isNotNull)
+        .withColumn("__side", lit(s))
+    val union = side(a, 0).unionByName(side(b, 1))
+    val bounds = union
+      .agg(min(col(valueCol)).cast("long").as("__lo"),
+        max(col(valueCol)).cast("long").as("__hi"))
+    val counted = union.crossJoin(broadcast(bounds))
+      .withColumn("__bucket",
+        expr(s"least(${buckets - 1}, " +
+          s"(($valueCol - __lo) * $buckets) div (__hi - __lo + 1))"))
+      .groupBy(col(groupCol), col("__bucket"))
+      .agg(count(when(col("__side") === 0, 1)).as("__ca"),
+        count(when(col("__side") === 1, 1)).as("__cb"))
+    // per-group totals as a window over the tiny counted relation
+    // (|groups|×buckets rows) — constant within a group, so max picks
+    // them back out of the final aggregate
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    counted
+      .withColumn("__ta", sum(col("__ca")).over(w))
+      .withColumn("__tb", sum(col("__cb")).over(w))
+      .groupBy(col(groupCol))
+      .agg(max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+        sum(abs(col("__ca") * col("__tb") - col("__cb") * col("__ta")))
+          .as("__num"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          col("__num").cast("double") /
+            (lit(2L) * col("n_a") * col("n_b")).cast("double"))
+          .as("tvd"))
+  }
+
   /** Per-group EQUI-DEPTH histogram: bucket boundaries are the group's
     * own exact discrete quantiles at i/buckets (rank ⌈q·n⌉ —
     * `GroupedMedian.exactQuantiles`, so no per-group sort funnel

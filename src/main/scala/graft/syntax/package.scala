@@ -175,6 +175,12 @@ package object syntax {
     /** Dense hourly resample with zero-filled gaps + forward fill. */
     def resampleHourly(keyCol: String = "event_type"): DataFrame =
       graft.ops.Behavior.resampleHourly(df, keyCol)
+
+    /** Per-group total-variation drift vs another slice of the same
+      * schema (exact-integer TVD). */
+    def driftAgainst(other: DataFrame, groupCol: String,
+        valueCol: String, buckets: Int = 10): DataFrame =
+      Profile.distributionDrift(df, other, groupCol, valueCol, buckets)
   }
 
   implicit class EmbeddingOps(private val df: DataFrame) {

@@ -102,6 +102,39 @@ class ProfileSpec extends SparkSpec {
     assert(r == Map(1L -> 3L), r.toString)
   }
 
+  test("drift: identical slices give TVD 0; disjoint ranges give TVD 1") {
+    val a = ((1L to 50L).map(v => ("g", v))).toDF("grp", "x")
+    val same = Profile.distributionDrift(a, a, "grp", "x", buckets = 5)
+      .collect().head
+    assert(same.getLong(1) == 50L && same.getLong(2) == 50L)
+    assert(same.getDouble(3) == 0.0, same.toString)
+    // b entirely in the top bucket of the shared range
+    val b = ((1000L to 1049L).map(v => ("g", v))).toDF("grp", "x")
+    val far = Profile.distributionDrift(a, b, "grp", "x", buckets = 5)
+      .collect().head
+    assert(far.getDouble(3) == 1.0, far.toString)
+  }
+
+  test("drift: hand-computed TVD on an uneven split, empty side yields NULL") {
+    // shared bounds 1..4, 4 buckets, bucket = value-1.
+    // a: [3,1,0,0] of 4; b: [1,1,1,1] of 4
+    // |ca·tb − cb·ta| per bucket with ta=tb=4: |12−4|+|4−4|+|0−4|+|0−4| = 16
+    // TVD = 16 / (2·4·4) = 0.5
+    val a = Seq(("g", 1L), ("g", 1L), ("g", 1L), ("g", 2L))
+      .toDF("grp", "x")
+    val b = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L))
+      .toDF("grp", "x")
+    val r = Profile.distributionDrift(a, b, "grp", "x", buckets = 4)
+      .collect().head
+    assert(r.getDouble(3) == 0.5, r.toString)
+    // a group present only on one side: NULL tvd, not a crash
+    val b2 = Seq(("h", 7L)).toDF("grp", "x")
+    val rows = Profile.distributionDrift(a, b2, "grp", "x", buckets = 4)
+      .collect().map(x => x.getString(0) -> x.isNullAt(3)).toMap
+    assert(rows("g") === true && rows("h") === true,
+      "one-sided groups must yield NULL tvd")
+  }
+
   test("equi-depth: per-group boundaries are independent across groups") {
     val vals = ((1L to 8L).map(v => ("small", v)) ++
       (101L to 108L).map(v => ("big", v))).toDF("grp", "x")
