@@ -659,6 +659,12 @@ object Dedup {
       .orderBy(pmod(xxhash64(col("vec_id") + seed), lit(1000000007L)))
       .limit(sampleSize)
       .collect().map(_.getSeq[Double](1).toArray)
+    // empty corpus: nothing to train on, nothing to pair — return the
+    // empty pair set like every other dedup family member
+    if (sample.isEmpty)
+      return e.select(col("vec_id").as("id_a"),
+        col("vec_id").as("id_b"), lit(0.0d).as("cos"))
+        .where(lit(false))
     val centroids = Similarity.kmeans(sample, nCells, trainIters, seed)
     def dot(v: Column, c: Array[Double]): Column =
       graft.functions.VectorOps.dotProduct(v,

@@ -168,6 +168,17 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(_.getLong(2)).toSeq === Seq(0L, 0L))
     assert(graft.ops.Behavior.retention(emptyEv).count() == 0L)
     assert(graft.ops.Behavior.anomalyDays(emptyEv).count() == 0L)
+    assert(graft.ops.Behavior.resampleHourly(
+      emptyEv.withColumn("value", lit(1.0d))).count() == 0L)
+    // semantic dedup: empty corpus returns the empty pair set (the
+    // dedup family contract) rather than a quantizer training error
+    val emptyEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semanticNearDup(emptyEmb).count() == 0L)
+    // drift on two empty slices: no groups, no rows
+    assert(Profile.distributionDrift(
+      weird.filter(lit(false)).withColumnRenamed("text", "t"),
+      weird.filter(lit(false)).withColumnRenamed("text", "t"),
+      "t", "doc_id").count() == 0L)
   }
 }
 
