@@ -130,4 +130,75 @@ object GroupedMedian {
   def exactMedian(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
     exactQuantiles(df, groupCol, valueCol, Seq(0.5))
       .select(col(groupCol), col("value").as("median"), col("n"))
+
+  /** Per-DISTINCT-value percentile ranks: (group, value, before, n)
+    * where `before` counts the group's rows STRICTLY below the value —
+    * exactly PERCENT_RANK's (rank − 1) under ties. Same machinery as
+    * exactQuantiles (pre-aggregate → range partition → in-partition
+    * sort → driver prefix offsets) but pass 2 emits the cumulative
+    * count for EVERY distinct value and stays DISTRIBUTED (the result
+    * is |distinct (group, value)| rows — corpus-sized for near-unique
+    * columns, so it is returned as a DataFrame, never collected; the
+    * few-groups premise applies only to the tiny offset maps). A
+    * declarative PERCENT_RANK window funnels each group through one
+    * sort task; this parallelizes the sort across all partitions.
+    * NULL values are excluded (join back with LEFT to keep their
+    * rows unranked). */
+  def percentileRanks(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val agg = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(col(groupCol), col(valueCol))
+      .sortWithinPartitions(groupCol, valueCol)
+    val rdd = agg.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perPart: Array[(Int, Seq[(Any, Long)])] =
+        rdd.mapPartitionsWithIndex { (i, it) =>
+          val m = mutable.LinkedHashMap[Any, Long]()
+          it.foreach { r =>
+            val g = r.get(0)
+            m.update(g, m.getOrElse(g, 0L) + r.getLong(2))
+          }
+          Iterator((i, m.toSeq))
+        }.collect()
+      val totals = mutable.Map[Any, Long]()
+      perPart.foreach { case (_, gs) =>
+        gs.foreach { case (g, c) =>
+          totals.update(g, totals.getOrElse(g, 0L) + c)
+        }
+      }
+      val offsets: Map[(Int, Any), Long] = {
+        val running = mutable.Map[Any, Long]()
+        perPart.sortBy(_._1).flatMap { case (i, gs) =>
+          gs.map { case (g, c) =>
+            val off = running.getOrElse(g, 0L)
+            running.update(g, off + c)
+            ((i, g), off)
+          }
+        }.toMap
+      }
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      val bTotals = spark.sparkContext.broadcast(totals.toMap)
+      val ranksRdd = rdd.mapPartitionsWithIndex { (i, it) =>
+        val cum = mutable.Map[Any, Long]()
+        it.map { r =>
+          val g = r.get(0)
+          val c = r.getLong(2)
+          val before = cum.getOrElse(g, bOffsets.value.getOrElse((i, g), 0L))
+          cum.update(g, before + c)
+          Row(g, r.get(1), before, bTotals.value(g))
+        }
+      }
+      val schema = StructType(Seq(
+        agg.schema(groupCol),
+        StructField("value", agg.schema(valueCol).dataType),
+        StructField("before", LongType, nullable = false),
+        StructField("n", LongType, nullable = false)))
+      // the distributed result must be materialized before the backing
+      // RDD is unpersisted — localCheckpoint pins the computed blocks
+      spark.createDataFrame(ranksRdd, schema).localCheckpoint(true)
+    } finally rdd.unpersist(blocking = false)
+  }
 }

@@ -666,6 +666,16 @@ object PipelineQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // per-language PERCENT_RANK without the per-group window funnel —
+  // the prefix-sum machinery's per-row member, hash-gated against
+  // DuckDB's native window spelling (one truth, two physical plans)
+  def statsPctrankByLang(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Normalize.percentileRankByGroup(
+      docs(s, d).select(col("lang"), col("doc_id"), col("n_chars")),
+      "lang", "n_chars")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("pct_rank"))
+      .orderBy("doc_id")
+
   // per-language distribution drift between the even/odd doc halves
   // (a deterministic A/B split): TVD in exact integer arithmetic
   // (Profile.distributionDrift) — the corpus-shape monitor
@@ -708,6 +718,7 @@ object PipelineQueries extends QueryPack {
     "stats_histogram" -> statsHistogram _,
     "stats_histogram_eqdepth" -> statsHistogramEqdepth _,
     "stats_drift_by_lang" -> statsDriftByLang _,
+    "stats_pctrank_by_lang" -> statsPctrankByLang _,
     "pipeline_profile" -> pipelineProfile _,
     "pipeline_validate" -> pipelineValidate _,
     "dedup_minhash" -> dedupMinhash _,
@@ -884,6 +895,11 @@ object PipelineQueries extends QueryPack {
         |FROM documents d
         |LEFT JOIN med USING (lang) LEFT JOIN mad USING (lang)
         |ORDER BY doc_id""".stripMargin,
+    "stats_pctrank_by_lang" ->
+      """SELECT doc_id, lang, n_chars,
+        |  PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars)
+        |    AS pct_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the numerator is an order-independent integer sum; DuckDB's
     // SUM(BIGINT) window is HUGEINT, so totals cast back to BIGINT
     "stats_drift_by_lang" ->

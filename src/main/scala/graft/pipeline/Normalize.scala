@@ -123,6 +123,30 @@ object Normalize {
       .drop("__med", "__mad")
   }
 
+  /** Append `pct_rank` — the within-group PERCENT_RANK of `valueCol`
+    * ((#strictly-smaller values)/(n−1); single-row groups rank 0, SQL
+    * semantics) — computed by the range-partitioned prefix-sum
+    * machinery (`GroupedMedian.percentileRanks`) instead of a
+    * PERCENT_RANK window, which would funnel each group through ONE
+    * sort task. The per-distinct-value rank relation joins back on
+    * (group, value) as a plain hash join — it is corpus-sized for
+    * near-unique columns, so unlike the winsorize/robust statistic
+    * tables it is NOT broadcast. The single division is the only
+    * float op, so the DOUBLE hash-gates against the window spelling.
+    * NULL values keep their rows with NULL pct_rank (LEFT join). */
+  def percentileRankByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val ranks = graft.ops.GroupedMedian
+      .percentileRanks(df, groupCol, valueCol)
+      .withColumnRenamed("value", valueCol)
+    df.join(ranks, Seq(groupCol, valueCol), "left")
+      .withColumn("pct_rank",
+        when(col("n") > 1L,
+          col("before").cast("double") / (col("n") - 1L).cast("double"))
+          .when(col("n") === 1L, lit(0.0)))
+      .drop("before", "n")
+  }
+
   /** Per-group Pearson correlation of two integer columns — "does doc
     * length track token count within each language" and every other
     * feature-vs-feature sanity check a curation pipeline runs. Spark's

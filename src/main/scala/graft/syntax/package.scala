@@ -155,6 +155,10 @@ package object syntax {
     def robustScaleBy(groupCol: String, valueCol: String): DataFrame =
       Normalize.robustScaleByGroup(df, groupCol, valueCol)
 
+    /** Within-group PERCENT_RANK without a per-group window funnel. */
+    def percentileRankBy(groupCol: String, valueCol: String): DataFrame =
+      Normalize.percentileRankByGroup(df, groupCol, valueCol)
+
     /** Per-group EQUI-DEPTH histogram on exact quantile boundaries. */
     def histogramEquiDepthBy(groupCol: String, valueCol: String,
         buckets: Int = 4): DataFrame =

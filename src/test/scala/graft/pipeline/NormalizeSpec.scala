@@ -163,6 +163,38 @@ class NormalizeSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(1)), rows.mkString(","))
   }
 
+  test("percentile rank equals the PERCENT_RANK window on random data with ties") {
+    val rng = new scala.util.Random(13)
+    val df = (1 to 200).map { i =>
+      (s"g${i % 3}", i.toLong, rng.nextInt(20).toLong) // heavy ties
+    }.toDF("grp", "id", "v")
+    val got = Normalize.percentileRankByGroup(df, "grp", "v")
+      .select("id", "pct_rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = df.withColumn("pct_rank",
+        org.apache.spark.sql.functions.percent_rank().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("grp").orderBy("v")))
+      .select("id", "pct_rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === want)
+  }
+
+  test("percentile rank: single-row groups rank 0, NULL values stay NULL") {
+    val df = Seq(
+      (Some("solo"), 1L, Some(42L)),
+      (Some("a"), 2L, Some(1L)), (Some("a"), 3L, Some(2L)),
+      (Some("a"), 4L, Option.empty[Long]))
+      .toDF("grp", "id", "v")
+    val rows = Normalize.percentileRankByGroup(df, "grp", "v")
+      .select("id", "pct_rank").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows(1L).contains(0.0), "single-row group ranks 0")
+    assert(rows(2L).contains(0.0) && rows(3L).contains(1.0))
+    assert(rows(4L).isEmpty, "NULL value must stay unranked")
+  }
+
   test("robust z: the statistic joins are broadcast — the corpus never shuffles wide") {
     val docs = graft.ops.Tables.documents(spark, sf("sf0.001"))
     val p = Normalize.robustScaleByGroup(docs, "lang", "n_chars")
