@@ -147,6 +147,22 @@ object ScaleBench {
       "robust_scale_by_lang" -> (() => graft.pipeline.Normalize
         .robustScaleByGroup(docs.select(col("doc_id"), col("lang"),
           col("n_chars")), "lang", "n_chars")),
+      // the funnel comparison the operator exists for: 3 groups over
+      // the full fact table — the window sorts each group in ONE task,
+      // the prefix-sum machinery parallelizes the sort over all
+      // partitions (same output, hash-verified by the gate row)
+      "pctrank_prefix" -> (() => graft.pipeline.Normalize
+        .percentileRankByGroup(
+          li.select(col("l_returnflag"), col("l_orderkey"),
+            col("l_extendedprice")),
+          "l_returnflag", "l_extendedprice")),
+      "pctrank_window" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        li.select(col("l_returnflag"), col("l_orderkey"),
+            col("l_extendedprice"))
+          .withColumn("pct_rank", percent_rank().over(Window
+            .partitionBy("l_returnflag").orderBy("l_extendedprice")))
+      }),
       // broadcast key eviction + union over the full snapshot
       "upsert" -> (() => {
         val cs = docs.filter(col("doc_id") % 7 === 1)
