@@ -292,6 +292,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pctrank: the prefix spelling ranks with NO window operator anywhere") {
+    val p = plan(PipelineQueries.statsPctrankByLang(spark, dir))
+    assert(!p.contains("Window"),
+      "the no-funnel spelling must not re-introduce a window:\n" +
+        p.take(1500))
+  }
+
   test("behavior funnel: each frontier joins then re-aggregates on the user key") {
     val p = plan(BehaviorQueries.funnel(spark, dir))
     // the per-step frontier stays a hash aggregate (partial+final) —
