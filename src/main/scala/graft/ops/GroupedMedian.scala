@@ -49,7 +49,12 @@ object GroupedMedian {
   /** (group, q, value, n) for each group × requested quantile
     * fraction; `value` keeps `valueCol`'s type, rank semantics = the
     * max(1, ⌈q·n⌉)-th value in ascending order (DuckDB
-    * `quantile_disc`; q=0.5 degenerates to exactMedian's ⌈n/2⌉). */
+    * `quantile_disc`; q=0.5 degenerates to exactMedian's ⌈n/2⌉).
+    * NULL values are EXCLUDED before ranking — quantile_disc ignores
+    * them, and a NULL sorts first under Spark's range partitioner, so
+    * counting it would shift every rank and could emit NULL as a
+    * "value" (the percentileRanks contract, applied here too). Groups
+    * whose values are all NULL produce no rows. */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
@@ -57,7 +62,8 @@ object GroupedMedian {
     require(qs.distinct.size == qs.size,
       s"duplicate quantile fractions would emit duplicate (group, q) rows, got $qs")
     val spark = df.sparkSession
-    val agg = df.groupBy(col(groupCol), col(valueCol))
+    val agg = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("cnt"))
       .repartitionByRange(col(groupCol), col(valueCol))
       .sortWithinPartitions(groupCol, valueCol)

@@ -32,9 +32,12 @@ object Merge {
     *
     * If `versionCol` is set, multiple changeset rows per key collapse
     * to the highest version first (latest-wins, `max_by` over the
-    * whole row — partial+final, no window funnel); otherwise the
-    * caller guarantees one row per key (asserted cheaply: duplicate
-    * keys without a version column make the result order-dependent).
+    * whole row — partial+final, no window funnel); otherwise one row
+    * per key is a CHECKED precondition: a per-key count rides the
+    * changeset plan (the small side by contract) and raise_error trips
+    * on the first duplicate, because duplicate keys without a version
+    * column make the merged snapshot order-dependent — the silent
+    * corruption this operator exists to prevent.
     */
   def applyChangeset(snapshot: DataFrame, changeset: DataFrame,
       keyCol: String, opCol: String = "op",
@@ -63,7 +66,19 @@ object Merge {
           .agg(max_by(payload, struct(col(v), col(opCol) === deleteOp))
             .as("__row"))
           .select(col("__row.*"))
-      case None => validated
+      case None =>
+        // duplicate-key check in-plan: the window shuffles only the
+        // changeset (small by contract), never the snapshot
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+        validated
+          .withColumn("__kcnt", count(lit(1)).over(w))
+          .filter(when(col("__kcnt") === 1L, lit(true))
+            .otherwise(raise_error(concat(
+              lit("Merge.applyChangeset: duplicate changeset key '"),
+              col(keyCol).cast("string"),
+              lit("' without versionCol — latest-wins is undefined")))))
+          .drop("__kcnt")
     }
 
     val keys = {

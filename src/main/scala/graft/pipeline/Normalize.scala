@@ -25,12 +25,26 @@ import org.apache.spark.sql.functions._
   */
 object Normalize {
 
+  /** The exact-integer-moments discipline only holds for integral
+    * inputs — `cast("long")` on a DOUBLE column would silently
+    * truncate and normalize the wrong numbers, so the integer
+    * assumption is CHECKED, not documented. */
+  private def requireIntegral(df: DataFrame, c: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(c).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"column '$c' must be integral for exact-integer normalization, " +
+        s"got $dt — pre-scale floats to integers (or widen this op to " +
+        "DECIMAL moments) before normalizing")
+  }
+
   /** Append `z` — the within-group z-score of integer `valueCol` —
     * using sample (n−1) variance. Groups with fewer than 2 rows or
     * zero variance yield NULL z (no meaningful scale), mirroring
     * SQL's NULLIF guard; rows with a NULL group key are kept (LEFT
     * join) with z NULL. */
   def zscoreByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol)
     val v = col(valueCol).cast("long")
     val moments = df.groupBy(col(groupCol))
       .agg(sum(v).as("__s"), sum(v * v).as("__sq"),
@@ -103,6 +117,7 @@ object Normalize {
     * never shuffled. */
   def robustScaleByGroup(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol)
     val vals = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol))
     val med = graft.ops.GroupedMedian
@@ -163,6 +178,8 @@ object Normalize {
     * shuffles. */
   def corrByGroup(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
+    requireIntegral(df, xCol)
+    requireIntegral(df, yCol)
     val x = col(xCol).cast("long")
     val y = col(yCol).cast("long")
     val sums = df.filter(x.isNotNull && y.isNotNull)

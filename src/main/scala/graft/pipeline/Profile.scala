@@ -17,6 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Integer-exact bucketing is only exact on integral inputs — and
+    * the formula's intermediate product must not wrap, so it runs in
+    * DECIMAL(38,0): (v − lo) ≤ 2⁶⁴ is 20 digits, ×buckets stays far
+    * under 38, and `div` (integral division) lands back in int64. The
+    * value column is referenced ONLY through the pre-bound fixed name
+    * `__v`, so column names needing backticks can never break the
+    * parse. Callers bind __v/__lo/__hi before applying. */
+  private def bucketExpr(buckets: Int): Column =
+    expr(s"least(${buckets - 1}, " +
+      s"((__v - __lo) * $buckets) div (__hi - __lo + 1))")
+
+  private def requireIntegral(df: DataFrame, c: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(c).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"column '$c' must be integral for integer-exact bucketing, got $dt")
+  }
+
   /** Per-column profile: one output row per profiled column with
     * non-null count, null count, exact distinct count, and min/max
     * rendered as strings (one schema for any column type). ALL columns
@@ -84,22 +102,26 @@ object Profile {
     * data-derived global [min, max] bounds: bucket i covers
     * [lo + i·W, lo + (i+1)·W) for W = ⌈(hi − lo + 1)/buckets⌉-ish via
     * the exact integer formula b = min(buckets−1, ((v − lo)·buckets)
-    * div (hi − lo + 1)) — pure int64 arithmetic, so the bucketing is
-    * engine-exact (no float edges that could flip a boundary value
-    * across engines). Two passes: a 1-row bounds aggregate broadcast
+    * div (hi − lo + 1)) — exact integer arithmetic (the product is
+    * widened through DECIMAL(38,0) so a full-int64 value range cannot
+    * wrap it), so the bucketing is engine-exact (no float edges that
+    * could flip a boundary value across engines). Two passes: a 1-row bounds aggregate broadcast
     * back (cross join with a literal-sized side), then one
     * (group, bucket) count — the corpus never shuffles wide. */
   def histogram(df: DataFrame, groupCol: String, valueCol: String,
       buckets: Int = 10): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    requireIntegral(df, valueCol)
+    // bounds ride as DECIMAL(38,0) so the denominator (hi − lo + 1)
+    // cannot wrap either — a full-int64 range spans 2⁶⁴ > Long.Max
     val bounds = df.filter(col(valueCol).isNotNull)
-      .agg(min(col(valueCol)).cast("long").as("__lo"),
-        max(col(valueCol)).cast("long").as("__hi"))
+      .agg(min(col(valueCol)).cast("decimal(38,0)").as("__lo"),
+        max(col(valueCol)).cast("decimal(38,0)").as("__hi"))
     df.filter(col(valueCol).isNotNull)
       .crossJoin(broadcast(bounds))
-      .withColumn("bucket",
-        expr(s"least(${buckets - 1}, " +
-          s"(($valueCol - __lo) * $buckets) div (__hi - __lo + 1))"))
+      .withColumn("__v", col(valueCol).cast("decimal(38,0)"))
+      .withColumn("bucket", bucketExpr(buckets))
+      .drop("__v")
       .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"),
         min(col(valueCol)).cast("long").as("bucket_min"),
@@ -129,18 +151,19 @@ object Profile {
   def distributionDrift(a: DataFrame, b: DataFrame, groupCol: String,
       valueCol: String, buckets: Int = 10): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    requireIntegral(a, valueCol)
+    requireIntegral(b, valueCol)
     val side = (df: DataFrame, s: Int) =>
       df.select(col(groupCol), col(valueCol))
         .filter(col(valueCol).isNotNull)
         .withColumn("__side", lit(s))
     val union = side(a, 0).unionByName(side(b, 1))
     val bounds = union
-      .agg(min(col(valueCol)).cast("long").as("__lo"),
-        max(col(valueCol)).cast("long").as("__hi"))
+      .agg(min(col(valueCol)).cast("decimal(38,0)").as("__lo"),
+        max(col(valueCol)).cast("decimal(38,0)").as("__hi"))
     val counted = union.crossJoin(broadcast(bounds))
-      .withColumn("__bucket",
-        expr(s"least(${buckets - 1}, " +
-          s"(($valueCol - __lo) * $buckets) div (__hi - __lo + 1))"))
+      .withColumn("__v", col(valueCol).cast("decimal(38,0)"))
+      .withColumn("__bucket", bucketExpr(buckets))
       .groupBy(col(groupCol), col("__bucket"))
       .agg(count(when(col("__side") === 0, 1)).as("__ca"),
         count(when(col("__side") === 1, 1)).as("__cb"))

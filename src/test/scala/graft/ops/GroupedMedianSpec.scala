@@ -75,6 +75,23 @@ class GroupedMedianSpec extends SparkSpec {
     assert(viaQ == viaM)
   }
 
+  test("exactQuantiles ignores NULL values — quantile_disc semantics") {
+    // NULLs sort first under the range partitioner: counting them
+    // would shift every rank and could emit NULL as a "value"
+    val df = Seq(("g", Some(10L)), ("g", None), ("g", None),
+      ("g", Some(20L)), ("g", Some(30L)), ("h", Option.empty[Long]))
+      .toDF("g", "v")
+    val got = GroupedMedian.exactQuantiles(df, "g", "v", Seq(0.5, 1.0))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // n = 3 non-null values; median rank ⌈1.5⌉ = 2 → 20, max → 30
+    assert(got == Map(("g", 0.5) -> ((20L, 3L)), ("g", 1.0) -> ((30L, 3L))),
+      got.toString)
+    // "h" has only NULLs: no rows at all, never a NULL-valued row
+    assert(!got.keySet.exists(_._1 == "h"))
+  }
+
   test("q27 equals q23 row-for-row on the test tables") {
     val a = Relational.q23MedianRank(spark, sf("sf0.001")).collect().toSeq
     val b = Relational.q27MedianPrefix(spark, sf("sf0.001")).collect().toSeq

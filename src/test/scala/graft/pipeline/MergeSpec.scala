@@ -45,6 +45,27 @@ class MergeSpec extends SparkSpec {
     assert(msgs(e).exists(m => m != null && m.contains("UPSERT")), e.toString)
   }
 
+  test("applyChangeset: duplicate changeset keys without versionCol fail loudly") {
+    // without a version column latest-wins is undefined — the merge
+    // must refuse, not keep both rows in the "deduplicated" snapshot
+    val cs = Seq((2L, "beta-v2", 21L, "U"), (2L, "beta-v3", 22L, "U"))
+      .toDF("id", "body", "sz", "op")
+    val e = intercept[Exception] {
+      Merge.applyChangeset(snapshot, cs, "id").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("duplicate")),
+      e.toString)
+    // the same changeset WITH a version column collapses cleanly
+    val versioned = Seq((2L, "beta-v2", 21L, "U", 1L),
+      (2L, "beta-v3", 22L, "U", 2L)).toDF("id", "body", "sz", "op", "ver")
+    val got = Merge.applyChangeset(snapshot, versioned, "id",
+        versionCol = Some("ver"))
+      .filter(col("id") === 2L).as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((2L, "beta-v3", 22L)))
+  }
+
   test("applyChangeset: the key eviction broadcasts — the snapshot never shuffles") {
     val cs = Seq((2L, "beta-v2", 21L, "U")).toDF("id", "body", "sz", "op")
     val p = Merge.applyChangeset(snapshot, cs, "id")

@@ -195,6 +195,17 @@ class NormalizeSpec extends SparkSpec {
     assert(rows(4L).isEmpty, "NULL value must stay unranked")
   }
 
+  test("exact-integer normalizers reject non-integral value columns") {
+    // cast("long") on a DOUBLE column would silently truncate and
+    // normalize the wrong numbers — the integer premise is checked
+    val d = Seq(("g", 1.5, 2.5)).toDF("grp", "x", "y")
+    intercept[IllegalArgumentException](Normalize.zscoreByGroup(d, "grp", "x"))
+    intercept[IllegalArgumentException](
+      Normalize.robustScaleByGroup(d, "grp", "x"))
+    intercept[IllegalArgumentException](
+      Normalize.corrByGroup(d, "grp", "x", "y"))
+  }
+
   test("robust z: the statistic joins are broadcast — the corpus never shuffles wide") {
     val docs = graft.ops.Tables.documents(spark, sf("sf0.001"))
     val p = Normalize.robustScaleByGroup(docs, "lang", "n_chars")

@@ -135,6 +135,40 @@ class ProfileSpec extends SparkSpec {
       "one-sided groups must yield NULL tvd")
   }
 
+  test("histogram: a full-int64 value range cannot wrap the bucket formula") {
+    // the round-8 int64 spelling wrapped at (v − lo)·buckets > 2⁶³;
+    // the DECIMAL(38,0) widening must bucket the extremes exactly —
+    // including a hi − lo span that itself exceeds Long.MaxValue
+    val lo = Long.MinValue / 2
+    val hi = Long.MaxValue / 2
+    val vals = Seq(("g", lo), ("g", -1L), ("g", 0L), ("g", hi / 2), ("g", hi))
+      .toDF("grp", "x")
+    val r = Profile.histogram(vals, "grp", "x", buckets = 10).collect()
+      .map(x => x.getLong(1) -> x.getLong(2)).toMap
+    def want(v: Long): Long =
+      math.min(9L,
+        ((BigInt(v) - lo) * 10 / (BigInt(hi) - BigInt(lo) + 1)).toLong)
+    val expected = Seq(lo, -1L, 0L, hi / 2, hi).groupBy(want)
+      .map { case (b, vs) => b -> vs.size.toLong }
+    assert(r == expected, s"got $r want $expected")
+  }
+
+  test("histogram / drift: non-integral value columns are rejected up front") {
+    val d = Seq(("g", 1.5)).toDF("grp", "x")
+    intercept[IllegalArgumentException](
+      Profile.histogram(d, "grp", "x", buckets = 4))
+    intercept[IllegalArgumentException](
+      Profile.distributionDrift(d, d, "grp", "x", buckets = 4))
+  }
+
+  test("drift: extreme shared bounds bucket identically on both sides") {
+    val a = Seq(("g", Long.MinValue / 2), ("g", 0L)).toDF("grp", "x")
+    val b = Seq(("g", Long.MinValue / 2), ("g", 0L)).toDF("grp", "x")
+    val r = Profile.distributionDrift(a, b, "grp", "x", buckets = 7)
+      .collect().head
+    assert(r.getDouble(3) == 0.0, r.toString)
+  }
+
   test("equi-depth: per-group boundaries are independent across groups") {
     val vals = ((1L to 8L).map(v => ("small", v)) ++
       (101L to 108L).map(v => ("big", v))).toDF("grp", "x")

@@ -276,6 +276,20 @@ class TextAnalysisSpec extends SparkSpec {
       s"no shared fingerprint: ${fps(0L)} vs ${fps(1L)}")
   }
 
+  test("winnowing: a doc past the 2^20 k-gram packing limit fails loudly") {
+    // 2^20 + 2 tokens of one word -> 2^20 k-grams at k=3: position
+    // packing would wrap silently; the in-lambda guard must raise
+    val oversize = Seq((0L, Array.fill(1048578)("x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.winnowingFingerprints(oversize, k = 3, window = 4).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("2^20")), messages(e).toString)
+  }
+
   test("cooccurrence counts skip-gram pairs up to the window distance") {
     val d = Seq((0L, "a b c a")).toDF("doc_id", "text")
     val got = TextAnalysis.cooccurrence(d, window = 2, topK = 100)
