@@ -147,6 +147,19 @@ object PipelineQueries extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  // the hash-gated sibling of dedup_semantic (the minhash_verified
+  // discipline): nAssign = nCells is EXHAUSTIVE soft assignment —
+  // every vector lands in every cell, so the candidate set is all
+  // pairs and the recall-1 result is exactly the threshold-filtered
+  // cosine join DuckDB reproduces with list_cosine_similarity. Pair
+  // identity only (integer columns): cos stays in-engine, since two
+  // engines' float accumulation orders can differ in the last ulp
+  def dedupSemanticVerified(s: SparkSession, d: String): DataFrame =
+    Dedup.semanticNearDup(emb(s, d).filter(col("vec_id") < 200),
+        threshold = 0.3, nCells = 4, nAssign = 4)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+
   // PCA projection of the embedding table (Embeddings.pcaProject):
   // one treeAggregate Gram pass, driver-side Jacobi eigen, broadcast
   // basis. Rows-only (float eigensystems are engine-specific); the
@@ -730,6 +743,7 @@ object PipelineQueries extends QueryPack {
     "dedup_containment" -> dedupContainment _,
     "dedup_embedding" -> dedupEmbedding _,
     "dedup_semantic" -> dedupSemantic _,
+    "dedup_semantic_verified" -> dedupSemanticVerified _,
     "emb_pca" -> embPca _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_clusters_lsh" -> dedupClustersLsh _,
@@ -1224,6 +1238,15 @@ object PipelineQueries extends QueryPack {
         |        i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
         |SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram
         |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    // exhaustive-assignment semantic dedup == the plain threshold
+    // cosine join on the bounded subset (recall 1 by construction)
+    "dedup_semantic_verified" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
     "sim_topk_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),

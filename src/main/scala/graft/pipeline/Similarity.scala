@@ -301,26 +301,14 @@ object Similarity {
     // the coded relation feeds the ADC scan AND the exact re-rank —
     // materialize once (the dedupEmbedding dual-consumer discipline)
     val coded = coded0.localCheckpoint(true)
-    val sub = dim / m
-    // bounded query set: collect normalized vectors, tabulate each
-    // query's LUT driver-side (m·codebookSize doubles per query)
-    val queries = coded.filter(col("vec_id") < maxQueryId)
-      .select(col("vec_id"), col("e")).collect()
-      .map { r =>
-        val qid = r.getLong(0)
-        val q = r.getSeq[Double](1).toArray
-        val lut = Array.tabulate(m * codebookSize) { t =>
-          val j = t / codebookSize
-          val c = books(j)(t % codebookSize)
-          var s = 0.0
-          var i = 0
-          while (i < sub) { s += q(j * sub + i) * c(i); i += 1 }
-          s
-        }
-        (qid, q.toSeq, lut.toSeq)
-      }.toIndexedSeq
-    val qdf = queries.map { case (qid, _, lut) => (qid, lut) }
-      .toDF("qid", "lut")
+    // queries stay a RELATION: the per-query ADC lookup table is a
+    // per-row expression (codebooks ride as literals, the cell-assign
+    // discipline), broadcast to the scan — the round-8 spelling
+    // collect()ed the query rows and tabulated LUTs driver-side, which
+    // OOMs the driver on a 10⁶-query batch; this shape is bounded only
+    // by what broadcast can ship
+    val qdf = queries(coded, maxQueryId, books, dim)
+      .select(col("qid"), col("lut"))
     val adc = coded.join(broadcast(qdf), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
@@ -336,8 +324,8 @@ object Similarity {
       .select("qid", "nid")
     // exact re-rank of the bounded shortlist (vectors are normalized,
     // so the dot IS the cosine)
-    val qe = queries.map { case (qid, q, _) => (qid, q) }
-      .toDF("qid", "qe")
+    val qe = coded.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
     val exact = shortlist
       .join(coded.select(col("vec_id").as("nid"), col("e").as("ne")), "nid")
       .join(broadcast(qe), "qid")
@@ -348,15 +336,40 @@ object Similarity {
     finishTopK(exact, k)
   }
 
+  /** The bounded query side of a PQ scan, AS A RELATION: (qid, qe,
+    * lut) where lut[j·codebookSize + c] = ⟨qe-subvector j,
+    * codebook j centroid c⟩, computed per ROW with the codebooks as
+    * literal arrays — never on the driver. The m·codebookSize dot
+    * products per query are sub-dim wide each, i.e. exactly the d·
+    * codebookSize multiplies the ADC recipe budgets per query. */
+  private def queries(coded: DataFrame, maxQueryId: Long,
+      books: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+    val m = books.length
+    val codebookSize = books(0).length
+    val sub = dim / m
+    val lut = array((0 until m * codebookSize).map { t =>
+      val j = t / codebookSize
+      val c = books(j)(t % codebookSize)
+      graft.functions.VectorOps.dotProduct(
+        slice(col("qe"), j * sub + 1, sub),
+        array(c.toIndexedSeq.map(lit): _*))
+    }: _*)
+    coded.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .withColumn("lut", lut)
+  }
+
   /** IVF-PQ — the composition a production vector index actually runs
     * (the FAISS IVFPQ layout): IVF cells bound WHICH vectors a query
     * scans (~nprobe/nCells of the corpus), PQ codes bound the BYTES
     * per scanned vector (m small ints), ADC makes the scan a
     * lookup-table sum, and the exact refine pass restores fine
     * ranking on the bounded shortlist. Both quantizers train
-    * driver-side on one bounded sample; probe lists for the bounded
-    * query set are computed driver-side against the same centroids
-    * (no window, no explode — centroids are already local).
+    * driver-side on one bounded sample; query LUTs and probe lists
+    * are PER-ROW expressions over a broadcast query relation
+    * (centroids and codebooks ride as literals) — query vectors are
+    * never collected, so the batch is bounded by broadcast size, not
+    * driver heap.
     *
     * Per-query work: (n·nprobe/nCells) LUT sums + refine·k exact dots
     * — sub-linear scan AND compressed residency, vs pqTopK's full
@@ -372,7 +385,6 @@ object Similarity {
     import spark.implicits._
     val (coded0, books) = pqAssign(emb, m, codebookSize, seed,
       trainIters, sampleSize, dim)
-    val sub = dim / m
     // coarse quantizer on the SAME normalized vectors (cells follow
     // the cosine geometry), trained on the same bounded-sample recipe
     val sample = coded0
@@ -390,27 +402,22 @@ object Similarity {
         array_position(col("sims"), array_max(col("sims"))).cast("int"))
       .drop("sims")
       .localCheckpoint(true) // feeds probe scan AND exact refine once
-    // bounded query set: LUTs and probe lists computed driver-side
-    val queries = coded.filter(col("vec_id") < maxQueryId)
-      .select(col("vec_id"), col("e")).collect()
-      .map { r =>
-        val qid = r.getLong(0)
-        val q = r.getSeq[Double](1).toArray
-        val lut = Array.tabulate(m * codebookSize) { t =>
-          val j = t / codebookSize
-          val c = books(j)(t % codebookSize)
-          var s = 0.0; var i = 0
-          while (i < sub) { s += q(j * sub + i) * c(i); i += 1 }
-          s
-        }
-        val probes = centroids.indices
-          .sortBy(ci => -centroids(ci).zip(q).map(p => p._1 * p._2).sum)
-          .take(nprobe).map(_ + 1) // 1-based like array_position
-        (qid, q.toSeq, lut.toSeq, probes)
-      }.toIndexedSeq
-    val probeDf = queries.flatMap { case (qid, _, lut, probes) =>
-      probes.map(p => (qid, p, lut))
-    }.toDF("qid", "pcell", "lut")
+    // query relation: LUT per row (the pqTopK helper), probe list per
+    // row — top-nprobe cells by centroid similarity WITHOUT a window:
+    // argsort (−sim, idx) structs and slice the head (the
+    // semanticNearDup multi-probe spelling), then explode to
+    // (qid, pcell, lut) and broadcast
+    val qsims = array(centroids.toIndexedSeq.map(c => dot(col("qe"), c)): _*)
+    val probeDf = queries(coded, maxQueryId, books, dim)
+      .withColumn("__qsims", qsims)
+      .withColumn("__probes",
+        slice(transform(
+          array_sort(zip_with(col("__qsims"),
+            sequence(lit(1), lit(centroids.length)),
+            (s0, i) => struct((-s0).as("ns"), i.as("i")))),
+          x => x("i")), 1, nprobe))
+      .select(col("qid"), col("lut"),
+        explode(col("__probes")).as("pcell"))
     val adc = coded
       .join(broadcast(probeDf),
         col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
@@ -425,8 +432,8 @@ object Similarity {
       .withColumn("rn0", row_number().over(w))
       .filter(col("rn0") <= refine * k)
       .select("qid", "nid")
-    val qe = queries.map { case (qid, q, _, _) => (qid, q) }
-      .toDF("qid", "qe")
+    val qe = coded.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
     val exact = shortlist
       .join(coded.select(col("vec_id").as("nid"), col("e").as("ne")), "nid")
       .join(broadcast(qe), "qid")

@@ -593,4 +593,27 @@ class DedupSpec extends SparkSpec {
     // no pair may straddle clusters
     assert(got.forall { case (x, y) => x / 6 === y / 6 })
   }
+
+  test("semantic near-dup: exhaustive assignment (nAssign = nCells) == exact generator") {
+    // UNSTRUCTURED random vectors — the regime where cell-boundary
+    // misses actually happen at nAssign < nCells. Exhaustive soft
+    // assignment puts every vector in every cell, so the candidate set
+    // is all pairs and the result must equal the O(n²) ground truth —
+    // the recall-1 construction the dedup_semantic_verified gate row
+    // hash-checks against DuckDB's exact cosine join.
+    val rng = new scala.util.Random(23)
+    val emb = (0L until 80L)
+      .map(i => (i, Seq.fill(8)(rng.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticNearDup(emb, threshold = 0.5, nCells = 4,
+        nAssign = 4, sampleSize = 80)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.exactCosinePairs(emb, maxId = 100L, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must plant pairs above threshold")
+    assert(got === exact,
+      s"missing ${exact -- got}, extra ${got -- exact}")
+  }
 }

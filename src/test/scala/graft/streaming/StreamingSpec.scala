@@ -22,6 +22,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("a Kafka-shaped JSON payload stream decodes to the same results as the file source") {
+    // the source seam's portability proof without a broker: serialize
+    // the file stream into the wire payload (a `value` column of JSON
+    // — exactly what a Kafka consumer frame carries), decode through
+    // decodeJsonEvents, and run a transform — results must equal the
+    // batch twin bit for bit, so every transform is provably
+    // source-agnostic and the ONLY Kafka-specific piece left is the
+    // connector jar.
+    val wire = Streams.eventsStream(spark, dir)
+      .select(to_json(struct(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), col("value"))).as("value"))
+    val streamed = Streams.tumblingCounts(Streams.decodeJsonEvents(wire))
+    val got = Streams.runToMemory(spark, streamed, "t_kafka_shape",
+      OutputMode.Complete())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = Streams.tumblingCounts(Tables.events(spark, dir))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+    // a malformed payload decodes to a NULL row, never an exception
+    import spark.implicits._
+    val junk = Seq("{not json", """{"event_id": 7}""").toDF("value")
+    val decoded = Streams.decodeJsonEvents(junk).collect()
+    assert(decoded.length == 2)
+    assert(decoded.exists(_.isNullAt(0)), "unparsable payload -> NULL row")
+    assert(decoded.exists(r => !r.isNullAt(0) && r.getLong(0) == 7L),
+      "partial payload keeps the fields it has")
+  }
+
   test("streaming session windows equal the batch twin") {
     val streamed = Streams.sessionCounts(Streams.eventsStream(spark, dir))
     val got = Streams.runToMemory(spark, streamed, "t_session",
