@@ -512,10 +512,10 @@ object Relational extends QueryPack {
     // once-per-(app, dir) step so repeated runs — and the bench's
     // repeated timings — measure the zero-exchange join itself
     val tag = spark.sparkContext.applicationId + "|" + dir
-    graft.sources.Io.ensureBucketed(
+    graft.sources.Io.ensureBucketed(spark,
       Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus")),
       "graft_q30_orders", tag, "o_orderkey", 8, Some("o_orderkey"))
-    graft.sources.Io.ensureBucketed(
+    graft.sources.Io.ensureBucketed(spark,
       Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice")),
       "graft_q30_lineitem", tag, "l_orderkey", 8, Some("l_orderkey"))
     spark.table("graft_q30_orders")

@@ -33,7 +33,7 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorOps.cosineSim(a, b)
 
-  private def asDouble(emb: DataFrame): DataFrame =
+  private[pipeline] def asDouble(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("e"))
 
@@ -77,7 +77,7 @@ object Similarity {
   }
 
   /** Phase 2: exact finish over the pruned rows. */
-  private def finishTopK(s: Dataset[Score], k: Int): DataFrame = {
+  private[pipeline] def finishTopK(s: Dataset[Score], k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     s.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

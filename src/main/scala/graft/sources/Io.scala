@@ -74,16 +74,21 @@ object Io {
     * built the table (source dir + Spark application), so a different
     * SF dir or a fresh session rebuilds instead of reading stale
     * buckets. `df` is by-name: a skipped build never constructs the
-    * frame. */
-  def ensureBucketed(df: => DataFrame, table: String, tag: String,
-      bucketCol: String, buckets: Int,
-      sortCol: Option[String] = None): Unit =
-    if (!bucketedBuilt.get(table).contains(tag)) synchronized {
-      if (!bucketedBuilt.get(table).contains(tag)) {
+    * frame. The registry is cross-checked against the session catalog
+    * — anyone may DROP the table between calls (tests do) and a stale
+    * "already built" entry must rebuild, not serve a missing table. */
+  def ensureBucketed(spark: SparkSession, df: => DataFrame, table: String,
+      tag: String, bucketCol: String, buckets: Int,
+      sortCol: Option[String] = None): Unit = {
+    def current = bucketedBuilt.get(table).contains(tag) &&
+      spark.catalog.tableExists(table)
+    if (!current) synchronized {
+      if (!current) {
         writeBucketed(df, table, bucketCol, buckets, sortCol)
         bucketedBuilt(table) = tag
       }
     }
+  }
 
   /** Compact a parquet directory to ~`targetBytes` per output file —
     * the small-files housekeeping every long-lived 100 TB table needs
