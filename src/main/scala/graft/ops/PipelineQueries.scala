@@ -708,6 +708,33 @@ object PipelineQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // the SAME merge flowed through the versioned table format
+  // (sources.VersionedTable): snapshot committed as v0, changeset
+  // merged into v1, result read back through the v1 manifest — the
+  // init/commit/read protocol exercised end to end, hash-gated by
+  // pipeline_upsert's relational oracle because a table FORMAT must
+  // never change merge RESULTS (the q30 layout discipline). Fresh
+  // temp root per invocation so every run commits from scratch.
+  def pipelineVersionedMerge(s: SparkSession, d: String): DataFrame = {
+    val snap = docs(s, d)
+    val upd = snap.filter(col("doc_id") % 7 === 1)
+      .withColumn("source", lit("patched")).withColumn("op", lit("U"))
+    val del = snap.filter(col("doc_id") % 7 === 0)
+      .withColumn("op", lit("D"))
+    val ins = snap.filter(col("doc_id") % 7 === 2)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("source", lit("ingested")).withColumn("op", lit("U"))
+    val root = java.nio.file.Files.createTempDirectory("graft_vtable")
+      .resolve("tbl").toString
+    graft.sources.VersionedTable.init(s, root, snap)
+    graft.sources.VersionedTable.merge(s, root,
+      upd.unionByName(del).unionByName(ins), "doc_id")
+    graft.sources.VersionedTable.read(s, root)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   // per-language PERCENT_RANK without the per-group window funnel —
   // the prefix-sum machinery's per-row member, hash-gated against
   // DuckDB's native window spelling (one truth, two physical plans)
@@ -757,6 +784,7 @@ object PipelineQueries extends QueryPack {
     "stats_corr_by_lang" -> statsCorrByLang _,
     "stats_robust_by_lang" -> statsRobustByLang _,
     "pipeline_upsert" -> pipelineUpsert _,
+    "pipeline_versioned_merge" -> pipelineVersionedMerge _,
     "stats_histogram" -> statsHistogram _,
     "stats_histogram_eqdepth" -> statsHistogramEqdepth _,
     "stats_drift_by_lang" -> statsDriftByLang _,
@@ -903,6 +931,28 @@ object PipelineQueries extends QueryPack {
     // every changeset key evicts its snapshot row (anti join), then
     // upserts union back — identical construction on both engines
     "pipeline_upsert" ->
+      """WITH cs AS (
+        |  SELECT doc_id, text, lang, 'patched' AS source, n_chars,
+        |    'U' AS op FROM documents WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, 'D'
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, 'ingested', n_chars, 'U'
+        |  FROM documents WHERE doc_id % 7 = 2),
+        |kept AS (
+        |  SELECT s.* FROM documents s LEFT JOIN cs ON s.doc_id = cs.doc_id
+        |  WHERE cs.doc_id IS NULL),
+        |merged AS (
+        |  SELECT * FROM kept
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars FROM cs WHERE op = 'U')
+        |SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM merged ORDER BY doc_id""".stripMargin,
+    // the versioned-table merge must equal the relational merge —
+    // same oracle construction as pipeline_upsert (the manifest
+    // protocol is a LAYOUT, layouts never change results)
+    "pipeline_versioned_merge" ->
       """WITH cs AS (
         |  SELECT doc_id, text, lang, 'patched' AS source, n_chars,
         |    'U' AS op FROM documents WHERE doc_id % 7 = 1
