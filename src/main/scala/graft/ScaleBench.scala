@@ -163,6 +163,11 @@ object ScaleBench {
           .withColumn("pct_rank", percent_rank().over(Window
             .partitionBy("l_returnflag").orderBy("l_extendedprice")))
       }),
+      // NN-Descent k-NN graph build — the index half of graph ANN:
+      // candidate volume bounded at n·(2k)² per round by construction,
+      // expected exponent ~1 plus the self-join shuffle's log factor
+      "nn_descent_graph" -> (() => graft.pipeline.GraphAnn
+        .nnDescentGraph(emb, k = 8, iters = 2)),
       // broadcast key eviction + union over the full snapshot
       "upsert" -> (() => {
         val cs = docs.filter(col("doc_id") % 7 === 1)
@@ -195,7 +200,13 @@ object ScaleBench {
       // first query of each dir
       Seq("documents", "embeddings", "lineitem", "customer", "supplier",
         "orders").foreach(t => Tables(spark, dir, t).count())
-      val timed = ops(spark, dir).map { case (name, build) =>
+      // SPARK_GRAFT_SCALE_OPS=a,b,c restricts to named rows (re-measure
+      // one operator's curve without paying for the whole suite)
+      val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+        .map(_.split(",").map(_.trim).toSet)
+      val timed = ops(spark, dir)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, build) =>
         val ts = (0 until runs).map { _ =>
           val t0 = System.nanoTime()
           build().count()
