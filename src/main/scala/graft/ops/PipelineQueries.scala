@@ -710,11 +710,15 @@ object PipelineQueries extends QueryPack {
 
   // the SAME merge flowed through the versioned table format
   // (sources.VersionedTable): snapshot committed as v0, changeset
-  // merged into v1, result read back through the v1 manifest — the
-  // init/commit/read protocol exercised end to end, hash-gated by
-  // pipeline_upsert's relational oracle because a table FORMAT must
-  // never change merge RESULTS (the q30 layout discipline). Fresh
-  // temp root per invocation so every run commits from scratch.
+  // merged into v1, result read back AT version 1 through the
+  // `graft-versioned` DataSourceV2 connector (time-travel option +
+  // manifest resolution + Spark's own vectorized parquet scan) — the
+  // init/merge/connector-read protocol exercised end to end,
+  // hash-gated by pipeline_upsert's relational oracle because a table
+  // FORMAT must never change merge RESULTS (the q30 layout
+  // discipline; merge() itself reads the base snapshot through the
+  // programmatic path, so both read spellings sit in this one row).
+  // Fresh temp root per invocation so every run commits from scratch.
   def pipelineVersionedMerge(s: SparkSession, d: String): DataFrame = {
     val snap = docs(s, d)
     val upd = snap.filter(col("doc_id") % 7 === 1)
@@ -729,7 +733,7 @@ object PipelineQueries extends QueryPack {
     graft.sources.VersionedTable.init(s, root, snap)
     graft.sources.VersionedTable.merge(s, root,
       upd.unionByName(del).unionByName(ins), "doc_id")
-    graft.sources.VersionedTable.read(s, root)
+    s.read.format("graft-versioned").option("versionAsOf", 1).load(root)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         md5(col("text")).as("text_md5"))
       .orderBy("doc_id")

@@ -83,17 +83,24 @@ object VersionedTable {
     } finally in.close()
   }
 
+  /** The commit-dir paths version `version` (default: latest)
+    * resolves to — the manifest lookup shared by [[read]] and the
+    * `graft-versioned` DataSourceV2 connector
+    * ([[VersionedTableSource]]). */
+  def dataDirs(spark: SparkSession, root: String,
+      version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    require(v >= 0, s"table $root has no committed version")
+    readManifest(spark, root, v)
+      .map(d => new Path(new Path(root, "data"), d).toString)
+  }
+
   /** Snapshot read at `version` (default: latest). The returned frame
     * is pinned to the version's explicit file list — concurrent
     * commits and vacuums of OTHER versions never disturb it. */
   def read(spark: SparkSession, root: String,
-      version: Option[Int] = None): DataFrame = {
-    val v = version.getOrElse(latestVersion(spark, root))
-    require(v >= 0, s"table $root has no committed version")
-    val dirs = readManifest(spark, root, v)
-      .map(d => new Path(new Path(root, "data"), d).toString)
-    spark.read.parquet(dirs: _*)
-  }
+      version: Option[Int] = None): DataFrame =
+    spark.read.parquet(dataDirs(spark, root, version): _*)
 
   /** Commit `df` as the version after `expectedVersion` (optimistic:
     * pass the version the new state was derived FROM — a concurrent

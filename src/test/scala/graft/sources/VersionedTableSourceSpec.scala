@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VersionedTableSourceSpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vtable_dsv2").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "tbl").getAbsolutePath
+  }
+
+  private def snapshot(rows: (Long, String)*) = rows.toDF("id", "body")
+
+  test("format read resolves the latest snapshot via the short name") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a", 2L -> "b"))
+    VersionedTable.commit(spark, root, snapshot(1L -> "a2", 2L -> "b"), 0)
+    val got = spark.read.format("graft-versioned").load(root)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(1L -> "a2", 2L -> "b"))
+  }
+
+  test("versionAsOf time-travels; connector and programmatic reads agree") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a", 2L -> "b", 3L -> "c"))
+    val cs = Seq((2L, "b2", "U"), (3L, "", "D")).toDF("id", "body", "op")
+    VersionedTable.merge(spark, root, cs, "id")
+    val v0 = spark.read.format("graft-versioned")
+      .option("versionAsOf", 0).load(root)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(v0 == Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    val v1 = spark.read.format("graft-versioned")
+      .option("versionAsOf", 1).load(root)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(v1 == VersionedTable.read(spark, root, Some(1))
+      .orderBy("id").as[(Long, String)].collect().toSeq)
+  }
+
+  test("the scan is Spark's own parquet scan: filters push down, columns prune") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root,
+      (1L to 100L).map(i => (i, s"body$i")).toDF("id", "body"))
+    val q = spark.read.format("graft-versioned").load(root)
+      .filter(col("id") > 90L).select("id")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"),
+      s"filter not pushed to the parquet scan:\n$physical")
+    assert(physical.contains("ReadSchema: struct<id:bigint>"),
+      s"body column not pruned from the scan:\n$physical")
+    assert(q.as[Long].collect().sorted.toSeq == (91L to 100L))
+  }
+
+  test("a connector frame pinned before a merge still reads the old snapshot") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a", 2L -> "b"))
+    val pinned = spark.read.format("graft-versioned").load(root)
+    val cs = Seq((1L, "a2", "U"), (2L, "", "D")).toDF("id", "body", "op")
+    VersionedTable.merge(spark, root, cs, "id")
+    assert(pinned.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 2L -> "b"))
+    assert(spark.read.format("graft-versioned").load(root)
+      .orderBy("id").as[(Long, String)].collect().toSeq == Seq(1L -> "a2"))
+  }
+
+  test("missing path and uninitialized table fail loudly") {
+    intercept[IllegalArgumentException](
+      spark.read.format("graft-versioned").load())
+    intercept[IllegalArgumentException](
+      spark.read.format("graft-versioned").load(freshRoot()))
+  }
+}
