@@ -414,6 +414,14 @@ object PipelineQueries extends QueryPack {
     TextAnalysis.chunkTokens(docs(s, d), chunkSize = 64)
       .orderBy("doc_id", "chunk_idx")
 
+  // corpus-frequency boilerplate removal (CCNet line-dedup pattern
+  // over deterministic chunks): 2-token chunks repeated across > 15
+  // docs are dropped everywhere, docs reassembled from the survivors
+  // in order — the broadcast-blocklist anti-join spelling
+  def textBoilerplate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.boilerplateRemoval(docs(s, d), chunkSize = 2, maxDf = 15)
+      .orderBy("doc_id")
+
   // per-domain document cap (the C4/RefinedWeb domain-downsampling
   // step): keep at most 10 docs per source, preferring longer ones.
   // The declarative ROW_NUMBER spelling is scale-safe in Spark 3.5+:
@@ -834,6 +842,7 @@ object PipelineQueries extends QueryPack {
     "dedup_winnow" -> dedupWinnow _,
     "text_repetition" -> textRepetition _,
     "text_chunks" -> textChunks _,
+    "text_boilerplate" -> textBoilerplate _,
     "text_postings" -> textPostings _,
     "text_redact" -> textRedact _,
     "pipeline_domain_cap" -> pipelineDomainCap _,
@@ -1546,6 +1555,27 @@ object PipelineQueries extends QueryPack {
         |  array_to_string(toks[chunk_idx*64+1 : chunk_idx*64+64], ' ')
         |    AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // same chunking as text_chunks at size 2; blocklist = chunks in
+    // > 15 docs (HAVING over COUNT DISTINCT), anti join via NULL-check
+    // LEFT JOIN, reassembly = string_agg ORDER BY chunk_idx — the
+    // exact relational construction the Spark side broadcasts
+    "text_boilerplate" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    unnest(range(0, CAST((len(toks)-1)//2 AS INTEGER) + 1)) AS chunk_idx
+        |  FROM t),
+        |ch AS (SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |    array_to_string(toks[chunk_idx*2+1 : chunk_idx*2+2], ' ')
+        |      AS chunk_text FROM c),
+        |df AS (SELECT chunk_text FROM ch
+        |  GROUP BY chunk_text HAVING COUNT(DISTINCT doc_id) > 15),
+        |kept AS (SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text FROM ch
+        |  LEFT JOIN df ON ch.chunk_text = df.chunk_text
+        |  WHERE df.chunk_text IS NULL)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept_chunks,
+        |  string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // trigram shingles mirror TextFunctions.wordShingles: indices
     // 1..max(len-2, 1), slice truncated at the end, per-doc distinct
     "decontam_overlap" ->

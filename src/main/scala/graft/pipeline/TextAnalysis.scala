@@ -335,4 +335,48 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(topK)
   }
+
+  /** Corpus-frequency boilerplate removal — the CCNet/RefinedWeb
+    * "line dedup" pattern (drop lines repeated across many documents:
+    * headers, footers, cookie banners, license blurbs) re-expressed
+    * over deterministic token chunking, since this corpus has no line
+    * structure. Boilerplate is DEFINED by corpus-wide repetition: a
+    * chunk whose document frequency exceeds `maxDf` is removed from
+    * every document, and each document is reassembled from its
+    * surviving chunks in original order. Documents left with zero
+    * chunks drop out entirely (the fully-boilerplate page).
+    *
+    * Scale shape (100 TB): the blocklist is SMALL by construction —
+    * mass above a df threshold concentrates on few distinct texts —
+    * so the per-chunk filter is a broadcast LEFT ANTI join against
+    * the corpus-sized chunk relation. Total cost: the df aggregate
+    * (one key-partitioned shuffle with map-side partial counts, μ+σ
+    * bounded by distinct-chunk count, not corpus size) plus the
+    * per-document regroup. Reassembly uses sort_array over collected
+    * (idx, text) structs — no per-document Window funnel.
+    *
+    * Emits (doc_id, n_kept_chunks, clean_text), hash-gated by a
+    * DuckDB twin (string_agg ORDER BY chunk_idx).
+    */
+  def boilerplateRemoval(docs: DataFrame, chunkSize: Int,
+      maxDf: Int): DataFrame = {
+    require(maxDf >= 1, "maxDf must be at least 1")
+    val chunks = chunkTokens(docs, chunkSize)
+      .select("doc_id", "chunk_idx", "chunk_text")
+    val blocklist = chunks
+      .groupBy("chunk_text")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select("chunk_text")
+    chunks
+      .join(broadcast(blocklist), Seq("chunk_text"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept_chunks"),
+        sort_array(collect_list(struct(col("chunk_idx"), col("chunk_text"))))
+          .as("cs"))
+      .select(col("doc_id"), col("n_kept_chunks"),
+        concat_ws(" ", transform(col("cs"), c => c("chunk_text")))
+          .as("clean_text"))
+  }
 }

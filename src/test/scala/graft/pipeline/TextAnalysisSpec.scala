@@ -322,4 +322,50 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(co === bi)
   }
+
+  test("boilerplate removal: high-df chunks drop everywhere, body order survives") {
+    // "hh hh" is the shared header chunk (df 3 > maxDf 2); bodies unique
+    val d = Seq(
+      (0L, "hh hh aa bb cc dd"),
+      (1L, "hh hh ee ff gg kk"),
+      (2L, "hh hh mm nn oo pp"),
+      (3L, "qq rr ss tt")) // no header at all
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.boilerplateRemoval(d, chunkSize = 2, maxDf = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2))))
+      .toMap
+    assert(r(0L) == (2L, "aa bb cc dd"))
+    assert(r(1L) == (2L, "ee ff gg kk"))
+    assert(r(2L) == (2L, "mm nn oo pp"))
+    assert(r(3L) == (2L, "qq rr ss tt"))
+  }
+
+  test("boilerplate removal: a fully-boilerplate document drops out") {
+    val d = Seq(
+      (0L, "spam spam"), (1L, "spam spam"), (2L, "spam spam"),
+      (3L, "spam spam real content here"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.boilerplateRemoval(d, chunkSize = 2, maxDf = 3)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    // the "spam spam" chunk is in 4 docs > 3: docs 0-2 vanish, doc 3
+    // keeps only its body chunks
+    assert(r == Map(3L -> "real content here"))
+  }
+
+  test("boilerplate removal below threshold is an order-preserving identity") {
+    val d = Seq((0L, "a b c d e"), (1L, "f g h i")).toDF("doc_id", "text")
+    val r = TextAnalysis.boilerplateRemoval(d, chunkSize = 2, maxDf = 1)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r == Map(0L -> "a b c d e", 1L -> "f g h i"))
+  }
+
+  test("boilerplate removal plan: broadcast anti-join, no Window") {
+    val d = Seq((0L, "a b"), (1L, "c d")).toDF("doc_id", "text")
+    val plan = TextAnalysis.boilerplateRemoval(d, chunkSize = 2, maxDf = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"blocklist filter is not a broadcast anti-join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"reassembly must not use a per-doc Window funnel:\n$plan")
+  }
 }
