@@ -42,19 +42,33 @@ object BloomPrune {
     * which is exactly the empty-dim semi join. */
   def sketchOf(df: DataFrame, key: String,
       expectedItems: Long = 1000000L): Column =
+    sketchOfKeys(df, Seq(key), expectedItems)
+
+  /** Multi-column variant: the sketch hashes the composite
+    * xxhash64(k1, k2, …) — build and probe must list the columns in
+    * the same order. */
+  def sketchOfKeys(df: DataFrame, keys: Seq[String],
+      expectedItems: Long = 1000000L): Column = {
+    require(keys.nonEmpty, "at least one key column")
     df.select(ColumnBridge.column(
         new BloomFilterAggregate(
-          ColumnBridge.expression(xxhash64(col(key))), expectedItems)
+          ColumnBridge.expression(xxhash64(keys.map(col): _*)),
+          expectedItems)
           .toAggregateExpression()).as("bf"))
       .scalar()
+  }
 
   /** Predicate: `key` might be in `sketch`. False ⇒ definitely absent
     * (same hash family on build and probe), so filtering on this is
     * always a superset of the exact join's matches. */
   def mightContainKey(sketch: Column, key: Column): Column =
+    mightContainKeys(sketch, Seq(key))
+
+  /** Multi-column probe twin of [[sketchOfKeys]]. */
+  def mightContainKeys(sketch: Column, keys: Seq[Column]): Column =
     ColumnBridge.column(BloomFilterMightContain(
       ColumnBridge.expression(sketch),
-      ColumnBridge.expression(xxhash64(key))))
+      ColumnBridge.expression(xxhash64(keys: _*))))
 
   /** LEFT SEMI join of `fact` to `dim` with a Bloom prune on the fact
     * side: result is IDENTICAL to the plain semi join (the sketch

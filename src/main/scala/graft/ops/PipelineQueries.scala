@@ -15,6 +15,7 @@ import graft.pipeline.TextFunctions
 object PipelineQueries extends QueryPack {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def events(s: SparkSession, d: String) = Tables.events(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
   // ---- dedup ----
@@ -83,6 +84,22 @@ object PipelineQueries extends QueryPack {
       docs(s, d).filter(col("doc_id") < 100),
       shingleN = 1, k = 64, bands = 32, threshold = 0.7)
       .orderBy("id_a", "id_b")
+
+  // exact novelty with the inverted Bloom prune (sketch the BATCH,
+  // prune the CORPUS scan): day-3 events vs the first two days — which
+  // (user, action) combos are genuinely new. The prune is invisible in
+  // the result by construction (anti join removes false positives), so
+  // the plain DuckDB ANTI JOIN is the oracle
+  def dedupNovelKeys(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val cut = lit("2024-01-03 00:00:00").cast("timestamp")
+    Dedup.novelKeys(
+      e.filter(col("ts") >= cut &&
+        col("ts") < lit("2024-01-04 00:00:00").cast("timestamp")),
+      e.filter(col("ts") < cut),
+      Seq("user_id", "event_type"))
+      .orderBy("user_id", "event_type")
+  }
 
   // threshold tuned to the synthetic embeddings (max pairwise cosine
   // ~0.51): 0.3 ~= the 99th percentile, so the verify path has real
@@ -809,6 +826,7 @@ object PipelineQueries extends QueryPack {
     "dedup_minhash_verified" -> dedupMinhashVerified _,
     "dedup_prefix_jaccard" -> dedupPrefixJaccard _,
     "dedup_incremental" -> dedupIncremental _,
+    "dedup_novel_keys" -> dedupNovelKeys _,
     "dedup_containment" -> dedupContainment _,
     "dedup_embedding" -> dedupEmbedding _,
     "dedup_semantic" -> dedupSemantic _,
@@ -1137,6 +1155,19 @@ object PipelineQueries extends QueryPack {
         |  AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
         |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    // the Bloom prune must be invisible: the oracle is the PLAIN anti
+    // join of day-3 distinct keys against everything earlier
+    "dedup_novel_keys" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-03 00:00:00'
+        |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-04 00:00:00'),
+        |c AS (
+        |  SELECT user_id, event_type FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00')
+        |SELECT user_id, event_type FROM b ANTI JOIN c
+        |  USING (user_id, event_type)
+        |ORDER BY user_id, event_type""".stripMargin,
     "dedup_containment" ->
       """WITH toks AS (
         |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.BloomPrune
 import TextFunctions._
 
 /** Document deduplication strategies for a large-scale training-data
@@ -167,6 +168,44 @@ object Dedup {
       .withColumn("j", jaccard(col("ts_a"), col("ts_b")))
       .filter(col("j") >= threshold)
       .select("id_a", "id_b", "j")
+  }
+
+  /** Exact batch-vs-corpus novelty filter with an INVERTED Bloom
+    * prune — "which keys in this batch has the corpus never seen":
+    * the incremental-ingest membership question every continuously-fed
+    * pipeline asks before reprocessing (new (user, action) combos, new
+    * content hashes, new URLs).
+    *
+    * The naive anti-join shuffles the CORPUS on the key — at 100 TB
+    * that one exchange dwarfs everything else. Inverted prune: sketch
+    * the BATCH's distinct keys (small side, kilobytes-to-megabytes of
+    * mergeable state via one aggregate), ship the sketch to the corpus
+    * scan as a scalar subquery, and keep only corpus rows that MIGHT
+    * collide with a batch key. The corpus is read once with NO
+    * shuffle; only the surviving suspects — |batch ∩ corpus| true
+    * matches plus fpp·|corpus| false positives, both tiny next to the
+    * corpus — ride the exact anti-join that removes false positives.
+    * Result is therefore EXACTLY the plain anti-join (hash-gated
+    * against it), at a fraction of its exchange volume; size
+    * `expectedBatchKeys` to the batch so fpp stays low.
+    *
+    * NULL keys: the probe hashes NULL like any value, but the exact
+    * anti-join's null-rejecting equality keeps every NULL-keyed batch
+    * row — matching the SQL ANTI JOIN the oracle runs.
+    *
+    * Emits the batch's distinct novel key tuples. */
+  def novelKeys(batch: DataFrame, corpus: DataFrame, keyCols: Seq[String],
+      expectedBatchKeys: Long = 1000000L): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val bk = batch.select(keyCols.map(col): _*).distinct()
+    val sketch = BloomPrune.sketchOfKeys(bk, keyCols, expectedBatchKeys)
+    val aliased = keyCols.map(k => s"__graft_corpus_$k")
+    val suspects = corpus
+      .select(keyCols.zip(aliased).map { case (k, a) => col(k).as(a) }: _*)
+      .filter(BloomPrune.mightContainKeys(sketch, aliased.map(col)))
+    val cond = keyCols.zip(aliased)
+      .map { case (k, a) => bk(k) === col(a) }.reduce(_ && _)
+    bk.join(suspects, cond, "left_anti")
   }
 
   /** 64-bit SimHash per document — the native fused expression

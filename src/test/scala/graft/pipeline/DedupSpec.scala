@@ -616,4 +616,36 @@ class DedupSpec extends SparkSpec {
     assert(got === exact,
       s"missing ${exact -- got}, extra ${got -- exact}")
   }
+
+  test("novelKeys == plain anti-join, including NULL-keyed batch rows") {
+    val batch = Seq((Some(1L), "a"), (Some(2L), "b"), (Some(2L), "b"),
+      (None, "c"), (Some(9L), "z")).toDF("k", "t")
+    val corpus = Seq((Some(2L), "b"), (Some(3L), "d"), (None, "c"))
+      .toDF("k", "t")
+    val got = Dedup.novelKeys(batch, corpus, Seq("k", "t"))
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    // (2,b) seen; NULL never equals NULL in the anti join, so the
+    // NULL-keyed batch row stays novel — SQL ANTI JOIN semantics
+    assert(got == Set((Some(1L), "a"), (None, "c"), (Some(9L), "z")))
+  }
+
+  test("novelKeys stays exact under heavy Bloom false positives") {
+    val batch = (0L until 50L).toDF("k")
+    val corpus = (25L until 1000L).toDF("k")
+    // expectedBatchKeys=1 forces a saturated, tiny sketch — nearly
+    // every corpus key becomes a suspect; the exact anti join must
+    // still remove all of them
+    val got = Dedup.novelKeys(batch, corpus, Seq("k"), expectedBatchKeys = 1)
+      .as[Long].collect().toSet
+    assert(got == (0L until 25L).toSet)
+  }
+
+  test("novelKeys plan: corpus side is scan+bloom-filter, no corpus-wide exchange before the prune") {
+    val batch = Seq(1L, 2L).toDF("k")
+    val corpus = (0L until 100L).toDF("k")
+    val plan = Dedup.novelKeys(batch, corpus, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"corpus prune is not a Bloom might_contain filter:\n$plan")
+  }
 }
