@@ -168,6 +168,15 @@ object ScaleBench {
       // expected exponent ~1 plus the self-join shuffle's log factor
       "nn_descent_graph" -> (() => graft.pipeline.GraphAnn
         .nnDescentGraph(emb, k = 8, iters = 2)),
+      // inverted Bloom novelty: batch sketched, corpus scan pruned —
+      // expected ~flat decade (corpus scan-dominated, no corpus
+      // exchange; the anti-join side is suspect-sized)
+      "novel_keys" -> (() => {
+        val e = Tables(spark, dir, "events")
+        graft.pipeline.Dedup.novelKeys(
+          e.filter(col("event_id") % 10 === 3), e.filter(col("event_id") % 10 =!= 3),
+          Seq("user_id", "event_type"))
+      }),
       // broadcast key eviction + union over the full snapshot
       "upsert" -> (() => {
         val cs = docs.filter(col("doc_id") % 7 === 1)

@@ -107,7 +107,24 @@ object VersionedTable {
     * commit in between fails this one instead of silently clobbering
     * it). Returns the committed version number. */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-      expectedVersion: Int): Int = {
+      expectedVersion: Int): Int =
+    commitDirs(spark, root, df, expectedVersion, carryDirs = Seq.empty)
+
+  /** APPEND `df` as a new version WITHOUT rewriting existing data:
+    * only the new rows are written; the new manifest lists the
+    * previous version's commit dirs plus the fresh one. This is the
+    * file-reuse property that makes a log-structured format worth
+    * having at 100 TB — continuous ingest costs O(batch) I/O per
+    * commit, never O(table) — and time travel still works because the
+    * referenced dirs are immutable. Optimistic like [[commit]]:
+    * `expectedVersion` is the version the append was planned against. */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      expectedVersion: Int): Int =
+    commitDirs(spark, root, df, expectedVersion,
+      carryDirs = readManifest(spark, root, expectedVersion))
+
+  private def commitDirs(spark: SparkSession, root: String, df: DataFrame,
+      expectedVersion: Int, carryDirs: Seq[String]): Int = {
     val next = expectedVersion + 1
     val commitName = f"c$next%05d-${java.util.UUID.randomUUID}"
     val dataDir = new Path(new Path(root, "data"), commitName)
@@ -117,7 +134,8 @@ object VersionedTable {
     fs.mkdirs(mdir)
     val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
-    try out.write((commitName + "\n").getBytes("UTF-8")) finally out.close()
+    try out.write((carryDirs :+ commitName).mkString("", "\n", "\n")
+      .getBytes("UTF-8")) finally out.close()
     val target = manifestPath(root, next)
     val committed = !fs.exists(target) && fs.rename(tmp, target)
     if (!committed) {

@@ -80,6 +80,34 @@ class VersionedTableSpec extends SparkSpec {
     assert(dataDirs.size == 2, s"orphan commit dir left behind: $dataDirs")
   }
 
+  test("append reuses existing data files: only the batch is written") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a", 2L -> "b"))
+    val v = VersionedTable.append(spark, root, snapshot(3L -> "c"),
+      expectedVersion = 0)
+    assert(v == 1)
+    assert(VersionedTable.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    // v0's single commit dir is REFERENCED by v1, not copied: two data
+    // dirs total, and v1's manifest lists both
+    assert(new java.io.File(root, "data").list().length == 2)
+    // time travel still resolves the pre-append state
+    assert(VersionedTable.read(spark, root, Some(0)).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq(1L -> "a", 2L -> "b"))
+  }
+
+  test("append is optimistic: a stale append fails and leaves no orphans") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a"))
+    VersionedTable.append(spark, root, snapshot(2L -> "b"), 0)
+    intercept[IllegalStateException](
+      VersionedTable.append(spark, root, snapshot(9L -> "x"), 0))
+    assert(VersionedTable.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq(1L -> "a", 2L -> "b"))
+    assert(new java.io.File(root, "data").list().length == 2)
+  }
+
   test("vacuum drops unreferenced commit dirs, keeps the retained window") {
     val root = freshRoot()
     VersionedTable.init(spark, root, snapshot(1L -> "v0"))
