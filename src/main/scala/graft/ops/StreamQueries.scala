@@ -105,7 +105,23 @@ object StreamQueries extends QueryPack {
     Streams.userMilestones(typedEvents(s, d), every = 10).toDF()
       .orderBy("user_id", "milestone")
 
+  // stream-static novelty: post-cut events pass through only when the
+  // pre-cut corpus never saw their (user, action) combo — stateless
+  // broadcast anti join, same Streams code the readStream path runs
+  def novel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, d)
+    val cut = lit("2024-01-03 00:00:00").cast("timestamp")
+    Streams.novelEvents(
+      ev.filter(col("ts") >= cut)
+        .select(col("event_id"), col("user_id"), col("event_type")),
+      ev.filter(col("ts") < cut),
+      Seq("user_id", "event_type"))
+      .orderBy("event_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_novel" -> novel _,
     "stream_running_totals" -> runningTotals _,
     "stream_milestones" -> milestones _,
     "stream_enrich" -> enrich _,
@@ -119,6 +135,14 @@ object StreamQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "stream_novel" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00')
+        |SELECT event_id, user_id, event_type FROM events
+        |ANTI JOIN seen USING (user_id, event_type)
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-03 00:00:00'
+        |ORDER BY event_id""".stripMargin,
     "stream_running_totals" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,

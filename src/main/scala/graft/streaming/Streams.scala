@@ -222,6 +222,31 @@ object Streams {
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
       .drop(dimKey)
 
+  /** Stream-static NOVELTY pass-through: keep only events whose key
+    * tuple the settled corpus has never seen — the streaming face of
+    * `pipeline.Dedup.novelKeys` and the gatekeeper of an incremental
+    * ingest topology ("only genuinely new (user, action) combos flow
+    * downstream"). The seen-key set is the static side of a broadcast
+    * LEFT ANTI join: stream-static anti is STATELESS and append-safe
+    * (no watermark, no state store), and Spark re-plans the static
+    * side each micro-batch, so a corpus refresh is picked up at the
+    * next batch. Identical code runs in batch under the oracle gate.
+    * When the distinct seen-key set outgrows a broadcast, the scale
+    * spelling is Dedup.novelKeys' inverted Bloom prune applied per
+    * micro-batch via foreachBatch — same result, corpus never
+    * shuffled. */
+  def novelEvents(events: DataFrame, corpus: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val aliased = keyCols.map(k => s"__graft_seen_$k")
+    val seen = corpus
+      .select(keyCols.zip(aliased).map { case (k, a) => col(k).as(a) }: _*)
+      .distinct()
+    val cond = keyCols.zip(aliased)
+      .map { case (k, a) => col(k) === col(a) }.reduce(_ && _)
+    events.join(broadcast(seen), cond, "left_anti")
+  }
+
   /** Stream-static AS-OF enrichment: decorate each event with the most
     * recent dim version at-or-before the event's timestamp — the
     * slowly-changing-dimension lookup every feature pipeline needs

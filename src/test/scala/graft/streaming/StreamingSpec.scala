@@ -208,6 +208,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && got == batch)
   }
 
+  test("stream-static novelty anti-join equals the batch twin") {
+    val cut = lit("2024-01-03 00:00:00").cast("timestamp")
+    def corpus = Tables.events(spark, dir).filter(col("ts") < cut)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      Streams.novelEvents(
+        df.filter(col("ts") >= cut)
+          .select(col("event_id"), col("user_id"), col("event_type")),
+        corpus, Seq("user_id", "event_type"))
+    val got = Streams.runToMemory(spark,
+      shape(Streams.eventsStream(spark, dir)), "t_novel")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batch = shape(Tables.events(spark, dir))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // the fixture must exercise both outcomes: some events novel, some
+    // filtered by the seen-key corpus
+    val total = Tables.events(spark, dir).filter(col("ts") >= cut).count()
+    assert(batch.nonEmpty && batch.size < total)
+    assert(got == batch)
+  }
+
   test("as-of enrichment picks the latest version at-or-before each event") {
     import SparkSpec.session.implicits._
     // versions for user 1 at t=10 (v=100) and t=20 (v=200); user 2 none
