@@ -168,6 +168,11 @@ object ScaleBench {
       // expected exponent ~1 plus the self-join shuffle's log factor
       "nn_descent_graph" -> (() => graft.pipeline.GraphAnn
         .nnDescentGraph(emb, k = 8, iters = 2)),
+      // corpus-frequency boilerplate filter: df agg + broadcast anti
+      // join + per-doc regroup — expected ~linear (two key-partitioned
+      // aggs over chunk rows, blocklist broadcast)
+      "boilerplate" -> (() => TextAnalysis.boilerplateRemoval(
+        docs, chunkSize = 2, maxDf = 15)),
       // inverted Bloom novelty: batch sketched, corpus scan pruned —
       // expected ~flat decade (corpus scan-dominated, no corpus
       // exchange; the anti-join side is suspect-sized)
