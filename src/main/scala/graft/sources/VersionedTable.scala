@@ -119,9 +119,33 @@ object VersionedTable {
     * referenced dirs are immutable. Optimistic like [[commit]]:
     * `expectedVersion` is the version the append was planned against. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      expectedVersion: Int): Int =
+      expectedVersion: Int): Int = {
+    // loud schema guard: parquet would silently drop/NULL mismatched
+    // columns at read time (the classic append-corruption); evolution
+    // is an explicit rewrite (merge/commit), not an accident. Shape
+    // compare (names + types, not nullability/metadata): the parquet
+    // round-trip flips nullable flags, which are not a schema change.
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.sql))
+    val current = read(spark, root, Some(expectedVersion)).schema
+    require(shape(df.schema) == shape(current),
+      s"append schema ${df.schema.simpleString} != table schema " +
+        s"${current.simpleString} — evolve via commit(), not append()")
     commitDirs(spark, root, df, expectedVersion,
       carryDirs = readManifest(spark, root, expectedVersion))
+  }
+
+  /** Rewrite the CURRENT snapshot as a single fresh commit dir — the
+    * read-amplification antidote after many small appends (a manifest
+    * referencing hundreds of tiny commit dirs costs per-dir listings
+    * and tiny-file scans). Data-equivalent by construction: the new
+    * version reads back exactly the old one; prior versions stay
+    * time-travelable until vacuumed. Just a [[commit]] of the current
+    * read — the protocol needs no new machinery for maintenance ops. */
+  def compact(spark: SparkSession, root: String): Int = {
+    val base = latestVersion(spark, root)
+    commit(spark, root, read(spark, root, Some(base)), expectedVersion = base)
+  }
 
   private def commitDirs(spark: SparkSession, root: String, df: DataFrame,
       expectedVersion: Int, carryDirs: Seq[String]): Int = {

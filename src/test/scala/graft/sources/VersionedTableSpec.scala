@@ -108,6 +108,36 @@ class VersionedTableSpec extends SparkSpec {
     assert(new java.io.File(root, "data").list().length == 2)
   }
 
+  test("append rejects a mismatched schema loudly") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a"))
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.append(spark, root,
+        Seq((2L, "b", 1.0)).toDF("id", "body", "extra"), 0))
+    assert(e.getMessage.contains("schema"))
+  }
+
+  test("compact folds many appends into one commit dir; reads unchanged; history intact") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a"))
+    VersionedTable.append(spark, root, snapshot(2L -> "b"), 0)
+    VersionedTable.append(spark, root, snapshot(3L -> "c"), 1)
+    assert(new java.io.File(root, "data").list().length == 3)
+    val v = VersionedTable.compact(spark, root)
+    assert(v == 3)
+    // compacted snapshot reads identically...
+    assert(VersionedTable.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    // ...v3's manifest references exactly ONE dir (4 dirs on disk
+    // until vacuum)...
+    assert(new java.io.File(root, "data").list().length == 4)
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(new java.io.File(root, "data").list().length == 1)
+    // ...and the compacted version still serves after vacuum
+    assert(VersionedTable.read(spark, root).count() == 3)
+  }
+
   test("vacuum drops unreferenced commit dirs, keeps the retained window") {
     val root = freshRoot()
     VersionedTable.init(spark, root, snapshot(1L -> "v0"))
