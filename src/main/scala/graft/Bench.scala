@@ -51,7 +51,8 @@ object Bench {
     // not hidden: ScaleBench measures it as its own row
     // (nn_descent_graph). Without this, run 1 is the ~6 s index build
     // and the row's spread reads as noise instead of an architecture.
-    val offlineBuildRows = Set("sim_topk_graph")
+    val offlineBuildRows = Set("sim_topk_graph", "sim_topk_pq",
+      "sim_topk_ivfpq")
 
     // a query with ZERO successful runs reports null and lands in
     // "errors" (breakage can't masquerade as speed) — but only after

@@ -289,18 +289,33 @@ object Similarity {
     * in RAM. Recall is approximate by construction — the gate row
     * carries the in-plan recall column (the sim_topk_lsh
     * discipline). */
+  /** A trained PQ index: the coded relation (materialized once — it
+    * feeds the ADC scan AND the exact re-rank) plus the codebooks.
+    * This is the OFFLINE artifact of the build/serve split: train and
+    * code once, serve many query batches against it (the FAISS
+    * lifecycle, and the same discipline as GraphAnn's prebuilt
+    * graph). */
+  final case class PqIndex(coded: DataFrame,
+      books: Array[Array[Array[Double]]])
+
+  /** Build the PQ index for [[pqTopK]]'s `prebuilt` parameter. */
+  def pqIndex(emb: DataFrame, m: Int = 8, codebookSize: Int = 16,
+      seed: Long = 42L, trainIters: Int = 8, sampleSize: Int = 512,
+      dim: Int = 64): PqIndex = {
+    val (coded0, books) = pqAssign(emb, m, codebookSize, seed,
+      trainIters, sampleSize, dim)
+    PqIndex(coded0.localCheckpoint(true), books)
+  }
+
   def pqTopK(emb: DataFrame, maxQueryId: Long, k: Int, m: Int = 8,
       codebookSize: Int = 16, refine: Int = 4, seed: Long = 42L,
       trainIters: Int = 8, sampleSize: Int = 512,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, prebuilt: Option[PqIndex] = None): DataFrame = {
     require(refine >= 1, s"refine factor must be >= 1, got $refine")
     val spark = emb.sparkSession
     import spark.implicits._
-    val (coded0, books) = pqAssign(emb, m, codebookSize, seed,
-      trainIters, sampleSize, dim)
-    // the coded relation feeds the ADC scan AND the exact re-rank —
-    // materialize once (the dedupEmbedding dual-consumer discipline)
-    val coded = coded0.localCheckpoint(true)
+    val PqIndex(coded, books) = prebuilt.getOrElse(
+      pqIndex(emb, m, codebookSize, seed, trainIters, sampleSize, dim))
     // queries stay a RELATION: the per-query ADC lookup table is a
     // per-row expression (codebooks ride as literals, the cell-assign
     // discipline), broadcast to the scan — the round-8 spelling
@@ -374,19 +389,22 @@ object Similarity {
     * Per-query work: (n·nprobe/nCells) LUT sums + refine·k exact dots
     * — sub-linear scan AND compressed residency, vs pqTopK's full
     * scan and ivfTopK's full-width vectors. */
-  def ivfPqTopK(emb: DataFrame, maxQueryId: Long, k: Int,
-      nCells: Int = 16, nprobe: Int = 4, m: Int = 16,
-      codebookSize: Int = 16, refine: Int = 8, seed: Long = 42L,
-      trainIters: Int = 8, sampleSize: Int = 512,
-      dim: Int = 64): DataFrame = {
-    require(nprobe >= 1 && nprobe <= nCells,
-      s"nprobe=$nprobe must be in [1, nCells=$nCells]")
-    val spark = emb.sparkSession
-    import spark.implicits._
+  /** A trained IVF-PQ index: the cell-assigned coded relation
+    * (materialized once) plus codebooks and coarse centroids — the
+    * offline artifact of the FAISS IVFPQ lifecycle. */
+  final case class IvfPqIndex(coded: DataFrame,
+      books: Array[Array[Array[Double]]],
+      centroids: Array[Array[Double]])
+
+  /** Build the IVF-PQ index for [[ivfPqTopK]]'s `prebuilt`
+    * parameter: PQ codes + a coarse quantizer on the SAME normalized
+    * vectors (cells follow the cosine geometry), both trained on the
+    * bounded-sample recipe. */
+  def ivfPqIndex(emb: DataFrame, nCells: Int = 16, m: Int = 16,
+      codebookSize: Int = 16, seed: Long = 42L, trainIters: Int = 8,
+      sampleSize: Int = 512, dim: Int = 64): IvfPqIndex = {
     val (coded0, books) = pqAssign(emb, m, codebookSize, seed,
       trainIters, sampleSize, dim)
-    // coarse quantizer on the SAME normalized vectors (cells follow
-    // the cosine geometry), trained on the same bounded-sample recipe
     val sample = coded0
       .orderBy(pmod(xxhash64(col("vec_id") + seed), lit(1000000007L)))
       .limit(sampleSize)
@@ -402,6 +420,24 @@ object Similarity {
         array_position(col("sims"), array_max(col("sims"))).cast("int"))
       .drop("sims")
       .localCheckpoint(true) // feeds probe scan AND exact refine once
+    IvfPqIndex(coded, books, centroids)
+  }
+
+  def ivfPqTopK(emb: DataFrame, maxQueryId: Long, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, m: Int = 16,
+      codebookSize: Int = 16, refine: Int = 8, seed: Long = 42L,
+      trainIters: Int = 8, sampleSize: Int = 512,
+      dim: Int = 64, prebuilt: Option[IvfPqIndex] = None): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCells,
+      s"nprobe=$nprobe must be in [1, nCells=$nCells]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val IvfPqIndex(coded, books, centroids) = prebuilt.getOrElse(
+      ivfPqIndex(emb, nCells, m, codebookSize, seed, trainIters,
+        sampleSize, dim))
+    def dot(v: Column, c: Array[Double]): Column =
+      graft.functions.VectorOps.dotProduct(v,
+        array(c.toIndexedSeq.map(lit): _*))
     // query relation: LUT per row (the pqTopK helper), probe list per
     // row — top-nprobe cells by centroid similarity WITHOUT a window:
     // argsort (−sim, idx) structs and slice the head (the

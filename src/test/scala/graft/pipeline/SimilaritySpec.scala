@@ -171,4 +171,28 @@ class SimilaritySpec extends SparkSpec {
     val ivfRecallVsPq = (pqFull intersect got).size.toDouble / pqFull.size
     assert(ivfRecallVsPq > 0.4, s"vs full-scan PQ: $ivfRecallVsPq")
   }
+
+  test("prebuilt PQ / IVF-PQ indexes serve identical results to a fresh build") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pqIdx = Similarity.pqIndex(emb, m = 16, codebookSize = 16)
+    assert(rows(Similarity.pqTopK(emb, 10L, 5, m = 16, codebookSize = 16,
+        refine = 8, prebuilt = Some(pqIdx))) ==
+      rows(Similarity.pqTopK(emb, 10L, 5, m = 16, codebookSize = 16,
+        refine = 8)))
+    val ivfIdx = Similarity.ivfPqIndex(emb, nCells = 8, m = 16,
+      codebookSize = 16)
+    assert(rows(Similarity.ivfPqTopK(emb, 10L, 5, nCells = 8, nprobe = 6,
+        m = 16, codebookSize = 16, refine = 8, prebuilt = Some(ivfIdx))) ==
+      rows(Similarity.ivfPqTopK(emb, 10L, 5, nCells = 8, nprobe = 6,
+        m = 16, codebookSize = 16, refine = 8)))
+    // serving against the prebuilt index must not re-train: the plan
+    // over the cached coded relation is a scan, not a fresh coding
+    val served = Similarity.pqTopK(emb, 10L, 5, m = 16,
+      codebookSize = 16, refine = 8, prebuilt = Some(pqIdx))
+    assert(!served.queryExecution.optimizedPlan.toString
+      .contains("array_position"),
+      "prebuilt path must reuse codes, not re-assign them")
+  }
 }
