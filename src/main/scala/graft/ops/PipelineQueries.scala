@@ -452,6 +452,27 @@ object PipelineQueries extends QueryPack {
     TextAnalysis.chunkTokens(docs(s, d), chunkSize = 64)
       .orderBy("doc_id", "chunk_idx")
 
+  // deterministic corpus mixing (the Pile/Dolma recipe step):
+  // languages play the role of sources, each sampled at its declared
+  // permille by the engine-portable Lehmer predicate and union'd with
+  // a mix label — zero shuffles, zero cross-source coupling
+  def pipelineMix(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    Sampling.mixCorpora(Seq(
+      ("en_heavy", dd.filter(col("lang") === "en"), 800),
+      ("de_half", dd.filter(col("lang") === "de"), 500),
+      ("fr_light", dd.filter(col("lang") === "fr"), 200)), "doc_id")
+      .select("doc_id", "lang", "mix_source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  // token-budget sequence packing: whole docs dealt into 8 shards,
+  // greedily packed into ~256-token training sequences — shard-
+  // parallel prefix sums, never a global single-task cumsum
+  def textPack(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.packSequences(docs(s, d), budget = 256, shards = 8)
+      .orderBy("doc_id")
+
   // corpus-frequency boilerplate removal (CCNet line-dedup pattern
   // over deterministic chunks): 2-token chunks repeated across > 15
   // docs are dropped everywhere, docs reassembled from the survivors
@@ -882,6 +903,8 @@ object PipelineQueries extends QueryPack {
     "text_repetition" -> textRepetition _,
     "text_chunks" -> textChunks _,
     "text_boilerplate" -> textBoilerplate _,
+    "text_pack" -> textPack _,
+    "pipeline_mix" -> pipelineMix _,
     "text_postings" -> textPostings _,
     "text_redact" -> textRedact _,
     "pipeline_domain_cap" -> pipelineDomainCap _,
@@ -1301,6 +1324,37 @@ object PipelineQueries extends QueryPack {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE ((doc_id % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P} < ${Sampling.thresholdFor(100)}
          |ORDER BY doc_id""".stripMargin,
+    // one UNION ALL block per source, each with its own Lehmer
+    // threshold — the exact construction mixCorpora unions
+    "pipeline_mix" ->
+      s"""WITH h AS (SELECT doc_id, lang, n_chars,
+         |    ((doc_id % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P} AS hh
+         |  FROM documents)
+         |SELECT doc_id, lang, 'en_heavy' AS mix_source, n_chars FROM h
+         |  WHERE lang = 'en' AND hh < ${Sampling.thresholdFor(800)}
+         |UNION ALL
+         |SELECT doc_id, lang, 'de_half', n_chars FROM h
+         |  WHERE lang = 'de' AND hh < ${Sampling.thresholdFor(500)}
+         |UNION ALL
+         |SELECT doc_id, lang, 'fr_light', n_chars FROM h
+         |  WHERE lang = 'fr' AND hh < ${Sampling.thresholdFor(200)}
+         |ORDER BY doc_id""".stripMargin,
+    // identical Lehmer shard + hash-order prefix sum; greedy packing
+    // is integer arithmetic on both engines (prefix < 2^53 per shard
+    // keeps the floor-division exact through the double)
+    "text_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    ((doc_id % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P} AS h,
+         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |p AS (SELECT doc_id, h % 8 AS shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+         |      - n_tokens AS prefix
+         |  FROM t)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |  CAST(prefix // 256 AS BIGINT) AS seq_idx, n_tokens
+         |FROM p ORDER BY doc_id""".stripMargin,
     "sample_weighted" ->
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE n_chars IS NOT NULL AND n_chars > 0

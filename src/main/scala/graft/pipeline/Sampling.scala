@@ -96,4 +96,31 @@ object Sampling {
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
       h * maxWeight < w * lit(thresholdFor(permille)))
   }
+
+  /** Deterministic corpus MIXING — the Pile/Dolma recipe step: build a
+    * training mix from several sources at declared per-source rates
+    * ("web at 30‰, books at 1000‰, code at 500‰"). Each source is
+    * [[hashSample]]d at its own permille and union'd with a
+    * `mix_source` label; membership is a pure function of (key, rate),
+    * so the mix is reproducible, rates adjust independently (raising
+    * one source's permille never changes which rows another source
+    * contributes — no cross-source coupling through a global RNG), and
+    * thresholds nest (a 100‰ mix is a subset of the same recipe at
+    * 200‰ — eval subsets shrink without member churn).
+    *
+    * At 100 TB: each source is scanned ONCE with a codegen'd integer
+    * predicate — the whole mix costs zero shuffles and zero state;
+    * sources never meet except in the union. Schemas must agree
+    * (unionByName, no missing-column fill — a silent NULL column in a
+    * training mix is corruption, so mismatches fail at analysis). */
+  def mixCorpora(sources: Seq[(String, DataFrame, Int)],
+      keyCol: String): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    require(sources.map(_._1).distinct.size == sources.size,
+      "source labels must be unique")
+    sources.map { case (label, df, permille) =>
+      hashSample(df, keyCol, permille)
+        .withColumn("mix_source", lit(label))
+    }.reduce(_ unionByName _)
+  }
 }

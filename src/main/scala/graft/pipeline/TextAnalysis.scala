@@ -336,6 +336,43 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Token-budget SEQUENCE PACKING — assign whole documents to
+    * training sequences of ~`budget` tokens (the example-packing step
+    * between curation and the trainer: short docs share a context
+    * window instead of wasting it on padding). Documents are dealt
+    * into `shards` pseudo-random shards by a Lehmer hash of `doc_id`
+    * (the Sampling hash — deterministic, engine-portable), ordered
+    * within each shard by the same hash (a reproducible corpus
+    * shuffle), and packed greedily: a doc opens a new sequence when
+    * the tokens before it fill the current budget. Whole docs are
+    * never split; a sequence may overshoot by at most one document
+    * (the standard greedy-packing contract — truncation is the
+    * trainer's policy decision, not the packer's).
+    *
+    * Scale shape: the running prefix sum is a window PARTITIONED BY
+    * shard — parallelism = `shards`, each shard's funnel is
+    * |corpus|/shards rows, and shards can be sized to the cluster
+    * (contrast with a single global ORDER BY cumsum, which funnels
+    * the corpus through one task). Emits (doc_id, shard, seq_idx,
+    * n_tokens), hash-gated by a DuckDB twin running the identical
+    * integer arithmetic. */
+  def packSequences(docs: DataFrame, budget: Int, shards: Int): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    require(shards > 0, "shard count must be positive")
+    val P = Sampling.P
+    val A = Sampling.A
+    val h = (col("doc_id") % P) * A % P * A % P
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+    docs.select(col("doc_id"), h.as("__h"),
+        pmod(h, lit(shards.toLong)).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("seq_idx",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
+          / budget.toLong))
+      .select("doc_id", "shard", "seq_idx", "n_tokens")
+  }
+
   /** Corpus-frequency boilerplate removal — the CCNet/RefinedWeb
     * "line dedup" pattern (drop lines repeated across many documents:
     * headers, footers, cookie banners, license blurbs) re-expressed

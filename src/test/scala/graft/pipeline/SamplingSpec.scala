@@ -107,4 +107,26 @@ class SamplingSpec extends SparkSpec {
     assert(small.size == 70 && small.subsetOf(big),
       "shrinking an eval set must never swap its members")
   }
+
+  test("mixCorpora: per-source rates, labels, and rate independence") {
+    val a = (0L until 1000L).toDF("doc_id")
+    val b = (1000L until 2000L).toDF("doc_id")
+    val mix = Sampling.mixCorpora(
+      Seq(("a_full", a, 1000), ("b_tenth", b, 100)), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLabel = mix.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byLabel("a_full") == (0L until 1000L).toSet)
+    assert(math.abs(byLabel("b_tenth").size - 100) < 40)
+    // rate independence: b's members at 100 permille are identical
+    // whether a rides at 1000 or 0 — no cross-source coupling
+    val mix2 = Sampling.mixCorpora(
+      Seq(("a_none", a, 0), ("b_tenth", b, 100)), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(mix2.filter(_._2 == "b_tenth").map(_._1).toSet ==
+      byLabel("b_tenth"))
+    assert(!mix2.exists(_._2 == "a_none"))
+    // duplicate labels rejected
+    intercept[IllegalArgumentException](
+      Sampling.mixCorpora(Seq(("x", a, 10), ("x", b, 10)), "doc_id"))
+  }
 }

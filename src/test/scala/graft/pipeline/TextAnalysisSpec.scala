@@ -323,6 +323,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(co === bi)
   }
 
+  test("packSequences == in-memory greedy reference; docs never split") {
+    val d = (0L until 200L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("w")
+      .mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(d, budget = 10, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // independent reference: same Lehmer hash, per-shard hash-order
+    // greedy prefix packing
+    val P = Sampling.P; val A = Sampling.A
+    def h(id: Long) = id % P * A % P * A % P
+    val want = (0L until 200L).map(i => (i, h(i) % 4, h(i), i % 7 + 1))
+      .groupBy(_._2).toSeq.flatMap { case (shard, docs0) =>
+        var prefix = 0L
+        docs0.sortBy(x => (x._3, x._1)).map { case (id, sh, _, n) =>
+          val row = (id, sh, prefix / 10, n)
+          prefix += n
+          row
+        }
+      }.toSet
+    assert(got == want)
+    // every doc appears exactly once (packing is a partition)
+    assert(got.map(_._1).size == 200)
+  }
+
   test("boilerplate removal: high-df chunks drop everywhere, body order survives") {
     // "hh hh" is the shared header chunk (df 3 > maxDf 2); bodies unique
     val d = Seq(
