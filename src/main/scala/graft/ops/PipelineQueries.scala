@@ -828,6 +828,21 @@ object PipelineQueries extends QueryPack {
       .orderBy("lang")
   }
 
+  // snapshot diff: the upsert changeset's before/after as a
+  // per-language governance report (added/removed/changed/unchanged)
+  // — the release-notes view of the same merge the upsert rows gate
+  def pipelineDiff(s: SparkSession, d: String): DataFrame = {
+    val snap = docs(s, d)
+    val after = snap.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 7 =!= 1)
+      .unionByName(snap.filter(col("doc_id") % 7 === 1)
+        .withColumn("text", concat(col("text"), lit(" [patched]"))))
+      .unionByName(snap.filter(col("doc_id") % 7 === 2)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    graft.pipeline.Profile.snapshotDiff(snap, after, "doc_id",
+        fpCol = "text", groupCol = "lang")
+      .orderBy("lang", "status")
+  }
+
   // one-scan multi-column profile: completeness, exact cardinality,
   // min/max per column (Profile.profile) — the trust audit a corpus
   // gets before anyone trains on it
@@ -861,6 +876,7 @@ object PipelineQueries extends QueryPack {
     "stats_drift_by_lang" -> statsDriftByLang _,
     "stats_pctrank_by_lang" -> statsPctrankByLang _,
     "pipeline_profile" -> pipelineProfile _,
+    "pipeline_diff" -> pipelineDiff _,
     "pipeline_validate" -> pipelineValidate _,
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
@@ -1199,6 +1215,27 @@ object PipelineQueries extends QueryPack {
         |  AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
         |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    // same before/after construction; status via FULL OUTER JOIN with
+    // IS NOT DISTINCT FROM as the null-safe fingerprint compare
+    "pipeline_diff" ->
+      """WITH after AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE doc_id % 7 NOT IN (0, 1)
+        |  UNION ALL
+        |  SELECT doc_id, text || ' [patched]', lang FROM documents
+        |  WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang FROM documents
+        |  WHERE doc_id % 7 = 2),
+        |j AS (
+        |  SELECT COALESCE(n.lang, o.lang) AS lang,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM documents o FULL OUTER JOIN after n ON o.doc_id = n.doc_id)
+        |SELECT lang, status, COUNT(*) AS n FROM j
+        |GROUP BY lang, status ORDER BY lang, status""".stripMargin,
     // the Bloom prune must be invisible: the oracle is the PLAIN anti
     // join of day-3 distinct keys against everything earlier
     "dedup_novel_keys" ->

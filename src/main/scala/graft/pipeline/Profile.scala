@@ -220,4 +220,32 @@ object Profile {
       .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Snapshot DIFF — the governance question between two corpus
+    * versions ("what did this release change"): per-group counts of
+    * added / removed / changed / unchanged keys, where "changed"
+    * compares a caller-chosen fingerprint column (e.g. md5 of the
+    * content) null-safely. One FULL OUTER join on the key + a small
+    * aggregate: at 100 TB the join is the only exchange and
+    * co-locates if both snapshots are bucketed by the key (the q30
+    * discipline); the output is |groups|·4 rows. Changed/added rows
+    * attribute to the NEW version's group (a doc that switched
+    * language counts under where it landed). Pairs naturally with
+    * `sources.VersionedTable` time travel: diff(read(v-1), read(v)). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+      fpCol: String, groupCol: String): DataFrame = {
+    val o = oldSnap.select(col(keyCol).as("__ko"), col(fpCol).as("__fo"),
+      col(groupCol).as("__go"))
+    val n = newSnap.select(col(keyCol).as("__kn"), col(fpCol).as("__fn"),
+      col(groupCol).as("__gn"))
+    o.join(n, col("__ko") === col("__kn"), "full_outer")
+      .select(
+        coalesce(col("__gn"), col("__go")).as(groupCol),
+        when(col("__ko").isNull, lit("added"))
+          .when(col("__kn").isNull, lit("removed"))
+          .when(col("__fo") <=> col("__fn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .groupBy(col(groupCol), col("status"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -179,4 +179,29 @@ class ProfileSpec extends SparkSpec {
     assert(r == Map(("small", 1L) -> 4L, ("small", 2L) -> 4L,
       ("big", 1L) -> 4L, ("big", 2L) -> 4L), r.toString)
   }
+
+  test("snapshotDiff: all four statuses, null-safe fingerprints, new-side group attribution") {
+    val old = Seq(
+      (1L, Some("a"), "en"), // unchanged
+      (2L, Some("b"), "en"), // changed (content)
+      (3L, Some("c"), "de"), // removed
+      (4L, None, "de"),      // unchanged via NULL <=> NULL
+      (5L, Some("e"), "en")) // changed + moves en -> fr
+      .toDF("id", "fp", "g")
+    val neu = Seq(
+      (1L, Some("a"), "en"),
+      (2L, Some("B"), "en"),
+      (4L, None, "de"),
+      (5L, Some("E"), "fr"),
+      (9L, Some("x"), "fr")) // added
+      .toDF("id", "fp", "g")
+    val r = Profile.snapshotDiff(old, neu, "id", "fp", "g")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    assert(r == Map(
+      ("en", "unchanged") -> 1L, ("en", "changed") -> 1L,
+      ("de", "removed") -> 1L, ("de", "unchanged") -> 1L,
+      ("fr", "changed") -> 1L, // id 5 counts under its NEW language
+      ("fr", "added") -> 1L), r.toString)
+  }
 }
