@@ -180,6 +180,38 @@ class EdgeCaseSpec extends SparkSpec {
       weird.filter(lit(false)).withColumnRenamed("text", "t"),
       "t", "doc_id").count() == 0L)
   }
+
+  test("round-9 operators survive empty and degenerate inputs") {
+    val empty = weird.filter(lit(false))
+    // novelty: empty batch -> empty; empty corpus -> every batch key
+    assert(Dedup.novelKeys(empty, weird, Seq("doc_id")).count() == 0L)
+    assert(Dedup.novelKeys(weird, empty, Seq("doc_id")).count() ==
+      weird.count())
+    // boilerplate removal: degenerate docs pass through or drop, never
+    // throw; empty corpus -> empty
+    assert(TextAnalysis.boilerplateRemoval(empty, 2, 1).count() == 0L)
+    assert(TextAnalysis.boilerplateRemoval(weird, 2, 10).count() ==
+      weird.count())
+    // sequence packing: empty corpus -> empty; degenerate docs all
+    // assigned exactly once (blank docs pack as 1-token sequences —
+    // the tokens() normalization owns that contract)
+    assert(TextAnalysis.packSequences(empty, 16, 4).count() == 0L)
+    assert(TextAnalysis.packSequences(weird, 16, 4)
+      .select("doc_id").distinct().count() == weird.count())
+    // mixing: empty sources contribute nothing, never throw
+    assert(Sampling.mixCorpora(
+      Seq(("e", empty, 1000), ("w", weird, 1000)), "doc_id").count() ==
+      weird.count())
+    // snapshot diff of a corpus against itself: everything unchanged;
+    // against empty: everything removed / added respectively
+    val self = Profile.snapshotDiff(weird, weird, "doc_id", "text", "text")
+      .select("status").distinct().collect().map(_.getString(0)).toSeq
+    assert(self == Seq("unchanged"))
+    assert(Profile.snapshotDiff(weird, empty, "doc_id", "text", "text")
+      .agg(sum("n")).collect().head.getLong(0) == weird.count())
+    assert(Profile.snapshotDiff(empty, empty, "doc_id", "text", "text")
+      .count() == 0L)
+  }
 }
 
 object EdgeCaseSpec {
