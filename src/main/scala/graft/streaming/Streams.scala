@@ -379,6 +379,37 @@ object Streams {
     q.stop()
   }
 
+  /** Streaming APPEND sink into the versioned table format: each
+    * micro-batch commits as one atomic version via
+    * `sources.VersionedTable.append` — O(batch) I/O per commit (only
+    * the batch's files are written; the manifest references prior
+    * commit dirs), concurrent readers see whole versions only, and
+    * the version history doubles as an ingest audit log (time travel
+    * = "the table as of batch N"). This supersedes the raw-parquet
+    * swap for the pure-ingest topology the same way the versioned
+    * MERGE supersedes runUpsertSink's snapshot rewrite. The expected-
+    * version handshake makes a lost rename race fail the batch loudly
+    * (and the restarted query re-attempts it) rather than silently
+    * dropping rows. Blocks until the source drains (the test-harness
+    * contract, like runToMemory). */
+  def runVersionedAppendSink(spark: SparkSession, rows: DataFrame,
+      tableRoot: String, checkpointDir: Option[String] = None): Unit = {
+    val writer = rows.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val v = graft.sources.VersionedTable.latestVersion(spark, tableRoot)
+        // first batch initializes; later batches append optimistically
+        if (v < 0) graft.sources.VersionedTable.init(spark, tableRoot, batch)
+        else graft.sources.VersionedTable.append(spark, tableRoot, batch, v)
+        ()
+      }
+    val q = checkpointDir
+      .map(writer.option("checkpointLocation", _))
+      .getOrElse(writer)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run any of the above on a stream into an in-memory table and block
     * until the file source drains — the synchronous harness used by
     * tests and demos. Returns the materialized result. */

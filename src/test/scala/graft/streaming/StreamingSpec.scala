@@ -358,4 +358,44 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(s"$snapDir._merge_old").exists())
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("streaming versioned append: each micro-batch is one atomic version") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-vappend").toFile.getAbsolutePath
+    val table = s"$root/tbl"
+    val batches = Seq(
+      Seq((1L, "a"), (2L, "b")),
+      Seq((3L, "c")),
+      Seq((4L, "d"), (5L, "e")))
+    val schema = batches.head.toDF("id", "body").schema
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = s"$root/stage$i"
+      rows.toDF("id", "body").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$root/in-$i.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "in-*.parquet")
+      .parquet(root)
+    Streams.runVersionedAppendSink(spark, src, table,
+      checkpointDir = Some(s"$root/ckpt"))
+    // three micro-batches -> versions 0..2; latest = full union
+    assert(graft.sources.VersionedTable.latestVersion(spark, table) == 2)
+    assert(graft.sources.VersionedTable.read(spark, table).orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e"))
+    // time travel: version 1 is the first two batches only
+    assert(graft.sources.VersionedTable.read(spark, table, Some(1))
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    // file reuse: one commit dir per batch, no rewrites
+    assert(new java.io.File(table, "data").list().length == 3)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
