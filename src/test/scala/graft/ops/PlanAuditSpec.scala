@@ -305,4 +305,26 @@ class PlanAuditSpec extends SparkSpec {
     // no window or global sort anywhere in the cascade
     assert(!p.contains("Window"), p.take(1500))
   }
+
+  test("pipeline_mix: the whole mix is scans + filters + union — zero data exchanges") {
+    // strip the output ORDER BY (presentation, not the operator): audit
+    // the mix itself, whose Lehmer predicates are scan-level filters
+    val docs = Tables.documents(spark, dir)
+    val p = plan(graft.pipeline.Sampling.mixCorpora(Seq(
+      ("a", docs.filter(org.apache.spark.sql.functions.col("lang") === "en"), 800),
+      ("b", docs.filter(org.apache.spark.sql.functions.col("lang") === "de"), 500)),
+      "doc_id"))
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
+  test("text_pack: one shard exchange feeds the packing window — never a global sort") {
+    val p = plan(graft.pipeline.TextAnalysis.packSequences(
+      Tables.documents(spark, dir), budget = 256, shards = 8))
+    // exactly one exchange (hashpartitioning by shard, shown in the
+    // formatted plan's Arguments line) + the window's within-partition
+    // sort; no rangepartitioning (global sort) anywhere
+    assert(countOccurrences(p, "\\(\\d+\\) Exchange") == 1, p.take(1500))
+    assert(countOccurrences(p, "hashpartitioning\\(shard") == 1, p.take(1500))
+    assert(!p.contains("rangepartitioning"), p.take(1500))
+  }
 }
