@@ -238,25 +238,26 @@ object Similarity {
     *
     * Returns (vec_id, e (normalized), code array<int> 1-based) plus
     * the trained codebooks for the query side. */
-  private def pqAssign(emb: DataFrame, m: Int, codebookSize: Int,
-      seed: Long, trainIters: Int, sampleSize: Int, dim: Int)
-      : (DataFrame, Array[Array[Array[Double]]]) = {
-    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
-    val sub = dim / m
+  /** L2-normalize and drop zero vectors — the shared front half of
+    * training and encoding (cosine geometry needs unit vectors). */
+  private def normalized(emb: DataFrame): DataFrame = {
     val e0 = asDouble(emb)
     val norm = sqrt(graft.functions.VectorOps.dotProduct(col("e"), col("e")))
-    val n = e0.filter(norm > 0.0)
+    e0.filter(norm > 0.0)
       .withColumn("__n", norm)
       .select(col("vec_id"),
         transform(col("e"), x => x / col("__n")).as("e"))
-    val sample = n
-      .orderBy(pmod(xxhash64(col("vec_id") + seed), lit(1000000007L)))
-      .limit(sampleSize)
-      .collect().map(_.getSeq[Double](1).toArray)
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      kmeans(sample.map(v => v.slice(j * sub, (j + 1) * sub)),
-        codebookSize, trainIters, seed + j)
-    }
+  }
+
+  /** Encode vectors against EXISTING codebooks — assignment is a pure
+    * expression tree (codebooks ride as literals; per subspace the
+    * argmin is spelled argmax of dot − ½‖c‖², the monotone equivalent
+    * that reuses the fused dot product). Shared by initial coding and
+    * incremental index extension. */
+  private def pqEncode(n: DataFrame,
+      books: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+    val m = books.length
+    val sub = dim / m
     def dot(v: Column, c: Array[Double]): Column =
       graft.functions.VectorOps.dotProduct(v,
         array(c.toIndexedSeq.map(lit): _*))
@@ -265,12 +266,45 @@ object Similarity {
       df.withColumn(s"__s$j", array(books(j).toIndexedSeq.map(c =>
         dot(xj, c) - lit(0.5 * c.map(x => x * x).sum)): _*))
     }
-    val coded = withSims
+    withSims
       .withColumn("code", array((0 until m).map(j =>
         array_position(col(s"__s$j"), array_max(col(s"__s$j")))
           .cast("int")): _*))
       .select(col("vec_id"), col("e"), col("code"))
-    (coded, books)
+  }
+
+  private def pqAssign(emb: DataFrame, m: Int, codebookSize: Int,
+      seed: Long, trainIters: Int, sampleSize: Int, dim: Int)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val n = normalized(emb)
+    val sample = n
+      .orderBy(pmod(xxhash64(col("vec_id") + seed), lit(1000000007L)))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      kmeans(sample.map(v => v.slice(j * sub, (j + 1) * sub)),
+        codebookSize, trainIters, seed + j)
+    }
+    (pqEncode(n, books, dim), books)
+  }
+
+  /** Incrementally EXTEND a PQ index with a new vector batch — encode
+    * the batch against the index's EXISTING codebooks and append the
+    * coded rows; no retraining, no touch of the already-coded corpus
+    * (O(batch) work, the VersionedTable.append discipline applied to
+    * the ANN index). This is how a production vector index absorbs
+    * continuous ingest: codebooks train once on a representative
+    * sample and stay fixed so old codes remain comparable; periodic
+    * full rebuilds (pqIndex) absorb distribution drift — the
+    * compact() of this lifecycle. Quantization error on the new batch
+    * matches what training-time encoding would produce as long as the
+    * batch resembles the training distribution. */
+  def pqIndexExtend(idx: PqIndex, newEmb: DataFrame,
+      dim: Int = 64): PqIndex = {
+    val batch = pqEncode(normalized(newEmb), idx.books, dim)
+    PqIndex(idx.coded.unionByName(batch).localCheckpoint(true), idx.books)
   }
 
   /** PQ ANN top-k by asymmetric distance computation (ADC) with exact

@@ -195,4 +195,32 @@ class SimilaritySpec extends SparkSpec {
       .contains("array_position"),
       "prebuilt path must reuse codes, not re-assign them")
   }
+
+  test("pqIndexExtend: incremental batches == building on the union with the same codebooks") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val a = emb.filter(col("vec_id") < 150L)
+    val b = emb.filter(col("vec_id") >= 150L)
+    // train on A only, then absorb B incrementally
+    val idxA = Similarity.pqIndex(a, m = 16, codebookSize = 16)
+    val extended = Similarity.pqIndexExtend(idxA, b)
+    // codebooks are untouched by extension (old codes stay comparable)
+    assert(extended.books eq idxA.books)
+    // the extended coded relation equals encoding the union against
+    // A's codebooks: every A row identical, every B row coded by A's
+    // books deterministically — serving results prove it end to end
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaExtend = rows(Similarity.pqTopK(emb, 10L, 5, m = 16,
+      codebookSize = 16, refine = 8, prebuilt = Some(extended)))
+    // one-shot extension == two-batch extension (order-insensitive)
+    val twoStep = Similarity.pqIndexExtend(
+      Similarity.pqIndexExtend(idxA, b.filter(col("vec_id") < 300L)),
+      b.filter(col("vec_id") >= 300L))
+    assert(viaExtend == rows(Similarity.pqTopK(emb, 10L, 5, m = 16,
+      codebookSize = 16, refine = 8, prebuilt = Some(twoStep))))
+    // the extended index covers the full corpus: results may differ
+    // from an A-only index (B vectors are now candidates)
+    assert(rows(Similarity.pqTopK(a, 10L, 5, m = 16, codebookSize = 16,
+      refine = 8, prebuilt = Some(idxA))) != viaExtend)
+  }
 }
