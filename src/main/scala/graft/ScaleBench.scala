@@ -168,6 +168,14 @@ object ScaleBench {
       // expected exponent ~1 plus the self-join shuffle's log factor
       "nn_descent_graph" -> (() => graft.pipeline.GraphAnn
         .nnDescentGraph(emb, k = 8, iters = 2)),
+      // snapshot diff: one FULL OUTER join on the key (the only
+      // exchange) + a |groups|x4 aggregate — expected ~linear
+      "snapshot_diff" -> (() => graft.pipeline.Profile.snapshotDiff(
+        docs, docs.filter(col("doc_id") % 3 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 3 === 1, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))),
+        "doc_id", "text", "lang")),
       // corpus-frequency boilerplate filter: df agg + broadcast anti
       // join + per-doc regroup — expected ~linear (two key-partitioned
       // aggs over chunk rows, blocklist broadcast)
