@@ -457,6 +457,29 @@ object Similarity {
     IvfPqIndex(coded, books, centroids)
   }
 
+  /** Incrementally EXTEND an IVF-PQ index: encode + cell-assign the
+    * new batch against the index's FIXED codebooks and centroids,
+    * append the coded rows — the [[pqIndexExtend]] contract with the
+    * coarse quantizer included. O(batch) work; cell populations drift
+    * as the corpus grows, so rebuild (ivfPqIndex) when probe recall
+    * degrades — the same build/extend/rebuild lifecycle FAISS
+    * deployments run. */
+  def ivfPqIndexExtend(idx: IvfPqIndex, newEmb: DataFrame,
+      dim: Int = 64): IvfPqIndex = {
+    def dot(v: Column, c: Array[Double]): Column =
+      graft.functions.VectorOps.dotProduct(v,
+        array(c.toIndexedSeq.map(lit): _*))
+    val sims = array(idx.centroids.toIndexedSeq
+      .map(c => dot(col("e"), c)): _*)
+    val batch = pqEncode(normalized(newEmb), idx.books, dim)
+      .withColumn("sims", sims)
+      .withColumn("cell",
+        array_position(col("sims"), array_max(col("sims"))).cast("int"))
+      .drop("sims")
+    IvfPqIndex(idx.coded.unionByName(batch).localCheckpoint(true),
+      idx.books, idx.centroids)
+  }
+
   def ivfPqTopK(emb: DataFrame, maxQueryId: Long, k: Int,
       nCells: Int = 16, nprobe: Int = 4, m: Int = 16,
       codebookSize: Int = 16, refine: Int = 8, seed: Long = 42L,

@@ -223,4 +223,29 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(Similarity.pqTopK(a, 10L, 5, m = 16, codebookSize = 16,
       refine = 8, prebuilt = Some(idxA))) != viaExtend)
   }
+
+  test("ivfPqIndexExtend: fixed quantizers absorb a batch; serving covers it") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val a = emb.filter(col("vec_id") < 150L)
+    val b = emb.filter(col("vec_id") >= 150L)
+    val idxA = Similarity.ivfPqIndex(a, nCells = 8, m = 16, codebookSize = 16)
+    val ext = Similarity.ivfPqIndexExtend(idxA, b)
+    assert((ext.books eq idxA.books) && (ext.centroids eq idxA.centroids))
+    // extension is a partition: A rows untouched, every B row coded
+    // and cell-assigned exactly once
+    assert(ext.coded.count() == idxA.coded.count() + b.count())
+    assert(ext.coded.filter(col("cell").isNull || col("code").isNull)
+      .count() == 0L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val served = rows(Similarity.ivfPqTopK(emb, 10L, 5, nCells = 8,
+      nprobe = 8, m = 16, codebookSize = 16, refine = 8,
+      prebuilt = Some(ext)))
+    // at nprobe == nCells the scan is exhaustive over the extended
+    // corpus: results must equal the full-scan PQ with the same books
+    assert(served == rows(Similarity.pqTopK(emb, 10L, 5, m = 16,
+      codebookSize = 16, refine = 8,
+      prebuilt = Some(Similarity.PqIndex(
+        ext.coded.drop("cell"), ext.books)))))
+  }
 }

@@ -66,6 +66,21 @@ class VersionedTableSourceSpec extends SparkSpec {
       .orderBy("id").as[(Long, String)].collect().toSeq == Seq(1L -> "a2"))
   }
 
+  test("connector reads survive compact + vacuum maintenance") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a"))
+    VersionedTable.append(spark, root, snapshot(2L -> "b"), 0)
+    VersionedTable.compact(spark, root)
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(spark.read.format("graft-versioned").load(root)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 2L -> "b"))
+    // vacuumed versions fail loudly through the connector too
+    intercept[IllegalArgumentException](
+      spark.read.format("graft-versioned").option("versionAsOf", 0)
+        .load(root).collect())
+  }
+
   test("missing path and uninitialized table fail loudly") {
     intercept[IllegalArgumentException](
       spark.read.format("graft-versioned").load())
