@@ -439,6 +439,17 @@ object PipelineQueries extends QueryPack {
       k = 3, window = 4, minShared = 2, maxDf = 100L)
       .orderBy("id_a", "id_b")
 
+  // exact substring-level dedup (Lee et al. ACL'22): maximal
+  // duplicated 5-token spans corpus-wide; DuckDB rebuilds the same
+  // islands from gram TEXT where Spark keys on xxhash64(gram) —
+  // identical output absent a 64-bit collision (none at gate scale)
+  def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicatedSpans(docs(s, d), L = 5)
+      .orderBy("doc_id", "span_start")
+
+  def dedupSubstringStats(s: SparkSession, d: String): DataFrame =
+    Dedup.substringDupStats(docs(s, d), L = 5).orderBy("doc_id")
+
   // skip-gram co-occurrence top-20 at window 2 — the count-based
   // embedding/PMI front half; DuckDB reproduces it by positional
   // self-join where Spark generates pairs per row
@@ -916,6 +927,8 @@ object PipelineQueries extends QueryPack {
     "text_winnow" -> textWinnow _,
     "text_cooccur" -> textCooccur _,
     "dedup_winnow" -> dedupWinnow _,
+    "dedup_substring" -> dedupSubstring _,
+    "dedup_substring_stats" -> dedupSubstringStats _,
     "text_repetition" -> textRepetition _,
     "text_chunks" -> textChunks _,
     "text_boilerplate" -> textBoilerplate _,
@@ -1576,6 +1589,81 @@ object PipelineQueries extends QueryPack {
         |FROM scored ORDER BY doc_id""".stripMargin,
     // winnowing fingerprints → df filter → hash self-join: the whole
     // candidate pipeline reproduced relationally
+    // duplicated-gram islands from gram TEXT (Spark keys on xxhash64 —
+    // same spans absent a 64-bit collision); CASE's ELSE catches the
+    // NULL lag exactly like Spark's otherwise()
+    "dedup_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 5 THEN
+        |      list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END AS grams
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, CAST(generate_subscripts(grams, 1) AS BIGINT) AS pos,
+        |    unnest(grams) AS gram
+        |  FROM g),
+        |dd AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS cnt
+        |       FROM e),
+        |f AS (SELECT doc_id, pos FROM dd WHERE cnt > 1),
+        |m AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM f),
+        |sp AS (SELECT doc_id, pos,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM m)
+        |SELECT doc_id, MIN(pos) AS span_start,
+        |  CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+        |  COUNT(*) AS n_dup_grams
+        |FROM sp GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_start""".stripMargin,
+    "dedup_substring_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 5 THEN
+        |      list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END AS grams
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, CAST(generate_subscripts(grams, 1) AS BIGINT) AS pos,
+        |    unnest(grams) AS gram
+        |  FROM g),
+        |dd AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS cnt
+        |       FROM e),
+        |f AS (SELECT doc_id, pos FROM dd WHERE cnt > 1),
+        |m AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM f),
+        |sp AS (SELECT doc_id, pos,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM m),
+        |spans AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) + 4 AS b
+        |          FROM sp GROUP BY doc_id, span_id),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+        |          SUM(b - a + 1) AS n_dup_tokens
+        |        FROM spans GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(agg.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(agg.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        |  CASE WHEN len(toks) > 0
+        |    THEN CAST(COALESCE(agg.n_dup_tokens, 0) AS DOUBLE) / len(toks)
+        |    ELSE NULL END AS dup_fraction
+        |FROM t LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_winnow" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -733,6 +733,93 @@ object Dedup {
       .distinct()
   }
 
+  /** EXACT substring-level dedup (the "Deduplicating Training Data
+    * Makes Language Models Better" pattern, Lee et al. ACL'22): find
+    * every maximal token span that occurs MORE THAN ONCE corpus-wide
+    * at length-`L` granularity. Whole-document dedup (exact/MinHash/
+    * SimHash) misses the dominant duplication mode in web corpora —
+    * long shared passages embedded in otherwise-distinct pages — and
+    * winnowing only *fingerprints* overlap; this op localizes it
+    * exactly: a token run shared between any two documents (or
+    * repeated within one) is covered by duplicated L-grams, and
+    * merging their overlapping-or-abutting extents reconstructs the
+    * maximal duplicated region ±(L−1) boundary tokens — the same
+    * granularity bound the suffix-array formulation has at its merge
+    * threshold.
+    *
+    * Dataflow (2 exchanges total, gram TEXT never shuffles):
+    *  1. per doc, all L-token-gram xxhash64 keys with positions — a
+    *     narrow codegen'd projection (rows are 24-byte
+    *     (doc, pos, hash) triples, not L-token strings);
+    *  2. corpus-wide multiplicity as COUNT over the hash partitioning
+    *     (a window on the SAME exchange a groupBy would need — no
+    *     second shuffle, no join back, the winnowing-overlap df-cap
+    *     discipline); keep hashes seen more than once;
+    *  3. per-doc gaps-and-islands merge (lag + running sum on the
+    *     doc partitioning) → maximal spans.
+    * Duplication is decided on the 64-bit hash: at 10¹² grams the
+    * expected number of colliding PAIRS is n²/2⁶⁵ ≈ 10⁻²·n/corpus —
+    * negligible, and a collision only widens a span by one false
+    * gram; pair two seeds (128 bits) if even that matters.
+    *
+    * Returns (doc_id, span_start, span_end, n_dup_grams): 1-based
+    * inclusive token positions of each maximal duplicated span. */
+  def duplicatedSpans(docs: DataFrame, L: Int = 5): DataFrame = {
+    require(L >= 2, s"gram length must be >= 2 tokens, got $L")
+    val bound = docs.select(col("doc_id"),
+      filter(tokens(col("text")), t => length(t) > 0).as("toks"))
+    val hashed = bound.select(col("doc_id"),
+      when(size(col("toks")) >= L,
+        transform(sequence(lit(1), size(col("toks")) - (L - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(L))))))
+        .otherwise(array().cast("array<bigint>")).as("ghs"))
+    val grams = hashed
+      .select(col("doc_id"), posexplode(col("ghs")).as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("gh"))
+    val dup = grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gh"))))
+      .filter(col("cnt") > 1)
+    // islands: consecutive duplicated starts ≤ L apart overlap or abut
+    // — one contiguous duplicated block either way (first row: lag is
+    // NULL, NULL <= L is NULL, otherwise-branch opens the span)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) <= L, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("span_id", sum(col("brk")).over(wDoc))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (L - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_dup_grams"))
+  }
+
+  /** Per-document substring-duplication summary — the removal-policy
+    * input (cut the spans, or drop docs whose duplicated fraction
+    * exceeds a threshold). Span token counts come from
+    * `duplicatedSpans` (maximal ⇒ disjoint ⇒ a plain sum); the join
+    * back to the corpus is a hash join keyed on doc_id (span side ≪
+    * corpus, but corpus-sized in the worst case — deliberately NOT
+    * broadcast). Docs with no duplication report zeros. */
+  def substringDupStats(docs: DataFrame, L: Int = 5): DataFrame = {
+    val perDoc = duplicatedSpans(docs, L)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1L).as("n_dup_tokens"))
+    docs
+      .select(col("doc_id"),
+        size(filter(tokens(col("text")), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        try_divide(coalesce(col("n_dup_tokens"), lit(0L)).cast("double"),
+          col("n_tokens").cast("double")).as("dup_fraction"))
+  }
+
   /** Exact all-pairs cosine over a bounded id range — the O(subset²)
     * ground truth for `embeddingNearDup`'s recall (the embedding
     * family's twin of `ngramJaccardPairs`). Keep maxId small. */

@@ -648,4 +648,69 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("might_contain"),
       s"corpus prune is not a Bloom might_contain filter:\n$plan")
   }
+
+  // hand-computable substring-dedup corpus (L = 3):
+  //   10/11 share the 5-token run "c d e f g" embedded mid-document;
+  //   12 is internally periodic (every gram repeats);
+  //   13 is below gram length, 14 empty;
+  //   20 duplicates its head against 21 and its tail against 22 —
+  //   the two duplicated grams ABUT (positions 1 and 4, gap = L), so
+  //   they merge into one contiguous duplicated block
+  private lazy val subDocs = Seq(
+    (10L, "a b c d e f g h"),
+    (11L, "x1 x2 c d e f g y1"),
+    (12L, "p q r p q r p q r"),
+    (13L, "m n"),
+    (14L, ""),
+    (20L, "g1 g2 g3 g4 g5 g6"),
+    (21L, "g1 g2 g3 z1 z2 z3"),
+    (22L, "z9 g4 g5 g6 z8 z7"),
+  ).toDF("doc_id", "text")
+
+  test("duplicatedSpans finds the shared run, merges overlap and abutment") {
+    val spans = Dedup.duplicatedSpans(subDocs, L = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(spans.toSeq == Seq(
+      (10L, 3L, 7L, 3L), // "c d e f g": grams at 3,4,5
+      (11L, 3L, 7L, 3L),
+      (12L, 1L, 9L, 7L), // fully periodic: one whole-doc span
+      (20L, 1L, 6L, 2L), // head gram (pos 1) + tail gram (pos 4) abut
+      (21L, 1L, 3L, 1L),
+      (22L, 2L, 4L, 1L),
+    ), s"got ${spans.toSeq}")
+  }
+
+  test("duplicatedSpans: span bounds stay inside the document") {
+    val n = subDocs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+    val bad = Dedup.duplicatedSpans(subDocs, L = 3)
+      .join(n, "doc_id")
+      .filter(col("span_start") < 1 || col("span_end") > col("n") ||
+        col("span_start") > col("span_end"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("duplicatedSpans plan: exactly 2 shuffles (gram hash, then doc) and no join") {
+    val plan = Dedup.duplicatedSpans(subDocs, L = 3)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("ReusedExchange") &&
+        !l.contains("BroadcastExchange"))
+    assert(exchanges == 2, s"expected 2 shuffle exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"multiplicity must come from the window, not a join back:\n$plan")
+  }
+
+  test("substringDupStats: disjoint-span token sums and zero rows for clean docs") {
+    val stats = Dedup.substringDupStats(subDocs, L = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(stats(12L) == ((9L, 1L, 9L, Some(1.0)))) // fully duplicated
+    assert(stats(10L) == ((8L, 1L, 5L, Some(5.0 / 8.0))))
+    assert(stats(13L) == ((2L, 0L, 0L, Some(0.0)))) // below gram length
+    assert(stats(14L)._1 == 0L)
+    assert(stats(14L)._4.isEmpty, "empty doc must report NULL fraction")
+  }
 }
