@@ -187,4 +187,44 @@ object Behavior {
       (dev * dev * ($"n" - 1L) > lit(k * k) * varN * $"n")
         .as("is_anomaly"))
   }
+
+  /** Gap-based BATCH sessionization — the batch twin of the streaming
+    * session windows (streaming/Streams session op): consecutive
+    * events of one user belong to the same session while the gap
+    * between them is ≤ `gapSeconds`; a larger gap opens a new session
+    * (gaps-and-islands, the standard spelling). Ordering is pinned to
+    * the exact int64 (unix_micros, `idCol`) pair so equal timestamps
+    * sessionize deterministically in both engines — timestamp
+    * comparison alone would leave the lag() witness engine-dependent.
+    *
+    * At 100 TB: the two windows and the closing aggregate all run on
+    * the SAME user-key hash partitioning (one exchange total, Catalyst
+    * reuses it); per-task state is one lag value — parallelism is the
+    * user-key space, the natural sharding for event data. No global
+    * sort, no driver state.
+    *
+    * Output: (user, session_idx, session_start, session_end,
+    * n_events, duration_us) — session_idx is 1-based in first-event
+    * order, duration an exact µs BIGINT. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(gapSeconds > 0, s"session gap must be positive, got $gapSeconds")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val w = Window.partitionBy(col(userCol)).orderBy($"__us", col(idCol))
+    events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__brk",
+        when($"__us" - lag($"__us", 1).over(w) <= gapSeconds * 1000000L,
+          lit(0L)).otherwise(lit(1L)))
+      .withColumn("session_idx", sum($"__brk").over(w))
+      .groupBy(col(userCol), $"session_idx")
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max($"__us") - min($"__us")).as("duration_us"))
+  }
 }

@@ -30,11 +30,19 @@ object BehaviorQueries extends QueryPack {
     Behavior.resampleHourly(ev(s, d))
       .orderBy("key", "hour_ts")
 
+  // 24 h gap — the synthetic stream is sparse (median inter-event gap
+  // ~7 h), so a day-gap yields real multi-event sessions (~8 events
+  // each at sf0.01); production web sessions use the 30 min default
+  def sessionizeQ(s: SparkSession, d: String): DataFrame =
+    Behavior.sessionize(ev(s, d), gapSeconds = 86400L)
+      .orderBy("user_id", "session_idx")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel" -> funnel _,
     "events_retention" -> retention _,
     "events_anomaly" -> anomaly _,
     "events_resample" -> resample _,
+    "events_sessionize" -> sessionizeQ _,
   )
 
   override def oracle: Map[String, String] = Map(
@@ -116,5 +124,29 @@ object BehaviorQueries extends QueryPack {
         |    AS BIGINT) AS is_anomaly
         |FROM r WHERE n = 7 AND day - day7 = 7
         |ORDER BY key, day""".stripMargin,
+    // gaps-and-islands on the exact (unix_micros, event_id) order;
+    // CASE's ELSE catches the NULL lag like Spark's otherwise()
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, t, us,
+        |    CASE WHEN us - LAG(us) OVER
+        |        (PARTITION BY user_id ORDER BY us, event_id)
+        |      <= 86400000000 THEN 0 ELSE 1 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, t, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS session_idx
+        |  FROM m)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  MIN(t) AS session_start, MAX(t) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
   )
 }

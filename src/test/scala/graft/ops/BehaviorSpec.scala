@@ -113,4 +113,50 @@ class BehaviorSpec extends SparkSpec {
     assert(!days.contains(d0 + 13))
     assert(days.contains(d0 + 14) === false) // no such day at all
   }
+
+  // u1: events at t=0s, 10s, 25s, then 100s (gap 75 > 30 opens session
+  // 2); u2: one event; u3: two events exactly 30s apart (boundary gap
+  // is ≤, same session) and a third at the SAME timestamp as the
+  // second (ties order by event_id, gap 0, same session)
+  private lazy val sessionEvents = Seq(
+    (1L, 1L, 0), (2L, 1L, 10), (3L, 1L, 25), (4L, 1L, 100),
+    (5L, 2L, 50),
+    (6L, 3L, 0), (7L, 3L, 30), (8L, 3L, 30),
+  ).map { case (e, u, sec) =>
+    (e, u, java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec.toLong)))
+  }.toDF("event_id", "user_id", "ts")
+
+  test("sessionize: gap opens a session, boundary gap and ties do not") {
+    val got = Behavior.sessionize(sessionEvents, gapSeconds = 30L)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "duration_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 3L, 25000000L), // 0,10,25 — gaps 10,15 ≤ 30
+      (1L, 2L, 1L, 0L), // 100 — gap 75 > 30
+      (2L, 1L, 1L, 0L),
+      (3L, 1L, 3L, 30000000L), // 30s boundary gap merges; tie merges
+    ), s"got $got")
+  }
+
+  test("sessionize: session bounds are the member min/max timestamps") {
+    val exp = sessionEvents.filter($"user_id" === 1L && $"event_id" <= 3L)
+      .agg(min($"ts"), max($"ts"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
+    val r = Behavior.sessionize(sessionEvents, gapSeconds = 30L)
+      .filter($"user_id" === 1L && $"session_idx" === 1L)
+      .select($"session_start", $"session_end")
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
+    assert(r === exp)
+  }
+
+  test("sessionize plan: one exchange on the user key, reused by both windows and the aggregate") {
+    val plan = Behavior.sessionize(sessionEvents, gapSeconds = 30L)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("ReusedExchange") &&
+        !l.contains("BroadcastExchange"))
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
 }
