@@ -439,6 +439,17 @@ object PipelineQueries extends QueryPack {
       k = 3, window = 4, minShared = 2, maxDf = 100L)
       .orderBy("id_a", "id_b")
 
+  // conjunctive AND retrieval over the corpus, tf-ranked top-10 for
+  // three fixed queries (275-322 conjunctive matches each at sf0.01)
+  private val searchQueries = Seq(
+    "q_joins" -> Seq("hash", "join"),
+    "q_scan" -> Seq("scan", "filter", "column"),
+    "q_stream" -> Seq("stream", "window"))
+
+  def textSearch(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.searchConjunctive(docs(s, d), searchQueries, k = 10)
+      .orderBy("qid", "rank")
+
   // exact substring-level dedup (Lee et al. ACL'22): maximal
   // duplicated 5-token spans corpus-wide; DuckDB rebuilds the same
   // islands from gram TEXT where Spark keys on xxhash64(gram) —
@@ -929,6 +940,7 @@ object PipelineQueries extends QueryPack {
     "dedup_winnow" -> dedupWinnow _,
     "dedup_substring" -> dedupSubstring _,
     "dedup_substring_stats" -> dedupSubstringStats _,
+    "text_search" -> textSearch _,
     "text_repetition" -> textRepetition _,
     "text_chunks" -> textChunks _,
     "text_boilerplate" -> textBoilerplate _,
@@ -1589,6 +1601,29 @@ object PipelineQueries extends QueryPack {
         |FROM scored ORDER BY doc_id""".stripMargin,
     // winnowing fingerprints → df filter → hash self-join: the whole
     // candidate pipeline reproduced relationally
+    "text_search" ->
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |qt AS (SELECT * FROM (VALUES
+        |    ('q_joins','hash'),('q_joins','join'),
+        |    ('q_scan','scan'),('q_scan','filter'),('q_scan','column'),
+        |    ('q_stream','stream'),('q_stream','window'))
+        |  AS t(qid, term)),
+        |qs AS (SELECT qid, COUNT(DISTINCT term) AS n_terms
+        |       FROM qt GROUP BY qid),
+        |m AS (SELECT qid, doc_id, COUNT(DISTINCT dt.term) AS nm,
+        |        COUNT(*) AS score
+        |      FROM dt JOIN qt USING (term) GROUP BY qid, doc_id),
+        |c AS (SELECT m.qid, doc_id, score FROM m JOIN qs USING (qid)
+        |      WHERE nm = n_terms),
+        |r AS (SELECT qid, doc_id, CAST(score AS BIGINT) AS score,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |          ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |      FROM c)
+        |SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
     // duplicated-gram islands from gram TEXT (Spark keys on xxhash64 —
     // same spans absent a 64-bit collision); CASE's ELSE catches the
     // NULL lag exactly like Spark's otherwise()

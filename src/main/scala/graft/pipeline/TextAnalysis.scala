@@ -373,6 +373,51 @@ object TextAnalysis {
       .select("doc_id", "shard", "seq_idx", "n_tokens")
   }
 
+  /** Conjunctive keyword search — the retrieval half of the postings
+    * op (`postings` builds the index statistics; this executes the
+    * classic AND query): for each named query, the documents
+    * containing EVERY query term, ranked by total term frequency
+    * (exact integer score — the log-free core of BM25-style ranking,
+    * chosen so the gate hash-matches; idf weights multiply in
+    * per-term without changing the dataflow).
+    *
+    * At 100 TB: query terms are a literal relation — the corpus term
+    * stream hits a BROADCAST hash join (the inverted-index seek,
+    * spelled as a semi-structured probe: only rows whose term is in
+    * some query survive the map side), then one partial+final
+    * aggregate keyed (query, doc). The ranked relation entering the
+    * window is candidate-sized (≤ Σ df over query terms, never the
+    * corpus), and the rank≤k predicate pushes into WindowGroupLimit.
+    *
+    * Output: (qid, doc_id, score, rank), rank 1-based per query. */
+  def searchConjunctive(docs: DataFrame,
+      queries: Seq[(String, Seq[String])], k: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.forall(_._2.nonEmpty), "every query needs terms")
+    require(k > 0, s"k must be positive, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t.toLowerCase)) }
+      .distinct.toDF("qid", "term")
+    val qsizes = queries
+      .map { case (q, ts) => (q, ts.map(_.toLowerCase).distinct.size.toLong) }
+      .toDF("qid", "n_terms")
+    val matched = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .join(broadcast(qterms), "term")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_matched"),
+        count(lit(1)).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    matched.join(broadcast(qsizes), "qid")
+      .filter(col("n_matched") === col("n_terms"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("score"), col("rank"))
+  }
+
   /** Corpus-frequency boilerplate removal — the CCNet/RefinedWeb
     * "line dedup" pattern (drop lines repeated across many documents:
     * headers, footers, cookie banners, license blurbs) re-expressed

@@ -392,4 +392,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"reassembly must not use a per-doc Window funnel:\n$plan")
   }
+
+  // searchConjunctive: d1 has both terms (alpha×2, beta×1 → score 3);
+  // d2 has both once each (score 2); d3 has only alpha (conjunction
+  // fails); d4 has neither
+  private lazy val searchDocs = Seq(
+    (1L, "alpha beta alpha gamma"),
+    (2L, "beta delta alpha"),
+    (3L, "alpha alpha alpha alpha"),
+    (4L, "epsilon zeta"),
+  ).toDF("doc_id", "text")
+
+  test("searchConjunctive: AND semantics, tf ranking, deterministic ties") {
+    val got = TextAnalysis.searchConjunctive(searchDocs,
+      Seq("q" -> Seq("alpha", "beta")), k = 10)
+      .select("qid", "doc_id", "score", "rank")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    assert(got === Seq(("q", 1L, 3L, 1L), ("q", 2L, 2L, 2L)), s"got $got")
+  }
+
+  test("searchConjunctive: k caps results; duplicate query terms collapse") {
+    val got = TextAnalysis.searchConjunctive(searchDocs,
+      Seq("q" -> Seq("Alpha", "alpha")), k = 2)
+      .select("doc_id", "rank").as[(Long, Long)].collect().sortBy(_._2).toSeq
+    // single distinct term "alpha": d3 (tf 4) then d1 (tf 2), k=2 cuts d2
+    assert(got === Seq((3L, 1L), (1L, 2L)), s"got $got")
+  }
+
+  test("searchConjunctive plan: query terms broadcast, rank pushed to WindowGroupLimit") {
+    val plan = TextAnalysis.searchConjunctive(searchDocs,
+      Seq("q" -> Seq("alpha", "beta")), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"term probe must be a broadcast join:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must push into WindowGroupLimit:\n$plan")
+  }
 }
