@@ -189,6 +189,27 @@ object PipelineQueries extends QueryPack {
         col("proj")(3).as("p4"), col("explained"))
       .orderBy("vec_id")
 
+  // nearest-centroid assignment with 8 FIXED centroids (the lowest
+  // vec_ids — a bounded driver collect, the ANN-sample discipline);
+  // cluster label = the centroid's own vec_id so the DuckDB twin can
+  // rank with ROW_NUMBER over the same (cosine DESC, cid) order. Only
+  // the integer label is emitted — float scores stay engine-internal.
+  def embClusterAssign(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val ids = cents.map(_._1)
+    graft.pipeline.Embeddings
+      .assignToCentroids(e, cents.map(_._2), metric = "cosine")
+      .select(col("vec_id"),
+        element_at(array(ids.toIndexedSeq.map(lit): _*),
+          col("cluster_id").cast("int") + 1).as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   // character-level (edit distance) fuzzy pairs on a bounded subset
   def dedupFuzzy(s: SparkSession, d: String): DataFrame =
     Dedup.fuzzyPairs(docs(s, d), maxId = 200L, maxDist = 12)
@@ -912,6 +933,7 @@ object PipelineQueries extends QueryPack {
     "dedup_semantic" -> dedupSemantic _,
     "dedup_semantic_verified" -> dedupSemanticVerified _,
     "emb_pca" -> embPca _,
+    "emb_cluster_assign" -> embClusterAssign _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_clusters_lsh" -> dedupClustersLsh _,
     "dedup_keep_best" -> dedupKeepBest _,
@@ -1516,6 +1538,18 @@ object PipelineQueries extends QueryPack {
         |     r AS (SELECT qid, nid,
         |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
         |SELECT qid, nid, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // nearest of the 8 fixed centroids (lowest vec_ids), ties to the
+    // lowest centroid id — same ROW_NUMBER order the Spark argmax folds
+    "emb_cluster_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |     c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |     s AS (SELECT e.vec_id, cid,
+        |           COALESCE(list_cosine_similarity(v, cv), -2) AS cos
+        |           FROM e CROSS JOIN c),
+        |     r AS (SELECT vec_id, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |           FROM s)
+        |SELECT vec_id, cid AS cluster_id FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,

@@ -96,6 +96,96 @@ object Embeddings {
       .drop("__centered")
   }
 
+  /** Nearest-centroid assignment of the whole embedding corpus — the
+    * corpus-scale half of document clustering (the trainer half is
+    * `Similarity.kmeans` over a bounded sample, the posture every
+    * quantizer in this repo uses). Centroids ride into a per-row
+    * codegen'd expression as literals; assignment is |centroids|
+    * fused dot products + an argmin — a narrow scan, zero shuffles,
+    * no driver state beyond the centroid matrix itself.
+    *
+    * `metric`: "cosine" (argmax cosine) or "l2" (argmin Euclidean —
+    * compared via c·c − 2·v·c, dropping the per-row ‖v‖² constant).
+    * Ties break to the LOWEST centroid index in both metrics (the
+    * engine-portable choice, matching ROW_NUMBER ORDER BY cid).
+    * Zero-norm vectors under cosine coalesce to −2 (below any real
+    * cosine) instead of NULL-poisoning the argmax.
+    *
+    * Returns (idCol, cluster_id) with cluster_id = 0-based centroid
+    * index. */
+  def assignToCentroids(emb: DataFrame, centroids: Array[Array[Double]],
+      metric: String = "cosine", embedCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(metric == "cosine" || metric == "l2",
+      s"metric must be cosine or l2, got $metric")
+    val e = emb.select(col(idCol),
+      transform(col(embedCol), x => x.cast("double")).as("__e"))
+    def centLit(c: Array[Double]): Column = array(c.toIndexedSeq.map(lit): _*)
+    // one "goodness" score per centroid, larger = better in both metrics
+    val scores = centroids.toIndexedSeq.map { c =>
+      if (metric == "cosine")
+        coalesce(Similarity.cosine(col("__e"), centLit(c)), lit(-2.0d))
+      else {
+        val cc = c.map(x => x * x).sum
+        graft.functions.VectorOps.dotProduct(col("__e"), centLit(c)) * 2.0d - lit(cc)
+      }
+    }
+    // first-max-wins argmax: sort (−score, idx) structs, take the head
+    // (the semanticNearDup cell-assignment discipline)
+    e.withColumn("__s", array(scores: _*))
+      .select(col(idCol),
+        element_at(
+          transform(
+            array_sort(zip_with(col("__s"),
+              sequence(lit(0), lit(centroids.length - 1)),
+              (s, i) => struct((-s).as("ns"), i.as("i")))),
+            x => x("i")),
+          1).cast("long").as("cluster_id"))
+  }
+
+  /** End-to-end document clustering: train k centroids on a bounded
+    * deterministic hash-sample (`Similarity.kmeans` — Lloyd over at
+    * most `sampleSize` driver-side vectors, the IVF/SemDeDup trainer),
+    * then assign the WHOLE corpus with `assignToCentroids`. The
+    * sample bound is the 100 TB contract: driver memory is
+    * sampleSize×d doubles regardless of corpus size, and the corpus
+    * itself is touched by exactly one narrow assignment scan. */
+  def clusterEmbeddings(emb: DataFrame, k: Int, metric: String = "l2",
+      sampleSize: Int = 512, trainIters: Int = 8, seed: Long = 42L,
+      embedCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sample = emb.select(col(idCol),
+        transform(col(embedCol), x => x.cast("double")).as("e"))
+      .orderBy(pmod(xxhash64(col(idCol) + seed), lit(1000000007L)))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "cannot cluster an empty corpus")
+    // deterministic farthest-point init (the kmeans++ hard-max variant):
+    // Lloyd from first-k init can land a split-cluster local optimum;
+    // maximin seeding puts one seed per well-separated mode by
+    // construction, and needs no RNG — same result on every run.
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { val t = a(j) - b(j); s += t * t; j += 1 }
+      s
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
+    val minD = sample.map(v => d2(v, seeds.head))
+    while (seeds.length < math.min(k, sample.length)) {
+      val far = minD.indices.maxBy(minD)
+      seeds += sample(far)
+      var i = 0
+      while (i < sample.length) {
+        minD(i) = math.min(minD(i), d2(sample(i), sample(far))); i += 1
+      }
+    }
+    // if k > |sample| pad by cycling (kmeans' own convention)
+    val init = Array.tabulate(k)(i => seeds(i % seeds.length).clone())
+    val centroids = Similarity.kmeans(sample, k, trainIters, seed, init)
+    assignToCentroids(emb, centroids, metric, embedCol, idCol)
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: rotates
     * away the largest off-diagonal elements until convergence.
     * Returns (eigenvalues descending, matching eigenvectors as rows).

@@ -142,11 +142,14 @@ object Similarity {
     * driver-side by design, see ivfTopK). Empty cells re-seed from the
     * sample deterministically. */
   private[pipeline] def kmeans(sample: Array[Array[Double]], kCells: Int,
-      iters: Int, seed: Long): Array[Array[Double]] = {
+      iters: Int, seed: Long,
+      init: Array[Array[Double]] = null): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty training sample")
     val rng = new java.util.Random(seed)
     val dim = sample.head.length
-    val centroids = Array.tabulate(kCells)(i => sample(i % sample.length).clone())
+    val centroids =
+      if (init != null) { require(init.length == kCells); init.map(_.clone()) }
+      else Array.tabulate(kCells)(i => sample(i % sample.length).clone())
     def nearest(v: Array[Double]): Int = {
       var best = 0; var bestD = Double.MaxValue
       var c = 0

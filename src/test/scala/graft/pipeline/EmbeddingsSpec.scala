@@ -97,4 +97,76 @@ class EmbeddingsSpec extends SparkSpec {
     assert(math.abs(got - eigVals(0) / eigVals.sum) < 1e-12)
     assert(got > 0.999, s"dominant direction must explain ~all: $got")
   }
+
+  // three well-separated 4-d cluster centers + small wobble
+  private val centers3 = Array(
+    Array(10.0, 0.0, 0.0, 0.0),
+    Array(0.0, 10.0, 0.0, 0.0),
+    Array(0.0, 0.0, 10.0, 5.0))
+  private lazy val clustered = (0 until 60).map { i =>
+    val c = centers3(i % 3)
+    val eps = ((i * 13) % 7 - 3) * 0.03
+    (i.toLong, Array.tabulate(4)(j => (c(j) + eps).toFloat).toSeq)
+  }.toDF("vec_id", "embedding")
+
+  private def bruteAssign(v: Array[Double], cents: Array[Array[Double]],
+      metric: String): Int = {
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def norm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val scores = cents.map { c =>
+      if (metric == "cosine") {
+        val d = norm(v) * norm(c)
+        if (d == 0.0) -2.0 else dot(v, c) / d
+      } else -a2(v, c)
+    }
+    scores.zipWithIndex.maxBy { case (s, i) => (s, -i) }._2
+  }
+  private def a2(a: Array[Double], b: Array[Double]) =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("assignToCentroids matches brute force under both metrics") {
+    val raw = clustered.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    for (metric <- Seq("cosine", "l2")) {
+      val got = Embeddings.assignToCentroids(clustered, centers3, metric)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == 60)
+      raw.foreach { case (id, v) =>
+        assert(got(id) == bruteAssign(v, centers3, metric).toLong,
+          s"$metric vec $id: got ${got(id)}")
+      }
+    }
+  }
+
+  test("assignToCentroids ties break to the lowest centroid index") {
+    // duplicate centroids: every vector ties across 0 and 1
+    val dup = Array(centers3(0), centers3(0))
+    val got = Embeddings.assignToCentroids(clustered, dup, "l2")
+      .select("cluster_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L))
+  }
+
+  test("zero-norm vectors under cosine land on centroid 0, not NULL") {
+    val z = Seq((0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Embeddings.assignToCentroids(z, centers3, "cosine")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(0L) == 0L) // all scores -2, first wins
+    assert(rows(1L) == 0L) // genuinely nearest in direction
+  }
+
+  test("clusterEmbeddings recovers the planted 3-way partition") {
+    val labels = Embeddings.clusterEmbeddings(clustered, k = 3, metric = "l2",
+        sampleSize = 60, trainIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 60)
+    // same planted group -> same label; different groups -> different
+    for (g <- 0 until 3) {
+      val ls = (0 until 60).filter(_ % 3 == g).map(i => labels(i.toLong)).toSet
+      assert(ls.size == 1, s"group $g split across labels $ls")
+    }
+    assert((0 until 3).map(g => labels(g.toLong)).toSet.size == 3)
+  }
 }
