@@ -243,7 +243,7 @@ object Similarity {
     * the trained codebooks for the query side. */
   /** L2-normalize and drop zero vectors — the shared front half of
     * training and encoding (cosine geometry needs unit vectors). */
-  private def normalized(emb: DataFrame): DataFrame = {
+  private[pipeline] def normalized(emb: DataFrame): DataFrame = {
     val e0 = asDouble(emb)
     val norm = sqrt(graft.functions.VectorOps.dotProduct(col("e"), col("e")))
     e0.filter(norm > 0.0)
@@ -304,10 +304,34 @@ object Similarity {
     * compact() of this lifecycle. Quantization error on the new batch
     * matches what training-time encoding would produce as long as the
     * batch resembles the training distribution. */
-  def pqIndexExtend(idx: PqIndex, newEmb: DataFrame,
-      dim: Int = 64): PqIndex = {
-    val batch = pqEncode(normalized(newEmb), idx.books, dim)
-    PqIndex(idx.coded.unionByName(batch).localCheckpoint(true), idx.books)
+  def pqIndexExtend(idx: PqIndex, newEmb: DataFrame): PqIndex =
+    PqIndex(idx.coded.unionByName(pqEncodeBatch(newEmb, idx.books))
+      .localCheckpoint(true), idx.books)
+
+  /** Encode a raw embedding batch against EXISTING codebooks — the
+    * batch half shared by [[pqIndexExtend]], [[ivfPqIndexExtend]] and
+    * [[AnnIndexStore]]'s persisted extends. The vector dimension is
+    * DERIVED from the codebook geometry (m subspaces × subvector
+    * width) rather than trusted from a caller: a mismatched dim would
+    * silently slice the wrong subspaces and produce garbage codes
+    * that still look valid. */
+  private[pipeline] def pqEncodeBatch(newEmb: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame =
+    pqEncode(normalized(newEmb), books, dim = books.length * books(0)(0).length)
+
+  /** Nearest-coarse-centroid assignment as a pure expression column —
+    * shared by [[ivfPqIndex]], [[ivfPqIndexExtend]] and the persisted
+    * extend path. */
+  private[pipeline] def cellAssign(df: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    def dot(v: Column, c: Array[Double]): Column =
+      graft.functions.VectorOps.dotProduct(v,
+        array(c.toIndexedSeq.map(lit): _*))
+    val sims = array(centroids.toIndexedSeq.map(c => dot(col("e"), c)): _*)
+    df.withColumn("sims", sims)
+      .withColumn("cell",
+        array_position(col("sims"), array_max(col("sims"))).cast("int"))
+      .drop("sims")
   }
 
   /** PQ ANN top-k by asymmetric distance computation (ADC) with exact
@@ -447,16 +471,8 @@ object Similarity {
       .limit(sampleSize)
       .select(col("e")).collect().map(_.getSeq[Double](0).toArray)
     val centroids = kmeans(sample, nCells, trainIters, seed + 7919)
-    def dot(v: Column, c: Array[Double]): Column =
-      graft.functions.VectorOps.dotProduct(v,
-        array(c.toIndexedSeq.map(lit): _*))
-    val sims = array(centroids.toIndexedSeq.map(c => dot(col("e"), c)): _*)
-    val coded = coded0
-      .withColumn("sims", sims)
-      .withColumn("cell",
-        array_position(col("sims"), array_max(col("sims"))).cast("int"))
-      .drop("sims")
-      .localCheckpoint(true) // feeds probe scan AND exact refine once
+    // feeds probe scan AND exact refine once
+    val coded = cellAssign(coded0, centroids).localCheckpoint(true)
     IvfPqIndex(coded, books, centroids)
   }
 
@@ -467,21 +483,10 @@ object Similarity {
     * as the corpus grows, so rebuild (ivfPqIndex) when probe recall
     * degrades — the same build/extend/rebuild lifecycle FAISS
     * deployments run. */
-  def ivfPqIndexExtend(idx: IvfPqIndex, newEmb: DataFrame,
-      dim: Int = 64): IvfPqIndex = {
-    def dot(v: Column, c: Array[Double]): Column =
-      graft.functions.VectorOps.dotProduct(v,
-        array(c.toIndexedSeq.map(lit): _*))
-    val sims = array(idx.centroids.toIndexedSeq
-      .map(c => dot(col("e"), c)): _*)
-    val batch = pqEncode(normalized(newEmb), idx.books, dim)
-      .withColumn("sims", sims)
-      .withColumn("cell",
-        array_position(col("sims"), array_max(col("sims"))).cast("int"))
-      .drop("sims")
-    IvfPqIndex(idx.coded.unionByName(batch).localCheckpoint(true),
-      idx.books, idx.centroids)
-  }
+  def ivfPqIndexExtend(idx: IvfPqIndex, newEmb: DataFrame): IvfPqIndex =
+    IvfPqIndex(idx.coded.unionByName(
+        cellAssign(pqEncodeBatch(newEmb, idx.books), idx.centroids))
+      .localCheckpoint(true), idx.books, idx.centroids)
 
   def ivfPqTopK(emb: DataFrame, maxQueryId: Long, k: Int,
       nCells: Int = 16, nprobe: Int = 4, m: Int = 16,
