@@ -168,6 +168,23 @@ object ScaleBench {
       // expected exponent ~1 plus the self-join shuffle's log factor
       "nn_descent_graph" -> (() => graft.pipeline.GraphAnn
         .nnDescentGraph(emb, k = 8, iters = 2)),
+      // incremental insert of a FIXED 500-vector batch into a k-NN
+      // graph over the growing remainder: per-insert work is
+      // O(hops·beam·degree) beam search + O(batch·k) relinking, so the
+      // curve should stay near-FLAT across the decade (the base graph
+      // builds lazily once per dir — run 1 pays it, min-of-N strips it)
+      "graph_extend" -> {
+        lazy val parts = {
+          val base = emb.filter(col("vec_id") >= 500)
+          (base, graft.pipeline.GraphAnn.nnDescentGraph(base, k = 8, iters = 2)
+            .localCheckpoint(true))
+        }
+        () => {
+          val (base, g) = parts
+          graft.pipeline.GraphAnn.graphExtend(g, base,
+            emb.filter(col("vec_id") < 500), k = 8)
+        }
+      },
       // snapshot diff: one FULL OUTER join on the key (the only
       // exchange) + a |groups|x4 aggregate — expected ~linear
       "snapshot_diff" -> (() => graft.pipeline.Profile.snapshotDiff(

@@ -72,19 +72,6 @@ object GraphAnn {
         lit(0.0d).as("cos")).where(lit(false))
     val nBuckets = math.max(1L, n / (k + 1))
 
-    // pairs within a hash bucket, scored — one bucketing's worth of
-    // initial candidates (bucket width ~k+1 keeps this O(n·k))
-    def bucketPairs(whichSeed: Long): DataFrame = {
-      val b = e.select(col("vec_id"), col("e"),
-        pmod(xxhash64(col("vec_id") + whichSeed), lit(nBuckets)).as("bkt"))
-      b.alias("a").join(b.alias("b"),
-          col("a.bkt") === col("b.bkt") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("id"), col("b.vec_id").as("nid"),
-          Similarity.cosine(col("a.e"), col("b.e")).as("cos"))
-        .filter(col("cos").isNotNull)
-    }
-
     def topKPerVertex(edges: DataFrame): DataFrame = {
       val scored = edges
         .select(col("id").as("qid"), col("nid"), col("cos")).as[Score]
@@ -95,7 +82,8 @@ object GraphAnn {
     // (id, nid, rn) — cos re-derived on demand from vectors; carrying
     // rn keeps the edge relation narrow between rounds
     var graph = topKPerVertex(
-        bucketPairs(seed).unionByName(bucketPairs(seed + 7919))
+        bucketPairs(e, nBuckets, seed)
+          .unionByName(bucketPairs(e, nBuckets, seed + 7919))
           .dropDuplicates("id", "nid"))
       .localCheckpoint(true)
 
@@ -166,15 +154,46 @@ object GraphAnn {
     val e = Similarity.asDouble(emb)
     val q = e.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
-    // shared entry points: the vertices of one hash bucket (~graphK+1
-    // of them) — every query starts somewhere fixed and cheap
-    val nSeeds = graphK + 1
-    val seeds = e.select(col("vec_id").as("nid"))
+    Similarity.finishTopK(
+      beamSearch(e, q, und, beam, hops, entrySeeds(e, graphK + 1, seed))
+        .as[Score], k)
+  }
+
+  /** Pairs within a hash bucket over `rel` (vec_id, e), scored — one
+    * bucketing's worth of candidates, O(|rel|·bucketWidth) pairs.
+    * Shared by NN-Descent init and [[graphExtend]]'s batch-internal
+    * candidate generation. */
+  private def bucketPairs(rel: DataFrame, nBuckets: Long,
+      whichSeed: Long): DataFrame = {
+    val b = rel.select(col("vec_id"), col("e"),
+      pmod(xxhash64(col("vec_id") + whichSeed), lit(nBuckets)).as("bkt"))
+    b.alias("a").join(b.alias("b"),
+        col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("id"), col("b.vec_id").as("nid"),
+        Similarity.cosine(col("a.e"), col("b.e")).as("cos"))
+      .filter(col("cos").isNotNull)
+  }
+
+  /** Shared entry points: the vertices of one hash bucket (~nSeeds of
+    * them) — every query starts somewhere fixed and cheap (HNSW's
+    * fixed entry point, relationally). */
+  private def entrySeeds(e: DataFrame, nSeeds: Int, seed: Long): DataFrame =
+    e.select(col("vec_id").as("nid"))
       .orderBy(pmod(xxhash64(col("nid") + seed), lit(1000000007L)))
       .limit(nSeeds)
 
+  /** The relational beam-search loop shared by [[graphTopK]] (query
+    * serving) and [[graphExtend]] (neighbor discovery for inserted
+    * vertices): score the seeds, expand every query's current best
+    * `beam` vertices through the adjacency, score the new frontier,
+    * re-prune. Returns the final per-query beam (qid, nid, cos) —
+    * ≤ beam rows per qid, candidates drawn from `cands` (vec_id, e). */
+  private def beamSearch(cands: DataFrame, q: DataFrame, und: DataFrame,
+      beam: Int, hops: Int, seeds: DataFrame): DataFrame = {
+    import cands.sparkSession.implicits._
     def score(cand: DataFrame): DataFrame = cand
-      .join(e.select(col("vec_id").as("nid"), col("e").as("ne")), "nid")
+      .join(cands.select(col("vec_id").as("nid"), col("e").as("ne")), "nid")
       .join(broadcast(q), "qid")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -205,6 +224,88 @@ object GraphAnn {
         .localCheckpoint(true)
       hop += 1
     }
-    Similarity.finishTopK(best.as[Score], k)
+    best
+  }
+
+  /** Per-vertex top-k prune KEEPING the score column — the degree
+    * re-prune [[graphExtend]] applies after linking. */
+  private def topKeep(edges: DataFrame, k: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val s = edges.select(col("id").as("qid"), col("nid"), col("cos")).as[Score]
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    Similarity.partialTopK(s, k).toDF()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid").as("id"), col("nid"), col("cos"))
+  }
+
+  /** Incrementally INSERT a new vector batch into an existing k-NN
+    * graph — the [[Similarity.pqIndexExtend]] contract for the graph
+    * family: O(batch) search work, no rebuild, the already-linked
+    * corpus is touched only where it gains a reverse edge.
+    *
+    * The HNSW insertion recipe, relationally and in bulk:
+    *  1. each new vertex beam-searches the EXISTING graph for its
+    *     nearest linked neighbors (new→old candidates; per vertex the
+    *     scored set is O(hops·beam·degree), independent of corpus
+    *     size);
+    *  2. batch-internal candidates come from two seeded hash
+    *     bucketings of the batch itself (new→new — without these a
+    *     batch of mutual nearest neighbors would only link outward);
+    *  3. every new vertex keeps its best k (beam ∪ batch candidates);
+    *  4. links go BIDIRECTIONAL: each edge is offered in reverse, and
+    *     every RECEIVING vertex re-prunes to degree k over (existing
+    *     edges ∪ offered reverse edges) — an old edge evicted by a
+    *     closer new vertex is the graph improving, exactly what
+    *     NN-Descent's reverse-neighbor trick does in-build. Vertices
+    *     receiving no reverse edge pass through untouched (the
+    *     left_anti split keeps the re-prune window O(batch·k), not
+    *     O(n)).
+    *
+    * `emb` must carry the vectors of the graph's vertices; `newEmb`
+    * the batch (ids disjoint from the graph's). Returns the extended
+    * directed graph (id, nid, cos) over old ∪ new vertices, degree
+    * ≤ k everywhere.
+    *
+    * Declared approximation (the family's usual one, GraphAnnSpec
+    * pins it): insertion order matters up to beam-search tie-breaks —
+    * extend(A∘B) sees A linked while B inserts, extend(A∪B) searches
+    * the base graph for both, so edge sets can differ on ties; recall
+    * floors hold for every order (the spec's grown-vs-rebuilt bound),
+    * and periodic nnDescentGraph rebuilds absorb the drift exactly as
+    * pqIndex rebuilds absorb code drift. */
+  def graphExtend(graph: DataFrame, emb: DataFrame, newEmb: DataFrame,
+      k: Int = 8, beam: Int = 12, hops: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"graph degree k must be >= 1, got $k")
+    require(beam >= k, s"beam=$beam must be >= k=$k")
+    val e = Similarity.asDouble(emb)
+    val nb = Similarity.asDouble(newEmb)
+    val nNew = nb.count()
+    if (nNew == 0) return graph
+    // 1. new→old: beam search over the existing adjacency
+    val q = nb.select(col("vec_id").as("qid"), col("e").as("qe"))
+    val beamBest = beamSearch(e, q, undirected(graph), beam, hops,
+        entrySeeds(e, k + 1, seed))
+      .select(col("qid").as("id"), col("nid"), col("cos"))
+    // 2. new→new: bucket-mate pairs within the batch
+    val nBuckets = math.max(1L, nNew / (k + 1))
+    val batchCand = bucketPairs(nb, nBuckets, seed)
+      .unionByName(bucketPairs(nb, nBuckets, seed + 7919))
+    // 3. each new vertex keeps its best k
+    val newAdj = topKeep(beamBest.unionByName(batchCand)
+        .dropDuplicates("id", "nid"), k)
+      .localCheckpoint(true)
+    // 4. bidirectional link + receiver re-prune, affected rows only
+    val reverse = newAdj.select(col("nid").as("id"),
+      col("id").as("nid"), col("cos"))
+    val affected = newAdj.select("id")
+      .unionByName(reverse.select("id")).distinct()
+    val untouched = graph.join(affected, Seq("id"), "left_anti")
+    val repruned = topKeep(
+      graph.join(affected, Seq("id"), "left_semi")
+        .unionByName(newAdj).unionByName(reverse)
+        .dropDuplicates("id", "nid"), k)
+    untouched.unionByName(repruned)
   }
 }

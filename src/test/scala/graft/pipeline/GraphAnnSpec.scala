@@ -91,6 +91,96 @@ class GraphAnnSpec extends SparkSpec {
     assert(GraphAnn.graphTopK(empty, 10L, 3, beam = 4).count() == 0)
   }
 
+  test("graphExtend: inserted vertices are navigable at the rebuilt graph's recall") {
+    // insert cluster 0's members (ids 0..15) into a graph built on the
+    // REST — then serve queries 0..9, i.e. the inserted vertices
+    // themselves: beam search must reach their true (old) neighborhood
+    // through the links insertion created
+    val batch = clustered.filter(col("vec_id") < 16)
+    val base = clustered.filter(col("vec_id") >= 16)
+    val g0 = GraphAnn.nnDescentGraph(base, k = 6, iters = 3)
+    val grown = GraphAnn.graphExtend(g0, base, batch, k = 6, beam = 12, hops = 3)
+    def recallOf(graph: org.apache.spark.sql.DataFrame): Double = {
+      val got = GraphAnn.graphTopK(clustered, 10L, 5, beam = 12, hops = 3,
+          prebuilt = Some(graph))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val truth = exactTopK(5, 10L)
+      got.map { case (q, ns) => (ns & truth(q)).size.toDouble / 5 }.sum / got.size
+    }
+    val rebuilt = GraphAnn.nnDescentGraph(clustered, k = 6, iters = 3)
+    val rGrown = recallOf(grown)
+    val rRebuilt = recallOf(rebuilt)
+    assert(rGrown >= rRebuilt - 0.1,
+      s"grown-graph recall $rGrown too far below rebuilt $rRebuilt")
+    assert(rGrown >= 0.85, s"grown-graph recall floor: $rGrown")
+  }
+
+  test("graphExtend: every vertex present, degree bounded, old rows untouched unless linked") {
+    // insert HALF of cluster 0 (ids 0..7): the remaining cluster-0
+    // members are genuinely closer to the batch than to cross-cluster
+    // fill, so bidirectional linking must make some of them adopt new
+    // neighbors — while orthogonal-cluster vertices keep their edges
+    val batch = clustered.filter(col("vec_id") < 8)
+    val base = clustered.filter(col("vec_id") >= 8)
+    val g0 = GraphAnn.nnDescentGraph(base, k = 6, iters = 2)
+    val grown = GraphAnn.graphExtend(g0, base, batch, k = 6)
+    val adj = grown.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert(adj.keySet == (0L until 80L).toSet, "old ∪ new vertices all carry edges")
+    assert(adj.values.forall(_.size <= 6), "degree bound k survives linking")
+    // new vertices link into the batch AND the old corpus (not an island)
+    val newEdges = grown.filter(col("id") < 8).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(newEdges.exists(_ < 8L), "new→new links exist")
+    assert(newEdges.exists(_ >= 8L), "new→old links exist")
+    // reverse offers made at least one old vertex adopt a new neighbor
+    val oldToNew = grown.filter(col("id") >= 8 && col("nid") < 8).count()
+    assert(oldToNew > 0, "bidirectional: some old vertex links to a new one")
+    // an orthogonal cluster's adjacency is untouched by an irrelevant
+    // batch (re-prune only evicts when the new vertex genuinely wins)
+    val far = grown.filter(col("id") >= 64 && col("nid") < 8).count()
+    assert(far == 0, "cluster-4 vertices must not adopt cluster-0 inserts")
+  }
+
+  test("graphExtend: batch composition orders both serve above the floor") {
+    val a = clustered.filter(col("vec_id") >= 64 && col("vec_id") < 72)
+    val b = clustered.filter(col("vec_id") >= 72)
+    val base = clustered.filter(col("vec_id") < 64)
+    val g0 = GraphAnn.nnDescentGraph(base, k = 6, iters = 3)
+    val baseA = clustered.filter(col("vec_id") < 72)
+    val twoStep = GraphAnn.graphExtend(
+      GraphAnn.graphExtend(g0, base, a, k = 6), baseA, b, k = 6)
+    val oneStep = GraphAnn.graphExtend(g0, base,
+      clustered.filter(col("vec_id") >= 64), k = 6)
+    // edge sets may differ on beam ties (declared approximation) but
+    // BOTH must serve the full corpus above the recall floor
+    def recallOf(graph: org.apache.spark.sql.DataFrame): Double = {
+      val got = GraphAnn.graphTopK(clustered, 10L, 5, beam = 12, hops = 3,
+          prebuilt = Some(graph))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val truth = exactTopK(5, 10L)
+      got.map { case (q, ns) => (ns & truth(q)).size.toDouble / 5 }.sum / got.size
+    }
+    assert(recallOf(twoStep) >= 0.85)
+    assert(recallOf(oneStep) >= 0.85)
+  }
+
+  test("graphExtend is deterministic; empty batch is the identity") {
+    val batch = clustered.filter(col("vec_id") >= 64)
+    val base = clustered.filter(col("vec_id") < 64)
+    val g0 = GraphAnn.nnDescentGraph(base, k = 6, iters = 2)
+    def run() = GraphAnn.graphExtend(g0, base, batch, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run() == run())
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val same = GraphAnn.graphExtend(g0, base, empty, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val orig = g0.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(same == orig)
+  }
+
   test("a prebuilt graph is honored — construction and serving split") {
     val g = GraphAnn.nnDescentGraph(clustered, k = 6, iters = 3)
     val viaPrebuilt = GraphAnn.graphTopK(clustered, 5L, 3, beam = 12,
