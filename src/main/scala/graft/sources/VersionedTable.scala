@@ -68,7 +68,7 @@ object VersionedTable {
       .foldLeft(-1)(math.max)
   }
 
-  private def readManifest(spark: SparkSession, root: String,
+  private def manifestLines(spark: SparkSession, root: String,
       v: Int): Seq[String] = {
     val p = manifestPath(root, v)
     val fs = fsOf(spark, p)
@@ -77,10 +77,30 @@ object VersionedTable {
     try {
       val body = new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      // manifest body: one commit-dir name per line (no JSON library
-      // dependency; the driver-side tools never parse these)
       body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
     } finally in.close()
+  }
+
+  // manifest body: `#`-prefixed metadata lines (e.g. the `#txn:` of an
+  // idempotent streaming append) followed by one commit-dir name per
+  // line (no JSON library dependency; driver tools never parse these)
+  private def readManifest(spark: SparkSession, root: String,
+      v: Int): Seq[String] =
+    manifestLines(spark, root, v).filterNot(_.startsWith("#"))
+
+  /** The transaction marker version `v` (default: latest) was
+    * committed with, if any — the idempotency handshake for exactly-
+    * once streaming appends: a manifest carries its writer's batch id
+    * ATOMICALLY with the commit (same rename), so a crash-replayed
+    * batch can recognize itself already committed. One writer per
+    * table (the streaming sink's topology); multi-writer would key
+    * this by (appId, txn) exactly as Delta does. */
+  def committedTxn(spark: SparkSession, root: String,
+      version: Option[Int] = None): Option[Long] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) None
+    else manifestLines(spark, root, v)
+      .find(_.startsWith("#txn:")).map(_.stripPrefix("#txn:").toLong)
   }
 
   /** The commit-dir paths version `version` (default: latest)
@@ -107,8 +127,8 @@ object VersionedTable {
     * commit in between fails this one instead of silently clobbering
     * it). Returns the committed version number. */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-      expectedVersion: Int): Int =
-    commitDirs(spark, root, df, expectedVersion, carryDirs = Seq.empty)
+      expectedVersion: Int, txn: Option[Long] = None): Int =
+    commitDirs(spark, root, df, expectedVersion, carryDirs = Seq.empty, txn)
 
   /** APPEND `df` as a new version WITHOUT rewriting existing data:
     * only the new rows are written; the new manifest lists the
@@ -119,7 +139,7 @@ object VersionedTable {
     * referenced dirs are immutable. Optimistic like [[commit]]:
     * `expectedVersion` is the version the append was planned against. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      expectedVersion: Int): Int = {
+      expectedVersion: Int, txn: Option[Long] = None): Int = {
     // loud schema guard: parquet would silently drop/NULL mismatched
     // columns at read time (the classic append-corruption); evolution
     // is an explicit rewrite (merge/commit), not an accident. Shape
@@ -132,7 +152,7 @@ object VersionedTable {
       s"append schema ${df.schema.simpleString} != table schema " +
         s"${current.simpleString} — evolve via commit(), not append()")
     commitDirs(spark, root, df, expectedVersion,
-      carryDirs = readManifest(spark, root, expectedVersion))
+      carryDirs = readManifest(spark, root, expectedVersion), txn)
   }
 
   /** Rewrite the CURRENT snapshot as a single fresh commit dir — the
@@ -148,7 +168,8 @@ object VersionedTable {
   }
 
   private def commitDirs(spark: SparkSession, root: String, df: DataFrame,
-      expectedVersion: Int, carryDirs: Seq[String]): Int = {
+      expectedVersion: Int, carryDirs: Seq[String],
+      txn: Option[Long] = None): Int = {
     val next = expectedVersion + 1
     val commitName = f"c$next%05d-${java.util.UUID.randomUUID}"
     val dataDir = new Path(new Path(root, "data"), commitName)
@@ -158,8 +179,9 @@ object VersionedTable {
     fs.mkdirs(mdir)
     val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
-    try out.write((carryDirs :+ commitName).mkString("", "\n", "\n")
-      .getBytes("UTF-8")) finally out.close()
+    try out.write(
+      (txn.map(t => s"#txn:$t").toSeq ++ carryDirs :+ commitName)
+        .mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
     val target = manifestPath(root, next)
     val committed = !fs.exists(target) && fs.rename(tmp, target)
     if (!committed) {
@@ -174,8 +196,9 @@ object VersionedTable {
 
   /** Initialize a table at version 0 (fails if already initialized —
     * init is a commit like any other). */
-  def init(spark: SparkSession, root: String, df: DataFrame): Int =
-    commit(spark, root, df, expectedVersion = -1)
+  def init(spark: SparkSession, root: String, df: DataFrame,
+      txn: Option[Long] = None): Int =
+    commit(spark, root, df, expectedVersion = -1, txn)
 
   /** MERGE with atomic visibility: read the latest snapshot, apply
     * the changeset (`pipeline.Merge.applyChangeset` — the same
@@ -197,8 +220,34 @@ object VersionedTable {
   /** Drop data files referenced by NO manifest among the newest
     * `keepVersions` (older manifests are dropped too) — the retention
     * knob that bounds storage while keeping recent time travel. Never
-    * touches the live version. */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Unit = {
+    * touches the live version.
+    *
+    * Concurrency: the commit protocol writes a version's data dir
+    * BEFORE the manifest that makes it visible, so at any instant an
+    * unreferenced dir may be a commit IN FLIGHT, not garbage. Two
+    * guards close that window (both needed — each alone leaves a
+    * race):
+    *  - `retainMillis` (Delta's VACUUM recipe): only dirs whose mtime
+    *    is older than the threshold are candidates. An in-flight
+    *    writer's dir is by construction recent; the default horizon
+    *    (1h) dwarfs any commit's write time. Setting 0 is for
+    *    single-writer tests ONLY.
+    *  - manifests are RE-LISTED after the candidate scan, and dirs
+    *    referenced by any manifest committed while the scan ran are
+    *    spared — a slow scan can't delete a dir whose manifest landed
+    *    mid-vacuum.
+    *
+    * Readers: a pinned snapshot ([[read]] resolves an explicit file
+    * list) stays valid as long as its version's manifest survives —
+    * vacuum deletes only dirs NO KEPT manifest references, so a reader
+    * pinned within the keep window is safe by construction; a reader
+    * pinned to an aged-out version fails LOUDLY at scan (missing
+    * files), never silently partially. Streaming: the append sink
+    * writes through this protocol, so its in-flight batch is just
+    * another recent commit dir — protected by the mtime guard; keep
+    * `retainMillis` above the longest expected micro-batch write. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
+      retainMillis: Long = 3600L * 1000L): Unit = {
     require(keepVersions >= 1, "must keep at least the live version")
     val latest = latestVersion(spark, root)
     if (latest < 0) return
@@ -207,11 +256,23 @@ object VersionedTable {
     val keep = (keepFrom to latest)
       .filter(v => fs.exists(manifestPath(root, v)))
       .flatMap(v => readManifest(spark, root, v)).toSet
+    val horizon = System.currentTimeMillis() - retainMillis
     val dataRoot = new Path(root, "data")
-    if (fs.exists(dataRoot))
-      fs.listStatus(dataRoot).map(_.getPath)
-        .filterNot(p => keep.contains(p.getName))
-        .foreach(p => fs.delete(p, true))
+    if (fs.exists(dataRoot)) {
+      val candidates = fs.listStatus(dataRoot)
+        .filter(st => !keep.contains(st.getPath.getName) &&
+          st.getModificationTime < horizon)
+        .map(_.getPath)
+      if (candidates.nonEmpty) {
+        // re-list: spare anything a mid-scan commit now references
+        val latestNow = latestVersion(spark, root)
+        val lateKeep = (keepFrom to latestNow)
+          .filter(v => fs.exists(manifestPath(root, v)))
+          .flatMap(v => readManifest(spark, root, v)).toSet
+        candidates.filterNot(p => lateKeep.contains(p.getName))
+          .foreach(p => fs.delete(p, true))
+      }
+    }
     (0 until keepFrom).foreach(v => fs.delete(manifestPath(root, v), false))
   }
 }

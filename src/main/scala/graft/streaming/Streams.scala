@@ -387,20 +387,22 @@ object Streams {
     * the version history doubles as an ingest audit log (time travel
     * = "the table as of batch N"). This supersedes the raw-parquet
     * swap for the pure-ingest topology the same way the versioned
-    * MERGE supersedes runUpsertSink's snapshot rewrite. The expected-
-    * version handshake makes a lost rename race fail the batch loudly
-    * (and the restarted query re-attempts it) rather than silently
-    * dropping rows. Blocks until the source drains (the test-harness
-    * contract, like runToMemory). */
+    * MERGE supersedes runUpsertSink's snapshot rewrite.
+    *
+    * Exactly-once, both directions: the expected-version handshake
+    * makes a lost rename race fail the batch loudly (no silent DROP),
+    * and the batch id rides the manifest as a `#txn:` marker — atomic
+    * with the commit — so a batch REPLAYED after a crash between the
+    * commit and the checkpoint advancing recognizes itself already
+    * committed and no-ops (no silent DUPLICATION; Delta's
+    * txnAppId/txnVersion pattern, batch-id-keyed because the sink's
+    * topology is one writer per table root). Blocks until the source
+    * drains (the test-harness contract, like runToMemory). */
   def runVersionedAppendSink(spark: SparkSession, rows: DataFrame,
       tableRoot: String, checkpointDir: Option[String] = None): Unit = {
     val writer = rows.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val v = graft.sources.VersionedTable.latestVersion(spark, tableRoot)
-        // first batch initializes; later batches append optimistically
-        if (v < 0) graft.sources.VersionedTable.init(spark, tableRoot, batch)
-        else graft.sources.VersionedTable.append(spark, tableRoot, batch, v)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        versionedAppendBatch(spark, tableRoot, batch, batchId)
       }
     val q = checkpointDir
       .map(writer.option("checkpointLocation", _))
@@ -408,6 +410,24 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
+  }
+
+  /** One micro-batch of [[runVersionedAppendSink]], idempotent per
+    * `batchId`: Structured Streaming replays at most the LAST
+    * unacknowledged batch after a restart, so comparing against the
+    * latest committed `#txn:` marker is a complete duplicate check.
+    * Factored out so the crash-replay path is directly testable. */
+  private[graft] def versionedAppendBatch(spark: SparkSession,
+      tableRoot: String, batch: DataFrame, batchId: Long): Unit = {
+    import graft.sources.VersionedTable
+    val v = VersionedTable.latestVersion(spark, tableRoot)
+    // first batch initializes; later batches append optimistically —
+    // unless the latest version already carries this batch's txn
+    // marker, i.e. we are a post-crash replay of a committed batch
+    if (v < 0)
+      VersionedTable.init(spark, tableRoot, batch, txn = Some(batchId))
+    else if (!VersionedTable.committedTxn(spark, tableRoot).contains(batchId))
+      VersionedTable.append(spark, tableRoot, batch, v, txn = Some(batchId))
   }
 
   /** Run any of the above on a stream into an in-memory table and block

@@ -71,7 +71,7 @@ class VersionedTableSourceSpec extends SparkSpec {
     VersionedTable.init(spark, root, snapshot(1L -> "a"))
     VersionedTable.append(spark, root, snapshot(2L -> "b"), 0)
     VersionedTable.compact(spark, root)
-    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    VersionedTable.vacuum(spark, root, keepVersions = 1, retainMillis = 0L)
     assert(spark.read.format("graft-versioned").load(root)
       .orderBy("id").as[(Long, String)].collect().toSeq ==
       Seq(1L -> "a", 2L -> "b"))

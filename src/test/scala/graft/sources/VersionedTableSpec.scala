@@ -132,7 +132,7 @@ class VersionedTableSpec extends SparkSpec {
     // ...v3's manifest references exactly ONE dir (4 dirs on disk
     // until vacuum)...
     assert(new java.io.File(root, "data").list().length == 4)
-    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    VersionedTable.vacuum(spark, root, keepVersions = 1, retainMillis = 0L)
     assert(new java.io.File(root, "data").list().length == 1)
     // ...and the compacted version still serves after vacuum
     assert(VersionedTable.read(spark, root).count() == 3)
@@ -143,7 +143,7 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.init(spark, root, snapshot(1L -> "v0"))
     VersionedTable.commit(spark, root, snapshot(1L -> "v1"), 0)
     VersionedTable.commit(spark, root, snapshot(1L -> "v2"), 1)
-    VersionedTable.vacuum(spark, root, keepVersions = 2)
+    VersionedTable.vacuum(spark, root, keepVersions = 2, retainMillis = 0L)
     // v1 and v2 readable; v0's manifest and data are gone
     assert(VersionedTable.read(spark, root, Some(2))
       .select("body").as[String].collect().toSeq == Seq("v2"))
@@ -152,5 +152,49 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       VersionedTable.read(spark, root, Some(0)))
     assert(new java.io.File(root, "data").list().length == 2)
+  }
+
+  test("vacuum's retention horizon spares a recent unreferenced dir — the in-flight commit window") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "v0"))
+    // simulate a concurrent writer mid-commit: data dir written, its
+    // manifest not yet renamed into place
+    val inflight = new java.io.File(new java.io.File(root, "data"),
+      "c00001-inflight")
+    snapshot(9L -> "pending").write.parquet(inflight.getAbsolutePath)
+    VersionedTable.vacuum(spark, root, keepVersions = 1) // default horizon
+    assert(inflight.exists(),
+      "a dir younger than the retention horizon must survive vacuum")
+    // once aged past the horizon it IS garbage and goes
+    VersionedTable.vacuum(spark, root, keepVersions = 1, retainMillis = 0L)
+    assert(!inflight.exists())
+  }
+
+  test("vacuum never deletes a version a pinned reader resolved within the keep window") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "v0"))
+    VersionedTable.commit(spark, root, snapshot(1L -> "v1"), 0)
+    // reader pins v1 (within keepVersions=2), then v2 commits and
+    // vacuum runs — the pinned snapshot's files must survive because
+    // v1's manifest is kept
+    val pinned = VersionedTable.read(spark, root, Some(1))
+    VersionedTable.commit(spark, root, snapshot(1L -> "v2"), 1)
+    VersionedTable.vacuum(spark, root, keepVersions = 2, retainMillis = 0L)
+    assert(pinned.select("body").as[String].collect().toSeq == Seq("v1"))
+  }
+
+  test("txn marker rides the manifest atomically and reads back per version") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a"), txn = Some(0L))
+    assert(VersionedTable.committedTxn(spark, root) == Some(0L))
+    VersionedTable.append(spark, root, snapshot(2L -> "b"), 0, txn = Some(1L))
+    assert(VersionedTable.committedTxn(spark, root) == Some(1L))
+    assert(VersionedTable.committedTxn(spark, root, Some(0)) == Some(0L))
+    // a txn-less maintenance commit clears the marker for its version
+    VersionedTable.compact(spark, root)
+    assert(VersionedTable.committedTxn(spark, root).isEmpty)
+    // data reads are unaffected by marker lines
+    assert(VersionedTable.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq(1L -> "a", 2L -> "b"))
   }
 }

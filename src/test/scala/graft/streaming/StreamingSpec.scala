@@ -398,4 +398,28 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(table, "data").list().length == 3)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("versioned append batch is idempotent per batchId — crash replay appends nothing") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-vreplay").toFile.getAbsolutePath
+    val table = s"$root/tbl"
+    val b0 = Seq(1L -> "a").toDF("id", "body")
+    val b1 = Seq(2L -> "b").toDF("id", "body")
+    Streams.versionedAppendBatch(spark, table, b0, batchId = 0L)
+    Streams.versionedAppendBatch(spark, table, b1, batchId = 1L)
+    // crash between commit and checkpoint advance: the restarted query
+    // re-delivers batch 1 — the txn marker recognizes it committed
+    Streams.versionedAppendBatch(spark, table, b1, batchId = 1L)
+    assert(graft.sources.VersionedTable.latestVersion(spark, table) == 1,
+      "replayed batch must not mint a new version")
+    assert(graft.sources.VersionedTable.read(spark, table).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq(1L -> "a", 2L -> "b"),
+      "replayed batch must not duplicate rows")
+    // a genuinely new batch still appends
+    Streams.versionedAppendBatch(spark, table,
+      Seq(3L -> "c").toDF("id", "body"), batchId = 2L)
+    assert(graft.sources.VersionedTable.read(spark, table).count() == 3)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
