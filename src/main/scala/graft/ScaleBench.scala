@@ -207,6 +207,14 @@ object ScaleBench {
           e.filter(col("event_id") % 10 === 3), e.filter(col("event_id") % 10 =!= 3),
           Seq("user_id", "event_type"))
       }),
+      // the complete 8-stage curation DAG unbounded (Curation.e2e):
+      // two corpus-wide wide stages (boilerplate df, exact-dedup agg),
+      // banded LSH near-dup, broadcast decontam/blocklist, capped
+      // window, scan-level mix, shard-local packing — expected ~the
+      // near-dup stage's exponent (the funnel's only superlinear risk)
+      "pipeline_e2e" -> (() => graft.pipeline.Curation.e2e(
+        docs.filter(col("doc_id") >= 20),
+        bench = docs.filter(col("doc_id") < 20))),
       // broadcast key eviction + union over the full snapshot
       "upsert" -> (() => {
         val cs = docs.filter(col("doc_id") % 7 === 1)

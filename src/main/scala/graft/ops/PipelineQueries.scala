@@ -326,6 +326,52 @@ object PipelineQueries extends QueryPack {
   def pipelineCurate(s: SparkSession, d: String): DataFrame =
     Curation.curate(docs(s, d))
 
+  /** The COMPLETE curation DAG a production training-data pipeline
+    * ships — eight stages, each a library operator, composed as one
+    * dataflow and hash-gated end to end by a DuckDB CTE chain running
+    * the identical construction:
+    *
+    *   1. quality gate (≥20 tokens, mean token length ≤12);
+    *   2. CCNet-style boilerplate removal (2-token chunks in >15 docs
+    *      drop everywhere, docs reassembled in order);
+    *   3. exact dedup on the CLEANED content, keep-min-id — provably
+    *      active via a deterministic re-crawl fixture (every %13==3
+    *      doc enters twice, id-shifted; the funnel must collapse it);
+    *   4. MinHash near-dup at recall-1 banding (r=2, the
+    *      dedup_minhash_verified argument) + exact-Jaccard verify at
+    *      0.7; greedy min-id retention drops the larger id of every
+    *      surviving pair;
+    *   5. decontamination: any trigram shared with the doc_id<20
+    *      bench slice flags the doc (decontam_overlap's construction);
+    *   6. per-source domain cap (10 best by length; WindowGroupLimit
+    *      pushes the rank filter into each partition);
+    *   7. declared-permille corpus mixing (en 800‰ / de 500‰ /
+    *      fr 200‰, the Lehmer predicate — zero shuffles);
+    *   8. token-budget sequence packing of the mixed survivors
+    *      (budget 64, 8 hash shards, shard-parallel prefix sums).
+    *
+    * doc_id < 1000 bound: the dedup_minhash SF-independence
+    * discipline — the DuckDB oracle's near-dup stage is all-pairs
+    * Jaccard, quadratic by construction; the ENGINE's stages are the
+    * scale-shaped spellings throughout (broadcast blocklists, banded
+    * LSH, broadcast bench shingles, WindowGroupLimit, scan-level mix
+    * predicates, shard-local prefix sums), so the row verifies the
+    * composition's SEMANTICS while ScaleBench's pipeline_e2e row
+    * measures its unbounded scaling. Exactly two wide stages touch
+    * the full corpus width (boilerplate df agg, exact-dedup agg);
+    * everything after operates on monotonically shrinking survivors. */
+  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val raw = docs(s, d).filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+    val base = raw.unionByName(
+      raw.filter(col("doc_id") % 13 === 3)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+    Curation.e2e(base.filter(col("doc_id") >= 20),
+        bench = base.filter(col("doc_id") < 20))
+      .orderBy("doc_id")
+  }
+
   // ---- similarity search ----
 
   def simTopkBrute(s: SparkSession, d: String): DataFrame =
@@ -352,6 +398,14 @@ object PipelineQueries extends QueryPack {
   // index cost, every call after the first times SERVING. Determinism
   // is unaffected (fixed seed; the cached artifact IS the one a fresh
   // build produces).
+  // Lifetime note (round-9 advice): entries pin localCheckpointed
+  // blocks for the application's lifetime keyed on (appId, dir) — a
+  // deliberate trade for the single-app bench/Verify topology (the
+  // handful of demo indexes is bounded; a serving deployment persists
+  // through AnnIndexStore instead of caching here). getOrElseUpdate on
+  // TrieMap is not atomic, so two concurrent first calls could build
+  // twice — harmless (identical artifacts, one wins the put; nothing
+  // here runs gate rows concurrently).
   private val pqIndexCache =
     scala.collection.concurrent.TrieMap[String, Similarity.PqIndex]()
   private val ivfPqIndexCache =
@@ -828,7 +882,10 @@ object PipelineQueries extends QueryPack {
   // FORMAT must never change merge RESULTS (the q30 layout
   // discipline; merge() itself reads the base snapshot through the
   // programmatic path, so both read spellings sit in this one row).
-  // Fresh temp root per invocation so every run commits from scratch.
+  // Fresh temp root per invocation so every run commits from scratch;
+  // the result is MATERIALIZED (eager localCheckpoint) so the temp
+  // table can be deleted before returning — without this, repeated
+  // bench runs leak two full corpus copies into /tmp per repetition.
   def pipelineVersionedMerge(s: SparkSession, d: String): DataFrame = {
     val snap = docs(s, d)
     val upd = snap.filter(col("doc_id") % 7 === 1)
@@ -838,15 +895,19 @@ object PipelineQueries extends QueryPack {
     val ins = snap.filter(col("doc_id") % 7 === 2)
       .withColumn("doc_id", col("doc_id") + 1000000L)
       .withColumn("source", lit("ingested")).withColumn("op", lit("U"))
-    val root = java.nio.file.Files.createTempDirectory("graft_vtable")
-      .resolve("tbl").toString
-    graft.sources.VersionedTable.init(s, root, snap)
-    graft.sources.VersionedTable.merge(s, root,
-      upd.unionByName(del).unionByName(ins), "doc_id")
-    s.read.format("graft-versioned").option("versionAsOf", 1).load(root)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        md5(col("text")).as("text_md5"))
-      .orderBy("doc_id")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vtable")
+    val root = tmpRoot.resolve("tbl").toString
+    try {
+      graft.sources.VersionedTable.init(s, root, snap)
+      graft.sources.VersionedTable.merge(s, root,
+        upd.unionByName(del).unionByName(ins), "doc_id")
+      s.read.format("graft-versioned").option("versionAsOf", 1).load(root)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
   // per-language PERCENT_RANK without the per-group window funnel —
@@ -946,6 +1007,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_zorder" -> pipelineZorder _,
     "text_nfc" -> textNfc _,
     "pipeline_curate" -> pipelineCurate _,
+    "pipeline_e2e" -> pipelineE2e _,
     "sim_topk_brute" -> simTopkBrute _,
     "sim_topk_graph" -> simTopkGraph _,
     "sim_topk_lsh" -> simTopkLsh _,
@@ -1876,6 +1938,88 @@ object PipelineQueries extends QueryPack {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept_chunks,
         |  string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the 8-stage funnel as one CTE chain: each stage reuses the
+    // dialect its standalone oracle pinned (boilerplate from
+    // text_boilerplate, all-pairs Jaccard from dedup_minhash_verified,
+    // shingle overlap from decontam_overlap, Lehmer mix/pack from
+    // pipeline_mix/text_pack) — the near-dup stage is exact all-pairs
+    // here because recall-1 banding + exact verify EQUALS it on the
+    // bounded subset
+    "pipeline_e2e" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, source, n_chars, text FROM documents
+         |  WHERE doc_id < 1000
+         |  UNION ALL
+         |  SELECT doc_id + 100000, lang, source, n_chars, text FROM documents
+         |  WHERE doc_id < 1000 AND doc_id % 13 = 3),
+         |q AS (
+         |  SELECT doc_id, lang, source, n_chars, text FROM (
+         |    SELECT *, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS nrt,
+         |      CAST(length(text) AS DOUBLE) /
+         |        CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS mtl
+         |    FROM base WHERE doc_id >= 20)
+         |  WHERE nrt >= 20 AND mtl <= 12.0),
+         |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM q),
+         |c AS (SELECT doc_id, toks,
+         |    unnest(range(0, CAST((len(toks)-1)//2 AS INTEGER) + 1)) AS chunk_idx FROM t),
+         |ch AS (SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         |    array_to_string(toks[chunk_idx*2+1 : chunk_idx*2+2], ' ') AS chunk_text FROM c),
+         |bl AS (SELECT chunk_text FROM ch GROUP BY chunk_text HAVING COUNT(DISTINCT doc_id) > 15),
+         |cleaned AS (
+         |  SELECT ch.doc_id, string_agg(ch.chunk_text, ' ' ORDER BY ch.chunk_idx) AS clean_text
+         |  FROM ch LEFT JOIN bl ON ch.chunk_text = bl.chunk_text
+         |  WHERE bl.chunk_text IS NULL GROUP BY ch.doc_id),
+         |exact AS (
+         |  SELECT doc_id, clean_text FROM cleaned
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM cleaned GROUP BY md5(clean_text))),
+         |ts AS (SELECT doc_id, clean_text,
+         |    list_distinct(string_split_regex(clean_text, '\\s+')) AS tset FROM exact),
+         |neardrop AS (
+         |  SELECT DISTINCT b.doc_id FROM ts a JOIN ts b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE) /
+         |    (len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset))) >= 0.7),
+         |near AS (SELECT doc_id, clean_text FROM ts
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+         |      range(1, greatest(len(t2)-2, 1)+1),
+         |      i -> array_to_string(t2[i:i+2], ' ')))) AS sh
+         |  FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS t2
+         |        FROM base WHERE doc_id < 20)),
+         |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |      range(1, greatest(len(t3)-2, 1)+1),
+         |      i -> array_to_string(t3[i:i+2], ' ')))) AS sh
+         |  FROM (SELECT doc_id, string_split_regex(clean_text, '\\s+') AS t3 FROM near)),
+         |contam AS (SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (sh)),
+         |decon AS (SELECT doc_id, clean_text FROM near
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |capped AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT b2.doc_id, b2.lang,
+         |      ROW_NUMBER() OVER (PARTITION BY b2.source
+         |        ORDER BY b2.n_chars DESC, b2.doc_id) AS rn
+         |    FROM base b2 WHERE b2.doc_id IN (SELECT doc_id FROM decon)) WHERE rn <= 10),
+         |h AS (SELECT doc_id, lang,
+         |    ((doc_id % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P} AS hh
+         |  FROM capped),
+         |mixed AS (
+         |  SELECT doc_id, lang, 'en_heavy' AS mix_source, hh FROM h
+         |    WHERE lang = 'en' AND hh < ${Sampling.thresholdFor(800)}
+         |  UNION ALL
+         |  SELECT doc_id, lang, 'de_half', hh FROM h
+         |    WHERE lang = 'de' AND hh < ${Sampling.thresholdFor(500)}
+         |  UNION ALL
+         |  SELECT doc_id, lang, 'fr_light', hh FROM h
+         |    WHERE lang = 'fr' AND hh < ${Sampling.thresholdFor(200)}),
+         |ntok AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(clean_text, '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM decon),
+         |p AS (SELECT m.doc_id, m.lang, m.mix_source, m.hh % 8 AS shard, ntok.n_tokens,
+         |    SUM(ntok.n_tokens) OVER (PARTITION BY m.hh % 8 ORDER BY m.hh, m.doc_id)
+         |      - ntok.n_tokens AS prefix
+         |  FROM mixed m JOIN ntok USING (doc_id))
+         |SELECT doc_id, lang, mix_source, CAST(shard AS BIGINT) AS shard,
+         |  CAST(prefix // 64 AS BIGINT) AS seq_idx, n_tokens
+         |FROM p ORDER BY doc_id""".stripMargin,
     // trigram shingles mirror TextFunctions.wordShingles: indices
     // 1..max(len-2, 1), slice truncated at the end, per-doc distinct
     "decontam_overlap" ->

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextFunctions._
@@ -53,5 +54,101 @@ object Curation {
         // the only rounding step, identical in both oracle engines
         (sum(col("n_tokens").cast("double")) / count(lit(1))).as("mean_tokens"))
       .orderBy("lang")
+  }
+
+  /** The COMPLETE eight-stage curation DAG (quality gate → boilerplate
+    * removal → exact dedup → MinHash near-dup → decontamination →
+    * domain cap → mix → pack) — every stage a library operator, each
+    * keeping its scale shape:
+    *
+    *  - two corpus-wide wide stages total (the boilerplate df
+    *    aggregate and the exact-dedup aggregate); every later stage
+    *    operates on monotonically shrinking survivors;
+    *  - blocklist, benchmark shingles, and mix predicates reach the
+    *    data as broadcasts or scan-level integer predicates — no
+    *    survivor-side shuffle for stages 5 and 7;
+    *  - the near-dup stage is banded MinHash LSH (subquadratic by
+    *    construction) with exact-Jaccard verification;
+    *  - the domain cap's rank ≤ `capPerSource` pushes into
+    *    WindowGroupLimit; packing's prefix sums run shard-parallel.
+    *
+    * `train` is the corpus to curate; `bench` the external eval set
+    * decontamination protects (any shared trigram flags the doc).
+    * Returns one row per surviving doc:
+    * (doc_id, lang, mix_source, shard, seq_idx, n_tokens) — n_tokens
+    * counted on the CLEANED text. PipelineQueries.pipelineE2e gates
+    * this composition against a DuckDB CTE chain on a bounded
+    * fixture; ScaleBench's pipeline_e2e row measures it unbounded. */
+  def e2e(train: DataFrame, bench: DataFrame,
+      minTokens: Int = 20, maxMeanTokLen: Double = 12.0,
+      chunkSize: Int = 2, maxDf: Int = 15,
+      nearThreshold: Double = 0.7, capPerSource: Int = 10,
+      mixPermille: Seq[(String, String, Int)] = Seq(
+        ("en_heavy", "en", 800), ("de_half", "de", 500),
+        ("fr_light", "fr", 200)),
+      budget: Int = 64, shards: Int = 8): DataFrame = {
+    // STAGE BOUNDARIES MATERIALIZE (localCheckpoint, eager): every
+    // stage output below feeds ≥2 consumers (the dedup self-join, the
+    // drop-list anti joins, the cap/pack/metadata joins), so leaving
+    // the lineage lazy re-expands the ENTIRE upstream funnel once per
+    // consumer branch — measured 1035 Exchange nodes in the composed
+    // plan before checkpointing vs ~a dozen after (the Cga/NN-Descent
+    // iterative-lineage discipline applied to a DAG). This is also
+    // what a production pipeline does: each curation stage lands as a
+    // table before the next reads it. Blocks belong to the returned
+    // frame; the ContextCleaner reaps them when the caller drops it.
+    // 1. quality gate
+    val q = train
+      .withColumn("__nt", size(tokens(col("text"))).cast("long"))
+      .withColumn("__mtl", try_divide(length(col("text")).cast("double"),
+        col("__nt").cast("double")))
+      .filter(col("__nt") >= minTokens && col("__mtl") <= maxMeanTokLen)
+      .drop("__nt", "__mtl")
+    // 2. boilerplate removal over the quality survivors
+    val cleaned = TextAnalysis.boilerplateRemoval(q, chunkSize, maxDf)
+      .select(col("doc_id"), col("clean_text"))
+      .localCheckpoint(true)
+    // 3. exact dedup, keep-min-id on the cleaned content key
+    val keep = cleaned.groupBy(md5(col("clean_text")).as("__ck"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val exact = cleaned.join(keep, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    // 4. MinHash near-dup (recall-1 banding + exact verify), greedy
+    // min-id retention: every pair's larger id drops
+    val pairs = Dedup.minhashPairs(
+      exact.select(col("doc_id"), col("clean_text").as("text")),
+      shingleN = 1, k = 64, bands = 32, threshold = nearThreshold)
+    val near = exact.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // 5. decontamination vs the bench slice
+    val dirty = Decontamination.contaminated(
+      near.select(col("doc_id"), col("clean_text").as("text")), bench,
+      n = 3, minHits = 1)
+    val decon = near.join(dirty.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // 6. per-source domain cap, longest-first
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val capped = train.join(decon.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source", "n_chars")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= capPerSource)
+      .drop("__rn")
+      .localCheckpoint(true) // one consumer per mix source below
+    // 7. declared-permille mix (mixed feeds the pack input AND the
+    // final metadata join — one more two-consumer boundary)
+    val mixed = Sampling.mixCorpora(
+      mixPermille.map { case (label, lang, permille) =>
+        (label, capped.filter(col("lang") === lang), permille)
+      }, "doc_id")
+      .localCheckpoint(true)
+    // 8. token-budget packing of the mixed survivors (cleaned text)
+    val packed = TextAnalysis.packSequences(
+      mixed.select("doc_id").join(decon, "doc_id")
+        .select(col("doc_id"), col("clean_text").as("text")),
+      budget, shards)
+    packed.join(mixed.select("doc_id", "lang", "mix_source"), "doc_id")
+      .select("doc_id", "lang", "mix_source", "shard", "seq_idx", "n_tokens")
   }
 }

@@ -327,4 +327,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOccurrences(p, "hashpartitioning\\(shard") == 1, p.take(1500))
     assert(!p.contains("rangepartitioning"), p.take(1500))
   }
+
+  test("pipeline_e2e: stage boundaries materialize; the composed tail plan stays bounded") {
+    // the multi-consumer stage outputs (cleaned/exact/near/decon/
+    // capped/mixed) MUST be localCheckpoint boundaries: composed lazily
+    // the funnel re-expands its upstream once per consumer branch —
+    // measured 1035 Exchange nodes in the un-checkpointed plan vs a
+    // handful after. The audit pins both halves of that fix:
+    val p = plan(graft.ops.PipelineQueries.pipelineE2e(spark, dir))
+    // (a) boundaries materialized: the final plan reads the prior
+    // stage as an existing-RDD scan, not a re-derivation (no parquet
+    // scan of documents should survive into the tail)
+    assert(p.contains("ExistingRDD") || p.contains("RDDScan"),
+      "stage boundaries lost their localCheckpoint:\n" + p.take(1500))
+    // (b) the tail (pack + metadata join + final sort) census: one
+    // shard window exchange, the pack/metadata joins, one range
+    // partition for the ORDER BY — measured 6 at round 10
+    val n = countOccurrences(p, "\\(\\d+\\) Exchange")
+    assert(n <= 8, s"pipeline_e2e tail exchange count grew to $n:\n" + p.take(3000))
+    assert(countOccurrences(p, "rangepartitioning") <= 1, p.take(2000))
+    // per-stage plan claims (broadcast blocklist, WindowGroupLimit
+    // cap, zero-exchange mix, single-exchange pack) are audited on the
+    // stage operators' own tests in this suite — the boundaries make
+    // them invisible here by design.
+  }
 }
