@@ -694,10 +694,8 @@ object Dedup {
       s"nAssign=$nAssign must be in [1, nCells=$nCells]")
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("e"))
-    val sample = e
-      .orderBy(pmod(xxhash64(col("vec_id") + seed), lit(1000000007L)))
-      .limit(sampleSize)
-      .collect().map(_.getSeq[Double](1).toArray)
+    val sample = Similarity.trainingSample(e, "vec_id", "e",
+      sampleSize, seed)
     // empty corpus: nothing to train on, nothing to pair — return the
     // empty pair set like every other dedup family member
     if (sample.isEmpty)

@@ -155,11 +155,10 @@ object Embeddings {
       sampleSize: Int = 512, trainIters: Int = 8, seed: Long = 42L,
       embedCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val sample = emb.select(col(idCol),
-        transform(col(embedCol), x => x.cast("double")).as("e"))
-      .orderBy(pmod(xxhash64(col(idCol) + seed), lit(1000000007L)))
-      .limit(sampleSize)
-      .collect().map(_.getSeq[Double](1).toArray)
+    val sample = Similarity.trainingSample(
+      emb.select(col(idCol),
+        transform(col(embedCol), x => x.cast("double")).as("e")),
+      idCol, "e", sampleSize, seed)
     require(sample.nonEmpty, "cannot cluster an empty corpus")
     // deterministic farthest-point init (the kmeans++ hard-max variant):
     // Lloyd from first-k init can land a split-cluster local optimum;

@@ -37,6 +37,45 @@ object Similarity {
     emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("e"))
 
+  /** The `n` vectors whose ids Lehmer-hash smallest — the bounded,
+    * seeded, deterministic training sample every quantizer here uses
+    * (IVF cells, PQ codebooks, embedding k-means, semantic dedup).
+    *
+    * Selection is the same criterion the previous
+    * `orderBy(hash).limit(n).collect()` spelling planned as
+    * TakeOrdered, with an id tie-break making the order TOTAL (the
+    * window spelling left hash ties to partition layout). The
+    * execution shape is the round-9 advice: a treeAggregate of
+    * per-partition bounded heaps, merged executor-side in a tree — the
+    * driver receives exactly n rows ONCE, where TakeOrdered's final
+    * merge hands it n·partitions rows (cosmetic at bench configs,
+    * unbounded at a 10⁵-partition corpus scan). Deterministic under
+    * any partitioning: "n smallest under a total order" is
+    * associative and commutative, so the merge tree's shape cannot
+    * change the result. */
+  private[pipeline] def trainingSample(df: DataFrame, idCol: String,
+      vecCol: String, n: Int, seed: Long): Array[Array[Double]] = {
+    import df.sparkSession.implicits._
+    type Entry = (Long, Long, Array[Double])
+    // max-heap on (hash, id): head = current worst of the kept n
+    val ord = Ordering.by[Entry, (Long, Long)](e => (e._1, e._2))
+    val rows = df.select(
+        pmod(xxhash64(col(idCol) + seed), lit(1000000007L)).as("_1"),
+        col(idCol).cast("long").as("_2"), col(vecCol).as("_3"))
+      .as[(Long, Long, Seq[Double])]
+    def insert(h: scala.collection.mutable.PriorityQueue[Entry],
+        e: Entry) = {
+      if (h.size < n) h.enqueue(e)
+      else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
+      h
+    }
+    val heap = rows.rdd.treeAggregate(
+      scala.collection.mutable.PriorityQueue.empty[Entry](ord))(
+      (h, r) => insert(h, (r._1, r._2, r._3.toArray)),
+      (a, b) => { b.foreach(insert(a, _)); a })
+    heap.toArray.sortBy(e => (e._1, e._2)).map(_._3)
+  }
+
   /** All (query, candidate) cosine scores; query side broadcast. */
   private def scores(emb: DataFrame, maxQueryId: Long): Dataset[Score] = {
     import emb.sparkSession.implicits._
@@ -103,10 +142,7 @@ object Similarity {
     import emb.sparkSession.implicits._
     val e = asDouble(emb)
     // --- train the coarse quantizer on a bounded, seeded sample ---
-    val sample = e.select(col("vec_id"), col("e"))
-      .orderBy(pmod(xxhash64(col("vec_id") + seed), lit(1000000007L)))
-      .limit(sampleSize)
-      .collect().map(_.getSeq[Double](1).toArray)
+    val sample = trainingSample(e, "vec_id", "e", sampleSize, seed)
     val centroids = kmeans(sample, nCells, trainIters, seed)
     // --- cell assignment as a declarative argmin expression ---
     def dot(v: Column, c: Array[Double]): Column =
@@ -282,10 +318,7 @@ object Similarity {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val n = normalized(emb)
-    val sample = n
-      .orderBy(pmod(xxhash64(col("vec_id") + seed), lit(1000000007L)))
-      .limit(sampleSize)
-      .collect().map(_.getSeq[Double](1).toArray)
+    val sample = trainingSample(n, "vec_id", "e", sampleSize, seed)
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
       kmeans(sample.map(v => v.slice(j * sub, (j + 1) * sub)),
         codebookSize, trainIters, seed + j)
@@ -466,10 +499,7 @@ object Similarity {
       sampleSize: Int = 512, dim: Int = 64): IvfPqIndex = {
     val (coded0, books) = pqAssign(emb, m, codebookSize, seed,
       trainIters, sampleSize, dim)
-    val sample = coded0
-      .orderBy(pmod(xxhash64(col("vec_id") + seed), lit(1000000007L)))
-      .limit(sampleSize)
-      .select(col("e")).collect().map(_.getSeq[Double](0).toArray)
+    val sample = trainingSample(coded0, "vec_id", "e", sampleSize, seed)
     val centroids = kmeans(sample, nCells, trainIters, seed + 7919)
     // feeds probe scan AND exact refine once
     val coded = cellAssign(coded0, centroids).localCheckpoint(true)
