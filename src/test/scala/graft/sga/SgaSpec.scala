@@ -64,6 +64,19 @@ class SgaSpec extends SparkSpec {
       s"trajectory drifted: ${r.history}")
   }
 
+  test("sga_generation_invariant gate row: one row per distinct genome, " +
+      "multiplicities sum to popSize, fitness within [0, nBits]") {
+    val rows = graft.ops.GaQueries.sgaGenerationInvariant(spark, "").collect()
+    assert(rows.map(_.getLong(1)).sum == 4096L)
+    assert(rows.forall { r =>
+      val f = r.getLong(2); f >= 0L && f <= 256L })
+    // keys are distinct by construction (groupBy); the fixture it
+    // wrote is replayable — a second invocation reproduces the rows
+    val again = graft.ops.GaQueries.sgaGenerationInvariant(spark, "").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("runLoop converges on ONEMAX n=64 (seeded)") {
     val r = Sga.runLoop(spark, cfg)
     assert(r.bestFitness >= cfg.nBits - cfg.convergenceSlack,
