@@ -563,6 +563,16 @@ object PipelineQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // the dedup pipeline's last mile: leakage-safe train/valid/test
+  // split — every near-dup COMPONENT lands wholly in one split, so
+  // near-duplicates can never straddle the train/eval boundary
+  // (the same bounded exact clustering dedup_clusters gates, then a
+  // narrow Lehmer-threshold projection over the component label)
+  def pipelineSplitSafe(s: SparkSession, d: String): DataFrame =
+    Sampling.leakageSafeSplit(
+      Dedup.nearDupClusters(docs(s, d), maxId = 100L, threshold = 0.8))
+      .orderBy("doc_id")
+
   // token-budget sequence packing: whole docs dealt into 8 shards,
   // greedily packed into ~256-token training sequences — shard-
   // parallel prefix sums, never a global single-task cumsum
@@ -1030,6 +1040,7 @@ object PipelineQueries extends QueryPack {
     "text_boilerplate" -> textBoilerplate _,
     "text_pack" -> textPack _,
     "pipeline_mix" -> pipelineMix _,
+    "pipeline_split_safe" -> pipelineSplitSafe _,
     "text_postings" -> textPostings _,
     "text_redact" -> textRedact _,
     "pipeline_domain_cap" -> pipelineDomainCap _,
@@ -1385,6 +1396,19 @@ object PipelineQueries extends QueryPack {
         |  FROM j)
         |SELECT component, doc_id AS keep_id, n_chars AS best_chars, n_docs
         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
+    // leakage-safe split: same recursive-CTE components, then the
+    // identical int64 Lehmer-threshold CASE over the component label
+    "pipeline_split_safe" -> (clustersCte +
+      s"""
+        |SELECT doc_id, component,
+        |  CASE WHEN (component % ${Sampling.P}) * ${Sampling.A}
+        |         % ${Sampling.P} * ${Sampling.A} % ${Sampling.P}
+        |         < ${Sampling.thresholdFor(800)} THEN 'train'
+        |       WHEN (component % ${Sampling.P}) * ${Sampling.A}
+        |         % ${Sampling.P} * ${Sampling.A} % ${Sampling.P}
+        |         < ${Sampling.thresholdFor(900)} THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM comp ORDER BY doc_id""".stripMargin),
     // stats_cms_topk is rows-only by design (sketch estimates are
     // engine-specific); this exact row pins the top-k the sketch
     // approximates

@@ -123,4 +123,41 @@ object Sampling {
         .withColumn("mix_source", lit(label))
     }.reduce(_ unionByName _)
   }
+
+  /** Leakage-safe train/valid/test split: assign every near-dup
+    * COMPONENT — not every document — to a split, so near-duplicates
+    * can never straddle the train/eval boundary (the contamination
+    * mode Lee et al. §6.2 and the GPT-3 appendix both document:
+    * benchmark answers leaking into training via unnoticed near-dups
+    * inflate eval scores). Input is the (id, component) output of
+    * [[graft.pipeline.Dedup.clusterPairs]] — any candidate generator
+    * (exact, MinHash, SimHash, embedding) feeds it; singletons label
+    * themselves there, so every document gets a split.
+    *
+    * The split is the hash-threshold discipline of [[hashSample]],
+    * applied to the component label: `lehmer²(component)` against
+    * nested permille thresholds. Membership is a pure int64 function
+    * of (component, rates) — reproducible across engines and reruns —
+    * and thresholds NEST: growing trainPermille only ever MOVES
+    * components into train from valid/test (never reshuffles them), so
+    * a regenerated 850‰ split contains the 800‰ split's train set.
+    *
+    * At 100 TB: one narrow projection over the clustering output (the
+    * expensive part — candidate generation + CC — is the dedup
+    * pipeline the corpus already ran); joining the label back to the
+    * corpus is a key-sized broadcast or a co-partitioned join on id. */
+  def leakageSafeSplit(components: DataFrame, trainPermille: Int = 800,
+      validPermille: Int = 100, idCol: String = "doc_id",
+      componentCol: String = "component"): DataFrame = {
+    require(trainPermille >= 0 && validPermille >= 0 &&
+      trainPermille + validPermille <= 1000,
+      s"rates must be non-negative and sum <= 1000 permille, " +
+        s"got $trainPermille + $validPermille")
+    val h = (col(componentCol) % P) * A % P * A % P
+    components.select(col(idCol), col(componentCol),
+      when(h < thresholdFor(trainPermille), "train")
+        .when(h < thresholdFor(trainPermille + validPermille), "valid")
+        .otherwise("test")
+        .as("split"))
+  }
 }

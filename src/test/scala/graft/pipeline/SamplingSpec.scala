@@ -129,4 +129,36 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.mixCorpora(Seq(("x", a, 10), ("x", b, 10)), "doc_id"))
   }
+
+  test("leakageSafeSplit: components never straddle splits; rates land; " +
+      "growing train only absorbs, never reshuffles") {
+    // 2000 docs in 500 4-member components
+    val comps = (0L until 2000L).map(i => (i, (i % 500L) * 4L))
+      .toDF("doc_id", "component")
+    val split = Sampling.leakageSafeSplit(comps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(split.length == 2000)
+    // leakage-safety: split is a pure function of component
+    assert(split.groupBy(_._2).forall(_._2.map(_._3).distinct.length == 1))
+    // rough rates over the 500 components (800/100/100 permille)
+    val byComp = split.groupBy(_._2).map(_._2.head._3).toSeq
+    val train = byComp.count(_ == "train")
+    assert(math.abs(train - 400) < 60, s"train comps: $train / 500")
+    assert(byComp.count(_ == "valid") > 10 && byComp.count(_ == "test") > 10)
+    // nesting: raising train rate never evicts a train member
+    val wider = Sampling.leakageSafeSplit(comps, trainPermille = 900,
+      validPermille = 50)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val train800 = split.filter(_._3 == "train").map(_._1).toSet
+    val train900 = wider.filter(_._2 == "train").map(_._1).toSet
+    assert(train800.subsetOf(train900))
+    // partitioning independence
+    val again = Sampling.leakageSafeSplit(comps.repartition(13))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(again == split.map(r => (r._1, r._3)).toSet)
+    // invalid rates rejected
+    intercept[IllegalArgumentException](
+      Sampling.leakageSafeSplit(comps, trainPermille = 950,
+        validPermille = 100))
+  }
 }
