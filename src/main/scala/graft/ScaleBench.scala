@@ -215,6 +215,16 @@ object ScaleBench {
       "pipeline_e2e" -> (() => graft.pipeline.Curation.e2e(
         docs.filter(col("doc_id") >= 20),
         bench = docs.filter(col("doc_id") < 20))),
+      // quantizer drift audit over a growing corpus against a FIXED
+      // index and batch: two scans folding the per-row error
+      // expression into partial+final avgs — expected ~linear in the
+      // audited corpus with a small constant (the audit costs what a
+      // count costs; index builds lazily once per dir, run 1 pays it)
+      "pq_drift" -> {
+        lazy val idx = Similarity.pqIndex(emb, m = 8, codebookSize = 16)
+        () => Similarity.pqDriftAudit(idx,
+          emb.filter(col("vec_id") % 5 === 0), rebuildThreshold = 2.0)
+      },
       // broadcast key eviction + union over the full snapshot
       "upsert" -> (() => {
         val cs = docs.filter(col("doc_id") % 7 === 1)

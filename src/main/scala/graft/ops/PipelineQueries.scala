@@ -438,6 +438,34 @@ object PipelineQueries extends QueryPack {
       .orderBy("qid", "rn")
   }
 
+  // the REBUILD-DECISION half of the index lifecycle: mean
+  // quantization error of a candidate ingest batch vs the index's
+  // build-time baseline, rebuild flag at 2x. Two batches audited
+  // in-plan: an on-distribution subset of the corpus itself (rides
+  // ~1x) and a planted geometry shift (one-hot spike vectors — a
+  // distribution no dense-trained codebook fits). Rows-only: the
+  // ratio IS the audit, and the spec pins its behavior on
+  // constructed distributions.
+  def simPqDrift(s: SparkSession, d: String): DataFrame = {
+    val idx = pqIndexCache.getOrElseUpdate(
+      s.sparkContext.applicationId + "|" + d,
+      Similarity.pqIndex(emb(s, d), m = 16, codebookSize = 16))
+    val onDist = emb(s, d).filter(col("vec_id") % 5 === 0)
+    val shifted = onDist.withColumn("embedding",
+      transform(sequence(lit(0), lit(63)),
+        i => when(i === (col("vec_id") % 64).cast("int"), lit(1.0f))
+          .otherwise(lit(0.0f))))
+    Similarity.pqDriftAudit(idx, onDist, rebuildThreshold = 2.0)
+      .withColumn("batch", lit("ondist"))
+      .unionByName(
+        Similarity.pqDriftAudit(idx, shifted, rebuildThreshold = 2.0)
+          .withColumn("batch", lit("shifted")))
+      .select(col("batch"), col("n_corpus"), col("n_batch"),
+        col("corpus_mse"), col("batch_mse"), col("drift_ratio"),
+        col("rebuild"))
+      .orderBy("batch")
+  }
+
   // the navigable-graph ANN member (GraphAnn): NN-Descent k-NN graph
   // + relational beam search. Rows-only — graph construction is
   // engine-specific — with the family's in-plan recall audit; the
@@ -1024,6 +1052,7 @@ object PipelineQueries extends QueryPack {
     "sim_topk_ivf" -> simTopkIvf _,
     "sim_topk_pq" -> simTopkPq _,
     "sim_topk_ivfpq" -> simTopkIvfPq _,
+    "sim_pq_drift" -> simPqDrift _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangid _,

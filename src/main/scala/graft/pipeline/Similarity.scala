@@ -518,6 +518,72 @@ object Similarity {
         cellAssign(pqEncodeBatch(newEmb, idx.books), idx.centroids))
       .localCheckpoint(true), idx.books, idx.centroids)
 
+  /** Per-row PQ quantization error — squared L2 between the
+    * normalized vector and its codebook reconstruction, decomposed
+    * per subspace (‖x_j‖² − 2·x_j·c + ‖c‖² at the row's assigned
+    * code), as a pure expression over (e, code). Codebooks ride as
+    * literals; no shuffle, no UDF. */
+  private def quantizationErrorCol(
+      books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val sub = books(0)(0).length
+    def dot(v: Column, c: Array[Double]): Column =
+      graft.functions.VectorOps.dotProduct(v,
+        array(c.toIndexedSeq.map(lit): _*))
+    (0 until m).map { j =>
+      val xj = slice(col("e"), j * sub + 1, sub)
+      val errs = array(books(j).toIndexedSeq.map(c =>
+        graft.functions.VectorOps.dotProduct(xj, xj) -
+          lit(2.0) * dot(xj, c) + lit(c.map(x => x * x).sum)): _*)
+      element_at(errs, element_at(col("code"), j + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Quantization-DRIFT audit: the rebuild-decision half of the
+    * build/extend lifecycle. [[pqIndexExtend]]/[[ivfPqIndexExtend]]
+    * encode new batches against FIXED quantizers, which stays accurate
+    * only while ingest resembles the training distribution — under
+    * drift, quantization error creeps up and ADC rankings silently
+    * degrade. This op measures exactly that: mean squared
+    * quantization error over the index's existing coded corpus (the
+    * achieved-at-build baseline) vs the same error on a candidate
+    * batch encoded with the same codebooks, and recommends a rebuild
+    * when the ratio exceeds `rebuildThreshold` (FAISS deployments run
+    * the same check before choosing re-train vs add).
+    *
+    * At 100 TB: two scans — corpus and batch — each folding the
+    * per-row error expression into a partial+final avg, then a
+    * broadcast cross join of two single-row aggregates. No
+    * full-width shuffle anywhere; the audit costs what a count
+    * costs. Returns one row: n_corpus, n_batch, corpus_mse,
+    * batch_mse, drift_ratio, rebuild (0/1 — BIGINT so the row is
+    * driver-canonicalizable). */
+  def pqDriftAudit(coded: DataFrame, books: Array[Array[Array[Double]]],
+      batch: DataFrame, rebuildThreshold: Double = 2.0): DataFrame = {
+    require(rebuildThreshold > 0, "rebuildThreshold must be positive")
+    val err = quantizationErrorCol(books)
+    val corpus = coded.agg(count(lit(1)).as("n_corpus"),
+      avg(err).as("corpus_mse"))
+    val b = pqEncodeBatch(batch, books).agg(count(lit(1)).as("n_batch"),
+      avg(err).as("batch_mse"))
+    corpus.crossJoin(b)
+      .withColumn("drift_ratio", col("batch_mse") / col("corpus_mse"))
+      .withColumn("rebuild",
+        (col("drift_ratio") > rebuildThreshold).cast("long"))
+  }
+
+  /** [[pqDriftAudit]] over a PQ index. */
+  def pqDriftAudit(idx: PqIndex, batch: DataFrame,
+      rebuildThreshold: Double): DataFrame =
+    pqDriftAudit(idx.coded, idx.books, batch, rebuildThreshold)
+
+  /** [[pqDriftAudit]] over an IVF-PQ index (the PQ layer is where
+    * reconstruction error lives; cell-population drift shows up in
+    * the same ratio since cells and codes share the geometry). */
+  def pqDriftAudit(idx: IvfPqIndex, batch: DataFrame,
+      rebuildThreshold: Double): DataFrame =
+    pqDriftAudit(idx.coded, idx.books, batch, rebuildThreshold)
+
   def ivfPqTopK(emb: DataFrame, maxQueryId: Long, k: Int,
       nCells: Int = 16, nprobe: Int = 4, m: Int = 16,
       codebookSize: Int = 16, refine: Int = 8, seed: Long = 42L,

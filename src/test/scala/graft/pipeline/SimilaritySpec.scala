@@ -248,4 +248,52 @@ class SimilaritySpec extends SparkSpec {
       prebuilt = Some(Similarity.PqIndex(
         ext.coded.drop("cell"), ext.books)))))
   }
+
+  test("pqDriftAudit: identical and on-distribution batches ride ~1x; " +
+      "a planted geometry shift trips the rebuild flag") {
+    val rng = new scala.util.Random(13)
+    val bases = Seq(
+      Array.tabulate(64)(i => if (i < 21) 1f else 0f),
+      Array.tabulate(64)(i => if (i >= 21 && i < 42) 1f else 0f),
+      Array.tabulate(64)(i => if (i >= 42) 1f else 0f))
+    def draws(r: scala.util.Random, offset: Int, per: Int) = for {
+      (b, c) <- bases.zipWithIndex; i <- 0 until per
+    } yield ((offset + c * per + i).toLong,
+      b.map(x => x + (r.nextFloat() - 0.5f) * 0.05f).toSeq)
+    val emb = draws(rng, 0, 20).toDF("vec_id", "embedding")
+    val idx = Similarity.pqIndex(emb, m = 8, codebookSize = 8,
+      sampleSize = 60)
+    // batch == corpus: same codes, same per-row errors — ratio 1
+    // (up to summation-order ulps), no rebuild
+    val same = Similarity.pqDriftAudit(idx, emb,
+      rebuildThreshold = 2.0).collect().head
+    assert(math.abs(same.getAs[Double]("drift_ratio") - 1.0) < 1e-9)
+    assert(same.getAs[Long]("rebuild") == 0L)
+    assert(same.getAs[Long]("n_corpus") == 60L &&
+      same.getAs[Long]("n_batch") == 60L)
+    // fresh draws from the training distribution: codebooks still fit
+    val fresh = draws(new scala.util.Random(99), 1000, 10)
+      .toDF("vec_id", "embedding")
+    val on = Similarity.pqDriftAudit(idx, fresh,
+      rebuildThreshold = 2.0).collect().head
+    assert(on.getAs[Double]("drift_ratio") < 2.0,
+      s"on-distribution ratio ${on.getAs[Double]("drift_ratio")}")
+    assert(on.getAs[Long]("rebuild") == 0L)
+    // planted shift: dense uniform directions none of the trained
+    // centroids fit — error jumps, rebuild recommended
+    val rng2 = new scala.util.Random(7)
+    val shifted = (0 until 30).map(i => ((2000 + i).toLong,
+      Array.fill(64)(rng2.nextFloat()).toSeq)).toDF("vec_id", "embedding")
+    val off = Similarity.pqDriftAudit(idx, shifted,
+      rebuildThreshold = 1.5).collect().head
+    assert(off.getAs[Double]("batch_mse") > on.getAs[Double]("batch_mse"))
+    assert(off.getAs[Double]("drift_ratio") > 1.5,
+      s"shifted ratio ${off.getAs[Double]("drift_ratio")}")
+    assert(off.getAs[Long]("rebuild") == 1L)
+    // threshold is honored in both directions on the same batch
+    val lax = Similarity.pqDriftAudit(idx, shifted,
+      rebuildThreshold = off.getAs[Double]("drift_ratio") + 1.0)
+      .collect().head
+    assert(lax.getAs[Long]("rebuild") == 0L)
+  }
 }
