@@ -52,7 +52,7 @@ object Bench {
     // (nn_descent_graph). Without this, run 1 is the ~6 s index build
     // and the row's spread reads as noise instead of an architecture.
     val offlineBuildRows = Set("sim_topk_graph", "sim_topk_pq",
-      "sim_topk_ivfpq", "q30_bucket_join")
+      "sim_topk_ivfpq", "q30_bucket_join", "sim_pq_drift")
 
     // a query with ZERO successful runs reports null and lands in
     // "errors" (breakage can't masquerade as speed) — but only after
@@ -89,20 +89,25 @@ object Bench {
       val spread = if (times.isEmpty) 0.0 else times.max - times.min
       (name, median, spread, times.nonEmpty, failures)
     }
-    // The driver's BENCH wrapper keeps only the last ~4 KB of output,
-    // so with 130+ rows an alphabetical map loses its head — which is
-    // where an alphabetical sort happens to put all the dedup_*/
-    // decontam_* rows. Emit cheapest-first so the rows that SURVIVE
-    // truncation are the expensive ones a judge actually audits; the
-    // cut rows are the sub-second crowd whose sum is visible in
-    // "value" anyway.
+    // The driver's BENCH wrapper keeps only the last ~4 KB of output.
+    // Round 9 lost ALL 133 medians to that window: the queries map
+    // came first and the same-length spread map after it, so the
+    // surviving tail was entirely spread values — which parse
+    // identically to medians (both maps are alphabetical) and were
+    // misread as per-row times downstream. Two defenses, either alone
+    // sufficient: (a) the queries map is the LAST field on the line,
+    // so the window slices from its cheapest-first head, keeping every
+    // expensive row AND the trailing metadata; (b) the spread map only
+    // carries rows whose spread exceeds the 50 ms noise floor — the
+    // point of "spread" is flagging noisy rows, and at 130+ rows the
+    // sub-floor entries were 3 KB of padding that evicted the data.
     val byCost = results.sortBy { case (_, v, _, ok, _) =>
       if (ok) v else Double.MaxValue // errored rows last: always visible
     }
     val qs = byCost.map { case (k, v, _, ok, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null")
     }.mkString("{", ",", "}")
-    val spreads = byCost.collect { case (k, _, s, true, _) =>
+    val spreads = byCost.collect { case (k, _, s, true, _) if s >= 0.05 =>
       "\"" + k + "\":" + f"$s%.3f"
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, false, _) => "\"" + k + "\"" }
@@ -110,7 +115,7 @@ object Bench {
     val flaky = results.collect { case (k, _, _, true, f) if f > 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true, _) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","errors":$errs,"flaky":$flaky,"spread":$spreads,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -771,8 +771,18 @@ object Dedup {
         transform(sequence(lit(1), size(col("toks")) - (L - 1)),
           i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(L))))))
         .otherwise(array().cast("array<bigint>")).as("ghs"))
+    // posexplode_OUTER, not posexplode: the inner explode makes
+    // InferFiltersFromGenerate add `size(ghs) > 0 AND isnotnull(ghs)`
+    // and push it to the SCAN — which inlines the whole tokenize+
+    // gram-hash expression into a filter lambda where `split` is no
+    // longer bound, re-evaluating it per sequence element: a hidden
+    // per-doc O(tokens²) that dominated this op (6.8 s → 1.3 s at
+    // sf0.1 from this line). The outer explode infers nothing; short
+    // docs surface one NULL row each, dropped by a post-explode
+    // filter that cannot be pushed below the Generate.
     val grams = hashed
-      .select(col("doc_id"), posexplode(col("ghs")).as(Seq("p0", "gh")))
+      .select(col("doc_id"), posexplode_outer(col("ghs")).as(Seq("p0", "gh")))
+      .filter(col("gh").isNotNull)
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("gh"))
     val dup = grams
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gh"))))
