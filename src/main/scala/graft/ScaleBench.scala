@@ -215,6 +215,10 @@ object ScaleBench {
       "pipeline_e2e" -> (() => graft.pipeline.Curation.e2e(
         docs.filter(col("doc_id") >= 20),
         bench = docs.filter(col("doc_id") < 20))),
+      // exact duplicated spans (Lee et al.): gram-triple exchange +
+      // per-doc islands — expected ~linear after the round-10
+      // posexplode_outer fix removed the scan-level gram re-derivation
+      "dup_spans" -> (() => Dedup.duplicatedSpans(docs, L = 5)),
       // quantizer drift audit over a growing corpus against a FIXED
       // index and batch: two scans folding the per-row error
       // expression into partial+final avgs — expected ~linear in the

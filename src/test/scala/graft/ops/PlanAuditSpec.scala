@@ -351,4 +351,25 @@ class PlanAuditSpec extends SparkSpec {
     // stage operators' own tests in this suite — the boundaries make
     // them invisible here by design.
   }
+
+  test("dedup_substring: no generate-pruning filter re-derives the gram " +
+      "pipeline at the scan (the posexplode_outer fix)") {
+    // the inner-posexplode spelling let InferFiltersFromGenerate push
+    // `size(ghs) > 0` to the scan, inlining tokenize+gram-hash into a
+    // filter lambda with `split` unbound — per-element re-evaluation,
+    // a hidden per-doc O(tokens²) measured at 5× the op's true cost.
+    // Pin the fix mechanically: below the Generate there must be NO
+    // Filter whose condition mentions the gram transform (xxhash64 /
+    // split), and the tokenizing projection must appear exactly once.
+    val p = plan(graft.pipeline.Dedup.duplicatedSpans(
+      graft.ops.Tables.documents(spark, dir), L = 5))
+    val filterConds = p.linesIterator.filter(_.startsWith("Condition")).toSeq
+    assert(filterConds.nonEmpty, "expected at least the gh/cnt filters")
+    assert(filterConds.forall(c => !c.contains("xxhash64")),
+      "a Filter condition re-derives the gram hashes:\n" +
+        filterConds.mkString("\n"))
+    assert(countOccurrences(p, "split\\(lower\\(trim") <= 2,
+      "the tokenizing expression is inlined beyond its legitimate " +
+        "project site(s):\n" + p.take(2000))
+  }
 }
