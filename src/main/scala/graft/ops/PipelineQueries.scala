@@ -372,6 +372,39 @@ object PipelineQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // the incremental production composition: a planted crawl batch
+  // (fresh docs + exact re-crawls + near re-crawls of corpus docs)
+  // runs the ingest funnel against the existing corpus, survivors
+  // land as ONE atomic VersionedTable version, and the output is the
+  // post-ingest corpus read back through the DSv2 connector — the
+  // complete daily-batch loop, hash-gated
+  def pipelineIngest(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+    val bench = base.filter(col("doc_id") < 20)
+    val corpus = base.filter(col("doc_id") >= 20 && col("doc_id") % 10 =!= 3)
+    val batch = base.filter(col("doc_id") >= 20 && col("doc_id") % 10 === 3)
+      .unionByName(corpus.filter(col("doc_id") % 7 === 6)
+        .withColumn("doc_id", col("doc_id") + 200000L)) // exact re-crawl
+      .unionByName(corpus.filter(col("doc_id") % 7 === 2)
+        .withColumn("doc_id", col("doc_id") + 300000L)
+        .withColumn("text", concat(col("text"), lit(" addendum"))))
+    val surv = Curation.ingest(batch, corpus, bench)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ingest")
+    val root = tmpRoot.resolve("tbl").toString
+    try {
+      graft.sources.VersionedTable.init(s, root, corpus)
+      graft.sources.VersionedTable.append(s, root, surv, expectedVersion = 0)
+      s.read.format("graft-versioned").load(root)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // ---- similarity search ----
 
   def simTopkBrute(s: SparkSession, d: String): DataFrame =
@@ -1046,6 +1079,7 @@ object PipelineQueries extends QueryPack {
     "text_nfc" -> textNfc _,
     "pipeline_curate" -> pipelineCurate _,
     "pipeline_e2e" -> pipelineE2e _,
+    "pipeline_ingest" -> pipelineIngest _,
     "sim_topk_brute" -> simTopkBrute _,
     "sim_topk_graph" -> simTopkGraph _,
     "sim_topk_lsh" -> simTopkLsh _,
@@ -2087,6 +2121,71 @@ object PipelineQueries extends QueryPack {
         |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS hits
         |FROM corpus c JOIN bench b USING (sh)
         |GROUP BY c.doc_id HAVING COUNT(*) >= 1
+        |ORDER BY doc_id""".stripMargin,
+    // the ingest funnel replayed as a CTE chain: quality gate,
+    // batch-internal keep-min-id + corpus anti on the normalized
+    // content key, exact unigram-Jaccard near-dup vs corpus and
+    // within-batch (== the r=2 recall-1 banding the Spark side runs),
+    // trigram decontamination, then corpus UNION survivors — the
+    // relation the VersionedTable append makes visible at the latest
+    // version
+    "pipeline_ingest" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, n_chars, text FROM documents
+        |  WHERE doc_id < 300),
+        |corpus AS (SELECT * FROM base WHERE doc_id >= 20 AND doc_id % 10 != 3),
+        |batch AS (
+        |  SELECT * FROM base WHERE doc_id >= 20 AND doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 200000, lang, source, n_chars, text
+        |  FROM corpus WHERE doc_id % 7 = 6
+        |  UNION ALL
+        |  SELECT doc_id + 300000, lang, source, n_chars, text || ' addendum'
+        |  FROM corpus WHERE doc_id % 7 = 2),
+        |q AS (
+        |  SELECT doc_id, lang, source, n_chars, text FROM (
+        |    SELECT *, CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS nrt,
+        |      CAST(length(text) AS DOUBLE) /
+        |        CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS mtl
+        |    FROM batch)
+        |  WHERE nrt >= 20 AND mtl <= 12.0),
+        |qk AS (SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ck FROM q),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM qk GROUP BY ck),
+        |ckc AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ck FROM corpus),
+        |e2 AS (SELECT qk.* FROM qk JOIN keep USING (doc_id)
+        |       LEFT JOIN ckc ON qk.ck = ckc.ck WHERE ckc.ck IS NULL),
+        |bt AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+        |       FROM e2 WHERE length(trim(text)) > 0),
+        |ct AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+        |       FROM corpus WHERE length(trim(text)) > 0),
+        |dropc AS (SELECT DISTINCT b.doc_id FROM bt b JOIN ct c ON
+        |  CAST(len(list_intersect(b.ts, c.ts)) AS DOUBLE) /
+        |    (len(b.ts) + len(c.ts) - len(list_intersect(b.ts, c.ts))) >= 0.7),
+        |dropi AS (SELECT DISTINCT b.doc_id FROM bt b JOIN bt a ON a.doc_id < b.doc_id AND
+        |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.7),
+        |n1 AS (SELECT e2.doc_id, lang, source, n_chars, text FROM e2
+        |  LEFT JOIN dropc ON e2.doc_id = dropc.doc_id
+        |  LEFT JOIN dropi ON e2.doc_id = dropi.doc_id
+        |  WHERE dropc.doc_id IS NULL AND dropi.doc_id IS NULL),
+        |nt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM n1),
+        |dsh AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 1)+1),
+        |      i -> array_to_string(t[i:i+2], ' ')))) AS sh
+        |  FROM nt),
+        |btoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM base WHERE doc_id < 20),
+        |bsh AS (SELECT DISTINCT
+        |    unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 1)+1),
+        |      i -> array_to_string(t[i:i+2], ' ')))) AS sh
+        |  FROM btoks),
+        |contaminated AS (SELECT DISTINCT doc_id FROM dsh JOIN bsh USING (sh)),
+        |surv AS (SELECT n1.* FROM n1 LEFT JOIN contaminated c ON n1.doc_id = c.doc_id
+        |         WHERE c.doc_id IS NULL)
+        |SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 FROM (
+        |  SELECT doc_id, lang, source, n_chars, text FROM corpus
+        |  UNION ALL
+        |  SELECT doc_id, lang, source, n_chars, text FROM surv)
         |ORDER BY doc_id""".stripMargin,
   )
 }

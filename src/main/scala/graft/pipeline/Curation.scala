@@ -151,4 +151,83 @@ object Curation {
     packed.join(mixed.select("doc_id", "lang", "mix_source"), "doc_id")
       .select("doc_id", "lang", "mix_source", "shard", "seq_idx", "n_tokens")
   }
+
+  /** The INCREMENTAL ingestion funnel — [[e2e]]'s daily-batch twin:
+    * curate a new crawl batch AGAINST an existing corpus without ever
+    * re-doing corpus-vs-corpus work (that was settled when the corpus
+    * was built — the same economy the reference's incremental GA
+    * applies to offspring, /root/reference/src/edu/illinois/incr_ga/
+    * IncMapReduce.java):
+    *
+    *  1. quality gate on the batch — narrow scan-level filter
+    *     (e2e stage 1 verbatim);
+    *  2. exact novelty: keep-min-id within the batch on the
+    *     normalized content key, then drop every batch doc whose key
+    *     already exists in the corpus — key-sized aggregates and anti
+    *     joins; at 100 TB `Dedup.novelKeys`' inverted Bloom is this
+    *     stage's scan-level prefilter and the corpus side is a stored
+    *     key table, so a batch run shuffles only batch-sized data;
+    *  3. near-dup vs corpus AND batch-internal via
+    *     [[Dedup.incrementalMinhashPairs]] (recall-1 r=2 banding at
+    *     the default parameters): the corpus always wins — a batch
+    *     doc paired with ANY corpus doc drops; batch-internal pairs
+    *     drop the larger id;
+    *  4. decontamination vs the benchmark slice (trigram overlap,
+    *     benchmark side broadcast).
+    *
+    * Returns the surviving batch rows with their original schema. The
+    * caller lands them as ONE atomic `VersionedTable.append` — each
+    * ingest batch becomes one table version (the audit log; time
+    * travel = "as of batch N"). PipelineQueries.pipelineIngest gates
+    * the complete loop — funnel, append, DSv2 read-back — against a
+    * DuckDB CTE chain with planted exact and near re-crawls. */
+  def ingest(batch: DataFrame, corpus: DataFrame, bench: DataFrame,
+      minTokens: Int = 20, maxMeanTokLen: Double = 12.0,
+      shingleN: Int = 1, k: Int = 64, bands: Int = 32,
+      nearThreshold: Double = 0.7): DataFrame = {
+    // 1. quality gate
+    val q = batch
+      .withColumn("__nt", size(tokens(col("text"))).cast("long"))
+      .withColumn("__mtl", try_divide(length(col("text")).cast("double"),
+        col("__nt").cast("double")))
+      .filter(col("__nt") >= minTokens && col("__mtl") <= maxMeanTokLen)
+      .drop("__nt", "__mtl")
+    // 2. exact novelty (batch-internal keep-min-id, then corpus anti)
+    val qk = q.withColumn("__ck", md5(normText(col("text"))))
+    val keepIds = qk.groupBy(col("__ck"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val exactNovel = qk
+      .join(keepIds, Seq("doc_id"), "left_semi")
+      .join(corpus.select(md5(normText(col("text"))).as("__ck")).distinct(),
+        Seq("__ck"), "left_anti")
+      .drop("__ck")
+      // two consumers below (pair generation + survivor anti join):
+      // materialize the stage boundary, the e2e discipline
+      .localCheckpoint(true)
+    // 3. near-dup vs corpus + batch-internal. Pairs carry id_a < id_b
+    // with at least one batch side; membership decides the casualty:
+    // if id_b is a batch doc it drops either way (corpus partner ⇒
+    // corpus wins; batch partner ⇒ id_b is the larger id); if id_b is
+    // corpus, the batch side is id_a and drops.
+    val pairs = Dedup.incrementalMinhashPairs(
+      exactNovel.select(col("doc_id"), col("text")),
+      corpus.select(col("doc_id"), col("text")),
+      shingleN, k, bands, nearThreshold)
+    val batchIds = exactNovel.select(col("doc_id"))
+    val dropB = pairs
+      .join(batchIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+        "left_semi")
+      .select(col("id_b").as("doc_id"))
+    val dropA = pairs
+      .join(batchIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+        "left_anti")
+      .select(col("id_a").as("doc_id"))
+    val near = exactNovel
+      .join(dropB.unionByName(dropA).distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // decontam derivation + survivor anti join
+    // 4. decontamination
+    val dirty = Decontamination.contaminated(
+      near.select(col("doc_id"), col("text")), bench, n = 3, minHits = 1)
+    near.join(dirty.select("doc_id"), Seq("doc_id"), "left_anti")
+  }
 }

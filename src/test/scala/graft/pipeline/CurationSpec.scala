@@ -33,4 +33,36 @@ class CurationSpec extends SparkSpec {
     val docs = Seq((0L, "the cat sat on the mat", "en")).toDF("doc_id", "text", "lang")
     assert(Curation.curate(docs, samplePermille = 0).count() == 0L)
   }
+
+  test("ingest funnel: corpus wins near-dups, batch-internal drops the " +
+      "larger id, exact re-crawls and contaminated docs never land") {
+    // distinct vocabularies so only the PLANTED relationships pair
+    def words(prefix: String, n: Int) =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val corpus = Seq(
+      (100L, words("alpha", 25)),
+      (101L, words("beta", 25)),
+      (102L, words("gamma", 25))).toDF("doc_id", "text")
+    val bench = Seq((0L, words("bench", 25))).toDF("doc_id", "text")
+    val batch = Seq(
+      // fresh, clean: the only doc that should land
+      (200L, words("delta", 25)),
+      // exact re-crawl of corpus 100 (whitespace-normalized equal)
+      (201L, words("alpha", 25).replace(" ", "  ")),
+      // near re-crawl of corpus 101: J = 25/26 >= 0.7 -> corpus wins
+      (202L, words("beta", 25) + " extra0"),
+      // near-dup pair WITHIN the batch: larger id drops
+      (203L, words("epsilon", 25)),
+      (204L, words("epsilon", 25) + " extra1"),
+      // contaminated: shares a trigram run with the bench doc
+      (205L, words("zeta", 22) + " bench3 bench4 bench5"),
+      // fails the quality gate (3 tokens < 20)
+      (206L, "too short doc")).toDF("doc_id", "text")
+    val surv = Curation.ingest(batch, corpus, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(200L, 203L), s"survivors: $surv")
+    // determinism: a rerun lands the identical set
+    assert(Curation.ingest(batch, corpus, bench)
+      .collect().map(_.getLong(0)).toSet == surv)
+  }
 }
