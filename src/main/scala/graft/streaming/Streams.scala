@@ -430,6 +430,59 @@ object Streams {
       VersionedTable.append(spark, tableRoot, batch, v, txn = Some(batchId))
   }
 
+  /** Streaming CURATION ingest — the full incremental funnel as a
+    * sink: each micro-batch runs `Curation.ingest` (quality gate,
+    * exact + near dedup, decontamination) against the table's CURRENT
+    * state and commits the survivors as one atomic version. Because
+    * the corpus is re-read at the latest version per batch, batch N+1
+    * dedups against everything batch N landed — continuous crawl
+    * ingestion with monotone corpus growth, where the version history
+    * IS the curation audit log (v_k = the corpus after batch k; time
+    * travel reproduces any training snapshot).
+    *
+    * The table must be initialized with the seed corpus
+    * (`VersionedTable.init`) before the stream starts — a curation
+    * funnel needs a corpus to curate against, so an uninitialized
+    * root fails loudly rather than silently treating batch 1 as
+    * trusted. Idempotent per batchId via the `#txn:` manifest marker
+    * (checked BEFORE the funnel runs — a crash replay re-curates
+    * nothing). `bench` is the fixed decontamination set. Blocks until
+    * the source drains (the runToMemory harness contract). */
+  def runIngestSink(spark: SparkSession, rows: DataFrame,
+      tableRoot: String, bench: DataFrame,
+      checkpointDir: Option[String] = None,
+      minTokens: Int = 20, nearThreshold: Double = 0.7): Unit = {
+    require(graft.sources.VersionedTable.latestVersion(spark, tableRoot) >= 0,
+      s"ingest table $tableRoot must be initialized with the seed corpus " +
+        "before streaming into it")
+    val writer = rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, tableRoot, batch, bench, batchId,
+          minTokens, nearThreshold)
+      }
+    val q = checkpointDir
+      .map(writer.option("checkpointLocation", _))
+      .getOrElse(writer)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** One micro-batch of [[runIngestSink]], factored out so the
+    * grown-corpus and crash-replay paths are directly testable. */
+  private[graft] def ingestBatch(spark: SparkSession, tableRoot: String,
+      batch: DataFrame, bench: DataFrame, batchId: Long,
+      minTokens: Int = 20, nearThreshold: Double = 0.7): Unit = {
+    import graft.sources.VersionedTable
+    if (!VersionedTable.committedTxn(spark, tableRoot).contains(batchId)) {
+      val v = VersionedTable.latestVersion(spark, tableRoot)
+      val corpus = VersionedTable.read(spark, tableRoot, Some(v))
+      val surv = graft.pipeline.Curation.ingest(batch, corpus, bench,
+        minTokens = minTokens, nearThreshold = nearThreshold)
+      VersionedTable.append(spark, tableRoot, surv, v, txn = Some(batchId))
+    }
+  }
+
   /** Run any of the above on a stream into an in-memory table and block
     * until the file source drains — the synchronous harness used by
     * tests and demos. Returns the materialized result. */

@@ -422,4 +422,49 @@ class StreamingSpec extends SparkSpec {
     assert(graft.sources.VersionedTable.read(spark, table).count() == 3)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("streaming curation ingest: each batch curates against the GROWN " +
+      "corpus; replays re-curate nothing; uninitialized roots fail loudly") {
+    import spark.implicits._
+    import java.nio.file.Files
+    def words(prefix: String, n: Int) =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val root = Files.createTempDirectory("graft-ingest-sink").toFile.getAbsolutePath
+    val table = s"$root/tbl"
+    val bench = Seq(0L -> words("bench", 25)).toDF("doc_id", "text")
+    // streaming into an uninitialized table is refused
+    new java.io.File(s"$root/empty-src").mkdirs()
+    intercept[IllegalArgumentException](
+      Streams.runIngestSink(spark,
+        spark.readStream.schema(bench.schema).parquet(s"$root/empty-src"),
+        table, bench))
+    graft.sources.VersionedTable.init(spark, table,
+      Seq(100L -> words("alpha", 25)).toDF("doc_id", "text"))
+    // batch 0: a fresh doc + a near re-crawl of the SEED doc
+    Streams.ingestBatch(spark, table,
+      Seq(200L -> words("delta", 25),
+          201L -> (words("alpha", 25) + " extra0")).toDF("doc_id", "text"),
+      bench, batchId = 0L)
+    // batch 1: a near-dup of BATCH 0's survivor (only a grown-corpus
+    // read can catch it) + a fresh doc
+    Streams.ingestBatch(spark, table,
+      Seq(300L -> (words("delta", 25) + " extra1"),
+          301L -> words("omega", 25)).toDF("doc_id", "text"),
+      bench, batchId = 1L)
+    def ids = graft.sources.VersionedTable.read(spark, table)
+      .select("doc_id").as[Long].collect().toSet
+    assert(graft.sources.VersionedTable.latestVersion(spark, table) == 2)
+    assert(ids == Set(100L, 200L, 301L), s"corpus after 2 batches: $ids")
+    // crash replay of batch 1: txn marker short-circuits the funnel
+    Streams.ingestBatch(spark, table,
+      Seq(300L -> (words("delta", 25) + " extra1"),
+          301L -> words("omega", 25)).toDF("doc_id", "text"),
+      bench, batchId = 1L)
+    assert(graft.sources.VersionedTable.latestVersion(spark, table) == 2 &&
+      ids == Set(100L, 200L, 301L), "replay must not re-curate or append")
+    // time travel: v1 is the corpus as of batch 0
+    assert(graft.sources.VersionedTable.read(spark, table, Some(1))
+      .select("doc_id").as[Long].collect().toSet == Set(100L, 200L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
