@@ -215,6 +215,16 @@ object ScaleBench {
       "pipeline_e2e" -> (() => graft.pipeline.Curation.e2e(
         docs.filter(col("doc_id") >= 20),
         bench = docs.filter(col("doc_id") < 20))),
+      // incremental ingest funnel: a FIXED planted batch curated
+      // against the growing corpus — expected ~corpus-scan-bounded
+      // (the batch side is constant; corpus work is the content-key
+      // aggregate + its side of the banded bucket join)
+      "ingest" -> (() => graft.pipeline.Curation.ingest(
+        docs.filter(col("doc_id") < 200)
+          .withColumn("doc_id", col("doc_id") + 10000000L),
+        docs.filter(col("doc_id") >= 200),
+        bench = docs.filter(col("doc_id") < 20),
+        nearThreshold = 0.8)),
       // exact duplicated spans (Lee et al.): gram-triple exchange +
       // per-doc islands — expected ~linear after the round-10
       // posexplode_outer fix removed the scan-level gram re-derivation
