@@ -212,6 +212,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Profile.snapshotDiff(empty, empty, "doc_id", "text", "text")
       .count() == 0L)
   }
+
+  test("round-10 operators survive empty and degenerate inputs") {
+    val empty = weird.filter(lit(false))
+    def words(prefix: String, n: Int) =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val real = Seq(100L -> words("alpha", 25)).toDF("doc_id", "text")
+    // ingest: empty batch -> no survivors; degenerate batch -> quality
+    // gate removes everything; empty corpus -> clean batch lands whole
+    assert(Curation.ingest(empty, real, empty).count() == 0L)
+    assert(Curation.ingest(weird, real, empty).count() == 0L)
+    assert(Curation.ingest(real, empty, empty)
+      .collect().map(_.getLong(0)).toSeq == Seq(100L))
+    // leakage-safe split: empty components -> empty, never throws
+    val comps = empty.select(col("doc_id"),
+      col("doc_id").as("component"))
+    assert(Sampling.leakageSafeSplit(comps).count() == 0L)
+    // drift audit: an EMPTY batch yields NULL batch stats and a NULL
+    // (not spuriously true/false) rebuild flag — visible, not thrown
+    val emb = Seq(1L -> Seq.fill(64)(1.0f)).toDF("vec_id", "embedding")
+    val idx = Similarity.pqIndex(emb, m = 8, codebookSize = 2,
+      sampleSize = 4)
+    val r = Similarity.pqDriftAudit(idx,
+      emb.filter(lit(false)), rebuildThreshold = 2.0).collect().head
+    assert(r.getAs[Long]("n_batch") == 0L)
+    assert(r.isNullAt(r.fieldIndex("batch_mse")) &&
+      r.isNullAt(r.fieldIndex("rebuild")))
+  }
 }
 
 object EdgeCaseSpec {
