@@ -367,8 +367,12 @@ object PipelineQueries extends QueryPack {
     val base = raw.unionByName(
       raw.filter(col("doc_id") % 13 === 3)
         .withColumn("doc_id", col("doc_id") + 100000L))
+    // shingleN = 1 is the fixture-bounded setting (doc_id < 1000): the
+    // DuckDB oracle's all-pairs Jaccard CTE reproduces unigram
+    // shingles; Curation.requireShingleSafe refuses it on unbounded
+    // input, and ScaleBench's pipeline_e2e row runs the trigram default
     Curation.e2e(base.filter(col("doc_id") >= 20),
-        bench = base.filter(col("doc_id") < 20))
+        bench = base.filter(col("doc_id") < 20), shingleN = 1)
       .orderBy("doc_id")
   }
 
@@ -390,7 +394,9 @@ object PipelineQueries extends QueryPack {
       .unionByName(corpus.filter(col("doc_id") % 7 === 2)
         .withColumn("doc_id", col("doc_id") + 300000L)
         .withColumn("text", concat(col("text"), lit(" addendum"))))
-    val surv = Curation.ingest(batch, corpus, bench)
+    // shingleN = 1: fixture-bounded, matching the unigram oracle CTE
+    // (see pipelineE2e's note); production ingest keeps the trigram default
+    val surv = Curation.ingest(batch, corpus, bench, shingleN = 1)
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ingest")
     val root = tmpRoot.resolve("tbl").toString
     try {

@@ -9,8 +9,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the dominant cost and pushdown/pruning is the first-order win.
   */
 object Tables {
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Schema-drift guard: parquet written with isAdjustedToUTC=false
+    * (e.g. pandas/pyarrow `timestamp[us]` without a zone) arrives as
+    * TIMESTAMP_NTZ, which Spark rejects in `unix_micros`, watermarks
+    * (`withWatermark` requires TIMESTAMP), and time-window functions.
+    * Every session builder pins spark.sql.session.timeZone=UTC, so
+    * casting NTZ→TIMESTAMP preserves the stored micros exactly; this
+    * makes the engine tolerant of either encoding at the one source
+    * boundary instead of failing in every event-time operator.
+    */
+  def normalizeNtz(df: DataFrame): DataFrame =
+    df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
@@ -19,22 +36,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader only accepts as a raw long (spark.sql.legacy.parquet.nanosAsLong,
-    * set by our session builders). Re-derive a proper TimestampType via
-    * integer division (`div`, not `/` — epoch-nanos exceed double's 53-bit
-    * mantissa) so downstream windows/watermarks see a real timestamp.
+  /** Event-time normalization shared by the batch and streaming event
+    * readers. Handles every encoding the driver's generator has shipped:
+    *   - TIMESTAMP(NANOS) parquet, which Spark's vectorized reader only
+    *     accepts as a raw long (spark.sql.legacy.parquet.nanosAsLong, set
+    *     by our session builders) — re-derived via integer division
+    *     (`div`, not `/`: epoch-nanos exceed double's 53-bit mantissa);
+    *   - timestamp[us] without zone (TIMESTAMP_NTZ) — cast, see
+    *     [[normalizeNtz]];
+    *   - proper TIMESTAMP — passed through.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = apply(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => raw
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
-  }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(apply(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

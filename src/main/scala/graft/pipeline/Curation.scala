@@ -24,6 +24,28 @@ import TextFunctions._
   */
 object Curation {
 
+  /** Unigram (shingleN = 1) banding is a FIXTURE-ONLY setting: the
+    * band containing the corpus's most common word collides virtually
+    * every document, collapsing banded LSH into the all-pairs
+    * quadratic it exists to avoid (the documented dedup_minhash corpus
+    * pathology — BASELINE.md §scaling measures the blow-up). The gate
+    * rows pass shingleN = 1 explicitly because their DuckDB oracles
+    * reproduce unigram Jaccard on a bounded fixture; every unbounded
+    * path takes the trigram default. This guard makes the fixture
+    * setting refuse large input loudly instead of degrading silently.
+    * The count is ~free: both call sites pass an eagerly
+    * localCheckpoint'ed stage output. */
+  private val UnigramFixtureMaxDocs = 100000L
+  private def requireShingleSafe(shingleN: Int, stage: DataFrame): Unit =
+    if (shingleN < 2) {
+      val n = stage.count()
+      require(n <= UnigramFixtureMaxDocs,
+        s"shingleN=$shingleN (unigram banding) is fixture-only: input has " +
+          s"$n docs > $UnigramFixtureMaxDocs. Use shingleN >= 2 (trigram " +
+          "default) on unbounded corpora — unigram bands collide on the " +
+          "most common token and degrade LSH to all-pairs.")
+    }
+
   /** @param maxMeanTokLen quality gate: drop docs whose mean token
     *                      length exceeds this (gibberish/url-soup)
     * @param minTokens     quality gate: drop docs shorter than this
@@ -81,7 +103,7 @@ object Curation {
     * fixture; ScaleBench's pipeline_e2e row measures it unbounded. */
   def e2e(train: DataFrame, bench: DataFrame,
       minTokens: Int = 20, maxMeanTokLen: Double = 12.0,
-      chunkSize: Int = 2, maxDf: Int = 15,
+      chunkSize: Int = 2, maxDf: Int = 15, shingleN: Int = 3,
       nearThreshold: Double = 0.7, capPerSource: Int = 10,
       mixPermille: Seq[(String, String, Int)] = Seq(
         ("en_heavy", "en", 800), ("de_half", "de", 500),
@@ -115,9 +137,10 @@ object Curation {
       .localCheckpoint(true)
     // 4. MinHash near-dup (recall-1 banding + exact verify), greedy
     // min-id retention: every pair's larger id drops
+    requireShingleSafe(shingleN, exact)
     val pairs = Dedup.minhashPairs(
       exact.select(col("doc_id"), col("clean_text").as("text")),
-      shingleN = 1, k = 64, bands = 32, threshold = nearThreshold)
+      shingleN = shingleN, k = 64, bands = 32, threshold = nearThreshold)
     val near = exact.join(pairs.select(col("id_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
@@ -183,7 +206,7 @@ object Curation {
     * DuckDB CTE chain with planted exact and near re-crawls. */
   def ingest(batch: DataFrame, corpus: DataFrame, bench: DataFrame,
       minTokens: Int = 20, maxMeanTokLen: Double = 12.0,
-      shingleN: Int = 1, k: Int = 64, bands: Int = 32,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 32,
       nearThreshold: Double = 0.7): DataFrame = {
     // 1. quality gate
     val q = batch
@@ -209,6 +232,7 @@ object Curation {
     // if id_b is a batch doc it drops either way (corpus partner ⇒
     // corpus wins; batch partner ⇒ id_b is the larger id); if id_b is
     // corpus, the batch side is id_a and drops.
+    requireShingleSafe(shingleN, exactNovel)
     val pairs = Dedup.incrementalMinhashPairs(
       exactNovel.select(col("doc_id"), col("text")),
       corpus.select(col("doc_id"), col("text")),

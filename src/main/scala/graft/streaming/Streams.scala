@@ -90,8 +90,8 @@ object Streams {
       .load())
 
   /** File-source stream of the events table. Schema comes from the
-    * batch reader (nanos ts arrives as long under nanosAsLong; we
-    * re-derive a proper timestamp exactly like Tables.events). */
+    * batch reader; ts is normalized by the same shared helper as
+    * Tables.events (nanos-as-long, TIMESTAMP_NTZ, or TIMESTAMP). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the test tables are single parquet FILES; the streaming file
@@ -99,9 +99,7 @@ object Streams {
     val raw = spark.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    graft.ops.Tables.normalizeEventTs(raw)
   }
 
   /** Watermark when streaming; identity in batch (same code path runs
