@@ -45,6 +45,24 @@ object Bench {
     try SparkEntry.queries("q2_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // Machine-provenance fields: a loaded shared machine inflates every
+    // wall-clock median (round 10's driver run read 6-25x high), so the
+    // JSON carries (a) the OS 1-min load average at bench start and
+    // (b) a data-independent CPU calibration row — the median of three
+    // runs of a fixed 100M-row codegen'd aggregate. A reader comparing
+    // medians across rounds divides out calibration drift instead of
+    // flagging phantom regressions.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val calibration = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(100000000L).selectExpr("sum(id % 7)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+
     // rows whose FIRST run builds a cached offline artifact get one
     // untimed warm run, so the timed runs measure SERVING — the same
     // setup/query split q30's bucketed tables got. The build cost is
@@ -115,7 +133,7 @@ object Bench {
     val flaky = results.collect { case (k, _, _, true, f) if f > 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true, _) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","errors":$errs,"flaky":$flaky,"spread":$spreads,"queries":$qs}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","load":$loadAvg%.2f,"calibration":$calibration%.3f,"errors":$errs,"flaky":$flaky,"spread":$spreads,"queries":$qs}""")
     spark.stop()
   }
 }

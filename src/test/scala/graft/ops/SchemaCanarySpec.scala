@@ -42,13 +42,17 @@ class SchemaCanarySpec extends SparkSpec {
       s"streaming ts drifted to ${st.schema("ts").dataType}")
   }
 
-  test("no table surfaces TIMESTAMP_NTZ after normalization") {
+  test("no table surfaces TIMESTAMP_NTZ after normalization, at any SF") {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    for (t <- tables) {
-      val df = if (t == "events") Tables.events(spark, dir) else Tables(spark, dir, t)
+    // all three SFs: the driver regenerates them independently, and a
+    // schema read is parquet-footer-only — no data scan even at sf0.1
+    for (d <- Seq("sf0.001", "sf0.01", "sf0.1").map(sf); t <- tables) {
+      val df = if (t == "events") Tables.events(spark, d) else Tables(spark, d, t)
       val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
-      assert(ntz.isEmpty, s"$t still exposes TIMESTAMP_NTZ columns: ${ntz.mkString(",")}")
+      assert(ntz.isEmpty, s"$d/$t still exposes TIMESTAMP_NTZ columns: ${ntz.mkString(",")}")
+      if (t == "events")
+        assert(df.schema("ts").dataType == TimestampType, s"$d events.ts drifted")
     }
   }
 
