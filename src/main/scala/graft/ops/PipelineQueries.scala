@@ -987,6 +987,38 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // CHANGE-DATA-FEED across the same planted merge: the row-level
+  // delta v0 → v1 a downstream consumer would apply, hash-gated
+  // against DuckDB's EXCEPT ALL spelling of the same multiset diff.
+  // The merge rewrites the snapshot, so this exercises the GENERAL
+  // (content-diff) path; the O(delta) append fast path and the
+  // empty-feed-across-compact/optimize invariants are plan- and
+  // property-asserted in CdfSpec (not SQL-expressible: they are
+  // statements about I/O shape, not row values).
+  def pipelineVersionedChanges(s: SparkSession, d: String): DataFrame = {
+    val snap = docs(s, d)
+    val upd = snap.filter(col("doc_id") % 7 === 1)
+      .withColumn("source", lit("patched")).withColumn("op", lit("U"))
+    val del = snap.filter(col("doc_id") % 7 === 0)
+      .withColumn("op", lit("D"))
+    val ins = snap.filter(col("doc_id") % 7 === 2)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("source", lit("ingested")).withColumn("op", lit("U"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vchanges")
+    val root = tmpRoot.resolve("tbl").toString
+    try {
+      graft.sources.VersionedTable.init(s, root, snap)
+      graft.sources.VersionedTable.merge(s, root,
+        upd.unionByName(del).unionByName(ins), "doc_id")
+      graft.sources.VersionedTable.changesBetween(s, root, 0, 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"), col("change_kind"))
+        .orderBy("doc_id", "change_kind")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // per-language PERCENT_RANK without the per-group window funnel —
   // the prefix-sum machinery's per-row member, hash-gated against
   // DuckDB's native window spelling (one truth, two physical plans)
@@ -1052,6 +1084,7 @@ object PipelineQueries extends QueryPack {
     "stats_robust_by_lang" -> statsRobustByLang _,
     "pipeline_upsert" -> pipelineUpsert _,
     "pipeline_versioned_merge" -> pipelineVersionedMerge _,
+    "pipeline_versioned_changes" -> pipelineVersionedChanges _,
     "stats_histogram" -> statsHistogram _,
     "stats_histogram_eqdepth" -> statsHistogramEqdepth _,
     "stats_drift_by_lang" -> statsDriftByLang _,
@@ -1251,6 +1284,36 @@ object PipelineQueries extends QueryPack {
         |  SELECT doc_id, text, lang, source, n_chars FROM cs WHERE op = 'U')
         |SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM merged ORDER BY doc_id""".stripMargin,
+    // the same merge's change feed: multiset diff via EXCEPT ALL on
+    // the md5-projected rows (injective per row), matching the
+    // engine's signed-count content diff
+    "pipeline_versioned_changes" ->
+      """WITH cs AS (
+        |  SELECT doc_id, text, lang, 'patched' AS source, n_chars,
+        |    'U' AS op FROM documents WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, 'D'
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, 'ingested', n_chars, 'U'
+        |  FROM documents WHERE doc_id % 7 = 2),
+        |kept AS (
+        |  SELECT s.* FROM documents s LEFT JOIN cs ON s.doc_id = cs.doc_id
+        |  WHERE cs.doc_id IS NULL),
+        |merged AS (
+        |  SELECT * FROM kept
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars FROM cs WHERE op = 'U'),
+        |v0 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |  FROM documents),
+        |v1 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |  FROM merged),
+        |ins AS (SELECT *, 'insert' AS change_kind FROM
+        |  (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)),
+        |del AS (SELECT *, 'delete' AS change_kind FROM
+        |  (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1))
+        |SELECT * FROM ins UNION ALL SELECT * FROM del
+        |ORDER BY doc_id, change_kind""".stripMargin,
     // median/MAD both quantile_disc (rank ⌈q·n⌉ == exactQuantiles);
     // the one float op is the final division on both sides
     "stats_robust_by_lang" ->

@@ -1,0 +1,115 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Change-data-feed + OPTIMIZE contracts for the versioned table.
+  * The gate row (pipeline_versioned_changes) hash-checks the general
+  * content-diff path against DuckDB; this spec asserts what SQL
+  * cannot: the append fast path's I/O shape (O(delta), zero
+  * shuffles), the empty feed across data-equivalent rewrites
+  * (compact/optimize), multiset multiplicity, and optimize's
+  * clustering effect on file min/max envelopes.
+  */
+class CdfSpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_cdf").resolve("tbl").toString
+
+  private def docs(ids: (Long, String)*) = ids.toSeq.toDF("id", "text")
+
+  test("append chain takes the fast path: inserts only, O(delta) read, no shuffle") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a", 2L -> "b"))
+    VersionedTable.append(spark, root, docs(3L -> "c"), expectedVersion = 0)
+    VersionedTable.append(spark, root, docs(4L -> "d", 5L -> "e"),
+      expectedVersion = 1)
+    val feed = VersionedTable.changesBetween(spark, root, 0, 2)
+    // exactly the two appended batches, all inserts
+    val rows = feed.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(rows == Set(3L -> "insert", 4L -> "insert", 5L -> "insert"))
+    // the I/O-shape claim: the plan is a bare scan of the added commit
+    // dirs — no Exchange (no shuffle), no join, no aggregate
+    val plan = feed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fast path must not shuffle:\n$plan")
+    assert(!plan.contains("Aggregate"), s"fast path must not aggregate:\n$plan")
+    // and it reads ONLY the delta dirs: v0's commit dir is absent
+    val v0Dir = VersionedTable.dataDirs(spark, root, Some(0)).head
+    assert(!feed.inputFiles.exists(_.startsWith("file:" + v0Dir)),
+      "fast path read the base snapshot — cost would be O(table), not O(delta)")
+  }
+
+  test("merge produces delete+insert pairs; multiset multiplicity is exact") {
+    val root = freshRoot()
+    // duplicate row ("dup") on purpose: multiset semantics
+    VersionedTable.init(spark, root,
+      docs(1L -> "keep", 2L -> "old", 3L -> "gone", 4L -> "dup", 4L -> "dup"))
+    val changeset = docs(2L -> "new", 3L -> "x", 9L -> "fresh", 4L -> "dup2")
+      .withColumn("op", when(col("id") === 3L, "D").otherwise("U"))
+    VersionedTable.merge(spark, root, changeset, "id")
+    val feed = VersionedTable.changesBetween(spark, root, 0, 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(feed == Map(
+      (2L, "old", "delete") -> 1, (2L, "new", "insert") -> 1,
+      (3L, "gone", "delete") -> 1,
+      (9L, "fresh", "insert") -> 1,
+      // merge's 'U' on id=4 replaces BOTH duplicate rows with one new
+      // row: the feed must carry the delete TWICE (multiset, not set)
+      (4L, "dup", "delete") -> 2,
+      (4L, "dup2", "insert") -> 1), s"feed was $feed")
+  }
+
+  test("compact and optimize are data-equivalent: empty feed, identical reads") {
+    val root = freshRoot()
+    val base = (1 to 500).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+    VersionedTable.init(spark, root, base)
+    VersionedTable.compact(spark, root)
+    assert(VersionedTable.changesBetween(spark, root, 0, 1).count() == 0L,
+      "compact must produce an empty change feed")
+    VersionedTable.optimize(spark, root, ("id", "id"), nFiles = 4)
+    assert(VersionedTable.changesBetween(spark, root, 1, 2).count() == 0L,
+      "optimize must produce an empty change feed")
+    assert(VersionedTable.changesBetween(spark, root, 0, 2).count() == 0L)
+    val v0 = VersionedTable.read(spark, root, Some(0)).collect().map(_.toString).sorted
+    val v2 = VersionedTable.read(spark, root, Some(2)).collect().map(_.toString).sorted
+    assert(v0.sameElements(v2), "optimize changed table contents")
+  }
+
+  test("same-version feed is empty with the feed schema") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a"))
+    val feed = VersionedTable.changesBetween(spark, root, 0, 0)
+    assert(feed.count() == 0L)
+    assert(feed.columns.toSeq == Seq("id", "text", "change_kind"))
+  }
+
+  test("optimize clusters: per-file min/max envelopes narrow vs scattered layout") {
+    val root = freshRoot()
+    // write deliberately scattered: round-robin ids across partitions
+    val scattered = (0 until 4000).map(i => (i.toLong, i % 97))
+      .toDF("a", "b").repartition(8)
+    VersionedTable.init(spark, root, scattered)
+    VersionedTable.optimize(spark, root, ("a", "b"), nFiles = 8)
+    def spanFraction(version: Int): Double = {
+      val dirs = VersionedTable.dataDirs(spark, root, Some(version))
+      val spans = dirs.flatMap { dir =>
+        new java.io.File(dir.stripPrefix("file:")).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map { f =>
+            val df = spark.read.parquet(f.getAbsolutePath)
+            val r = df.agg(min(col("a")), max(col("a"))).head
+            (r.getLong(1) - r.getLong(0)).toDouble / 4000.0
+          }
+      }
+      spans.sum / spans.length
+    }
+    val before = spanFraction(0)
+    val after = spanFraction(1)
+    // scattered files each span ~the whole id range; z-ordered files
+    // cover disjoint slices — the property parquet min/max pruning buys
+    assert(before > 0.9, s"scattered baseline should span ~full range, got $before")
+    assert(after < 0.5, s"optimize should narrow per-file envelopes, got $after")
+  }
+}
