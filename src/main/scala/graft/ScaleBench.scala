@@ -22,6 +22,15 @@ import graft.pipeline.{Dedup, Similarity, TextAnalysis}
   */
 object ScaleBench {
 
+  /** Temp table root for rows that need a materialized VersionedTable;
+    * removed on JVM exit so repeated harness runs leave /tmp flat. */
+  private def tempTableRoot(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit))
+    dir.resolve("tbl").toString
+  }
+
   private def ops(spark: SparkSession, dir: String): Seq[(String, () => DataFrame)] = {
     def docs = Tables.documents(spark, dir)
     def emb = Tables.embeddings(spark, dir)
@@ -238,6 +247,40 @@ object ScaleBench {
         lazy val idx = Similarity.pqIndex(emb, m = 8, codebookSize = 16)
         () => Similarity.pqDriftAudit(idx,
           emb.filter(col("vec_id") % 5 === 0), rebuildThreshold = 2.0)
+      },
+      // CDF append fast path: a FIXED ~500-doc batch appended to a
+      // table holding the rest of the dir — the feed resolves the
+      // delta from the MANIFESTS and reads only the added commit dirs,
+      // so the curve should stay FLAT across the decade (the measured
+      // form of the O(delta) CDC claim; table builds lazily once per
+      // dir — run 1 pays it, min-of-N strips it)
+      "cdf_fast" -> {
+        lazy val root = {
+          val r = tempTableRoot("graft_cdf_fast")
+          graft.sources.VersionedTable.init(spark, r,
+            docs.filter(col("doc_id") >= 500))
+          graft.sources.VersionedTable.append(spark, r,
+            docs.filter(col("doc_id") < 500), expectedVersion = 0)
+          r
+        }
+        () => graft.sources.VersionedTable.changesBetween(spark, root, 0, 1)
+      },
+      // CDF general path: content diff across a MERGE that rewrote the
+      // snapshot — one wide aggregate over both versions; expected
+      // ~linear in table size (the honest no-row-identity cost the
+      // fast path exists to avoid)
+      "cdf_diff" -> {
+        lazy val root = {
+          val r = tempTableRoot("graft_cdf_diff")
+          graft.sources.VersionedTable.init(spark, r, docs)
+          graft.sources.VersionedTable.merge(spark, r,
+            docs.filter(col("doc_id") % 7 === 1)
+              .withColumn("source", lit("patched"))
+              .withColumn("op", lit("U")),
+            "doc_id")
+          r
+        }
+        () => graft.sources.VersionedTable.changesBetween(spark, root, 0, 1)
       },
       // broadcast key eviction + union over the full snapshot
       "upsert" -> (() => {

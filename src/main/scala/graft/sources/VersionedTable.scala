@@ -307,6 +307,59 @@ object VersionedTable {
     commit(spark, root, next, expectedVersion = base)
   }
 
+  /** Continuous CDC consumption: process every version committed
+    * since the checkpoint, one [[changesBetween]] feed per version
+    * (version 0's feed is the initial snapshot, all inserts), then
+    * advance the checkpoint. The 100 TB consumer loop: schedule this
+    * per trigger and each call costs O(new versions' deltas) for
+    * append-only logs — never a snapshot scan.
+    *
+    * `checkpointDir` holds marker files `v{N}` ("version N fully
+    * handled"), committed by rename-without-replace like the
+    * manifests — a marker either exists completely or not at all, so
+    * recovery needs no repair step. The marker lands AFTER the
+    * handler returns: a crash between the two replays that version —
+    * at-least-once delivery. Pair with an idempotent handler (e.g.
+    * the `#txn:`-marker append sink, keyed on the version number) and
+    * the loop is exactly-once end to end — the same contract Spark's
+    * own foreachBatch gives its sinks. Returns versions processed.
+    */
+  def tailChanges(spark: SparkSession, root: String, checkpointDir: String)
+      (handler: (Int, DataFrame) => Unit): Int = {
+    import org.apache.spark.sql.functions.lit
+    val ckDir = new Path(checkpointDir)
+    val fs = fsOf(spark, ckDir)
+    fs.mkdirs(ckDir)
+    val marker = raw"v(\d+)".r
+    def lastHandled: Int = fs.listStatus(ckDir).flatMap(s =>
+      s.getPath.getName match {
+        case marker(n) => Some(n.toInt)
+        case _ => None
+      }).foldLeft(-1)(math.max)
+    val last = lastHandled
+    val latest = latestVersion(spark, root)
+    var v = last + 1
+    while (v <= latest) {
+      val feed =
+        if (v == 0) read(spark, root, Some(0))
+          .withColumn("change_kind", lit("insert"))
+        else changesBetween(spark, root, v - 1, v)
+      handler(v, feed)
+      val tmp = new Path(ckDir, s".tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, false)
+      try out.write(Array.emptyByteArray) finally out.close()
+      if (!fs.rename(tmp, new Path(ckDir, s"v$v"))) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"checkpoint conflict: another tail already handled v$v of $root")
+      }
+      // best-effort cleanup: only the newest marker matters
+      if (v > 0) fs.delete(new Path(ckDir, s"v${v - 1}"), false)
+      v += 1
+    }
+    latest - last
+  }
+
   /** Drop data files referenced by NO manifest among the newest
     * `keepVersions` (older manifests are dropped too) — the retention
     * knob that bounds storage while keeping recent time travel. Never

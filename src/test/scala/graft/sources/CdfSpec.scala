@@ -86,6 +86,40 @@ class CdfSpec extends SparkSpec {
     assert(feed.columns.toSeq == Seq("id", "text", "change_kind"))
   }
 
+  test("tailChanges: each version handled exactly once; crash before the " +
+      "checkpoint marker replays that version; nothing re-runs after") {
+    val root = freshRoot()
+    val ck = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val seen = scala.collection.mutable.ArrayBuffer[(Int, Set[(Long, String)])]()
+    def handle(v: Int, feed: org.apache.spark.sql.DataFrame): Unit =
+      seen += (v -> feed.collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet)
+    VersionedTable.init(spark, root, docs(1L -> "a"))
+    VersionedTable.append(spark, root, docs(2L -> "b"), expectedVersion = 0)
+    assert(VersionedTable.tailChanges(spark, root, ck)(handle) == 2)
+    assert(seen.toList == List(
+      0 -> Set(1L -> "insert"), 1 -> Set(2L -> "insert")))
+    // idempotent: nothing new → nothing handled
+    assert(VersionedTable.tailChanges(spark, root, ck)(handle) == 0)
+    assert(seen.size == 2)
+    // new commits → only the new versions flow
+    VersionedTable.append(spark, root, docs(3L -> "c"), expectedVersion = 1)
+    assert(VersionedTable.tailChanges(spark, root, ck)(handle) == 1)
+    assert(seen.last == (2 -> Set(3L -> "insert")))
+    // crash between handler and marker: simulate by a handler that
+    // throws AFTER observing the feed — the version must replay
+    VersionedTable.append(spark, root, docs(4L -> "d"), expectedVersion = 2)
+    intercept[RuntimeException](
+      VersionedTable.tailChanges(spark, root, ck) { (v, feed) =>
+        handle(v, feed); throw new RuntimeException("crash after handle")
+      })
+    assert(seen.last == (3 -> Set(4L -> "insert")))
+    // recovery re-delivers v3 (at-least-once), then the marker lands
+    assert(VersionedTable.tailChanges(spark, root, ck)(handle) == 1)
+    assert(seen.last == (3 -> Set(4L -> "insert")) && seen.size == 5)
+    assert(VersionedTable.tailChanges(spark, root, ck)(handle) == 0)
+  }
+
   test("optimize clusters: per-file min/max envelopes narrow vs scattered layout") {
     val root = freshRoot()
     // write deliberately scattered: round-robin ids across partitions
