@@ -1019,6 +1019,22 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // the trainer-handoff export loop end to end: pack, write shard
+  // dirs, commit the manifest, read the manifest back — hash-gated
+  // against DuckDB recomputing the same per-shard totals from the raw
+  // documents (token counts via the text_pack oracle spelling)
+  def pipelineShards(s: SparkSession, d: String): DataFrame = {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_shards")
+    val out = tmpRoot.resolve("export").toString
+    try
+      graft.pipeline.TrainingExport.writeShards(
+        docs(s, d).select(col("doc_id"), col("text")),
+        out, budget = 256, shards = 8)
+        .localCheckpoint(true)
+    finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // per-language PERCENT_RANK without the per-group window funnel —
   // the prefix-sum machinery's per-row member, hash-gated against
   // DuckDB's native window spelling (one truth, two physical plans)
@@ -1085,6 +1101,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_upsert" -> pipelineUpsert _,
     "pipeline_versioned_merge" -> pipelineVersionedMerge _,
     "pipeline_versioned_changes" -> pipelineVersionedChanges _,
+    "pipeline_shards" -> pipelineShards _,
     "stats_histogram" -> statsHistogram _,
     "stats_histogram_eqdepth" -> statsHistogramEqdepth _,
     "stats_drift_by_lang" -> statsDriftByLang _,
@@ -1657,6 +1674,25 @@ object PipelineQueries extends QueryPack {
          |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
          |  CAST(prefix // 256 AS BIGINT) AS seq_idx, n_tokens
          |FROM p ORDER BY doc_id""".stripMargin,
+    // per-shard export totals, same Lehmer/shard/prefix spelling as
+    // text_pack, aggregated — n_seqs is the count of distinct packed
+    // sequence indexes the shard holds
+    "pipeline_shards" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    ((doc_id % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P}) * ${Sampling.A} % ${Sampling.P} AS h,
+         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |p AS (SELECT doc_id, h % 8 AS shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+         |      - n_tokens AS prefix
+         |  FROM t)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT prefix // 256) AS BIGINT) AS n_seqs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
     "sample_weighted" ->
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE n_chars IS NOT NULL AND n_chars > 0

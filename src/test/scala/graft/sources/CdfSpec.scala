@@ -120,6 +120,39 @@ class CdfSpec extends SparkSpec {
     assert(VersionedTable.tailChanges(spark, root, ck)(handle) == 0)
   }
 
+  test("fold invariant: from-snapshot + feed == to-snapshot for EVERY version " +
+      "pair across a mixed append/merge/compact/optimize history") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root,                       // v0
+      docs(1L -> "a", 2L -> "b", 2L -> "b", 3L -> "c"))
+    VersionedTable.append(spark, root, docs(4L -> "d"), 0) // v1 append
+    VersionedTable.merge(spark, root,                      // v2 rewrite
+      docs(2L -> "b2", 5L -> "e")
+        .withColumn("op", lit("U"))
+        .unionByName(docs(3L -> "x").withColumn("op", lit("D"))), "id")
+    VersionedTable.compact(spark, root)                    // v3 no-op rewrite
+    VersionedTable.append(spark, root, docs(6L -> "f"), 3) // v4 append
+    VersionedTable.optimize(spark, root, ("id", "id"), 2)  // v5 no-op rewrite
+
+    def multiset(df: org.apache.spark.sql.DataFrame): Map[(Long, String), Int] =
+      df.collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    for (from <- 0 to 5; to <- from to 5) {
+      val a = scala.collection.mutable.Map(
+        multiset(VersionedTable.read(spark, root, Some(from))).toSeq: _*)
+      VersionedTable.changesBetween(spark, root, from, to).collect().foreach {
+        r =>
+          val key = (r.getLong(0), r.getString(1))
+          val delta = if (r.getString(2) == "insert") 1 else -1
+          a(key) = a.getOrElse(key, 0) + delta
+      }
+      val folded = a.filter(_._2 != 0).toMap
+      assert(a.values.forall(_ >= 0), s"feed $from->$to deleted a missing row")
+      assert(folded == multiset(VersionedTable.read(spark, root, Some(to))),
+        s"feed $from->$to does not fold onto the target snapshot")
+    }
+  }
+
   test("optimize clusters: per-file min/max envelopes narrow vs scattered layout") {
     val root = freshRoot()
     // write deliberately scattered: round-robin ids across partitions
