@@ -224,6 +224,11 @@ object VersionedTable {
     *    correct without row-level tracking. Compact/optimize commits
     *    are data-equivalent by construction and correctly produce an
     *    EMPTY feed here.
+    *
+    * A schema-evolving commit() inside the range fails the diff's
+    * unionByName with a loud analysis error — deliberate: a feed
+    * mixing two schemas has no single row type a consumer could
+    * apply; diff each schema epoch separately.
     */
   def changesBetween(spark: SparkSession, root: String,
       fromVersion: Int, toVersion: Int): DataFrame = {
