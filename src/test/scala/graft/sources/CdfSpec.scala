@@ -78,6 +78,20 @@ class CdfSpec extends SparkSpec {
     assert(v0.sameElements(v2), "optimize changed table contents")
   }
 
+  test("general path is ONE wide aggregate: single exchange, no join") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a", 2L -> "b"))
+    VersionedTable.merge(spark, root,
+      docs(2L -> "b2").withColumn("op", lit("U")), "id")
+    val feed = VersionedTable.changesBetween(spark, root, 0, 1)
+    val plan = feed.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length -
+      "ReusedExchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"content diff should cost exactly one shuffle, found $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"content diff must not join:\n$plan")
+  }
+
   test("same-version feed is empty with the feed schema") {
     val root = freshRoot()
     VersionedTable.init(spark, root, docs(1L -> "a"))
