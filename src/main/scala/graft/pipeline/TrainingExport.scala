@@ -35,12 +35,25 @@ object TrainingExport {
     * committed file. `sum_doc_id` is the order-independent content
     * identity the loader can cheaply re-verify per shard. */
   def writeShards(docs: DataFrame, outDir: String,
-      budget: Int, shards: Int): DataFrame = {
-    val spark = docs.sparkSession
-    val packed = TextAnalysis.packSequences(docs, budget, shards)
-    val rows = packed.join(docs.select(col("doc_id"), col("text")), "doc_id")
-      .select(col("doc_id"), col("shard"), col("seq_idx"),
-        col("n_tokens"), col("text"))
+      budget: Int, shards: Int): DataFrame =
+    writePacked(
+      TextAnalysis.packSequences(docs, budget, shards)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id"),
+      outDir)
+
+  /** Export rows that are ALREADY packed — the composition entry for
+    * a curated corpus whose packing happened upstream (e.g.
+    * [[Curation.e2e]] output joined back to its cleaned text), so the
+    * pack is never paid twice. Requires columns
+    * (doc_id, shard, seq_idx, n_tokens, text); extra columns ride
+    * along into the shard files as loader-visible metadata. */
+  def writePacked(rows: DataFrame, outDir: String): DataFrame = {
+    val spark = rows.sparkSession
+    val needed = Seq("doc_id", "shard", "seq_idx", "n_tokens", "text")
+    val missing = needed.filterNot(rows.columns.contains)
+    require(missing.isEmpty,
+      s"writePacked needs columns ${needed.mkString(",")}; missing: " +
+        missing.mkString(","))
     rows.write.partitionBy("shard").parquet(s"$outDir/data")
     val manifest = spark.read.parquet(s"$outDir/data")
       .groupBy(col("shard").cast("long").as("shard"))

@@ -61,6 +61,29 @@ class TrainingExportSpec extends SparkSpec {
     assert(one.count() == declared)
   }
 
+  test("writePacked exports upstream-packed rows without re-packing; " +
+      "extra columns ride along; totals match writeShards") {
+    val docs = fixture
+    val packed = TextAnalysis.packSequences(docs, budget = 64, shards = 4)
+      .join(docs, "doc_id")
+      .withColumn("mix_source", lit("en_heavy")) // upstream metadata
+    val out = freshOut()
+    val m = TrainingExport.writePacked(packed, out).collect().map(_.toSeq).toSeq
+    // same manifest as the pack-inside path on the same corpus
+    val out2 = freshOut()
+    val m2 = TrainingExport.writeShards(docs, out2, budget = 64, shards = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(m == m2)
+    // the metadata column landed in the shard files
+    val shardRows = TrainingExport.readShard(spark, out, 1)
+    assert(shardRows.columns.contains("mix_source"))
+    assert(shardRows.select("mix_source").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("en_heavy"))
+    // refuses rows missing the contract columns
+    intercept[IllegalArgumentException](
+      TrainingExport.writePacked(docs, freshOut()))
+  }
+
   test("the manifest is the commit point: no manifest, no export") {
     val out = freshOut()
     // simulate a crash mid-export: data present, manifest absent
