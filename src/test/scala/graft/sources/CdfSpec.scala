@@ -167,6 +167,20 @@ class CdfSpec extends SparkSpec {
     }
   }
 
+  test("a feed over a vacuumed-away version fails loudly, never silently empty") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a"))
+    VersionedTable.merge(spark, root,
+      docs(1L -> "a2").withColumn("op", lit("U")), "id")
+    VersionedTable.merge(spark, root,
+      docs(1L -> "a3").withColumn("op", lit("U")), "id")
+    VersionedTable.vacuum(spark, root, keepVersions = 1, retainMillis = 0L)
+    // v2 still reads; a feed anchored at the vacuumed v0 must throw
+    assert(VersionedTable.read(spark, root, Some(2)).count() == 1L)
+    intercept[Exception](
+      VersionedTable.changesBetween(spark, root, 0, 2).collect())
+  }
+
   test("optimize clusters: per-file min/max envelopes narrow vs scattered layout") {
     val root = freshRoot()
     // write deliberately scattered: round-robin ids across partitions
