@@ -55,7 +55,12 @@ object TrainingExport {
       s"writePacked needs columns ${needed.mkString(",")}; missing: " +
         missing.mkString(","))
     rows.write.partitionBy("shard").parquet(s"$outDir/data")
-    val manifest = spark.read.parquet(s"$outDir/data")
+    // manifest describes the DURABLE bytes: re-read what landed (one
+    // cheap scan of the export, never a recompute of the pack). The
+    // explicit schema keeps the read lazy-safe for a legitimately
+    // EMPTY corpus (no files to infer from → zero-row manifest).
+    val manifest = spark.read.schema(rows.schema)
+      .parquet(s"$outDir/data")
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("seq_idx")).as("n_seqs"),
@@ -90,7 +95,13 @@ object TrainingExport {
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       finally in.close()
     import spark.implicits._
-    spark.read.json(text.linesIterator.filter(_.nonEmpty).toSeq.toDS())
+    import org.apache.spark.sql.types._
+    // explicit schema: a zero-shard manifest (empty corpus) must still
+    // round-trip, and the gate hash needs stable BIGINT columns
+    val manifestSchema = StructType(Seq("shard", "n_docs", "n_seqs",
+      "n_tokens", "sum_doc_id").map(StructField(_, LongType)))
+    spark.read.schema(manifestSchema)
+      .json(text.linesIterator.filter(_.nonEmpty).toSeq.toDS())
       .select(col("shard"), col("n_docs"), col("n_seqs"),
         col("n_tokens"), col("sum_doc_id"))
       .orderBy("shard")
@@ -99,7 +110,10 @@ object TrainingExport {
   /** One shard's rows, pruned to its directory by the partition
     * predicate — the loader-worker read path. */
   def readShard(spark: SparkSession, outDir: String, shard: Int): DataFrame = {
-    readManifest(spark, outDir) // commit check
+    val declared = readManifest(spark, outDir) // commit check
+      .filter(col("shard") === shard.toLong).count()
+    require(declared > 0,
+      s"shard $shard is not in $outDir's manifest — nothing to read")
     spark.read.parquet(s"$outDir/data").filter(col("shard") === shard)
   }
 }

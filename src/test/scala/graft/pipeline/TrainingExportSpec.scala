@@ -84,6 +84,19 @@ class TrainingExportSpec extends SparkSpec {
       TrainingExport.writePacked(docs, freshOut()))
   }
 
+  test("an EMPTY corpus exports cleanly: zero-row manifest, loud missing-shard read") {
+    val out = freshOut()
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val m = TrainingExport.writeShards(empty, out, budget = 64, shards = 4)
+    assert(m.count() == 0L)
+    assert(m.columns.toSeq ==
+      Seq("shard", "n_docs", "n_seqs", "n_tokens", "sum_doc_id"))
+    // the commit still landed: a re-read sees the committed (empty) manifest
+    assert(TrainingExport.readManifest(spark, out).count() == 0L)
+    // reading a shard that holds nothing is a loud error, not a hang or NPE
+    intercept[IllegalArgumentException](TrainingExport.readShard(spark, out, 0))
+  }
+
   test("the manifest is the commit point: no manifest, no export") {
     val out = freshOut()
     // simulate a crash mid-export: data present, manifest absent

@@ -92,6 +92,17 @@ class CdfSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"content diff must not join:\n$plan")
   }
 
+  test("an empty initial snapshot feeds correctly: appends are pure inserts") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        docs(1L -> "x").schema))
+    VersionedTable.append(spark, root, docs(1L -> "a"), expectedVersion = 0)
+    val feed = VersionedTable.changesBetween(spark, root, 0, 1)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(feed.toSeq == Seq(1L -> "insert"))
+  }
+
   test("same-version feed is empty with the feed schema") {
     val root = freshRoot()
     VersionedTable.init(spark, root, docs(1L -> "a"))
