@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.graft.StreamingBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming SOURCE over a [[VersionedTable]] — the
+  * continuous spelling of [[VersionedTable.changesBetween]]'s append
+  * fast path:
+  *
+  * {{{
+  *   spark.readStream.format("graft-versioned-stream").load(tableRoot)
+  * }}}
+  *
+  * Offsets ARE version numbers: each micro-batch covers a committed
+  * version range `(start, end]` and reads exactly the commit dirs
+  * those versions ADDED — O(delta) I/O per batch resolved from the
+  * manifests alone, never a snapshot scan or a directory listing.
+  * Batch 0 is the table's current snapshot (the Delta streaming-read
+  * convention: initial load, then tail). Exactly-once composes the
+  * standard way: the engine checkpoints offsets and replays a crashed
+  * batch; an idempotent sink (foreachBatch keyed on batchId, or the
+  * txn-marker append sink) deduplicates the replay.
+  *
+  * A REWRITE inside a streamed range (merge/compact/optimize) fails
+  * the query loudly: dirs the old version referenced are gone from
+  * the new manifest, so the appended-dirs premise is broken and
+  * silently emitting the delta as inserts would corrupt downstream
+  * state. Consumers of rewriting tables run the batch
+  * [[VersionedTable.changesBetween]] general path instead — same
+  * posture as Delta's streaming read without ignoreChanges.
+  *
+  * Why the v1 `Source` API: `getBatch` returns a DataFrame, which
+  * lets the source delegate scanning to Spark's vectorized parquet
+  * reader over the delta dirs (the [[VersionedTableSource]] DSv2
+  * delegation posture, kept for streaming) instead of hand-rolling a
+  * PartitionReader.
+  */
+class VersionedTableStreamSource(sqlContext: SQLContext, root: String,
+    override val schema: StructType) extends Source {
+
+  private def spark: SparkSession = sqlContext.sparkSession
+
+  private def versionOf(o: OffsetV1): Int = o match {
+    case LongOffset(v) => v.toInt
+    case SerializedOffset(json) => json.trim.toInt
+    case other => throw new IllegalStateException(
+      s"unexpected offset type ${other.getClass.getName}")
+  }
+
+  override def getOffset: Option[OffsetV1] =
+    VersionedTable.latestVersion(spark, root) match {
+      case -1 => None
+      case v => Some(LongOffset(v.toLong))
+    }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val to = versionOf(end)
+    val batch = start match {
+      case None =>
+        // initial micro-batch: the whole snapshot as of `to`
+        VersionedTable.read(spark, root, Some(to))
+      case Some(s) =>
+        val from = versionOf(s)
+        val fromDirs = VersionedTable.dataDirs(spark, root, Some(from))
+          .map(d => new Path(d).getName).toSet
+        val toDirs = VersionedTable.dataDirs(spark, root, Some(to))
+          .map(d => new Path(d).getName)
+        require(fromDirs.subsetOf(toDirs.toSet),
+          s"versions ($from, $to] of $root contain a rewrite " +
+            "(merge/compact/optimize) — the streaming source only tails " +
+            "APPENDS; use VersionedTable.changesBetween for rewrite deltas")
+        val added = toDirs.filterNot(fromDirs)
+        if (added.isEmpty) // defensive: engine never asks for (v, v]
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(added.map(d =>
+          new Path(new Path(root, "data"), d).toString): _*)
+    }
+    StreamingBridge.asStreaming(batch)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `format("graft-versioned-stream")` provider (registered in
+  * META-INF/services alongside the batch connector). */
+class VersionedTableStreamSourceProvider
+    extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-versioned-stream"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-versioned-stream needs a table root: .load(<root>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      VersionedTable.read(sqlContext.sparkSession, rootOf(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val root = rootOf(parameters)
+    val s = schema.getOrElse(
+      VersionedTable.read(sqlContext.sparkSession, root).schema)
+    new VersionedTableStreamSource(sqlContext, root, s)
+  }
+}

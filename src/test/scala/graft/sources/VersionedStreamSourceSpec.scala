@@ -1,0 +1,91 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The versioned table as a Structured Streaming SOURCE: offsets are
+  * version numbers, each micro-batch reads only the commit dirs its
+  * version range added, batch 0 is the current snapshot. */
+class VersionedStreamSourceSpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_vss").resolve("tbl").toString
+
+  private def docs(ids: (Long, String)*) = ids.toSeq.toDF("id", "text")
+
+  test("streams the snapshot then tails appends, one micro-batch per offset range") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a", 2L -> "b"))
+    VersionedTable.append(spark, root, docs(3L -> "c"), expectedVersion = 0)
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Set[Long])]()
+    val q = spark.readStream.format("graft-versioned-stream").load(root)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.synchronized {
+          seen += (id -> batch.select("id").as[Long].collect().toSet)
+        }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 0 = the snapshot as of the latest version at start (v1)
+      assert(seen.map(_._2).reduce(_ ++ _) == Set(1L, 2L, 3L),
+        s"initial load wrong: $seen")
+      val before = seen.size
+      // live append lands as its own delta batch with ONLY the new rows
+      VersionedTable.append(spark, root, docs(4L -> "d", 5L -> "e"),
+        expectedVersion = 1)
+      q.processAllAvailable()
+      assert(seen.size == before + 1 && seen.last._2 == Set(4L, 5L),
+        s"append batch wrong: $seen")
+      // nothing new → no new batch
+      q.processAllAvailable()
+      assert(seen.size == before + 1)
+    } finally q.stop()
+  }
+
+  test("checkpointed restart resumes from the last committed version, " +
+      "not the snapshot") {
+    val root = freshRoot()
+    val ck = java.nio.file.Files.createTempDirectory("graft_vss_ck").toString
+    VersionedTable.init(spark, root, docs(1L -> "a"))
+    val seen = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-versioned-stream").load(root)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen += batch.select("id").as[Long].collect().toSet
+          }: Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.flatten.toSet == Set(1L))
+    VersionedTable.append(spark, root, docs(2L -> "b"), expectedVersion = 0)
+    run() // restart: offset checkpoint says v0 done → only v1's delta flows
+    assert(seen.last == Set(2L), s"restart replayed the snapshot: $seen")
+  }
+
+  test("a rewrite inside the streamed range fails the query loudly") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a", 2L -> "b"))
+    val q = spark.readStream.format("graft-versioned-stream").load(root)
+      .writeStream.format("noop").start()
+    try {
+      q.processAllAvailable()
+      VersionedTable.merge(spark, root,
+        docs(2L -> "b2").withColumn("op", lit("U")), "id")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      assert(e.getMessage.contains("rewrite") ||
+        String.valueOf(e.getCause).contains("rewrite"),
+        s"wrong failure: ${e.getMessage}")
+    } finally q.stop()
+  }
+}
