@@ -70,6 +70,52 @@ class VersionedStreamSourceSpec extends SparkSpec {
     assert(seen.last == Set(2L), s"restart replayed the snapshot: $seen")
   }
 
+  test("capstone topology: curation ingest sink upstream, streaming source " +
+      "downstream — the tail sees exactly the curated survivors") {
+    def words(prefix: String, n: Int) =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val root = freshRoot()
+    val bench = Seq(0L -> words("bench", 25)).toDF("doc_id", "text")
+    VersionedTable.init(spark, root,
+      Seq(100L -> words("alpha", 25)).toDF("doc_id", "text"))
+    val seen = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = spark.readStream.format("graft-versioned-stream").load(root)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen += batch.select("doc_id").as[Long].collect().toSet
+        }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.flatten.toSet == Set(100L)) // seed snapshot
+      // batch 0: fresh doc + near re-crawl of the seed (curated away)
+      graft.streaming.Streams.ingestBatch(spark, root,
+        Seq(200L -> words("delta", 25),
+            201L -> (words("alpha", 25) + " extra0")).toDF("doc_id", "text"),
+        bench, batchId = 0L)
+      q.processAllAvailable()
+      assert(seen.last == Set(200L),
+        s"tail must carry ONLY the curated survivor: $seen")
+      // batch 1: near-dup of batch 0's survivor (grown-corpus check) + fresh
+      graft.streaming.Streams.ingestBatch(spark, root,
+        Seq(300L -> (words("delta", 25) + " extra1"),
+            301L -> words("omega", 25)).toDF("doc_id", "text"),
+        bench, batchId = 1L)
+      q.processAllAvailable()
+      assert(seen.last == Set(301L), s"grown-corpus dedup leaked: $seen")
+      // crash replay of batch 1 appends nothing → no new micro-batch
+      val n = seen.size
+      graft.streaming.Streams.ingestBatch(spark, root,
+        Seq(300L -> (words("delta", 25) + " extra1"),
+            301L -> words("omega", 25)).toDF("doc_id", "text"),
+        bench, batchId = 1L)
+      q.processAllAvailable()
+      assert(seen.size == n, "idempotent replay must not re-emit downstream")
+    } finally q.stop()
+  }
+
   test("a rewrite inside the streamed range fails the query loudly") {
     val root = freshRoot()
     VersionedTable.init(spark, root, docs(1L -> "a", 2L -> "b"))
