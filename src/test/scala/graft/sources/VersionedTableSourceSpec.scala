@@ -81,6 +81,21 @@ class VersionedTableSourceSpec extends SparkSpec {
         .load(root).collect())
   }
 
+  test("SQL DDL reaches the connector: CREATE TABLE ... USING graft-versioned") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a", 2L -> "b"))
+    spark.sql("DROP TABLE IF EXISTS vddl")
+    spark.sql(
+      s"CREATE TABLE vddl USING `graft-versioned` OPTIONS (path '$root')")
+    try {
+      val got = spark.sql("SELECT id, body FROM vddl ORDER BY id")
+        .as[(Long, String)].collect().toSeq
+      assert(got == Seq(1L -> "a", 2L -> "b"))
+      // SQL predicates flow into the same pushed-down parquet scan
+      assert(spark.sql("SELECT count(*) FROM vddl WHERE id = 2").head.getLong(0) == 1L)
+    } finally spark.sql("DROP TABLE IF EXISTS vddl")
+  }
+
   test("missing path and uninitialized table fail loudly") {
     intercept[IllegalArgumentException](
       spark.read.format("graft-versioned").load())
