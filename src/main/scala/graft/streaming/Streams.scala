@@ -77,6 +77,18 @@ object Streams {
       .select(col("e.event_id"), timestamp_micros(col("e.ts_us")).as("ts"),
         col("e.user_id"), col("e.event_type"), col("e.value"))
 
+  /** The producer half of the bus contract: canonical event rows →
+    * one JSON `value` column per row, event time as epoch MICROS —
+    * exactly what [[decodeJsonEvents]] reverses, so encode∘decode is
+    * identity on the canonical schema (StreamingSpec proves it
+    * brokerlessly). Feed the result to the Kafka sink
+    * (`writeStream.format("kafka")` wants a `value` column — this is
+    * it; add a `key` column upstream for partition affinity). */
+  def encodeJsonEvents(events: DataFrame): DataFrame =
+    events.select(to_json(struct(col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("user_id"),
+      col("event_type"), col("value"))).as("value"))
+
   /** Kafka source → canonical events: subscribe, decode, done — every
     * transform in this object runs unchanged on the result. Needs the
     * spark-sql-kafka connector jar at runtime (see the seam note). */

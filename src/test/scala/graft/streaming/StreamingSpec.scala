@@ -30,10 +30,7 @@ class StreamingSpec extends SparkSpec {
     // batch twin bit for bit, so every transform is provably
     // source-agnostic and the ONLY Kafka-specific piece left is the
     // connector jar.
-    val wire = Streams.eventsStream(spark, dir)
-      .select(to_json(struct(col("event_id"),
-        unix_micros(col("ts")).as("ts_us"), col("user_id"),
-        col("event_type"), col("value"))).as("value"))
+    val wire = Streams.encodeJsonEvents(Streams.eventsStream(spark, dir))
     val streamed = Streams.tumblingCounts(Streams.decodeJsonEvents(wire))
     val got = Streams.runToMemory(spark, streamed, "t_kafka_shape",
       OutputMode.Complete())
