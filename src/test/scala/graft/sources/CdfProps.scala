@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
+
+/** ScalaCheck invariants for the change feed over RANDOM commit
+  * histories — the fixed-history fold test generalized: whatever
+  * sequence of appends/merges/compactions a table lives through, the
+  * feed between ANY two surviving versions must fold the earlier
+  * snapshot exactly onto the later one, never delete a missing row,
+  * and deletes must be impossible across append-only ranges.
+  *
+  * Case count is bounded (each case commits a real table to disk and
+  * runs ~a dozen Spark jobs); the generator's keyspace is small so
+  * collisions — updates, re-inserts, duplicate rows — are FREQUENT,
+  * which is where diff bugs live.
+  */
+object CdfProps extends Properties("ChangeFeed") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6).withMaxDiscardRatio(10f)
+
+  private lazy val spark = graft.SparkSpec.session
+  import spark.implicits._
+
+  private sealed trait Op
+  private case class Append(rows: List[(Long, String)]) extends Op
+  private case class Merge(rows: List[(Long, String)], deletes: List[Long])
+      extends Op
+  private case object Compact extends Op
+
+  private val rowGen = for {
+    id <- Gen.choose(0L, 7L)
+    t <- Gen.oneOf("a", "b", "c")
+  } yield (id, t)
+
+  private val opGen: Gen[Op] = Gen.frequency(
+    // appends must not collide with snapshot ids (append is the
+    // new-rows path); shift into a disjoint id range
+    4 -> Gen.nonEmptyListOf(rowGen).map(rs =>
+      Append(rs.take(4).zipWithIndex.map { case ((id, t), i) =>
+        (id + 100L * (i + 1), t)
+      })),
+    4 -> (for {
+      ups0 <- Gen.listOf(rowGen).map(_.take(3))
+      dels0 <- Gen.listOf(Gen.choose(0L, 7L)).map(_.take(2))
+    } yield {
+      // the merge contract refuses duplicate changeset keys (latest-
+      // wins is undefined without a versionCol): one op per key
+      val ups = ups0.groupBy(_._1).map(_._2.head).toList
+      val dels = dels0.distinct.filterNot(ups.map(_._1).contains)
+      Merge(ups, dels)
+    }),
+    1 -> Gen.const(Compact))
+
+  private val historyGen = for {
+    init <- Gen.nonEmptyListOf(rowGen).map(_.take(5))
+    ops <- Gen.listOfN(3, opGen)
+  } yield (init, ops)
+
+  private def build(init: List[(Long, String)], ops: List[Op]): String = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdfprop").resolve("t").toString
+    VersionedTable.init(spark, root, init.toDF("id", "text"))
+    ops.foreach {
+      case Append(rows) =>
+        VersionedTable.append(spark, root, rows.toDF("id", "text"),
+          VersionedTable.latestVersion(spark, root))
+      case Merge(ups, dels) =>
+        val cs = ups.map { case (id, t) => (id, t, "U") } ++
+          dels.map(id => (id, "", "D"))
+        if (cs.nonEmpty)
+          VersionedTable.merge(spark, root, cs.toDF("id", "text", "op"), "id")
+      case Compact =>
+        VersionedTable.compact(spark, root)
+    }
+    root
+  }
+
+  private def multiset(root: String, v: Int): Map[(Long, String), Int] =
+    VersionedTable.read(spark, root, Some(v)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+
+  private def folds(root: String, from: Int, to: Int): Prop = {
+    val acc = scala.collection.mutable.Map(multiset(root, from).toSeq: _*)
+    var undeleted = List.empty[(Long, String)]
+    VersionedTable.changesBetween(spark, root, from, to).collect().foreach {
+      r =>
+        val key = (r.getLong(0), r.getString(1))
+        val d = if (r.getString(2) == "insert") 1 else -1
+        acc(key) = acc.getOrElse(key, 0) + d
+        if (acc(key) < 0) undeleted ::= key
+    }
+    (undeleted.isEmpty :| s"feed $from->$to deleted missing rows $undeleted") &&
+      ((acc.filter(_._2 != 0).toMap == multiset(root, to)) :|
+        s"feed $from->$to does not fold")
+  }
+
+  property("feed folds from->to for the full range and a middle pair, " +
+      "on any append/merge/compact history") =
+    Prop.forAllNoShrink(historyGen) { case (init, ops) =>
+      val root = build(init, ops)
+      val latest = VersionedTable.latestVersion(spark, root)
+      val mid = latest / 2
+      folds(root, 0, latest) && folds(root, mid, latest) &&
+        folds(root, mid, mid)
+    }
+
+  property("append-only histories never produce a delete and take the " +
+      "no-shuffle path") =
+    Prop.forAllNoShrink(historyGen) { case (init, ops) =>
+      val appendsOnly = ops.collect { case a: Append => a }
+      val root = build(init, appendsOnly)
+      val latest = VersionedTable.latestVersion(spark, root)
+      val feed = VersionedTable.changesBetween(spark, root, 0, latest)
+      val kinds = feed.select("change_kind").distinct()
+        .collect().map(_.getString(0)).toSet
+      val plan = feed.queryExecution.executedPlan.toString
+      (kinds.subsetOf(Set("insert")) :| s"append-only range emitted $kinds") &&
+        ((!plan.contains("Exchange")) :| "append fast path shuffled") &&
+        folds(root, 0, latest)
+    }
+}
