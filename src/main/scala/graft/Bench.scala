@@ -62,6 +62,23 @@ object Bench {
       }
       ts.sorted.apply(1)
     }
+    // memory-bandwidth probe (GB/s, read+write, best of 3 copies of a
+    // 512 MB array): CPU-bound rows discount by `calibration`,
+    // shuffle-heavy rows by this — a shared host can degrade the two
+    // independently (round-11: calibration at best-ever while the
+    // 2.1 GB-genome GA ran 2× the record).
+    val memBw = {
+      val n = 64000000 // 512 MB of longs
+      val src = new Array[Long](n)
+      java.util.Arrays.fill(src, 1L)
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val dst = java.util.Arrays.copyOf(src, n)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dst(n - 1) != 1L) sys.error("unreachable")
+        n * 8L * 2 / dt / 1e9
+      }.max
+    }
 
     // rows whose FIRST run builds a cached offline artifact get one
     // untimed warm run, so the timed runs measure SERVING — the same
@@ -133,7 +150,7 @@ object Bench {
     val flaky = results.collect { case (k, _, _, true, f) if f > 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true, _) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","load":$loadAvg%.2f,"calibration":$calibration%.3f,"errors":$errs,"flaky":$flaky,"spread":$spreads,"queries":$qs}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","load":$loadAvg%.2f,"calibration":$calibration%.3f,"membw_gbps":$memBw%.1f,"errors":$errs,"flaky":$flaky,"spread":$spreads,"queries":$qs}""")
     spark.stop()
   }
 }
