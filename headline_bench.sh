@@ -1,0 +1,38 @@
+#!/bin/bash
+# Headline-scale SGA measurement, probe-gated (VERDICT r11 Next #2).
+# Probes first; only runs the expensive GA when the host is in the
+# quiet band (calibration <= 0.25 AND membw >= 2.5 GB/s). Exits 2 on
+# a noisy host so a caller can cheaply retry later.
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED \
+--add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+--add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
+--add-opens=java.base/java.io=ALL-UNNAMED \
+--add-opens=java.base/java.net=ALL-UNNAMED \
+--add-opens=java.base/java.nio=ALL-UNNAMED \
+--add-opens=java.base/java.util=ALL-UNNAMED \
+--add-opens=java.base/java.util.concurrent=ALL-UNNAMED \
+--add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+--add-opens=java.base/jdk.internal.ref=ALL-UNNAMED \
+--add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+--add-opens=java.base/sun.nio.cs=ALL-UNNAMED \
+--add-opens=java.base/sun.security.action=ALL-UNNAMED \
+--add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+probe() {
+  echo "== probe $1 $(date -u +%H:%M:%S) uptime: $(uptime)"
+  java -Xmx8g $OPENS -cp "$CP" graft.Bench __probe__ 2>/dev/null | tail -1
+}
+GENS="${GENS:-3}"
+P=$(probe before)
+echo "$P"
+CAL=$(echo "$P" | grep -o '"calibration":[0-9.]*' | cut -d: -f2)
+BW=$(echo "$P" | grep -o '"membw_gbps":[0-9.-]*' | cut -d: -f2)
+QUIET=$(python3 -c "print(1 if (float('$CAL' or 9) <= 0.25 and float('$BW' or 0) >= 2.5) else 0)" 2>/dev/null || echo 0)
+if [ "$QUIET" != "1" ] && [ "$FORCE" != "1" ]; then
+  echo "== host not quiet (calibration=$CAL membw=$BW) — skipping GA run"
+  exit 2
+fi
+echo "== headline GaBench start $(date -u +%H:%M:%S) (calibration=$CAL membw=$BW)"
+SPARK_GRAFT_CPUS=32 java -Xmx64g $OPENS -cp "$CP" graft.GaBench 10000 1330000 "$GENS" 32 2>/dev/null | tail -1
+echo "== headline GaBench end $(date -u +%H:%M:%S)"
+probe after

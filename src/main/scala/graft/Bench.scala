@@ -4,7 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},...}
+  * followed by a short final {"metric":"meta",...} line that repeats
+  * the machine-provenance fields (load/calibration/membw/errors) so a
+  * consumer that keeps only a tail window of the output still gets a
+  * complete, parseable provenance record.
   *
   * Timing includes full plan execution (count() drives the whole
   * DAG). One untimed warmup query initializes codegen/JIT and the
@@ -63,12 +67,16 @@ object Bench {
       ts.sorted.apply(1)
     }
     // memory-bandwidth probe (GB/s, read+write, best of 3 copies of a
-    // 512 MB array): CPU-bound rows discount by `calibration`,
+    // 128 MB array): CPU-bound rows discount by `calibration`,
     // shuffle-heavy rows by this — a shared host can degrade the two
     // independently (round-11: calibration at best-ever while the
-    // 2.1 GB-genome GA ran 2× the record).
-    val memBw = {
-      val n = 64000000 // 512 MB of longs
+    // 2.1 GB-genome GA ran 2× the record). 128 MB is far past any
+    // last-level cache so it measures DRAM, while keeping the probe's
+    // transient footprint (~256 MB) inside even a 1 GB driver heap;
+    // the Try means a heap-starved run still produces the bench JSON
+    // (membw -1) instead of dying before any query times.
+    val memBw = scala.util.Try {
+      val n = 16000000 // 128 MB of longs
       val src = new Array[Long](n)
       java.util.Arrays.fill(src, 1L)
       (1 to 3).map { _ =>
@@ -78,7 +86,7 @@ object Bench {
         if (dst(n - 1) != 1L) sys.error("unreachable")
         n * 8L * 2 / dt / 1e9
       }.max
-    }
+    }.getOrElse(-1.0)
 
     // rows whose FIRST run builds a cached offline artifact get one
     // untimed warm run, so the timed runs measure SERVING — the same
@@ -129,13 +137,20 @@ object Bench {
     // came first and the same-length spread map after it, so the
     // surviving tail was entirely spread values — which parse
     // identically to medians (both maps are alphabetical) and were
-    // misread as per-row times downstream. Two defenses, either alone
-    // sufficient: (a) the queries map is the LAST field on the line,
-    // so the window slices from its cheapest-first head, keeping every
-    // expensive row AND the trailing metadata; (b) the spread map only
+    // misread as per-row times downstream. Round 11 then lost the
+    // load/calibration/membw provenance the same way: those fields sat
+    // at the HEAD of the line, ahead of a >4 KB queries map, so the
+    // window sliced exactly the metadata it existed to deliver. Three
+    // defenses now: (a) the queries map comes before the metadata and
+    // is sorted cheapest-first, so the window slices from its cheap
+    // head, keeping every expensive row; (b) the spread map only
     // carries rows whose spread exceeds the 50 ms noise floor — the
     // point of "spread" is flagging noisy rows, and at 130+ rows the
-    // sub-floor entries were 3 KB of padding that evicted the data.
+    // sub-floor entries were 3 KB of padding that evicted the data;
+    // (c) a second, short, FINAL "meta" line repeats
+    // total/load/calibration/membw/errors/flaky — it is complete JSON
+    // on its own, so any tail window (even one that truncates the main
+    // line mid-map) still carries a parseable provenance record.
     val byCost = results.sortBy { case (_, v, _, ok, _) =>
       if (ok) v else Double.MaxValue // errored rows last: always visible
     }
@@ -150,7 +165,8 @@ object Bench {
     val flaky = results.collect { case (k, _, _, true, f) if f > 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true, _) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","load":$loadAvg%.2f,"calibration":$calibration%.3f,"membw_gbps":$memBw%.1f,"errors":$errs,"flaky":$flaky,"spread":$spreads,"queries":$qs}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","spread":$spreads,"queries":$qs,"load":$loadAvg%.2f,"calibration":$calibration%.3f,"membw_gbps":$memBw%.1f,"errors":$errs,"flaky":$flaky}""")
+    println(f"""{"metric":"meta","total":$total%.3f,"unit":"sec","sf":"$sfDir","load":$loadAvg%.2f,"calibration":$calibration%.3f,"membw_gbps":$memBw%.1f,"errors":$errs,"flaky":$flaky}""")
     spark.stop()
   }
 }

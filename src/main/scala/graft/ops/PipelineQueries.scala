@@ -431,6 +431,27 @@ object PipelineQueries extends QueryPack {
       Similarity.bruteForceTopK(emb(s, d), maxQueryId = 10L, k = 5), k = 5)
       .orderBy("qid", "rn")
 
+  // VERIFIED twins (the dedup_semantic_verified precedent): in
+  // settings where the ANN structure provably degenerates to
+  // exhaustive search, the approximate operator's result IS the exact
+  // top-k, so the brute-force SQL oracle applies — hash-gating the
+  // family's machinery (cell-probe/bucket join, per-partition heaps,
+  // final window) instead of leaving it rows-only. IVF at
+  // nprobe = nCells probes every cell, so every (query, vector) pair
+  // is scored exactly once; LSH at planes = 0 hashes everything into
+  // one bucket, so the bucket join emits every pair. Recall is 1 BY
+  // CONSTRUCTION — any hash mismatch here is a real defect in the
+  // probe join / heap / ranking code, not an approximation artifact.
+  def simTopkIvfVerified(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(emb(s, d), maxQueryId = 10L, k = 5,
+      nCells = 16, nprobe = 16)
+      .orderBy("qid", "rn")
+
+  def simTopkLshVerified(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(emb(s, d), maxQueryId = 10L, k = 5,
+      planes = 0, tables = 1)
+      .orderBy("qid", "rn")
+
   // quantizer indexes build once per (application, dir) — the same
   // offline-build/online-serve split the graph row rides (and FAISS's
   // actual lifecycle): codebook training + corpus coding are the
@@ -1019,6 +1040,37 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // the SAME feed in key-aware mode (key = doc_id, the column the
+  // merge itself pairs on): updated keys surface as paired
+  // update_preimage/update_postimage rows instead of delete+insert —
+  // Delta-CDF vocabulary, so a downstream MERGE consumer applies the
+  // feed without reconstructing row identity. Hash-gated against
+  // DuckDB's FULL OUTER JOIN spelling of the same pairing.
+  def pipelineVersionedChangesKeyed(s: SparkSession, d: String): DataFrame = {
+    val snap = docs(s, d)
+    val upd = snap.filter(col("doc_id") % 7 === 1)
+      .withColumn("source", lit("patched")).withColumn("op", lit("U"))
+    val del = snap.filter(col("doc_id") % 7 === 0)
+      .withColumn("op", lit("D"))
+    val ins = snap.filter(col("doc_id") % 7 === 2)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("source", lit("ingested")).withColumn("op", lit("U"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vchangesk")
+    val root = tmpRoot.resolve("tbl").toString
+    try {
+      graft.sources.VersionedTable.init(s, root, snap)
+      graft.sources.VersionedTable.merge(s, root,
+        upd.unionByName(del).unionByName(ins), "doc_id")
+      graft.sources.VersionedTable.changesBetween(s, root, 0, 1,
+          key = Some("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"), col("change_kind"))
+        .orderBy("doc_id", "change_kind")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // the trainer-handoff export loop end to end: pack, write shard
   // dirs, commit the manifest, read the manifest back — hash-gated
   // against DuckDB recomputing the same per-shard totals from the raw
@@ -1101,6 +1153,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_upsert" -> pipelineUpsert _,
     "pipeline_versioned_merge" -> pipelineVersionedMerge _,
     "pipeline_versioned_changes" -> pipelineVersionedChanges _,
+    "pipeline_versioned_changes_keyed" -> pipelineVersionedChangesKeyed _,
     "pipeline_shards" -> pipelineShards _,
     "stats_histogram" -> statsHistogram _,
     "stats_histogram_eqdepth" -> statsHistogramEqdepth _,
@@ -1139,7 +1192,9 @@ object PipelineQueries extends QueryPack {
     "sim_topk_brute" -> simTopkBrute _,
     "sim_topk_graph" -> simTopkGraph _,
     "sim_topk_lsh" -> simTopkLsh _,
+    "sim_topk_lsh_verified" -> simTopkLshVerified _,
     "sim_topk_ivf" -> simTopkIvf _,
+    "sim_topk_ivf_verified" -> simTopkIvfVerified _,
     "sim_topk_pq" -> simTopkPq _,
     "sim_topk_ivfpq" -> simTopkIvfPq _,
     "sim_pq_drift" -> simPqDrift _,
@@ -1330,6 +1385,53 @@ object PipelineQueries extends QueryPack {
         |del AS (SELECT *, 'delete' AS change_kind FROM
         |  (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1))
         |SELECT * FROM ins UNION ALL SELECT * FROM del
+        |ORDER BY doc_id, change_kind""".stripMargin,
+    // the keyed feed: FULL OUTER JOIN on doc_id pairs pre/post images
+    // (IS DISTINCT FROM = the engine's null-safe struct comparison);
+    // md5 projection is the established per-row injection
+    "pipeline_versioned_changes_keyed" ->
+      """WITH cs AS (
+        |  SELECT doc_id, text, lang, 'patched' AS source, n_chars,
+        |    'U' AS op FROM documents WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, 'D'
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, 'ingested', n_chars, 'U'
+        |  FROM documents WHERE doc_id % 7 = 2),
+        |kept AS (
+        |  SELECT s.* FROM documents s LEFT JOIN cs ON s.doc_id = cs.doc_id
+        |  WHERE cs.doc_id IS NULL),
+        |merged AS (
+        |  SELECT * FROM kept
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars FROM cs WHERE op = 'U'),
+        |v0 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |  FROM documents),
+        |v1 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |  FROM merged),
+        |j AS (
+        |  SELECT v0.doc_id AS f_id, v0.lang AS f_lang,
+        |    v0.source AS f_source, v0.n_chars AS f_n, v0.text_md5 AS f_md5,
+        |    v1.doc_id AS t_id, v1.lang AS t_lang,
+        |    v1.source AS t_source, v1.n_chars AS t_n, v1.text_md5 AS t_md5
+        |  FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id),
+        |upd AS (
+        |  SELECT * FROM j WHERE f_id IS NOT NULL AND t_id IS NOT NULL
+        |    AND (f_lang IS DISTINCT FROM t_lang
+        |      OR f_source IS DISTINCT FROM t_source
+        |      OR f_n IS DISTINCT FROM t_n
+        |      OR f_md5 IS DISTINCT FROM t_md5))
+        |SELECT t_id AS doc_id, t_lang AS lang, t_source AS source,
+        |  t_n AS n_chars, t_md5 AS text_md5, 'insert' AS change_kind
+        |FROM j WHERE f_id IS NULL
+        |UNION ALL
+        |SELECT f_id, f_lang, f_source, f_n, f_md5, 'delete'
+        |FROM j WHERE t_id IS NULL
+        |UNION ALL
+        |SELECT f_id, f_lang, f_source, f_n, f_md5, 'update_preimage' FROM upd
+        |UNION ALL
+        |SELECT t_id, t_lang, t_source, t_n, t_md5, 'update_postimage' FROM upd
         |ORDER BY doc_id, change_kind""".stripMargin,
     // median/MAD both quantile_disc (rank ⌈q·n⌉ == exactQuantiles);
     // the one float op is the final division on both sides
@@ -1785,6 +1887,26 @@ object PipelineQueries extends QueryPack {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     "sim_topk_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |     s AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, v) AS cos
+        |           FROM q JOIN e ON e.vec_id != qid),
+        |     r AS (SELECT qid, nid,
+        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
+        |SELECT qid, nid, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // the verified ANN twins degenerate to exhaustive search (recall 1
+    // by construction), so the exact brute-force spelling IS their
+    // oracle — same query, three physical routes (direct score,
+    // all-cells IVF probe join, single-bucket LSH join)
+    "sim_topk_ivf_verified" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |     s AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, v) AS cos
+        |           FROM q JOIN e ON e.vec_id != qid),
+        |     r AS (SELECT qid, nid,
+        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
+        |SELECT qid, nid, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "sim_topk_lsh_verified" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
         |     s AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, v) AS cos

@@ -20,11 +20,28 @@ object Tables {
     * casting NTZ→TIMESTAMP preserves the stored micros exactly; this
     * makes the engine tolerant of either encoding at the one source
     * boundary instead of failing in every event-time operator.
-    */
-  def normalizeNtz(df: DataFrame): DataFrame =
-    df.schema.fields.collect {
+    *
+    * The micros-preserving property holds ONLY under a UTC session —
+    * any other zone silently shifts every event time at the cast. The
+    * invariant is asserted exactly where it is relied on (and only
+    * when an NTZ column is actually present), so an external caller
+    * embedding Tables with a non-UTC session fails loudly instead of
+    * reading shifted timestamps. */
+  private def requireUtc(df: DataFrame): Unit = {
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"TIMESTAMP_NTZ normalization requires spark.sql.session.timeZone" +
+        s"=UTC (got '$tz') — the NTZ->TIMESTAMP cast preserves stored " +
+        "micros only under UTC; set the session timezone before reading")
+  }
+
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntzCols = df.schema.fields.collect {
       case f if f.dataType == TimestampNTZType => f.name
-    }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+    }
+    if (ntzCols.nonEmpty) requireUtc(df)
+    ntzCols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
@@ -51,6 +68,7 @@ object Tables {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
+        requireUtc(df)
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }

@@ -240,9 +240,13 @@ object Similarity {
     val hyper = Array.fill(tables, planes, dim)(rng.nextGaussian())
     def dot(v: Column, plane: Array[Double]): Column =
       graft.functions.VectorOps.dotProduct(v, array(plane.toIndexedSeq.map(lit): _*))
+    // foldLeft(0L) rather than reduce: planes = 0 is the legitimate
+    // degenerate setting (one all-covering bucket — every vector is a
+    // candidate), which the verified-twin gate uses to prove the LSH
+    // machinery exact when the structure guarantees recall 1
     def bucketOf(t: Int): Column = (0 until planes).map { p =>
       when(dot(col("e"), hyper(t)(p)) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    }.foldLeft(lit(0L))((a, b) => a.bitwiseOR(b))
     // (table, bucket) pairs exploded per row; the equi-join on both is
     // the only wide op and each side carries narrow keys + the vector
     val e = asDouble(emb)

@@ -81,26 +81,73 @@ object VersionedTable {
     } finally in.close()
   }
 
-  // manifest body: `#`-prefixed metadata lines (e.g. the `#txn:` of an
-  // idempotent streaming append) followed by one commit-dir name per
-  // line (no JSON library dependency; driver tools never parse these)
+  // manifest body: `#`-prefixed metadata lines (the `#txn:` of an
+  // idempotent streaming append, the `#schema:` pin of an evolved
+  // table) followed by one commit-dir name per line (no JSON library
+  // dependency; driver tools never parse these)
   private def readManifest(spark: SparkSession, root: String,
       v: Int): Seq[String] =
     manifestLines(spark, root, v).filterNot(_.startsWith("#"))
+
+  // marker body after "#txn:": either "<batchId>" (anonymous legacy
+  // single-writer) or "<appId>:<batchId>" (multi-writer, Delta's
+  // txnAppId/txnVersion shape). Parsed to (appId, batchId).
+  private def parseTxnMarker(line: String): (Option[String], Long) = {
+    val body = line.stripPrefix("#txn:")
+    body.lastIndexOf(':') match {
+      case -1 => (None, body.toLong)
+      case i => (Some(body.take(i)), body.drop(i + 1).toLong)
+    }
+  }
+
+  private def txnMarkerOf(spark: SparkSession, root: String,
+      v: Int): Option[(Option[String], Long)] =
+    manifestLines(spark, root, v)
+      .find(_.startsWith("#txn:")).map(parseTxnMarker)
 
   /** The transaction marker version `v` (default: latest) was
     * committed with, if any — the idempotency handshake for exactly-
     * once streaming appends: a manifest carries its writer's batch id
     * ATOMICALLY with the commit (same rename), so a crash-replayed
-    * batch can recognize itself already committed. One writer per
-    * table (the streaming sink's topology); multi-writer would key
-    * this by (appId, txn) exactly as Delta does. */
+    * batch can recognize itself already committed.
+    *
+    * `appId = None` matches only ANONYMOUS markers (the one-writer-
+    * per-table legacy topology) and deliberately ignores app-qualified
+    * ones — an anonymous replay check must never mistake another
+    * writer's batch id for its own. With `appId = Some(w)`, only
+    * writer `w`'s markers match. For the multi-writer replay check use
+    * [[lastCommittedTxn]], which scans past other writers' commits. */
   def committedTxn(spark: SparkSession, root: String,
-      version: Option[Int] = None): Option[Long] = {
+      version: Option[Int] = None,
+      appId: Option[String] = None): Option[Long] = {
     val v = version.getOrElse(latestVersion(spark, root))
     if (v < 0) None
-    else manifestLines(spark, root, v)
-      .find(_.startsWith("#txn:")).map(_.stripPrefix("#txn:").toLong)
+    else txnMarkerOf(spark, root, v)
+      .collect { case (a, t) if a == appId => t }
+  }
+
+  /** Writer `appId`'s most recent committed batch id, scanning
+    * versions newest-first past OTHER writers' commits — the
+    * multi-writer idempotency check (Delta's per-appId SetTransaction
+    * state, resolved from the manifest chain instead of a snapshot
+    * action log). With concurrent writers A and B interleaving
+    * appends, A's replay check must see A's marker even when B
+    * committed after it; checking only the latest version would make
+    * A re-append a committed batch. O(versions-scanned) tiny manifest
+    * reads, driver-side; stops at the vacuum horizon (missing
+    * manifests end the scan — anything older is aged out anyway). */
+  def lastCommittedTxn(spark: SparkSession, root: String,
+      appId: String): Option[Long] = {
+    val fs = fsOf(spark, manifestDir(root))
+    var v = latestVersion(spark, root)
+    while (v >= 0 && fs.exists(manifestPath(root, v))) {
+      txnMarkerOf(spark, root, v) match {
+        case Some((Some(a), t)) if a == appId => return Some(t)
+        case _ => ()
+      }
+      v -= 1
+    }
+    None
   }
 
   /** The commit-dir paths version `version` (default: latest)
@@ -115,20 +162,60 @@ object VersionedTable {
       .map(d => new Path(new Path(root, "data"), d).toString)
   }
 
+  /** The `#schema:` pin of version `v`'s manifest, if any — present
+    * exactly on versions whose snapshot spans commit dirs with
+    * DIFFERENT physical schemas (an additive evolution and every
+    * append after it, until a full rewrite re-homogenizes the files).
+    * Recorded as `StructType.json` (one line); versions without the
+    * pin read with their files' own uniform schema, which is what
+    * makes pre-evolution time travel exact. */
+  def manifestSchema(spark: SparkSession, root: String,
+      v: Int): Option[org.apache.spark.sql.types.StructType] =
+    manifestLines(spark, root, v)
+      .find(_.startsWith("#schema:")).map { l =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("#schema:"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
+
   /** Snapshot read at `version` (default: latest). The returned frame
     * is pinned to the version's explicit file list — concurrent
-    * commits and vacuums of OTHER versions never disturb it. */
+    * commits and vacuums of OTHER versions never disturb it. Versions
+    * carrying a `#schema:` pin (post-evolution) read under that
+    * schema: files written before the evolved column existed surface
+    * it as NULL, exactly Delta/Iceberg's additive-evolution read
+    * semantics — and without the pin, plain parquet inference would
+    * nondeterministically pick whichever file's footer it sampled. */
   def read(spark: SparkSession, root: String,
-      version: Option[Int] = None): DataFrame =
-    spark.read.parquet(dataDirs(spark, root, version): _*)
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    val dirs = dataDirs(spark, root, Some(v))
+    manifestSchema(spark, root, v) match {
+      case Some(s) => spark.read.schema(s).parquet(dirs: _*)
+      case None => spark.read.parquet(dirs: _*)
+    }
+  }
+
+  private def txnLine(txn: Option[Long], txnAppId: Option[String])
+      : Seq[String] = {
+    txnAppId.foreach(a => require(!a.contains(':') && a.nonEmpty,
+      s"txnAppId must be non-empty and ':'-free, got '$a'"))
+    txn.map(t => "#txn:" + txnAppId.map(_ + ":").getOrElse("") + t).toSeq
+  }
 
   /** Commit `df` as the version after `expectedVersion` (optimistic:
     * pass the version the new state was derived FROM — a concurrent
     * commit in between fails this one instead of silently clobbering
-    * it). Returns the committed version number. */
+    * it). Returns the committed version number. A full rewrite: every
+    * file of the new version carries `df`'s schema, so no `#schema:`
+    * pin is needed (or carried) — committing IS how a table
+    * re-homogenizes after evolution. `txnAppId` qualifies the txn
+    * marker for multi-writer tables (see [[lastCommittedTxn]]). */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-      expectedVersion: Int, txn: Option[Long] = None): Int =
-    commitDirs(spark, root, df, expectedVersion, carryDirs = Seq.empty, txn)
+      expectedVersion: Int, txn: Option[Long] = None,
+      txnAppId: Option[String] = None): Int =
+    commitDirs(spark, root, df, expectedVersion, carryDirs = Seq.empty,
+      metaLines = txnLine(txn, txnAppId))
 
   /** APPEND `df` as a new version WITHOUT rewriting existing data:
     * only the new rows are written; the new manifest lists the
@@ -139,20 +226,51 @@ object VersionedTable {
     * referenced dirs are immutable. Optimistic like [[commit]]:
     * `expectedVersion` is the version the append was planned against. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      expectedVersion: Int, txn: Option[Long] = None): Int = {
+      expectedVersion: Int, txn: Option[Long] = None,
+      txnAppId: Option[String] = None,
+      evolveSchema: Boolean = false): Int = {
     // loud schema guard: parquet would silently drop/NULL mismatched
-    // columns at read time (the classic append-corruption); evolution
-    // is an explicit rewrite (merge/commit), not an accident. Shape
-    // compare (names + types, not nullability/metadata): the parquet
-    // round-trip flips nullable flags, which are not a schema change.
+    // columns at read time (the classic append-corruption); silent
+    // drift is never accepted. Shape compare (names + types, not
+    // nullability/metadata): the parquet round-trip flips nullable
+    // flags, which are not a schema change. With `evolveSchema`,
+    // ADDITIVE drift — every existing column unchanged, new columns
+    // appended nullable — is allowed and recorded as a `#schema:` pin
+    // in the manifest, so readers of the new version see old files
+    // with the new column as NULL (Delta/Iceberg additive evolution);
+    // pre-evolution versions keep their original schema for time
+    // travel. Anything non-additive (drop, rename, type change) still
+    // requires an explicit full rewrite via commit().
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.sql))
     val current = read(spark, root, Some(expectedVersion)).schema
-    require(shape(df.schema) == shape(current),
-      s"append schema ${df.schema.simpleString} != table schema " +
-        s"${current.simpleString} — evolve via commit(), not append()")
+    val curShape = shape(current)
+    val newShape = shape(df.schema)
+    val schemaLine: Option[String] =
+      if (newShape == curShape)
+        // no drift — but carry an existing pin forward: the files
+        // under the manifest are still heterogeneous until a rewrite
+        manifestSchema(spark, root, expectedVersion).map(_.json)
+      else if (evolveSchema && newShape.startsWith(curShape)) {
+        val addedNames = newShape.drop(curShape.length).map(_._1).toSet
+        val nonNullable = df.schema.fields
+          .filter(f => addedNames.contains(f.name.toLowerCase))
+          .filterNot(_.nullable).map(_.name)
+        require(nonNullable.isEmpty,
+          s"evolved columns must be nullable (old files have no value " +
+            s"for them): ${nonNullable.mkString(", ")}")
+        Some(df.schema.json)
+      } else sys.error(
+        s"append schema ${df.schema.simpleString} != table schema " +
+          s"${current.simpleString} — " + (if (evolveSchema)
+            "only ADDITIVE evolution (existing columns unchanged, new " +
+              "nullable columns appended) is supported; rewrite via commit()"
+          else "evolve via append(evolveSchema = true) for additive " +
+            "columns, or rewrite via commit()"))
     commitDirs(spark, root, df, expectedVersion,
-      carryDirs = readManifest(spark, root, expectedVersion), txn)
+      carryDirs = readManifest(spark, root, expectedVersion),
+      metaLines = txnLine(txn, txnAppId) ++
+        schemaLine.map("#schema:" + _).toSeq)
   }
 
   /** Rewrite the CURRENT snapshot as a single fresh commit dir — the
@@ -229,9 +347,25 @@ object VersionedTable {
     * unionByName with a loud analysis error — deliberate: a feed
     * mixing two schemas has no single row type a consumer could
     * apply; diff each schema epoch separately.
+    *
+    * KEY-AWARE mode (`key = Some(col)`): when the table has a row
+    * identity — the same key column [[merge]] already requires — the
+    * feed pairs pre/post images instead of making the consumer
+    * reconstruct updates from delete+insert: `change_kind` becomes
+    * "insert" | "delete" | "update_preimage" | "update_postimage"
+    * (Delta CDF's vocabulary), where an updated key emits its old row
+    * as update_preimage and its new row as update_postimage, and an
+    * unchanged key emits nothing. Requires the key to be unique per
+    * snapshot (the merge invariant; duplicate keys would make pairing
+    * ill-defined — and would already have broken merge). The keyed
+    * general path is ONE full-outer shuffle join on the key over the
+    * two snapshots — same I/O class as the keyless diff's wide
+    * aggregate — and the O(delta) append fast path applies unchanged
+    * (append-only commits can only insert, keyed or not).
     */
   def changesBetween(spark: SparkSession, root: String,
-      fromVersion: Int, toVersion: Int): DataFrame = {
+      fromVersion: Int, toVersion: Int,
+      key: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
@@ -243,28 +377,69 @@ object VersionedTable {
         read(spark, root, Some(toVersion)).limit(0)
           .withColumn("change_kind", lit("insert"))
       else
-        spark.read.parquet(added.map(d =>
+        // pin to the snapshot schema (column order/nullability and any
+        // #schema evolution pin), matching the general path and the
+        // streaming source — a consumer switching regimes must never
+        // see feed-side schema drift for the same table
+        spark.read.schema(read(spark, root, Some(toVersion)).schema)
+          .parquet(added.map(d =>
             new Path(new Path(root, "data"), d).toString): _*)
           .withColumn("change_kind", lit("insert"))
-    } else {
-      val to = read(spark, root, Some(toVersion))
-      val from = read(spark, root, Some(fromVersion))
-      val cols = to.columns.toSeq
-      val tagged = to.withColumn("__s", lit(1L))
-        .unionByName(from.withColumn("__s", lit(-1L)))
-      tagged.groupBy(cols.map(col): _*).agg(sum(col("__s")).as("__net"))
-        .filter(col("__net") =!= 0L)
-        .withColumn("change_kind",
-          when(col("__net") > 0, "insert").otherwise("delete"))
-        // multiplicity: |net| copies of the changed row
-        .withColumn("__i", explode(sequence(lit(1L), abs(col("__net")))))
-        .drop("__net", "__i")
+    } else key match {
+      case None =>
+        val to = read(spark, root, Some(toVersion))
+        val from = read(spark, root, Some(fromVersion))
+        val cols = to.columns.toSeq
+        val tagged = to.withColumn("__s", lit(1L))
+          .unionByName(from.withColumn("__s", lit(-1L)))
+        tagged.groupBy(cols.map(col): _*).agg(sum(col("__s")).as("__net"))
+          .filter(col("__net") =!= 0L)
+          .withColumn("change_kind",
+            when(col("__net") > 0, "insert").otherwise("delete"))
+          // multiplicity: |net| copies of the changed row
+          .withColumn("__i", explode(sequence(lit(1L), abs(col("__net")))))
+          .drop("__net", "__i")
+      case Some(k) =>
+        val to = read(spark, root, Some(toVersion))
+        val from = read(spark, root, Some(fromVersion))
+        val cols = to.columns.toSeq
+        require(cols.contains(k),
+          s"key column '$k' not in table schema ${to.schema.simpleString}")
+        val rest = cols.filterNot(_ == k)
+        // one full-outer join on the key, then a single pass deriving
+        // 0..2 change rows per key via explode — no repeated subplans,
+        // so the two snapshots are each scanned and shuffled once.
+        // Null-safe struct comparison (<=>) detects value changes
+        // including NULL transitions.
+        val f = from.select(col(k).as("__k"),
+          struct(rest.map(col): _*).as("__fv"), lit(1).as("__fp"))
+        val t = to.select(col(k).as("__k"),
+          struct(rest.map(col): _*).as("__tv"), lit(1).as("__tp"))
+        val j = f.join(t, Seq("__k"), "full_outer")
+          .withColumn("__kinds",
+            when(col("__fp").isNull, array(lit("insert")))
+              .when(col("__tp").isNull, array(lit("delete")))
+              .when(!(col("__fv") <=> col("__tv")),
+                array(lit("update_preimage"), lit("update_postimage")))
+              .otherwise(array().cast("array<string>")))
+          .select(col("__k"), col("__fv"), col("__tv"),
+            explode(col("__kinds")).as("change_kind"))
+        // pre-image kinds surface the FROM row, post-image kinds the
+        // TO row; column order matches the table schema
+        val preKinds = Seq("delete", "update_preimage")
+        val out = cols.map { c =>
+          if (c == k) col("__k").as(k)
+          else when(col("change_kind").isin(preKinds: _*),
+            col("__fv").getField(c))
+            .otherwise(col("__tv").getField(c)).as(c)
+        } :+ col("change_kind")
+        j.select(out: _*)
     }
   }
 
   private def commitDirs(spark: SparkSession, root: String, df: DataFrame,
       expectedVersion: Int, carryDirs: Seq[String],
-      txn: Option[Long] = None): Int = {
+      metaLines: Seq[String]): Int = {
     val next = expectedVersion + 1
     val commitName = f"c$next%05d-${java.util.UUID.randomUUID}"
     val dataDir = new Path(new Path(root, "data"), commitName)
@@ -275,7 +450,7 @@ object VersionedTable {
     val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(
-      (txn.map(t => s"#txn:$t").toSeq ++ carryDirs :+ commitName)
+      (metaLines ++ carryDirs :+ commitName)
         .mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
     val target = manifestPath(root, next)
     val committed = !fs.exists(target) && fs.rename(tmp, target)
@@ -292,8 +467,8 @@ object VersionedTable {
   /** Initialize a table at version 0 (fails if already initialized —
     * init is a commit like any other). */
   def init(spark: SparkSession, root: String, df: DataFrame,
-      txn: Option[Long] = None): Int =
-    commit(spark, root, df, expectedVersion = -1, txn)
+      txn: Option[Long] = None, txnAppId: Option[String] = None): Int =
+    commit(spark, root, df, expectedVersion = -1, txn, txnAppId)
 
   /** MERGE with atomic visibility: read the latest snapshot, apply
     * the changeset (`pipeline.Merge.applyChangeset` — the same
@@ -353,7 +528,13 @@ object VersionedTable {
       val tmp = new Path(ckDir, s".tmp-${java.util.UUID.randomUUID}")
       val out = fs.create(tmp, false)
       try out.write(Array.emptyByteArray) finally out.close()
-      if (!fs.rename(tmp, new Path(ckDir, s"v$v"))) {
+      // existence pre-check BEFORE the rename, mirroring commitDirs:
+      // POSIX renameTo silently replaces an existing destination and
+      // returns true, so rename-failure alone never fires on a local
+      // FS and two tails would both advance (double delivery)
+      val markerPath = new Path(ckDir, s"v$v")
+      val claimed = !fs.exists(markerPath) && fs.rename(tmp, markerPath)
+      if (!claimed) {
         fs.delete(tmp, false)
         throw new IllegalStateException(
           s"checkpoint conflict: another tail already handled v$v of $root")

@@ -51,9 +51,14 @@ class VersionedTableSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "graft-versioned needs a table root: .load(<root>)"))
     val version = Option(options.get("versionAsOf")).map(_.trim.toInt)
-    val dirs = VersionedTable.dataDirs(spark, root, version)
+    val v = version.getOrElse(VersionedTable.latestVersion(spark, root))
+    val dirs = VersionedTable.dataDirs(spark, root, Some(v))
+    // an evolved version's `#schema:` pin rides through as the user
+    // schema — footer inference over mixed-schema commit dirs would
+    // nondeterministically pick a pre-evolution file's column set,
+    // and the connector must read identically to VersionedTable.read
     ParquetTable(s"graft-versioned $root", spark, options, dirs,
-      userSpecifiedSchema = None,
+      userSpecifiedSchema = VersionedTable.manifestSchema(spark, root, v),
       fallbackFileFormat = classOf[ParquetFileFormat])
   }
 

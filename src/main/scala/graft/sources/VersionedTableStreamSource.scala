@@ -38,7 +38,11 @@ import org.apache.spark.sql.types.StructType
   * lets the source delegate scanning to Spark's vectorized parquet
   * reader over the delta dirs (the [[VersionedTableSource]] DSv2
   * delegation posture, kept for streaming) instead of hand-rolling a
-  * PartitionReader.
+  * PartitionReader — the same call Delta's streaming source makes.
+  * This is a PINNED internal dependency: every seam used here is
+  * locked by reflection in `StreamSourceApiPinSpec`, which fails with
+  * the DSv2 migration recipe the moment a Spark bump moves any of
+  * them (instead of an opaque linkage error mid-stream).
   */
 class VersionedTableStreamSource(sqlContext: SQLContext, root: String,
     override val schema: StructType) extends Source {

@@ -405,14 +405,20 @@ object Streams {
     * with the commit — so a batch REPLAYED after a crash between the
     * commit and the checkpoint advancing recognizes itself already
     * committed and no-ops (no silent DUPLICATION; Delta's
-    * txnAppId/txnVersion pattern, batch-id-keyed because the sink's
-    * topology is one writer per table root). Blocks until the source
-    * drains (the test-harness contract, like runToMemory). */
+    * txnAppId/txnVersion pattern). `writerId = None` is the legacy
+    * one-writer-per-table topology (anonymous markers, latest-version
+    * check). With `writerId = Some(w)` the marker is keyed (w, batch)
+    * and the replay check scans past OTHER writers' commits
+    * (`VersionedTable.lastCommittedTxn`), so two streaming topologies
+    * can append to ONE table root with interleaved commits and each
+    * stays exactly-once. Blocks until the source drains (the
+    * test-harness contract, like runToMemory). */
   def runVersionedAppendSink(spark: SparkSession, rows: DataFrame,
-      tableRoot: String, checkpointDir: Option[String] = None): Unit = {
+      tableRoot: String, checkpointDir: Option[String] = None,
+      writerId: Option[String] = None): Unit = {
     val writer = rows.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        versionedAppendBatch(spark, tableRoot, batch, batchId)
+        versionedAppendBatch(spark, tableRoot, batch, batchId, writerId)
       }
     val q = checkpointDir
       .map(writer.option("checkpointLocation", _))
@@ -424,20 +430,33 @@ object Streams {
 
   /** One micro-batch of [[runVersionedAppendSink]], idempotent per
     * `batchId`: Structured Streaming replays at most the LAST
-    * unacknowledged batch after a restart, so comparing against the
-    * latest committed `#txn:` marker is a complete duplicate check.
-    * Factored out so the crash-replay path is directly testable. */
+    * unacknowledged batch after a restart. Anonymous (single-writer)
+    * mode compares against the latest committed `#txn:` marker — a
+    * complete duplicate check when this is the only writer; with
+    * `writerId`, the check is this writer's newest marker ANYWHERE in
+    * the manifest chain, which stays complete when other writers'
+    * commits land in between. Factored out so the crash-replay path
+    * is directly testable. */
   private[graft] def versionedAppendBatch(spark: SparkSession,
-      tableRoot: String, batch: DataFrame, batchId: Long): Unit = {
+      tableRoot: String, batch: DataFrame, batchId: Long,
+      writerId: Option[String] = None): Unit = {
     import graft.sources.VersionedTable
     val v = VersionedTable.latestVersion(spark, tableRoot)
+    val alreadyCommitted = writerId match {
+      case Some(w) => VersionedTable.lastCommittedTxn(spark, tableRoot, w)
+        .contains(batchId)
+      case None => VersionedTable.committedTxn(spark, tableRoot)
+        .contains(batchId)
+    }
     // first batch initializes; later batches append optimistically —
-    // unless the latest version already carries this batch's txn
-    // marker, i.e. we are a post-crash replay of a committed batch
+    // unless this writer's txn marker already records the batch,
+    // i.e. we are a post-crash replay of a committed batch
     if (v < 0)
-      VersionedTable.init(spark, tableRoot, batch, txn = Some(batchId))
-    else if (!VersionedTable.committedTxn(spark, tableRoot).contains(batchId))
-      VersionedTable.append(spark, tableRoot, batch, v, txn = Some(batchId))
+      VersionedTable.init(spark, tableRoot, batch, txn = Some(batchId),
+        txnAppId = writerId)
+    else if (!alreadyCommitted)
+      VersionedTable.append(spark, tableRoot, batch, v, txn = Some(batchId),
+        txnAppId = writerId)
   }
 
   /** Streaming CURATION ingest — the full incremental funnel as a

@@ -62,6 +62,73 @@ class CdfSpec extends SparkSpec {
       (4L, "dup2", "insert") -> 1), s"feed was $feed")
   }
 
+  test("keyed feed pairs updates as preimage/postimage; keyless emits " +
+      "delete+insert for the same history") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root,
+      docs(1L -> "keep", 2L -> "old", 3L -> "gone"))
+    val changeset = docs(2L -> "new", 4L -> "fresh")
+      .withColumn("op", lit("U"))
+      .unionByName(docs(3L -> "x").withColumn("op", lit("D")))
+    VersionedTable.merge(spark, root, changeset, "id")
+    // keyed: the update on id=2 is a PAIRED pre/post image; unchanged
+    // id=1 emits nothing
+    val keyed = VersionedTable.changesBetween(spark, root, 0, 1,
+        key = Some("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(keyed == Set(
+      (2L, "old", "update_preimage"), (2L, "new", "update_postimage"),
+      (3L, "gone", "delete"), (4L, "fresh", "insert")), s"keyed was $keyed")
+    // keyless over the SAME history: the update surfaces as
+    // delete+insert (no row identity to pair on)
+    val keyless = VersionedTable.changesBetween(spark, root, 0, 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(keyless == Set(
+      (2L, "old", "delete"), (2L, "new", "insert"),
+      (3L, "gone", "delete"), (4L, "fresh", "insert")), s"keyless was $keyless")
+    // column order matches the table schema + trailing change_kind
+    assert(VersionedTable.changesBetween(spark, root, 0, 1, Some("id"))
+      .columns.toSeq == Seq("id", "text", "change_kind"))
+  }
+
+  test("keyed feed: NULL transitions count as updates (null-safe compare), " +
+      "and the keyed plan is one join") {
+    val root = freshRoot()
+    val withNull = Seq((1L, Option.empty[String]), (2L, Some("b")))
+      .toDF("id", "text")
+    VersionedTable.init(spark, root, withNull)
+    VersionedTable.merge(spark, root,
+      Seq((1L, Some("now-set")), (2L, Option.empty[String]))
+        .toDF("id", "text").withColumn("op", lit("U")), "id")
+    val feed = VersionedTable.changesBetween(spark, root, 0, 1, Some("id"))
+    val rows = feed.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+    assert(rows == Set(
+      (1L, None, "update_preimage"), (1L, Some("now-set"), "update_postimage"),
+      (2L, Some("b"), "update_preimage"), (2L, None, "update_postimage")),
+      s"feed was $rows")
+    // plan shape: exactly one join (the full-outer on the key), no
+    // repeated snapshot scans from the pre/post branches (AQE's
+    // toString repeats the initial plan — count the final plan only)
+    val plan = feed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).length == 1,
+      s"keyed diff should cost exactly one join:\n$plan")
+  }
+
+  test("keyed feed takes the append fast path: inserts only, no join, O(delta)") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a"))
+    VersionedTable.append(spark, root, docs(2L -> "b"), expectedVersion = 0)
+    val feed = VersionedTable.changesBetween(spark, root, 0, 1, Some("id"))
+    assert(feed.collect().map(r => (r.getLong(0), r.getString(2))).toSet ==
+      Set(2L -> "insert"))
+    val plan = feed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"keyed append feed must stay O(delta):\n$plan")
+  }
+
   test("compact and optimize are data-equivalent: empty feed, identical reads") {
     val root = freshRoot()
     val base = (1 to 500).map(i => (i.toLong, s"t$i")).toDF("id", "text")

@@ -111,7 +111,7 @@ class VersionedTableSpec extends SparkSpec {
   test("append rejects a mismatched schema loudly") {
     val root = freshRoot()
     VersionedTable.init(spark, root, snapshot(1L -> "a"))
-    val e = intercept[IllegalArgumentException](
+    val e = intercept[RuntimeException](
       VersionedTable.append(spark, root,
         Seq((2L, "b", 1.0)).toDF("id", "body", "extra"), 0))
     assert(e.getMessage.contains("schema"))
@@ -181,6 +181,118 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.commit(spark, root, snapshot(1L -> "v2"), 1)
     VersionedTable.vacuum(spark, root, keepVersions = 2, retainMillis = 0L)
     assert(pinned.select("body").as[String].collect().toSeq == Seq("v1"))
+  }
+
+  test("two writers on one table: each replay check recognizes only its " +
+      "own batches, interleaved commits included") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "seed"))
+    // writer A commits batch 0, then writer B commits ITS batch 0,
+    // then A commits batch 1 — interleaved, same table root
+    VersionedTable.append(spark, root, snapshot(2L -> "a0"), 0,
+      txn = Some(0L), txnAppId = Some("writerA"))
+    VersionedTable.append(spark, root, snapshot(3L -> "b0"), 1,
+      txn = Some(0L), txnAppId = Some("writerB"))
+    VersionedTable.append(spark, root, snapshot(4L -> "a1"), 2,
+      txn = Some(1L), txnAppId = Some("writerA"))
+    // A's replay check finds A's newest batch even though B committed
+    // in between; B's finds B's even though it is not the latest
+    assert(VersionedTable.lastCommittedTxn(spark, root, "writerA") == Some(1L))
+    assert(VersionedTable.lastCommittedTxn(spark, root, "writerB") == Some(0L))
+    assert(VersionedTable.lastCommittedTxn(spark, root, "writerC").isEmpty)
+    // the anonymous (legacy) check never matches an app-qualified
+    // marker — a single-writer topology cannot mistake another app's
+    // batch id for its own
+    assert(VersionedTable.committedTxn(spark, root).isEmpty)
+    // per-version qualified lookup
+    assert(VersionedTable.committedTxn(spark, root, Some(1),
+      appId = Some("writerA")) == Some(0L))
+    assert(VersionedTable.committedTxn(spark, root, Some(1),
+      appId = Some("writerB")).isEmpty)
+    // the streaming sink path: replaying A's batch 1 no-ops; a new
+    // batch 2 appends (versionedAppendBatch is the sink's body)
+    graft.streaming.Streams.versionedAppendBatch(spark, root,
+      snapshot(4L -> "a1"), batchId = 1L, writerId = Some("writerA"))
+    assert(VersionedTable.latestVersion(spark, root) == 3,
+      "replayed batch must not re-append")
+    graft.streaming.Streams.versionedAppendBatch(spark, root,
+      snapshot(5L -> "a2"), batchId = 2L, writerId = Some("writerA"))
+    assert(VersionedTable.latestVersion(spark, root) == 4)
+    assert(VersionedTable.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq(1L -> "seed", 2L -> "a0",
+        3L -> "b0", 4L -> "a1", 5L -> "a2"))
+    // ':' in a writer id would corrupt marker parsing — refused loudly
+    intercept[IllegalArgumentException](
+      VersionedTable.append(spark, root, snapshot(9L -> "x"), 4,
+        txn = Some(0L), txnAppId = Some("bad:id")))
+  }
+
+  test("additive schema evolution: evolved append reads old files as NULL, " +
+      "old versions time-travel with their original schema") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a", 2L -> "b"))
+    // evolveSchema=false still refuses drift (the default contract)
+    intercept[RuntimeException](
+      VersionedTable.append(spark, root,
+        Seq((3L, "c", Some("en"))).toDF("id", "body", "lang"), 0))
+    // additive evolution: new nullable column appended
+    val v1 = VersionedTable.append(spark, root,
+      Seq((3L, "c", Some("en"))).toDF("id", "body", "lang"), 0,
+      evolveSchema = true)
+    assert(v1 == 1)
+    val now = VersionedTable.read(spark, root).orderBy("id")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(now == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some("en"))),
+      s"evolved read was $now")
+    // old version keeps its ORIGINAL two-column schema
+    assert(VersionedTable.read(spark, root, Some(0)).columns.toSeq ==
+      Seq("id", "body"))
+    // a plain append at the evolved schema carries the pin forward
+    val v2 = VersionedTable.append(spark, root,
+      Seq((4L, "d", Option.empty[String])).toDF("id", "body", "lang"), 1)
+    assert(VersionedTable.read(spark, root, Some(v2)).count() == 4)
+    assert(VersionedTable.read(spark, root, Some(v2)).columns.toSeq ==
+      Seq("id", "body", "lang"))
+    // the DSv2 connector reads the evolved table under the same pin
+    // (footer inference over mixed-schema dirs would be nondeterministic)
+    val viaConnector = spark.read.format("graft-versioned")
+      .option("versionAsOf", v2).load(root)
+    assert(viaConnector.columns.toSeq == Seq("id", "body", "lang"))
+    assert(viaConnector.orderBy("id")
+      .as[(Long, String, Option[String])].collect().toSeq ==
+      Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some("en")),
+        (4L, "d", None)))
+    // ...and an append at the OLD schema is now drift (refused)
+    intercept[RuntimeException](
+      VersionedTable.append(spark, root, snapshot(9L -> "x"), v2))
+    // non-additive evolution (type change) refused even with the flag
+    intercept[RuntimeException](
+      VersionedTable.append(spark, root,
+        Seq(("5", "e", Some("fr"))).toDF("id", "body", "lang"), v2,
+        evolveSchema = true))
+    // evolved column must be nullable: a non-nullable add is refused
+    val nonNullable = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(6L, "f", "en", 1L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("body",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    intercept[IllegalArgumentException](
+      VersionedTable.append(spark, root, nonNullable, v2,
+        evolveSchema = true))
+    // compact re-homogenizes: the pin is dropped, contents unchanged
+    val v3 = VersionedTable.compact(spark, root)
+    assert(VersionedTable.manifestSchema(spark, root, v3).isEmpty)
+    assert(VersionedTable.read(spark, root, Some(v3)).orderBy("id")
+      .as[(Long, String, Option[String])].collect().toSeq ==
+      Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some("en")),
+        (4L, "d", None)))
   }
 
   test("txn marker rides the manifest atomically and reads back per version") {
