@@ -32,4 +32,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput collector for single-JVM batch runs: at the GA
+  // headline scale (2.1 GB of genome rows churning per generation)
+  // JDK 17's default G1 measured 32-41 s/gen on a quiet host while
+  // ParallelGC measured 13-16 s/gen (round-12 A/B, BASELINE.md) —
+  // G1's concurrent marking + region evacuation fights 32 mutator
+  // threads for exactly the memory bandwidth the job needs. Batch
+  // analytics has no pause-time SLO, so the throughput collector is
+  // the right default for every forked run here.
+  "-XX:+UseParallelGC",
 )

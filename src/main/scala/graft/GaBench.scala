@@ -49,8 +49,14 @@ object GaBench {
       .appName("graft-ga-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       // reference op 21 (MapReduce.java:281): straggler re-launch;
-      // no-op under local[*], effective on a cluster manager
-      .config("spark.speculation", "true")
+      // effective on a cluster manager. Env-overridable because under
+      // local[*] it is NOT free at headline scale: all tasks share
+      // the same 32 cores, so a speculative copy of a long straggler
+      // ADDS load instead of dodging a bad node (the round-12 A/B
+      // below quantifies it) — a cluster deployment keeps it on, a
+      // single-host measurement turns it off
+      .config("spark.speculation",
+        sys.env.getOrElse("SPARK_GRAFT_SPECULATION", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

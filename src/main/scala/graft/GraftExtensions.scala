@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // planner extension: pure range-condition joins become binned
     // equi-joins (plans.RangeJoinRewrite) instead of nested loops
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
+    // table-format extension: filters over graft-versioned DSv2 scans
+    // prune whole files via the manifest's #file: stats envelopes
+    // before the parquet scan is planned (plans.VersionedSkipRule)
+    e.injectOptimizerRule(_ => graft.plans.VersionedSkipRule())
     // physical-operator extension: plans.ExactGroupedMedian logical
     // nodes execute as GroupedMedianExec (range-partitioned two-pass
     // prefix sums)

@@ -555,6 +555,31 @@ object PipelineQueries extends QueryPack {
       .orderBy("qid", "rn")
   }
 
+  // VERIFIED twin (the ivf/lsh precedent, graph spelling): with
+  // EXHAUSTIVE entry seeds (graphK + 1 >= |corpus|, so entrySeeds'
+  // limit keeps every vertex), the hop-0 beam scores every
+  // (query, candidate) pair — the beam after hop 0 IS the exact
+  // top-beam, and later hops can only re-confirm it (topBeam unions
+  // the frontier WITH the current beam, so a true top-k member once
+  // found is never displaced by a lower-scoring candidate; ties break
+  // on the same (cos DESC, nid) order as brute force). Recall is 1 BY
+  // CONSTRUCTION irrespective of graph quality, so the brute-force SQL
+  // oracle hash-gates the family's machinery: seed scoring, the
+  // per-partition beam heaps, frontier expansion through the
+  // adjacency, the union-keeps-best pruning loop, and the final
+  // ranking window.
+  def simTopkGraphVerified(s: SparkSession, d: String): DataFrame = {
+    val sub = emb(s, d).filter(col("vec_id") < 1000)
+    val g = graphIndexCache.getOrElseUpdate(
+      s.sparkContext.applicationId + "|" + d,
+      graft.pipeline.GraphAnn.undirected(
+        graft.pipeline.GraphAnn.nnDescentGraph(sub, k = 16, iters = 3)))
+    graft.pipeline.GraphAnn.graphTopK(sub,
+        maxQueryId = 10L, k = 5, graphK = 1 << 20, beam = 5, hops = 3,
+        prebuiltUndirected = Some(g))
+      .orderBy("qid", "rn")
+  }
+
   /** recall@k per query = |approx top-k ∩ exact top-k| / k, computed
     * in-plan (a semi join on the two k-row-per-query sets + one tiny
     * aggregate) and repeated on every output row of that query. */
@@ -1071,6 +1096,52 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // manifest-stats FILE SKIPPING end to end: three appends land three
+  // commit dirs whose `#file:` envelopes partition doc_id into
+  // disjoint ranges; the readWhere scan resolves the predicate
+  // against the manifest ALONE and opens only the dirs whose
+  // envelope intersects [320, 380] — the table-format feature that
+  // keeps selective scans O(matching files) at 100 TB (Delta stats /
+  // Iceberg lower_bounds posture). Hash-gated against DuckDB running
+  // the same filter over the raw documents table: skipping must be
+  // invisible in the answer. The in-gate require is the canary — if
+  // stats collection or the evaluator silently stopped pruning, the
+  // gate fails loudly instead of degrading to a full scan.
+  def pipelineVersionedSkip(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vskip")
+    val root = tmpRoot.resolve("tbl").toString
+    try {
+      val vt = graft.sources.VersionedTable
+      vt.init(s, root, base.filter(col("doc_id") < 150)
+        .repartitionByRange(2, col("doc_id")))
+      vt.append(s, root,
+        base.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+          .repartitionByRange(2, col("doc_id")), expectedVersion = 0)
+      vt.append(s, root,
+        base.filter(col("doc_id") >= 300 && col("doc_id") < 450)
+          .repartitionByRange(2, col("doc_id")), expectedVersion = 1)
+      val cond = col("doc_id").between(320, 380) && col("n_chars") >= 0
+      val pred = vt.read(s, root).filter(cond)
+        .queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }.get
+      val (_, prunedN, coveredN) = vt.prunedPaths(s, root, pred)
+      require(coveredN >= 6 && prunedN >= 4,
+        s"file skipping regressed: pruned $prunedN of $coveredN covered " +
+          "files for a range hitting one append of three")
+      vt.readWhere(s, root, cond)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // the trainer-handoff export loop end to end: pack, write shard
   // dirs, commit the manifest, read the manifest back — hash-gated
   // against DuckDB recomputing the same per-shard totals from the raw
@@ -1154,6 +1225,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_merge" -> pipelineVersionedMerge _,
     "pipeline_versioned_changes" -> pipelineVersionedChanges _,
     "pipeline_versioned_changes_keyed" -> pipelineVersionedChangesKeyed _,
+    "pipeline_versioned_skip" -> pipelineVersionedSkip _,
     "pipeline_shards" -> pipelineShards _,
     "stats_histogram" -> statsHistogram _,
     "stats_histogram_eqdepth" -> statsHistogramEqdepth _,
@@ -1191,6 +1263,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_ingest" -> pipelineIngest _,
     "sim_topk_brute" -> simTopkBrute _,
     "sim_topk_graph" -> simTopkGraph _,
+    "sim_topk_graph_verified" -> simTopkGraphVerified _,
     "sim_topk_lsh" -> simTopkLsh _,
     "sim_topk_lsh_verified" -> simTopkLshVerified _,
     "sim_topk_ivf" -> simTopkIvf _,
@@ -1433,6 +1506,14 @@ object PipelineQueries extends QueryPack {
         |UNION ALL
         |SELECT t_id, t_lang, t_source, t_n, t_md5, 'update_postimage' FROM upd
         |ORDER BY doc_id, change_kind""".stripMargin,
+    // file skipping must be answer-invisible: the pruned scan equals
+    // the plain filter over the raw table (doc_id < 450 = the rows
+    // the three appends committed)
+    "pipeline_versioned_skip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents
+        |WHERE doc_id BETWEEN 320 AND 380 AND n_chars >= 0 AND doc_id < 450
+        |ORDER BY doc_id""".stripMargin,
     // median/MAD both quantile_disc (rank ⌈q·n⌉ == exactQuantiles);
     // the one float op is the final division on both sides
     "stats_robust_by_lang" ->
@@ -1908,6 +1989,18 @@ object PipelineQueries extends QueryPack {
         |SELECT qid, nid, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "sim_topk_lsh_verified" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |     s AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, v) AS cos
+        |           FROM q JOIN e ON e.vec_id != qid),
+        |     r AS (SELECT qid, nid,
+        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
+        |SELECT qid, nid, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // graph twin: exhaustive entry seeds make the hop-0 beam exact, so
+    // the brute-force spelling applies — candidates restricted to the
+    // graph gate's vec_id < 1000 corpus subset
+    "sim_topk_graph_verified" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 1000),
         |     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
         |     s AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, v) AS cos
         |           FROM q JOIN e ON e.vec_id != qid),

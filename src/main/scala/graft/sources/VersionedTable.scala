@@ -270,7 +270,11 @@ object VersionedTable {
     commitDirs(spark, root, df, expectedVersion,
       carryDirs = readManifest(spark, root, expectedVersion),
       metaLines = txnLine(txn, txnAppId) ++
-        schemaLine.map("#schema:" + _).toSeq)
+        schemaLine.map("#schema:" + _).toSeq,
+      // stats describe immutable files, so the carried dirs' lines
+      // ride forward verbatim — append keeps skipping O(1) exact
+      carryStatsLines = manifestLines(spark, root, expectedVersion)
+        .filter(_.startsWith("#file:")))
   }
 
   /** Rewrite the CURRENT snapshot as a single fresh commit dir — the
@@ -439,18 +443,25 @@ object VersionedTable {
 
   private def commitDirs(spark: SparkSession, root: String, df: DataFrame,
       expectedVersion: Int, carryDirs: Seq[String],
-      metaLines: Seq[String]): Int = {
+      metaLines: Seq[String], carryStatsLines: Seq[String] = Seq.empty): Int = {
     val next = expectedVersion + 1
     val commitName = f"c$next%05d-${java.util.UUID.randomUUID}"
     val dataDir = new Path(new Path(root, "data"), commitName)
     val fs = fsOf(spark, dataDir)
     df.write.parquet(dataDir.toString) // invisible until the manifest lands
+    // file-skipping stats for the files JUST written, harvested from
+    // their parquet footers (metadata-only reads — no second data
+    // pass) and committed ATOMICALLY with the manifest that makes the
+    // files visible. Best-effort: a commit never fails over stats.
+    val statsLines = scala.util.Try(DataSkipping.statsLines(
+      spark.sparkContext.hadoopConfiguration, dataDir, commitName))
+      .getOrElse(Seq.empty)
     val mdir = manifestDir(root)
     fs.mkdirs(mdir)
     val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(
-      (metaLines ++ carryDirs :+ commitName)
+      (metaLines ++ carryStatsLines ++ statsLines ++ carryDirs :+ commitName)
         .mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
     val target = manifestPath(root, next)
     val committed = !fs.exists(target) && fs.rename(tmp, target)
@@ -462,6 +473,83 @@ object VersionedTable {
           "re-read the table and retry the commit")
     }
     next
+  }
+
+  // parsed #file: stats per (root, version) — manifests are immutable
+  // once committed, so the cache never goes stale; bounded by the
+  // handful of distinct (table, version) pairs an application touches
+  private val statsCache = scala.collection.concurrent.TrieMap[
+    (String, Int), Map[String, Seq[DataSkipping.FileStats]]]()
+
+  /** Version `v`'s per-file skipping stats, grouped by commit-dir
+    * name. Dirs without `#file:` lines (pre-stats-era commits) are
+    * absent — their files are never pruned. */
+  def statsByDir(spark: SparkSession, root: String,
+      version: Option[Int] = None)
+      : Map[String, Seq[DataSkipping.FileStats]] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) return Map.empty
+    statsCache.getOrElseUpdate((new Path(root).toString, v),
+      manifestLines(spark, root, v)
+        .filter(_.startsWith("#file:"))
+        .flatMap(l => DataSkipping.parseLine(l.stripPrefix("#file:")))
+        .filter(_.path.contains('/'))
+        .groupBy(_.path.takeWhile(_ != '/')))
+  }
+
+  /** The file-skipped path list for a scan of `version` under
+    * `pred` (a RESOLVED catalyst predicate): commit dirs covered by
+    * manifest stats shrink to the files that MAY satisfy the
+    * predicate; uncovered dirs pass through whole. Returns the paths
+    * plus (prunedFiles, coveredFiles) for observability. Skipping is
+    * conservative — the scan over the returned paths, re-filtered by
+    * `pred`, equals the filtered full scan. */
+  def prunedPaths(spark: SparkSession, root: String,
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      version: Option[Int] = None): (Seq[String], Int, Int) = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    val byDir = statsByDir(spark, root, Some(v))
+    val dataRoot = new Path(root, "data")
+    var covered = 0
+    var pruned = 0
+    val paths = readManifest(spark, root, v).flatMap { dir =>
+      byDir.get(dir) match {
+        case None => Seq(new Path(dataRoot, dir).toString)
+        case Some(files) =>
+          covered += files.size
+          val keep = files.filter(f => DataSkipping.mayMatch(f, pred))
+          pruned += files.size - keep.size
+          keep.map(f => new Path(dataRoot, f.path).toString)
+      }
+    }
+    (paths, pruned, covered)
+  }
+
+  /** Snapshot read under a filter WITH manifest-level file skipping —
+    * the programmatic spelling of the `VersionedSkipRule` optimizer
+    * path. Exactly `read(...).filter(condition)`, but files whose
+    * stats envelope PROVES no row can match are never opened (and at
+    * 10^5+ files, never even footer-listed). The residual filter
+    * stays on the plan, so unsupported predicate shapes degrade to a
+    * plain filtered scan, never to wrong answers. */
+  def readWhere(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column,
+      version: Option[Int] = None): DataFrame = {
+    val v = Some(version.getOrElse(latestVersion(spark, root)))
+    val full = read(spark, root, v).filter(condition)
+    // resolve the bare Column against the snapshot schema: the
+    // analyzed Filter's predicate carries typed AttributeReferences
+    val resolved = full.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    resolved match {
+      case None => full
+      case Some(pred) =>
+        val (paths, prunedN, _) = prunedPaths(spark, root, pred, v)
+        if (prunedN == 0) full
+        else spark.read.schema(read(spark, root, v).schema)
+          .parquet(paths: _*).filter(condition)
+    }
   }
 
   /** Initialize a table at version 0 (fails if already initialized —

@@ -78,6 +78,25 @@ class GraphAnnSpec extends SparkSpec {
     assert(rns.forall(_.getSeq[Int](1).toSet == (1 to k).toSet))
   }
 
+  test("exhaustive seeds make graphTopK EXACT regardless of graph quality") {
+    // the sim_topk_graph_verified premise: graphK+1 >= |corpus| keeps
+    // every vertex as an entry seed, so the hop-0 beam already scored
+    // every (query, candidate) pair — even a deliberately useless
+    // graph (every vertex linked only to vertex 0) must yield the
+    // exact brute-force top-k, row for row including ranks
+    val k = 5
+    val badGraph = GraphAnn.undirected(
+      clustered.select($"vec_id".as("id"), lit(0L).as("nid"))
+        .filter($"id" =!= 0L))
+    val got = GraphAnn.graphTopK(clustered, maxQueryId = 10L, k = k,
+        graphK = 1 << 20, beam = k, hops = 3,
+        prebuiltUndirected = Some(badGraph))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Similarity.bruteForceTopK(clustered, 10L, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact, "exhaustive-seed beam must equal brute force")
+  }
+
   test("graphTopK is deterministic under a fixed seed") {
     def run() = GraphAnn.graphTopK(clustered, 5L, 3, graphK = 6,
         iters = 2, beam = 8, hops = 2, seed = 99L)
