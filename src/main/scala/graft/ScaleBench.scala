@@ -35,6 +35,28 @@ object ScaleBench {
     def docs = Tables.documents(spark, dir)
     def emb = Tables.embeddings(spark, dir)
     def li = Tables.lineitem(spark, dir)
+    // shared by skip_scan / skip_scan_off: the dir's documents
+    // committed as FIXED 1000-doc appends with disjoint doc_id ranges
+    // (2 range-partitioned files each), so the FILE count grows with
+    // the decade while the probe query below keeps hitting one batch.
+    // Built lazily once per dir; run 1 pays it, min-of-N strips it.
+    lazy val skipRoot = {
+      val r = tempTableRoot("graft_skip_scan")
+      val d = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        col("text"))
+      val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+      val vt = graft.sources.VersionedTable
+      var v = -1
+      var lo = 0L
+      while (lo <= maxId) {
+        val batch = d.filter(col("doc_id") >= lo && col("doc_id") < lo + 1000L)
+          .repartitionByRange(2, col("doc_id"))
+        v = if (v < 0) vt.init(spark, r, batch)
+        else vt.append(spark, r, batch, expectedVersion = v)
+        lo += 1000L
+      }
+      r
+    }
     Seq(
       "dedup_exact" -> (() => Dedup.exact(docs)),
       "minhash_trigram" -> (() => Dedup.minhashPairs(docs,
@@ -290,6 +312,18 @@ object ScaleBench {
             .withColumn("op", lit("D")))
         graft.pipeline.Merge.applyChangeset(docs, cs, "doc_id")
       }),
+      // manifest file skipping measured (the O(matching files) claim):
+      // a FIXED 1000-doc probe against a table whose file count grows
+      // with the decade. skip_scan resolves the predicate from the
+      // manifest envelopes and opens ~2 files at ANY table size —
+      // expected near-flat; skip_scan_off runs the same predicate as
+      // a plain filtered snapshot scan — expected ~linear. Their gap
+      // IS the feature.
+      "skip_scan" -> (() => graft.sources.VersionedTable.readWhere(
+        spark, skipRoot, col("doc_id") < 1000L && col("n_chars") >= 0)),
+      "skip_scan_off" -> (() => graft.sources.VersionedTable
+        .read(spark, skipRoot)
+        .filter(col("doc_id") < 1000L && col("n_chars") >= 0)),
     )
   }
 

@@ -525,6 +525,26 @@ object VersionedTable {
     (paths, pruned, covered)
   }
 
+  /** Snapshot row count resolved from the MANIFEST alone when every
+    * file carries stats — COUNT(*) without touching storage (Delta's
+    * stats-based count; at 10^5 files this is the difference between
+    * a metadata lookup and a cluster job). None when any file lacks
+    * a row count (pre-stats-era commits) — callers fall back to a
+    * real count, never to a wrong one. */
+  def rowCount(spark: SparkSession, root: String,
+      version: Option[Int] = None): Option[Long] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) return None
+    val byDir = statsByDir(spark, root, Some(v))
+    val dirs = readManifest(spark, root, v)
+    val counts = dirs.map(d => byDir.get(d) match {
+      case Some(files) if files.forall(_.rows >= 0) =>
+        Some(files.map(_.rows).sum)
+      case _ => None
+    })
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
   /** Snapshot read under a filter WITH manifest-level file skipping —
     * the programmatic spelling of the `VersionedSkipRule` optimizer
     * path. Exactly `read(...).filter(condition)`, but files whose
@@ -535,20 +555,39 @@ object VersionedTable {
   def readWhere(spark: SparkSession, root: String,
       condition: org.apache.spark.sql.Column,
       version: Option[Int] = None): DataFrame = {
-    val v = Some(version.getOrElse(latestVersion(spark, root)))
-    val full = read(spark, root, v).filter(condition)
-    // resolve the bare Column against the snapshot schema: the
-    // analyzed Filter's predicate carries typed AttributeReferences
-    val resolved = full.queryExecution.analyzed.collectFirst {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }
-    resolved match {
-      case None => full
-      case Some(pred) =>
-        val (paths, prunedN, _) = prunedPaths(spark, root, pred, v)
-        if (prunedN == 0) full
-        else spark.read.schema(read(spark, root, v).schema)
-          .parquet(paths: _*).filter(condition)
+    val v = version.getOrElse(latestVersion(spark, root))
+    def fallback = read(spark, root, Some(v)).filter(condition)
+    val byDir = statsByDir(spark, root, Some(v))
+    if (byDir.isEmpty) return fallback
+    // The planning path must cost O(manifest), NEVER O(table): the
+    // first cut of this method resolved the Column by building the
+    // full snapshot frame, whose file-index listing walks every
+    // commit dir — at scale that listing IS the cost skipping exists
+    // to avoid (measured: readWhere slower than the full filter scan
+    // at 50 commits). So the predicate resolves against an EMPTY
+    // frame carrying the snapshot schema — the `#schema:` pin when
+    // the table evolved, else one sampled file footer (files within a
+    // non-evolved table share their writer's schema) — and the full
+    // listing happens only on the no-pruning fallback.
+    val schema = manifestSchema(spark, root, v).orElse(
+      byDir.values.flatten.headOption.map(f => spark.read.parquet(
+        new Path(new Path(root, "data"), f.path).toString).schema))
+    schema match {
+      case None => fallback
+      case Some(s) =>
+        val probe = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+          .filter(condition)
+        probe.queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        } match {
+          case None => fallback
+          case Some(pred) =>
+            val (paths, prunedN, _) = prunedPaths(spark, root, pred, Some(v))
+            if (prunedN == 0) fallback
+            else spark.read.schema(s).parquet(paths: _*).filter(condition)
+        }
     }
   }
 

@@ -214,5 +214,39 @@ class DataSkippingSpec extends SparkSpec {
     }
   }
 
+  test("rowCount resolves COUNT(*) from the manifest alone") {
+    withTable { root =>
+      threeBatches(root)
+      assert(VersionedTable.rowCount(spark, root).contains(300L))
+      // per-version counts track history
+      assert(VersionedTable.rowCount(spark, root, Some(0)).contains(100L))
+      assert(VersionedTable.rowCount(spark, root, Some(1)).contains(200L))
+      // and agree with the real scan
+      assert(VersionedTable.read(spark, root).count() == 300L)
+    }
+  }
+
+  test("OPTIMIZE Z-order makes 2-d box predicates prune most files") {
+    withTable { root =>
+      // 32x32 grid scattered in id order: before clustering, every
+      // file spans the full y range, so a box on (x, y) prunes only
+      // on x; after Z-order OPTIMIZE each file owns a tight 2-d tile
+      val grid = spark.range(0, 1024L).selectExpr(
+        "id", "id % 32 AS x", "CAST(id / 32 AS BIGINT) AS y")
+      VersionedTable.init(spark, root, grid.repartition(8))
+      VersionedTable.optimize(spark, root, ("x", "y"), nFiles = 8)
+      val cond = $"x".between(0L, 7L) && $"y".between(0L, 7L)
+      val pred = resolvedPred(VersionedTable.read(spark, root), cond)
+      val (_, pruned, covered) =
+        VersionedTable.prunedPaths(spark, root, pred)
+      assert(covered == 8, "optimize committed 8 covered files")
+      assert(pruned >= covered / 2,
+        s"z-ordered tiles should prune most files for a corner box " +
+          s"(pruned $pruned of $covered)")
+      // and the pruned scan still answers exactly
+      assert(VersionedTable.readWhere(spark, root, cond).count() == 64L)
+    }
+  }
+
   private def plans() = graft.plans.VersionedSkipRule()
 }
