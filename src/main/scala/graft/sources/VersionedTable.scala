@@ -213,9 +213,9 @@ object VersionedTable {
     * marker for multi-writer tables (see [[lastCommittedTxn]]). */
   def commit(spark: SparkSession, root: String, df: DataFrame,
       expectedVersion: Int, txn: Option[Long] = None,
-      txnAppId: Option[String] = None): Int =
+      txnAppId: Option[String] = None, op: String = "commit"): Int =
     commitDirs(spark, root, df, expectedVersion, carryDirs = Seq.empty,
-      metaLines = txnLine(txn, txnAppId))
+      metaLines = txnLine(txn, txnAppId) :+ s"#op:$op")
 
   /** APPEND `df` as a new version WITHOUT rewriting existing data:
     * only the new rows are written; the new manifest lists the
@@ -270,7 +270,7 @@ object VersionedTable {
     commitDirs(spark, root, df, expectedVersion,
       carryDirs = readManifest(spark, root, expectedVersion),
       metaLines = txnLine(txn, txnAppId) ++
-        schemaLine.map("#schema:" + _).toSeq,
+        schemaLine.map("#schema:" + _).toSeq :+ "#op:append",
       // stats describe immutable files, so the carried dirs' lines
       // ride forward verbatim — append keeps skipping O(1) exact
       carryStatsLines = manifestLines(spark, root, expectedVersion)
@@ -286,7 +286,8 @@ object VersionedTable {
     * read — the protocol needs no new machinery for maintenance ops. */
   def compact(spark: SparkSession, root: String): Int = {
     val base = latestVersion(spark, root)
-    commit(spark, root, read(spark, root, Some(base)), expectedVersion = base)
+    commit(spark, root, read(spark, root, Some(base)), expectedVersion = base,
+      op = "compact")
   }
 
   /** OPTIMIZE: rewrite the current snapshot Z-order-clustered on two
@@ -318,7 +319,7 @@ object VersionedTable {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-    commit(spark, root, clustered, expectedVersion = base)
+    commit(spark, root, clustered, expectedVersion = base, op = "optimize")
   }
 
   /** CHANGE-DATA-FEED between two committed versions: the row-level
@@ -525,6 +526,62 @@ object VersionedTable {
     (paths, pruned, covered)
   }
 
+  /** The operation that committed version `v` (`#op:` marker), if
+    * recorded — manifests written before the marker existed return
+    * None. */
+  def commitOp(spark: SparkSession, root: String, v: Int): Option[String] =
+    manifestLines(spark, root, v)
+      .find(_.startsWith("#op:")).map(_.stripPrefix("#op:"))
+
+  /** Table history as a DataFrame — the DESCRIBE HISTORY surface:
+    * one row per surviving manifest (vacuumed-away versions are
+    * absent), newest first, with the commit operation, commit-dir /
+    * file counts and the stats row count (null where the manifest
+    * predates stats), and the manifest's modification time as the
+    * commit timestamp. Metadata-only: cost is O(versions) tiny
+    * manifest reads, never a data scan — at 100 TB the audit query
+    * must not cost a cluster job. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, manifestDir(root))
+    val latest = latestVersion(spark, root)
+    val rows = (0 to math.max(latest, -1))
+      .filter(v => fs.exists(manifestPath(root, v)))
+      .map { v =>
+        val dirs = readManifest(spark, root, v)
+        val byDir = statsByDir(spark, root, Some(v))
+        val files = dirs.flatMap(byDir.get).map(_.size).sum
+        val mtime = fs.getFileStatus(manifestPath(root, v))
+          .getModificationTime
+        (v, commitOp(spark, root, v),
+          new java.sql.Timestamp(mtime),
+          dirs.size.toLong,
+          if (files > 0) Some(files.toLong) else None,
+          rowCount(spark, root, Some(v)),
+          committedTxn(spark, root, Some(v)))
+      }.sortBy(-_._1)
+    rows.toDF("version", "operation", "committed_at", "num_commit_dirs",
+      "num_files", "num_rows", "txn")
+  }
+
+  /** Largest version whose manifest landed at or before `tsMillis` —
+    * timestamp time travel (Delta's `timestampAsOf`), resolved from
+    * manifest mtimes. None when the table is empty or everything is
+    * newer. Mtimes are the filesystem's clock: on object stores they
+    * are commit-atomic (set by the rename); a clock-skewed writer
+    * shifts WHICH version a timestamp resolves to, never breaks the
+    * snapshot it resolves. */
+  def versionAt(spark: SparkSession, root: String,
+      tsMillis: Long): Option[Int] = {
+    val fs = fsOf(spark, manifestDir(root))
+    val latest = latestVersion(spark, root)
+    (0 to math.max(latest, -1))
+      .filter(v => fs.exists(manifestPath(root, v)))
+      .filter(v => fs.getFileStatus(manifestPath(root, v))
+        .getModificationTime <= tsMillis)
+      .sorted.lastOption
+  }
+
   /** Snapshot row count resolved from the MANIFEST alone when every
     * file carries stats — COUNT(*) without touching storage (Delta's
     * stats-based count; at 10^5 files this is the difference between
@@ -595,7 +652,7 @@ object VersionedTable {
     * init is a commit like any other). */
   def init(spark: SparkSession, root: String, df: DataFrame,
       txn: Option[Long] = None, txnAppId: Option[String] = None): Int =
-    commit(spark, root, df, expectedVersion = -1, txn, txnAppId)
+    commit(spark, root, df, expectedVersion = -1, txn, txnAppId, op = "init")
 
   /** MERGE with atomic visibility: read the latest snapshot, apply
     * the changeset (`pipeline.Merge.applyChangeset` — the same
@@ -611,7 +668,7 @@ object VersionedTable {
     val next = graft.pipeline.Merge.applyChangeset(
       read(spark, root, Some(base)), changeset, keyCol, opCol,
       versionCol = versionCol)
-    commit(spark, root, next, expectedVersion = base)
+    commit(spark, root, next, expectedVersion = base, op = "merge")
   }
 
   /** Continuous CDC consumption: process every version committed

@@ -51,7 +51,24 @@ class VersionedTableSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "graft-versioned needs a table root: .load(<root>)"))
     val version = Option(options.get("versionAsOf")).map(_.trim.toInt)
-    val v = version.getOrElse(VersionedTable.latestVersion(spark, root))
+    // timestampAsOf (epoch millis, or ISO-8601 instant/local-date-time
+    // read as UTC): resolved to the newest version committed at or
+    // before it — Delta's timestamp time travel
+    val tsVersion = Option(options.get("timestampAsOf")).map { raw =>
+      val s = raw.trim
+      val millis = scala.util.Try(s.toLong).getOrElse {
+        scala.util.Try(java.time.Instant.parse(s).toEpochMilli).getOrElse(
+          java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      }
+      VersionedTable.versionAt(spark, root, millis).getOrElse(
+        throw new IllegalArgumentException(
+          s"no version of $root committed at or before $s"))
+    }
+    require(version.isEmpty || tsVersion.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val v = version.orElse(tsVersion)
+      .getOrElse(VersionedTable.latestVersion(spark, root))
     val dirs = VersionedTable.dataDirs(spark, root, Some(v))
     // an evolved version's `#schema:` pin rides through as the user
     // schema — footer inference over mixed-schema commit dirs would

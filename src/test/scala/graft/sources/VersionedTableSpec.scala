@@ -309,4 +309,49 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).orderBy("id")
       .as[(Long, String)].collect().toSeq == Seq(1L -> "a", 2L -> "b"))
   }
+
+  test("history: one metadata-only row per version, operations recorded") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a", 2L -> "b"))
+    VersionedTable.append(spark, root, snapshot(3L -> "c"), 0)
+    VersionedTable.merge(spark, root,
+      Seq((2L, "b2", "U")).toDF("id", "body", "op"), "id")
+    VersionedTable.compact(spark, root)
+    val h = VersionedTable.history(spark, root).collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(3, 2, 1, 0), "newest first")
+    assert(h.map(_.getString(1)).toSeq ==
+      Seq("compact", "merge", "append", "init"))
+    // num_rows from manifest stats matches the real snapshots
+    val rowsByV = h.map(r => r.getInt(0) -> r.getLong(5)).toMap
+    assert(rowsByV == Map(0 -> 2L, 1 -> 3L, 2 -> 3L, 3 -> 3L))
+    // commit timestamps are monotone non-decreasing with version
+    val ts = h.sortBy(_.getInt(0)).map(_.getTimestamp(2).getTime).toSeq
+    assert(ts == ts.sorted)
+  }
+
+  test("versionAt + timestampAsOf resolve timestamp time travel") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a"))
+    Thread.sleep(1100) // local-FS mtime granularity can be 1 s
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100)
+    VersionedTable.append(spark, root, snapshot(2L -> "b"), 0)
+    assert(VersionedTable.versionAt(spark, root, between).contains(0))
+    assert(VersionedTable.versionAt(spark, root,
+      System.currentTimeMillis()).contains(1))
+    assert(VersionedTable.versionAt(spark, root, 0L).isEmpty)
+    // the DSv2 spelling
+    val old = spark.read.format("graft-versioned")
+      .option("timestampAsOf", between.toString).load(root)
+    assert(old.as[(Long, String)].collect().toSeq == Seq(1L -> "a"))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-versioned")
+        .option("timestampAsOf", "0").load(root).collect()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-versioned")
+        .option("versionAsOf", "0")
+        .option("timestampAsOf", between.toString).load(root).collect()
+    }
+  }
 }
