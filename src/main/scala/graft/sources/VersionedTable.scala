@@ -526,6 +526,26 @@ object VersionedTable {
     (paths, pruned, covered)
   }
 
+  /** Range-cluster a batch on `cols` into `nFiles` sorted files —
+    * the WRITE-PATH half of data skipping ("liquid-clustering lite"):
+    * `append(spark, root, cluster(batch, Seq("ts"), 4), v)` gives
+    * every file of the commit a tight envelope on the cluster
+    * columns, so the `#file:` stats prune selective scans WITHOUT a
+    * separate OPTIMIZE pass. One range shuffle of the BATCH (never
+    * the table) per commit — the steady-state ingest discipline that
+    * keeps a 100 TB table's envelopes narrow as it grows; OPTIMIZE
+    * remains the remedial tool for data that arrived unclustered.
+    * Multi-column `cols` cluster lexicographically (prefix columns
+    * prune best); for two independently-queried columns use
+    * [[optimize]]'s Z-order instead. */
+  def cluster(df: DataFrame, cols: Seq[String], nFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(cols.nonEmpty, "cluster needs at least one column")
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    df.repartitionByRange(nFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+  }
+
   /** The operation that committed version `v` (`#op:` marker), if
     * recorded — manifests written before the marker existed return
     * None. */

@@ -214,6 +214,31 @@ class DataSkippingSpec extends SparkSpec {
     }
   }
 
+  test("the EXECUTED readWhere plan scans only the surviving files") {
+    withTable { root =>
+      threeBatches(root)
+      val df = VersionedTable.readWhere(spark, root, $"id".between(120, 180))
+      // collect() drives df's OWN executed plan — count() would build
+      // a different QueryExecution whose scan metrics these aren't
+      assert(df.collect().length == 61)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected a file scan in the executed plan")
+      val numFiles = scans.map(_.metrics("numFiles").value).sum
+      assert(numFiles == 1,
+        s"executed scan read $numFiles files; skipping should leave 1")
+      // the unpruned spelling reads all 3
+      val full = VersionedTable.read(spark, root)
+        .filter($"id".between(120, 180))
+      full.collect()
+      val fullFiles = full.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.metrics("numFiles").value).sum
+      assert(fullFiles == 3)
+    }
+  }
+
   test("rowCount resolves COUNT(*) from the manifest alone") {
     withTable { root =>
       threeBatches(root)
@@ -224,6 +249,40 @@ class DataSkippingSpec extends SparkSpec {
       // and agree with the real scan
       assert(VersionedTable.read(spark, root).count() == 300L)
     }
+  }
+
+  test("cluster() on the write path keeps envelopes tight without OPTIMIZE") {
+    withTable { root =>
+      // the same 300 rows, committed unclustered vs clustered: the
+      // scattered layout gives every file the full id range (nothing
+      // prunes); cluster() gives disjoint per-file ranges (one file
+      // survives a point probe)
+      val d = (0 until 300).map(i => ((i * 7919L) % 300, s"r$i"))
+        .toDF("id", "v")
+      VersionedTable.init(spark, root,
+        VersionedTable.cluster(d, Seq("id"), 4))
+      val pred = resolvedPred(VersionedTable.read(spark, root),
+        $"id" === 42L)
+      val (_, pruned, covered) =
+        VersionedTable.prunedPaths(spark, root, pred)
+      assert(covered == 4 && pruned == 3,
+        s"clustered point probe should keep 1 of 4 files ($pruned/$covered)")
+      val scattered = withScattered(d)
+      assert(scattered == 0, "scattered layout prunes nothing")
+      assert(VersionedTable.readWhere(spark, root, $"id" === 42L)
+        .count() == d.filter($"id" === 42L).count())
+    }
+  }
+
+  private def withScattered(d: org.apache.spark.sql.DataFrame): Int = {
+    val tmp = Files.createTempDirectory("graft_skip_scatter")
+    try {
+      val root = tmp.resolve("tbl").toString
+      VersionedTable.init(spark, root, d.repartition(4))
+      val pred = resolvedPred(VersionedTable.read(spark, root),
+        $"id" === 42L)
+      VersionedTable.prunedPaths(spark, root, pred)._2
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
   test("OPTIMIZE Z-order makes 2-d box predicates prune most files") {
