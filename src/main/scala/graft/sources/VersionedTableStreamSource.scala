@@ -92,15 +92,51 @@ class VersionedTableStreamSource(sqlContext: SQLContext, root: String,
 }
 
 /** `format("graft-versioned-stream")` provider (registered in
-  * META-INF/services alongside the batch connector). */
+  * META-INF/services alongside the batch connector).
+  *
+  * Implements BOTH streaming seams: the public DSv2 `TableProvider`
+  * half hands the engine a [[VersionedStreamTable]] (MICRO_BATCH_READ
+  * via [[VersionedTableMicroBatchStream]] — the path the engine
+  * selects by default), and the v1 `StreamSourceProvider` half stays
+  * as the explicit fallback (`DataStreamReader` wires it into
+  * `StreamingRelationV2`'s v1Relation, selectable via
+  * `spark.sql.streaming.disabledV2MicroBatchReaders`). Offsets
+  * serialize identically, so checkpoints move between the two. */
 class VersionedTableStreamSourceProvider
-    extends StreamSourceProvider with DataSourceRegister {
+    extends StreamSourceProvider with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graft-versioned-stream"
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-versioned-stream needs a table root: .load(<root>)"))
+
+  // ---- DSv2 TableProvider half ----
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : StructType = {
+    val spark = SparkSession.active
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-versioned-stream needs a table root: .load(<root>)"))
+    VersionedTable.read(spark, root).schema
+  }
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val root = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-versioned-stream needs a table root: .load(<root>)"))
+    new VersionedStreamTable(SparkSession.active, root, schema)
+  }
+
+  // ---- v1 StreamSourceProvider half (fallback) ----
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
