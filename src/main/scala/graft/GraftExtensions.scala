@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // prune whole files via the manifest's #file: stats envelopes
     // before the parquet scan is planned (plans.VersionedSkipRule)
     e.injectOptimizerRule(_ => graft.plans.VersionedSkipRule())
+    // metadata-only COUNT(*): an unfiltered global count over a
+    // graft-versioned scan answers from the manifest row counts
+    // (plans.VersionedCountRule)
+    e.injectOptimizerRule(_ => graft.plans.VersionedCountRule())
     // physical-operator extension: plans.ExactGroupedMedian logical
     // nodes execute as GroupedMedianExec (range-partitioned two-pass
     // prefix sums)

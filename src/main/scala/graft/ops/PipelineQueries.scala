@@ -1142,6 +1142,35 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // metadata-only COUNT(*): the manifest's per-file row counts sum to
+  // the snapshot count without touching storage (rowCount — the
+  // arithmetic VersionedCountRule folds into plans). Hash-gated
+  // against DuckDB counting the same rows, with an in-gate canary
+  // requiring the metadata count to equal a real scan's.
+  def pipelineVersionedCount(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vcount")
+    val root = tmpRoot.resolve("tbl").toString
+    try {
+      val vt = graft.sources.VersionedTable
+      vt.init(s, root, base.filter(col("doc_id") < 150))
+      vt.append(s, root,
+        base.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+        expectedVersion = 0)
+      vt.append(s, root,
+        base.filter(col("doc_id") >= 300 && col("doc_id") < 450),
+        expectedVersion = 1)
+      val n = vt.rowCount(s, root).getOrElse(
+        sys.error("manifest stats incomplete — metadata count unavailable"))
+      require(n == vt.read(s, root).count(),
+        s"metadata count $n diverged from the scan")
+      import s.implicits._
+      Seq(n).toDF("n_rows")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // the trainer-handoff export loop end to end: pack, write shard
   // dirs, commit the manifest, read the manifest back — hash-gated
   // against DuckDB recomputing the same per-shard totals from the raw
@@ -1226,6 +1255,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_changes" -> pipelineVersionedChanges _,
     "pipeline_versioned_changes_keyed" -> pipelineVersionedChangesKeyed _,
     "pipeline_versioned_skip" -> pipelineVersionedSkip _,
+    "pipeline_versioned_count" -> pipelineVersionedCount _,
     "pipeline_shards" -> pipelineShards _,
     "stats_histogram" -> statsHistogram _,
     "stats_histogram_eqdepth" -> statsHistogramEqdepth _,
@@ -1514,6 +1544,10 @@ object PipelineQueries extends QueryPack {
         |FROM documents
         |WHERE doc_id BETWEEN 320 AND 380 AND n_chars >= 0 AND doc_id < 450
         |ORDER BY doc_id""".stripMargin,
+    // metadata COUNT(*) == the engine-independent row count
+    "pipeline_versioned_count" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM documents WHERE doc_id < 450""".stripMargin,
     // median/MAD both quantile_disc (rank ⌈q·n⌉ == exactQuantiles);
     // the one float op is the final division on both sides
     "stats_robust_by_lang" ->

@@ -285,6 +285,40 @@ class DataSkippingSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("the count rule folds COUNT(*) to a metadata-only LocalRelation") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    withTable { root =>
+      threeBatches(root)
+      val df = spark.read.format("graft-versioned").load(root)
+        .groupBy().count()
+      val rewritten = graft.plans.VersionedCountRule()(
+        df.queryExecution.analyzed)
+      assert(rewritten.collect { case l: LocalRelation => l }.size == 1,
+        s"expected a LocalRelation fold:\n$rewritten")
+      assert(PlanBridge.ofRows(spark, rewritten).as[Long].collect()
+        .toSeq == Seq(300L))
+      // version pinning is honored
+      val v0 = spark.read.format("graft-versioned")
+        .option("versionAsOf", 0).load(root).groupBy().count()
+      assert(PlanBridge.ofRows(spark,
+        graft.plans.VersionedCountRule()(v0.queryExecution.analyzed))
+        .as[Long].collect().toSeq == Seq(100L))
+      // a filter between aggregate and relation blocks the rewrite
+      val filtered = spark.read.format("graft-versioned").load(root)
+        .filter($"id" > 0L).groupBy().count()
+      assert(graft.plans.VersionedCountRule()(
+        filtered.queryExecution.analyzed)
+        .collect { case l: LocalRelation => l }.isEmpty,
+        "a filtered count must never fold to metadata")
+      // non-count aggregates block the rewrite
+      val other = spark.read.format("graft-versioned").load(root)
+        .agg(sum($"id"))
+      assert(graft.plans.VersionedCountRule()(
+        other.queryExecution.analyzed)
+        .collect { case l: LocalRelation => l }.isEmpty)
+    }
+  }
+
   test("OPTIMIZE Z-order makes 2-d box predicates prune most files") {
     withTable { root =>
       // 32x32 grid scattered in id order: before clustering, every
