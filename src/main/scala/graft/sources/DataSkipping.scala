@@ -158,9 +158,22 @@ object DataSkipping {
         ok(st.genericGetMin.asInstanceOf[Boolean],
           st.genericGetMax.asInstanceOf[Boolean])
       case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
-        ok(st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+        // bound long string envelopes BEFORE they enter the manifest:
+        // footer stats can carry hundreds of bytes per value (the
+        // documents.text column stores 256-char bounds), which at
+        // 10^5 files is tens of MB of manifest for no pruning power.
+        // parquet's own BinaryTruncator produces VALID bounds — the
+        // truncated min is <= the true min, the truncated max has its
+        // last byte-sequence incremented UTF-8-aware so it stays >=
+        // the true max — the same machinery parquet column indexes
+        // use for exactly this reason.
+        val trunc = org.apache.parquet.internal.column.columnindex
+          .BinaryTruncator.getTruncator(t)
+        ok(trunc.truncateMin(st.genericGetMin
+            .asInstanceOf[org.apache.parquet.io.api.Binary], 64)
             .toStringUsingUTF8,
-          st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+          trunc.truncateMax(st.genericGetMax
+            .asInstanceOf[org.apache.parquet.io.api.Binary], 64)
             .toStringUsingUTF8)
       case _ => None // INT96, decimals, raw binary, …
     }

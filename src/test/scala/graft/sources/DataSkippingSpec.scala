@@ -239,6 +239,30 @@ class DataSkippingSpec extends SparkSpec {
     }
   }
 
+  test("long string envelopes are truncated to bounded VALID bounds") {
+    withTable { root =>
+      val longA = "alpha-" + ("x" * 200) // 206 chars, shared prefix
+      val longB = "alpha-" + ("x" * 199) + "y"
+      VersionedTable.init(spark, root,
+        Seq((1L, longA), (2L, longB), (3L, "zeta")).toDF("id", "body")
+          .coalesce(1))
+      val st = VersionedTable.statsByDir(spark, root)
+        .values.flatten.head.col("body").get
+      // bounded in the manifest...
+      assert(st.min.get.asInstanceOf[String].length <= 70)
+      assert(st.max.get.asInstanceOf[String].length <= 70)
+      // ...but still VALID bounds: the long values stay findable
+      assert(VersionedTable.readWhere(spark, root, $"body" === longB)
+        .count() == 1)
+      assert(VersionedTable.readWhere(spark, root,
+        $"body".startsWith("alpha-x")).count() == 2)
+      // and a probe outside the (widened) envelope still prunes
+      val pred = resolvedPred(VersionedTable.read(spark, root),
+        $"body" === "AAAA")
+      assert(VersionedTable.prunedPaths(spark, root, pred)._2 == 1)
+    }
+  }
+
   test("rowCount resolves COUNT(*) from the manifest alone") {
     withTable { root =>
       threeBatches(root)
