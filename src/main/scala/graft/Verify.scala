@@ -10,8 +10,12 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Set[String] = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the engine's own extensions ride along, exactly as a deployment
+    // would run them — gate results must be invariant under the
+    // optimizer rules they inject (the DuckDB compare enforces it)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
