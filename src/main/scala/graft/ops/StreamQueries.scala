@@ -120,7 +120,43 @@ object StreamQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // the ONE gate that runs a REAL streaming query (every other
+  // stream_* row is the batch twin of code StreamingSpec streams):
+  // a versioned table is built, a Structured Streaming query tails it
+  // through the DSv2 `graft-versioned-stream` source (snapshot
+  // micro-batch, then a live append's delta micro-batch), and the
+  // drained memory sink must equal the table's content — offsets,
+  // delta resolution, and the parquet delegation all hash-gated
+  // against DuckDB recomputing the same rows from the raw documents.
+  def tableTail(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stail")
+    val root = tmpRoot.resolve("tbl").toString
+    try {
+      graft.sources.VersionedTable.init(s, root,
+        base.filter(col("doc_id") < 150))
+      val q = s.readStream.format("graft-versioned-stream").load(root)
+        .writeStream.format("memory").queryName("stream_table_tail_mem")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // snapshot micro-batch
+        graft.sources.VersionedTable.append(s, root,
+          base.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+          expectedVersion = 0)
+        q.processAllAvailable() // the append's delta micro-batch
+      } finally q.stop()
+      s.table("stream_table_tail_mem")
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_table_tail" -> tableTail _,
     "stream_novel" -> novel _,
     "stream_running_totals" -> runningTotals _,
     "stream_milestones" -> milestones _,
@@ -135,6 +171,11 @@ object StreamQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    // the streamed tail of the versioned table == its content
+    "stream_table_tail" ->
+      """SELECT doc_id, lang, md5(text) AS text_md5
+        |FROM documents WHERE doc_id < 300
+        |ORDER BY doc_id""".stripMargin,
     "stream_novel" ->
       """WITH seen AS (
         |  SELECT DISTINCT user_id, event_type FROM events
