@@ -1171,6 +1171,144 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // row-level copy-on-write DELETE end to end: three range-clustered
+  // appends give the commit dirs disjoint doc_id envelopes, the
+  // delete predicate lands inside ONE of them, and the in-gate canary
+  // requires the other two dirs to survive BY IDENTITY in the new
+  // manifest — the stats-pruned rewrite (O(affected files), never
+  // O(table)) that makes targeted deletes viable at 100 TB. Hash-
+  // gated against DuckDB's NOT-predicate spelling of the survivor
+  // set: pruning must be answer-invisible.
+  def pipelineVersionedDelete(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vdelete")
+    val root = tmpRoot.resolve("tbl").toString
+    try {
+      val vt = graft.sources.VersionedTable
+      vt.init(s, root, base.filter(col("doc_id") < 150)
+        .repartitionByRange(2, col("doc_id")))
+      vt.append(s, root,
+        base.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+          .repartitionByRange(2, col("doc_id")), expectedVersion = 0)
+      vt.append(s, root,
+        base.filter(col("doc_id") >= 300 && col("doc_id") < 450)
+          .repartitionByRange(2, col("doc_id")), expectedVersion = 1)
+      val before = vt.dataDirs(s, root, Some(2)).toSet
+      val v = vt.delete(s, root, col("doc_id").between(180, 260))
+      val after = vt.dataDirs(s, root, Some(v)).toSet
+      require((before intersect after).size == 2,
+        "delete rewrote dirs its predicate cannot touch — " +
+          "manifest-stats dir pruning regressed")
+      vt.read(s, root)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
+  // row-level copy-on-write UPDATE over the same layout: assignments
+  // apply only where the predicate is TRUE, evaluate against the
+  // PRE-update row, and the untouched dirs carry by identity (same
+  // canary as delete). Hash-gated against DuckDB's CASE WHEN
+  // spelling.
+  def pipelineVersionedUpdate(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vupdate")
+    val root = tmpRoot.resolve("tbl").toString
+    try {
+      val vt = graft.sources.VersionedTable
+      vt.init(s, root, base.filter(col("doc_id") < 150)
+        .repartitionByRange(2, col("doc_id")))
+      vt.append(s, root,
+        base.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+          .repartitionByRange(2, col("doc_id")), expectedVersion = 0)
+      vt.append(s, root,
+        base.filter(col("doc_id") >= 300 && col("doc_id") < 450)
+          .repartitionByRange(2, col("doc_id")), expectedVersion = 1)
+      val before = vt.dataDirs(s, root, Some(2)).toSet
+      val v = vt.update(s, root, col("doc_id").between(320, 400),
+        Seq("source" -> lit("redacted"),
+          "n_chars" -> (col("n_chars") + 1000L)))
+      val after = vt.dataDirs(s, root, Some(v)).toSet
+      require((before intersect after).size == 2,
+        "update rewrote dirs its predicate cannot touch — " +
+          "manifest-stats dir pruning regressed")
+      vt.read(s, root)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
+  // the SAME delete driven entirely through spark.sql via the graft
+  // TableCatalog: CREATE TABLE + INSERT INTO (atomic append) +
+  // DELETE FROM WHERE (stats-pruned copy-on-write) + SELECT — the SQL
+  // lifecycle a warehouse user runs, hash-gated by the same DuckDB
+  // oracle as the programmatic path (two spellings, one truth). A
+  // fresh catalog name per invocation because CatalogManager caches
+  // catalog instances by name and each run gets a fresh warehouse.
+  def pipelineVersionedSql(s: SparkSession, d: String): DataFrame = {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vsql")
+    val cat = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpRoot.toString)
+      docs(s, d).filter(col("doc_id") < 450)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"))
+        .createOrReplaceTempView("vsql_docs")
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+        "source STRING, n_chars BIGINT, text STRING)")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM vsql_docs")
+      s.sql(s"DELETE FROM $cat.docs WHERE doc_id BETWEEN 180 AND 260")
+      s.sql(s"SELECT doc_id, lang, source, n_chars, " +
+        s"md5(text) AS text_md5 FROM $cat.docs ORDER BY doc_id")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
+  // RESTORE closes the loop: a bad delete rolled forward to the
+  // pre-mistake snapshot, METADATA-ONLY (the in-gate canary requires
+  // the data-dir census unchanged across the restore — zero files
+  // moved). Hash-gated against the full pre-delete row set.
+  def pipelineVersionedRestore(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vrestore")
+    val root = tmpRoot.resolve("tbl").toString
+    try {
+      val vt = graft.sources.VersionedTable
+      vt.init(s, root, base.filter(col("doc_id") < 450)
+        .repartitionByRange(3, col("doc_id")))
+      vt.delete(s, root, col("doc_id").between(100, 300)) // the mistake
+      val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
+      val fs = dataRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val dirsBefore = fs.listStatus(dataRoot).length
+      val v = vt.restore(s, root, 0)
+      require(fs.listStatus(dataRoot).length == dirsBefore,
+        "restore wrote data — it must be metadata-only")
+      require(vt.commitOp(s, root, v).contains("restore"),
+        "restore op marker missing from history")
+      vt.read(s, root)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // the trainer-handoff export loop end to end: pack, write shard
   // dirs, commit the manifest, read the manifest back — hash-gated
   // against DuckDB recomputing the same per-shard totals from the raw
@@ -1256,6 +1394,10 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_changes_keyed" -> pipelineVersionedChangesKeyed _,
     "pipeline_versioned_skip" -> pipelineVersionedSkip _,
     "pipeline_versioned_count" -> pipelineVersionedCount _,
+    "pipeline_versioned_delete" -> pipelineVersionedDelete _,
+    "pipeline_versioned_update" -> pipelineVersionedUpdate _,
+    "pipeline_versioned_sql" -> pipelineVersionedSql _,
+    "pipeline_versioned_restore" -> pipelineVersionedRestore _,
     "pipeline_shards" -> pipelineShards _,
     "stats_histogram" -> statsHistogram _,
     "stats_histogram_eqdepth" -> statsHistogramEqdepth _,
@@ -1548,6 +1690,35 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_count" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM documents WHERE doc_id < 450""".stripMargin,
+    // copy-on-write DELETE must equal the plain NOT-predicate filter
+    // (doc_id < 450 = the rows the three appends committed)
+    "pipeline_versioned_delete" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents
+        |WHERE doc_id < 450 AND NOT (doc_id BETWEEN 180 AND 260)
+        |ORDER BY doc_id""".stripMargin,
+    // the SQL-catalog spelling of the same delete: one oracle, two
+    // engine paths (programmatic and spark.sql-through-TableCatalog)
+    "pipeline_versioned_sql" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents
+        |WHERE doc_id < 450 AND NOT (doc_id BETWEEN 180 AND 260)
+        |ORDER BY doc_id""".stripMargin,
+    // restore to v0 must read back the ENTIRE pre-delete snapshot
+    "pipeline_versioned_restore" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents WHERE doc_id < 450
+        |ORDER BY doc_id""".stripMargin,
+    // copy-on-write UPDATE must equal the CASE WHEN projection
+    "pipeline_versioned_update" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id BETWEEN 320 AND 400
+        |    THEN 'redacted' ELSE source END AS source,
+        |  CASE WHEN doc_id BETWEEN 320 AND 400
+        |    THEN n_chars + 1000 ELSE n_chars END AS n_chars,
+        |  md5(text) AS text_md5
+        |FROM documents WHERE doc_id < 450
+        |ORDER BY doc_id""".stripMargin,
     // median/MAD both quantile_disc (rank ⌈q·n⌉ == exactQuantiles);
     // the one float op is the final division on both sides
     "stats_robust_by_lang" ->

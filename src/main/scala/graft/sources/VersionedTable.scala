@@ -457,23 +457,35 @@ object VersionedTable {
     val statsLines = scala.util.Try(DataSkipping.statsLines(
       spark.sparkContext.hadoopConfiguration, dataDir, commitName))
       .getOrElse(Seq.empty)
+    try writeManifest(spark, root, next,
+      metaLines ++ carryStatsLines ++ statsLines ++ carryDirs :+ commitName)
+    catch { case e: Throwable =>
+      fs.delete(dataDir, true) // orphaned data, nothing references it
+      throw e
+    }
+    next
+  }
+
+  // tmp-write + rename-without-replace of one version's manifest —
+  // the commit point shared by data commits (commitDirs) and
+  // metadata-only commits (restore). Throws on a version conflict.
+  private def writeManifest(spark: SparkSession, root: String,
+      next: Int, body: Seq[String]): Unit = {
     val mdir = manifestDir(root)
+    val fs = fsOf(spark, mdir)
     fs.mkdirs(mdir)
     val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
-    try out.write(
-      (metaLines ++ carryStatsLines ++ statsLines ++ carryDirs :+ commitName)
-        .mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
+    try out.write(body.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
     val target = manifestPath(root, next)
     val committed = !fs.exists(target) && fs.rename(tmp, target)
     if (!committed) {
       fs.delete(tmp, false)
-      fs.delete(dataDir, true) // orphaned data, nothing references it
       throw new IllegalStateException(
         s"version conflict: v$next already committed under $root — " +
           "re-read the table and retry the commit")
     }
-    next
   }
 
   // parsed #file: stats per (root, version) — manifests are immutable
@@ -622,6 +634,36 @@ object VersionedTable {
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 
+  /** Version `v`'s schema resolved at O(manifest) cost: the
+    * `#schema:` pin when the table evolved, else ONE sampled file
+    * footer (files within a non-evolved table share their writer's
+    * schema). None when the manifest carries no stats to sample from —
+    * callers fall back to a full `read(...).schema`, whose file-index
+    * listing walks every commit dir. */
+  private def cheapSchema(spark: SparkSession, root: String,
+      v: Int): Option[org.apache.spark.sql.types.StructType] =
+    manifestSchema(spark, root, v).orElse(
+      statsByDir(spark, root, Some(v)).values.flatten.headOption
+        .map(f => spark.read.parquet(
+          new Path(new Path(root, "data"), f.path).toString).schema))
+
+  /** Resolve a user-facing filter `Column` into a catalyst predicate
+    * against `schema` WITHOUT building (and file-listing) the real
+    * snapshot frame: analyze the filter over an empty frame carrying
+    * the schema. None when the analyzed plan has no Filter node. */
+  private def resolveCondition(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      condition: org.apache.spark.sql.Column)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .filter(condition)
+    probe.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }
+  }
+
   /** Snapshot read under a filter WITH manifest-level file skipping —
     * the programmatic spelling of the `VersionedSkipRule` optimizer
     * path. Exactly `read(...).filter(condition)`, but files whose
@@ -642,23 +684,12 @@ object VersionedTable {
     // commit dir — at scale that listing IS the cost skipping exists
     // to avoid (measured: readWhere slower than the full filter scan
     // at 50 commits). So the predicate resolves against an EMPTY
-    // frame carrying the snapshot schema — the `#schema:` pin when
-    // the table evolved, else one sampled file footer (files within a
-    // non-evolved table share their writer's schema) — and the full
+    // frame carrying the snapshot schema (cheapSchema), and the full
     // listing happens only on the no-pruning fallback.
-    val schema = manifestSchema(spark, root, v).orElse(
-      byDir.values.flatten.headOption.map(f => spark.read.parquet(
-        new Path(new Path(root, "data"), f.path).toString).schema))
-    schema match {
+    cheapSchema(spark, root, v) match {
       case None => fallback
       case Some(s) =>
-        val probe = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-          .filter(condition)
-        probe.queryExecution.analyzed.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            f.condition
-        } match {
+        resolveCondition(spark, s, condition) match {
           case None => fallback
           case Some(pred) =>
             val (paths, prunedN, _) = prunedPaths(spark, root, pred, Some(v))
@@ -666,6 +697,140 @@ object VersionedTable {
             else spark.read.schema(s).parquet(paths: _*).filter(condition)
         }
     }
+  }
+
+  /** Row-level DELETE, copy-on-write: remove the rows where
+    * `condition` is TRUE (rows where it is NULL are KEPT — SQL DELETE
+    * semantics) and commit the result as the next version. The table-
+    * format half of the story is WHAT gets rewritten: manifest stats
+    * classify every commit dir, dirs whose envelopes PROVE no row can
+    * match carry forward untouched — dir name and `#file:` stats
+    * lines verbatim, zero I/O — and only the dirs that MAY hold a
+    * matching row are read, filtered, and rewritten into one fresh
+    * commit dir. On a 100 TB table a targeted delete (GDPR erasure, a
+    * bad-batch rollback) therefore costs O(affected files), never
+    * O(table) — the same posture as Delta's stats-pruned
+    * copy-on-write DELETE. When the predicate provably matches
+    * nothing, no version is committed and the current one is
+    * returned (a true no-op, not an empty commit).
+    *
+    * Correctness never depends on stats: dirs without coverage (or an
+    * unresolvable predicate shape) conservatively count as affected
+    * and get rewritten — the result equals
+    * `commit(read().filter(NOT condition IS TRUE))` in every case.
+    * Old versions time-travel unchanged; a keyed [[changesBetween]]
+    * across the commit shows exactly the deleted rows. */
+  def delete(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    rewriteWhere(spark, root, condition, op = "delete") { (df, cond) =>
+      df.filter(not(coalesce(cond, lit(false))))
+    }
+  }
+
+  /** Row-level UPDATE, copy-on-write: for rows where `condition` is
+    * TRUE, replace each assigned column with its expression (cast to
+    * the column's existing type — assignments never change the table
+    * schema); all other rows and columns ride through bit-identical.
+    * Same stats-pruned rewrite discipline as [[delete]]: untouched
+    * commit dirs carry forward with their stats, only may-match dirs
+    * rewrite, a provably-empty match is a no-op. Assignment
+    * expressions may reference any table column (`set("n" ->
+    * col("n") + 1)`) — they evaluate against the PRE-update row,
+    * standard SQL UPDATE semantics. */
+  def update(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)]): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "update needs at least one assignment")
+    rewriteWhere(spark, root, condition, op = "update") { (df, cond) =>
+      val byName = set.toMap
+      val lower = byName.keySet.map(_.toLowerCase)
+      val missing = lower -- df.columns.map(_.toLowerCase).toSet
+      require(missing.isEmpty,
+        s"update assigns unknown column(s): ${missing.mkString(", ")} — " +
+          "UPDATE never changes the schema; evolve via append/commit")
+      val out = df.schema.fields.map { f =>
+        byName.collectFirst {
+          case (n, e) if n.toLowerCase == f.name.toLowerCase => e
+        } match {
+          case Some(expr) =>
+            when(coalesce(cond, lit(false)), expr.cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }
+      df.select(out.toSeq: _*)
+    }
+  }
+
+  // the shared copy-on-write core of delete/update: classify commit
+  // dirs by the manifest stats, rewrite ONLY the may-match dirs
+  // through `transform`, carry the rest (dirs + stats) verbatim
+  private def rewriteWhere(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column, op: String)(
+      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame)
+      : Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val dirs = readManifest(spark, root, base)
+    val byDir = statsByDir(spark, root, Some(base))
+    val schema = cheapSchema(spark, root, base)
+      .getOrElse(read(spark, root, Some(base)).schema)
+    val pred = resolveCondition(spark, schema, condition)
+    // a dir is AFFECTED unless its stats prove no file can match;
+    // missing stats or an unsupported predicate shape = affected
+    // (conservative: correctness never rests on the envelopes)
+    val (affected, untouched) = dirs.partition { dir =>
+      (byDir.get(dir), pred) match {
+        case (Some(files), Some(p)) =>
+          files.exists(f => DataSkipping.mayMatch(f, p))
+        case _ => true
+      }
+    }
+    if (affected.isEmpty) return base // provably nothing matches
+    val dataRoot = new Path(root, "data")
+    val affectedDf = spark.read.schema(schema).parquet(
+      affected.map(d => new Path(dataRoot, d).toString): _*)
+    val rewritten = transform(affectedDf, condition)
+    // DML must never drift the schema (names + types; nullability is
+    // parquet-round-trip noise) — same shape guard as append
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.sql))
+    require(shape(rewritten.schema) == shape(schema),
+      s"$op changed the schema: ${rewritten.schema.simpleString} != " +
+        schema.simpleString)
+    val untouchedSet = untouched.toSet
+    val carriedStats = manifestLines(spark, root, base)
+      .filter(_.startsWith("#file:"))
+      .filter(l => DataSkipping.parseLine(l.stripPrefix("#file:"))
+        .exists(f => untouchedSet.contains(f.path.takeWhile(_ != '/'))))
+    commitDirs(spark, root, rewritten, base,
+      carryDirs = untouched,
+      metaLines = manifestSchema(spark, root, base)
+        .map("#schema:" + _.json).toSeq :+ s"#op:$op",
+      carryStatsLines = carriedStats)
+  }
+
+  /** RESTORE the table to the state of `toVersion`, committed as the
+    * NEXT version — roll-forward semantics, so the mistake and its
+    * correction both stay in history (Delta's RESTORE TABLE ...
+    * VERSION AS OF). METADATA-ONLY: data files are immutable and the
+    * target version's manifest already names exactly the right ones,
+    * so the new manifest re-references them — dirs, stats and any
+    * `#schema:` pin verbatim — and NO data is read or written. At
+    * 100 TB the bad-deploy rollback is one manifest write, not a
+    * table copy. Vacuum safety falls out of the existing keep-set
+    * rule (dirs referenced by any kept manifest survive); restoring
+    * to a version whose dirs were already vacuumed fails loudly at
+    * scan time, same as reading it would. */
+  def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val body = manifestLines(spark, root, toVersion) // loud if missing
+      .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:"))
+    writeManifest(spark, root, base + 1, "#op:restore" +: body)
+    base + 1
   }
 
   /** Initialize a table at version 0 (fails if already initialized —
