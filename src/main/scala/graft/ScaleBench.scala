@@ -324,6 +324,43 @@ object ScaleBench {
       "skip_scan_off" -> (() => graft.sources.VersionedTable
         .read(spark, skipRoot)
         .filter(col("doc_id") < 1000L && col("n_chars") >= 0)),
+      // copy-on-write DELETE measured (the O(affected files) claim):
+      // each run deletes a 50-doc range from a DIFFERENT 1000-doc
+      // commit of a skipRoot-shaped table (own root — mutating
+      // skipRoot would corrupt the skip rows), so the rewrite touches
+      // ~2 files at ANY table size while the untouched-dirs carry
+      // grows with the decade — expected near-flat. The delete runs
+      // eagerly inside build(); the returned 1-row frame is the
+      // timing harness's count handle, not the work.
+      "dml_delete" -> {
+        lazy val dmlRoot = {
+          val r = tempTableRoot("graft_dml_delete")
+          val d = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+            col("text"))
+          val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+          val vt = graft.sources.VersionedTable
+          var v = -1
+          var lo = 0L
+          while (lo <= maxId) {
+            val batch = d.filter(col("doc_id") >= lo &&
+              col("doc_id") < lo + 1000L)
+              .repartitionByRange(2, col("doc_id"))
+            v = if (v < 0) vt.init(spark, r, batch)
+            else vt.append(spark, r, batch, expectedVersion = v)
+            lo += 1000L
+          }
+          r
+        }
+        var run = 0
+        () => {
+          val lo = 1000L * run + 100L
+          run += 1
+          graft.sources.VersionedTable.delete(spark, dmlRoot,
+            col("doc_id").between(lo, lo + 50L))
+          import spark.implicits._
+          Seq(run).toDF("run")
+        }
+      },
     )
   }
 

@@ -449,7 +449,35 @@ object VersionedTable {
     val commitName = f"c$next%05d-${java.util.UUID.randomUUID}"
     val dataDir = new Path(new Path(root, "data"), commitName)
     val fs = fsOf(spark, dataDir)
+    // CHECK constraints carry forward through every commit until
+    // dropped — table-level metadata, like the schema pin
+    val constraintLines =
+      if (expectedVersion >= 0)
+        manifestLines(spark, root, expectedVersion)
+          .filter(_.startsWith("#constraint:"))
+      else Seq.empty
     df.write.parquet(dataDir.toString) // invisible until the manifest lands
+    // Enforce constraints on the data JUST WRITTEN, before the
+    // manifest rename makes it visible: one columnar scan of the NEW
+    // files only (the batch for append, the rewrite set for DML, the
+    // snapshot for a full commit — each exactly the rows not yet
+    // covered by a previous commit's validation), never a re-execution
+    // of the caller's input plan. A violation deletes the invisible
+    // dir and throws — atomic refusal, the table is untouched.
+    val wroteFiles = fs.exists(dataDir) && fs.listStatus(dataDir)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    if (constraintLines.nonEmpty && wroteFiles) {
+      val violated = checkViolations(spark.read.parquet(dataDir.toString),
+        constraintLines.map(parseConstraint))
+      if (violated.nonEmpty) {
+        fs.delete(dataDir, true)
+        throw new IllegalStateException(
+          violated.map { case (n, e, c) =>
+            s"CHECK constraint '$n' ($e) violated by $c row(s)"
+          }.mkString("commit refused: ", "; ", " — fix the data or " +
+            "dropConstraint first"))
+      }
+    }
     // file-skipping stats for the files JUST written, harvested from
     // their parquet footers (metadata-only reads — no second data
     // pass) and committed ATOMICALLY with the manifest that makes the
@@ -458,12 +486,99 @@ object VersionedTable {
       spark.sparkContext.hadoopConfiguration, dataDir, commitName))
       .getOrElse(Seq.empty)
     try writeManifest(spark, root, next,
-      metaLines ++ carryStatsLines ++ statsLines ++ carryDirs :+ commitName)
+      constraintLines ++ metaLines ++ carryStatsLines ++ statsLines ++
+        carryDirs :+ commitName)
     catch { case e: Throwable =>
       fs.delete(dataDir, true) // orphaned data, nothing references it
       throw e
     }
     next
+  }
+
+  private def parseConstraint(line: String): (String, String) = {
+    val body = line.stripPrefix("#constraint:")
+    val i = body.indexOf(':')
+    (body.take(i), body.drop(i + 1))
+  }
+
+  // (name, expr, violationCount) for every violated constraint — ONE
+  // aggregate pass over `data` regardless of how many constraints
+  private def checkViolations(data: DataFrame,
+      cs: Seq[(String, String)]): Seq[(String, String, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    if (cs.isEmpty) return Seq.empty
+    val counts = data.select(cs.zipWithIndex.map { case ((_, e), i) =>
+      sum(when(not(coalesce(expr(e), lit(false))), 1L).otherwise(0L))
+        .as(s"__c$i")
+    }: _*).collect().headOption
+    counts.toSeq.flatMap { row =>
+      cs.zipWithIndex.collect {
+        case ((n, e), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+          (n, e, row.getLong(i))
+      }
+    }
+  }
+
+  /** The CHECK constraints of version `v` (default latest) as
+    * (name, sqlExpr) pairs, in declaration order. */
+  def constraints(spark: SparkSession, root: String,
+      version: Option[Int] = None): Seq[(String, String)] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) Seq.empty
+    else manifestLines(spark, root, v)
+      .filter(_.startsWith("#constraint:")).map(parseConstraint)
+  }
+
+  /** ADD a CHECK constraint: `exprSql` (any boolean SQL expression
+    * over the table's columns; `"x IS NOT NULL"` spells NOT NULL)
+    * must evaluate to TRUE for every row — FALSE *or NULL* refuses
+    * (stricter than the SQL-standard CHECK, which lets UNKNOWN pass:
+    * a guarantee whose truth is unknown is not a guarantee, and the
+    * strict form is what makes `"x IS NOT NULL"` work as NOT NULL).
+    * Existing data is validated with one snapshot scan
+    * before the constraint commits (Delta's ADD CONSTRAINT contract:
+    * a constraint the existing data violates is refused, because a
+    * guarantee that starts broken is not a guarantee). From then on
+    * EVERY commit — append, merge, compact, DML rewrite — validates
+    * its newly written files against the constraint set before its
+    * manifest lands, so a violating write refuses atomically and the
+    * table is never visible in a violating state. Committed as a
+    * metadata version (`#op:add_constraint`). */
+  def addConstraint(spark: SparkSession, root: String,
+      name: String, exprSql: String): Int = {
+    require(name.nonEmpty && !name.contains(':') && !name.contains('\n'),
+      s"constraint name must be non-empty and ':'-free, got '$name'")
+    require(!exprSql.contains('\n'), "constraint expression must be one line")
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    require(!constraints(spark, root, Some(base)).exists(_._1 == name),
+      s"constraint '$name' already exists — dropConstraint it first")
+    val violated = checkViolations(read(spark, root, Some(base)),
+      Seq(name -> exprSql))
+    if (violated.nonEmpty) throw new IllegalStateException(
+      s"cannot add constraint '$name' ($exprSql): existing data " +
+        s"violates it in ${violated.head._3} row(s)")
+    val body = manifestLines(spark, root, base)
+      .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:"))
+    writeManifest(spark, root, base + 1,
+      "#op:add_constraint" +: body :+ s"#constraint:$name:$exprSql")
+    base + 1
+  }
+
+  /** DROP a CHECK constraint by name — metadata-only commit; history
+    * keeps every version's constraint set (time travel shows what was
+    * enforced when). */
+  def dropConstraint(spark: SparkSession, root: String,
+      name: String): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    require(constraints(spark, root, Some(base)).exists(_._1 == name),
+      s"no constraint named '$name' on $root")
+    val body = manifestLines(spark, root, base)
+      .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:") ||
+        (l.startsWith("#constraint:") && parseConstraint(l)._1 == name))
+    writeManifest(spark, root, base + 1, "#op:drop_constraint" +: body)
+    base + 1
   }
 
   // tmp-write + rename-without-replace of one version's manifest —
