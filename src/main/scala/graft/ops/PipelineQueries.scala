@@ -1277,6 +1277,53 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // the planted merge changeset driven through SQL MERGE INTO — the
+  // row-level-operation seam end to end (Spark's own MergeRows plan
+  // computes the post-merge snapshot, the engine's parquet writer
+  // materializes it, publishDir is the atomic commit point) — hash-
+  // gated by the SAME oracle as the programmatic pipeline_versioned
+  // _merge: one truth, three spellings (applyChangeset, the
+  // versioned-table merge, and SQL MERGE).
+  def pipelineVersionedSqlMerge(s: SparkSession, d: String): DataFrame = {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vsqlm")
+    val cat = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpRoot.toString)
+      docs(s, d).select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("text"))
+        .createOrReplaceTempView("vsqlm_docs")
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+        "source STRING, n_chars BIGINT, text STRING)")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM vsqlm_docs")
+      s.sql(
+        s"""MERGE INTO $cat.docs t
+           |USING (
+           |  SELECT doc_id, lang, 'patched' AS source, n_chars, text,
+           |    'U' AS op FROM vsqlm_docs WHERE doc_id % 7 = 1
+           |  UNION ALL
+           |  SELECT doc_id, lang, source, n_chars, text, 'D'
+           |  FROM vsqlm_docs WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, lang, 'ingested', n_chars, text, 'U'
+           |  FROM vsqlm_docs WHERE doc_id % 7 = 2
+           |) c
+           |ON t.doc_id = c.doc_id
+           |WHEN MATCHED AND c.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET t.lang = c.lang,
+           |  t.source = c.source, t.n_chars = c.n_chars, t.text = c.text
+           |WHEN NOT MATCHED AND c.op = 'U' THEN
+           |  INSERT (doc_id, lang, source, n_chars, text)
+           |  VALUES (c.doc_id, c.lang, c.source, c.n_chars, c.text)
+           |""".stripMargin)
+      s.sql(s"SELECT doc_id, lang, source, n_chars, " +
+        s"md5(text) AS text_md5 FROM $cat.docs ORDER BY doc_id")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // RESTORE closes the loop: a bad delete rolled forward to the
   // pre-mistake snapshot, METADATA-ONLY (the in-gate canary requires
   // the data-dir census unchanged across the restore — zero files
@@ -1397,6 +1444,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_delete" -> pipelineVersionedDelete _,
     "pipeline_versioned_update" -> pipelineVersionedUpdate _,
     "pipeline_versioned_sql" -> pipelineVersionedSql _,
+    "pipeline_versioned_sql_merge" -> pipelineVersionedSqlMerge _,
     "pipeline_versioned_restore" -> pipelineVersionedRestore _,
     "pipeline_shards" -> pipelineShards _,
     "stats_histogram" -> statsHistogram _,
@@ -1704,6 +1752,28 @@ object PipelineQueries extends QueryPack {
         |FROM documents
         |WHERE doc_id < 450 AND NOT (doc_id BETWEEN 180 AND 260)
         |ORDER BY doc_id""".stripMargin,
+    // SQL MERGE INTO must equal the programmatic merge — identical
+    // oracle construction to pipeline_versioned_merge (one truth,
+    // three engine spellings)
+    "pipeline_versioned_sql_merge" ->
+      """WITH cs AS (
+        |  SELECT doc_id, text, lang, 'patched' AS source, n_chars,
+        |    'U' AS op FROM documents WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, 'D'
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, 'ingested', n_chars, 'U'
+        |  FROM documents WHERE doc_id % 7 = 2),
+        |kept AS (
+        |  SELECT s.* FROM documents s LEFT JOIN cs ON s.doc_id = cs.doc_id
+        |  WHERE cs.doc_id IS NULL),
+        |merged AS (
+        |  SELECT * FROM kept
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars FROM cs WHERE op = 'U')
+        |SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM merged ORDER BY doc_id""".stripMargin,
     // restore to v0 must read back the ENTIRE pre-delete snapshot
     "pipeline_versioned_restore" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{col, lit, not}
@@ -213,11 +213,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * to Spark's `ParquetTable` over the manifest's file list (pinned at
   * load — concurrent commits never disturb a running query); writes
   * and deletes run the [[VersionedTable]] protocol. Time-traveled
-  * loads (`version` set) are read-only. */
+  * loads (`version` set) are read-only.
+  *
+  * SQL `UPDATE` / `MERGE INTO` (and `DELETE` with a predicate the
+  * Filter seam can't express) run through
+  * [[SupportsRowLevelOperations]] as GROUP-BASED copy-on-write with
+  * the whole snapshot as the one group: Spark scans the table,
+  * computes the post-statement rows itself (its own join/projection
+  * plans), and the replacement lands as ONE atomic versioned commit —
+  * the engine's parquet writer produces the files into a fresh
+  * invisible commit dir and [[VersionedTable.publishDir]] is the
+  * commit point, so constraint checks, stats harvest, and the
+  * manifest rename all apply exactly as for programmatic writes. A
+  * full-snapshot rewrite is the honest v1 cost (same class as
+  * `merge`); file-group runtime filtering is the optimization the
+  * stats-pruned programmatic [[VersionedTable.update]] already
+  * demonstrates. */
 private[sources] class GraftSqlTable(ident: String, root: String,
     version: Option[Int])
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete with SupportsRowLevelOperations {
 
   private def spark = SparkSession.active
 
@@ -269,6 +284,33 @@ private[sources] class GraftSqlTable(ident: String, root: String,
     }
   }
 
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    requireWritable(info.command.toString)
+    val table = this
+    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      override def command = info.command
+      // group-based CoW, one group = the snapshot: the write REPLACES
+      // the whole table, so the operation's scan must feed EVERY row
+      // to the replacement query. The builder therefore exposes NO
+      // pushdown seams — Spark's group-filter optimization would
+      // otherwise push the statement condition into the scan, which is
+      // only sound for connectors that track and replace exactly the
+      // scanned groups (the stats-pruned programmatic update/delete
+      // play that role here).
+      override def newScanBuilder(options: CaseInsensitiveStringMap)
+          : ScanBuilder = new ScanBuilder {
+        override def build() = table.inner.newScanBuilder(options).build()
+      }
+      override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+        new WriteBuilder {
+          override def build(): Write = new ReplaceSnapshotWrite(
+            root, winfo, info.command.toString.toLowerCase)
+        }
+    }
+  }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     version.isEmpty && filters.forall(f => toColumn(f).isDefined)
 
@@ -304,5 +346,79 @@ private[sources] class GraftSqlTable(ident: String, root: String,
     case sources.AlwaysTrue() => Some(lit(true))
     case sources.AlwaysFalse() => Some(lit(false))
     case _ => None
+  }
+}
+
+/** The write half of a SQL row-level operation: Spark's OWN parquet
+  * writer (delegated `ParquetTable` write — distributed tasks, the
+  * stock committer) produces the replacement snapshot's files into a
+  * fresh INVISIBLE commit dir, and the driver-side `commit` publishes
+  * it through [[VersionedTable.publishDir]] — constraint validation,
+  * stats harvest, atomic manifest rename. A failed or aborted
+  * statement deletes the invisible dir; the table is untouched.
+  * Optimistic like every commit: the base version is pinned when the
+  * write starts, a concurrent commit fails the publish. */
+private[sources] class ReplaceSnapshotWrite(root: String,
+    info: LogicalWriteInfo, op: String) extends Write {
+
+  override def toBatch: BatchWrite = {
+    val spark = SparkSession.active
+    val base = VersionedTable.latestVersion(spark, root)
+    val commitName = VersionedTable.newCommitName(base + 1)
+    val dataDir = new Path(new Path(root, "data"), commitName)
+    val staging = ParquetTable(s"graft-replace $root", spark,
+      new CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("path", dataDir.toString)),
+      Seq(dataDir.toString), Some(info.schema()),
+      classOf[ParquetFileFormat])
+    val delegate = staging.newWriteBuilder(info).build().toBatch
+    new BatchWrite {
+      // group-based ReplaceData prepends a __row_operation column to
+      // every row, and with no metadata columns declared Spark's exec
+      // picks the writing task that does NOT apply its row projection
+      // — so the op column is stripped here, arity-guarded (rows
+      // already matching the write schema pass through untouched)
+      override def createBatchWriterFactory(p: PhysicalWriteInfo) =
+        new OpStrippingWriterFactory(
+          delegate.createBatchWriterFactory(p), info.schema())
+      override def useCommitCoordinator: Boolean =
+        delegate.useCommitCoordinator
+      override def commit(msgs: Array[WriterCommitMessage]): Unit = {
+        delegate.commit(msgs) // files durable, still invisible
+        VersionedTable.publishDir(spark, root, commitName, base,
+          carryDirs = Seq.empty, metaLines = Seq(s"#op:$op"))
+      }
+      override def abort(msgs: Array[WriterCommitMessage]): Unit = {
+        delegate.abort(msgs)
+        dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(dataDir, true)
+      }
+    }
+  }
+}
+
+/** Executor-side adapter stripping ReplaceData's leading
+  * `__row_operation` column: projects each (1+N)-field row onto the
+  * N-field write schema before the delegated parquet writer sees it.
+  * Rows already at write arity pass through — the adapter never
+  * guesses beyond the two layouts the exec produces. */
+private class OpStrippingWriterFactory(
+    delegate: org.apache.spark.sql.connector.write.DataWriterFactory,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+    val inner = delegate.createWriter(partitionId, taskId)
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        schema, (1 to schema.length).toIndexedSeq)
+      override def write(row: InternalRow): Unit =
+        if (row.numFields == schema.length) inner.write(row)
+        else { proj.project(row); inner.write(proj) }
+      override def commit() = inner.commit()
+      override def abort() = inner.abort()
+      override def close() = inner.close()
+    }
   }
 }

@@ -445,8 +445,28 @@ object VersionedTable {
   private def commitDirs(spark: SparkSession, root: String, df: DataFrame,
       expectedVersion: Int, carryDirs: Seq[String],
       metaLines: Seq[String], carryStatsLines: Seq[String] = Seq.empty): Int = {
+    val commitName = newCommitName(expectedVersion + 1)
+    val dataDir = new Path(new Path(root, "data"), commitName)
+    df.write.parquet(dataDir.toString) // invisible until the manifest lands
+    publishDir(spark, root, commitName, expectedVersion, carryDirs,
+      metaLines, carryStatsLines)
+  }
+
+  private[sources] def newCommitName(version: Int): String =
+    f"c$version%05d-${java.util.UUID.randomUUID}"
+
+  /** Publish an ALREADY-WRITTEN commit dir (`<root>/data/<commitName>`)
+    * as the version after `expectedVersion`: validate CHECK
+    * constraints against its files, harvest skipping stats, write the
+    * manifest — the back half of [[commitDirs]], shared with write
+    * paths where Spark's own writer produced the files (the SQL
+    * row-level-operation write delegates the physical write to the
+    * engine's parquet writer and calls this at its commit point). Any
+    * refusal deletes the still-invisible dir. */
+  private[sources] def publishDir(spark: SparkSession, root: String,
+      commitName: String, expectedVersion: Int, carryDirs: Seq[String],
+      metaLines: Seq[String], carryStatsLines: Seq[String] = Seq.empty): Int = {
     val next = expectedVersion + 1
-    val commitName = f"c$next%05d-${java.util.UUID.randomUUID}"
     val dataDir = new Path(new Path(root, "data"), commitName)
     val fs = fsOf(spark, dataDir)
     // CHECK constraints carry forward through every commit until
@@ -456,7 +476,6 @@ object VersionedTable {
         manifestLines(spark, root, expectedVersion)
           .filter(_.startsWith("#constraint:"))
       else Seq.empty
-    df.write.parquet(dataDir.toString) // invisible until the manifest lands
     // Enforce constraints on the data JUST WRITTEN, before the
     // manifest rename makes it visible: one columnar scan of the NEW
     // files only (the batch for append, the rewrite set for DML, the

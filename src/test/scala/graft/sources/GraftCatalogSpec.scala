@@ -54,8 +54,8 @@ class GraftCatalogSpec extends SparkSpec {
       .count() == 2)
   }
 
-  test("DELETE FROM runs the stats-pruned copy-on-write delete; " +
-    "untranslatable predicates refuse at analysis") {
+  test("DELETE FROM runs the stats-pruned copy-on-write delete; an " +
+    "untranslatable predicate falls back to the row-level rewrite") {
     wh
     spark.sql("CREATE TABLE graft.t3 (id BIGINT, s STRING)")
     spark.sql("INSERT INTO graft.t3 SELECT id, CAST(id AS STRING) " +
@@ -64,13 +64,62 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.t3").as[Long].head == 7L)
     assert(VersionedTable.commitOp(spark, rootOf("t3"),
       VersionedTable.latestVersion(spark, rootOf("t3"))).contains("delete"))
-    // id % 2 = 0 has no v1-Filter translation → loud refusal, never a
-    // silent wrong/approximate delete
+    // id % 2 = 0 has no v1-Filter translation → Spark routes it
+    // through the group-based row-level rewrite instead; answers match
+    // SQL semantics either way
+    spark.sql("DELETE FROM graft.t3 WHERE id % 2 = 0")
+    assert(spark.sql("SELECT id FROM graft.t3 ORDER BY id").as[Long]
+      .collect().toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("SQL UPDATE rewrites through the row-level seam as one " +
+    "versioned commit; history keeps the pre-update snapshot") {
+    wh
+    spark.sql("CREATE TABLE graft.t8 (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.t8 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("UPDATE graft.t8 SET s = concat(s, '!') WHERE id >= 2")
+    val got = spark.sql("SELECT id, s FROM graft.t8 ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b!"), (3L, "c!")))
+    val latest = VersionedTable.latestVersion(spark, rootOf("t8"))
+    assert(VersionedTable.commitOp(spark, rootOf("t8"), latest)
+      .contains("update"))
+    // exactly one version per statement; the pre-update snapshot reads
+    assert(spark.sql(
+      s"SELECT s FROM graft.t8 VERSION AS OF ${latest - 1} " +
+        "WHERE id = 2").as[String].head == "b")
+  }
+
+  test("SQL MERGE INTO upserts: matched rows update, unmatched insert, " +
+    "one atomic commit") {
+    wh
+    spark.sql("CREATE TABLE graft.t9 (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.t9 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("""MERGE INTO graft.t9 t
+      |USING (SELECT * FROM VALUES (2, 'b2'), (9, 'i') AS src(id, s)) s
+      |ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET t.s = s.s
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT id, s FROM graft.t9 ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2"), (9L, "i")))
+    assert(VersionedTable.commitOp(spark, rootOf("t9"),
+      VersionedTable.latestVersion(spark, rootOf("t9"))).contains("merge"))
+  }
+
+  test("a CHECK constraint blocks a violating SQL UPDATE at the commit " +
+    "point — the statement fails, the table is unchanged") {
+    wh
+    spark.sql("CREATE TABLE graft.t10 (id BIGINT, n BIGINT)")
+    spark.sql("INSERT INTO graft.t10 VALUES (1, 10), (2, 20)")
+    VersionedTable.addConstraint(spark, rootOf("t10"), "n_pos", "n > 0")
     val e = intercept[Exception] {
-      spark.sql("DELETE FROM graft.t3 WHERE id % 2 = 0")
+      spark.sql("UPDATE graft.t10 SET n = -5 WHERE id = 2")
     }
-    assert(e.getMessage.toLowerCase.contains("delete"))
-    assert(spark.sql("SELECT count(*) FROM graft.t3").as[Long].head == 7L)
+    assert(e.getMessage.contains("n_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("n_pos")))
+    assert(spark.sql("SELECT n FROM graft.t10 WHERE id = 2")
+      .as[Long].head == 20L)
   }
 
   test("INSERT OVERWRITE is a full rewrite; TRUNCATE empties the table; " +
