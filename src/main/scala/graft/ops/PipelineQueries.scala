@@ -498,6 +498,35 @@ object PipelineQueries extends QueryPack {
       .orderBy("qid", "rn")
   }
 
+  // quantizer VERIFIED twins (the sim_topk_ivf_verified precedent
+  // extended to the PQ family): both operators end in an EXACT
+  // re-rank of the ADC shortlist, so at refine·k ≥ |corpus| (and all
+  // cells probed, for IVF-PQ) every vector survives into the exact
+  // pass and quantization error cannot affect the output — recall 1
+  // BY CONSTRUCTION, the brute-force oracle hash-gates the ADC scan,
+  // the per-partition shortlist heaps, and the refine join. refine =
+  // 1000 at k = 5 covers every testdata SF (max 2000 vectors) with
+  // margin.
+  def simTopkPqVerified(s: SparkSession, d: String): DataFrame = {
+    val idx = pqIndexCache.getOrElseUpdate(
+      s.sparkContext.applicationId + "|" + d,
+      Similarity.pqIndex(emb(s, d), m = 16, codebookSize = 16))
+    Similarity.pqTopK(emb(s, d), maxQueryId = 10L, k = 5,
+      m = 16, codebookSize = 16, refine = 1000, prebuilt = Some(idx))
+      .orderBy("qid", "rn")
+  }
+
+  def simTopkIvfPqVerified(s: SparkSession, d: String): DataFrame = {
+    val idx = ivfPqIndexCache.getOrElseUpdate(
+      s.sparkContext.applicationId + "|" + d,
+      Similarity.ivfPqIndex(emb(s, d), nCells = 16, m = 16,
+        codebookSize = 16))
+    Similarity.ivfPqTopK(emb(s, d), maxQueryId = 10L, k = 5,
+      nCells = 16, nprobe = 16, m = 16, codebookSize = 16,
+      refine = 1000, prebuilt = Some(idx))
+      .orderBy("qid", "rn")
+  }
+
   // the REBUILD-DECISION half of the index lifecycle: mean
   // quantization error of a candidate ingest batch vs the index's
   // build-time baseline, rebuild flag at 2x. Two batches audited
@@ -1489,7 +1518,9 @@ object PipelineQueries extends QueryPack {
     "sim_topk_ivf" -> simTopkIvf _,
     "sim_topk_ivf_verified" -> simTopkIvfVerified _,
     "sim_topk_pq" -> simTopkPq _,
+    "sim_topk_pq_verified" -> simTopkPqVerified _,
     "sim_topk_ivfpq" -> simTopkIvfPq _,
+    "sim_topk_ivfpq_verified" -> simTopkIvfPqVerified _,
     "sim_pq_drift" -> simPqDrift _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
@@ -2263,6 +2294,26 @@ object PipelineQueries extends QueryPack {
         |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
         |SELECT qid, nid, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "sim_topk_lsh_verified" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |     s AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, v) AS cos
+        |           FROM q JOIN e ON e.vec_id != qid),
+        |     r AS (SELECT qid, nid,
+        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
+        |SELECT qid, nid, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // PQ-family twins: refine·k ≥ |corpus| puts every vector through
+    // the exact re-rank, so the brute-force spelling applies — same
+    // query, two more physical routes (ADC scan + refine join,
+    // all-cells IVF-PQ probe + refine join)
+    "sim_topk_pq_verified" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |     s AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, v) AS cos
+        |           FROM q JOIN e ON e.vec_id != qid),
+        |     r AS (SELECT qid, nid,
+        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
+        |SELECT qid, nid, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "sim_topk_ivfpq_verified" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
         |     s AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, v) AS cos

@@ -34,6 +34,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.sql("INSERT OVERWRITE graft.docs SELECT ...")   // full rewrite
   *   spark.sql("SELECT * FROM graft.docs VERSION AS OF 2") // time travel
   *   spark.sql("DELETE FROM graft.docs WHERE id < 100")    // stats-pruned CoW
+  *   spark.sql("UPDATE graft.docs SET ... WHERE ...")      // row-level op
+  *   spark.sql("MERGE INTO graft.docs t USING ... ")       // row-level op
   *   spark.sql("TRUNCATE TABLE graft.docs")
   * }}}
   *
@@ -61,9 +63,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    `loadTable(ident, version|timestamp)` overloads; time-traveled
   *    tables are read-only (writes/deletes refuse loudly).
   *
-  * SQL `UPDATE`/`MERGE` need `SupportsRowLevelOperations` (a
-  * rewrite-plan contract this catalog does not implement); the
-  * programmatic [[VersionedTable.update]] / `merge` cover those.
+  * SQL `UPDATE` / `MERGE INTO` run through
+  * `SupportsRowLevelOperations` as group-based copy-on-write (see
+  * [[GraftSqlTable]]); the programmatic [[VersionedTable.update]] /
+  * `merge` remain the stats-pruned spellings.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
