@@ -147,10 +147,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(ident.toString, p.toString, version = None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; evolve additively via " +
-        "VersionedTable.append(evolveSchema = true)")
+  /** `ALTER TABLE ... ADD COLUMNS` — the one schema change a
+    * file-reuse format can honor without rewriting data: new TOP-LEVEL
+    * NULLABLE columns append to the schema as a metadata-only commit
+    * (`#schema:` pin; existing files read the new columns as NULL —
+    * the same machinery `append(evolveSchema = true)` uses, reachable
+    * from SQL). Everything else (drop, rename, type change, nested or
+    * positioned adds) refuses loudly: those need a rewrite the user
+    * must ask for explicitly via commit(). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn => a
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE only supports ADD COLUMNS (additive evolution); " +
+          s"got $other — drop/rename/retype need an explicit rewrite " +
+          "via VersionedTable.commit")
+    }
+    val root = p.toString
+    val base = VersionedTable.latestVersion(spark, root)
+    require(base >= 0, s"table $ident has no committed version")
+    val current = VersionedTable.read(spark, root, Some(base)).schema
+    val newFields = adds.map { a =>
+      require(a.fieldNames.length == 1,
+        s"nested ADD COLUMN ${a.fieldNames.mkString(".")} is not supported")
+      require(a.isNullable,
+        s"added column ${a.fieldNames.head} must be nullable " +
+          "(existing files have no value for it)")
+      require(a.position() == null,
+        s"positioned ADD COLUMN is not supported (columns append)")
+      val name = a.fieldNames.head
+      require(!current.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column $name already exists")
+      org.apache.spark.sql.types.StructField(name, a.dataType, true)
+    }
+    VersionedTable.evolveSchema(spark, root,
+      org.apache.spark.sql.types.StructType(current.fields ++ newFields))
+    new GraftSqlTable(ident.toString, root, version = None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)

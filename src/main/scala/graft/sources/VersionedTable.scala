@@ -584,6 +584,39 @@ object VersionedTable {
     base + 1
   }
 
+  /** ADDITIVE schema evolution as a METADATA-ONLY commit: pin
+    * `newSchema` (the current schema plus appended nullable columns)
+    * on a new version without writing any data — existing files read
+    * the added columns as NULL, exactly as an evolving
+    * `append(evolveSchema = true)` would, but usable when there is no
+    * batch to append (the `ALTER TABLE ADD COLUMNS` shape). Refuses
+    * non-additive drift with the same shape rule as append. */
+  def evolveSchema(spark: SparkSession, root: String,
+      newSchema: org.apache.spark.sql.types.StructType): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.sql))
+    val curShape = shape(read(spark, root, Some(base)).schema)
+    val newShape = shape(newSchema)
+    require(newShape.startsWith(curShape) && newShape != curShape,
+      s"evolveSchema must APPEND columns: ${newSchema.simpleString} is " +
+        "not an additive extension of the current schema")
+    val added = newShape.drop(curShape.length).map(_._1).toSet
+    val nonNullable = newSchema.fields
+      .filter(f => added.contains(f.name.toLowerCase))
+      .filterNot(_.nullable).map(_.name)
+    require(nonNullable.isEmpty,
+      s"evolved columns must be nullable (old files have no value for " +
+        s"them): ${nonNullable.mkString(", ")}")
+    val body = manifestLines(spark, root, base)
+      .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:") ||
+        l.startsWith("#schema:"))
+    writeManifest(spark, root, base + 1,
+      Seq("#op:evolve_schema", "#schema:" + newSchema.json) ++ body)
+    base + 1
+  }
+
   /** DROP a CHECK constraint by name — metadata-only commit; history
     * keeps every version's constraint set (time travel shows what was
     * enforced when). */

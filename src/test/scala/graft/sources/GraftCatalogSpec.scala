@@ -158,23 +158,47 @@ class GraftCatalogSpec extends SparkSpec {
       .canDeleteWhere(Array.empty[org.apache.spark.sql.sources.Filter]))
   }
 
-  test("SHOW TABLES lists, DROP TABLE removes, ALTER refuses with the " +
-    "evolution recipe, RENAME moves the root") {
+  test("SHOW TABLES lists, DROP TABLE removes, RENAME moves the root") {
     wh
     spark.sql("CREATE TABLE graft.t6 (id BIGINT)")
     val names = spark.sql("SHOW TABLES IN graft")
       .select("tableName").as[String].collect().toSet
     assert(names.contains("t6"))
-    val e = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.t6 ADD COLUMN s STRING")
-    }
-    assert(e.getMessage.contains("evolve"))
     spark.sql("ALTER TABLE graft.t6 RENAME TO t6b")
     assert(spark.sql("SELECT count(*) FROM graft.t6b").as[Long].head == 0L)
     spark.sql("DROP TABLE graft.t6b")
     val after = spark.sql("SHOW TABLES IN graft")
       .select("tableName").as[String].collect().toSet
     assert(!after.contains("t6b") && !after.contains("t6"))
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves additively and metadata-only; " +
+    "non-additive alters refuse") {
+    wh
+    spark.sql("CREATE TABLE graft.t11 (id BIGINT)")
+    spark.sql("INSERT INTO graft.t11 VALUES (1)")
+    val dataRoot = new org.apache.hadoop.fs.Path(rootOf("t11"), "data")
+    val fs = dataRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirsBefore = fs.listStatus(dataRoot).length
+    spark.sql("ALTER TABLE graft.t11 ADD COLUMNS (s STRING)")
+    // metadata-only: no data moved, old file reads the column as NULL
+    assert(fs.listStatus(dataRoot).length == dirsBefore)
+    val got = spark.sql("SELECT id, s FROM graft.t11")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(got == Seq((1L, None)))
+    // the evolved schema accepts full-width inserts
+    spark.sql("INSERT INTO graft.t11 VALUES (2, 'x')")
+    assert(spark.sql("SELECT count(*) FROM graft.t11 WHERE s = 'x'")
+      .as[Long].head == 1L)
+    // pre-evolution version time-travels with its original one-column
+    // schema
+    assert(spark.sql("SELECT * FROM graft.t11 VERSION AS OF 1")
+      .columns.toSeq == Seq("id"))
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.t11 DROP COLUMN s")
+    }
+    assert(e.getMessage.contains("rewrite") ||
+      e.getMessage.toLowerCase.contains("unsupported"))
   }
 
   test("the catalog is stateless: a table created programmatically is " +
