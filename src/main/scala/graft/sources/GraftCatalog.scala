@@ -105,9 +105,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     isTable(tablePath(ident))
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style METADATA TABLES: `graft.`tbl$history`` /
+    // `graft.`tbl$files`` surface the audit plane through plain SQL.
+    // Both are manifest-resolved (O(versions) / O(manifest) driver
+    // work, never a data scan) and served via the public LocalScan
+    // seam — at 100 TB the audit query must not cost a cluster job.
+    val name = ident.name()
+    val dollar = name.lastIndexOf('$')
+    if (dollar > 0) {
+      val baseIdent = Identifier.of(ident.namespace(), name.take(dollar))
+      val p = tablePath(baseIdent)
+      if (!isTable(p)) throw new NoSuchTableException(baseIdent)
+      name.drop(dollar + 1) match {
+        case "history" =>
+          return localTable(ident.toString,
+            VersionedTable.history(spark, p.toString))
+        case "files" =>
+          return localTable(ident.toString, filesDf(p.toString))
+        case _ => throw new NoSuchTableException(ident)
+      }
+    }
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
     new GraftSqlTable(ident.toString, p.toString, version = None)
+  }
+
+  // (commit_dir, file, rows) for the latest version, straight from the
+  // manifest's #file: stats lines
+  private def filesDf(root: String): org.apache.spark.sql.DataFrame = {
+    val s = spark
+    import s.implicits._
+    VersionedTable.statsByDir(s, root).toSeq
+      .flatMap { case (dir, files) =>
+        files.map(f => (dir, f.path, if (f.rows >= 0) Some(f.rows) else None))
+      }.sortBy(r => (r._1, r._2))
+      .toDF("commit_dir", "file", "num_rows")
+  }
+
+  // a driver-local relation on the public LocalScan seam: the rows are
+  // materialized once at load (InternalRows straight from the plan),
+  // bounded by the metadata sizes above
+  private def localTable(tname: String,
+      df: org.apache.spark.sql.DataFrame): Table = {
+    val collected = df.queryExecution.executedPlan.executeCollect()
+    val schema0 = df.schema
+    new Table with SupportsRead {
+      override def name(): String = tname
+      override def schema(): StructType = schema0
+      override def capabilities(): java.util.Set[TableCapability] =
+        java.util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap)
+          : ScanBuilder = new ScanBuilder {
+        override def build() =
+          new org.apache.spark.sql.connector.read.LocalScan {
+            override def rows() = collected
+            override def readSchema(): StructType = schema0
+          }
+      }
+    }
   }
 
   override def loadTable(ident: Identifier, version: String): Table = {

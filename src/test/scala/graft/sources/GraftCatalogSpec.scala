@@ -201,6 +201,29 @@ class GraftCatalogSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("unsupported"))
   }
 
+  test("metadata tables: $history and $files surface the audit plane " +
+    "through plain SQL, manifest-resolved") {
+    wh
+    spark.sql("CREATE TABLE graft.t12 (id BIGINT)")
+    spark.sql("INSERT INTO graft.t12 VALUES (1), (2)")
+    spark.sql("DELETE FROM graft.t12 WHERE id = 2")
+    val hist = spark.sql(
+      "SELECT version, operation FROM graft.`t12$history` ORDER BY version")
+      .as[(Int, String)].collect().toSeq
+    assert(hist == Seq((0, "init"), (1, "append"), (2, "delete")))
+    // $files: every live file listed with its manifest row count
+    val files = spark.sql(
+      "SELECT commit_dir, num_rows FROM graft.`t12$files`")
+      .as[(String, Option[Long])].collect()
+    assert(files.nonEmpty && files.forall(_._2.isDefined))
+    assert(files.flatMap(_._2).sum ==
+      spark.sql("SELECT count(*) FROM graft.t12").as[Long].head)
+    // unknown suffix refuses like a missing table
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.`t12$nope`").collect()
+    }
+  }
+
   test("the catalog is stateless: a table created programmatically is " +
     "immediately visible to SQL and vice versa") {
     wh
