@@ -201,6 +201,19 @@ class GraftCatalogSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("unsupported"))
   }
 
+  test("CREATE TABLE AS SELECT works through the catalog: declared " +
+    "create + atomic append, dropped on failure semantics from Spark") {
+    wh
+    spark.sql("CREATE TABLE graft.t13 AS " +
+      "SELECT id, CAST(id AS STRING) AS s FROM range(5)")
+    assert(spark.sql("SELECT count(*) FROM graft.t13").as[Long].head == 5L)
+    // CTAS lands as the engine's own two commits: schema-bearing init
+    // then the atomic append of the query result
+    assert(VersionedTable.history(spark, rootOf("t13"))
+      .select("operation").as[String].collect().toSeq ==
+      Seq("append", "init"))
+  }
+
   test("metadata tables: $history and $files surface the audit plane " +
     "through plain SQL, manifest-resolved") {
     wh
