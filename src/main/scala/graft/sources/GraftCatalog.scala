@@ -210,35 +210,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * from SQL). Everything else (drop, rename, type change, nested or
     * positioned adds) refuses loudly: those need a rewrite the user
     * must ask for explicitly via commit(). */
+  /** CHECK constraints via table properties, Delta's SQL spelling:
+    * `ALTER TABLE t SET TBLPROPERTIES ('graft.constraints.<name>' =
+    * '<boolean sql expr>')` adds (validating existing data first) and
+    * `UNSET TBLPROPERTIES` drops. */
+  private val ConstraintProp = GraftCatalog.ConstraintProp
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
-      case a: TableChange.AddColumn => a
-      case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE only supports ADD COLUMNS (additive evolution); " +
-          s"got $other — drop/rename/retype need an explicit rewrite " +
-          "via VersionedTable.commit")
-    }
     val root = p.toString
-    val base = VersionedTable.latestVersion(spark, root)
-    require(base >= 0, s"table $ident has no committed version")
-    val current = VersionedTable.read(spark, root, Some(base)).schema
-    val newFields = adds.map { a =>
-      require(a.fieldNames.length == 1,
-        s"nested ADD COLUMN ${a.fieldNames.mkString(".")} is not supported")
-      require(a.isNullable,
-        s"added column ${a.fieldNames.head} must be nullable " +
-          "(existing files have no value for it)")
-      require(a.position() == null,
-        s"positioned ADD COLUMN is not supported (columns append)")
-      val name = a.fieldNames.head
-      require(!current.fieldNames.exists(_.equalsIgnoreCase(name)),
-        s"column $name already exists")
-      org.apache.spark.sql.types.StructField(name, a.dataType, true)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        val base = VersionedTable.latestVersion(spark, root)
+        require(base >= 0, s"table $ident has no committed version")
+        val current = VersionedTable.read(spark, root, Some(base)).schema
+        require(a.fieldNames.length == 1,
+          s"nested ADD COLUMN ${a.fieldNames.mkString(".")} is not supported")
+        require(a.isNullable,
+          s"added column ${a.fieldNames.head} must be nullable " +
+            "(existing files have no value for it)")
+        require(a.position() == null,
+          s"positioned ADD COLUMN is not supported (columns append)")
+        val name = a.fieldNames.head
+        require(!current.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column $name already exists")
+        VersionedTable.evolveSchema(spark, root,
+          org.apache.spark.sql.types.StructType(current.fields :+
+            org.apache.spark.sql.types.StructField(name, a.dataType, true)))
+      case sp: TableChange.SetProperty
+          if sp.property.startsWith(ConstraintProp) =>
+        VersionedTable.addConstraint(spark, root,
+          sp.property.stripPrefix(ConstraintProp), sp.value)
+      case rp: TableChange.RemoveProperty
+          if rp.property.startsWith(ConstraintProp) =>
+        VersionedTable.dropConstraint(spark, root,
+          rp.property.stripPrefix(ConstraintProp))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE supports ADD COLUMNS (additive evolution) and " +
+          s"[UN]SET TBLPROPERTIES ('${ConstraintProp}<name>') CHECK " +
+          s"constraints; got $other — drop/rename/retype need an " +
+          "explicit rewrite via VersionedTable.commit")
     }
-    VersionedTable.evolveSchema(spark, root,
-      org.apache.spark.sql.types.StructType(current.fields ++ newFields))
     new GraftSqlTable(ident.toString, root, version = None)
   }
 
@@ -302,6 +315,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
+object GraftCatalog {
+  /** Property-key prefix mapping TBLPROPERTIES onto CHECK constraints. */
+  val ConstraintProp = "graft.constraints."
+}
+
 /** One catalog-resolved snapshot of a versioned table. Reads delegate
   * to Spark's `ParquetTable` over the manifest's file list (pinned at
   * load — concurrent commits never disturb a running query); writes
@@ -344,6 +362,12 @@ private[sources] class GraftSqlTable(ident: String, root: String,
     ident + version.map(v => s"@v$v").getOrElse("")
 
   override def schema(): StructType = inner.schema
+
+  // surfaces the constraint set in SHOW TBLPROPERTIES / DESCRIBE
+  override def properties(): java.util.Map[String, String] =
+    VersionedTable.constraints(spark, root, version)
+      .map { case (n, e) => (GraftCatalog.ConstraintProp + n, e) }
+      .toMap.asJava
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,

@@ -201,6 +201,35 @@ class GraftCatalogSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("unsupported"))
   }
 
+  test("CHECK constraints are SQL-reachable via TBLPROPERTIES: SET adds " +
+    "(validating existing data), UNSET drops, SHOW surfaces them") {
+    wh
+    spark.sql("CREATE TABLE graft.t14 (id BIGINT, n BIGINT)")
+    spark.sql("INSERT INTO graft.t14 VALUES (1, 5)")
+    spark.sql("ALTER TABLE graft.t14 SET TBLPROPERTIES " +
+      "('graft.constraints.n_pos' = 'n > 0')")
+    // enforcement is live: a violating insert refuses atomically
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.t14 VALUES (2, -1)")
+    }
+    assert(e.getMessage.contains("n_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("n_pos")))
+    assert(spark.sql("SELECT count(*) FROM graft.t14").as[Long].head == 1L)
+    // SHOW TBLPROPERTIES surfaces the constraint
+    val props = spark.sql("SHOW TBLPROPERTIES graft.t14")
+      .as[(String, String)].collect().toMap
+    assert(props.get("graft.constraints.n_pos").contains("n > 0"))
+    // a SET whose expression existing data violates refuses
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.t14 SET TBLPROPERTIES " +
+        "('graft.constraints.n_big' = 'n > 100')")
+    }
+    spark.sql("ALTER TABLE graft.t14 UNSET TBLPROPERTIES " +
+      "('graft.constraints.n_pos')")
+    spark.sql("INSERT INTO graft.t14 VALUES (2, -1)") // allowed now
+    assert(spark.sql("SELECT count(*) FROM graft.t14").as[Long].head == 2L)
+  }
+
   test("CREATE TABLE AS SELECT works through the catalog: declared " +
     "create + atomic append, dropped on failure semantics from Spark") {
     wh
