@@ -152,6 +152,25 @@ class VersionedDmlSpec extends SparkSpec {
     assert(feed.filter(col("change_kind") === "insert").count() == 150)
   }
 
+  test("a reader's pinned snapshot survives a concurrent delete, and " +
+    "vacuum after DML drops only what no kept manifest references") {
+    val root = rangedTable()
+    val pinned = VersionedTable.read(spark, root, Some(2)) // pre-DML
+    VersionedTable.delete(spark, root, col("id") < 100) // v3 rewrites dir 1
+    // the pinned frame resolved an explicit immutable file list — the
+    // DML commit never touches it
+    assert(pinned.count() == 300)
+    assert(VersionedTable.read(spark, root).count() == 200)
+    // retention: keep only the live version; the rewritten dir's OLD
+    // copy ages out, the two carried dirs survive (still referenced)
+    VersionedTable.vacuum(spark, root, keepVersions = 1, retainMillis = 0)
+    assert(VersionedTable.read(spark, root).count() == 200)
+    // v2 is gone with its manifest — pinning it now fails loudly
+    intercept[Exception] {
+      VersionedTable.read(spark, root, Some(2)).count()
+    }
+  }
+
   test("delete without any stats coverage still deletes correctly " +
     "(conservative full rewrite)") {
     val root = freshRoot()
