@@ -171,6 +171,27 @@ class VersionedDmlSpec extends SparkSpec {
     }
   }
 
+  test("DML on a schema-evolved table: the #schema pin carries through " +
+    "the partial rewrite, old files still read NULL for evolved columns") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    VersionedTable.append(spark, root,
+      Seq((3L, "c", Some(30))).toDF("id", "s", "n"),
+      expectedVersion = 0, evolveSchema = true)
+    VersionedTable.update(spark, root, col("id") === 1L,
+      Seq("s" -> lit("a2")))
+    val got = VersionedTable.read(spark, root).orderBy("id")
+      .as[(Long, String, Option[Int])].collect().toSeq
+    assert(got == Seq((1L, "a2", None), (2L, "b", None), (3L, "c", Some(30))))
+    // the pin survived the DML commit: the snapshot still reads under
+    // the evolved schema even though dir 1's files predate column n
+    assert(VersionedTable.manifestSchema(spark, root,
+      VersionedTable.latestVersion(spark, root)).isDefined)
+    // delete the evolved row; the pre-evolution rows keep reading
+    VersionedTable.delete(spark, root, col("n") === 30)
+    assert(VersionedTable.read(spark, root).count() == 2)
+  }
+
   test("delete without any stats coverage still deletes correctly " +
     "(conservative full rewrite)") {
     val root = freshRoot()
