@@ -1306,6 +1306,52 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // the programmatic UPDATE's predicate driven through SQL UPDATE with
+  // GROUP-FILTER PRUNING live: three INSERTs give the commit dirs
+  // disjoint doc_id envelopes, the statement condition is pushed into
+  // the row-level operation's scan, manifest stats prune the two dirs
+  // it provably cannot touch, and the in-gate canary requires them to
+  // survive BY IDENTITY — SQL UPDATE at O(affected files), the
+  // round-12 verdict's #1 item. Hash-gated by the SAME oracle as
+  // pipeline_versioned_update (one truth, two spellings).
+  def pipelineVersionedSqlUpdatePruned(s: SparkSession, d: String)
+      : DataFrame = {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vsqlu")
+    val cat = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpRoot.toString)
+      docs(s, d).filter(col("doc_id") < 450)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"))
+        .createOrReplaceTempView("vsqlu_docs")
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+        "source STRING, n_chars BIGINT, text STRING)")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM vsqlu_docs " +
+        "WHERE doc_id < 150")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM vsqlu_docs " +
+        "WHERE doc_id >= 150 AND doc_id < 300")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM vsqlu_docs " +
+        "WHERE doc_id >= 300")
+      val root = tmpRoot.resolve("docs").toString
+      val vt = graft.sources.VersionedTable
+      val before = vt.dataDirs(s, root).toSet
+      s.sql(s"UPDATE $cat.docs SET source = 'redacted', " +
+        "n_chars = n_chars + 1000 WHERE doc_id BETWEEN 320 AND 400")
+      val after = vt.dataDirs(s, root).toSet
+      // init dir + two out-of-range INSERT dirs carry by identity;
+      // only the [300,450) dir is rewritten
+      require((before intersect after).size == 3,
+        "SQL UPDATE rewrote dirs its predicate cannot touch — " +
+          "row-level group-filter pruning regressed")
+      s.sql(s"SELECT doc_id, lang, source, n_chars, " +
+        s"md5(text) AS text_md5 FROM $cat.docs ORDER BY doc_id")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // the planted merge changeset driven through SQL MERGE INTO — the
   // row-level-operation seam end to end (Spark's own MergeRows plan
   // computes the post-merge snapshot, the engine's parquet writer
@@ -1473,6 +1519,8 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_delete" -> pipelineVersionedDelete _,
     "pipeline_versioned_update" -> pipelineVersionedUpdate _,
     "pipeline_versioned_sql" -> pipelineVersionedSql _,
+    "pipeline_versioned_sql_update_pruned" ->
+      pipelineVersionedSqlUpdatePruned _,
     "pipeline_versioned_sql_merge" -> pipelineVersionedSqlMerge _,
     "pipeline_versioned_restore" -> pipelineVersionedRestore _,
     "pipeline_shards" -> pipelineShards _,
@@ -1782,6 +1830,17 @@ object PipelineQueries extends QueryPack {
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents
         |WHERE doc_id < 450 AND NOT (doc_id BETWEEN 180 AND 260)
+        |ORDER BY doc_id""".stripMargin,
+    // SQL UPDATE with group-filter pruning must equal the programmatic
+    // update's CASE WHEN oracle — pruning is answer-invisible
+    "pipeline_versioned_sql_update_pruned" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id BETWEEN 320 AND 400
+        |    THEN 'redacted' ELSE source END AS source,
+        |  CASE WHEN doc_id BETWEEN 320 AND 400
+        |    THEN n_chars + 1000 ELSE n_chars END AS n_chars,
+        |  md5(text) AS text_md5
+        |FROM documents WHERE doc_id < 450
         |ORDER BY doc_id""".stripMargin,
     // SQL MERGE INTO must equal the programmatic merge — identical
     // oracle construction to pipeline_versioned_merge (one truth,

@@ -85,9 +85,20 @@ object VersionedTable {
   // idempotent streaming append, the `#schema:` pin of an evolved
   // table) followed by one commit-dir name per line (no JSON library
   // dependency; driver tools never parse these)
-  private def readManifest(spark: SparkSession, root: String,
+  private[sources] def readManifest(spark: SparkSession, root: String,
       v: Int): Seq[String] =
     manifestLines(spark, root, v).filterNot(_.startsWith("#"))
+
+  // the `#file:` stats lines of version `v` that describe files in
+  // `keep` dirs — carried verbatim alongside carried dirs, so a
+  // partial rewrite (DML, SQL row-level op) keeps skipping exact for
+  // the data it never touched
+  private[sources] def carriedStatsLines(spark: SparkSession, root: String,
+      v: Int, keep: Set[String]): Seq[String] =
+    manifestLines(spark, root, v)
+      .filter(_.startsWith("#file:"))
+      .filter(l => DataSkipping.parseLine(l.stripPrefix("#file:"))
+        .exists(f => keep.contains(f.path.takeWhile(_ != '/'))))
 
   // marker body after "#txn:": either "<batchId>" (anonymous legacy
   // single-writer) or "<appId>:<batchId>" (multi-writer, Delta's
@@ -486,8 +497,17 @@ object VersionedTable {
     val wroteFiles = fs.exists(dataDir) && fs.listStatus(dataDir)
       .exists(_.getPath.getName.endsWith(".parquet"))
     if (constraintLines.nonEmpty && wroteFiles) {
-      val violated = checkViolations(spark.read.parquet(dataDir.toString),
-        constraintLines.map(parseConstraint))
+      // analysis failures inside the validation (e.g. a full-rewrite
+      // commit whose new schema dropped a constrained column) must
+      // honor the same atomic-refusal contract as a violation: delete
+      // the still-invisible dir, never orphan it until a vacuum
+      val violated =
+        try checkViolations(spark.read.parquet(dataDir.toString),
+          constraintLines.map(parseConstraint))
+        catch { case e: Throwable =>
+          fs.delete(dataDir, true)
+          throw e
+        }
       if (violated.nonEmpty) {
         fs.delete(dataDir, true)
         throw new IllegalStateException(
@@ -818,7 +838,7 @@ object VersionedTable {
     * against `schema` WITHOUT building (and file-listing) the real
     * snapshot frame: analyze the filter over an empty frame carrying
     * the schema. None when the analyzed plan has no Filter node. */
-  private def resolveCondition(spark: SparkSession,
+  private[sources] def resolveCondition(spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       condition: org.apache.spark.sql.Column)
       : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
@@ -896,9 +916,15 @@ object VersionedTable {
   }
 
   /** Row-level UPDATE, copy-on-write: for rows where `condition` is
-    * TRUE, replace each assigned column with its expression (cast to
-    * the column's existing type — assignments never change the table
-    * schema); all other rows and columns ride through bit-identical.
+    * TRUE, replace each assigned column with its expression (ANSI-cast
+    * to the column's existing type — assignments never change the
+    * table schema, and a lossy coercion FAILS the statement instead of
+    * silently corrupting values: a long that overflows the column's
+    * int, or a non-numeric string assigned to a numeric column, throws
+    * at execution, matching SQL UPDATE under
+    * `spark.sql.storeAssignmentPolicy=ANSI`; in-domain fractional
+    * truncation, `0.9 → 0`, remains legal cast semantics); all other
+    * rows and columns ride through bit-identical.
     * Same stats-pruned rewrite discipline as [[delete]]: untouched
     * commit dirs carry forward with their stats, only may-match dirs
     * rewrite, a provably-empty match is a no-op. Assignment
@@ -922,7 +948,15 @@ object VersionedTable {
           case (n, e) if n.toLowerCase == f.name.toLowerCase => e
         } match {
           case Some(expr) =>
-            when(coalesce(cond, lit(false)), expr.cast(f.dataType))
+            // explicit ANSI eval mode: .cast would inherit the session
+            // conf (non-ANSI wraps overflow silently — a typo'd UPDATE
+            // must never corrupt values it didn't mean to touch)
+            val ansiCast = org.apache.spark.sql.graft.ColumnBridge.column(
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                org.apache.spark.sql.graft.ColumnBridge.expression(expr),
+                f.dataType, None,
+                org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI))
+            when(coalesce(cond, lit(false)), ansiCast)
               .otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
@@ -967,11 +1001,7 @@ object VersionedTable {
     require(shape(rewritten.schema) == shape(schema),
       s"$op changed the schema: ${rewritten.schema.simpleString} != " +
         schema.simpleString)
-    val untouchedSet = untouched.toSet
-    val carriedStats = manifestLines(spark, root, base)
-      .filter(_.startsWith("#file:"))
-      .filter(l => DataSkipping.parseLine(l.stripPrefix("#file:"))
-        .exists(f => untouchedSet.contains(f.path.takeWhile(_ != '/'))))
+    val carriedStats = carriedStatsLines(spark, root, base, untouched.toSet)
     commitDirs(spark, root, rewritten, base,
       carryDirs = untouched,
       metaLines = manifestSchema(spark, root, base)

@@ -30,6 +30,28 @@ class ConstraintSpec extends SparkSpec {
     assert(VersionedTable.constraints(spark, root).isEmpty)
   }
 
+  test("a commit the constraint expression cannot even ANALYZE against " +
+    "(schema dropped the constrained column) refuses atomically: no " +
+    "version, no orphan dir") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 10)).toDF("id", "n"))
+    VersionedTable.addConstraint(spark, root, "n_pos", "n > 0")
+    val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
+    val fs = dataRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirsBefore = fs.listStatus(dataRoot).map(_.getPath.getName).toSet
+    // a full rewrite whose schema drops `n`: checkViolations throws an
+    // AnalysisException — pre-fix the already-written dir was orphaned
+    // until a vacuum; the atomic-refusal contract requires cleanup
+    intercept[Exception] {
+      VersionedTable.commit(spark, root, Seq((1L, "x")).toDF("id", "s"),
+        expectedVersion = 1)
+    }
+    assert(VersionedTable.latestVersion(spark, root) == 1)
+    val dirsAfter = fs.listStatus(dataRoot).map(_.getPath.getName).toSet
+    assert(dirsAfter == dirsBefore,
+      s"orphaned commit dir left behind: ${dirsAfter -- dirsBefore}")
+  }
+
   test("a violating append refuses atomically: no new version, no " +
     "orphan data, error names the constraint; valid appends pass") {
     val root = freshRoot()

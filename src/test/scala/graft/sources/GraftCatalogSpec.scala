@@ -266,6 +266,153 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL UPDATE rewrites ONLY may-match commit dirs: pruned dirs and " +
+    "their stats carry by identity through the row-level seam") {
+    wh
+    spark.sql("CREATE TABLE graft.gp1 (id BIGINT, s STRING)")
+    // three commit dirs with disjoint id envelopes
+    spark.sql("INSERT INTO graft.gp1 SELECT id, concat('s', id) " +
+      "FROM range(0, 100)")
+    spark.sql("INSERT INTO graft.gp1 SELECT id, concat('s', id) " +
+      "FROM range(100, 200)")
+    spark.sql("INSERT INTO graft.gp1 SELECT id, concat('s', id) " +
+      "FROM range(200, 300)")
+    val root = rootOf("gp1")
+    // 4 dirs: the CREATE's empty init commit + one per INSERT
+    val before = VersionedTable.dataDirs(spark, root, Some(3)).toSet
+    assert(before.size == 4)
+    spark.sql("UPDATE graft.gp1 SET s = 'hit' WHERE id BETWEEN 120 AND 150")
+    val v = VersionedTable.latestVersion(spark, root)
+    assert(v == 4)
+    val after = VersionedTable.dataDirs(spark, root, Some(v)).toSet
+    // only the [100,200) dir may match: the other three carry by
+    // IDENTITY (same dir names), one dir rewritten
+    assert((before intersect after).size == 3,
+      s"expected 3 carried dirs, got ${(before intersect after).size}")
+    assert(after.size == 4)
+    // carried dirs keep their skipping stats: every surviving dir is
+    // still covered by #file: lines in the new manifest
+    val byDir = VersionedTable.statsByDir(spark, root, Some(v))
+    val carriedNames = (before intersect after)
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+    carriedNames.foreach(d => assert(byDir.contains(d),
+      s"carried dir $d lost its stats lines"))
+    // pruning is answer-invisible
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.gp1 WHERE s = 'hit'").as[Long].head
+      == 31L)
+    assert(spark.sql("SELECT count(*) FROM graft.gp1").as[Long].head
+      == 300L)
+    assert(spark.sql(
+      "SELECT s FROM graft.gp1 WHERE id = 42").as[String].head == "s42")
+  }
+
+  test("a provably-unmatchable SQL UPDATE is a true no-op: no version " +
+    "committed; and SQL DELETE of a no-match predicate is metadata-only") {
+    wh
+    spark.sql("CREATE TABLE graft.gp2 (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.gp2 SELECT id, 'x' FROM range(0, 50)")
+    val root = rootOf("gp2")
+    val v0 = VersionedTable.latestVersion(spark, root)
+    spark.sql("UPDATE graft.gp2 SET s = 'y' WHERE id > 1000000")
+    assert(VersionedTable.latestVersion(spark, root) == v0,
+      "an unmatchable UPDATE must not commit a version")
+    spark.sql("DELETE FROM graft.gp2 WHERE id > 1000000")
+    assert(VersionedTable.latestVersion(spark, root) == v0,
+      "an unmatchable DELETE must not commit a version")
+    assert(spark.sql("SELECT count(*) FROM graft.gp2").as[Long].head == 50L)
+  }
+
+  test("the row-level write publishes against the version the table was " +
+    "LOADED at — a commit landing after the load cannot be clobbered") {
+    wh
+    spark.sql("CREATE TABLE graft.gp3 (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.gp3 VALUES (1, 'a')")
+    val root = rootOf("gp3")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty, "gp3")
+    val t = cat.loadTable(ident).asInstanceOf[GraftSqlTable]
+    val pinned = t.pinnedVersion
+    // a concurrent writer commits AFTER the load
+    VersionedTable.append(spark,
+      root, Seq((2L, "b")).toDF("id", "s"), expectedVersion = pinned)
+    // the operation derived from the stale load must still target the
+    // pinned base — publishing over the concurrent commit would
+    // silently discard it (the round-12 advisory's lost update)
+    val info = new org.apache.spark.sql.connector.write
+      .RowLevelOperationInfo {
+      override def command = org.apache.spark.sql.connector.write
+        .RowLevelOperation.Command.UPDATE
+      override def options = org.apache.spark.sql.util
+        .CaseInsensitiveStringMap.empty()
+    }
+    val op = t.newRowLevelOperationBuilder(info).build()
+      .asInstanceOf[GraftRowLevelOperation]
+    assert(op.baseVersion == pinned,
+      s"operation base ${op.baseVersion} drifted from pinned $pinned — " +
+        "expectedVersion must be the loaded snapshot, not latest-at-" +
+        "execution")
+    // and a fresh statement over the NEW snapshot works fine
+    spark.sql("UPDATE graft.gp3 SET s = 'z' WHERE id = 2")
+    assert(spark.sql("SELECT s FROM graft.gp3 WHERE id = 2")
+      .as[String].head == "z")
+  }
+
+  test("CREATE TABLE TBLPROPERTIES pins CHECK constraints from day one; " +
+    "unsupported properties refuse instead of silently dropping") {
+    wh
+    spark.sql("CREATE TABLE graft.gp4 (id BIGINT, n BIGINT) " +
+      "TBLPROPERTIES ('graft.constraints.n_pos' = 'n > 0')")
+    // the constraint is live: a violating INSERT refuses atomically
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.gp4 VALUES (1, -5)")
+    }
+    assert(e.getMessage.contains("n_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("n_pos")))
+    spark.sql("INSERT INTO graft.gp4 VALUES (1, 5)")
+    assert(spark.sql("SELECT n FROM graft.gp4").as[Long].head == 5L)
+    assert(spark.sql("SHOW TBLPROPERTIES graft.gp4")
+      .as[(String, String)].collect()
+      .contains(("graft.constraints.n_pos", "n > 0")))
+    // a property the format cannot honor is refused loudly
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.gp4b (id BIGINT) " +
+        "TBLPROPERTIES ('delta.appendOnly' = 'true')")
+    }
+    assert(e2.getMessage.contains("delta.appendOnly"))
+    assert(!cat0.tableExists(org.apache.spark.sql.connector.catalog
+      .Identifier.of(Array.empty, "gp4b")))
+  }
+
+  test("DROP NAMESPACE on a table path refuses instead of deleting the " +
+    "table's data behind dropTable's back") {
+    wh
+    spark.sql("CREATE TABLE graft.gp5 (id BIGINT)")
+    spark.sql("INSERT INTO graft.gp5 VALUES (7)")
+    // the SQL path pre-checks namespaceExists and refuses; the direct
+    // catalog API call is the dangerous path the guard closes — before
+    // it, this CASCADE recursively deleted the table's data dir
+    intercept[Exception] {
+      spark.sql("DROP NAMESPACE graft.gp5 CASCADE")
+    }
+    intercept[Exception] {
+      cat0.dropNamespace(Array("gp5"), true)
+    }
+    // the table survives, data intact
+    assert(spark.sql("SELECT id FROM graft.gp5").as[Long].head == 7L)
+    // and a namespace cannot be created shadowing a table
+    intercept[Exception] {
+      cat0.createNamespace(Array("gp5"),
+        java.util.Collections.emptyMap[String, String]())
+    }
+  }
+
+  private def cat0: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+
   test("the catalog is stateless: a table created programmatically is " +
     "immediately visible to SQL and vice versa") {
     wh

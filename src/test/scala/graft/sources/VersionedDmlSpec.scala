@@ -100,6 +100,29 @@ class VersionedDmlSpec extends SparkSpec {
     assert(VersionedTable.commitOp(spark, root, 1).contains("update"))
   }
 
+  test("update assignment casts are ANSI: an overflowing coercion fails " +
+    "the statement instead of silently wrapping, and the table is " +
+    "unchanged") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root,
+      Seq((1L, 10), (2L, 20)).toDF("id", "n")) // n: INT column
+    // 10^10 does not fit an int — pre-fix this wrapped to garbage and
+    // committed; under ANSI eval it throws and nothing is published
+    val e = intercept[Exception] {
+      VersionedTable.update(spark, root, col("id") === 2L,
+        Seq("n" -> lit(10000000000L)))
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(m =>
+        m.toLowerCase.contains("overflow") || m.contains("CAST_"))))
+    assert(VersionedTable.latestVersion(spark, root) == 0)
+    val got = VersionedTable.read(spark, root).orderBy("id")
+      .as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 10), (2L, 20)))
+  }
+
   test("update rewrites only may-match dirs like delete") {
     val root = rangedTable()
     val before = dirNames(root, 2)
