@@ -1094,6 +1094,39 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // the SAME feed read through the DSv2 connector's readChangeFeed
+  // mode (Delta's option spelling: startingVersion/endingVersion) —
+  // the DataFrame-reachable spelling of changesBetween, hash-gated by
+  // the SAME EXCEPT-ALL oracle as pipeline_versioned_changes (one
+  // truth, two spellings; the per-row _commit_version tag is dropped
+  // for the cross-engine compare)
+  def pipelineVersionedChangesFeed(s: SparkSession, d: String): DataFrame = {
+    val snap = docs(s, d)
+    val upd = snap.filter(col("doc_id") % 7 === 1)
+      .withColumn("source", lit("patched")).withColumn("op", lit("U"))
+    val del = snap.filter(col("doc_id") % 7 === 0)
+      .withColumn("op", lit("D"))
+    val ins = snap.filter(col("doc_id") % 7 === 2)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("source", lit("ingested")).withColumn("op", lit("U"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vcfeed")
+    val root = tmpRoot.resolve("tbl").toString
+    try {
+      graft.sources.VersionedTable.init(s, root, snap)
+      graft.sources.VersionedTable.merge(s, root,
+        upd.unionByName(del).unionByName(ins), "doc_id")
+      s.read.format("graft-versioned")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").option("endingVersion", "1")
+        .load(root)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"), col("change_kind"))
+        .orderBy("doc_id", "change_kind")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // the SAME feed in key-aware mode (key = doc_id, the column the
   // merge itself pairs on): updated keys surface as paired
   // update_preimage/update_postimage rows instead of delete+insert —
@@ -1513,6 +1546,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_upsert" -> pipelineUpsert _,
     "pipeline_versioned_merge" -> pipelineVersionedMerge _,
     "pipeline_versioned_changes" -> pipelineVersionedChanges _,
+    "pipeline_versioned_changes_feed" -> pipelineVersionedChangesFeed _,
     "pipeline_versioned_changes_keyed" -> pipelineVersionedChangesKeyed _,
     "pipeline_versioned_skip" -> pipelineVersionedSkip _,
     "pipeline_versioned_count" -> pipelineVersionedCount _,
@@ -1732,6 +1766,35 @@ object PipelineQueries extends QueryPack {
     // the md5-projected rows (injective per row), matching the
     // engine's signed-count content diff
     "pipeline_versioned_changes" ->
+      """WITH cs AS (
+        |  SELECT doc_id, text, lang, 'patched' AS source, n_chars,
+        |    'U' AS op FROM documents WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, 'D'
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, 'ingested', n_chars, 'U'
+        |  FROM documents WHERE doc_id % 7 = 2),
+        |kept AS (
+        |  SELECT s.* FROM documents s LEFT JOIN cs ON s.doc_id = cs.doc_id
+        |  WHERE cs.doc_id IS NULL),
+        |merged AS (
+        |  SELECT * FROM kept
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars FROM cs WHERE op = 'U'),
+        |v0 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |  FROM documents),
+        |v1 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |  FROM merged),
+        |ins AS (SELECT *, 'insert' AS change_kind FROM
+        |  (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)),
+        |del AS (SELECT *, 'delete' AS change_kind FROM
+        |  (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1))
+        |SELECT * FROM ins UNION ALL SELECT * FROM del
+        |ORDER BY doc_id, change_kind""".stripMargin,
+    // the connector readChangeFeed spelling of the same single-version
+    // feed: identical oracle (pruned of the _commit_version tag)
+"pipeline_versioned_changes_feed" ->
       """WITH cs AS (
         |  SELECT doc_id, text, lang, 'patched' AS source, n_chars,
         |    'U' AS op FROM documents WHERE doc_id % 7 = 1

@@ -44,6 +44,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Old versions remain readable (time travel) until `vacuum` removes
   * commit dirs no kept manifest references.
   */
+/** A commit lost the optimistic rename race: the expected next
+  * version already exists. Subclass of IllegalStateException so
+  * pre-existing handlers keep working; [[VersionedTable.withRetry]]
+  * catches exactly this type. */
+class VersionConflictException(message: String)
+    extends IllegalStateException(message)
+
 object VersionedTable {
 
   private def fsOf(spark: SparkSession, p: Path) =
@@ -453,6 +460,43 @@ object VersionedTable {
     }
   }
 
+  /** PER-VERSION change feed over a committed range — Delta CDF's
+    * consumer spelling (`startingVersion`/`endingVersion` are both
+    * INCLUSIVE commit versions, exactly Delta's options): one
+    * [[changesBetween]] delta per version in the range, each row
+    * tagged with the `_commit_version` that produced it, unioned in
+    * commit order. Version 0's "changes" are the initial snapshot as
+    * inserts (the tailChanges convention — a consumer starting at 0
+    * replays the table then tails). `key` switches every per-version
+    * delta to the keyed pre/post-image vocabulary.
+    *
+    * Per-version (not one net diff end-to-end) because a CDC consumer
+    * applies commits in order: an insert-then-delete inside the range
+    * must surface as both events, not net to nothing. Cost: each
+    * append-only version resolves through the O(delta) fast path, so
+    * tailing K new versions costs O(their added dirs) total — the
+    * posture that serves CDC at 100 TB; a rewrite version pays its
+    * honest content diff. This is also the batch twin of the
+    * `readChangeFeed` connector/streaming modes. */
+  def changeFeed(spark: SparkSession, root: String,
+      startingVersion: Int, endingVersion: Option[Int] = None,
+      key: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val latest = latestVersion(spark, root)
+    val end = endingVersion.getOrElse(latest)
+    require(startingVersion >= 0 && startingVersion <= end,
+      s"startingVersion $startingVersion must be in [0, $end]")
+    require(end <= latest,
+      s"endingVersion $end exceeds latest committed version $latest")
+    (startingVersion to end).map { v =>
+      val delta =
+        if (v == 0) read(spark, root, Some(0))
+          .withColumn("change_kind", lit("insert"))
+        else changesBetween(spark, root, v - 1, v, key)
+      delta.withColumn("_commit_version", lit(v.toLong))
+    }.reduce(_ unionByName _)
+  }
+
   private def commitDirs(spark: SparkSession, root: String, df: DataFrame,
       expectedVersion: Int, carryDirs: Seq[String],
       metaLines: Seq[String], carryStatsLines: Seq[String] = Seq.empty): Int = {
@@ -669,11 +713,68 @@ object VersionedTable {
     val committed = !fs.exists(target) && fs.rename(tmp, target)
     if (!committed) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new VersionConflictException(
         s"version conflict: v$next already committed under $root — " +
-          "re-read the table and retry the commit")
+          "re-read the table and retry the commit (withRetry automates " +
+          "the loop)")
     }
   }
+
+  /** Bounded optimistic-retry loop around version-conflict failures —
+    * the multi-writer convenience the loud-and-correct conflict error
+    * composes into: `op` is re-invoked on each
+    * [[VersionConflictException]] (and ONLY on that — any other
+    * failure propagates immediately) up to `maxAttempts` total tries.
+    *
+    * `op` must RE-READ the table inside the closure so each attempt
+    * derives from the fresh snapshot: [[delete]]/[[update]]/[[merge]]/
+    * [[compact]] already do (they resolve `latestVersion` internally),
+    * so `withRetry { delete(s, root, cond) }` is hands-free; for
+    * [[append]] resolve the base inside the closure
+    * (`withRetry { append(s, root, df, latestVersion(s, root)) }`) or
+    * use [[appendRetrying]]. Idempotency across a retry is the txn
+    * marker's job, unchanged: a replayed batch that DID commit before
+    * the conflict surfaced recognizes itself via
+    * [[committedTxn]]/[[lastCommittedTxn]].
+    *
+    * No sleep between attempts: the conflict already proves another
+    * writer finished (progress was made system-wide), so immediate
+    * re-read-and-retry is livelock-free — each retry loses only to a
+    * writer that committed. */
+  def withRetry[T](maxAttempts: Int = 5)(op: => T): T = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 1
+    while (true) {
+      try return op
+      catch { case e: VersionConflictException =>
+        if (attempt >= maxAttempts) throw e
+        attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** [[append]] with the optimistic loop built in: each attempt
+    * re-reads the latest version and appends against it, retrying on
+    * version conflicts — the hands-free spelling for concurrent
+    * ingest writers (pair with `txnAppId` so a crash-replayed batch
+    * self-recognizes across retries too). */
+  def appendRetrying(spark: SparkSession, root: String, df: DataFrame,
+      txn: Option[Long] = None, txnAppId: Option[String] = None,
+      evolveSchema: Boolean = false, maxAttempts: Int = 5): Int =
+    withRetry(maxAttempts) {
+      // replay check first: a prior attempt (or a crashed run) may
+      // have committed this very batch already
+      val already =
+        if (txn.isEmpty) None
+        else txnAppId match {
+          case Some(a) => lastCommittedTxn(spark, root, a)
+          case None => committedTxn(spark, root)
+        }
+      if (txn.isDefined && already == txn) latestVersion(spark, root)
+      else append(spark, root, df, latestVersion(spark, root), txn,
+        txnAppId, evolveSchema)
+    }
 
   // parsed #file: stats per (root, version) — manifests are immutable
   // once committed, so the cache never goes stale; bounded by the

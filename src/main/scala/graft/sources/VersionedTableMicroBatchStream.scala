@@ -98,9 +98,136 @@ case class VersionOffset(v: Int) extends Offset {
   override def json: String = v.toString
 }
 
+/** CHANGE-FEED micro-batch stream over the versioned table — the
+  * streaming spelling of [[VersionedTable.changeFeed]]'s append path:
+  * each micro-batch covers a committed version range `(from, to]` and
+  * emits the rows those versions ADDED, tagged `change_kind =
+  * 'insert'` and the `_commit_version` that committed them — so a
+  * downstream topology consumes an ordered CDC feed, not bare
+  * appends. `startingVersion` (default 0) picks the first version to
+  * replay; the initial batch is `[startingVersion, latest]`, one
+  * version at a time, which is what gives every row its exact commit
+  * provenance (the snapshot-mode source can't say which version a row
+  * arrived in).
+  *
+  * Partition planning stays delegated and O(delta): per version, a
+  * fresh `ParquetScan` over exactly the dirs that version's manifest
+  * added; the wrapping reader appends the two constant columns per
+  * partition — no data copied, one `JoinedRow` per row. Constants
+  * force the row-based parquet read path (a columnar batch can't be
+  * extended in place) — the honest price of per-row provenance;
+  * snapshot tailing keeps the vectorized path.
+  *
+  * A REWRITE inside a streamed range fails loudly, same as the
+  * snapshot stream: its delta is a content diff no file scan can
+  * express. KEYED feeds (update pre/post images) are a join per
+  * version — also not a file scan; both run on the v1 source's
+  * `getBatch` seam (`readChangeFeed` + `key` with
+  * `spark.sql.streaming.disabledV2MicroBatchReaders`) or the batch
+  * [[VersionedTable.changeFeed]]. */
+class VersionedTableChangeFeedStream(spark: SparkSession, root: String,
+    tableSchema: StructType, options: CaseInsensitiveStringMap,
+    startingVersion: Int)
+    extends MicroBatchStream {
+
+  private def version(o: Offset): Int = o match {
+    case VersionOffset(v) => v
+    case other => other.json.trim.toInt
+  }
+
+  override def latestOffset(): Offset =
+    VersionOffset(VersionedTable.latestVersion(spark, root))
+
+  override def initialOffset(): Offset = VersionOffset(startingVersion - 1)
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toInt)
+
+  // the dirs version v ADDED over v-1 (v == 0: everything it lists)
+  private def addedPaths(v: Int): Seq[String] = {
+    val toDirs = VersionedTable.readManifest(spark, root, v)
+    val prior =
+      if (v == 0) Set.empty[String]
+      else VersionedTable.readManifest(spark, root, v - 1).toSet
+    require(prior.subsetOf(toDirs.toSet),
+      s"version $v of $root is a rewrite (merge/compact/optimize) — " +
+        "the change-feed stream tails APPENDS; consume rewrite deltas " +
+        "via VersionedTable.changeFeed (batch) or the v1 source's " +
+        "keyed readChangeFeed")
+    toDirs.filterNot(prior)
+      .map(d => new Path(new Path(root, "data"), d).toString)
+  }
+
+  private def scanOver(paths: Seq[String]) =
+    ParquetTable(s"graft-versioned-cdf-stream $root", spark, options, paths,
+      userSpecifiedSchema = Some(tableSchema),
+      fallbackFileFormat = classOf[ParquetFileFormat])
+      .newScanBuilder(options).build()
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val from = version(start)
+    val to = version(end)
+    if (to < 0 || to <= from) return Array.empty
+    (math.max(from + 1, 0) to to).flatMap { v =>
+      val paths = addedPaths(v)
+      if (paths.isEmpty) Array.empty[InputPartition]
+      else scanOver(paths).planInputPartitions()
+        .map(p => ChangeTaggedPartition(v.toLong, p))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangeTaggedReaderFactory(scanOver(Seq.empty).createReaderFactory())
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+/** An input partition plus the commit version whose manifest added
+  * its files — carried to the executor so the reader can tag rows. */
+case class ChangeTaggedPartition(commitVersion: Long,
+    inner: InputPartition) extends InputPartition
+
+/** Appends the constant `(change_kind, _commit_version)` suffix to
+  * every row of the wrapped partition reader — one shared JoinedRow,
+  * zero copies. Row-based only: constants can't be appended to a
+  * columnar batch in place. */
+private[sources] class ChangeTaggedReaderFactory(
+    inner: PartitionReaderFactory) extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false
+
+  override def createReader(partition: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    partition match {
+      case ChangeTaggedPartition(v, ip) =>
+        val r = inner.createReader(ip)
+        new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+          private val joined =
+            new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          private val tag = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString("insert"),
+              v))
+          override def next(): Boolean = r.next()
+          override def get(): InternalRow = joined(r.get(), tag)
+          override def close(): Unit = r.close()
+        }
+      case other => inner.createReader(other)
+    }
+}
+
 /** The table handed to the engine by the provider's TableProvider
   * half: capabilities say MICRO_BATCH_READ, the scan builder returns
-  * a [[VersionedTableMicroBatchStream]]. */
+  * a [[VersionedTableMicroBatchStream]] — or, with
+  * `option("readChangeFeed", "true")`, a
+  * [[VersionedTableChangeFeedStream]] whose schema appends
+  * `change_kind` + `_commit_version`. */
 class VersionedStreamTable(spark: SparkSession, root: String,
     tableSchema: StructType) extends Table with SupportsRead {
 
@@ -118,7 +245,21 @@ class VersionedStreamTable(spark: SparkSession, root: String,
         override def description(): String = name()
         override def toMicroBatchStream(checkpointLocation: String)
             : MicroBatchStream =
-          new VersionedTableMicroBatchStream(spark, root, tableSchema, options)
+          if (Option(options.get("readChangeFeed"))
+              .exists(_.trim.toBoolean)) {
+            require(Option(options.get("key")).forall(_.trim.isEmpty),
+              "keyed change feeds are a join per version — run the v1 " +
+                "source (spark.sql.streaming.disabledV2MicroBatchReaders)" +
+                " or batch VersionedTable.changeFeed")
+            // tableSchema here is the CDF schema the provider inferred;
+            // the underlying file scan reads the table columns only
+            val dataSchema = StructType(tableSchema.fields.dropRight(2))
+            new VersionedTableChangeFeedStream(spark, root, dataSchema,
+              options,
+              Option(options.get("startingVersion"))
+                .map(_.trim.toInt).getOrElse(0))
+          } else new VersionedTableMicroBatchStream(
+            spark, root, tableSchema, options)
       }
     }
 }

@@ -79,10 +79,92 @@ class VersionedTableSource extends TableProvider with DataSourceRegister {
       fallbackFileFormat = classOf[ParquetFileFormat])
   }
 
+  // ---- change-data-feed mode (Delta's option spelling) ----
+  //
+  //   spark.read.format("graft-versioned")
+  //     .option("readChangeFeed", "true")
+  //     .option("startingVersion", 1)     // inclusive, required
+  //     .option("endingVersion", 3)       // inclusive, default latest
+  //     .option("key", "doc_id")          // optional: pre/post images
+  //     .load(tableRoot)
+  //
+  // resolves to [[VersionedTable.changeFeed]] — per-version deltas in
+  // commit order, each row tagged `change_kind` + `_commit_version`.
+  // Served through the public V1Scan bridge: the feed's general path
+  // is a full plan (a content diff is a shuffle, not a file list), so
+  // the connector hands Spark the computed RDD rather than pretending
+  // the feed is scannable files. Append-only ranges still resolve
+  // through changesBetween's O(delta) fast path inside that plan.
+
+  private def cdfRequested(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists(_.trim.toBoolean)
+
+  private def cdfFeed(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = SparkSession.active
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-versioned needs a table root: .load(<root>)"))
+    val start = Option(options.get("startingVersion")).map(_.trim.toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        "readChangeFeed needs option startingVersion (first commit " +
+          "version to include; 0 replays the initial snapshot)"))
+    val end = Option(options.get("endingVersion")).map(_.trim.toInt)
+    val key = Option(options.get("key")).map(_.trim).filter(_.nonEmpty)
+    VersionedTable.changeFeed(spark, root, start, end, key)
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolved(options).schema
+    if (cdfRequested(options)) cdfFeed(options).schema
+    else resolved(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    resolved(new CaseInsensitiveStringMap(properties))
+      properties: JMap[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    if (cdfRequested(options)) {
+      val df = cdfFeed(options)
+      new ChangeFeedTable(
+        s"graft-versioned-cdf ${options.get("path")}", df)
+    } else resolved(options)
+  }
+}
+
+/** A computed DataFrame served through the connector seam via the
+  * public [[org.apache.spark.sql.connector.read.V1Scan]] bridge —
+  * the scan IS the feed's distributed plan (`df.rdd`), not a file
+  * listing. Used for the change-data-feed read mode, whose general
+  * path (a rewrite inside the range) is a content-diff plan no file
+  * scan can express. */
+private[sources] class ChangeFeedTable(tname: String,
+    df: org.apache.spark.sql.DataFrame)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  override def name(): String = tname
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[
+    org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.Collections.singleton(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.V1Scan {
+          override def readSchema(): StructType = df.schema
+          override def description(): String = tname
+          override def toV1TableScan[T <: org.apache.spark.sql.sources
+              .BaseRelation with org.apache.spark.sql.sources.TableScan](
+              context: org.apache.spark.sql.SQLContext): T =
+            new org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan {
+              override def sqlContext = context
+              override def schema: StructType = df.schema
+              override def buildScan()
+                  : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+                df.rdd
+            }.asInstanceOf[T]
+        }
+    }
 }

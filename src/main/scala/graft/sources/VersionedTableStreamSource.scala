@@ -45,7 +45,8 @@ import org.apache.spark.sql.types.StructType
   * them (instead of an opaque linkage error mid-stream).
   */
 class VersionedTableStreamSource(sqlContext: SQLContext, root: String,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    cdf: Option[VersionedTableStreamSource.CdfMode] = None) extends Source {
 
   private def spark: SparkSession = sqlContext.sparkSession
 
@@ -62,7 +63,24 @@ class VersionedTableStreamSource(sqlContext: SQLContext, root: String,
       case v => Some(LongOffset(v.toLong))
     }
 
+  // CHANGE-FEED mode: each micro-batch is the per-version change feed
+  // of its `(from, to]` range — getBatch returns a DataFrame, so the
+  // v1 seam serves the feed's FULL vocabulary: keyed pre/post images
+  // and rewrite deltas included (each version pays exactly its
+  // changesBetween cost — O(delta) for appends, an honest content
+  // diff for rewrites). This is the seam Delta's own CDC streaming
+  // read lives on; the DSv2 half serves the insert-only append tail.
+  private def cdfBatch(start: Option[OffsetV1], to: Int): DataFrame = {
+    val mode = cdf.get
+    val from = start.map(versionOf)
+    VersionedTable.changeFeed(spark, root,
+      startingVersion = from.map(_ + 1).getOrElse(mode.startingVersion),
+      endingVersion = Some(to), key = mode.key)
+  }
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    if (cdf.isDefined)
+      return StreamingBridge.asStreaming(cdfBatch(start, versionOf(end)))
     val to = versionOf(end)
     val batch = start match {
       case None =>
@@ -89,6 +107,34 @@ class VersionedTableStreamSource(sqlContext: SQLContext, root: String,
   }
 
   override def stop(): Unit = ()
+}
+
+object VersionedTableStreamSource {
+  /** Change-feed read parameters: `startingVersion` is the first
+    * version the INITIAL batch replays (0 = snapshot replay then
+    * tail); `key` switches per-version deltas to the keyed
+    * pre/post-image vocabulary. */
+  case class CdfMode(startingVersion: Int, key: Option[String])
+
+  private[sources] def cdfModeOf(parameters: Map[String, String])
+      : Option[CdfMode] = {
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
+    if (!ci.get("readchangefeed").exists(_.trim.toBoolean)) None
+    else Some(CdfMode(
+      ci.get("startingversion").map(_.trim.toInt).getOrElse(0),
+      ci.get("key").map(_.trim).filter(_.nonEmpty)))
+  }
+
+  /** The feed schema: table columns + change_kind + _commit_version
+    * (nullable like any projected column — the keyed path derives
+    * change_kind through an explode, and attribute nullability must
+    * not drift between the declared and per-batch schemas). */
+  private[sources] def cdfSchema(table: StructType): StructType =
+    StructType(table.fields :+
+      org.apache.spark.sql.types.StructField("change_kind",
+        org.apache.spark.sql.types.StringType, nullable = true) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = true))
 }
 
 /** `format("graft-versioned-stream")` provider (registered in
@@ -123,7 +169,10 @@ class VersionedTableStreamSourceProvider
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-versioned-stream needs a table root: .load(<root>)"))
-    VersionedTable.read(spark, root).schema
+    val base = VersionedTable.read(spark, root).schema
+    if (Option(options.get("readChangeFeed")).exists(_.trim.toBoolean))
+      VersionedTableStreamSource.cdfSchema(base)
+    else base
   }
 
   override def getTable(schema: StructType,
@@ -140,16 +189,26 @@ class VersionedTableStreamSourceProvider
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      VersionedTable.read(sqlContext.sparkSession, rootOf(parameters)).schema))
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
+      VersionedTable.read(sqlContext.sparkSession, rootOf(parameters)).schema)
+    (shortName(),
+      if (VersionedTableStreamSource.cdfModeOf(parameters).isDefined &&
+        schema.isEmpty)
+        VersionedTableStreamSource.cdfSchema(base)
+      else base)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val root = rootOf(parameters)
-    val s = schema.getOrElse(
-      VersionedTable.read(sqlContext.sparkSession, root).schema)
-    new VersionedTableStreamSource(sqlContext, root, s)
+    val cdf = VersionedTableStreamSource.cdfModeOf(parameters)
+    val s = schema.getOrElse {
+      val base = VersionedTable.read(sqlContext.sparkSession, root).schema
+      if (cdf.isDefined) VersionedTableStreamSource.cdfSchema(base)
+      else base
+    }
+    new VersionedTableStreamSource(sqlContext, root, s, cdf)
   }
 }

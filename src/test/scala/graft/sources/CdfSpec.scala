@@ -285,4 +285,38 @@ class CdfSpec extends SparkSpec {
     assert(before > 0.9, s"scattered baseline should span ~full range, got $before")
     assert(after < 0.5, s"optimize should narrow per-file envelopes, got $after")
   }
+
+  test("changeFeed unions per-version deltas in commit order, each " +
+      "tagged _commit_version; version 0 replays the snapshot as inserts") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a", 2L -> "b"))
+    VersionedTable.append(spark, root, docs(3L -> "c"), expectedVersion = 0)
+    VersionedTable.merge(spark, root,
+      Seq((2L, "b2", "U")).toDF("id", "text", "op"), "id")
+    val feed = VersionedTable.changeFeed(spark, root, 0)
+      .select("id", "text", "change_kind", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(feed == Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+      (3L, "c", "insert", 1L),
+      (2L, "b", "delete", 2L), (2L, "b2", "insert", 2L)),
+      s"feed wrong: $feed")
+    // an insert-then-delete inside the range surfaces as BOTH events
+    // (per-version, never netted away end-to-end)
+    assert(feed.count(_._1 == 2L) == 3)
+    // keyed mode switches every per-version delta to pre/post images
+    val keyed = VersionedTable.changeFeed(spark, root, 2, key = Some("id"))
+      .select("id", "text", "change_kind", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(keyed == Set(
+      (2L, "b", "update_preimage", 2L),
+      (2L, "b2", "update_postimage", 2L)), s"keyed feed wrong: $keyed")
+    // bounds are validated loudly
+    intercept[IllegalArgumentException](
+      VersionedTable.changeFeed(spark, root, -1))
+    intercept[IllegalArgumentException](
+      VersionedTable.changeFeed(spark, root, 0, Some(99)))
+    intercept[IllegalArgumentException](
+      VersionedTable.changeFeed(spark, root, 3, Some(2)))
+  }
 }

@@ -185,4 +185,133 @@ class VersionedStreamSourceSpec extends SparkSpec {
         s"wrong failure: ${e.getMessage}")
     } finally q.stop()
   }
+
+  test("change-feed stream mode (DSv2): every row tagged change_kind + " +
+      "_commit_version; folded it equals the batch changeFeed; live " +
+      "appends tail with their own version") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a"))
+    VersionedTable.append(spark, root, docs(2L -> "b"), expectedVersion = 0)
+    VersionedTable.append(spark, root, docs(3L -> "c"), expectedVersion = 1)
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val q = spark.readStream.format("graft-versioned-stream")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= batch.select("id", "change_kind", "_commit_version")
+            .as[(Long, String, Long)].collect()
+        }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val expected = VersionedTable.changeFeed(spark, root, 0)
+        .select("id", "change_kind", "_commit_version")
+        .as[(Long, String, Long)].collect().toSet
+      assert(seen.toSet == expected, s"stream != batch feed: $seen")
+      assert(seen.toSet == Set((1L, "insert", 0L), (2L, "insert", 1L),
+        (3L, "insert", 2L)))
+      // a live append arrives as its version's changes
+      VersionedTable.append(spark, root, docs(4L -> "d"), expectedVersion = 2)
+      q.processAllAvailable()
+      assert(seen.toSet.contains((4L, "insert", 3L)), s"tail missing: $seen")
+    } finally q.stop()
+  }
+
+  test("change-feed stream mode honors startingVersion: replay begins " +
+      "at the requested commit, earlier versions never flow") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a"))
+    VersionedTable.append(spark, root, docs(2L -> "b"), expectedVersion = 0)
+    VersionedTable.append(spark, root, docs(3L -> "c"), expectedVersion = 1)
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = spark.readStream.format("graft-versioned-stream")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(root)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= batch.select("id", "_commit_version")
+            .as[(Long, Long)].collect()
+        }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.toSet == Set((3L, 2L)), s"startingVersion ignored: $seen")
+    } finally q.stop()
+  }
+
+  test("keyed change-feed streaming through the v1 seam: three versions " +
+      "of keyed changes fold to the batch changeFeed result, update " +
+      "pre/post images included") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a", 2L -> "b"))
+    VersionedTable.append(spark, root, docs(3L -> "c"), expectedVersion = 0)
+    // v2 is a rewrite: update key 2, delete key 1 — the DSv2 append
+    // tail refuses this range; the v1 getBatch seam serves it as keyed
+    // pre/post images
+    VersionedTable.merge(spark, root,
+      Seq((2L, "b2", "U"), (1L, "a", "D")).toDF("id", "text", "op"), "id")
+    val seen =
+      scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    val disableKey = "spark.sql.streaming.disabledV2MicroBatchReaders"
+    spark.conf.set(disableKey,
+      classOf[VersionedTableStreamSourceProvider].getName)
+    try {
+      val q = spark.readStream.format("graft-versioned-stream")
+        .option("readChangeFeed", "true").option("key", "id").load(root)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= batch
+              .select("id", "text", "change_kind", "_commit_version")
+              .as[(Long, String, String, Long)].collect()
+          }: Unit
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        val expected = VersionedTable.changeFeed(spark, root, 0,
+            key = Some("id"))
+          .select("id", "text", "change_kind", "_commit_version")
+          .as[(Long, String, String, Long)].collect().toSet
+        assert(seen.toSet == expected, s"stream != batch feed: $seen")
+        assert(seen.toSet.contains((2L, "b", "update_preimage", 2L)))
+        assert(seen.toSet.contains((2L, "b2", "update_postimage", 2L)))
+        assert(seen.toSet.contains((1L, "a", "delete", 2L)))
+      } finally q.stop()
+    } finally spark.conf.unset(disableKey)
+  }
+
+  test("the DSv2 change-feed stream refuses a keyed request and a " +
+      "rewrite range loudly instead of emitting a wrong feed") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a"))
+    VersionedTable.merge(spark, root,
+      Seq((1L, "a2", "U")).toDF("id", "text", "op"), "id")
+    // rewrite inside the replayed range → loud failure
+    val q = spark.readStream.format("graft-versioned-stream")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.format("noop").start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getMessage.contains("rewrite") ||
+        String.valueOf(e.getCause).contains("rewrite"),
+        s"wrong failure: ${e.getMessage}")
+    } finally q.stop()
+    // keyed request on the DSv2 seam → loud refusal at start
+    val q2 = spark.readStream.format("graft-versioned-stream")
+      .option("readChangeFeed", "true").option("key", "id").load(root)
+      .writeStream.format("noop").start()
+    try {
+      val e2 = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q2.processAllAvailable() }
+      assert(e2.getMessage.contains("keyed") ||
+        String.valueOf(e2.getCause).contains("keyed"),
+        s"wrong failure: ${e2.getMessage}")
+    } finally q2.stop()
+  }
 }

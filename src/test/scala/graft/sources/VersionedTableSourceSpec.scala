@@ -102,4 +102,42 @@ class VersionedTableSourceSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       spark.read.format("graft-versioned").load(freshRoot()))
   }
+
+  test("readChangeFeed serves the change feed through the connector: " +
+      "Delta's option spelling, per-version rows, keyed mode included") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a", 2L -> "b"))
+    VersionedTable.append(spark, root, snapshot(3L -> "c"),
+      expectedVersion = 0)
+    VersionedTable.merge(spark, root,
+      Seq((2L, "b2", "U")).toDF("id", "body", "op"), "id")
+    val got = spark.read.format("graft-versioned")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(root)
+      .select("id", "body", "change_kind", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    val expected = VersionedTable.changeFeed(spark, root, 1)
+      .select("id", "body", "change_kind", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got == expected, s"connector feed != programmatic: $got")
+    assert(got == Set((3L, "c", "insert", 1L),
+      (2L, "b", "delete", 2L), (2L, "b2", "insert", 2L)))
+    // endingVersion bounds the range; key switches the vocabulary
+    val keyed = spark.read.format("graft-versioned")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "2")
+      .option("key", "id")
+      .load(root)
+      .select("id", "body", "change_kind", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(keyed == Set((2L, "b", "update_preimage", 2L),
+      (2L, "b2", "update_postimage", 2L)), s"keyed connector feed: $keyed")
+    // startingVersion is required, like Delta
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-versioned")
+        .option("readChangeFeed", "true").load(root).collect()
+    }
+    assert(e.getMessage.contains("startingVersion"))
+  }
 }

@@ -227,6 +227,83 @@ class VersionedTableSpec extends SparkSpec {
         txn = Some(0L), txnAppId = Some("bad:id")))
   }
 
+  test("withRetry: a stale-base append retries once against the fresh " +
+    "snapshot and both writers' rows land; non-conflict failures and " +
+    "exhausted budgets propagate") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a"))
+    // writer A plans against v0; writer B commits v1 first; A's first
+    // attempt conflicts, the retry re-reads and lands as v2
+    var attempts = 0
+    val staleBase = VersionedTable.latestVersion(spark, root)
+    VersionedTable.append(spark, root, snapshot(2L -> "b"),
+      expectedVersion = staleBase) // writer B wins the race
+    val v = VersionedTable.withRetry() {
+      attempts += 1
+      val base = if (attempts == 1) staleBase
+        else VersionedTable.latestVersion(spark, root)
+      VersionedTable.append(spark, root, snapshot(3L -> "c"), base)
+    }
+    assert(attempts == 2 && v == 2)
+    assert(VersionedTable.read(spark, root).select("id").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L))
+    // an exhausted budget rethrows the conflict
+    intercept[VersionConflictException] {
+      VersionedTable.withRetry(maxAttempts = 2) {
+        VersionedTable.append(spark, root, snapshot(9L -> "x"),
+          expectedVersion = 0)
+      }
+    }
+    // a non-conflict failure propagates immediately, no retry
+    var calls = 0
+    intercept[IllegalArgumentException] {
+      VersionedTable.withRetry() { calls += 1; require(false, "boom") }
+    }
+    assert(calls == 1)
+  }
+
+  test("two interleaved writers both succeed hands-free via " +
+    "appendRetrying; history shows both commits and no row is lost " +
+    "or duplicated") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(0L -> "seed"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val writers = (1 to 2).map { w =>
+        scala.concurrent.Future {
+          (0 until 5).map { i =>
+            VersionedTable.appendRetrying(spark, root,
+              snapshot((w * 100L + i) -> s"w$w-$i"),
+              txn = Some(i.toLong), txnAppId = Some(s"writer$w"))
+          }
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writers),
+        scala.concurrent.duration.Duration(120, "s"))
+    } finally pool.shutdown()
+    // 1 seed + 10 appends, every row exactly once
+    assert(VersionedTable.latestVersion(spark, root) == 10)
+    val ids = VersionedTable.read(spark, root).select("id").as[Long]
+      .collect().toSeq
+    assert(ids.size == 11 && ids.toSet.size == 11)
+    assert(ids.toSet ==
+      (Set(0L) ++ (0 until 5).flatMap(i => Seq(100L + i, 200L + i))))
+    // both writers' last txn markers resolve through the interleave
+    assert(VersionedTable.lastCommittedTxn(spark, root, "writer1")
+      .contains(4L))
+    assert(VersionedTable.lastCommittedTxn(spark, root, "writer2")
+      .contains(4L))
+    // and a replayed batch self-recognizes: no new version
+    val before = VersionedTable.latestVersion(spark, root)
+    VersionedTable.appendRetrying(spark, root, snapshot(999L -> "dup"),
+      txn = Some(4L), txnAppId = Some("writer1"))
+    assert(VersionedTable.latestVersion(spark, root) == before,
+      "replayed batch re-appended")
+  }
+
   test("additive schema evolution: evolved append reads old files as NULL, " +
       "old versions time-travel with their original schema") {
     val root = freshRoot()
