@@ -361,6 +361,50 @@ object ScaleBench {
           Seq(run).toDF("run")
         }
       },
+      // SQL UPDATE through the catalog's row-level seam measured (the
+      // group-filter pruning claim, round-13): same layout as
+      // dml_delete, each run UPDATEs a 50-doc range in a DIFFERENT
+      // commit via spark.sql — the pushed condition prunes every
+      // other dir from the scan AND the rewrite, so the statement
+      // stays ~flat while table size grows with the decade. Before
+      // group pruning this row was the one O(table) path.
+      "sql_dml_update" -> {
+        lazy val cat = {
+          val wh = java.nio.file.Files.createTempDirectory("graft_sqlupd")
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile): Unit))
+          val r = wh.resolve("docs").toString
+          val d = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+            col("text"))
+          val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+          val vt = graft.sources.VersionedTable
+          var v = -1
+          var lo = 0L
+          while (lo <= maxId) {
+            val batch = d.filter(col("doc_id") >= lo &&
+              col("doc_id") < lo + 1000L)
+              .repartitionByRange(2, col("doc_id"))
+            v = if (v < 0) vt.init(spark, r, batch)
+            else vt.append(spark, r, batch, expectedVersion = v)
+            lo += 1000L
+          }
+          val c = "gsb" +
+            java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+          spark.conf.set(s"spark.sql.catalog.$c",
+            classOf[graft.sources.GraftCatalog].getName)
+          spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh.toString)
+          c
+        }
+        var run = 0
+        () => {
+          val lo = 1000L * run + 100L
+          run += 1
+          spark.sql(s"UPDATE $cat.docs SET lang = 'xx' " +
+            s"WHERE doc_id BETWEEN $lo AND ${lo + 50L}")
+          import spark.implicits._
+          Seq(run).toDF("run")
+        }
+      },
     )
   }
 
