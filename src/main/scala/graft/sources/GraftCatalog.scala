@@ -91,6 +91,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     (ident.namespace() :+ ident.name())
       .foldLeft(warehouse)((p, seg) => new Path(p, seg))
 
+  /** The filesystem root a table identifier maps to — the resolution
+    * seam the maintenance statements ([[GraftSqlExtensions]]) use. */
+  private[sources] def tableRoot(ident: Identifier): String = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    p.toString
+  }
+
   private def isTable(p: Path): Boolean =
     fs.exists(new Path(p, "_manifests"))
 
@@ -378,7 +386,8 @@ object GraftCatalog {
 private[sources] class GraftSqlTable(ident: String, root: String,
     version: Option[Int])
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete with SupportsRowLevelOperations {
+    with SupportsDelete with SupportsRowLevelOperations
+    with SupportsMetadataColumns {
 
   private def spark = SparkSession.active
 
@@ -417,8 +426,28 @@ private[sources] class GraftSqlTable(ident: String, root: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** `_commit_dir`: per-row provenance (the immutable commit dir that
+    * holds the row) and the group identity runtime row-level group
+    * filtering keys on. Hidden until referenced; referencing it
+    * switches the scan to the per-dir tagged path. */
+  override def metadataColumns(): Array[
+    org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String =
+        org.apache.spark.sql.graft.DirTag.ColName
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "name of the immutable commit dir holding this row"
+    })
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = inner.newScanBuilder(options)
+      : ScanBuilder =
+    new org.apache.spark.sql.graft.DirAwareScanBuilder(spark, root,
+      inner.schema,
+      VersionedTable.readManifest(spark, root, pinnedVersion),
+      inner.newScanBuilder(options), options)
 
   private def requireWritable(what: String): Unit =
     require(version.isEmpty,
@@ -435,10 +464,18 @@ private[sources] class GraftSqlTable(ident: String, root: String,
           new InsertableRelation {
             override def insert(data: DataFrame, ow: Boolean): Unit = {
               val s = data.sparkSession
-              val latest = VersionedTable.latestVersion(s, root)
-              if (overwrite || ow)
-                VersionedTable.commit(s, root, data, latest)
-              else VersionedTable.append(s, root, data, latest)
+              // hands-free under concurrent writers: INSERT derives
+              // nothing from the snapshot it lands on (append adds a
+              // batch, overwrite replaces whatever is there), so
+              // re-read-and-retry on a conflict is always sound here —
+              // unlike DML, whose replacement is snapshot-derived and
+              // must fail on a conflict
+              VersionedTable.withRetry() {
+                val latest = VersionedTable.latestVersion(s, root)
+                if (overwrite || ow)
+                  VersionedTable.commit(s, root, data, latest)
+                else VersionedTable.append(s, root, data, latest)
+              }: Unit
             }
           }
       }
@@ -539,10 +576,31 @@ private[sources] class GraftRowLevelOperation(table: GraftSqlTable,
 
   override def command = info.command
 
+  /** For MERGE the statement condition references the SOURCE, so
+    * static manifest stats can never classify target dirs — instead
+    * the operation requests the `_commit_dir` metadata column and
+    * Spark's runtime group filtering computes the matched dirs with a
+    * subquery, handing them to the scan's runtime filter (see
+    * [[org.apache.spark.sql.graft.RuntimeFilteredDirScan]]).
+    * UPDATE/DELETE conditions are target-only: static stats pruning
+    * (pushFilters below) already covers them without the per-dir
+    * tagged read, so they declare no metadata needs. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (info.command ==
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE)
+      Array(org.apache.spark.sql.graft.DirTag.ref)
+    else Array.empty
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new ScanBuilder with org.apache.spark.sql.connector.read
-      .SupportsPushDownFilters {
+      .SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read
+      .SupportsPushDownRequiredColumns {
+
+      private var dirMode = false
+      private var prunedData: StructType = table.snapshotSchema
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         val preds = filters.flatMap(f => table.translateFilter(f))
@@ -571,15 +629,37 @@ private[sources] class GraftRowLevelOperation(table: GraftSqlTable,
 
       override def pushedFilters(): Array[Filter] = pruningFilters
 
-      override def build() = {
-        val dataRoot = new Path(root, "data")
-        val paths = affectedDirs.map(d => new Path(dataRoot, d).toString)
-        ParquetTable(s"graft-rowlevel $root", spark,
-          CaseInsensitiveStringMap.empty(), paths,
-          userSpecifiedSchema = Some(table.snapshotSchema),
-          fallbackFileFormat = classOf[ParquetFileFormat])
-          .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        val dirCol = org.apache.spark.sql.graft.DirTag.ColName
+        if (requiredSchema.fieldNames.contains(dirCol)) {
+          dirMode = true
+          prunedData = StructType(
+            requiredSchema.fields.filterNot(_.name == dirCol))
+        } else prunedData = requiredSchema
       }
+
+      override def build() =
+        if (dirMode)
+          // MERGE: per-dir tagged scan accepting the runtime group
+          // filter; surviving dirs flow back into the operation state
+          // so the write replaces exactly the scanned groups
+          new org.apache.spark.sql.graft.RuntimeFilteredDirScan(spark,
+            root, affectedDirs, table.snapshotSchema, prunedData,
+            CaseInsensitiveStringMap.empty(),
+            onFilter = { survivors =>
+              val keep = survivors.toSet
+              carriedDirs = allDirs.filterNot(keep.contains)
+              affectedDirs = allDirs.filter(keep.contains)
+            })
+        else {
+          val dataRoot = new Path(root, "data")
+          val paths = affectedDirs.map(d => new Path(dataRoot, d).toString)
+          ParquetTable(s"graft-rowlevel $root", spark,
+            CaseInsensitiveStringMap.empty(), paths,
+            userSpecifiedSchema = Some(table.snapshotSchema),
+            fallbackFileFormat = classOf[ParquetFileFormat])
+            .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+        }
     }
 
   override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =

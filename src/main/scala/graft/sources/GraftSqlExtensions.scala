@@ -1,0 +1,190 @@
+package graft.sources
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** `SparkSessionExtensions` wiring for the versioned-table MAINTENANCE
+  * statements SQL has no stock spelling for — the same extension
+  * mechanism (and, deliberately, the same statement shapes) Delta
+  * ships:
+  *
+  * {{{
+  *   spark.sql.extensions = graft.sources.GraftSqlExtensions
+  *
+  *   OPTIMIZE graft.docs                           -- compact
+  *   OPTIMIZE graft.docs ZORDER BY (a, b) [INTO 8 FILES]
+  *   VACUUM graft.docs [RETAIN 24 HOURS] [KEEP 5 VERSIONS]
+  *   RESTORE TABLE graft.docs TO VERSION AS OF 3
+  * }}}
+  *
+  * The injected parser intercepts EXACTLY these three statement
+  * shapes (anchored, case-insensitive) and delegates every other
+  * string to Spark's parser untouched — `injectParser` composes, so
+  * the extension is invisible to normal SQL. Each statement resolves
+  * its identifier through the session's CatalogManager and refuses
+  * loudly unless the catalog is a [[GraftCatalog]]; execution is the
+  * corresponding programmatic [[VersionedTable]] operation (one
+  * source of truth, two spellings).
+  */
+class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+}
+
+/** Delegating parser: three maintenance statements, everything else
+  * verbatim to Spark's parser. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseMaintenance(sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types
+    .DataType = delegate.parseDataType(sqlText)
+
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  // identifiers: dotted parts, each a bare word or `backtick-quoted`
+  private val Ident = """((?:(?:`[^`]+`|\w+)\.)*(?:`[^`]+`|\w+))"""
+
+  private val OptimizeRe: Regex =
+    (s"""(?is)\\s*OPTIMIZE\\s+$Ident""" +
+      """(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)""" +
+      """(?:\s+INTO\s+(\d+)\s+FILES)?)?\s*;?\s*""").r
+
+  private val VacuumRe: Regex =
+    (s"""(?is)\\s*VACUUM\\s+$Ident""" +
+      """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?""" +
+      """(?:\s+KEEP\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
+
+  private val RestoreRe: Regex =
+    (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident""" +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
+
+  private def parts(ident: String): Seq[String] =
+    ident.split('.').toSeq.map(p =>
+      if (p.startsWith("`") && p.endsWith("`")) p.drop(1).dropRight(1)
+      else p)
+
+  private[sources] def parseMaintenance(sqlText: String)
+      : Option[LogicalPlan] = sqlText match {
+    case OptimizeRe(ident, zcolA, zcolB, nFiles) =>
+      Some(GraftOptimizeCommand(parts(ident),
+        Option(zcolA).map(a => (a, zcolB)),
+        Option(nFiles).map(_.toInt)))
+    case VacuumRe(ident, hours, keep) =>
+      Some(GraftVacuumCommand(parts(ident),
+        Option(hours).map(_.toDouble), Option(keep).map(_.toInt)))
+    case RestoreRe(ident, version) =>
+      Some(GraftRestoreCommand(parts(ident), version.toInt))
+    case _ => None
+  }
+
+  /** Resolve `catalog.ns...tbl` to the table's filesystem root via
+    * the registered [[GraftCatalog]]; loud refusal otherwise. */
+  private[sources] def resolveRoot(spark: SparkSession,
+      nameParts: Seq[String]): String = {
+    require(nameParts.length >= 2,
+      s"qualify the table as <catalog>.<table>, got " +
+        nameParts.mkString("."))
+    val cat = spark.sessionState.catalogManager.catalog(nameParts.head)
+    cat match {
+      case g: GraftCatalog =>
+        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+          nameParts.tail.init.toArray, nameParts.last)
+        g.tableRoot(ident)
+      case other => throw new IllegalArgumentException(
+        s"${nameParts.head} is not a graft catalog " +
+          s"(${other.getClass.getName}) — OPTIMIZE/VACUUM/RESTORE " +
+          "apply to graft versioned tables only")
+    }
+  }
+}
+
+/** `OPTIMIZE t` (compact the snapshot into one commit dir) or
+  * `OPTIMIZE t ZORDER BY (a, b) [INTO n FILES]` (Z-order-cluster the
+  * snapshot — [[VersionedTable.optimize]]); returns the committed
+  * version. Default file count for ZORDER: the snapshot's current
+  * data-file census (re-clustering keeps sizing), floor 1. */
+case class GraftOptimizeCommand(nameParts: Seq[String],
+    zorder: Option[(String, String)], nFiles: Option[Int])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, nameParts)
+    val v = zorder match {
+      case None => VersionedTable.compact(spark, root)
+      case Some(cols) =>
+        val n = nFiles.getOrElse(math.max(1,
+          VersionedTable.statsByDir(spark, root).values.map(_.size).sum))
+        VersionedTable.optimize(spark, root, cols, n)
+    }
+    Seq(Row(v.toLong))
+  }
+}
+
+/** `VACUUM t [RETAIN h HOURS] [KEEP n VERSIONS]` —
+  * [[VersionedTable.vacuum]] with Delta's retention spelling
+  * (default 1 hour, keep 1 version). */
+case class GraftVacuumCommand(nameParts: Seq[String],
+    retainHours: Option[Double], keepVersions: Option[Int])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("status", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, nameParts)
+    VersionedTable.vacuum(spark, root,
+      keepVersions = keepVersions.getOrElse(1),
+      retainMillis = retainHours.map(h => (h * 3600 * 1000).toLong)
+        .getOrElse(3600L * 1000L))
+    Seq(Row("OK"))
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF v` — metadata-only roll-forward
+  * ([[VersionedTable.restore]]); returns the new version. */
+case class GraftRestoreCommand(nameParts: Seq[String], toVersion: Int)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, nameParts)
+    Seq(Row(VersionedTable.restore(spark, root, toVersion).toLong))
+  }
+}

@@ -737,17 +737,22 @@ object VersionedTable {
     * the conflict surfaced recognizes itself via
     * [[committedTxn]]/[[lastCommittedTxn]].
     *
-    * No sleep between attempts: the conflict already proves another
-    * writer finished (progress was made system-wide), so immediate
-    * re-read-and-retry is livelock-free — each retry loses only to a
-    * writer that committed. */
-  def withRetry[T](maxAttempts: Int = 5)(op: => T): T = {
+    * Livelock-free by construction (a conflict proves ANOTHER writer
+    * committed — system-wide progress), but an individual writer can
+    * still starve if its write jobs are consistently slower than the
+    * competition's, so losses after the first retry back off with a
+    * short jittered sleep (bounded; the first retry stays immediate
+    * to keep the common two-writer race cheap). */
+  def withRetry[T](maxAttempts: Int = 10)(op: => T): T = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     var attempt = 1
     while (true) {
       try return op
       catch { case e: VersionConflictException =>
         if (attempt >= maxAttempts) throw e
+        if (attempt >= 2) Thread.sleep(
+          java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(25L * math.min(attempt, 8)))
         attempt += 1
       }
     }
@@ -761,7 +766,7 @@ object VersionedTable {
     * self-recognizes across retries too). */
   def appendRetrying(spark: SparkSession, root: String, df: DataFrame,
       txn: Option[Long] = None, txnAppId: Option[String] = None,
-      evolveSchema: Boolean = false, maxAttempts: Int = 5): Int =
+      evolveSchema: Boolean = false, maxAttempts: Int = 10): Int =
     withRetry(maxAttempts) {
       // replay check first: a prior attempt (or a crashed run) may
       // have committed this very batch already

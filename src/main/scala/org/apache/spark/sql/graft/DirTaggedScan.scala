@@ -1,0 +1,259 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The `_commit_dir` metadata column: every row of a versioned-table
+  * scan can carry the name of the immutable commit dir that holds it —
+  * user-facing provenance (`SELECT *, _commit_dir FROM graft.t`) and,
+  * more importantly, the GROUP IDENTITY that Spark's runtime
+  * row-level-operation group filtering keys on (`_file` in Iceberg's
+  * implementation of the same mechanism; a whole commit dir is this
+  * format's rewrite unit, so the dir name is the right granularity).
+  */
+object DirTag {
+  val ColName = "_commit_dir"
+
+  val field: StructField = StructField(ColName, StringType, nullable = false)
+
+  def ref: NamedReference = Expressions.column(ColName)
+}
+
+/** Batch scan over a set of commit dirs that appends the constant
+  * `_commit_dir` column to every row: partitions are planned PER DIR
+  * through Spark's own `ParquetScan` (vectorized planning, normal
+  * split sizing — a dir's partitions never mix dirs, which is what
+  * makes the constant exact), and the reader factory joins the
+  * constant suffix per row. Row-based reads — a columnar batch can't
+  * be extended in place; provenance costs the vectorized path, which
+  * is why the column only materializes when explicitly referenced.
+  *
+  * `dirsNow` is re-read at every `planInputPartitions` call, so a
+  * runtime group filter that shrinks the dir set between planning and
+  * execution (see [[RuntimeFilteredDirScan]]) takes effect without
+  * re-building the scan.
+  */
+class DirTaggedScan(spark: SparkSession, root: String,
+    dirsNow: () => Seq[String], dataSchema: StructType,
+    prunedData: StructType, options: CaseInsensitiveStringMap)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType(prunedData.fields :+ DirTag.field)
+
+  override def description(): String =
+    s"graft-dirtagged $root"
+
+  override def toBatch: Batch = this
+
+  private def scanFor(paths: Seq[String]): Scan = {
+    val b = ParquetTable(s"graft-dirtagged $root", spark, options, paths,
+      userSpecifiedSchema = Some(dataSchema),
+      fallbackFileFormat = classOf[ParquetFileFormat])
+      .newScanBuilder(options)
+    b match {
+      case c: SupportsPushDownRequiredColumns => c.pruneColumns(prunedData)
+      case _ => ()
+    }
+    b.build()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dataRoot = new Path(root, "data")
+    dirsNow().flatMap { dir =>
+      scanFor(Seq(new Path(dataRoot, dir).toString)).toBatch
+        .planInputPartitions().map(p => DirTaggedPartition(dir, p))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // path-independent template factory (reads any FilePartition with
+    // this schema/conf), same pattern as the streaming source
+    new DirTaggedReaderFactory(
+      scanFor(Seq.empty).toBatch.createReaderFactory())
+}
+
+/** [[DirTaggedScan]] that additionally accepts Spark's RUNTIME group
+  * filter (`SupportsRuntimeV2Filtering` keyed on `_commit_dir`): the
+  * `RowLevelOperationRuntimeGroupFiltering` optimizer rule plans a
+  * subquery computing which commit dirs contain rows matching the
+  * statement (for MERGE: dirs with join matches — a condition static
+  * manifest stats can never decide because it references the source),
+  * and at execution hands the surviving dir names to [[filter]]. The
+  * scan shrinks to those dirs AND reports them through `onFilter`, so
+  * the row-level write replaces exactly the scanned groups and
+  * carries the rest by identity — MERGE INTO at O(matched dirs), not
+  * O(table).
+  *
+  * Conservative by construction: a predicate shape this parser
+  * doesn't recognize leaves the dir set unchanged (scan more,
+  * never less), and if the rule never fires the initial set stands.
+  */
+class RuntimeFilteredDirScan(spark: SparkSession, root: String,
+    initialDirs: Seq[String], dataSchema: StructType,
+    prunedData: StructType, options: CaseInsensitiveStringMap,
+    onFilter: Seq[String] => Unit)
+    extends DirTaggedScan(spark, root, () => RuntimeFilteredDirScan
+      .nothing, dataSchema, prunedData, options)
+    with SupportsRuntimeV2Filtering {
+
+  @volatile private var current: Seq[String] = initialDirs
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dataRoot = new Path(root, "data")
+    current.flatMap { dir =>
+      scanForDirs(Seq(new Path(dataRoot, dir).toString)).toBatch
+        .planInputPartitions().map(p => DirTaggedPartition(dir, p))
+    }.toArray
+  }
+
+  private def scanForDirs(paths: Seq[String]): Scan = {
+    val b = ParquetTable(s"graft-rowlevel $root", spark, options, paths,
+      userSpecifiedSchema = Some(dataSchema),
+      fallbackFileFormat = classOf[ParquetFileFormat])
+      .newScanBuilder(options)
+    b match {
+      case c: SupportsPushDownRequiredColumns => c.pruneColumns(prunedData)
+      case _ => ()
+    }
+    b.build()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DirTaggedReaderFactory(
+      scanForDirs(Seq.empty).toBatch.createReaderFactory())
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(DirTag.ref)
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val keep = predicates.foldLeft(current) { (dirs, p) =>
+      matchedDirs(p) match {
+        case Some(vals) => dirs.filter(vals.contains)
+        case None => dirs // unrecognized shape: never prune on a guess
+      }
+    }
+    current = keep
+    onFilter(keep)
+  }
+
+  // the runtime filter arrives as IN(_commit_dir, v1..vk) (or = for a
+  // single survivor); anything else is ignored
+  private def matchedDirs(p: Predicate): Option[Set[String]] =
+    p.name() match {
+      case "IN" | "=" =>
+        val children = p.children()
+        children.headOption match {
+          case Some(ref: NamedReference)
+              if ref.fieldNames().sameElements(Array(DirTag.ColName)) =>
+            val vals = children.tail.collect {
+              case l: Literal[_] => String.valueOf(l.value)
+            }
+            if (vals.length == children.length - 1) Some(vals.toSet)
+            else None // a non-literal child: don't prune on a guess
+          case _ => None
+        }
+      case _ => None
+    }
+}
+
+private object RuntimeFilteredDirScan {
+  // placeholder for the parent's dirsNow (the subclass overrides
+  // planInputPartitions and never consults it)
+  def nothing: Seq[String] = Seq.empty
+}
+
+/** An input partition plus the commit dir whose files it reads. */
+case class DirTaggedPartition(dir: String, inner: InputPartition)
+    extends InputPartition
+
+/** Appends the constant `_commit_dir` value to every row of the
+  * wrapped partition reader — one shared JoinedRow, zero copies. */
+class DirTaggedReaderFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = partition match {
+    case DirTaggedPartition(dir, ip) =>
+      val r = inner.createReader(ip)
+      new PartitionReader[InternalRow] {
+        private val joined =
+          new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        private val tag = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](UTF8String.fromString(dir)))
+        override def next(): Boolean = r.next()
+        override def get(): InternalRow = joined(r.get(), tag)
+        override def close(): Unit = r.close()
+      }
+    case other => inner.createReader(other)
+  }
+}
+
+/** The main-scan builder for a catalog-resolved versioned table:
+  * delegates EVERYTHING to Spark's own `ParquetScanBuilder` (full
+  * pushdown fidelity — catalyst filters, column pruning) until the
+  * required columns turn out to include `_commit_dir`, at which point
+  * it switches to the per-dir tagged scan (which re-applies column
+  * pruning per dir; the pushed filters stay post-scan, which is the
+  * file source's contract anyway — data filters are always
+  * re-evaluated above the scan, so dropping their row-group hints in
+  * dir mode affects I/O, never answers).
+  *
+  * Lives in the spark.sql.graft bridge package because full-fidelity
+  * filter forwarding needs the `SupportsPushDownCatalystFilters` seam
+  * `ParquetScanBuilder` actually implements — same pinned-internal
+  * posture as [[ColumnBridge]]/[[StreamingBridge]]. */
+class DirAwareScanBuilder(spark: SparkSession, root: String,
+    dataSchema: StructType, dirNames: Seq[String], inner: ScanBuilder,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownCatalystFilters {
+
+  private var dirMode = false
+  private var prunedData: StructType = dataSchema
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    inner match {
+      case f: SupportsPushDownCatalystFilters => f.pushFilters(filters)
+      case _ => filters
+    }
+
+  override def pushedFilters: Array[Predicate] = inner match {
+    // advisory/explain metadata; in dir mode the per-dir scans carry
+    // no pushed filters, so report none
+    case f: SupportsPushDownCatalystFilters if !dirMode => f.pushedFilters
+    case _ => Array.empty
+  }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (requiredSchema.fieldNames.contains(DirTag.ColName)) {
+      dirMode = true
+      prunedData = StructType(
+        requiredSchema.fields.filterNot(_.name == DirTag.ColName))
+    } else inner match {
+      case c: SupportsPushDownRequiredColumns =>
+        c.pruneColumns(requiredSchema)
+      case _ => ()
+    }
+
+  override def build(): Scan =
+    if (!dirMode) inner.build()
+    else new DirTaggedScan(spark, root, () => dirNames, dataSchema,
+      prunedData, options)
+}

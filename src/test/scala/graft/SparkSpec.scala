@@ -20,6 +20,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the maintenance-statement parser (OPTIMIZE/VACUUM/RESTORE);
+      // delegates everything else, so it is invisible to normal SQL
+      .config("spark.sql.extensions",
+        "graft.sources.GraftSqlExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

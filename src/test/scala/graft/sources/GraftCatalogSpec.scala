@@ -409,6 +409,88 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("_commit_dir metadata column: hidden until referenced, then " +
+    "per-row provenance naming the commit dir that holds the row") {
+    wh
+    spark.sql("CREATE TABLE graft.md1 (id BIGINT)")
+    spark.sql("INSERT INTO graft.md1 SELECT id FROM range(0, 10)")
+    spark.sql("INSERT INTO graft.md1 SELECT id FROM range(10, 20)")
+    // hidden: SELECT * must NOT surface it
+    assert(spark.sql("SELECT * FROM graft.md1").columns.toSeq == Seq("id"))
+    val rows = spark.sql("SELECT id, _commit_dir FROM graft.md1")
+      .as[(Long, String)].collect().toSeq
+    assert(rows.size == 20)
+    val byDir = rows.groupBy(_._2)
+    // empty init dir contributes nothing; each INSERT's rows share a dir
+    assert(byDir.size == 2, s"expected 2 populated dirs: ${byDir.keys}")
+    assert(byDir.values.map(_.map(_._1).toSet).toSet ==
+      Set((0L until 10L).toSet, (10L until 20L).toSet))
+    // the dir names are the manifest's commit dirs
+    val manifestDirs = VersionedTable.dataDirs(spark, rootOf("md1"))
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(byDir.keySet.subsetOf(manifestDirs))
+    // provenance composes with filters
+    val one = spark.sql(
+      "SELECT DISTINCT _commit_dir FROM graft.md1 WHERE id = 15")
+      .as[String].collect().toSeq
+    assert(one.size == 1 && byDir(one.head).map(_._1).toSet ==
+      (10L until 20L).toSet)
+  }
+
+  test("SQL MERGE INTO prunes unmatched commit dirs at RUNTIME: the " +
+    "group-filter subquery computes matched dirs from the join, " +
+    "untouched dirs carry by identity") {
+    wh
+    spark.sql("CREATE TABLE graft.md2 (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.md2 SELECT id, concat('s', id) " +
+      "FROM range(0, 100)")
+    spark.sql("INSERT INTO graft.md2 SELECT id, concat('s', id) " +
+      "FROM range(100, 200)")
+    spark.sql("INSERT INTO graft.md2 SELECT id, concat('s', id) " +
+      "FROM range(200, 300)")
+    val root = rootOf("md2")
+    val before = VersionedTable.dataDirs(spark, root, Some(3)).toSet
+    assert(before.size == 4)
+    // source touches ONLY the middle dir's ids: a static analysis of
+    // the ON condition cannot know that — only the runtime join can
+    spark.sql("""MERGE INTO graft.md2 t
+      |USING (SELECT id, concat('u', id) AS s FROM
+      |  (SELECT explode(sequence(120, 130)) AS id)) src
+      |ON t.id = src.id
+      |WHEN MATCHED THEN UPDATE SET t.s = src.s""".stripMargin)
+    val v = VersionedTable.latestVersion(spark, root)
+    assert(v == 4)
+    val after = VersionedTable.dataDirs(spark, root, Some(v)).toSet
+    assert((before intersect after).size == 3,
+      s"expected 3 carried dirs, got ${(before intersect after).size} — " +
+        "runtime group filtering did not prune")
+    // answers unharmed
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.md2 WHERE s LIKE 'u%'").as[Long].head
+      == 11L)
+    assert(spark.sql("SELECT count(*) FROM graft.md2").as[Long].head
+      == 300L)
+    assert(spark.sql("SELECT s FROM graft.md2 WHERE id = 125")
+      .as[String].head == "u125")
+    assert(spark.sql("SELECT s FROM graft.md2 WHERE id = 42")
+      .as[String].head == "s42")
+    // unmatched-source inserts + matched updates in one statement
+    // still correct when pruning is live
+    spark.sql("""MERGE INTO graft.md2 t
+      |USING (SELECT explode(sequence(290, 310)) AS id) src
+      |ON t.id = src.id
+      |WHEN MATCHED THEN UPDATE SET t.s = 'm'
+      |WHEN NOT MATCHED THEN INSERT (id, s) VALUES (src.id, 'new')
+      |""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.md2").as[Long].head
+      == 311L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.md2 WHERE s = 'm'").as[Long].head == 10L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.md2 WHERE s = 'new'").as[Long].head
+      == 11L)
+  }
+
   private def cat0: GraftCatalog =
     spark.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[GraftCatalog]

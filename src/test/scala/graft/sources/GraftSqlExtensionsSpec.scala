@@ -1,0 +1,108 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** The maintenance statements (OPTIMIZE / VACUUM / RESTORE) through
+  * the injected parser — plain `spark.sql`, resolved via the graft
+  * catalog, executing the programmatic VersionedTable ops. The
+  * extension must be invisible to every other statement (it delegates
+  * to Spark's parser), which the rest of the suite exercises
+  * constantly since SparkSpec's shared session carries it. */
+class GraftSqlExtensionsSpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  private lazy val wh: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ext_wh").toFile
+    d.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.gext",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gext.warehouse", d.getAbsolutePath)
+    d.getAbsolutePath
+  }
+
+  private def rootOf(tbl: String) = s"$wh/$tbl"
+
+  test("OPTIMIZE compacts the snapshot into one commit dir; content " +
+    "unchanged, history intact, version returned") {
+    wh
+    spark.sql("CREATE TABLE gext.t1 (id BIGINT)")
+    spark.sql("INSERT INTO gext.t1 SELECT id FROM range(0, 50)")
+    spark.sql("INSERT INTO gext.t1 SELECT id FROM range(50, 100)")
+    val root = rootOf("t1")
+    assert(VersionedTable.dataDirs(spark, root).size == 3)
+    val returned = spark.sql("OPTIMIZE gext.t1").as[Long].head
+    assert(returned == 3L)
+    assert(VersionedTable.dataDirs(spark, root).size == 1)
+    assert(VersionedTable.commitOp(spark, root, 3).contains("compact"))
+    assert(spark.sql("SELECT count(*) FROM gext.t1").as[Long].head == 100L)
+  }
+
+  test("OPTIMIZE ZORDER BY clusters on two columns; INTO n FILES sizes " +
+    "the output; content unchanged") {
+    wh
+    spark.sql("CREATE TABLE gext.t2 (a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO gext.t2 SELECT id, 999 - id FROM range(0, 1000)")
+    val root = rootOf("t2")
+    spark.sql("OPTIMIZE gext.t2 ZORDER BY (a, b) INTO 4 FILES")
+    val latest = VersionedTable.latestVersion(spark, root)
+    assert(VersionedTable.commitOp(spark, root, latest)
+      .contains("optimize"))
+    assert(VersionedTable.statsByDir(spark, root)
+      .values.map(_.size).sum == 4)
+    assert(spark.sql("SELECT count(*) FROM gext.t2").as[Long].head == 1000L)
+    assert(spark.sql("SELECT sum(a) FROM gext.t2").as[Long].head ==
+      (0L until 1000L).sum)
+  }
+
+  test("VACUUM drops aged-out versions' dirs with Delta's RETAIN/KEEP " +
+    "spelling; RESTORE rolls the table forward to a past version") {
+    wh
+    spark.sql("CREATE TABLE gext.t3 (id BIGINT)")
+    spark.sql("INSERT INTO gext.t3 VALUES (1)")
+    spark.sql("INSERT INTO gext.t3 VALUES (2)")
+    val root = rootOf("t3")
+    // RESTORE to the one-row version (metadata-only, roll-forward)
+    val v = spark.sql("RESTORE TABLE gext.t3 TO VERSION AS OF 1")
+      .as[Long].head
+    assert(v == 3L)
+    assert(VersionedTable.commitOp(spark, root, 3).contains("restore"))
+    assert(spark.sql("SELECT count(*) FROM gext.t3").as[Long].head == 1L)
+    // compact then VACUUM everything older than the live version
+    spark.sql("OPTIMIZE gext.t3")
+    val fs = new org.apache.hadoop.fs.Path(root, "data")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root, "data")).length
+    assert(before > 1)
+    assert(spark.sql("VACUUM gext.t3 RETAIN 0 HOURS KEEP 1 VERSIONS")
+      .as[String].head == "OK")
+    assert(fs.listStatus(
+      new org.apache.hadoop.fs.Path(root, "data")).length == 1)
+    assert(spark.sql("SELECT count(*) FROM gext.t3").as[Long].head == 1L)
+  }
+
+  test("the parser delegates everything else and refuses non-graft " +
+    "targets loudly") {
+    wh
+    // normal SQL is untouched by the extension
+    assert(spark.sql("SELECT 41 + 1").as[Int].head == 42)
+    // statements are case-insensitive
+    spark.sql("CREATE TABLE gext.t4 (id BIGINT)")
+    spark.sql("INSERT INTO gext.t4 VALUES (1)")
+    spark.sql("optimize gext.t4")
+    assert(VersionedTable.commitOp(spark, rootOf("t4"),
+      VersionedTable.latestVersion(spark, rootOf("t4")))
+      .contains("compact"))
+    // a non-graft catalog target refuses with a clear message
+    val e = intercept[Exception] {
+      spark.sql("VACUUM spark_catalog.default.nope")
+    }
+    assert(e.getMessage.contains("graft"))
+    // an unqualified identifier refuses (no catalog to resolve)
+    val e2 = intercept[Exception] { spark.sql("VACUUM bare") }
+    assert(e2.getMessage.contains("catalog"))
+    // a missing table refuses
+    intercept[Exception] { spark.sql("OPTIMIZE gext.absent") }
+  }
+}
