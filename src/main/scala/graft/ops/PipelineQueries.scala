@@ -1432,6 +1432,65 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // SQL MERGE with RUNTIME group pruning live: the changeset's keys
+  // land in ONE of three range-disjoint commit dirs, but the ON
+  // condition references the source, so no static analysis can prune
+  // — Spark's row-level runtime group filter computes the matched
+  // dirs with a subquery against the _commit_dir metadata column and
+  // the write replaces exactly those (the in-gate canary requires the
+  // other dirs to survive BY IDENTITY). Hash-gated by a DuckDB oracle
+  // applying the same range-restricted changeset.
+  def pipelineVersionedSqlMergePruned(s: SparkSession, d: String)
+      : DataFrame = {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vsqlmp")
+    val cat = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpRoot.toString)
+      docs(s, d).filter(col("doc_id") < 450)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"))
+        .createOrReplaceTempView("vsqlmp_docs")
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+        "source STRING, n_chars BIGINT, text STRING)")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM vsqlmp_docs " +
+        "WHERE doc_id < 150")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM vsqlmp_docs " +
+        "WHERE doc_id >= 150 AND doc_id < 300")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM vsqlmp_docs " +
+        "WHERE doc_id >= 300")
+      val root = tmpRoot.resolve("docs").toString
+      val vt = graft.sources.VersionedTable
+      val before = vt.dataDirs(s, root).toSet
+      s.sql(
+        s"""MERGE INTO $cat.docs t
+           |USING (
+           |  SELECT doc_id, lang, 'patched' AS source, n_chars, text,
+           |    'U' AS op FROM vsqlmp_docs
+           |  WHERE doc_id % 7 = 1 AND doc_id >= 300
+           |  UNION ALL
+           |  SELECT doc_id, lang, source, n_chars, text, 'D'
+           |  FROM vsqlmp_docs WHERE doc_id % 7 = 0 AND doc_id >= 300
+           |) c
+           |ON t.doc_id = c.doc_id
+           |WHEN MATCHED AND c.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET t.lang = c.lang,
+           |  t.source = c.source, t.n_chars = c.n_chars, t.text = c.text
+           |""".stripMargin)
+      val after = vt.dataDirs(s, root).toSet
+      // init dir + the two dirs below doc_id 300 carry by identity;
+      // only the [300,450) dir is rewritten
+      require((before intersect after).size == 3,
+        "SQL MERGE rewrote dirs its changeset cannot touch — runtime " +
+          "group filtering regressed")
+      s.sql(s"SELECT doc_id, lang, source, n_chars, " +
+        s"md5(text) AS text_md5 FROM $cat.docs ORDER BY doc_id")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // RESTORE closes the loop: a bad delete rolled forward to the
   // pre-mistake snapshot, METADATA-ONLY (the in-gate canary requires
   // the data-dir census unchanged across the restore — zero files
@@ -1556,6 +1615,8 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_sql_update_pruned" ->
       pipelineVersionedSqlUpdatePruned _,
     "pipeline_versioned_sql_merge" -> pipelineVersionedSqlMerge _,
+    "pipeline_versioned_sql_merge_pruned" ->
+      pipelineVersionedSqlMergePruned _,
     "pipeline_versioned_restore" -> pipelineVersionedRestore _,
     "pipeline_shards" -> pipelineShards _,
     "stats_histogram" -> statsHistogram _,
@@ -1927,6 +1988,22 @@ object PipelineQueries extends QueryPack {
         |  SELECT doc_id, text, lang, source, n_chars FROM cs WHERE op = 'U')
         |SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM merged ORDER BY doc_id""".stripMargin,
+    // SQL MERGE under runtime group pruning: the same merge semantics
+    // with the changeset restricted to the [300,450) dir's keys —
+    // pruning must be answer-invisible
+    "pipeline_versioned_sql_merge_pruned" ->
+      """WITH cs AS (
+        |  SELECT doc_id, 'U' AS op FROM documents
+        |  WHERE doc_id % 7 = 1 AND doc_id >= 300 AND doc_id < 450
+        |  UNION ALL
+        |  SELECT doc_id, 'D' FROM documents
+        |  WHERE doc_id % 7 = 0 AND doc_id >= 300 AND doc_id < 450)
+        |SELECT d.doc_id, d.lang,
+        |  CASE WHEN cs.op = 'U' THEN 'patched' ELSE d.source END AS source,
+        |  d.n_chars, md5(d.text) AS text_md5
+        |FROM documents d LEFT JOIN cs ON d.doc_id = cs.doc_id
+        |WHERE d.doc_id < 450 AND (cs.op IS NULL OR cs.op <> 'D')
+        |ORDER BY d.doc_id""".stripMargin,
     // restore to v0 must read back the ENTIRE pre-delete snapshot
     "pipeline_versioned_restore" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5

@@ -45,8 +45,12 @@ object DirTag {
   */
 class DirTaggedScan(spark: SparkSession, root: String,
     dirsNow: () => Seq[String], dataSchema: StructType,
-    prunedData: StructType, options: CaseInsensitiveStringMap)
+    prunedData: StructType, options: CaseInsensitiveStringMap,
+    pushedExprs: Seq[org.apache.spark.sql.catalyst.expressions
+      .Expression] = Seq.empty)
     extends Scan with Batch {
+
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression}
 
   override def readSchema(): StructType =
     StructType(prunedData.fields :+ DirTag.field)
@@ -56,11 +60,43 @@ class DirTaggedScan(spark: SparkSession, root: String,
 
   override def toBatch: Batch = this
 
+  // split the pushed conjuncts: predicates on `_commit_dir` ALONE
+  // prune whole dirs driver-side (provenance reads behave like
+  // partition pruning — `WHERE _commit_dir = 'c00003-…'` opens one
+  // dir); predicates on data columns alone forward into each per-dir
+  // parquet builder for row-group pruning; mixed-reference conjuncts
+  // stay post-scan (Spark re-evaluates everything above the scan
+  // anyway — pushing is I/O savings, never semantics)
+  private val (dirExprs, dataExprs) = {
+    val (d, rest) = pushedExprs.partition(e =>
+      e.references.nonEmpty &&
+        e.references.forall(_.name == DirTag.ColName))
+    (d, rest.filterNot(_.references.exists(_.name == DirTag.ColName)))
+  }
+
+  private def dirSurvives(dir: String): Boolean = dirExprs.forall { e =>
+    val bound = e.transform {
+      case _: AttributeReference =>
+        BoundReference(0, org.apache.spark.sql.types.StringType,
+          nullable = false)
+    }
+    val pred = org.apache.spark.sql.catalyst.expressions.Predicate
+      .create(bound)
+    pred.initialize(0)
+    pred.eval(org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(dir)))
+  }
+
   private def scanFor(paths: Seq[String]): Scan = {
     val b = ParquetTable(s"graft-dirtagged $root", spark, options, paths,
       userSpecifiedSchema = Some(dataSchema),
       fallbackFileFormat = classOf[ParquetFileFormat])
       .newScanBuilder(options)
+    b match {
+      case f: SupportsPushDownCatalystFilters if dataExprs.nonEmpty =>
+        f.pushFilters(dataExprs): Unit
+      case _ => ()
+    }
     b match {
       case c: SupportsPushDownRequiredColumns => c.pruneColumns(prunedData)
       case _ => ()
@@ -70,7 +106,7 @@ class DirTaggedScan(spark: SparkSession, root: String,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dataRoot = new Path(root, "data")
-    dirsNow().flatMap { dir =>
+    dirsNow().filter(dirSurvives).flatMap { dir =>
       scanFor(Seq(new Path(dataRoot, dir).toString)).toBatch
         .planInputPartitions().map(p => DirTaggedPartition(dir, p))
     }.toArray
@@ -225,14 +261,18 @@ class DirAwareScanBuilder(spark: SparkSession, root: String,
 
   private var dirMode = false
   private var prunedData: StructType = dataSchema
+  private var stored: Seq[org.apache.spark.sql.catalyst.expressions
+    .Expression] = Seq.empty
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    stored = filters
     inner match {
       case f: SupportsPushDownCatalystFilters => f.pushFilters(filters)
       case _ => filters
     }
+  }
 
   override def pushedFilters: Array[Predicate] = inner match {
     // advisory/explain metadata; in dir mode the per-dir scans carry
@@ -255,5 +295,5 @@ class DirAwareScanBuilder(spark: SparkSession, root: String,
   override def build(): Scan =
     if (!dirMode) inner.build()
     else new DirTaggedScan(spark, root, () => dirNames, dataSchema,
-      prunedData, options)
+      prunedData, options, stored)
 }

@@ -435,6 +435,24 @@ class GraftCatalogSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(one.size == 1 && byDir(one.head).map(_._1).toSet ==
       (10L until 20L).toSet)
+    // and a filter ON _commit_dir prunes whole dirs at planning, like
+    // a partition predicate: the scan plans only the named dir's files
+    val d1 = byDir.keys.find(d => byDir(d).exists(_._1 == 0L)).get
+    val pruned = spark.sql(
+      s"SELECT id, _commit_dir FROM graft.md1 WHERE _commit_dir = '$d1'")
+    assert(pruned.as[(Long, String)].collect().map(_._1).toSet ==
+      (0L until 10L).toSet)
+    val prunedScan = pruned.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2
+        .BatchScanExec => b.inputPartitions.size
+    }.get
+    val fullScan = spark.sql("SELECT id, _commit_dir FROM graft.md1")
+      .queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.inputPartitions.size
+      }.get
+    assert(prunedScan < fullScan,
+      s"dir filter did not prune partitions: $prunedScan vs $fullScan")
   }
 
   test("SQL MERGE INTO prunes unmatched commit dirs at RUNTIME: the " +
