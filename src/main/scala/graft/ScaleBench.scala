@@ -405,6 +405,54 @@ object ScaleBench {
           Seq(run).toDF("run")
         }
       },
+      // SQL MERGE through the row-level seam measured (the RUNTIME
+      // group-filter pruning claim, round-13): same layout, each run
+      // MERGEs a 50-key changeset hitting a DIFFERENT commit — the ON
+      // condition references the source, so only the runtime subquery
+      // over _commit_dir can prune; with it the statement rewrites ~1
+      // dir at any table size — expected near-flat like sql_dml_update.
+      "sql_dml_merge" -> {
+        lazy val cat = {
+          val wh = java.nio.file.Files.createTempDirectory("graft_sqlmrg")
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile): Unit))
+          val r = wh.resolve("docs").toString
+          val d = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+            col("text"))
+          val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+          val vt = graft.sources.VersionedTable
+          var v = -1
+          var lo = 0L
+          while (lo <= maxId) {
+            val batch = d.filter(col("doc_id") >= lo &&
+              col("doc_id") < lo + 1000L)
+              .repartitionByRange(2, col("doc_id"))
+            v = if (v < 0) vt.init(spark, r, batch)
+            else vt.append(spark, r, batch, expectedVersion = v)
+            lo += 1000L
+          }
+          val c = "gsm" +
+            java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+          spark.conf.set(s"spark.sql.catalog.$c",
+            classOf[graft.sources.GraftCatalog].getName)
+          spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh.toString)
+          c
+        }
+        var run = 0
+        () => {
+          val lo = 1000L * run + 100L
+          run += 1
+          spark.sql(
+            s"""MERGE INTO $cat.docs t
+               |USING (SELECT id AS doc_id, 'mm' AS lang FROM
+               |  (SELECT explode(sequence($lo, ${lo + 50L})) AS id)) c
+               |ON t.doc_id = c.doc_id
+               |WHEN MATCHED THEN UPDATE SET t.lang = c.lang
+               |""".stripMargin)
+          import spark.implicits._
+          Seq(run).toDF("run")
+        }
+      },
     )
   }
 

@@ -104,19 +104,52 @@ class DirTaggedScan(spark: SparkSession, root: String,
     b.build()
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dataRoot = new Path(root, "data")
-    dirsNow().filter(dirSurvives).flatMap { dir =>
-      scanFor(Seq(new Path(dataRoot, dir).toString)).toBatch
-        .planInputPartitions().map(p => DirTaggedPartition(dir, p))
-    }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    DirTaggedScan.planPerDir(new Path(root, "data"),
+      dirsNow().filter(dirSurvives), scanFor)
 
   override def createReaderFactory(): PartitionReaderFactory =
     // path-independent template factory (reads any FilePartition with
     // this schema/conf), same pattern as the streaming source
     new DirTaggedReaderFactory(
       scanFor(Seq.empty).toBatch.createReaderFactory())
+}
+
+private[graft] object DirTaggedScan {
+  import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+
+  /** Plan partitions for a set of commit dirs with ONE scan (one file
+    * listing, one split computation) and regroup the resulting
+    * FilePartitions so no partition mixes dirs — the constant tag per
+    * partition stays exact while driver cost stays O(listing), not
+    * O(dirs) separate ParquetTable builds (measured: per-dir planning
+    * dominated the runtime-pruned MERGE at 600 dirs). Falls back to
+    * per-dir scans if the engine ever hands back a non-FilePartition
+    * shape. */
+  def planPerDir(dataRoot: Path, dirs: Seq[String],
+      scanFor: Seq[String] => Scan): Array[InputPartition] = {
+    if (dirs.isEmpty) return Array.empty
+    val paths = dirs.map(d => new Path(dataRoot, d).toString)
+    val combined = scanFor(paths).toBatch.planInputPartitions()
+    if (combined.forall(_.isInstanceOf[FilePartition])) {
+      def dirOf(f: PartitionedFile): String =
+        f.toPath.getParent.getName
+      // keep Spark's size-balanced packing; split only the partitions
+      // that pack files from more than one dir
+      var idx = -1
+      combined.flatMap { p =>
+        p.asInstanceOf[FilePartition].files.groupBy(dirOf)
+          .toSeq.sortBy(_._1).map { case (dir, files) =>
+            idx += 1
+            DirTaggedPartition(dir, FilePartition(idx, files))
+          }
+      }
+    } else
+      dirs.flatMap { dir =>
+        scanFor(Seq(new Path(dataRoot, dir).toString)).toBatch
+          .planInputPartitions().map(p => DirTaggedPartition(dir, p))
+      }.toArray
+  }
 }
 
 /** [[DirTaggedScan]] that additionally accepts Spark's RUNTIME group
@@ -145,13 +178,8 @@ class RuntimeFilteredDirScan(spark: SparkSession, root: String,
 
   @volatile private var current: Seq[String] = initialDirs
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dataRoot = new Path(root, "data")
-    current.flatMap { dir =>
-      scanForDirs(Seq(new Path(dataRoot, dir).toString)).toBatch
-        .planInputPartitions().map(p => DirTaggedPartition(dir, p))
-    }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    DirTaggedScan.planPerDir(new Path(root, "data"), current, scanForDirs)
 
   private def scanForDirs(paths: Seq[String]): Scan = {
     val b = ParquetTable(s"graft-rowlevel $root", spark, options, paths,
