@@ -424,7 +424,8 @@ private[sources] class GraftSqlTable(ident: String, root: String,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   /** `_commit_dir`: per-row provenance (the immutable commit dir that
     * holds the row) and the group identity runtime row-level group
@@ -460,6 +461,17 @@ private[sources] class GraftSqlTable(ident: String, root: String,
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): V1Write = new V1Write {
+        // `df.writeStream.toTable("graft.t")`: every micro-batch is
+        // one atomic append through the same commit point as batch
+        // INSERT, with exactly-once via the txn marker (see
+        // [[GraftStreamingWrite]])
+        override def toStreaming: org.apache.spark.sql.connector.write
+          .streaming.StreamingWrite = {
+          require(!overwrite,
+            "streaming writes append only — complete/truncate output " +
+              "modes would rewrite the table every trigger")
+          new GraftStreamingWrite(root, info)
+        }
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ow: Boolean): Unit = {
@@ -742,6 +754,105 @@ private[sources] class ReplaceSnapshotWrite(root: String,
           .delete(dataDir, true)
       }
     }
+  }
+}
+
+/** Micro-batch streaming APPEND into a versioned table — the
+  * `df.writeStream.toTable("graft.t")` spelling, on the public
+  * `StreamingWrite` seam. Each epoch's tasks write parquet (Spark's
+  * own writer, delegated) into a fresh INVISIBLE staging dir under
+  * `data/`; the driver-side epoch commit renames it to a commit dir
+  * and publishes through [[VersionedTable.publishDir]] with a
+  * `#txn:stream-<queryId>:<epochId>` marker — so the append is atomic
+  * with the marker, a crash-replayed epoch recognizes itself and
+  * becomes a no-op (exactly-once end to end, the same contract the
+  * foreachBatch ingest sink pins), and concurrent batch writers are
+  * handled by the optimistic loop: on a version conflict the staged
+  * dir SURVIVES (`keepDirOnConflict`) and re-publishes against the
+  * fresh base — the epoch's files are immutable, only the manifest
+  * rename lost the race. Append-only: the schema must match the
+  * table's (same shape rule as [[VersionedTable.append]]), and
+  * complete/truncate output modes refuse at query start. */
+private[sources] class GraftStreamingWrite(root: String,
+    info: LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def spark = SparkSession.active
+  private val appId = "stream-" + info.queryId()
+
+  // micro-batch execution runs one epoch at a time; each epoch's
+  // factory starts a fresh staging dir
+  @volatile private var staging: Path = _
+  @volatile private var delegate: BatchWrite = _
+
+  // the delegated file writer coordinates task commits through the
+  // Hadoop committer already — letting the DSv2 layer coordinate TOO
+  // makes the second authorization request a deny (the batch row-level
+  // write delegates the same flag for the same reason)
+  override def useCommitCoordinator(): Boolean = false
+
+  override def createStreamingWriterFactory(
+      p: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val dir = new Path(new Path(root, "data"),
+      s".stream-${java.util.UUID.randomUUID}")
+    val table = ParquetTable(s"graft-stream $root", spark,
+      new CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("path", dir.toString)),
+      Seq(dir.toString), Some(info.schema()),
+      classOf[ParquetFileFormat])
+    val d = table.newWriteBuilder(info).build().toBatch
+    staging = dir
+    delegate = d
+    val bf = d.createBatchWriterFactory(p)
+    (partitionId: Int, taskId: Long, _: Long) =>
+      bf.createWriter(partitionId, taskId)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    delegate.commit(messages) // staging files durable, still invisible
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VersionedTable.withRetry() {
+      if (VersionedTable.lastCommittedTxn(spark, root, appId)
+          .contains(epochId)) {
+        // crash-replayed epoch: its commit is already visible
+        fs.delete(staging, true): Unit
+      } else {
+        val base = VersionedTable.latestVersion(spark, root)
+        require(base >= 0, s"table $root has no committed version")
+        def shape(s: StructType) =
+          s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.sql))
+        val current = VersionedTable.read(spark, root, Some(base)).schema
+        require(shape(info.schema()) == shape(current),
+          s"streaming append schema ${info.schema().simpleString} != " +
+            s"table schema ${current.simpleString} — evolve via batch " +
+            "append(evolveSchema = true) first")
+        val commitName = VersionedTable.newCommitName(base + 1)
+        val target = new Path(new Path(root, "data"), commitName)
+        require(fs.rename(staging, target),
+          s"staging rename $staging -> $target failed")
+        staging = target
+        val dirs = VersionedTable.readManifest(spark, root, base)
+        VersionedTable.publishDir(spark, root, commitName, base,
+          carryDirs = dirs,
+          metaLines = Seq(s"#txn:$appId:$epochId") ++
+            VersionedTable.manifestSchema(spark, root, base)
+              .map("#schema:" + _.json).toSeq :+ "#op:stream_append",
+          carryStatsLines = VersionedTable.carriedStatsLines(
+            spark, root, base, dirs.toSet),
+          keepDirOnConflict = true): Unit
+      }
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    if (delegate != null) delegate.abort(messages)
+    if (staging != null)
+      staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(staging, true): Unit
   }
 }
 

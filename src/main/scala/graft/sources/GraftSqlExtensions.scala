@@ -84,7 +84,8 @@ object GraftSqlParser {
   private val VacuumRe: Regex =
     (s"""(?is)\\s*VACUUM\\s+$Ident""" +
       """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?""" +
-      """(?:\s+KEEP\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
+      """(?:\s+KEEP\s+(\d+)\s+VERSIONS)?""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*""").r
 
   private val RestoreRe: Regex =
     (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident""" +
@@ -101,8 +102,11 @@ object GraftSqlParser {
       Some(GraftOptimizeCommand(parts(ident),
         Option(zcolA).map(a => (a, zcolB)),
         Option(nFiles).map(_.toInt)))
-    case VacuumRe(ident, hours, keep) =>
-      Some(GraftVacuumCommand(parts(ident),
+    case VacuumRe(ident, hours, keep, dryRun) =>
+      if (dryRun != null)
+        Some(GraftVacuumPreviewCommand(parts(ident),
+          Option(hours).map(_.toDouble), Option(keep).map(_.toInt)))
+      else Some(GraftVacuumCommand(parts(ident),
         Option(hours).map(_.toDouble), Option(keep).map(_.toInt)))
     case RestoreRe(ident, version) =>
       Some(GraftRestoreCommand(parts(ident), version.toInt))
@@ -172,6 +176,27 @@ case class GraftVacuumCommand(nameParts: Seq[String],
       retainMillis = retainHours.map(h => (h * 3600 * 1000).toLong)
         .getOrElse(3600L * 1000L))
     Seq(Row("OK"))
+  }
+}
+
+/** `VACUUM t [...] DRY RUN` — what vacuum WOULD delete, one row per
+  * aged-out unreferenced commit dir ([[VersionedTable.vacuumPreview]]);
+  * deletes nothing. */
+case class GraftVacuumPreviewCommand(nameParts: Seq[String],
+    retainHours: Option[Double], keepVersions: Option[Int])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("commit_dir", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, nameParts)
+    VersionedTable.vacuumPreview(spark, root,
+      keepVersions = keepVersions.getOrElse(1),
+      retainMillis = retainHours.map(h => (h * 3600 * 1000).toLong)
+        .getOrElse(3600L * 1000L)).collect().toSeq
   }
 }
 

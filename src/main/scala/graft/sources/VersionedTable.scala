@@ -308,6 +308,76 @@ object VersionedTable {
       op = "compact")
   }
 
+  /** PARTIAL compaction — the 100 TB spelling of [[compact]]: fold
+    * only the SMALL commit dirs (stats row-sum below
+    * `smallDirMaxRows`, or unknown — pre-stats dirs conservatively
+    * count as small) into one fresh dir, while big dirs carry by
+    * IDENTITY with their stats. Continuous ingest accretes many tiny
+    * commit dirs (the read-amplification tail); a full [[compact]]
+    * rewrites the whole table to fix them — infeasible at scale —
+    * whereas this touches only the tail: O(small dirs), like DML.
+    * Data-equivalent by construction; fewer than TWO small dirs is a
+    * no-op (nothing to fold), returning the current version. */
+  def compactSmall(spark: SparkSession, root: String,
+      smallDirMaxRows: Long): Int = {
+    require(smallDirMaxRows > 0, "smallDirMaxRows must be positive")
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val dirs = readManifest(spark, root, base)
+    val byDir = statsByDir(spark, root, Some(base))
+    val (small, big) = dirs.partition { d =>
+      byDir.get(d) match {
+        case Some(files) if files.forall(_.rows >= 0) =>
+          files.map(_.rows).sum < smallDirMaxRows
+        case _ => true // uncovered: folding it is always sound
+      }
+    }
+    if (small.size < 2) return base
+    val dataRoot = new Path(root, "data")
+    val schema = cheapSchema(spark, root, base)
+      .getOrElse(read(spark, root, Some(base)).schema)
+    val folded = spark.read.schema(schema).parquet(
+      small.map(d => new Path(dataRoot, d).toString): _*)
+    commitDirs(spark, root, folded, base,
+      carryDirs = big,
+      metaLines = manifestSchema(spark, root, base)
+        .map("#schema:" + _.json).toSeq :+ "#op:compact_small",
+      carryStatsLines = carriedStatsLines(spark, root, base, big.toSet))
+  }
+
+  /** What [[vacuum]] WOULD delete, without deleting — Delta's
+    * `VACUUM ... DRY RUN`: one row per unreferenced commit dir older
+    * than the retention horizon, with its file count and bytes. The
+    * safe look-before-you-leap for a destructive maintenance op. */
+  def vacuumPreview(spark: SparkSession, root: String,
+      keepVersions: Int = 1,
+      retainMillis: Long = 3600L * 1000L): DataFrame = {
+    import spark.implicits._
+    require(keepVersions >= 1, "must keep at least the live version")
+    val latest = latestVersion(spark, root)
+    val fs = fsOf(spark, new Path(root))
+    val rows =
+      if (latest < 0) Seq.empty
+      else {
+        val keepFrom = math.max(0, latest - keepVersions + 1)
+        val keep = (keepFrom to latest)
+          .filter(v => fs.exists(manifestPath(root, v)))
+          .flatMap(v => readManifest(spark, root, v)).toSet
+        val horizon = System.currentTimeMillis() - retainMillis
+        val dataRoot = new Path(root, "data")
+        if (!fs.exists(dataRoot)) Seq.empty
+        else fs.listStatus(dataRoot).toSeq
+          .filter(st => !keep.contains(st.getPath.getName) &&
+            st.getModificationTime < horizon)
+          .map { st =>
+            val files = fs.listStatus(st.getPath)
+            (st.getPath.getName, files.length.toLong,
+              files.map(_.getLen).sum)
+          }
+      }
+    rows.sortBy(_._1).toDF("commit_dir", "num_files", "bytes")
+  }
+
   /** OPTIMIZE: rewrite the current snapshot Z-order-clustered on two
     * columns (Morton interleave of their low 31 bits — the
     * `functions.ZOrderInterleave` key) and commit it as the next
@@ -520,7 +590,8 @@ object VersionedTable {
     * refusal deletes the still-invisible dir. */
   private[sources] def publishDir(spark: SparkSession, root: String,
       commitName: String, expectedVersion: Int, carryDirs: Seq[String],
-      metaLines: Seq[String], carryStatsLines: Seq[String] = Seq.empty): Int = {
+      metaLines: Seq[String], carryStatsLines: Seq[String] = Seq.empty,
+      keepDirOnConflict: Boolean = false): Int = {
     val next = expectedVersion + 1
     val dataDir = new Path(new Path(root, "data"), commitName)
     val fs = fsOf(spark, dataDir)
@@ -571,9 +642,15 @@ object VersionedTable {
     try writeManifest(spark, root, next,
       constraintLines ++ metaLines ++ carryStatsLines ++ statsLines ++
         carryDirs :+ commitName)
-    catch { case e: Throwable =>
-      fs.delete(dataDir, true) // orphaned data, nothing references it
-      throw e
+    catch {
+      // a retrying caller (the streaming sink) keeps the already-
+      // written dir across a version conflict and re-publishes it
+      // against the fresh base — the files are epoch-immutable, only
+      // the manifest lost the race
+      case e: VersionConflictException if keepDirOnConflict => throw e
+      case e: Throwable =>
+        fs.delete(dataDir, true) // orphaned data, nothing references it
+        throw e
     }
     next
   }

@@ -509,6 +509,64 @@ class GraftCatalogSpec extends SparkSpec {
       == 11L)
   }
 
+  test("writeStream.toTable appends each micro-batch as one atomic " +
+    "version with a txn marker; a checkpoint restart replays nothing") {
+    wh
+    spark.sql("CREATE TABLE graft.st1 (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.st1 VALUES (0, 'seed')")
+    val root = rootOf("st1")
+    val ck = java.nio.file.Files.createTempDirectory("graft_st_ck").toString
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = ms.toDF().toDF("id", "s").writeStream
+        .option("checkpointLocation", ck).toTable("graft.st1")
+      try q.processAllAvailable() finally q.stop()
+    }
+    ms.addData(1L -> "a", 2L -> "b")
+    run()
+    assert(spark.sql("SELECT count(*) FROM graft.st1").as[Long].head == 3L)
+    val v = VersionedTable.latestVersion(spark, root)
+    assert(VersionedTable.commitOp(spark, root, v)
+      .contains("stream_append"))
+    // the epoch's txn marker rode the commit atomically
+    assert(VersionedTable.lastCommittedTxn(spark, root,
+      manifestTxnApp(root, v)).isDefined)
+    // append, not rewrite: the seed INSERT's dirs survive by identity
+    val v1dirs = VersionedTable.dataDirs(spark, root, Some(2)).toSet
+    assert(v1dirs.subsetOf(
+      VersionedTable.dataDirs(spark, root, Some(v)).toSet))
+    // second batch = its own version
+    ms.addData(3L -> "c")
+    run()
+    assert(spark.sql("SELECT count(*) FROM graft.st1").as[Long].head == 4L)
+    assert(VersionedTable.latestVersion(spark, root) == v + 1)
+    // restart from the same checkpoint with no new data: nothing lands
+    run()
+    assert(spark.sql("SELECT count(*) FROM graft.st1").as[Long].head == 4L)
+    assert(VersionedTable.latestVersion(spark, root) == v + 1,
+      "checkpoint restart replayed a committed epoch")
+    // the whole feed is consumable downstream via CDF
+    val feed = VersionedTable.changeFeed(spark, root, 0)
+      .select("id").as[Long].collect().toSet
+    assert(feed == Set(0L, 1L, 2L, 3L))
+  }
+
+  // the appId of the txn marker on version v (stream-<queryId> is
+  // generated by the engine; resolve it from the manifest)
+  private def manifestTxnApp(root: String, v: Int): String = {
+    val p = new org.apache.hadoop.fs.Path(root,
+      s"_manifests/v$v.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val body = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+    val line = body.linesIterator.find(_.startsWith("#txn:")).get
+    line.stripPrefix("#txn:").split(':').dropRight(1).mkString(":")
+  }
+
   private def cat0: GraftCatalog =
     spark.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[GraftCatalog]

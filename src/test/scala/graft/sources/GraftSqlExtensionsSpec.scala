@@ -82,6 +82,33 @@ class GraftSqlExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gext.t3").as[Long].head == 1L)
   }
 
+  test("VACUUM DRY RUN previews the aged-out dirs without deleting " +
+    "anything") {
+    wh
+    spark.sql("CREATE TABLE gext.t5 (id BIGINT)")
+    spark.sql("INSERT INTO gext.t5 VALUES (1)")
+    spark.sql("INSERT INTO gext.t5 VALUES (2)")
+    spark.sql("OPTIMIZE gext.t5")
+    val root = rootOf("t5")
+    val fs = new org.apache.hadoop.fs.Path(root, "data")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def census = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root, "data")).length
+    val before = census
+    val preview = spark.sql(
+      "VACUUM gext.t5 RETAIN 0 HOURS KEEP 1 VERSIONS DRY RUN")
+      .as[(String, Long, Long)].collect()
+    // the compact folded 3 dirs (init + 2 inserts); all 3 are now
+    // unreferenced by the live version and would age out
+    assert(preview.length == 3, s"preview: ${preview.toSeq}")
+    assert(preview.forall(_._3 >= 0))
+    assert(census == before, "DRY RUN deleted data")
+    // the real vacuum then deletes exactly the previewed dirs
+    spark.sql("VACUUM gext.t5 RETAIN 0 HOURS KEEP 1 VERSIONS")
+    assert(census == before - 3)
+    assert(spark.sql("SELECT count(*) FROM gext.t5").as[Long].head == 2L)
+  }
+
   test("the parser delegates everything else and refuses non-graft " +
     "targets loudly") {
     wh

@@ -285,6 +285,46 @@ class VersionedStreamSourceSpec extends SparkSpec {
     } finally spark.conf.unset(disableKey)
   }
 
+  test("table-to-table capstone: one table's change-feed stream sinks " +
+    "into another via writeStream.toTable — versioned log in, versioned " +
+    "log out, exactly-once both ends") {
+    val up = freshRoot()
+    VersionedTable.init(spark, up, docs(1L -> "a"))
+    val wh = java.nio.file.Files.createTempDirectory("graft_t2t_wh")
+    val ck = java.nio.file.Files.createTempDirectory("graft_t2t_ck").toString
+    val cat = "t2t" + java.util.UUID.randomUUID.toString
+      .replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    spark.sql(s"CREATE TABLE $cat.sink (id BIGINT, text STRING, " +
+      "change_kind STRING, `_commit_version` BIGINT)")
+    val down = s"$wh/sink"
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-versioned-stream")
+        .option("readChangeFeed", "true").load(up)
+        .writeStream.option("checkpointLocation", ck)
+        .toTable(s"$cat.sink")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    VersionedTable.append(spark, up, docs(2L -> "b"), expectedVersion = 0)
+    run()
+    val got = spark.sql(s"SELECT id, change_kind, `_commit_version` " +
+      s"FROM $cat.sink").as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "insert", 0L), (2L, "insert", 1L)),
+      s"downstream != upstream feed: $got")
+    // replay restart: downstream version census unchanged
+    val v = VersionedTable.latestVersion(spark, down)
+    run()
+    assert(VersionedTable.latestVersion(spark, down) == v,
+      "restart replayed an epoch into the sink")
+    // provenance composes: the sink is itself a versioned log whose
+    // change feed replays the relay history
+    assert(VersionedTable.changeFeed(spark, down, 0)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("the DSv2 change-feed stream refuses a keyed request and a " +
       "rewrite range loudly instead of emitting a wrong feed") {
     val root = freshRoot()

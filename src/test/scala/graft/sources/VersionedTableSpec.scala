@@ -304,6 +304,39 @@ class VersionedTableSpec extends SparkSpec {
       "replayed batch re-appended")
   }
 
+  test("compactSmall folds only the small-dir tail: big dirs carry by " +
+    "identity with their stats, reads unchanged, tiny-dir census drops") {
+    val root = freshRoot()
+    // one BIG dir (500 rows) + four tiny appends (2 rows each)
+    VersionedTable.init(spark, root,
+      (0L until 500L).map(i => (i, s"r$i")).toDF("id", "body"))
+    var v = 0
+    (0 until 4).foreach { k =>
+      v = VersionedTable.append(spark, root,
+        snapshot((1000L + k) -> s"t$k", (2000L + k) -> s"u$k"),
+        expectedVersion = v)
+    }
+    val before = VersionedTable.readManifest(spark, root, v)
+    assert(before.size == 5)
+    val bigDir = before.head // init's dir is listed first among carried
+    val nv = VersionedTable.compactSmall(spark, root,
+      smallDirMaxRows = 100L)
+    val after = VersionedTable.readManifest(spark, root, nv)
+    // 4 tiny dirs folded into 1; the big dir survives BY IDENTITY
+    assert(after.size == 2, s"after: $after")
+    assert(after.contains(bigDir), "big dir was rewritten")
+    assert(VersionedTable.commitOp(spark, root, nv)
+      .contains("compact_small"))
+    // stats still cover everything (carried + harvested)
+    val byDir = VersionedTable.statsByDir(spark, root, Some(nv))
+    after.foreach(d => assert(byDir.contains(d), s"dir $d lost stats"))
+    // content identical; old version still time-travels
+    assert(VersionedTable.read(spark, root).count() == 508L)
+    assert(VersionedTable.read(spark, root, Some(v)).count() == 508L)
+    // nothing left to fold: a second pass is a true no-op
+    assert(VersionedTable.compactSmall(spark, root, 100L) == nv)
+  }
+
   test("additive schema evolution: evolved append reads old files as NULL, " +
       "old versions time-travel with their original schema") {
     val root = freshRoot()
