@@ -155,8 +155,53 @@ object StreamQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // the capstone REAL streaming topology: versioned log in, versioned
+  // log out — one table's change-feed stream (readChangeFeed DSv2
+  // mode) relayed into a catalog table via writeStream.toTable (the
+  // txn-marker streaming sink), across TWO micro-batches (snapshot
+  // replay, then a live append's delta). The sink table's content is
+  // hash-gated against DuckDB recomputing feed rows + commit
+  // provenance from the raw documents — source offsets, change
+  // tagging, the streaming write's atomic append, and the catalog
+  // read-back all in one oracle row.
+  def tableSink(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ssink")
+    val up = tmpRoot.resolve("up").toString
+    val ck = tmpRoot.resolve("ck").toString
+    val cat = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        tmpRoot.resolve("wh").toString)
+      graft.sources.VersionedTable.init(s, up,
+        base.filter(col("doc_id") < 150))
+      s.sql(s"CREATE TABLE $cat.sink (doc_id BIGINT, lang STRING, " +
+        "text STRING, change_kind STRING, `_commit_version` BIGINT)")
+      val q = s.readStream.format("graft-versioned-stream")
+        .option("readChangeFeed", "true").load(up)
+        .writeStream.option("checkpointLocation", ck)
+        .toTable(s"$cat.sink")
+      try {
+        q.processAllAvailable() // v0 replay micro-batch
+        graft.sources.VersionedTable.append(s, up,
+          base.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+          expectedVersion = 0)
+        q.processAllAvailable() // v1's delta micro-batch
+      } finally q.stop()
+      s.sql(s"SELECT doc_id, lang, md5(text) AS text_md5, " +
+        s"change_kind, `_commit_version` FROM $cat.sink ORDER BY doc_id")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_table_tail" -> tableTail _,
+    "stream_table_sink" -> tableSink _,
     "stream_novel" -> novel _,
     "stream_running_totals" -> runningTotals _,
     "stream_milestones" -> milestones _,
@@ -174,6 +219,16 @@ object StreamQueries extends QueryPack {
     // the streamed tail of the versioned table == its content
     "stream_table_tail" ->
       """SELECT doc_id, lang, md5(text) AS text_md5
+        |FROM documents WHERE doc_id < 300
+        |ORDER BY doc_id""".stripMargin,
+    // the relayed change feed: every row an insert, tagged with the
+    // upstream commit that produced it (v0 = the initial snapshot,
+    // v1 = the live append)
+    "stream_table_sink" ->
+      """SELECT doc_id, lang, md5(text) AS text_md5,
+        |  'insert' AS change_kind,
+        |  CAST(CASE WHEN doc_id < 150 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS _commit_version
         |FROM documents WHERE doc_id < 300
         |ORDER BY doc_id""".stripMargin,
     "stream_novel" ->
