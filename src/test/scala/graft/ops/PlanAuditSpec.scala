@@ -372,4 +372,33 @@ class PlanAuditSpec extends SparkSpec {
       "the tokenizing expression is inlined beyond its legitimate " +
         "project site(s):\n" + p.take(2000))
   }
+
+  test("changeFeed append fast path: shuffle-free — per-version deltas " +
+    "resolve to direct scans of the added dirs, tags are projections") {
+    import org.apache.spark.sql.functions._
+    import SparkSpec.session.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pacdf")
+      .resolve("t").toString
+    val vt = graft.sources.VersionedTable
+    vt.init(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    vt.append(spark, root, Seq((3L, "c")).toDF("id", "s"),
+      expectedVersion = 0)
+    vt.append(spark, root, Seq((4L, "d")).toDF("id", "s"),
+      expectedVersion = 1)
+    val feed = vt.changeFeed(spark, root, 0)
+    val p = plan(feed)
+    assert(!p.contains("Exchange"),
+      "the append-only feed shuffled — O(delta) fast path regressed:\n" +
+        p.take(1500))
+    assert(feed.count() == 4)
+    // the keyed GENERAL path (a rewrite in range) pays exactly ONE
+    // join's exchanges per rewritten version, never more
+    vt.merge(spark, root,
+      Seq((2L, "b2", "U")).toDF("id", "s", "op"), "id")
+    val keyed = vt.changeFeed(spark, root, 3, key = Some("id"))
+    val kp = plan(keyed)
+    assert(countOccurrences(kp, "Exchange") <= 4,
+      s"keyed single-version feed shuffled more than one join's worth:\n" +
+        kp.take(1500))
+  }
 }

@@ -30,6 +30,7 @@ object DmlProps extends Properties("VersionedDml") {
   private case class Delete(lo: Long, hi: Long) extends Op
   private case class Update(lo: Long, hi: Long, t: String) extends Op
   private case object Compact extends Op
+  private case object CompactSmall extends Op
   private case class RestoreRel(j: Int) extends Op // index into history
 
   private val rowGen = for {
@@ -51,6 +52,7 @@ object DmlProps extends Properties("VersionedDml") {
     3 -> (for { (lo, hi) <- rangeGen; t <- Gen.oneOf("X", "Y") }
       yield Update(lo, hi, t)),
     1 -> Gen.const(Compact),
+    1 -> Gen.const(CompactSmall),
     1 -> Gen.choose(0, 10).map(RestoreRel))
 
   private val historyGen = for {
@@ -108,6 +110,14 @@ object DmlProps extends Properties("VersionedDml") {
         case Compact =>
           VersionedTable.compact(spark, root)
           snapshots += cur
+        case CompactSmall =>
+          // data-equivalent like compact, but may be a true no-op
+          // (fewer than two small dirs) — the model only advances
+          // when a version committed
+          val before = VersionedTable.latestVersion(spark, root)
+          val v = VersionedTable.compactSmall(spark, root,
+            smallDirMaxRows = 4L)
+          if (v != before) snapshots += cur
         case RestoreRel(j) =>
           val target = j % snapshots.length
           VersionedTable.restore(spark, root, target)
