@@ -27,7 +27,24 @@ P=$(probe before)
 echo "$P"
 CAL=$(echo "$P" | grep -o '"calibration":[0-9.]*' | cut -d: -f2)
 BW=$(echo "$P" | grep -o '"membw_gbps":[0-9.-]*' | cut -d: -f2)
-QUIET=$(python3 -c "print(1 if (float('$CAL' or 9) <= 0.25 and float('$BW' or 0) >= 2.5) else 0)" 2>/dev/null || echo 0)
+# aggregate (32-proc) bandwidth probe: the single-thread probe is
+# BLIND to fabric saturation by neighbors — round 13 measured 46-54
+# s/gen in a window where single-thread read 5.5 GB/s but the
+# aggregate had collapsed to 36 GB/s (vs 432 when the 13.3 record
+# was set the same day). 32 mutator threads live on the aggregate.
+AGG=$(python3 - <<'PYEOF'
+import multiprocessing as mp, time
+def w(_):
+    n = 32*1024*1024
+    a = bytearray(n); t0=time.time()
+    for _ in range(4): b = bytes(a); del b
+    return 2*n*4/(time.time()-t0)/1e9
+with mp.Pool(32) as pool:
+    print(f"{sum(pool.map(w, range(32))):.0f}")
+PYEOF
+)
+echo "== aggregate membw ${AGG} GB/s (32 procs)"
+QUIET=$(python3 -c "print(1 if (float('$CAL' or 9) <= 0.25 and float('$BW' or 0) >= 2.5 and float('$AGG' or 0) >= 100) else 0)" 2>/dev/null || echo 0)
 if [ "$QUIET" != "1" ] && [ "$FORCE" != "1" ]; then
   echo "== host not quiet (calibration=$CAL membw=$BW) — skipping GA run"
   exit 2
