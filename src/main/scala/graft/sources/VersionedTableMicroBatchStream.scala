@@ -37,11 +37,36 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class VersionedTableMicroBatchStream(spark: SparkSession, root: String,
     tableSchema: StructType, options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
 
   private def version(o: Offset): Int = o match {
     case VersionOffset(v) => v
     case other => other.json.trim.toInt
+  }
+
+  // maxVersionsPerTrigger: bound each micro-batch to N versions'
+  // deltas — a consumer starting cold against a long-history table
+  // catches up in bounded steps instead of one giant initial batch
+  // (the initial snapshot batch itself counts as its "to" version's
+  // worth and is not splittable below one version)
+  private val maxVersions: Option[Int] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.trim.toInt)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val latest = VersionedTable.latestVersion(spark, root)
+    val from = version(start)
+    VersionOffset(maxVersions match {
+      case Some(n) if from >= 0 => math.min(latest, from + n)
+      case _ => latest
+    })
   }
 
   override def latestOffset(): Offset =
@@ -128,11 +153,34 @@ case class VersionOffset(v: Int) extends Offset {
 class VersionedTableChangeFeedStream(spark: SparkSession, root: String,
     tableSchema: StructType, options: CaseInsensitiveStringMap,
     startingVersion: Int)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
 
   private def version(o: Offset): Int = o match {
     case VersionOffset(v) => v
     case other => other.json.trim.toInt
+  }
+
+  // the change-feed replay is per-version already, so
+  // maxVersionsPerTrigger bounds EVERY batch including the replay —
+  // a cold consumer of a 10^4-version log catches up in bounded steps
+  private val maxVersions: Option[Int] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.trim.toInt)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val latest = VersionedTable.latestVersion(spark, root)
+    val from = version(start)
+    VersionOffset(maxVersions match {
+      case Some(n) => math.min(latest, from + n)
+      case _ => latest
+    })
   }
 
   override def latestOffset(): Offset =

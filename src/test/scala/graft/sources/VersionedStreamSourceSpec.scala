@@ -243,6 +243,64 @@ class VersionedStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch: a cold change-" +
+      "feed consumer catches up one version at a time, then tails; the " +
+      "snapshot stream bounds post-initial appends the same way") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a"))
+    VersionedTable.append(spark, root, docs(2L -> "b"), expectedVersion = 0)
+    VersionedTable.append(spark, root, docs(3L -> "c"), expectedVersion = 1)
+    val batches =
+      scala.collection.mutable.ArrayBuffer[Set[(Long, Long)]]()
+    val q = spark.readStream.format("graft-versioned-stream")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized {
+          batches += batch.select("id", "_commit_version")
+            .as[(Long, Long)].collect().toSet
+        }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val nonEmpty = batches.filter(_.nonEmpty)
+      assert(nonEmpty.size == 3,
+        s"expected 3 one-version batches, got: $batches")
+      assert(nonEmpty.forall(_.map(_._2).size == 1),
+        s"a batch spanned versions: $batches")
+      assert(nonEmpty.flatten.toSet ==
+        Set((1L, 0L), (2L, 1L), (3L, 2L)))
+    } finally q.stop()
+    // snapshot stream: the initial batch is the whole snapshot (one
+    // version's worth by definition), later appends split per trigger
+    val snapBatches = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q2 = spark.readStream.format("graft-versioned-stream")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        snapBatches.synchronized {
+          snapBatches += batch.select("id").as[Long].collect().toSet
+        }: Unit
+      }
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(snapBatches.flatten.toSet == Set(1L, 2L, 3L))
+      val n = snapBatches.size // BEFORE the appends: a trigger may
+      // fire between them and deliver v3's batch immediately
+      VersionedTable.append(spark, root, docs(4L -> "d"),
+        expectedVersion = 2)
+      VersionedTable.append(spark, root, docs(5L -> "e"),
+        expectedVersion = 3)
+      q2.processAllAvailable()
+      val fresh = snapBatches.drop(n).filter(_.nonEmpty)
+      assert(fresh.size == 2 && fresh.map(_.head).toSet == Set(4L, 5L),
+        s"two appends must land as two bounded batches: $fresh")
+    } finally q2.stop()
+  }
+
   test("keyed change-feed streaming through the v1 seam: three versions " +
       "of keyed changes fold to the batch changeFeed result, update " +
       "pre/post images included") {
