@@ -727,13 +727,37 @@ private[sources] class ReplaceSnapshotWrite(root: String,
         delegate.commit(msgs) // files durable, still invisible
         val fs = dataDir.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        if (operation.affectedDirs.isEmpty) {
-          // the condition provably matched no group: a true no-op —
-          // nothing was scanned, nothing may be replaced, no version
-          // is committed (matching the programmatic DML's no-op)
+        // An empty survivor set alone is NOT a no-op: a MERGE whose
+        // runtime group filter pruned every target dir (no source key
+        // matched) may still have written WHEN NOT MATCHED THEN INSERT
+        // rows into the staged dir — silently discarding them would
+        // report success and lose the inserts. The staged footers
+        // decide: zero rows written (or no files at all) = true no-op;
+        // anything else publishes. Unknown row counts conservatively
+        // count as written — an empty extra commit dir is harmless,
+        // a dropped insert is corruption.
+        val stagedHasRows: Boolean =
+          fs.exists(dataDir) && {
+            val stats = scala.util.Try(DataSkipping.statsLines(
+              spark.sparkContext.hadoopConfiguration, dataDir, commitName)
+              .flatMap(l => DataSkipping.parseLine(l.stripPrefix("#file:"))))
+            stats match {
+              case scala.util.Success(fsz) => fsz.exists(_.rows != 0L)
+              case scala.util.Failure(_) => fs.listStatus(dataDir)
+                .exists(_.getPath.getName.endsWith(".parquet"))
+            }
+          }
+        if (operation.affectedDirs.isEmpty && !stagedHasRows) {
+          // the condition provably matched no group AND nothing was
+          // written: a true no-op — nothing scanned, nothing replaced,
+          // no version committed (matching the programmatic DML's no-op)
           fs.delete(dataDir, true)
         } else {
-          val carried = operation.carriedDirs
+          // all target dirs pruned but inserts written → the statement
+          // is a pure APPEND: every manifest dir carries by identity
+          val carried =
+            if (operation.affectedDirs.isEmpty) operation.allDirs
+            else operation.carriedDirs
           // an evolved table's `#schema:` pin must ride along while
           // pre-evolution dirs survive; a full rewrite (nothing
           // carried) re-homogenizes the files and drops it

@@ -107,6 +107,46 @@ class GraftCatalogSpec extends SparkSpec {
       VersionedTable.latestVersion(spark, rootOf("t9"))).contains("merge"))
   }
 
+  test("insert-only SQL MERGE (no source key matches any target row) " +
+    "APPENDS the WHEN NOT MATCHED inserts instead of discarding them") {
+    wh
+    spark.sql("CREATE TABLE graft.t9b (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.t9b VALUES (1, 'a'), (2, 'b')")
+    val before = VersionedTable.latestVersion(spark, rootOf("t9b"))
+    // the runtime group filter prunes EVERY target dir (no key
+    // overlap), yet the inserts must land — the round-13 advice bug
+    // was this exact statement silently dropping them
+    spark.sql("""MERGE INTO graft.t9b t
+      |USING (SELECT * FROM VALUES (8, 'x'), (9, 'y') AS src(id, s)) s
+      |ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET t.s = s.s
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT id, s FROM graft.t9b ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (8L, "x"), (9L, "y")))
+    // and it committed as a pure append: every pre-merge commit dir
+    // carries by identity (zero write amplification on the target)
+    assert(VersionedTable.latestVersion(spark, rootOf("t9b")) == before + 1)
+    val pre = VersionedTable.dataDirs(spark, rootOf("t9b"), Some(before)).toSet
+    val post = VersionedTable.dataDirs(spark, rootOf("t9b")).toSet
+    assert(pre.subsetOf(post))
+  }
+
+  test("SQL MERGE with only WHEN MATCHED clauses and no matching keys " +
+    "stays a true no-op: nothing written, no version committed") {
+    wh
+    spark.sql("CREATE TABLE graft.t9c (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.t9c VALUES (1, 'a')")
+    val before = VersionedTable.latestVersion(spark, rootOf("t9c"))
+    spark.sql("""MERGE INTO graft.t9c t
+      |USING (SELECT * FROM VALUES (9, 'z') AS src(id, s)) s
+      |ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET t.s = s.s""".stripMargin)
+    assert(VersionedTable.latestVersion(spark, rootOf("t9c")) == before)
+    assert(spark.sql("SELECT s FROM graft.t9c WHERE id = 1")
+      .as[String].head == "a")
+  }
+
   test("a CHECK constraint blocks a violating SQL UPDATE at the commit " +
     "point — the statement fails, the table is unchanged") {
     wh
