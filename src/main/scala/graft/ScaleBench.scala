@@ -436,6 +436,10 @@ object ScaleBench {
           spark.conf.set(s"spark.sql.catalog.$c",
             classOf[graft.sources.GraftCatalog].getName)
           spark.conf.set(s"spark.sql.catalog.$c.warehouse", wh.toString)
+          // this row MEASURES runtime group filtering across the
+          // decade — force it on past the size guard at every SF
+          spark.conf.set(
+            graft.sources.GraftCatalog.MergeRuntimeFilterMinRows, "0")
           c
         }
         var run = 0

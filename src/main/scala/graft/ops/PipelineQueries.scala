@@ -1448,6 +1448,10 @@ object PipelineQueries extends QueryPack {
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpRoot.toString)
+      // this gate DEMONSTRATES runtime pruning — force it on past the
+      // size guard (a 450-row table is far below the few-GB crossover
+      // where the pruning subquery pays for itself)
+      s.conf.set(graft.sources.GraftCatalog.MergeRuntimeFilterMinRows, "0")
       docs(s, d).filter(col("doc_id") < 450)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           col("text"))

@@ -361,6 +361,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 object GraftCatalog {
   /** Property-key prefix mapping TBLPROPERTIES onto CHECK constraints. */
   val ConstraintProp = "graft.constraints."
+
+  /** Session conf: minimum manifest row count at which SQL MERGE pays
+    * the runtime group-filter subquery (default 10M rows ≈ the few-GB
+    * wall-clock crossover BASELINE.md measured). `0` forces pruning
+    * on — what the pruning demos/benches set; tables whose manifest
+    * lacks stats always prune (unknown size = assume big). */
+  val MergeRuntimeFilterMinRows = "spark.graft.merge.runtimeGroupFilter.minRows"
 }
 
 /** One catalog-resolved snapshot of a versioned table. Reads delegate
@@ -588,19 +595,39 @@ private[sources] class GraftRowLevelOperation(table: GraftSqlTable,
 
   override def command = info.command
 
+  /** Runtime group filtering is INSURANCE whose premium is a
+    * dynamic-pruning subquery (one extra columnar pass over the table
+    * joining the source to find matched dirs). Above a size floor the
+    * avoided write amplification dominates (sf1 A/B in BASELINE.md:
+    * 48× less data written); below it the subquery costs more
+    * wall-clock than the unpruned rewrite it prevents (0.8 s vs
+    * 1.6 s at sf1, crossover a few GB up). So small tables skip the
+    * subquery and take the plain full rewrite — same answers, no
+    * insurance premium. The floor is manifest row count (O(manifest)
+    * driver lookup, no scan); an UNKNOWN count conservatively keeps
+    * runtime filtering — at 100 TB the scale-safe default must win. */
+  private[sources] lazy val mergeRuntimeFilterOn: Boolean = {
+    val minRows = spark.conf.getOption(GraftCatalog.MergeRuntimeFilterMinRows)
+      .map(_.toLong).getOrElse(10000000L)
+    VersionedTable.rowCount(spark, root, Some(baseVersion))
+      .forall(_ >= minRows)
+  }
+
   /** For MERGE the statement condition references the SOURCE, so
     * static manifest stats can never classify target dirs — instead
     * the operation requests the `_commit_dir` metadata column and
     * Spark's runtime group filtering computes the matched dirs with a
     * subquery, handing them to the scan's runtime filter (see
-    * [[org.apache.spark.sql.graft.RuntimeFilteredDirScan]]).
+    * [[org.apache.spark.sql.graft.RuntimeFilteredDirScan]]) — unless
+    * the table is below the size floor (see [[mergeRuntimeFilterOn]]).
     * UPDATE/DELETE conditions are target-only: static stats pruning
     * (pushFilters below) already covers them without the per-dir
     * tagged read, so they declare no metadata needs. */
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (info.command ==
-      org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE)
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE
+      && mergeRuntimeFilterOn)
       Array(org.apache.spark.sql.graft.DirTag.ref)
     else Array.empty
 

@@ -181,6 +181,20 @@ class RuntimeFilteredDirScan(spark: SparkSession, root: String,
   override def planInputPartitions(): Array[InputPartition] =
     DirTaggedScan.planPerDir(new Path(root, "data"), current, scanForDirs)
 
+  // DELIBERATELY pushes NO data filters into the per-dir parquet
+  // builders (unlike DirTaggedScan's main-read path): this scan feeds
+  // the ROW-LEVEL REWRITE, whose carry unit is the whole commit dir —
+  // every row of a surviving dir must flow through the scan into the
+  // replacement, including carry-over rows that FAIL the statement's
+  // target-only ON conjuncts (MERGE keeps unmatched target rows
+  // as-is). Row-group pruning on those conjuncts would drop exactly
+  // those rows from the rewrite — silent data loss, not an I/O
+  // optimization (GraftCatalogSpec pins the straddling-dir case).
+  // Sub-dir I/O savings here would need a finer carry unit (per-FILE
+  // manifests, Iceberg's granularity) — a format change, not a scan
+  // tweak. Target-only conjuncts already prune at the safe dir
+  // granularity via the static manifest-stats classification in
+  // GraftRowLevelOperation.pushFilters.
   private def scanForDirs(paths: Seq[String]): Scan = {
     val b = ParquetTable(s"graft-rowlevel $root", spark, options, paths,
       userSpecifiedSchema = Some(dataSchema),

@@ -110,6 +110,9 @@ class GraftCatalogSpec extends SparkSpec {
   test("insert-only SQL MERGE (no source key matches any target row) " +
     "APPENDS the WHEN NOT MATCHED inserts instead of discarding them") {
     wh
+    // force the runtime group filter on (the size guard would skip it
+    // for a table this small, hiding the pruned-path behavior)
+    spark.conf.set(GraftCatalog.MergeRuntimeFilterMinRows, "0")
     spark.sql("CREATE TABLE graft.t9b (id BIGINT, s STRING)")
     spark.sql("INSERT INTO graft.t9b VALUES (1, 'a'), (2, 'b')")
     val before = VersionedTable.latestVersion(spark, rootOf("t9b"))
@@ -135,6 +138,7 @@ class GraftCatalogSpec extends SparkSpec {
   test("SQL MERGE with only WHEN MATCHED clauses and no matching keys " +
     "stays a true no-op: nothing written, no version committed") {
     wh
+    spark.conf.set(GraftCatalog.MergeRuntimeFilterMinRows, "0")
     spark.sql("CREATE TABLE graft.t9c (id BIGINT, s STRING)")
     spark.sql("INSERT INTO graft.t9c VALUES (1, 'a')")
     val before = VersionedTable.latestVersion(spark, rootOf("t9c"))
@@ -499,6 +503,7 @@ class GraftCatalogSpec extends SparkSpec {
     "group-filter subquery computes matched dirs from the join, " +
     "untouched dirs carry by identity") {
     wh
+    spark.conf.set(GraftCatalog.MergeRuntimeFilterMinRows, "0")
     spark.sql("CREATE TABLE graft.md2 (id BIGINT, s STRING)")
     spark.sql("INSERT INTO graft.md2 SELECT id, concat('s', id) " +
       "FROM range(0, 100)")
@@ -547,6 +552,64 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) FROM graft.md2 WHERE s = 'new'").as[Long].head
       == 11L)
+  }
+
+  test("MERGE runtime-filter size guard: below the row floor the " +
+    "statement skips the pruning subquery and takes the plain full " +
+    "rewrite — same answers, no insurance premium") {
+    wh
+    // default floor (10M rows) dwarfs this table → guard skips the
+    // runtime filter: the statement is an unpruned full rewrite
+    spark.conf.unset(GraftCatalog.MergeRuntimeFilterMinRows)
+    try {
+      spark.sql("CREATE TABLE graft.md5 (id BIGINT, s STRING)")
+      spark.sql("INSERT INTO graft.md5 SELECT id, concat('s', id) " +
+        "FROM range(0, 100)")
+      spark.sql("INSERT INTO graft.md5 SELECT id, concat('s', id) " +
+        "FROM range(100, 200)")
+      val root = rootOf("md5")
+      val before = VersionedTable.dataDirs(spark, root).toSet
+      spark.sql("""MERGE INTO graft.md5 t
+        |USING (SELECT 150 AS id, 'u' AS s) src
+        |ON t.id = src.id
+        |WHEN MATCHED THEN UPDATE SET t.s = src.s
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val after = VersionedTable.dataDirs(spark, root).toSet
+      // no dynamic-pruning subquery ran: nothing carried by identity,
+      // the whole snapshot was rewritten into fresh dirs
+      assert((before intersect after).isEmpty,
+        s"expected a full rewrite below the floor, carried " +
+          s"${(before intersect after).size} dirs")
+      assert(spark.sql("SELECT s FROM graft.md5 WHERE id = 150")
+        .as[String].head == "u")
+      assert(spark.sql("SELECT count(*) FROM graft.md5").as[Long].head
+        == 200L)
+    } finally
+      spark.conf.set(GraftCatalog.MergeRuntimeFilterMinRows, "0")
+  }
+
+  test("MERGE with a target-only ON conjunct keeps carry-over rows of " +
+    "surviving dirs: dir is the carry unit, so rows of a surviving " +
+    "dir that fail the conjunct must still flow through the rewrite") {
+    wh
+    spark.conf.set(GraftCatalog.MergeRuntimeFilterMinRows, "0")
+    spark.sql("CREATE TABLE graft.md6 (id BIGINT, s STRING)")
+    // ONE dir straddling the conjunct boundary: ids 0..99, conjunct
+    // id >= 50 — if the row-level scan ever pruned at row-group
+    // granularity on the pushed conjunct, ids < 50 would vanish
+    spark.sql("INSERT INTO graft.md6 SELECT id, concat('s', id) " +
+      "FROM range(0, 100)")
+    spark.sql("""MERGE INTO graft.md6 t
+      |USING (SELECT 60 AS id, 'u' AS s) src
+      |ON t.id = src.id AND t.id >= 50
+      |WHEN MATCHED THEN UPDATE SET t.s = src.s""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.md6").as[Long].head
+      == 100L,
+      "carry-over rows below the ON conjunct were lost from the rewrite")
+    assert(spark.sql("SELECT s FROM graft.md6 WHERE id = 60")
+      .as[String].head == "u")
+    assert(spark.sql("SELECT s FROM graft.md6 WHERE id = 10")
+      .as[String].head == "s10")
   }
 
   test("writeStream.toTable appends each micro-batch as one atomic " +
