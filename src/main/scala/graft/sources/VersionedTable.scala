@@ -51,6 +51,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 class VersionConflictException(message: String)
     extends IllegalStateException(message)
 
+/** A reader needed a version range that VACUUM has already aged out —
+  * manifests or commit dirs gone. Thrown (instead of a raw
+  * FileNotFound deep in a parquet scan) by the change-feed / streaming
+  * read paths, carrying exactly what a consumer needs to recover:
+  * which versions are missing, the earliest still-available version,
+  * and how to restart. The retention rule this enforces is Delta's:
+  * keep `vacuum`'s `keepVersions`/`retainMillis` horizon LONGER than
+  * your slowest consumer's lag (a `maxVersionsPerTrigger` cold start
+  * catching up through old versions is the canonical laggard). */
+class GraftDataLossException(message: String)
+    extends IllegalStateException(message)
+
 object VersionedTable {
 
   private def fsOf(spark: SparkSession, p: Path) =
@@ -73,6 +85,70 @@ object VersionedTable {
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
         n.stripPrefix("v").stripSuffix(".json").toInt }
       .foldLeft(-1)(math.max)
+  }
+
+  /** Smallest version whose manifest still exists — the vacuum
+    * horizon's floor (vacuum drops old manifests with their dirs).
+    * -1 for an empty table. */
+  def earliestVersion(spark: SparkSession, root: String): Int = {
+    val dir = manifestDir(root)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) -1
+    else {
+      val vs = fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toInt }
+      if (vs.isEmpty) -1 else vs.min
+    }
+  }
+
+  /** Fail with a typed, actionable [[GraftDataLossException]] when any
+    * manifest in `[from, to]` has been vacuumed away — the guard every
+    * change-feed / streaming read path runs BEFORE resolving a version
+    * range, so a lagging consumer catching up through history dies
+    * with a recovery recipe instead of a raw missing-file error deep
+    * inside a scan. O(range) tiny existence checks, driver-side. */
+  private[sources] def requireVersionsAvailable(spark: SparkSession,
+      root: String, from: Int, to: Int): Unit = {
+    if (to < 0) return
+    val fs = fsOf(spark, manifestDir(root))
+    val missing = (math.max(from, 0) to to)
+      .filterNot(v => fs.exists(manifestPath(root, v)))
+    if (missing.nonEmpty) {
+      val earliest = earliestVersion(spark, root)
+      throw new GraftDataLossException(
+        s"version(s) ${missing.min}..${missing.max} of $root were " +
+          "removed by VACUUM while this reader still needed them " +
+          s"(earliest surviving manifest: $earliest). Restart the " +
+          "consumer from a live version — streaming snapshot mode: a " +
+          "fresh checkpoint (re-reads the current snapshot); change " +
+          s"feeds: startingVersion >= ${earliest + 1} (a version's " +
+          "delta needs its predecessor's manifest) — and raise " +
+          "vacuum's keepVersions/retainMillis above your slowest " +
+          "consumer's lag.")
+    }
+  }
+
+  /** Same contract as [[requireVersionsAvailable]], for COMMIT DIRS a
+    * resolved delta is about to scan: a crash-interrupted vacuum can
+    * leave a manifest whose dirs are gone. `paths` are absolute
+    * commit-dir paths (the delta of one batch — small by
+    * construction). */
+  private[sources] def requireDirsAvailable(spark: SparkSession,
+      root: String, paths: Seq[String]): Unit = {
+    if (paths.isEmpty) return
+    val fs = fsOf(spark, new Path(root))
+    val missing = paths.filterNot(p => fs.exists(new Path(p)))
+    if (missing.nonEmpty) {
+      val earliest = earliestVersion(spark, root)
+      throw new GraftDataLossException(
+        s"commit dir(s) ${missing.map(p => new Path(p).getName)
+          .mkString(", ")} of $root were removed by VACUUM while this " +
+          "reader still referenced them. Restart the consumer from a " +
+          s"live version (earliest manifest: $earliest) and raise " +
+          "vacuum's keepVersions/retainMillis above your slowest " +
+          "consumer's lag.")
+    }
   }
 
   private def manifestLines(spark: SparkSession, root: String,
@@ -353,29 +429,43 @@ object VersionedTable {
       keepVersions: Int = 1,
       retainMillis: Long = 3600L * 1000L): DataFrame = {
     import spark.implicits._
-    require(keepVersions >= 1, "must keep at least the live version")
-    val latest = latestVersion(spark, root)
     val fs = fsOf(spark, new Path(root))
-    val rows =
-      if (latest < 0) Seq.empty
-      else {
-        val keepFrom = math.max(0, latest - keepVersions + 1)
-        val keep = (keepFrom to latest)
-          .filter(v => fs.exists(manifestPath(root, v)))
-          .flatMap(v => readManifest(spark, root, v)).toSet
-        val horizon = System.currentTimeMillis() - retainMillis
-        val dataRoot = new Path(root, "data")
-        if (!fs.exists(dataRoot)) Seq.empty
-        else fs.listStatus(dataRoot).toSeq
-          .filter(st => !keep.contains(st.getPath.getName) &&
-            st.getModificationTime < horizon)
-          .map { st =>
-            val files = fs.listStatus(st.getPath)
-            (st.getPath.getName, files.length.toLong,
-              files.map(_.getLen).sum)
-          }
+    val (candidates, _) =
+      vacuumCandidates(spark, root, keepVersions, retainMillis)
+    val rows = candidates
+      // in-flight `.stream-*` staging dirs are housekeeping, not table
+      // history — listing them as deletable "commit dirs" under an
+      // ACTIVE streaming query reads as data loss; vacuum itself still
+      // ages them out (an hour-old staging dir is an abandoned epoch)
+      .filterNot(_.getPath.getName.startsWith("."))
+      .map { st =>
+        val files = fs.listStatus(st.getPath)
+        (st.getPath.getName, files.length.toLong, files.map(_.getLen).sum)
       }
     rows.sortBy(_._1).toDF("commit_dir", "num_files", "bytes")
+  }
+
+  // the unreferenced, aged-out data dirs vacuum would delete, plus the
+  // keepFrom floor — ONE candidate-selection implementation shared by
+  // vacuum (destructive) and vacuumPreview (DRY RUN) so the two can
+  // never drift
+  private def vacuumCandidates(spark: SparkSession, root: String,
+      keepVersions: Int, retainMillis: Long)
+      : (Seq[org.apache.hadoop.fs.FileStatus], Int) = {
+    require(keepVersions >= 1, "must keep at least the live version")
+    val latest = latestVersion(spark, root)
+    if (latest < 0) return (Seq.empty, 0)
+    val keepFrom = math.max(0, latest - keepVersions + 1)
+    val fs = fsOf(spark, new Path(root))
+    val keep = (keepFrom to latest)
+      .filter(v => fs.exists(manifestPath(root, v)))
+      .flatMap(v => readManifest(spark, root, v)).toSet
+    val horizon = System.currentTimeMillis() - retainMillis
+    val dataRoot = new Path(root, "data")
+    if (!fs.exists(dataRoot)) (Seq.empty, keepFrom)
+    else (fs.listStatus(dataRoot).toSeq
+      .filter(st => !keep.contains(st.getPath.getName) &&
+        st.getModificationTime < horizon), keepFrom)
   }
 
   /** OPTIMIZE: rewrite the current snapshot Z-order-clustered on two
@@ -462,6 +552,7 @@ object VersionedTable {
     import org.apache.spark.sql.functions._
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    requireVersionsAvailable(spark, root, fromVersion, toVersion)
     val fromDirs = readManifest(spark, root, fromVersion).toSet
     val toDirs = readManifest(spark, root, toVersion)
     if (fromDirs.subsetOf(toDirs.toSet)) {
@@ -469,15 +560,18 @@ object VersionedTable {
       if (added.isEmpty)
         read(spark, root, Some(toVersion)).limit(0)
           .withColumn("change_kind", lit("insert"))
-      else
+      else {
+        val paths = added.map(d =>
+          new Path(new Path(root, "data"), d).toString)
+        requireDirsAvailable(spark, root, paths)
         // pin to the snapshot schema (column order/nullability and any
         // #schema evolution pin), matching the general path and the
         // streaming source — a consumer switching regimes must never
         // see feed-side schema drift for the same table
         spark.read.schema(read(spark, root, Some(toVersion)).schema)
-          .parquet(added.map(d =>
-            new Path(new Path(root, "data"), d).toString): _*)
+          .parquet(paths: _*)
           .withColumn("change_kind", lit("insert"))
+      }
     } else key match {
       case None =>
         val to = read(spark, root, Some(toVersion))
@@ -558,6 +652,11 @@ object VersionedTable {
       s"startingVersion $startingVersion must be in [0, $end]")
     require(end <= latest,
       s"endingVersion $end exceeds latest committed version $latest")
+    // the per-version loop needs startingVersion-1..end; fail up front
+    // with the typed data-loss error instead of a missing-manifest
+    // require mid-feed
+    requireVersionsAvailable(spark, root,
+      math.max(0, startingVersion - 1), end)
     (startingVersion to end).map { v =>
       val delta =
         if (v == 0) read(spark, root, Some(0))
@@ -1326,30 +1425,18 @@ object VersionedTable {
     * `retainMillis` above the longest expected micro-batch write. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
       retainMillis: Long = 3600L * 1000L): Unit = {
-    require(keepVersions >= 1, "must keep at least the live version")
-    val latest = latestVersion(spark, root)
-    if (latest < 0) return
-    val keepFrom = math.max(0, latest - keepVersions + 1)
     val fs = fsOf(spark, new Path(root))
-    val keep = (keepFrom to latest)
-      .filter(v => fs.exists(manifestPath(root, v)))
-      .flatMap(v => readManifest(spark, root, v)).toSet
-    val horizon = System.currentTimeMillis() - retainMillis
-    val dataRoot = new Path(root, "data")
-    if (fs.exists(dataRoot)) {
-      val candidates = fs.listStatus(dataRoot)
-        .filter(st => !keep.contains(st.getPath.getName) &&
-          st.getModificationTime < horizon)
-        .map(_.getPath)
-      if (candidates.nonEmpty) {
-        // re-list: spare anything a mid-scan commit now references
-        val latestNow = latestVersion(spark, root)
-        val lateKeep = (keepFrom to latestNow)
-          .filter(v => fs.exists(manifestPath(root, v)))
-          .flatMap(v => readManifest(spark, root, v)).toSet
-        candidates.filterNot(p => lateKeep.contains(p.getName))
-          .foreach(p => fs.delete(p, true))
-      }
+    val (candidateSt, keepFrom) =
+      vacuumCandidates(spark, root, keepVersions, retainMillis)
+    val candidates = candidateSt.map(_.getPath)
+    if (candidates.nonEmpty) {
+      // re-list: spare anything a mid-scan commit now references
+      val latestNow = latestVersion(spark, root)
+      val lateKeep = (keepFrom to latestNow)
+        .filter(v => fs.exists(manifestPath(root, v)))
+        .flatMap(v => readManifest(spark, root, v)).toSet
+      candidates.filterNot(p => lateKeep.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
     }
     (0 until keepFrom).foreach(v => fs.delete(manifestPath(root, v), false))
   }

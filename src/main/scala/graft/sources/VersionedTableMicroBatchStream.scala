@@ -78,8 +78,16 @@ class VersionedTableMicroBatchStream(spark: SparkSession, root: String,
     VersionOffset(json.trim.toInt)
 
   private def deltaPaths(from: Int, to: Int): Seq[String] = {
-    if (from < 0)
-      return VersionedTable.dataDirs(spark, root, Some(to))
+    // a lagging consumer (bounded catch-up, restart from an old
+    // checkpoint) must hit the typed data-loss error, not a raw
+    // missing-manifest/missing-file failure deep inside the scan
+    VersionedTable.requireVersionsAvailable(spark, root,
+      math.max(from, 0), to)
+    if (from < 0) {
+      val paths = VersionedTable.dataDirs(spark, root, Some(to))
+      VersionedTable.requireDirsAvailable(spark, root, paths)
+      return paths
+    }
     val fromDirs = VersionedTable.dataDirs(spark, root, Some(from))
       .map(d => new Path(d).getName).toSet
     val toDirs = VersionedTable.dataDirs(spark, root, Some(to))
@@ -88,8 +96,10 @@ class VersionedTableMicroBatchStream(spark: SparkSession, root: String,
       s"versions ($from, $to] of $root contain a rewrite " +
         "(merge/compact/optimize) — the streaming source only tails " +
         "APPENDS; use VersionedTable.changesBetween for rewrite deltas")
-    toDirs.filterNot(fromDirs)
+    val paths = toDirs.filterNot(fromDirs)
       .map(d => new Path(new Path(root, "data"), d).toString)
+    VersionedTable.requireDirsAvailable(spark, root, paths)
+    paths
   }
 
   private def scanOver(paths: Seq[String]) =
@@ -193,6 +203,8 @@ class VersionedTableChangeFeedStream(spark: SparkSession, root: String,
 
   // the dirs version v ADDED over v-1 (v == 0: everything it lists)
   private def addedPaths(v: Int): Seq[String] = {
+    VersionedTable.requireVersionsAvailable(spark, root,
+      math.max(v - 1, 0), v)
     val toDirs = VersionedTable.readManifest(spark, root, v)
     val prior =
       if (v == 0) Set.empty[String]
@@ -202,8 +214,10 @@ class VersionedTableChangeFeedStream(spark: SparkSession, root: String,
         "the change-feed stream tails APPENDS; consume rewrite deltas " +
         "via VersionedTable.changeFeed (batch) or the v1 source's " +
         "keyed readChangeFeed")
-    toDirs.filterNot(prior)
+    val paths = toDirs.filterNot(prior)
       .map(d => new Path(new Path(root, "data"), d).toString)
+    VersionedTable.requireDirsAvailable(spark, root, paths)
+    paths
   }
 
   private def scanOver(paths: Seq[String]) =

@@ -85,9 +85,12 @@ class VersionedTableStreamSource(sqlContext: SQLContext, root: String,
     val batch = start match {
       case None =>
         // initial micro-batch: the whole snapshot as of `to`
+        VersionedTable.requireVersionsAvailable(spark, root, to, to)
         VersionedTable.read(spark, root, Some(to))
       case Some(s) =>
         val from = versionOf(s)
+        VersionedTable.requireVersionsAvailable(spark, root,
+          math.max(from, 0), to)
         val fromDirs = VersionedTable.dataDirs(spark, root, Some(from))
           .map(d => new Path(d).getName).toSet
         val toDirs = VersionedTable.dataDirs(spark, root, Some(to))

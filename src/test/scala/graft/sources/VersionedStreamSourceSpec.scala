@@ -301,6 +301,72 @@ class VersionedStreamSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("vacuum under a lagging bounded consumer: the stream dies with " +
+      "the typed GraftDataLossException naming the vacuumed range and " +
+      "the restart recipe, never a raw missing-file error") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a"))
+    VersionedTable.append(spark, root, docs(2L -> "b"), expectedVersion = 0)
+    VersionedTable.append(spark, root, docs(3L -> "c"), expectedVersion = 1)
+    // v3 is a REWRITE: pre-rewrite commit dirs leave the live manifest,
+    // so vacuum can actually delete data a replaying consumer needs
+    VersionedTable.merge(spark, root,
+      Seq((2L, "b2", "U")).toDF("id", "text", "op"), "id")
+    VersionedTable.append(spark, root, docs(4L -> "d"), expectedVersion = 3)
+    // retention horizon shorter than the consumer's lag — the
+    // misconfiguration the guard exists to catch (test-only 0 ms);
+    // keepVersions=2 leaves v3..v4 live, so a correctly-restarted
+    // consumer still has a working range to tail
+    VersionedTable.vacuum(spark, root, keepVersions = 2, retainMillis = 0L)
+    // a cold bounded consumer replaying from version 0 (the
+    // maxVersionsPerTrigger cold-start scenario)
+    val q = spark.readStream.format("graft-versioned-stream")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val e = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    val loss = causes(e).collectFirst { case d: GraftDataLossException => d }
+    assert(loss.isDefined,
+      s"expected GraftDataLossException in the cause chain, got: " +
+        causes(e).map(_.getClass.getSimpleName).mkString(" <- "))
+    assert(loss.get.getMessage.contains("VACUUM") &&
+      loss.get.getMessage.contains("startingVersion >= 4"),
+      s"error must name the vacuumed range and the restart floor: " +
+        loss.get.getMessage)
+    // batch changeFeed over the vacuumed range: same typed error
+    val e2 = intercept[GraftDataLossException] {
+      VersionedTable.changeFeed(spark, root, startingVersion = 0)
+    }
+    assert(e2.getMessage.contains("earliest surviving manifest: 3"))
+    // and the prescribed restart floor works: v4's delta is servable
+    // because its predecessor's manifest (v3) survived
+    assert(VersionedTable.changeFeed(spark, root, startingVersion = 4)
+      .count() == 1L)
+  }
+
+  test("a commit dir missing under a surviving manifest (interrupted " +
+      "vacuum) also surfaces as the typed data-loss error") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a"))
+    VersionedTable.append(spark, root, docs(2L -> "b"), expectedVersion = 0)
+    // simulate the torn state: v1's added dir deleted, manifest intact
+    val v0 = VersionedTable.dataDirs(spark, root, Some(0)).toSet
+    val added = VersionedTable.dataDirs(spark, root, Some(1))
+      .filterNot(v0).head
+    val p = new org.apache.hadoop.fs.Path(added)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val e = intercept[GraftDataLossException] {
+      VersionedTable.changesBetween(spark, root, 0, 1).count()
+    }
+    assert(e.getMessage.contains("removed by VACUUM"))
+  }
+
   test("keyed change-feed streaming through the v1 seam: three versions " +
       "of keyed changes fold to the batch changeFeed result, update " +
       "pre/post images included") {
