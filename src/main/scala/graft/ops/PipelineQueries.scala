@@ -1158,6 +1158,50 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // the SAME keyed feed served from COMMIT-TIME CHANGE FILES
+  // (enableChangeFeed before the merge, Delta's CDC-file approach):
+  // the rewrite materializes its pre/post images at the commit point,
+  // so serving the feed is an O(change-file) scan — the in-gate canary
+  // requires the file to exist and the feed plan to contain NO join
+  // (a join means the on-demand snapshot diff ran instead). Hash-gated
+  // by the SAME FULL OUTER JOIN oracle as
+  // pipeline_versioned_changes_keyed: one vocabulary, two serving
+  // regimes, identical rows.
+  def pipelineVersionedCdcFiles(s: SparkSession, d: String): DataFrame = {
+    val snap = docs(s, d)
+    val upd = snap.filter(col("doc_id") % 7 === 1)
+      .withColumn("source", lit("patched")).withColumn("op", lit("U"))
+    val del = snap.filter(col("doc_id") % 7 === 0)
+      .withColumn("op", lit("D"))
+    val ins = snap.filter(col("doc_id") % 7 === 2)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("source", lit("ingested")).withColumn("op", lit("U"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vcdcf")
+    val root = tmpRoot.resolve("tbl").toString
+    try {
+      val vt = graft.sources.VersionedTable
+      vt.init(s, root, snap)
+      vt.enableChangeFeed(s, root, "doc_id") // v1, metadata-only
+      vt.merge(s, root, upd.unionByName(del).unionByName(ins), "doc_id")
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      require(fs.exists(new org.apache.hadoop.fs.Path(root, "_changes/v2")),
+        "merge did not materialize its commit-time change file")
+      val feed = vt.changesBetween(s, root, 1, 2, key = Some("doc_id"))
+      require(feed.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty,
+        "keyed feed planned a snapshot join — change-file serving " +
+          "regressed")
+      feed
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"), col("change_kind"))
+        .orderBy("doc_id", "change_kind")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // manifest-stats FILE SKIPPING end to end: three appends land three
   // commit dirs whose `#file:` envelopes partition doc_id into
   // disjoint ranges; the readWhere scan resolves the predicate
@@ -1611,6 +1655,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_changes" -> pipelineVersionedChanges _,
     "pipeline_versioned_changes_feed" -> pipelineVersionedChangesFeed _,
     "pipeline_versioned_changes_keyed" -> pipelineVersionedChangesKeyed _,
+    "pipeline_versioned_cdc_files" -> pipelineVersionedCdcFiles _,
     "pipeline_versioned_skip" -> pipelineVersionedSkip _,
     "pipeline_versioned_count" -> pipelineVersionedCount _,
     "pipeline_versioned_delete" -> pipelineVersionedDelete _,
@@ -1890,6 +1935,53 @@ object PipelineQueries extends QueryPack {
     // (IS DISTINCT FROM = the engine's null-safe struct comparison);
     // md5 projection is the established per-row injection
     "pipeline_versioned_changes_keyed" ->
+      """WITH cs AS (
+        |  SELECT doc_id, text, lang, 'patched' AS source, n_chars,
+        |    'U' AS op FROM documents WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, 'D'
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, 'ingested', n_chars, 'U'
+        |  FROM documents WHERE doc_id % 7 = 2),
+        |kept AS (
+        |  SELECT s.* FROM documents s LEFT JOIN cs ON s.doc_id = cs.doc_id
+        |  WHERE cs.doc_id IS NULL),
+        |merged AS (
+        |  SELECT * FROM kept
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars FROM cs WHERE op = 'U'),
+        |v0 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |  FROM documents),
+        |v1 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |  FROM merged),
+        |j AS (
+        |  SELECT v0.doc_id AS f_id, v0.lang AS f_lang,
+        |    v0.source AS f_source, v0.n_chars AS f_n, v0.text_md5 AS f_md5,
+        |    v1.doc_id AS t_id, v1.lang AS t_lang,
+        |    v1.source AS t_source, v1.n_chars AS t_n, v1.text_md5 AS t_md5
+        |  FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id),
+        |upd AS (
+        |  SELECT * FROM j WHERE f_id IS NOT NULL AND t_id IS NOT NULL
+        |    AND (f_lang IS DISTINCT FROM t_lang
+        |      OR f_source IS DISTINCT FROM t_source
+        |      OR f_n IS DISTINCT FROM t_n
+        |      OR f_md5 IS DISTINCT FROM t_md5))
+        |SELECT t_id AS doc_id, t_lang AS lang, t_source AS source,
+        |  t_n AS n_chars, t_md5 AS text_md5, 'insert' AS change_kind
+        |FROM j WHERE f_id IS NULL
+        |UNION ALL
+        |SELECT f_id, f_lang, f_source, f_n, f_md5, 'delete'
+        |FROM j WHERE t_id IS NULL
+        |UNION ALL
+        |SELECT f_id, f_lang, f_source, f_n, f_md5, 'update_preimage' FROM upd
+        |UNION ALL
+        |SELECT t_id, t_lang, t_source, t_n, t_md5, 'update_postimage' FROM upd
+        |ORDER BY doc_id, change_kind""".stripMargin,
+    // the change-file-served keyed feed must be row-identical to the
+    // on-demand join diff — same oracle as
+    // pipeline_versioned_changes_keyed (one vocabulary, two regimes)
+    "pipeline_versioned_cdc_files" ->
       """WITH cs AS (
         |  SELECT doc_id, text, lang, 'patched' AS source, n_chars,
         |    'U' AS op FROM documents WHERE doc_id % 7 = 1

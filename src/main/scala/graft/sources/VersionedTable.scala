@@ -553,6 +553,18 @@ object VersionedTable {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
     requireVersionsAvailable(spark, root, fromVersion, toVersion)
+    // a single-step range over a DATA-EQUIVALENT maintenance commit
+    // (compact/compactSmall/optimize re-home rows, never change them)
+    // is the empty feed BY CONSTRUCTION — resolved from the #op:
+    // marker alone, no content diff, no exchange planned
+    if (toVersion == fromVersion + 1 &&
+      commitOp(spark, root, toVersion).exists(DataEquivalentOps)) {
+      val s = cheapSchema(spark, root, toVersion)
+        .getOrElse(read(spark, root, Some(toVersion)).schema)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        .withColumn("change_kind", lit("insert"))
+    }
     val fromDirs = readManifest(spark, root, fromVersion).toSet
     val toDirs = readManifest(spark, root, toVersion)
     if (fromDirs.subsetOf(toDirs.toSet)) {
@@ -587,41 +599,60 @@ object VersionedTable {
           .withColumn("__i", explode(sequence(lit(1L), abs(col("__net")))))
           .drop("__net", "__i")
       case Some(k) =>
-        val to = read(spark, root, Some(toVersion))
-        val from = read(spark, root, Some(fromVersion))
-        val cols = to.columns.toSeq
-        require(cols.contains(k),
-          s"key column '$k' not in table schema ${to.schema.simpleString}")
-        val rest = cols.filterNot(_ == k)
-        // one full-outer join on the key, then a single pass deriving
-        // 0..2 change rows per key via explode — no repeated subplans,
-        // so the two snapshots are each scanned and shuffled once.
-        // Null-safe struct comparison (<=>) detects value changes
-        // including NULL transitions.
-        val f = from.select(col(k).as("__k"),
-          struct(rest.map(col): _*).as("__fv"), lit(1).as("__fp"))
-        val t = to.select(col(k).as("__k"),
-          struct(rest.map(col): _*).as("__tv"), lit(1).as("__tp"))
-        val j = f.join(t, Seq("__k"), "full_outer")
-          .withColumn("__kinds",
-            when(col("__fp").isNull, array(lit("insert")))
-              .when(col("__tp").isNull, array(lit("delete")))
-              .when(!(col("__fv") <=> col("__tv")),
-                array(lit("update_preimage"), lit("update_postimage")))
-              .otherwise(array().cast("array<string>")))
-          .select(col("__k"), col("__fv"), col("__tv"),
-            explode(col("__kinds")).as("change_kind"))
-        // pre-image kinds surface the FROM row, post-image kinds the
-        // TO row; column order matches the table schema
-        val preKinds = Seq("delete", "update_preimage")
-        val out = cols.map { c =>
-          if (c == k) col("__k").as(k)
-          else when(col("change_kind").isin(preKinds: _*),
-            col("__fv").getField(c))
-            .otherwise(col("__tv").getField(c)).as(c)
-        } :+ col("change_kind")
-        j.select(out: _*)
+        // a materialized commit-time change file serves the single-step
+        // keyed delta at O(delta-file) I/O — no join, no snapshot scan
+        // (Delta's CDC-file read path); anything else pays the honest
+        // one-join diff
+        val served =
+          if (toVersion == fromVersion + 1 &&
+            changeFeedKey(spark, root, Some(toVersion)).contains(k))
+            readChangeFile(spark, root, toVersion)
+          else None
+        served.getOrElse {
+          val to = read(spark, root, Some(toVersion))
+          val from = read(spark, root, Some(fromVersion))
+          require(to.columns.contains(k),
+            s"key column '$k' not in table schema ${to.schema.simpleString}")
+          keyedDiff(from, to, to.columns.toSeq, k)
+        }
     }
+  }
+
+  /** The keyed pre/post-image diff of two snapshots sharing `cols`:
+    * one full-outer join on the key, then a single pass deriving 0..2
+    * change rows per key via explode — no repeated subplans, so each
+    * side is scanned and shuffled once. Null-safe struct comparison
+    * (<=>) detects value changes including NULL transitions. Shared by
+    * the on-demand [[changesBetween]] keyed path and the commit-time
+    * CDC materialization ([[publishDir]]) so the two can never
+    * disagree on vocabulary. */
+  private def keyedDiff(from: DataFrame, to: DataFrame,
+      cols: Seq[String], k: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rest = cols.filterNot(_ == k)
+    val f = from.select(col(k).as("__k"),
+      struct(rest.map(col): _*).as("__fv"), lit(1).as("__fp"))
+    val t = to.select(col(k).as("__k"),
+      struct(rest.map(col): _*).as("__tv"), lit(1).as("__tp"))
+    val j = f.join(t, Seq("__k"), "full_outer")
+      .withColumn("__kinds",
+        when(col("__fp").isNull, array(lit("insert")))
+          .when(col("__tp").isNull, array(lit("delete")))
+          .when(!(col("__fv") <=> col("__tv")),
+            array(lit("update_preimage"), lit("update_postimage")))
+          .otherwise(array().cast("array<string>")))
+      .select(col("__k"), col("__fv"), col("__tv"),
+        explode(col("__kinds")).as("change_kind"))
+    // pre-image kinds surface the FROM row, post-image kinds the
+    // TO row; column order matches the table schema
+    val preKinds = Seq("delete", "update_preimage")
+    val out = cols.map { c =>
+      if (c == k) col("__k").as(k)
+      else when(col("change_kind").isin(preKinds: _*),
+        col("__fv").getField(c))
+        .otherwise(col("__tv").getField(c)).as(c)
+    } :+ col("change_kind")
+    j.select(out: _*)
   }
 
   /** PER-VERSION change feed over a committed range — Delta CDF's
@@ -657,13 +688,188 @@ object VersionedTable {
     // require mid-feed
     requireVersionsAvailable(spark, root,
       math.max(0, startingVersion - 1), end)
-    (startingVersion to end).map { v =>
+    val deltas = (startingVersion to end).map { v =>
       val delta =
         if (v == 0) read(spark, root, Some(0))
           .withColumn("change_kind", lit("insert"))
         else changesBetween(spark, root, v - 1, v, key)
       delta.withColumn("_commit_version", lit(v.toLong))
-    }.reduce(_ unionByName _)
+    }
+    // BALANCED union, not a left fold: a cold feed over a 10^4-version
+    // history under a linear union is a 10^4-deep plan the analyzer
+    // recurses into (driver stack/time blowup); the tree keeps depth
+    // log2(versions)
+    def tree(dfs: Seq[DataFrame]): DataFrame =
+      if (dfs.size == 1) dfs.head
+      else tree(dfs.grouped(2).map {
+        case Seq(a, b) => a.unionByName(b)
+        case Seq(a) => a
+      }.toSeq)
+    tree(deltas)
+  }
+
+  /** Commit ops that are DATA-EQUIVALENT by construction: they re-home
+    * rows into different files (layout maintenance) without changing
+    * table content, so any change feed across exactly one of them is
+    * empty with zero computation. The `#op:` marker is the manifest's
+    * own record of who committed — trusted the same way the dir list
+    * is. */
+  private[sources] val DataEquivalentOps: Set[String] =
+    Set("compact", "compact_small", "optimize")
+
+  private def changesDir(root: String) = new Path(root, "_changes")
+
+  private def changeFilePath(root: String, v: Int) =
+    new Path(changesDir(root), s"v$v")
+
+  /** The CDC key column pinned by [[enableChangeFeed]] as of `version`
+    * (default latest), or None when commit-time change materialization
+    * is off. Carried through every commit like the constraint set. */
+  def changeFeedKey(spark: SparkSession, root: String,
+      version: Option[Int] = None): Option[String] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) None
+    else manifestLines(spark, root, v)
+      .find(_.startsWith("#cdckey:")).map(_.stripPrefix("#cdckey:"))
+  }
+
+  /** Turn ON commit-time CDC materialization (Delta's change-data-feed
+    * table property, keyed): from the next commit on, every REWRITE
+    * commit (delete/update/merge/SQL DML — any commit that drops dirs
+    * from the manifest) also writes its keyed pre/post-image rows to
+    * `_changes/v{N}` BEFORE its manifest rename, so the change feed
+    * for that version serves at O(delta-file) I/O — no snapshot join —
+    * and the DSv2 streaming seam can serve keyed feeds across
+    * rewrites. Append commits write no change file (the manifest diff
+    * already serves them at O(delta)); data-equivalent maintenance
+    * commits write an EMPTY file (provably no changes, no
+    * computation). The pin validates the merge invariant up front: a
+    * key that is not unique per snapshot makes pre/post pairing
+    * ill-defined, so a duplicated key refuses loudly here rather than
+    * corrupting feeds later. Committed as a metadata version
+    * (`#op:enable_cdc`); [[changeFeedKey]] reads the pin back. */
+  def enableChangeFeed(spark: SparkSession, root: String,
+      key: String): Int = {
+    import org.apache.spark.sql.functions.{count, countDistinct, col}
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    require(changeFeedKey(spark, root, Some(base)).isEmpty,
+      s"change feed already enabled on $root (key " +
+        s"'${changeFeedKey(spark, root, Some(base)).get}')")
+    val snap = read(spark, root, Some(base))
+    require(snap.columns.contains(key),
+      s"key column '$key' not in table schema ${snap.schema.simpleString}")
+    val Array(n, d) = snap.agg(count(col(key)), countDistinct(col(key)))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(n == d,
+      s"key '$key' is not unique in the current snapshot ($n rows, $d " +
+        "distinct) — keyed change pairing would be ill-defined")
+    val body = manifestLines(spark, root, base)
+      .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:"))
+    writeManifest(spark, root, base + 1,
+      "#op:enable_cdc" +: body :+ s"#cdckey:$key")
+    base + 1
+  }
+
+  /** The materialized change file's path for version `v`, if one
+    * exists — the streaming seam's lookup. */
+  private[sources] def changeFilePathIfExists(spark: SparkSession,
+      root: String, v: Int): Option[String] = {
+    val p = changeFilePath(root, v)
+    if (fsOf(spark, p).exists(p)) Some(p.toString) else None
+  }
+
+  /** The materialized change file of version `v` (table columns +
+    * `change_kind`), or None when the commit predates [[enableChangeFeed]]
+    * or was append-only. Schema-pinned so a consumer never sees
+    * feed-side drift between the file and join regimes. */
+  private[sources] def readChangeFile(spark: SparkSession, root: String,
+      v: Int): Option[DataFrame] = {
+    val p = changeFilePath(root, v)
+    if (!fsOf(spark, p).exists(p)) None
+    else {
+      val s = cheapSchema(spark, root, v)
+        .getOrElse(read(spark, root, Some(v)).schema)
+      val feedSchema = org.apache.spark.sql.types.StructType(s.fields :+
+        org.apache.spark.sql.types.StructField("change_kind",
+          org.apache.spark.sql.types.StringType, nullable = true))
+      Some(spark.read.schema(feedSchema).parquet(p.toString))
+    }
+  }
+
+  /** Turn commit-time CDC materialization back OFF (metadata-only
+    * commit dropping the `#cdckey:` pin). Existing change files keep
+    * serving their versions until vacuumed. */
+  def disableChangeFeed(spark: SparkSession, root: String): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    require(changeFeedKey(spark, root, Some(base)).isDefined,
+      s"change feed is not enabled on $root")
+    val body = manifestLines(spark, root, base)
+      .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:") ||
+        l.startsWith("#cdckey:"))
+    writeManifest(spark, root, base + 1, "#op:disable_cdc" +: body)
+    base + 1
+  }
+
+  // materialize `_changes/v{next}` for a rewrite commit: the keyed
+  // diff of exactly (dropped dirs → staged dir) — O(rewritten data) —
+  // or an empty file for provably data-equivalent maintenance.
+  // tmp-write + rename; an orphan target from an earlier failed
+  // attempt at this version is replaced (no manifest references it).
+  private def writeChangeFile(spark: SparkSession, root: String,
+      next: Int, key: String, removedDirs: Seq[String], dataDir: Path,
+      wroteFiles: Boolean, metaLines: Seq[String],
+      equivalent: Boolean): Unit = {
+    import org.apache.spark.sql.types.StructType
+    def shape(s: StructType) =
+      s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.sql))
+    val oldSchema = cheapSchema(spark, root, next - 1)
+      .getOrElse(read(spark, root, Some(next - 1)).schema)
+    val schema: StructType = metaLines.collectFirst {
+      case l if l.startsWith("#schema:") =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("#schema:")).asInstanceOf[StructType]
+    }.getOrElse {
+      if (wroteFiles) spark.read.parquet(dataDir.toString).schema
+      else oldSchema
+    }
+    // a rewrite that changes the schema non-additively has no single
+    // row type a change consumer could apply — refuse the commit
+    // loudly (disableChangeFeed first, rewrite, re-enable)
+    require(shape(schema) == shape(oldSchema) ||
+      shape(schema).startsWith(shape(oldSchema)),
+      s"rewrite changes the schema (${schema.simpleString} vs " +
+        s"${oldSchema.simpleString}) while the change feed is enabled " +
+        "— disableChangeFeed before a schema-changing rewrite")
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(key)),
+      s"rewrite drops the CDC key column '$key' — disableChangeFeed " +
+        "before a schema-changing rewrite")
+    def empty(s: StructType) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    val dataRoot = new Path(root, "data")
+    val changes: DataFrame =
+      if (equivalent)
+        empty(StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField("change_kind",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+      else {
+        val oldDf = spark.read.schema(schema).parquet(
+          removedDirs.map(d => new Path(dataRoot, d).toString): _*)
+        val newDf =
+          if (wroteFiles) spark.read.schema(schema).parquet(dataDir.toString)
+          else empty(schema)
+        keyedDiff(oldDf, newDf, schema.fieldNames.toSeq, key)
+      }
+    val fs = fsOf(spark, changesDir(root))
+    fs.mkdirs(changesDir(root))
+    val tmp = new Path(changesDir(root),
+      s".tmp-${java.util.UUID.randomUUID}")
+    changes.write.parquet(tmp.toString)
+    val target = changeFilePath(root, next)
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"change-file rename $tmp -> $target failed")
   }
 
   private def commitDirs(spark: SparkSession, root: String, df: DataFrame,
@@ -731,6 +937,37 @@ object VersionedTable {
             "dropConstraint first"))
       }
     }
+    // COMMIT-TIME CDC MATERIALIZATION (when enableChangeFeed pinned a
+    // key): a commit that DROPS dirs from the manifest is a rewrite —
+    // its keyed change rows are the diff of exactly (dropped dirs →
+    // new dir), O(rewritten data) never O(table), written to
+    // `_changes/v{next}` BEFORE the manifest rename so the file is
+    // visible iff the commit is. Data-equivalent maintenance ops get
+    // an EMPTY file with zero computation. Append commits (nothing
+    // dropped) write no file — the manifest diff already serves them.
+    val cdcKey =
+      if (expectedVersion >= 0)
+        manifestLines(spark, root, expectedVersion)
+          .find(_.startsWith("#cdckey:")).map(_.stripPrefix("#cdckey:"))
+      else None
+    val cdcLine = cdcKey.map("#cdckey:" + _).toSeq
+    val removedDirs =
+      if (expectedVersion >= 0)
+        readManifest(spark, root, expectedVersion)
+          .filterNot(carryDirs.toSet)
+      else Seq.empty
+    if (cdcKey.isDefined && removedDirs.nonEmpty) {
+      val opName = metaLines.collectFirst {
+        case l if l.startsWith("#op:") => l.stripPrefix("#op:")
+      }
+      try writeChangeFile(spark, root, next, cdcKey.get, removedDirs,
+        dataDir, wroteFiles, metaLines,
+        equivalent = opName.exists(DataEquivalentOps))
+      catch { case e: Throwable =>
+        fs.delete(dataDir, true) // same atomic refusal as constraints
+        throw e
+      }
+    }
     // file-skipping stats for the files JUST written, harvested from
     // their parquet footers (metadata-only reads — no second data
     // pass) and committed ATOMICALLY with the manifest that makes the
@@ -739,8 +976,8 @@ object VersionedTable {
       spark.sparkContext.hadoopConfiguration, dataDir, commitName))
       .getOrElse(Seq.empty)
     try writeManifest(spark, root, next,
-      constraintLines ++ metaLines ++ carryStatsLines ++ statsLines ++
-        carryDirs :+ commitName)
+      constraintLines ++ cdcLine ++ metaLines ++ carryStatsLines ++
+        statsLines ++ carryDirs :+ commitName)
     catch {
       // a retrying caller (the streaming sink) keeps the already-
       // written dir across a version conflict and re-publishes it
@@ -749,6 +986,7 @@ object VersionedTable {
       case e: VersionConflictException if keepDirOnConflict => throw e
       case e: Throwable =>
         fs.delete(dataDir, true) // orphaned data, nothing references it
+        fs.delete(changeFilePath(root, next), true) // ditto its changes
         throw e
     }
     next
@@ -1438,6 +1676,9 @@ object VersionedTable {
       candidates.filterNot(p => lateKeep.contains(p.getName))
         .foreach(p => fs.delete(p, true))
     }
-    (0 until keepFrom).foreach(v => fs.delete(manifestPath(root, v), false))
+    (0 until keepFrom).foreach { v =>
+      fs.delete(manifestPath(root, v), false)
+      fs.delete(changeFilePath(root, v), true) // its CDC file ages out too
+    }
   }
 }

@@ -88,16 +88,29 @@ class VersionedTableMicroBatchStream(spark: SparkSession, root: String,
       VersionedTable.requireDirsAvailable(spark, root, paths)
       return paths
     }
-    val fromDirs = VersionedTable.dataDirs(spark, root, Some(from))
-      .map(d => new Path(d).getName).toSet
-    val toDirs = VersionedTable.dataDirs(spark, root, Some(to))
-      .map(d => new Path(d).getName)
-    require(fromDirs.subsetOf(toDirs.toSet),
-      s"versions ($from, $to] of $root contain a rewrite " +
-        "(merge/compact/optimize) — the streaming source only tails " +
-        "APPENDS; use VersionedTable.changesBetween for rewrite deltas")
-    val paths = toDirs.filterNot(fromDirs)
-      .map(d => new Path(new Path(root, "data"), d).toString)
+    // per-version walk (not one (from, to] set diff) so DATA-EQUIVALENT
+    // maintenance versions (compact/compactSmall/optimize re-home rows
+    // the consumer already received) are SKIPPED instead of failing the
+    // rewrite refusal — a tailing consumer survives layout maintenance
+    val paths = (from + 1 to to).flatMap { v =>
+      if (VersionedTable.commitOp(spark, root, v)
+          .exists(VersionedTable.DataEquivalentOps)) Seq.empty
+      else {
+        val prior = VersionedTable.readManifest(spark, root, v - 1).toSet
+        val cur = VersionedTable.readManifest(spark, root, v)
+        require(prior.subsetOf(cur.toSet),
+          s"version $v of $root is a rewrite (merge/delete/update) — " +
+            "the streaming source only tails APPENDS; use " +
+            "VersionedTable.changesBetween for rewrite deltas")
+        // vs the PREVIOUS NON-SKIPPED state: dirs a compact folded away
+        // must not resurface as "added" in the next step — diff against
+        // v-1 directly is correct because a maintenance version only
+        // re-homes rows already delivered, and an appended dir after it
+        // is new relative to v-1 too unless it was the compact output
+        cur.filterNot(prior)
+          .map(d => new Path(new Path(root, "data"), d).toString)
+      }
+    }
     VersionedTable.requireDirsAvailable(spark, root, paths)
     paths
   }
@@ -201,19 +214,24 @@ class VersionedTableChangeFeedStream(spark: SparkSession, root: String,
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.trim.toInt)
 
-  // the dirs version v ADDED over v-1 (v == 0: everything it lists)
+  // the dirs version v ADDED over v-1 (v == 0: everything it lists);
+  // data-equivalent maintenance versions contribute NOTHING (their
+  // rows were already delivered under their old dirs)
   private def addedPaths(v: Int): Seq[String] = {
     VersionedTable.requireVersionsAvailable(spark, root,
       math.max(v - 1, 0), v)
+    if (VersionedTable.commitOp(spark, root, v)
+        .exists(VersionedTable.DataEquivalentOps)) return Seq.empty
     val toDirs = VersionedTable.readManifest(spark, root, v)
     val prior =
       if (v == 0) Set.empty[String]
       else VersionedTable.readManifest(spark, root, v - 1).toSet
     require(prior.subsetOf(toDirs.toSet),
-      s"version $v of $root is a rewrite (merge/compact/optimize) — " +
+      s"version $v of $root is a rewrite (merge/delete/update) — " +
         "the change-feed stream tails APPENDS; consume rewrite deltas " +
-        "via VersionedTable.changeFeed (batch) or the v1 source's " +
-        "keyed readChangeFeed")
+        "keyed (enableChangeFeed + option(\"key\", ...)), via batch " +
+        "VersionedTable.changeFeed, or the v1 source's keyed " +
+        "readChangeFeed")
     val paths = toDirs.filterNot(prior)
       .map(d => new Path(new Path(root, "data"), d).toString)
     VersionedTable.requireDirsAvailable(spark, root, paths)
@@ -284,12 +302,180 @@ private[sources] class ChangeTaggedReaderFactory(
     }
 }
 
+/** KEYED change-feed micro-batch stream — the DSv2 spelling of
+  * `VersionedTable.changeFeed(key = ...)`, servable on the public
+  * seam because rewrite commits MATERIALIZE their keyed change rows
+  * at commit time ([[VersionedTable.enableChangeFeed]], Delta's
+  * CDC-file approach). Per version in a batch's `(from, to]` range:
+  *
+  *  - APPEND versions stream their added dirs tagged
+  *    `("insert", v)` — identical to the unkeyed feed, because an
+  *    append can only insert, keyed or not. O(delta) from manifests.
+  *  - REWRITE versions stream their materialized `_changes/v{N}`
+  *    parquet (rows already carry `change_kind` — pre/post images
+  *    included), tagged with only `_commit_version`. O(change file).
+  *  - DATA-EQUIVALENT maintenance versions have an EMPTY change file
+  *    (or are skipped outright by their `#op:` marker) and contribute
+  *    nothing.
+  *
+  * A rewrite committed BEFORE CDC was enabled has no file and fails
+  * loudly with the batch/v1 recipe — the v1 `Source` seam remains as
+  * the LEGACY fallback for exactly that case (pre-CDC history). */
+class VersionedTableKeyedChangeFeedStream(spark: SparkSession,
+    root: String, dataSchema: StructType,
+    options: CaseInsensitiveStringMap, startingVersion: Int, key: String)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
+
+  require(VersionedTable.changeFeedKey(spark, root).contains(key),
+    s"keyed DSv2 change feeds need commit-time change files: run " +
+      s"VersionedTable.enableChangeFeed(spark, root, \"$key\") first " +
+      "(or consume via batch changeFeed / the v1 seam)")
+
+  private val changeSchema = StructType(dataSchema.fields :+
+    org.apache.spark.sql.types.StructField("change_kind",
+      org.apache.spark.sql.types.StringType, nullable = true))
+
+  private def version(o: Offset): Int = o match {
+    case VersionOffset(v) => v
+    case other => other.json.trim.toInt
+  }
+
+  private val maxVersions: Option[Int] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.trim.toInt)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val latest = VersionedTable.latestVersion(spark, root)
+    val from = version(start)
+    VersionOffset(maxVersions match {
+      case Some(n) => math.min(latest, from + n)
+      case _ => latest
+    })
+  }
+
+  override def latestOffset(): Offset =
+    VersionOffset(VersionedTable.latestVersion(spark, root))
+
+  override def initialOffset(): Offset = VersionOffset(startingVersion - 1)
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toInt)
+
+  private def scanTable(paths: Seq[String]) =
+    ParquetTable(s"graft-versioned-kcdf $root", spark, options, paths,
+      userSpecifiedSchema = Some(dataSchema),
+      fallbackFileFormat = classOf[ParquetFileFormat])
+      .newScanBuilder(options).build()
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+
+  private def scanChanges(paths: Seq[String]) =
+    ParquetTable(s"graft-versioned-kcdf-chg $root", spark, options, paths,
+      userSpecifiedSchema = Some(changeSchema),
+      fallbackFileFormat = classOf[ParquetFileFormat])
+      .newScanBuilder(options).build()
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+
+  private def planVersion(v: Int): Array[InputPartition] = {
+    VersionedTable.requireVersionsAvailable(spark, root,
+      math.max(v - 1, 0), v)
+    if (VersionedTable.commitOp(spark, root, v)
+        .exists(VersionedTable.DataEquivalentOps))
+      return Array.empty
+    val cur = VersionedTable.readManifest(spark, root, v)
+    val prior =
+      if (v == 0) Set.empty[String]
+      else VersionedTable.readManifest(spark, root, v - 1).toSet
+    if (prior.subsetOf(cur.toSet)) {
+      // append-only: added dirs are inserts (v == 0: snapshot replay)
+      val paths = cur.filterNot(prior)
+        .map(d => new Path(new Path(root, "data"), d).toString)
+      VersionedTable.requireDirsAvailable(spark, root, paths)
+      if (paths.isEmpty) Array.empty
+      else scanTable(paths).planInputPartitions()
+        .map(p => ChangeTaggedPartition(v.toLong, p))
+    } else {
+      // rewrite: its commit-time change file IS the feed
+      val file = VersionedTable.changeFilePathIfExists(spark, root, v)
+        .getOrElse(throw new IllegalStateException(
+          s"version $v of $root is a rewrite committed BEFORE " +
+            "enableChangeFeed materialized change files — replay that " +
+            "range via batch VersionedTable.changeFeed or the v1 seam, " +
+            "then tail from a post-enable version"))
+      scanChanges(Seq(file)).planInputPartitions()
+        .map(p => VersionTaggedPartition(v.toLong, p))
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val from = version(start)
+    val to = version(end)
+    if (to < 0 || to <= from) return Array.empty
+    (math.max(from + 1, 0) to to).flatMap(planVersion).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KeyedChangeFeedReaderFactory(
+      scanTable(Seq.empty).createReaderFactory(),
+      scanChanges(Seq.empty).createReaderFactory())
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+/** A change-file partition plus its commit version: rows already
+  * carry `change_kind`; only `_commit_version` is appended. */
+case class VersionTaggedPartition(commitVersion: Long,
+    inner: InputPartition) extends InputPartition
+
+/** Dispatches the keyed feed's two partition flavors: append
+  * partitions read table-schema files and append
+  * `("insert", version)`; change-file partitions read
+  * (table + change_kind) files and append `(version)`. One shared
+  * JoinedRow each, zero copies. */
+private[sources] class KeyedChangeFeedReaderFactory(
+    tableInner: PartitionReaderFactory,
+    changeInner: PartitionReaderFactory) extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private val appendDelegate = new ChangeTaggedReaderFactory(tableInner)
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false
+
+  override def createReader(partition: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    partition match {
+      case VersionTaggedPartition(v, ip) =>
+        val r = changeInner.createReader(ip)
+        new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+          private val joined =
+            new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          private val tag = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](v))
+          override def next(): Boolean = r.next()
+          override def get(): InternalRow = joined(r.get(), tag)
+          override def close(): Unit = r.close()
+        }
+      case other => appendDelegate.createReader(other)
+    }
+}
+
 /** The table handed to the engine by the provider's TableProvider
   * half: capabilities say MICRO_BATCH_READ, the scan builder returns
   * a [[VersionedTableMicroBatchStream]] — or, with
   * `option("readChangeFeed", "true")`, a
   * [[VersionedTableChangeFeedStream]] whose schema appends
-  * `change_kind` + `_commit_version`. */
+  * `change_kind` + `_commit_version` (plus `option("key", k)` for the
+  * keyed variant served from commit-time change files). */
 class VersionedStreamTable(spark: SparkSession, root: String,
     tableSchema: StructType) extends Table with SupportsRead {
 
@@ -309,17 +495,17 @@ class VersionedStreamTable(spark: SparkSession, root: String,
             : MicroBatchStream =
           if (Option(options.get("readChangeFeed"))
               .exists(_.trim.toBoolean)) {
-            require(Option(options.get("key")).forall(_.trim.isEmpty),
-              "keyed change feeds are a join per version — run the v1 " +
-                "source (spark.sql.streaming.disabledV2MicroBatchReaders)" +
-                " or batch VersionedTable.changeFeed")
             // tableSchema here is the CDF schema the provider inferred;
             // the underlying file scan reads the table columns only
             val dataSchema = StructType(tableSchema.fields.dropRight(2))
-            new VersionedTableChangeFeedStream(spark, root, dataSchema,
-              options,
-              Option(options.get("startingVersion"))
-                .map(_.trim.toInt).getOrElse(0))
+            val starting = Option(options.get("startingVersion"))
+              .map(_.trim.toInt).getOrElse(0)
+            Option(options.get("key")).map(_.trim).filter(_.nonEmpty) match {
+              case Some(k) => new VersionedTableKeyedChangeFeedStream(
+                spark, root, dataSchema, options, starting, k)
+              case None => new VersionedTableChangeFeedStream(
+                spark, root, dataSchema, options, starting)
+            }
           } else new VersionedTableMicroBatchStream(
             spark, root, tableSchema, options)
       }

@@ -145,6 +145,99 @@ class CdfSpec extends SparkSpec {
     assert(v0.sameElements(v2), "optimize changed table contents")
   }
 
+  test("enableChangeFeed materializes commit-time change files: keyed " +
+    "rewrite feeds serve from the file — no join, no snapshot scan — " +
+    "and carry exactly the planted changes") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a", 2L -> "b"))
+    VersionedTable.append(spark, root, docs(3L -> "c"), expectedVersion = 0)
+    VersionedTable.enableChangeFeed(spark, root, "id") // v2, metadata-only
+    assert(VersionedTable.changeFeedKey(spark, root).contains("id"))
+    // v3: full-rewrite merge — update 2, delete 1, insert 9
+    VersionedTable.merge(spark, root,
+      Seq((2L, "b2", "U"), (1L, "a", "D"), (9L, "i", "U"))
+        .toDF("id", "text", "op"), "id")
+    def noJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty
+    val f3 = VersionedTable.changesBetween(spark, root, 2, 3,
+      key = Some("id"))
+    assert(noJoin(f3), "rewrite feed must serve from the change file")
+    assert(f3.select("id", "text", "change_kind")
+      .as[(Long, String, String)].collect().toSet == Set(
+      (1L, "a", "delete"), (2L, "b", "update_preimage"),
+      (2L, "b2", "update_postimage"), (9L, "i", "insert")))
+    // v4: stats-pruned copy-on-write delete — file covers it too
+    VersionedTable.delete(spark, root, col("id") === 3L)
+    val f4 = VersionedTable.changesBetween(spark, root, 3, 4,
+      key = Some("id"))
+    assert(noJoin(f4))
+    assert(f4.select("id", "change_kind").as[(Long, String)].collect()
+      .toSet == Set(3L -> "delete"))
+    // v5: UPDATE — pre/post pair from the file
+    VersionedTable.update(spark, root, col("id") === 9L,
+      Seq("text" -> lit("i2")))
+    val f5 = VersionedTable.changesBetween(spark, root, 4, 5,
+      key = Some("id"))
+    assert(noJoin(f5))
+    assert(f5.select("id", "text", "change_kind")
+      .as[(Long, String, String)].collect().toSet == Set(
+      (9L, "i", "update_preimage"), (9L, "i2", "update_postimage")))
+    // v6: append — NO change file written (manifest delta serves it)
+    VersionedTable.append(spark, root, docs(7L -> "g"), expectedVersion = 5)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_changes/v6")),
+      "append must not pay change-file materialization")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_changes/v3")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(root, "_changes/v5")))
+    val f6 = VersionedTable.changesBetween(spark, root, 5, 6,
+      key = Some("id"))
+    assert(f6.select("id", "change_kind").as[(Long, String)].collect()
+      .toSet == Set(7L -> "insert"))
+    // fold invariant across the whole file-served history: applying
+    // the keyed feed version by version to the v2 snapshot reproduces
+    // the v6 snapshot
+    var state = VersionedTable.read(spark, root, Some(2))
+      .select("id", "text").as[(Long, String)].collect().toMap
+    (3 to 6).foreach { v =>
+      VersionedTable.changesBetween(spark, root, v - 1, v,
+        key = Some("id"))
+        .select("id", "text", "change_kind")
+        .as[(Long, String, String)].collect().foreach {
+          case (id, _, "delete") => state -= id
+          case (id, t, "insert" | "update_postimage") => state += id -> t
+          case _ => () // update_preimage: informational
+        }
+    }
+    assert(state == VersionedTable.read(spark, root, Some(6))
+      .select("id", "text").as[(Long, String)].collect().toMap,
+      "keyed file-served feed does not fold to the target snapshot")
+  }
+
+  test("a feed across a data-equivalent maintenance version is empty " +
+    "from the #op: marker alone: no parquet scan, no exchange planned") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a"))
+    VersionedTable.append(spark, root, docs(2L -> "b"), expectedVersion = 0)
+    VersionedTable.compact(spark, root) // v2, data-equivalent
+    val f = VersionedTable.changesBetween(spark, root, 1, 2)
+    assert(f.count() == 0L)
+    val plan = f.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"maintenance skip must plan no exchange:\n$plan")
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"maintenance skip must not scan data:\n$plan")
+    // changeFeed across the range carries zero rows for the compact
+    // version and the append rows around it
+    VersionedTable.append(spark, root, docs(3L -> "c"), expectedVersion = 2)
+    val cf = VersionedTable.changeFeed(spark, root, 1)
+    assert(cf.filter(col("_commit_version") === 2L).count() == 0L)
+    assert(cf.filter(col("_commit_version") === 3L).select("id")
+      .as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("general path is ONE wide aggregate: single exchange, no join") {
     val root = freshRoot()
     VersionedTable.init(spark, root, docs(1L -> "a", 2L -> "b"))
