@@ -46,7 +46,8 @@ import org.apache.spark.sql.types.StructType
   */
 class VersionedTableStreamSource(sqlContext: SQLContext, root: String,
     override val schema: StructType,
-    cdf: Option[VersionedTableStreamSource.CdfMode] = None) extends Source {
+    cdf: Option[VersionedTableStreamSource.CdfMode] = None,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source {
 
   private def spark: SparkSession = sqlContext.sparkSession
 
@@ -57,10 +58,25 @@ class VersionedTableStreamSource(sqlContext: SQLContext, root: String,
       s"unexpected offset type ${other.getClass.getName}")
   }
 
+  // admission control on the legacy seam: the last end version this
+  // source served (getBatch records it; recovery replays the last
+  // batch through getBatch first, re-seeding it), so getOffset can
+  // bound each batch — including the CDF INITIAL batch, which without
+  // a bound replays the entire history in one go
+  @volatile private var lastEnd: Option[Int] = None
+
   override def getOffset: Option[OffsetV1] =
     VersionedTable.latestVersion(spark, root) match {
       case -1 => None
-      case v => Some(LongOffset(v.toLong))
+      case v =>
+        val bounded = maxVersionsPerTrigger match {
+          case Some(n) =>
+            val base = lastEnd.getOrElse(
+              cdf.map(_.startingVersion - 1).getOrElse(-1))
+            math.min(v, base + math.max(n, 1))
+          case None => v
+        }
+        Some(LongOffset(bounded.toLong))
     }
 
   // CHANGE-FEED mode: each micro-batch is the per-version change feed
@@ -79,6 +95,7 @@ class VersionedTableStreamSource(sqlContext: SQLContext, root: String,
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    lastEnd = Some(versionOf(end))
     if (cdf.isDefined)
       return StreamingBridge.asStreaming(cdfBatch(start, versionOf(end)))
     val to = versionOf(end)
@@ -212,6 +229,8 @@ class VersionedTableStreamSourceProvider
       if (cdf.isDefined) VersionedTableStreamSource.cdfSchema(base)
       else base
     }
-    new VersionedTableStreamSource(sqlContext, root, s, cdf)
+    val maxV = parameters.map { case (k, v) => k.toLowerCase -> v }
+      .get("maxversionspertrigger").map(_.trim.toInt)
+    new VersionedTableStreamSource(sqlContext, root, s, cdf, maxV)
   }
 }

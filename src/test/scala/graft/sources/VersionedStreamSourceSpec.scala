@@ -409,6 +409,43 @@ class VersionedStreamSourceSpec extends SparkSpec {
     } finally spark.conf.unset(disableKey)
   }
 
+  test("the v1 seam honors maxVersionsPerTrigger: a keyed CDF cold " +
+      "start catches up in bounded per-version batches instead of one " +
+      "giant initial replay") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a"))
+    VersionedTable.append(spark, root, docs(2L -> "b"), expectedVersion = 0)
+    VersionedTable.append(spark, root, docs(3L -> "c"), expectedVersion = 1)
+    val disableKey = "spark.sql.streaming.disabledV2MicroBatchReaders"
+    spark.conf.set(disableKey,
+      classOf[VersionedTableStreamSourceProvider].getName)
+    try {
+      val batches =
+        scala.collection.mutable.ArrayBuffer[Set[(Long, Long)]]()
+      val q = spark.readStream.format("graft-versioned-stream")
+        .option("readChangeFeed", "true").option("key", "id")
+        .option("maxVersionsPerTrigger", "1").load(root)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.synchronized {
+            batches += b.select("id", "_commit_version")
+              .as[(Long, Long)].collect().toSet
+          }: Unit
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        val nonEmpty = batches.filter(_.nonEmpty)
+        assert(nonEmpty.size == 3,
+          s"expected 3 one-version batches, got: $batches")
+        assert(nonEmpty.forall(_.map(_._2).size == 1),
+          s"a batch spanned versions: $batches")
+        assert(nonEmpty.flatten.toSet ==
+          Set((1L, 0L), (2L, 1L), (3L, 2L)))
+      } finally q.stop()
+    } finally spark.conf.unset(disableKey)
+  }
+
   test("table-to-table capstone: one table's change-feed stream sinks " +
     "into another via writeStream.toTable — versioned log in, versioned " +
     "log out, exactly-once both ends") {
@@ -466,16 +503,89 @@ class VersionedStreamSourceSpec extends SparkSpec {
         String.valueOf(e.getCause).contains("rewrite"),
         s"wrong failure: ${e.getMessage}")
     } finally q.stop()
-    // keyed request on the DSv2 seam → loud refusal at start
+    // keyed request WITHOUT commit-time change files → loud refusal
+    // carrying the enableChangeFeed recipe
     val q2 = spark.readStream.format("graft-versioned-stream")
       .option("readChangeFeed", "true").option("key", "id").load(root)
       .writeStream.format("noop").start()
     try {
       val e2 = intercept[org.apache.spark.sql.streaming
         .StreamingQueryException] { q2.processAllAvailable() }
-      assert(e2.getMessage.contains("keyed") ||
-        String.valueOf(e2.getCause).contains("keyed"),
+      assert(e2.getMessage.contains("enableChangeFeed") ||
+        String.valueOf(e2.getCause).contains("enableChangeFeed"),
         s"wrong failure: ${e2.getMessage}")
     } finally q2.stop()
+  }
+
+  test("keyed change feed on the DSv2 seam: rewrites serve from commit-" +
+      "time change files, and the streamed fold equals batch changeFeed " +
+      "pre/post images included") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a", 2L -> "b"))
+    VersionedTable.append(spark, root, docs(3L -> "c"), expectedVersion = 0)
+    VersionedTable.enableChangeFeed(spark, root, "id") // v2 (metadata)
+    // v3: a full-rewrite merge — update 2, delete 1, insert 9
+    VersionedTable.merge(spark, root,
+      Seq((2L, "b2", "U"), (1L, "a", "D"), (9L, "i", "U"))
+        .toDF("id", "text", "op"), "id")
+    // v4: a targeted copy-on-write delete
+    VersionedTable.delete(spark, root, col("id") === 3L)
+    // v5: a plain append (no change file needed — manifest delta)
+    VersionedTable.append(spark, root, docs(7L -> "g"), expectedVersion = 4)
+    // DSv2 selected by default: no disabledV2MicroBatchReaders set
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.disabledV2MicroBatchReaders").forall(_.isEmpty))
+    val seen = scala.collection.mutable
+      .ArrayBuffer[(Long, String, String, Long)]()
+    val q = spark.readStream.format("graft-versioned-stream")
+      .option("readChangeFeed", "true").option("key", "id").load(root)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= batch
+            .select("id", "text", "change_kind", "_commit_version")
+            .as[(Long, String, String, Long)].collect()
+        }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val expected = VersionedTable.changeFeed(spark, root, 0,
+        key = Some("id"))
+        .select("id", "text", "change_kind", "_commit_version")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(seen.toSet == expected,
+        s"DSv2 keyed stream != batch changeFeed:\n got ${seen.toSet}\n " +
+          s"exp $expected")
+      // the rewrite versions really contributed pre/post images
+      assert(seen.exists(_._3 == "update_preimage") &&
+        seen.exists(_._3 == "update_postimage") &&
+        seen.exists(_._3 == "delete"))
+      // a live append lands as an ordinary keyed insert batch
+      val n = seen.size
+      VersionedTable.append(spark, root, docs(8L -> "h"),
+        expectedVersion = 5)
+      q.processAllAvailable()
+      assert(seen.drop(n).toSet == Set((8L, "h", "insert", 6L)))
+    } finally q.stop()
+  }
+
+  test("a rewrite committed BEFORE enableChangeFeed refuses on the " +
+      "keyed DSv2 stream with the batch/v1 replay recipe") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a"))
+    VersionedTable.merge(spark, root,
+      Seq((1L, "a2", "U")).toDF("id", "text", "op"), "id") // pre-CDC rewrite
+    VersionedTable.enableChangeFeed(spark, root, "id")
+    val q = spark.readStream.format("graft-versioned-stream")
+      .option("readChangeFeed", "true").option("key", "id").load(root)
+      .writeStream.format("noop").start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q.processAllAvailable() }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+      assert(chain(e).contains("BEFORE"), s"wrong failure: ${chain(e)}")
+    } finally q.stop()
   }
 }
