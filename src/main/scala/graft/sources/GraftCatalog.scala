@@ -225,6 +225,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .coalesce(1)
+    // validate constraint EXPRESSIONS against the declared schema
+    // BEFORE init: a CREATE TABLE whose constraint doesn't parse or
+    // resolve must refuse atomically, not leave a created table with
+    // the constraint silently absent (analysis over an empty frame —
+    // no data, no files, no table yet)
+    props.toSeq.sortBy(_._1).foreach {
+      case (k, v) if k.startsWith(ConstraintProp) =>
+        val cname = k.stripPrefix(ConstraintProp)
+        try empty.filter(org.apache.spark.sql.functions.expr(v))
+          .queryExecution.analyzed: Unit
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"CREATE TABLE refused: constraint '$cname' ($v) does not " +
+              s"analyze against the declared schema " +
+              s"${schema.simpleString}: ${e.getMessage}", e)
+        }
+      case _ => ()
+    }
     VersionedTable.init(spark, p.toString, empty)
     props.toSeq.sortBy(_._1).foreach {
       case (k, v) if k.startsWith(ConstraintProp) =>

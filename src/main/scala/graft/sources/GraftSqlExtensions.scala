@@ -44,6 +44,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.parseMaintenance(sqlText)
+      // claim the statement ONLY when its target resolves to a graft
+      // catalog — in a mixed session (graft + Delta extensions), an
+      // OPTIMIZE/VACUUM/RESTORE aimed at another catalog must fall
+      // through to the next parser instead of failing here
+      .filter(cmd => GraftSqlParser.isGraftTarget(cmd.nameParts))
       .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -96,8 +101,17 @@ object GraftSqlParser {
       if (p.startsWith("`") && p.endsWith("`")) p.drop(1).dropRight(1)
       else p)
 
+  /** True when `nameParts` names a table under a registered
+    * [[GraftCatalog]] — the parse-time claim check: statements aimed
+    * anywhere else fall through to the delegate parser. Resolution
+    * failures (unknown catalog, unqualified name) count as NOT ours. */
+  private[sources] def isGraftTarget(nameParts: Seq[String]): Boolean =
+    nameParts.length >= 2 && scala.util.Try(
+      SparkSession.active.sessionState.catalogManager
+        .catalog(nameParts.head)).toOption.exists(_.isInstanceOf[GraftCatalog])
+
   private[sources] def parseMaintenance(sqlText: String)
-      : Option[LogicalPlan] = sqlText match {
+      : Option[LogicalPlan with GraftMaintenanceCommand] = sqlText match {
     case OptimizeRe(ident, zcolA, zcolB, nFiles) =>
       Some(GraftOptimizeCommand(parts(ident),
         Option(zcolA).map(a => (a, zcolB)),
@@ -134,6 +148,10 @@ object GraftSqlParser {
   }
 }
 
+/** Marker for the maintenance commands: exposes the parsed target so
+  * the parser can decide at parse time whether the statement is ours. */
+sealed trait GraftMaintenanceCommand { def nameParts: Seq[String] }
+
 /** `OPTIMIZE t` (compact the snapshot into one commit dir) or
   * `OPTIMIZE t ZORDER BY (a, b) [INTO n FILES]` (Z-order-cluster the
   * snapshot — [[VersionedTable.optimize]]); returns the committed
@@ -141,7 +159,7 @@ object GraftSqlParser {
   * data-file census (re-clustering keeps sizing), floor 1. */
 case class GraftOptimizeCommand(nameParts: Seq[String],
     zorder: Option[(String, String)], nFiles: Option[Int])
-    extends LeafRunnableCommand {
+    extends LeafRunnableCommand with GraftMaintenanceCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -164,7 +182,7 @@ case class GraftOptimizeCommand(nameParts: Seq[String],
   * (default 1 hour, keep 1 version). */
 case class GraftVacuumCommand(nameParts: Seq[String],
     retainHours: Option[Double], keepVersions: Option[Int])
-    extends LeafRunnableCommand {
+    extends LeafRunnableCommand with GraftMaintenanceCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("status", StringType, nullable = false)())
@@ -184,7 +202,7 @@ case class GraftVacuumCommand(nameParts: Seq[String],
   * deletes nothing. */
 case class GraftVacuumPreviewCommand(nameParts: Seq[String],
     retainHours: Option[Double], keepVersions: Option[Int])
-    extends LeafRunnableCommand {
+    extends LeafRunnableCommand with GraftMaintenanceCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("commit_dir", StringType, nullable = false)(),
@@ -203,7 +221,7 @@ case class GraftVacuumPreviewCommand(nameParts: Seq[String],
 /** `RESTORE TABLE t TO VERSION AS OF v` — metadata-only roll-forward
   * ([[VersionedTable.restore]]); returns the new version. */
 case class GraftRestoreCommand(nameParts: Seq[String], toVersion: Int)
-    extends LeafRunnableCommand {
+    extends LeafRunnableCommand with GraftMaintenanceCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())

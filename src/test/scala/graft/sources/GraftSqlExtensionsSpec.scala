@@ -121,15 +121,36 @@ class GraftSqlExtensionsSpec extends SparkSpec {
     assert(VersionedTable.commitOp(spark, rootOf("t4"),
       VersionedTable.latestVersion(spark, rootOf("t4")))
       .contains("compact"))
-    // a non-graft catalog target refuses with a clear message
+    // a statement aimed at a NON-graft catalog is NOT claimed: it
+    // falls through to the delegate parser so another extension
+    // (e.g. Delta's VACUUM) could own it in a mixed session; with no
+    // such extension installed, Spark's own parser refuses — the
+    // graft error ("not a graft catalog") must NOT appear
     val e = intercept[Exception] {
       spark.sql("VACUUM spark_catalog.default.nope")
     }
-    assert(e.getMessage.contains("graft"))
-    // an unqualified identifier refuses (no catalog to resolve)
+    assert(!e.getMessage.contains("graft"),
+      s"non-graft target must fall through, got: ${e.getMessage}")
+    // same for an unqualified identifier (no catalog to resolve)
     val e2 = intercept[Exception] { spark.sql("VACUUM bare") }
-    assert(e2.getMessage.contains("catalog"))
-    // a missing table refuses
-    intercept[Exception] { spark.sql("OPTIMIZE gext.absent") }
+    assert(!e2.getMessage.contains("graft"))
+    // a missing table under a GRAFT catalog is ours: typed refusal
+    val e3 = intercept[Exception] { spark.sql("OPTIMIZE gext.absent") }
+    assert(e3.getMessage.contains("absent") ||
+      String.valueOf(e3.getCause).contains("absent"))
+  }
+
+  test("CREATE TABLE with an invalid CHECK constraint refuses " +
+    "atomically: no table is left behind") {
+    wh
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gext.badc (id BIGINT) TBLPROPERTIES " +
+        "('graft.constraints.c1' = 'no_such_col > 0')")
+    }
+    assert(e.getMessage.contains("c1") ||
+      String.valueOf(e.getCause).contains("c1"))
+    assert(!spark.catalog.tableExists("gext.badc"))
+    assert(!new java.io.File(rootOf("badc"), "_manifests").exists,
+      "failed CREATE TABLE left a committed table on disk")
   }
 }
