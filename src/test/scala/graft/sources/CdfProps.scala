@@ -108,6 +108,72 @@ object CdfProps extends Properties("ChangeFeed") {
         folds(root, mid, mid)
     }
 
+  property("with commit-time CDC files enabled, every single-step " +
+      "keyed feed (file-served for rewrites) remapped to delete/insert " +
+      "equals the unkeyed content diff — two serving regimes, one " +
+      "multiset of changes") =
+    Prop.forAllNoShrink(historyGen) { case (init0, ops0) =>
+      // the CDC pin requires key uniqueness: dedup the init batch and
+      // give every append op globally fresh ids
+      val init = init0.groupBy(_._1).map(_._2.head).toList
+      var fresh = 1000L
+      val ops = ops0.map {
+        case Append(rows) => Append(rows.map { case (_, t) =>
+          fresh += 1; (fresh, t)
+        })
+        case other => other
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cdcfprop").resolve("t").toString
+      VersionedTable.init(spark, root, init.toDF("id", "text"))
+      VersionedTable.enableChangeFeed(spark, root, "id")
+      ops.foreach {
+        case Append(rows) =>
+          VersionedTable.append(spark, root, rows.toDF("id", "text"),
+            VersionedTable.latestVersion(spark, root))
+        case Merge(ups, dels) =>
+          val cs = ups.map { case (id, t) => (id, t, "U") } ++
+            dels.map(id => (id, "", "D"))
+          if (cs.nonEmpty)
+            VersionedTable.merge(spark, root,
+              cs.toDF("id", "text", "op"), "id")
+        case Compact =>
+          VersionedTable.compact(spark, root)
+      }
+      val latest = VersionedTable.latestVersion(spark, root)
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def signed(df: org.apache.spark.sql.DataFrame, keyed: Boolean)
+          : Map[(Long, String), Int] =
+        df.collect().toSeq.map { r =>
+          val sign = r.getString(2) match {
+            case "insert" | "update_postimage" => 1
+            case "delete" | "update_preimage" => -1
+          }
+          ((r.getLong(0), r.getString(1)), sign)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+          .filter(_._2 != 0).toMap
+      Prop.all((2 to latest).map { v =>
+        // every rewrite version past the pin materialized its file
+        val dropped = VersionedTable
+          .readManifest(spark, root, v - 1)
+          .exists(d => !VersionedTable.readManifest(spark, root, v)
+            .contains(d))
+        val fileThere = fs.exists(
+          new org.apache.hadoop.fs.Path(root, s"_changes/v$v"))
+        val keyed = signed(VersionedTable.changesBetween(
+          spark, root, v - 1, v, key = Some("id"))
+          .select("id", "text", "change_kind"), keyed = true)
+        val unkeyed = signed(VersionedTable.changesBetween(
+          spark, root, v - 1, v)
+          .select("id", "text", "change_kind"), keyed = false)
+        ((!dropped || fileThere) :|
+          s"rewrite v$v did not materialize its change file") &&
+          ((keyed == unkeyed) :|
+            s"v$v keyed(file) != content diff: $keyed vs $unkeyed")
+      }: _*)
+    }
+
   property("append-only histories never produce a delete and take the " +
       "no-shuffle path") =
     Prop.forAllNoShrink(historyGen) { case (init, ops) =>
