@@ -457,6 +457,71 @@ object ScaleBench {
           Seq(run).toDF("run")
         }
       },
+      // CDC WRITE-side cost measured (round-14 commit-time change
+      // files): same 1000-doc-append layout with enableChangeFeed ON —
+      // each run deletes a 50-doc range in a DIFFERENT commit, paying
+      // the stats-pruned rewrite PLUS the keyed materialization diff
+      // of exactly the dropped dir. The 100 TB claim: CDC adds
+      // O(rewritten data) per statement, never O(table) — expected
+      // ~flat across the decade like dml_delete.
+      "cdc_rewrite_materialize" -> {
+        lazy val root = {
+          val r = tempTableRoot("graft_cdcw")
+          val d = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+            col("text"))
+          val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+          val vt = graft.sources.VersionedTable
+          var v = -1
+          var lo = 0L
+          while (lo <= maxId) {
+            val batch = d.filter(col("doc_id") >= lo &&
+              col("doc_id") < lo + 1000L)
+              .repartitionByRange(2, col("doc_id"))
+            v = if (v < 0) vt.init(spark, r, batch)
+            else vt.append(spark, r, batch, expectedVersion = v)
+            lo += 1000L
+          }
+          vt.enableChangeFeed(spark, r, "doc_id")
+          r
+        }
+        var run = 0
+        () => {
+          val lo = 1000L * run + 100L
+          run += 1
+          graft.sources.VersionedTable.delete(spark, root,
+            col("doc_id").between(lo, lo + 50L))
+          import spark.implicits._
+          Seq(run).toDF("run")
+        }
+      },
+      // CDC READ-side: serving a rewrite version's keyed feed is one
+      // scan of its materialized change file — O(changes), independent
+      // of table size (no snapshot join). Setup plants ONE rewrite;
+      // every run re-serves its keyed feed.
+      "cdc_feed_serve" -> {
+        lazy val (root, v) = {
+          val r = tempTableRoot("graft_cdcr")
+          val d = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+            col("text"))
+          val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+          val vt = graft.sources.VersionedTable
+          var ver = -1
+          var lo = 0L
+          while (lo <= maxId) {
+            val batch = d.filter(col("doc_id") >= lo &&
+              col("doc_id") < lo + 1000L)
+              .repartitionByRange(2, col("doc_id"))
+            ver = if (ver < 0) vt.init(spark, r, batch)
+            else vt.append(spark, r, batch, expectedVersion = ver)
+            lo += 1000L
+          }
+          vt.enableChangeFeed(spark, r, "doc_id")
+          val last = vt.delete(spark, r, col("doc_id").between(100L, 150L))
+          (r, last)
+        }
+        () => graft.sources.VersionedTable.changesBetween(spark, root,
+          v - 1, v, key = Some("doc_id"))
+      },
     )
   }
 
