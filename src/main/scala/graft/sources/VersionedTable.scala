@@ -747,7 +747,16 @@ object VersionedTable {
     * key that is not unique per snapshot makes pre/post pairing
     * ill-defined, so a duplicated key refuses loudly here rather than
     * corrupting feeds later. Committed as a metadata version
-    * (`#op:enable_cdc`); [[changeFeedKey]] reads the pin back. */
+    * (`#op:enable_cdc`); [[changeFeedKey]] reads the pin back.
+    *
+    * Interaction fine print: a metadata-only [[restore]] reproduces
+    * the TARGET version's metadata state (same rule as constraints) —
+    * restoring to a pre-enable version therefore drops the pin
+    * (re-enable after), and a restore commit itself materializes no
+    * change file (its keyed feed serves through the one-join diff).
+    * The SQL DML paths (UPDATE/DELETE/MERGE through the catalog)
+    * materialize like the programmatic ones — they share
+    * [[publishDir]]. */
   def enableChangeFeed(spark: SparkSession, root: String,
       key: String): Int = {
     import org.apache.spark.sql.functions.{count, countDistinct, col}

@@ -404,10 +404,11 @@ class VersionedTableKeyedChangeFeedStream(spark: SparkSession,
       // rewrite: its commit-time change file IS the feed
       val file = VersionedTable.changeFilePathIfExists(spark, root, v)
         .getOrElse(throw new IllegalStateException(
-          s"version $v of $root is a rewrite committed BEFORE " +
-            "enableChangeFeed materialized change files — replay that " +
-            "range via batch VersionedTable.changeFeed or the v1 seam, " +
-            "then tail from a post-enable version"))
+          s"version $v of $root is a rewrite with no materialized " +
+            "change file (committed BEFORE enableChangeFeed, or a " +
+            "metadata-only RESTORE) — replay that range via batch " +
+            "VersionedTable.changeFeed or the v1 seam, then tail from " +
+            "a version with change files"))
       scanChanges(Seq(file)).planInputPartitions()
         .map(p => VersionTaggedPartition(v.toLong, p))
     }

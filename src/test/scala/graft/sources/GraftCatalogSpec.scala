@@ -612,6 +612,34 @@ class GraftCatalogSpec extends SparkSpec {
       .as[String].head == "s10")
   }
 
+  test("SQL DML through the catalog materializes commit-time change " +
+    "files when the table's change feed is enabled — same publishDir, " +
+    "same CDC contract as the programmatic paths") {
+    wh
+    spark.conf.set(GraftCatalog.MergeRuntimeFilterMinRows, "0")
+    spark.sql("CREATE TABLE graft.cdc1 (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.cdc1 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val root = rootOf("cdc1")
+    VersionedTable.enableChangeFeed(spark, root, "id") // v2
+    spark.sql("UPDATE graft.cdc1 SET s = 'b2' WHERE id = 2") // v3
+    spark.sql("DELETE FROM graft.cdc1 WHERE id = 1") // v4
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_changes/v3")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_changes/v4")))
+    val f3 = VersionedTable.changesBetween(spark, root, 2, 3,
+      key = Some("id"))
+    assert(f3.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "SQL UPDATE's keyed feed must serve from its file")
+    assert(f3.select("id", "s", "change_kind")
+      .as[(Long, String, String)].collect().toSet == Set(
+      (2L, "b", "update_preimage"), (2L, "b2", "update_postimage")))
+    assert(VersionedTable.changesBetween(spark, root, 3, 4,
+      key = Some("id")).select("id", "change_kind")
+      .as[(Long, String)].collect().toSet == Set(1L -> "delete"))
+  }
+
   test("writeStream.toTable appends each micro-batch as one atomic " +
     "version with a txn marker; a checkpoint restart replays nothing") {
     wh
