@@ -570,6 +570,46 @@ class VersionedStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyed DSv2 stream checkpoint-restarts across a rewrite: the " +
+      "second run resumes at the committed version and serves the new " +
+      "rewrite from its change file") {
+    val root = freshRoot()
+    val ck = java.nio.file.Files.createTempDirectory("graft_kcdf_ck")
+      .toString
+    VersionedTable.init(spark, root, docs(1L -> "a", 2L -> "b"))
+    VersionedTable.enableChangeFeed(spark, root, "id")
+    val seen =
+      scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-versioned-stream")
+        .option("readChangeFeed", "true").option("key", "id").load(root)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= b.select("id", "change_kind", "_commit_version")
+              .as[(Long, String, Long)].collect()
+          }: Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val afterFirst = seen.size
+    assert(seen.map(_._1).toSet == Set(1L, 2L))
+    // between the runs: one append and one rewrite land
+    VersionedTable.append(spark, root, docs(3L -> "c"), expectedVersion = 1)
+    VersionedTable.merge(spark, root,
+      Seq((2L, "b2", "U")).toDF("id", "text", "op"), "id")
+    run()
+    val fresh = seen.drop(afterFirst)
+    // no replay of the first run's rows, and the rewrite's pre/post
+    // pair arrives from the materialized file
+    assert(fresh.map(_._1).toSet == Set(2L, 3L), s"wrong resume: $fresh")
+    assert(fresh.count(_._1 == 1L) == 0, "restart replayed old versions")
+    assert(fresh.filter(_._1 == 2L).map(_._2).toSet ==
+      Set("update_preimage", "update_postimage"))
+  }
+
   test("a rewrite committed BEFORE enableChangeFeed refuses on the " +
       "keyed DSv2 stream with the batch/v1 replay recipe") {
     val root = freshRoot()
