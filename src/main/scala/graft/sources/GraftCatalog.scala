@@ -216,12 +216,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
       TableCatalog.PROP_IS_MANAGED_LOCATION)
     val unsupported = props.keys.filterNot(k =>
-      k.startsWith(ConstraintProp) || sparkReserved.contains(k) ||
+      k.startsWith(ConstraintProp) || k == GraftCatalog.ChangeFeedKeyProp ||
+        sparkReserved.contains(k) ||
         k.startsWith(TableCatalog.OPTION_PREFIX))
     require(unsupported.isEmpty,
       s"unsupported TBLPROPERTIES ${unsupported.mkString(", ")} — " +
         s"graft tables honor '${ConstraintProp}<name>' CHECK " +
-        "constraints only")
+        s"constraints and '${GraftCatalog.ChangeFeedKeyProp}'")
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .coalesce(1)
@@ -243,11 +244,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         }
       case _ => ()
     }
+    props.get(GraftCatalog.ChangeFeedKeyProp).foreach { key =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(key)),
+        s"CREATE TABLE refused: ${GraftCatalog.ChangeFeedKeyProp} " +
+          s"'$key' is not a column of ${schema.simpleString}")
+    }
     VersionedTable.init(spark, p.toString, empty)
     props.toSeq.sortBy(_._1).foreach {
       case (k, v) if k.startsWith(ConstraintProp) =>
         VersionedTable.addConstraint(spark, p.toString,
           k.stripPrefix(ConstraintProp), v)
+      case (GraftCatalog.ChangeFeedKeyProp, key) =>
+        // trivially unique on the empty table; every later commit
+        // materializes its change file from day one
+        VersionedTable.enableChangeFeed(spark, p.toString, key)
       case _ => ()
     }
     new GraftSqlTable(ident.toString, p.toString, version = None)
@@ -297,11 +307,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           if rp.property.startsWith(ConstraintProp) =>
         VersionedTable.dropConstraint(spark, root,
           rp.property.stripPrefix(ConstraintProp))
+      case sp: TableChange.SetProperty
+          if sp.property == GraftCatalog.ChangeFeedKeyProp =>
+        VersionedTable.enableChangeFeed(spark, root, sp.value)
+      case rp: TableChange.RemoveProperty
+          if rp.property == GraftCatalog.ChangeFeedKeyProp =>
+        VersionedTable.disableChangeFeed(spark, root)
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE supports ADD COLUMNS (additive evolution) and " +
+        s"ALTER TABLE supports ADD COLUMNS (additive evolution), " +
           s"[UN]SET TBLPROPERTIES ('${ConstraintProp}<name>') CHECK " +
-          s"constraints; got $other — drop/rename/retype need an " +
-          "explicit rewrite via VersionedTable.commit")
+          s"constraints, and '${GraftCatalog.ChangeFeedKeyProp}'; got " +
+          s"$other — drop/rename/retype need an explicit rewrite via " +
+          "VersionedTable.commit")
     }
     new GraftSqlTable(ident.toString, root, version = None)
   }
@@ -380,6 +397,15 @@ object GraftCatalog {
   /** Property-key prefix mapping TBLPROPERTIES onto CHECK constraints. */
   val ConstraintProp = "graft.constraints."
 
+  /** Table property carrying the CDC key — the SQL spelling of
+    * [[VersionedTable.enableChangeFeed]] (Delta's
+    * `delta.enableChangeDataFeed` posture, keyed):
+    * `ALTER TABLE t SET TBLPROPERTIES ('graft.changeFeed.key' =
+    * 'doc_id')` turns commit-time change materialization on,
+    * `UNSET TBLPROPERTIES` turns it off, and the pin surfaces in
+    * `SHOW TBLPROPERTIES`. Also honored at CREATE TABLE. */
+  val ChangeFeedKeyProp = "graft.changeFeed.key"
+
   /** Session conf: minimum manifest row count at which SQL MERGE pays
     * the runtime group-filter subquery (default 10M rows ≈ the few-GB
     * wall-clock crossover BASELINE.md measured). `0` forces pruning
@@ -441,10 +467,13 @@ private[sources] class GraftSqlTable(ident: String, root: String,
 
   override def schema(): StructType = inner.schema
 
-  // surfaces the constraint set in SHOW TBLPROPERTIES / DESCRIBE
+  // surfaces the constraint set + CDC pin in SHOW TBLPROPERTIES /
+  // DESCRIBE
   override def properties(): java.util.Map[String, String] =
-    VersionedTable.constraints(spark, root, version)
-      .map { case (n, e) => (GraftCatalog.ConstraintProp + n, e) }
+    (VersionedTable.constraints(spark, root, version)
+      .map { case (n, e) => (GraftCatalog.ConstraintProp + n, e) } ++
+      VersionedTable.changeFeedKey(spark, root, version)
+        .map(k => GraftCatalog.ChangeFeedKeyProp -> k))
       .toMap.asJava
 
   override def capabilities(): java.util.Set[TableCapability] =

@@ -640,6 +640,41 @@ class GraftCatalogSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == Set(1L -> "delete"))
   }
 
+  test("the change feed is SQL-reachable as a table property: CREATE " +
+    "TABLE pins it from day one, SHOW TBLPROPERTIES surfaces it, " +
+    "SET/UNSET TBLPROPERTIES toggles it") {
+    wh
+    spark.sql("CREATE TABLE graft.cdc2 (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.changeFeed.key' = 'id')")
+    val root = rootOf("cdc2")
+    assert(VersionedTable.changeFeedKey(spark, root).contains("id"))
+    spark.sql("INSERT INTO graft.cdc2 VALUES (1, 'a'), (2, 'b')") // v2
+    spark.sql("UPDATE graft.cdc2 SET s = 'a2' WHERE id = 1") // v3
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_changes/v3")),
+      "CREATE-time pin did not materialize the UPDATE's change file")
+    assert(VersionedTable.changesBetween(spark, root, 2, 3,
+      key = Some("id")).select("id", "s", "change_kind")
+      .as[(Long, String, String)].collect().toSet == Set(
+      (1L, "a", "update_preimage"), (1L, "a2", "update_postimage")))
+    val props = spark.sql("SHOW TBLPROPERTIES graft.cdc2")
+      .as[(String, String)].collect().toMap
+    assert(props.get("graft.changeFeed.key").contains("id"))
+    spark.sql("ALTER TABLE graft.cdc2 UNSET TBLPROPERTIES " +
+      "('graft.changeFeed.key')")
+    assert(VersionedTable.changeFeedKey(spark, root).isEmpty)
+    spark.sql("ALTER TABLE graft.cdc2 SET TBLPROPERTIES " +
+      "('graft.changeFeed.key' = 'id')")
+    assert(VersionedTable.changeFeedKey(spark, root).contains("id"))
+    // an unknown key column refuses at CREATE, atomically
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.cdc3 (id BIGINT) TBLPROPERTIES " +
+        "('graft.changeFeed.key' = 'nope')")
+    }
+    assert(!spark.catalog.tableExists("graft.cdc3"))
+  }
+
   test("writeStream.toTable appends each micro-batch as one atomic " +
     "version with a txn marker; a checkpoint restart replays nothing") {
     wh
