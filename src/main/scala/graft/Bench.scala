@@ -106,29 +106,37 @@ object Bench {
       val threads = 32
       val n = 4000000 // 32 MB of longs per thread
       val results = new java.util.concurrent.atomic.DoubleAdder
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-      val tasks = (1 to threads).map { _ =>
-        pool.submit(new Runnable {
-          override def run(): Unit = {
-            val src = new Array[Long](n)
-            java.util.Arrays.fill(src, 1L)
-            val t0 = System.nanoTime()
-            var i = 0
-            var keep = 0L
-            while (i < 4) {
-              val dst = java.util.Arrays.copyOf(src, n)
-              keep ^= dst(n - 1)
-              i += 1
-            }
-            val dt = (System.nanoTime() - t0) / 1e9
-            if (keep == 42L) sys.error("unreachable")
-            results.add(4L * n * 8L * 2 / dt / 1e9)
-          }
+      // daemon threads + shutdown in finally: a probe failure (e.g.
+      // OOM in one copier) must never leave non-daemon threads that
+      // block JVM exit after the bench prints its JSON
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        threads,
+        (r: Runnable) => {
+          val t = new Thread(r); t.setDaemon(true); t
         })
-      }
-      tasks.foreach(_.get())
-      pool.shutdown()
-      results.sum()
+      try {
+        val tasks = (1 to threads).map { _ =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              val src = new Array[Long](n)
+              java.util.Arrays.fill(src, 1L)
+              val t0 = System.nanoTime()
+              var i = 0
+              var keep = 0L
+              while (i < 4) {
+                val dst = java.util.Arrays.copyOf(src, n)
+                keep ^= dst(n - 1)
+                i += 1
+              }
+              val dt = (System.nanoTime() - t0) / 1e9
+              if (keep == 42L) sys.error("unreachable")
+              results.add(4L * n * 8L * 2 / dt / 1e9)
+            }
+          })
+        }
+        tasks.foreach(_.get())
+        results.sum()
+      } finally pool.shutdown()
     }.getOrElse(-1.0)
     // per-row contamination marker: one fixed 10M-row codegen'd sum
     // immediately before each query, compared to its quiet baseline

@@ -1183,9 +1183,7 @@ object PipelineQueries extends QueryPack {
       vt.init(s, root, snap)
       vt.enableChangeFeed(s, root, "doc_id") // v1, metadata-only
       vt.merge(s, root, upd.unionByName(del).unionByName(ins), "doc_id")
-      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
-        s.sparkContext.hadoopConfiguration)
-      require(fs.exists(new org.apache.hadoop.fs.Path(root, "_changes/v2")),
+      require(vt.changeFilePathIfExists(s, root, 2).isDefined,
         "merge did not materialize its commit-time change file")
       val feed = vt.changesBetween(s, root, 1, 2, key = Some("doc_id"))
       require(feed.queryExecution.optimizedPlan.collect {

@@ -719,8 +719,15 @@ object VersionedTable {
 
   private def changesDir(root: String) = new Path(root, "_changes")
 
-  private def changeFilePath(root: String, v: Int) =
-    new Path(changesDir(root), s"v$v")
+  // the change dir NAME version v's manifest references (`#changes:`),
+  // if any — the manifest is the source of truth, never a path probe:
+  // change dirs carry a per-attempt uuid so concurrent optimistic
+  // writers can neither overwrite nor delete each other's files (a
+  // loser cleans up only its OWN uuid-named dir)
+  private def changeFileNameOf(spark: SparkSession, root: String,
+      v: Int): Option[String] =
+    manifestLines(spark, root, v)
+      .find(_.startsWith("#changes:")).map(_.stripPrefix("#changes:"))
 
   /** The CDC key column pinned by [[enableChangeFeed]] as of `version`
     * (default latest), or None when commit-time change materialization
@@ -759,7 +766,7 @@ object VersionedTable {
     * [[publishDir]]. */
   def enableChangeFeed(spark: SparkSession, root: String,
       key: String): Int = {
-    import org.apache.spark.sql.functions.{count, countDistinct, col}
+    import org.apache.spark.sql.functions.{count, countDistinct, col, lit}
     val base = latestVersion(spark, root)
     require(base >= 0, s"table $root has no committed version")
     require(changeFeedKey(spark, root, Some(base)).isEmpty,
@@ -768,11 +775,20 @@ object VersionedTable {
     val snap = read(spark, root, Some(base))
     require(snap.columns.contains(key),
       s"key column '$key' not in table schema ${snap.schema.simpleString}")
-    val Array(n, d) = snap.agg(count(col(key)), countDistinct(col(key)))
-      .head.toSeq.map(_.asInstanceOf[Long]).toArray
-    require(n == d,
-      s"key '$key' is not unique in the current snapshot ($n rows, $d " +
-        "distinct) — keyed change pairing would be ill-defined")
+    val row = snap.agg(count(lit(1)), count(col(key)),
+      countDistinct(col(key))).head
+    val (total, nonNull, distinct) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    // count/countDistinct both skip NULLs, so NULL keys need their own
+    // refusal: a full-outer join never matches NULL to NULL, which
+    // would mis-report unchanged NULL-key rows as delete+insert pairs
+    require(total == nonNull,
+      s"key '$key' is NULL in ${total - nonNull} row(s) — NULL keys " +
+        "cannot be paired in a change feed")
+    require(nonNull == distinct,
+      s"key '$key' is not unique in the current snapshot ($nonNull " +
+        s"rows, $distinct distinct) — keyed change pairing would be " +
+        "ill-defined")
     val body = manifestLines(spark, root, base)
       .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:"))
     writeManifest(spark, root, base + 1,
@@ -780,31 +796,59 @@ object VersionedTable {
     base + 1
   }
 
-  /** The materialized change file's path for version `v`, if one
-    * exists — the streaming seam's lookup. */
-  private[sources] def changeFilePathIfExists(spark: SparkSession,
-      root: String, v: Int): Option[String] = {
-    val p = changeFilePath(root, v)
-    if (fsOf(spark, p).exists(p)) Some(p.toString) else None
+  /** The ABSOLUTE commit-dir paths version `v` ADDED over `v-1`,
+    * resolved per the streaming contract shared by all three
+    * micro-batch streams (one implementation so the flavors can never
+    * drift): `Some(paths)` for append-only versions (v == 0: the
+    * whole initial manifest), `Some(Nil)` for DATA-EQUIVALENT
+    * maintenance versions (skipped — their rows were already
+    * delivered under their old dirs), `None` for a genuine rewrite
+    * (the caller refuses or serves the materialized change file).
+    * Runs the typed data-loss guards on the way. */
+  private[sources] def addedDirsForVersion(spark: SparkSession,
+      root: String, v: Int): Option[Seq[String]] = {
+    requireVersionsAvailable(spark, root, math.max(v - 1, 0), v)
+    if (commitOp(spark, root, v).exists(DataEquivalentOps))
+      return Some(Seq.empty)
+    val cur = readManifest(spark, root, v)
+    val prior =
+      if (v == 0) Set.empty[String]
+      else readManifest(spark, root, v - 1).toSet
+    if (!prior.subsetOf(cur.toSet)) None
+    else {
+      val paths = cur.filterNot(prior)
+        .map(d => new Path(new Path(root, "data"), d).toString)
+      requireDirsAvailable(spark, root, paths)
+      Some(paths)
+    }
   }
+
+  /** The materialized change file's path for version `v`, if its
+    * manifest references one AND the dir still exists (an interrupted
+    * vacuum can orphan the reference — absent degrades to the join
+    * diff, never a wrong answer) — the streaming seam's lookup, and
+    * the observability probe for "is this version file-served". */
+  def changeFilePathIfExists(spark: SparkSession,
+      root: String, v: Int): Option[String] =
+    changeFileNameOf(spark, root, v)
+      .map(n => new Path(changesDir(root), n))
+      .filter(p => fsOf(spark, p).exists(p))
+      .map(_.toString)
 
   /** The materialized change file of version `v` (table columns +
     * `change_kind`), or None when the commit predates [[enableChangeFeed]]
     * or was append-only. Schema-pinned so a consumer never sees
     * feed-side drift between the file and join regimes. */
   private[sources] def readChangeFile(spark: SparkSession, root: String,
-      v: Int): Option[DataFrame] = {
-    val p = changeFilePath(root, v)
-    if (!fsOf(spark, p).exists(p)) None
-    else {
+      v: Int): Option[DataFrame] =
+    changeFilePathIfExists(spark, root, v).map { p =>
       val s = cheapSchema(spark, root, v)
         .getOrElse(read(spark, root, Some(v)).schema)
       val feedSchema = org.apache.spark.sql.types.StructType(s.fields :+
         org.apache.spark.sql.types.StructField("change_kind",
           org.apache.spark.sql.types.StringType, nullable = true))
-      Some(spark.read.schema(feedSchema).parquet(p.toString))
+      spark.read.schema(feedSchema).parquet(p)
     }
-  }
 
   /** Turn commit-time CDC materialization back OFF (metadata-only
     * commit dropping the `#cdckey:` pin). Existing change files keep
@@ -821,15 +865,18 @@ object VersionedTable {
     base + 1
   }
 
-  // materialize `_changes/v{next}` for a rewrite commit: the keyed
-  // diff of exactly (dropped dirs → staged dir) — O(rewritten data) —
-  // or an empty file for provably data-equivalent maintenance.
-  // tmp-write + rename; an orphan target from an earlier failed
-  // attempt at this version is replaced (no manifest references it).
+  // materialize a rewrite commit's change dir: the keyed diff of
+  // exactly (dropped dirs → staged dir) — O(rewritten data) — or an
+  // empty file for provably data-equivalent maintenance. Written
+  // under a fresh `v{next}-{uuid}` name and returned; the CALLER
+  // records it as a `#changes:` manifest line, which is what makes
+  // it visible — so no rename dance is needed, concurrent writers
+  // can't collide, and a failed commit's dir is an unreferenced
+  // orphan vacuum's horizon sweep removes.
   private def writeChangeFile(spark: SparkSession, root: String,
       next: Int, key: String, removedDirs: Seq[String], dataDir: Path,
       wroteFiles: Boolean, metaLines: Seq[String],
-      equivalent: Boolean): Unit = {
+      equivalent: Boolean): String = {
     import org.apache.spark.sql.types.StructType
     def shape(s: StructType) =
       s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.sql))
@@ -870,15 +917,9 @@ object VersionedTable {
           else empty(schema)
         keyedDiff(oldDf, newDf, schema.fieldNames.toSeq, key)
       }
-    val fs = fsOf(spark, changesDir(root))
-    fs.mkdirs(changesDir(root))
-    val tmp = new Path(changesDir(root),
-      s".tmp-${java.util.UUID.randomUUID}")
-    changes.write.parquet(tmp.toString)
-    val target = changeFilePath(root, next)
-    if (fs.exists(target)) fs.delete(target, true)
-    require(fs.rename(tmp, target),
-      s"change-file rename $tmp -> $target failed")
+    val name = s"v$next-${java.util.UUID.randomUUID}"
+    changes.write.parquet(new Path(changesDir(root), name).toString)
+    name
   }
 
   private def commitDirs(spark: SparkSession, root: String, df: DataFrame,
@@ -965,18 +1006,19 @@ object VersionedTable {
         readManifest(spark, root, expectedVersion)
           .filterNot(carryDirs.toSet)
       else Seq.empty
-    if (cdcKey.isDefined && removedDirs.nonEmpty) {
-      val opName = metaLines.collectFirst {
-        case l if l.startsWith("#op:") => l.stripPrefix("#op:")
-      }
-      try writeChangeFile(spark, root, next, cdcKey.get, removedDirs,
-        dataDir, wroteFiles, metaLines,
-        equivalent = opName.exists(DataEquivalentOps))
-      catch { case e: Throwable =>
-        fs.delete(dataDir, true) // same atomic refusal as constraints
-        throw e
-      }
-    }
+    val changeName: Option[String] =
+      if (cdcKey.isDefined && removedDirs.nonEmpty) {
+        val opName = metaLines.collectFirst {
+          case l if l.startsWith("#op:") => l.stripPrefix("#op:")
+        }
+        try Some(writeChangeFile(spark, root, next, cdcKey.get,
+          removedDirs, dataDir, wroteFiles, metaLines,
+          equivalent = opName.exists(DataEquivalentOps)))
+        catch { case e: Throwable =>
+          fs.delete(dataDir, true) // same atomic refusal as constraints
+          throw e
+        }
+      } else None
     // file-skipping stats for the files JUST written, harvested from
     // their parquet footers (metadata-only reads — no second data
     // pass) and committed ATOMICALLY with the manifest that makes the
@@ -985,8 +1027,9 @@ object VersionedTable {
       spark.sparkContext.hadoopConfiguration, dataDir, commitName))
       .getOrElse(Seq.empty)
     try writeManifest(spark, root, next,
-      constraintLines ++ cdcLine ++ metaLines ++ carryStatsLines ++
-        statsLines ++ carryDirs :+ commitName)
+      constraintLines ++ cdcLine ++
+        changeName.map("#changes:" + _).toSeq ++ metaLines ++
+        carryStatsLines ++ statsLines ++ carryDirs :+ commitName)
     catch {
       // a retrying caller (the streaming sink) keeps the already-
       // written dir across a version conflict and re-publishes it
@@ -995,7 +1038,10 @@ object VersionedTable {
       case e: VersionConflictException if keepDirOnConflict => throw e
       case e: Throwable =>
         fs.delete(dataDir, true) // orphaned data, nothing references it
-        fs.delete(changeFilePath(root, next), true) // ditto its changes
+        // only THIS attempt's uuid-named change dir — a concurrent
+        // winner's committed file is untouchable by construction
+        changeName.foreach(n =>
+          fs.delete(new Path(changesDir(root), n), true))
         throw e
     }
     next
@@ -1685,9 +1731,22 @@ object VersionedTable {
       candidates.filterNot(p => lateKeep.contains(p.getName))
         .foreach(p => fs.delete(p, true))
     }
-    (0 until keepFrom).foreach { v =>
-      fs.delete(manifestPath(root, v), false)
-      fs.delete(changeFilePath(root, v), true) // its CDC file ages out too
+    (0 until keepFrom).foreach(v => fs.delete(manifestPath(root, v), false))
+    // change-dir sweep: anything under _changes/ that no SURVIVING
+    // manifest references and that is older than the horizon — covers
+    // aged-out versions' files AND orphans from failed/conflicted
+    // commits (their dirs were never referenced by any manifest)
+    val chDir = changesDir(root)
+    if (fs.exists(chDir)) {
+      val latestNow = latestVersion(spark, root)
+      val referenced = (keepFrom to math.max(latestNow, keepFrom))
+        .filter(v => fs.exists(manifestPath(root, v)))
+        .flatMap(v => changeFileNameOf(spark, root, v)).toSet
+      val horizon = System.currentTimeMillis() - retainMillis
+      fs.listStatus(chDir)
+        .filter(st => !referenced.contains(st.getPath.getName) &&
+          st.getModificationTime < horizon)
+        .foreach(st => fs.delete(st.getPath, true))
     }
   }
 }

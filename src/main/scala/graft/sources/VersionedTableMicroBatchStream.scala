@@ -50,9 +50,12 @@ class VersionedTableMicroBatchStream(spark: SparkSession, root: String,
   // deltas — a consumer starting cold against a long-history table
   // catches up in bounded steps instead of one giant initial batch
   // (the initial snapshot batch itself counts as its "to" version's
-  // worth and is not splittable below one version)
+  // worth and is not splittable below one version). Clamped to >= 1:
+  // 0 would stall the stream silently, a negative value would write
+  // regressing offsets into the checkpoint.
   private val maxVersions: Option[Int] =
-    Option(options.get("maxVersionsPerTrigger")).map(_.trim.toInt)
+    Option(options.get("maxVersionsPerTrigger"))
+      .map(s => math.max(1, s.trim.toInt))
 
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
@@ -78,12 +81,11 @@ class VersionedTableMicroBatchStream(spark: SparkSession, root: String,
     VersionOffset(json.trim.toInt)
 
   private def deltaPaths(from: Int, to: Int): Seq[String] = {
-    // a lagging consumer (bounded catch-up, restart from an old
-    // checkpoint) must hit the typed data-loss error, not a raw
-    // missing-manifest/missing-file failure deep inside the scan
-    VersionedTable.requireVersionsAvailable(spark, root,
-      math.max(from, 0), to)
     if (from < 0) {
+      // initial batch = the snapshot AT `to` — only that manifest and
+      // its dirs need to exist (a vacuumed-away PREFIX is irrelevant:
+      // a fresh stream on a long-vacuumed table must still start)
+      VersionedTable.requireVersionsAvailable(spark, root, to, to)
       val paths = VersionedTable.dataDirs(spark, root, Some(to))
       VersionedTable.requireDirsAvailable(spark, root, paths)
       return paths
@@ -91,28 +93,17 @@ class VersionedTableMicroBatchStream(spark: SparkSession, root: String,
     // per-version walk (not one (from, to] set diff) so DATA-EQUIVALENT
     // maintenance versions (compact/compactSmall/optimize re-home rows
     // the consumer already received) are SKIPPED instead of failing the
-    // rewrite refusal — a tailing consumer survives layout maintenance
-    val paths = (from + 1 to to).flatMap { v =>
-      if (VersionedTable.commitOp(spark, root, v)
-          .exists(VersionedTable.DataEquivalentOps)) Seq.empty
-      else {
-        val prior = VersionedTable.readManifest(spark, root, v - 1).toSet
-        val cur = VersionedTable.readManifest(spark, root, v)
-        require(prior.subsetOf(cur.toSet),
+    // rewrite refusal — a tailing consumer survives layout maintenance.
+    // Shared with the change-feed streams via addedDirsForVersion; a
+    // lagging consumer hits the typed data-loss error in there, never
+    // a raw missing-file failure deep inside the scan.
+    (from + 1 to to).flatMap { v =>
+      VersionedTable.addedDirsForVersion(spark, root, v).getOrElse(
+        throw new IllegalArgumentException(
           s"version $v of $root is a rewrite (merge/delete/update) — " +
             "the streaming source only tails APPENDS; use " +
-            "VersionedTable.changesBetween for rewrite deltas")
-        // vs the PREVIOUS NON-SKIPPED state: dirs a compact folded away
-        // must not resurface as "added" in the next step — diff against
-        // v-1 directly is correct because a maintenance version only
-        // re-homes rows already delivered, and an appended dir after it
-        // is new relative to v-1 too unless it was the compact output
-        cur.filterNot(prior)
-          .map(d => new Path(new Path(root, "data"), d).toString)
-      }
+            "VersionedTable.changesBetween for rewrite deltas"))
     }
-    VersionedTable.requireDirsAvailable(spark, root, paths)
-    paths
   }
 
   private def scanOver(paths: Seq[String]) =
@@ -188,8 +179,11 @@ class VersionedTableChangeFeedStream(spark: SparkSession, root: String,
   // the change-feed replay is per-version already, so
   // maxVersionsPerTrigger bounds EVERY batch including the replay —
   // a cold consumer of a 10^4-version log catches up in bounded steps
+  // (clamped >= 1: 0 would stall silently, negative would regress
+  // offsets)
   private val maxVersions: Option[Int] =
-    Option(options.get("maxVersionsPerTrigger")).map(_.trim.toInt)
+    Option(options.get("maxVersionsPerTrigger"))
+      .map(s => math.max(1, s.trim.toInt))
 
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
@@ -216,27 +210,16 @@ class VersionedTableChangeFeedStream(spark: SparkSession, root: String,
 
   // the dirs version v ADDED over v-1 (v == 0: everything it lists);
   // data-equivalent maintenance versions contribute NOTHING (their
-  // rows were already delivered under their old dirs)
-  private def addedPaths(v: Int): Seq[String] = {
-    VersionedTable.requireVersionsAvailable(spark, root,
-      math.max(v - 1, 0), v)
-    if (VersionedTable.commitOp(spark, root, v)
-        .exists(VersionedTable.DataEquivalentOps)) return Seq.empty
-    val toDirs = VersionedTable.readManifest(spark, root, v)
-    val prior =
-      if (v == 0) Set.empty[String]
-      else VersionedTable.readManifest(spark, root, v - 1).toSet
-    require(prior.subsetOf(toDirs.toSet),
-      s"version $v of $root is a rewrite (merge/delete/update) — " +
-        "the change-feed stream tails APPENDS; consume rewrite deltas " +
-        "keyed (enableChangeFeed + option(\"key\", ...)), via batch " +
-        "VersionedTable.changeFeed, or the v1 source's keyed " +
-        "readChangeFeed")
-    val paths = toDirs.filterNot(prior)
-      .map(d => new Path(new Path(root, "data"), d).toString)
-    VersionedTable.requireDirsAvailable(spark, root, paths)
-    paths
-  }
+  // rows were already delivered under their old dirs) — shared walk
+  // with the other streams via addedDirsForVersion
+  private def addedPaths(v: Int): Seq[String] =
+    VersionedTable.addedDirsForVersion(spark, root, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $v of $root is a rewrite (merge/delete/update) — " +
+          "the change-feed stream tails APPENDS; consume rewrite " +
+          "deltas keyed (enableChangeFeed + option(\"key\", ...)), " +
+          "via batch VersionedTable.changeFeed, or the v1 source's " +
+          "keyed readChangeFeed"))
 
   private def scanOver(paths: Seq[String]) =
     ParquetTable(s"graft-versioned-cdf-stream $root", spark, options, paths,
@@ -343,7 +326,8 @@ class VersionedTableKeyedChangeFeedStream(spark: SparkSession,
   }
 
   private val maxVersions: Option[Int] =
-    Option(options.get("maxVersionsPerTrigger")).map(_.trim.toInt)
+    Option(options.get("maxVersionsPerTrigger"))
+      .map(s => math.max(1, s.trim.toInt)) // 0 would stall silently
 
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
@@ -383,34 +367,24 @@ class VersionedTableKeyedChangeFeedStream(spark: SparkSession,
       .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
 
   private def planVersion(v: Int): Array[InputPartition] = {
-    VersionedTable.requireVersionsAvailable(spark, root,
-      math.max(v - 1, 0), v)
-    if (VersionedTable.commitOp(spark, root, v)
-        .exists(VersionedTable.DataEquivalentOps))
-      return Array.empty
-    val cur = VersionedTable.readManifest(spark, root, v)
-    val prior =
-      if (v == 0) Set.empty[String]
-      else VersionedTable.readManifest(spark, root, v - 1).toSet
-    if (prior.subsetOf(cur.toSet)) {
-      // append-only: added dirs are inserts (v == 0: snapshot replay)
-      val paths = cur.filterNot(prior)
-        .map(d => new Path(new Path(root, "data"), d).toString)
-      VersionedTable.requireDirsAvailable(spark, root, paths)
-      if (paths.isEmpty) Array.empty
-      else scanTable(paths).planInputPartitions()
-        .map(p => ChangeTaggedPartition(v.toLong, p))
-    } else {
-      // rewrite: its commit-time change file IS the feed
-      val file = VersionedTable.changeFilePathIfExists(spark, root, v)
-        .getOrElse(throw new IllegalStateException(
-          s"version $v of $root is a rewrite with no materialized " +
-            "change file (committed BEFORE enableChangeFeed, or a " +
-            "metadata-only RESTORE) — replay that range via batch " +
-            "VersionedTable.changeFeed or the v1 seam, then tail from " +
-            "a version with change files"))
-      scanChanges(Seq(file)).planInputPartitions()
-        .map(p => VersionTaggedPartition(v.toLong, p))
+    VersionedTable.addedDirsForVersion(spark, root, v) match {
+      case Some(paths) =>
+        // append-only (v == 0: snapshot replay) or maintenance skip:
+        // added dirs are inserts
+        if (paths.isEmpty) Array.empty
+        else scanTable(paths).planInputPartitions()
+          .map(p => ChangeTaggedPartition(v.toLong, p))
+      case None =>
+        // rewrite: its commit-time change file IS the feed
+        val file = VersionedTable.changeFilePathIfExists(spark, root, v)
+          .getOrElse(throw new IllegalStateException(
+            s"version $v of $root is a rewrite with no materialized " +
+              "change file (committed BEFORE enableChangeFeed, or a " +
+              "metadata-only RESTORE) — replay that range via batch " +
+              "VersionedTable.changeFeed or the v1 seam, then tail " +
+              "from a version with change files"))
+        scanChanges(Seq(file)).planInputPartitions()
+          .map(p => VersionTaggedPartition(v.toLong, p))
     }
   }
 

@@ -71,8 +71,14 @@ class VersionedTableStreamSource(sqlContext: SQLContext, root: String,
       case v =>
         val bounded = maxVersionsPerTrigger match {
           case Some(n) =>
+            // cold-start base: CDF mode replays per version from
+            // startingVersion (boundable); SNAPSHOT mode's initial
+            // batch is the whole snapshot at `v` — one unsplittable
+            // "version's worth", so it must NOT be bounded (pinning it
+            // to version n-1 would fail outright on vacuumed tables
+            // and on histories containing a rewrite)
             val base = lastEnd.getOrElse(
-              cdf.map(_.startingVersion - 1).getOrElse(-1))
+              cdf.map(_.startingVersion - 1).getOrElse(v))
             math.min(v, base + math.max(n, 1))
           case None => v
         }

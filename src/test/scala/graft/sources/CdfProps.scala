@@ -159,8 +159,8 @@ object CdfProps extends Properties("ChangeFeed") {
           .readManifest(spark, root, v - 1)
           .exists(d => !VersionedTable.readManifest(spark, root, v)
             .contains(d))
-        val fileThere = fs.exists(
-          new org.apache.hadoop.fs.Path(root, s"_changes/v$v"))
+        val fileThere = VersionedTable
+          .changeFilePathIfExists(spark, root, v).isDefined
         val keyed = signed(VersionedTable.changesBetween(
           spark, root, v - 1, v, key = Some("id"))
           .select("id", "text", "change_kind"), keyed = true)

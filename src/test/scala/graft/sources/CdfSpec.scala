@@ -186,12 +186,10 @@ class CdfSpec extends SparkSpec {
       (9L, "i", "update_preimage"), (9L, "i2", "update_postimage")))
     // v6: append — NO change file written (manifest delta serves it)
     VersionedTable.append(spark, root, docs(7L -> "g"), expectedVersion = 5)
-    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_changes/v6")),
+    assert(VersionedTable.changeFilePathIfExists(spark, root, 6).isEmpty,
       "append must not pay change-file materialization")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_changes/v3")) &&
-      fs.exists(new org.apache.hadoop.fs.Path(root, "_changes/v5")))
+    assert(VersionedTable.changeFilePathIfExists(spark, root, 3).isDefined
+      && VersionedTable.changeFilePathIfExists(spark, root, 5).isDefined)
     val f6 = VersionedTable.changesBetween(spark, root, 5, 6,
       key = Some("id"))
     assert(f6.select("id", "change_kind").as[(Long, String)].collect()
@@ -214,6 +212,46 @@ class CdfSpec extends SparkSpec {
     assert(state == VersionedTable.read(spark, root, Some(6))
       .select("id", "text").as[(Long, String)].collect().toMap,
       "keyed file-served feed does not fold to the target snapshot")
+  }
+
+  test("a losing optimistic writer cannot disturb a committed " +
+    "version's change file: uuid-named dirs referenced by the " +
+    "manifest, losers clean only their own attempt") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a", 2L -> "b"))
+    VersionedTable.enableChangeFeed(spark, root, "id") // v1
+    VersionedTable.delete(spark, root, col("id") === 1L) // v2 + file
+    assert(VersionedTable.changeFilePathIfExists(spark, root, 2).isDefined)
+    // a stale-based writer loses the v2 rename race; its cleanup path
+    // must not touch the winner's committed change file
+    intercept[VersionConflictException] {
+      VersionedTable.append(spark, root, docs(9L -> "z"),
+        expectedVersion = 1)
+    }
+    assert(VersionedTable.changeFilePathIfExists(spark, root, 2).isDefined,
+      "loser's cleanup deleted the winner's committed change file")
+    assert(VersionedTable.changesBetween(spark, root, 1, 2,
+      key = Some("id")).select("id", "change_kind")
+      .as[(Long, String)].collect().toSet == Set(1L -> "delete"))
+  }
+
+  test("enableChangeFeed refuses NULL and duplicate keys loudly") {
+    val root = freshRoot()
+    Seq((Some(1L), "a"), (None, "b"), (None, "c"))
+      .toDF("id", "text")
+      .write.mode("overwrite").parquet(root + "_src")
+    VersionedTable.init(spark, root,
+      spark.read.parquet(root + "_src"))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.enableChangeFeed(spark, root, "id")
+    }
+    assert(e.getMessage.contains("NULL"))
+    val root2 = freshRoot()
+    VersionedTable.init(spark, root2, docs(1L -> "a", 1L -> "dup"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.enableChangeFeed(spark, root2, "id")
+    }
+    assert(e2.getMessage.contains("not unique"))
   }
 
   test("a feed across a data-equivalent maintenance version is empty " +

@@ -623,10 +623,8 @@ class GraftCatalogSpec extends SparkSpec {
     VersionedTable.enableChangeFeed(spark, root, "id") // v2
     spark.sql("UPDATE graft.cdc1 SET s = 'b2' WHERE id = 2") // v3
     spark.sql("DELETE FROM graft.cdc1 WHERE id = 1") // v4
-    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_changes/v3")))
-    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_changes/v4")))
+    assert(VersionedTable.changeFilePathIfExists(spark, root, 3).isDefined)
+    assert(VersionedTable.changeFilePathIfExists(spark, root, 4).isDefined)
     val f3 = VersionedTable.changesBetween(spark, root, 2, 3,
       key = Some("id"))
     assert(f3.queryExecution.optimizedPlan.collect {
@@ -650,9 +648,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(VersionedTable.changeFeedKey(spark, root).contains("id"))
     spark.sql("INSERT INTO graft.cdc2 VALUES (1, 'a'), (2, 'b')") // v2
     spark.sql("UPDATE graft.cdc2 SET s = 'a2' WHERE id = 1") // v3
-    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_changes/v3")),
+    assert(VersionedTable.changeFilePathIfExists(spark, root, 3).isDefined,
       "CREATE-time pin did not materialize the UPDATE's change file")
     assert(VersionedTable.changesBetween(spark, root, 2, 3,
       key = Some("id")).select("id", "s", "change_kind")
