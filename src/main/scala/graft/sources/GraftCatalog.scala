@@ -478,6 +478,7 @@ private[sources] class GraftSqlTable(ident: String, root: String,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
 
@@ -502,7 +503,11 @@ private[sources] class GraftSqlTable(ident: String, root: String,
     new org.apache.spark.sql.graft.DirAwareScanBuilder(spark, root,
       inner.schema,
       VersionedTable.readManifest(spark, root, pinnedVersion),
-      inner.newScanBuilder(options), options)
+      inner.newScanBuilder(options), options,
+      // `spark.readStream.table("graft.t")`: snapshot-then-tail via
+      // the same micro-batch stream the path connector uses; a
+      // time-traveled table is a frozen snapshot — nothing to stream
+      streamable = version.isEmpty)
 
   private def requireWritable(what: String): Unit =
     require(version.isEmpty,

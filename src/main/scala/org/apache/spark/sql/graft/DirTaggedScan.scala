@@ -296,7 +296,7 @@ class DirTaggedReaderFactory(inner: PartitionReaderFactory)
   * posture as [[ColumnBridge]]/[[StreamingBridge]]. */
 class DirAwareScanBuilder(spark: SparkSession, root: String,
     dataSchema: StructType, dirNames: Seq[String], inner: ScanBuilder,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap, streamable: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters {
@@ -335,7 +335,43 @@ class DirAwareScanBuilder(spark: SparkSession, root: String,
     }
 
   override def build(): Scan =
-    if (!dirMode) inner.build()
-    else new DirTaggedScan(spark, root, () => dirNames, dataSchema,
-      prunedData, options, stored)
+    if (dirMode)
+      new DirTaggedScan(spark, root, () => dirNames, dataSchema,
+        prunedData, options, stored)
+    else if (!streamable) inner.build()
+    else new StreamableDelegatingScan(spark, root, options, inner.build())
+}
+
+/** The catalog table's batch scan with `spark.readStream.table`
+  * support bolted on: every batch method delegates verbatim to
+  * Spark's own `ParquetScan`; `toMicroBatchStream` hands the engine
+  * the same snapshot-then-tail [[graft.sources.VersionedTableMicroBatchStream]]
+  * the path-based `graft-versioned-stream` connector serves, reading
+  * under the scan's (possibly column-pruned) schema. Change-feed
+  * modes carry extra columns the fixed catalog relation schema cannot
+  * express — those route to the path connector, loudly. */
+private class StreamableDelegatingScan(spark: SparkSession,
+    root: String, options: CaseInsensitiveStringMap, delegate: Scan)
+    extends Scan {
+
+  override def readSchema(): StructType = delegate.readSchema()
+
+  override def description(): String = delegate.description()
+
+  override def toBatch: Batch = delegate.toBatch
+
+  override def columnarSupportMode()
+      : Scan.ColumnarSupportMode = delegate.columnarSupportMode()
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!Option(options.get("readChangeFeed"))
+      .exists(_.trim.toBoolean),
+      "change-feed STREAMING adds change_kind/_commit_version columns " +
+        "the catalog relation's schema cannot carry — use " +
+        "spark.readStream.format(\"graft-versioned-stream\")" +
+        ".option(\"readChangeFeed\", \"true\").load(<table root>)")
+    new graft.sources.VersionedTableMicroBatchStream(spark, root,
+      delegate.readSchema(), options)
+  }
 }

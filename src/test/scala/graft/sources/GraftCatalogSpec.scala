@@ -671,6 +671,39 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft.cdc3"))
   }
 
+  test("spark.readStream.table streams the catalog table: snapshot " +
+    "then live append tail, column pruning honored; change-feed mode " +
+    "routes to the path connector loudly") {
+    wh
+    spark.sql("CREATE TABLE graft.rs1 (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.rs1 VALUES (1, 'a'), (2, 'b')")
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.table("graft.rs1")
+      .select("id") // prune: the stream must read under the pruned schema
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen ++= b.as[Long].collect() }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.toSet == Set(1L, 2L), s"initial snapshot wrong: $seen")
+      spark.sql("INSERT INTO graft.rs1 VALUES (3, 'c')")
+      q.processAllAvailable()
+      assert(seen.toSet == Set(1L, 2L, 3L), s"live tail wrong: $seen")
+    } finally q.stop()
+    // CDF mode cannot ride the fixed relation schema: loud routing
+    val q2 = spark.readStream.option("readChangeFeed", "true")
+      .table("graft.rs1").writeStream.format("noop").start()
+    val e = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("graft-versioned-stream"),
+      s"wrong failure: ${chain(e)}")
+  }
+
   test("writeStream.toTable appends each micro-batch as one atomic " +
     "version with a txn marker; a checkpoint restart replays nothing") {
     wh
