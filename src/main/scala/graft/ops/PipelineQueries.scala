@@ -1127,6 +1127,57 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // the SAME single-version feed through PURE SQL end-to-end: the
+  // table lives in a throwaway graft catalog, the changeset lands via
+  // SQL MERGE, and the feed reads back through the `table_changes`
+  // TVF GraftSqlExtensions registers (Delta's SQL CDF spelling) — so
+  // DDL → DML → CDF runs entirely in spark.sql. Hash-gated by the
+  // SAME EXCEPT-ALL oracle as pipeline_versioned_changes_feed (one
+  // feed, three spellings: programmatic, connector option, SQL TVF).
+  def pipelineVersionedChangesSql(s: SparkSession, d: String): DataFrame = {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vcsql")
+    val cat = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpRoot.toString)
+      docs(s, d).select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("text"))
+        .createOrReplaceTempView("vcsql_docs")
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+        "source STRING, n_chars BIGINT, text STRING)")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM vcsql_docs")
+      s.sql(
+        s"""MERGE INTO $cat.docs t
+           |USING (
+           |  SELECT doc_id, lang, 'patched' AS source, n_chars, text,
+           |    'U' AS op FROM vcsql_docs WHERE doc_id % 7 = 1
+           |  UNION ALL
+           |  SELECT doc_id, lang, source, n_chars, text, 'D'
+           |  FROM vcsql_docs WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, lang, 'ingested', n_chars, text, 'U'
+           |  FROM vcsql_docs WHERE doc_id % 7 = 2
+           |) c
+           |ON t.doc_id = c.doc_id
+           |WHEN MATCHED AND c.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET t.lang = c.lang,
+           |  t.source = c.source, t.n_chars = c.n_chars, t.text = c.text
+           |WHEN NOT MATCHED AND c.op = 'U' THEN
+           |  INSERT (doc_id, lang, source, n_chars, text)
+           |  VALUES (c.doc_id, c.lang, c.source, c.n_chars, c.text)
+           |""".stripMargin)
+      // CREATE = v0, INSERT = v1, MERGE = v2: the TVF serves exactly
+      // the merge's delta (inclusive version bounds, Delta's shape)
+      s.sql("SELECT doc_id, lang, source, n_chars, " +
+        "md5(text) AS text_md5, change_kind " +
+        s"FROM table_changes('$cat.docs', 2, 2) " +
+        "ORDER BY doc_id, change_kind")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // the SAME feed in key-aware mode (key = doc_id, the column the
   // merge itself pairs on): updated keys surface as paired
   // update_preimage/update_postimage rows instead of delete+insert —
@@ -1652,6 +1703,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_merge" -> pipelineVersionedMerge _,
     "pipeline_versioned_changes" -> pipelineVersionedChanges _,
     "pipeline_versioned_changes_feed" -> pipelineVersionedChangesFeed _,
+    "pipeline_versioned_changes_sql" -> pipelineVersionedChangesSql _,
     "pipeline_versioned_changes_keyed" -> pipelineVersionedChangesKeyed _,
     "pipeline_versioned_cdc_files" -> pipelineVersionedCdcFiles _,
     "pipeline_versioned_skip" -> pipelineVersionedSkip _,
@@ -1903,6 +1955,36 @@ object PipelineQueries extends QueryPack {
     // the connector readChangeFeed spelling of the same single-version
     // feed: identical oracle (pruned of the _commit_version tag)
 "pipeline_versioned_changes_feed" ->
+      """WITH cs AS (
+        |  SELECT doc_id, text, lang, 'patched' AS source, n_chars,
+        |    'U' AS op FROM documents WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, 'D'
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, 'ingested', n_chars, 'U'
+        |  FROM documents WHERE doc_id % 7 = 2),
+        |kept AS (
+        |  SELECT s.* FROM documents s LEFT JOIN cs ON s.doc_id = cs.doc_id
+        |  WHERE cs.doc_id IS NULL),
+        |merged AS (
+        |  SELECT * FROM kept
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars FROM cs WHERE op = 'U'),
+        |v0 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |  FROM documents),
+        |v1 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |  FROM merged),
+        |ins AS (SELECT *, 'insert' AS change_kind FROM
+        |  (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)),
+        |del AS (SELECT *, 'delete' AS change_kind FROM
+        |  (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1))
+        |SELECT * FROM ins UNION ALL SELECT * FROM del
+        |ORDER BY doc_id, change_kind""".stripMargin,
+    // the SQL-TVF spelling of the same single-version feed (the
+    // changeset lands via SQL MERGE this time — same merged state,
+    // so the identical oracle gates all three spellings)
+    "pipeline_versioned_changes_sql" ->
       """WITH cs AS (
         |  SELECT doc_id, text, lang, 'patched' AS source, n_chars,
         |    'U' AS op FROM documents WHERE doc_id % 7 = 1

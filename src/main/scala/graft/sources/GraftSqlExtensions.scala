@@ -4,7 +4,7 @@ import scala.util.matching.Regex
 
 import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -34,8 +34,65 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * source of truth, two spellings).
   */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // CDF through pure SQL — Delta's TVF spelling plus a
+    // collision-proof alias (TVF registration is name-keyed, so in a
+    // mixed session where another extension also claims
+    // `table_changes` the alias still reaches the graft feed):
+    //   SELECT * FROM table_changes('cat.tbl', 2)        -- tail from v2
+    //   SELECT * FROM table_changes('cat.tbl', 0, 5)     -- replay..v5
+    Seq("table_changes", "graft_table_changes").foreach { name =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(GraftTableChanges.getClass.getName, name),
+        GraftTableChanges.plan _))
+    }
+  }
+}
+
+/** `table_changes(table, startingVersion[, endingVersion])` — the SQL
+  * table-valued spelling of [[VersionedTable.changeFeed]] (inclusive
+  * version bounds, Delta's argument shape; versions only — graft
+  * manifests are version-addressed, use `tbl$history` to map
+  * timestamps). The vocabulary follows the table's CDC pin exactly as
+  * the streaming seam does: with `graft.changeFeed.key` set the feed
+  * speaks keyed pre/post images (served from commit-time change files
+  * where materialized), otherwise plain insert/delete rows. Arguments
+  * must be literals — the feed's version range shapes the PLAN, so it
+  * is resolved once at analysis time, not per row. */
+object GraftTableChanges {
+
+  def plan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2 || args.size == 3,
+      "table_changes(table, startingVersion[, endingVersion]) takes " +
+        s"2 or 3 arguments, got ${args.size}")
+    val spark = SparkSession.active
+    def litVal(e: Expression, what: String): Any = {
+      require(e.foldable,
+        s"table_changes: $what must be a literal, got ${e.sql}")
+      val v = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      require(v != null, s"table_changes: $what must not be NULL")
+      v
+    }
+    def intVal(e: Expression, what: String): Int =
+      litVal(e, what) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case other => throw new IllegalArgumentException(
+          s"table_changes: $what must be an integer version, got $other")
+      }
+    val name = litVal(args.head, "table name").toString
+    val start = intVal(args(1), "startingVersion")
+    val end = args.lift(2).map(intVal(_, "endingVersion"))
+    val root = GraftSqlParser.resolveRoot(spark,
+      GraftSqlParser.parts(name))
+    val key = VersionedTable.changeFeedKey(spark, root)
+    VersionedTable.changeFeed(spark, root, start, end, key)
+      .queryExecution.analyzed
+  }
 }
 
 /** Delegating parser: three maintenance statements, everything else
@@ -96,7 +153,7 @@ object GraftSqlParser {
     (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident""" +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
 
-  private def parts(ident: String): Seq[String] =
+  private[sources] def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(p =>
       if (p.startsWith("`") && p.endsWith("`")) p.drop(1).dropRight(1)
       else p)

@@ -140,6 +140,63 @@ class GraftSqlExtensionsSpec extends SparkSpec {
       String.valueOf(e3.getCause).contains("absent"))
   }
 
+  test("table_changes TVF serves the change feed in pure SQL: " +
+    "inclusive version bounds, keyed vocabulary under a CDC pin, " +
+    "loud refusals for non-literal args and non-graft targets") {
+    wh
+    spark.sql("CREATE TABLE gext.tc (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gext.tc VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql("INSERT INTO gext.tc VALUES (3, 'c')")           // v2
+    spark.sql("DELETE FROM gext.tc WHERE id = 2")              // v3
+    // open-ended tail from v2 (inclusive), Delta's argument shape
+    val rows = spark.sql("SELECT id, v, change_kind, _commit_version " +
+      "FROM table_changes('gext.tc', 2) ORDER BY _commit_version, id")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(rows == Seq((3L, "c", "insert", 2L), (2L, "b", "delete", 3L)),
+      s"got $rows")
+    // bounded range through the collision-proof alias
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_table_changes('gext.tc', 2, 2)")
+      .as[Long].head == 1L)
+    // version 0 = snapshot replay as inserts: folding the full feed
+    // reproduces the live table
+    val folded = spark.sql(
+      """SELECT id, v FROM table_changes('gext.tc', 0) f
+        |WHERE change_kind = 'insert' AND NOT EXISTS (
+        |  SELECT 1 FROM table_changes('gext.tc', 0) d
+        |  WHERE d.change_kind = 'delete' AND d.id = f.id)
+        |ORDER BY id""".stripMargin)
+      .as[(Long, String)].collect().toSeq
+    assert(folded == Seq((1L, "a"), (3L, "c")), s"got $folded")
+    // a CDC pin flips the feed to keyed pre/post-image vocabulary —
+    // the TVF follows the pin the same way the streaming seam does
+    spark.sql("ALTER TABLE gext.tc SET TBLPROPERTIES " +
+      "('graft.changeFeed.key' = 'id')")                      // v4
+    spark.sql("UPDATE gext.tc SET v = 'z' WHERE id = 1")      // v5
+    val keyed = spark.sql("SELECT id, v, change_kind " +
+      "FROM table_changes('gext.tc', 5, 5) ORDER BY change_kind")
+      .as[(Long, String, String)].collect().toSeq
+    assert(keyed == Seq((1L, "z", "update_postimage"),
+      (1L, "a", "update_preimage")), s"got $keyed")
+    // non-literal version: the feed's range shapes the PLAN, so it
+    // must resolve at analysis time
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('gext.tc', " +
+        "CAST(rand() AS INT))").collect()
+    }
+    assert(e.getMessage.contains("literal"), s"got: ${e.getMessage}")
+    // non-graft target: loud typed refusal (a TVF is name-keyed — it
+    // cannot fall through like the maintenance parser does)
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM table_changes('spark_catalog.default.x', 0)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("graft") ||
+      String.valueOf(e2.getCause).contains("graft"),
+      s"got: ${e2.getMessage}")
+  }
+
   test("CREATE TABLE with an invalid CHECK constraint refuses " +
     "atomically: no table is left behind") {
     wh
