@@ -1432,6 +1432,60 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // STORAGE-PARTITIONED JOIN, end to end: two catalog tables created
+  // `PARTITIONED BY (bucket(8, custkey))`, populated through plain
+  // INSERT (the bucketing write path lays every file out by
+  // pmod(murmur3(custkey,42),8)), then joined on the bucket key with
+  // broadcast disabled — the in-gate canary requires the executed plan
+  // to contain a SortMergeJoin and ZERO shuffle exchanges: the join
+  // cost Spark would normally pay (the dominant cost of a fact-fact
+  // join at 100 TB) is eliminated because the layout PROVES
+  // co-partitioning (KeyGroupedPartitioning through the catalog's
+  // FunctionCatalog). Hash-gated by the layout-oblivious DuckDB join —
+  // the shuffle is removable, the answer is not negotiable.
+  def pipelineVersionedSpjJoin(s: SparkSession, d: String): DataFrame = {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_spj")
+    val cat = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpRoot.toString)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("spj_orders")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .createOrReplaceTempView("spj_cust")
+      s.sql(s"CREATE TABLE $cat.ord (o_orderkey BIGINT, o_custkey " +
+        "BIGINT, o_totalprice DOUBLE) PARTITIONED BY (bucket(8, o_custkey))")
+      s.sql(s"CREATE TABLE $cat.cust (c_custkey BIGINT, c_mktsegment " +
+        "STRING) PARTITIONED BY (bucket(8, c_custkey))")
+      s.sql(s"INSERT INTO $cat.ord SELECT * FROM spj_orders")
+      s.sql(s"INSERT INTO $cat.cust SELECT * FROM spj_cust")
+      val joined = s.sql(
+        s"SELECT o.o_orderkey AS orderkey, o.o_totalprice AS totalprice, " +
+          s"c.c_mktsegment AS mktsegment FROM $cat.ord o " +
+          s"JOIN $cat.cust c ON o.o_custkey = c.c_custkey " +
+          "WHERE o.o_totalprice > 400000")
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"SPJ gate: expected a sort-merge join, got\n$plan")
+      require(!plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("BroadcastExchange"),
+        s"SPJ gate: the co-bucketed join still shuffles\n$plan")
+      // deterministic gate order WITHOUT an ORDER BY inside the
+      // canaried plan (a global sort would add its own range exchange)
+      val sorted = rows.sortBy(_.getLong(0))
+      s.createDataFrame(java.util.Arrays.asList(sorted: _*), joined.schema)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+    }
+  }
+
   // the programmatic UPDATE's predicate driven through SQL UPDATE with
   // GROUP-FILTER PRUNING live: three INSERTs give the commit dirs
   // disjoint doc_id envelopes, the statement condition is pushed into
@@ -1711,6 +1765,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_delete" -> pipelineVersionedDelete _,
     "pipeline_versioned_update" -> pipelineVersionedUpdate _,
     "pipeline_versioned_sql" -> pipelineVersionedSql _,
+    "pipeline_versioned_spj_join" -> pipelineVersionedSpjJoin _,
     "pipeline_versioned_sql_update_pruned" ->
       pipelineVersionedSqlUpdatePruned _,
     "pipeline_versioned_sql_merge" -> pipelineVersionedSqlMerge _,
@@ -2131,6 +2186,15 @@ object PipelineQueries extends QueryPack {
         |FROM documents
         |WHERE doc_id < 450 AND NOT (doc_id BETWEEN 180 AND 260)
         |ORDER BY doc_id""".stripMargin,
+    // the storage-partitioned join is answer-invisible: the oracle is
+    // the plain layout-oblivious join — only the Spark plan (canaried
+    // in-gate) knows the shuffle was removed
+    "pipeline_versioned_spj_join" ->
+      """SELECT o.o_orderkey AS orderkey, o.o_totalprice AS totalprice,
+        |  c.c_mktsegment AS mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_totalprice > 400000
+        |ORDER BY orderkey""".stripMargin,
     // SQL UPDATE with group-filter pruning must equal the programmatic
     // update's CASE WHEN oracle — pruning is answer-invisible
     "pipeline_versioned_sql_update_pruned" ->

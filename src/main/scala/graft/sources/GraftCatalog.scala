@@ -68,7 +68,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[GraftSqlTable]]); the programmatic [[VersionedTable.update]] /
   * `merge` remain the stats-pruned spellings.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -195,8 +196,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String])
       : Table = {
-    require(partitions.isEmpty,
-      "graft tables cluster via cluster()/OPTIMIZE, not PARTITIONED BY")
+    // `PARTITIONED BY (bucket(n, col))` — the ONE transform this
+    // format lays data out by (storage-partitioned joins; see
+    // [[GraftBucket]]). Anything else (identity/hive partitions,
+    // years/days, multiple transforms) refuses: clustering is
+    // cluster()/OPTIMIZE territory and hive-dir layouts fragment a
+    // 100 TB table's listing.
+    val bucketOpt: Option[(String, Int)] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == GraftBucket.FunctionName =>
+        t.arguments() match {
+          case Array(l: org.apache.spark.sql.connector.expressions
+              .Literal[_], ref: org.apache.spark.sql.connector.expressions
+              .NamedReference) if ref.fieldNames().length == 1 =>
+            Some((ref.fieldNames()(0),
+              l.value().asInstanceOf[Number].intValue()))
+          case other => throw new IllegalArgumentException(
+            s"bucket transform takes (numBuckets, column), got " +
+              other.mkString(", "))
+        }
+      case other => throw new IllegalArgumentException(
+        s"graft tables support PARTITIONED BY (bucket(n, col)) only " +
+          s"— got ${other.mkString(", ")}; cluster via " +
+          "cluster()/OPTIMIZE instead")
+    }
     val p = tablePath(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     // version 0 = one empty parquet file carrying the declared schema
@@ -249,7 +272,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"CREATE TABLE refused: ${GraftCatalog.ChangeFeedKeyProp} " +
           s"'$key' is not a column of ${schema.simpleString}")
     }
+    bucketOpt.foreach { case (key, _) =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(key)),
+        s"CREATE TABLE refused: bucket key '$key' is not a column of " +
+          schema.simpleString)
+    }
     VersionedTable.init(spark, p.toString, empty)
+    bucketOpt.foreach { case (key, n) =>
+      VersionedTable.enableBucketing(spark, p.toString, key, n)
+    }
     props.toSeq.sortBy(_._1).foreach {
       case (k, v) if k.startsWith(ConstraintProp) =>
         VersionedTable.addConstraint(spark, p.toString,
@@ -339,6 +370,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.rename(from, to)) sys.error(
       s"rename $oldIdent -> $newIdent failed")
   }
+
+  // ---- FunctionCatalog: the bucket transform, resolvable by
+  // Spark's storage-partitioned-join machinery (V2ExpressionUtils
+  // loads `bucket` here to prove two scans share a partitioning) ----
+
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty, GraftBucket.FunctionName))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty &&
+        ident.name() == GraftBucket.FunctionName)
+      new GraftBucket.Unbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   // ---- SupportsNamespaces: directories under the warehouse ----
 
@@ -482,6 +532,42 @@ private[sources] class GraftSqlTable(ident: String, root: String,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
 
+  /** The bucket pin as the table's declared partitioning (surfaces in
+    * DESCRIBE; resolved by SPJ planning together with
+    * [[GraftCatalog.loadFunction]]). */
+  override def partitioning(): Array[Transform] =
+    VersionedTable.bucketSpec(spark, root, Some(pinnedVersion))
+      .map { case (k, n) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, k)
+      }.toArray
+
+  /** The snapshot's bucket layout IF it is provable from the manifest
+    * alone: the pin exists and every commit dir is either
+    * `#bucketed:`-marked (written through the bucket repartition, file
+    * names carrying ids < n) or provably EMPTY by its stats (the
+    * CREATE-time init dir). One unmarked non-empty dir — SQL DML's
+    * delegated writer, a streaming epoch — and the claim is withdrawn:
+    * the scan shuffles like before (correct, just not co-located)
+    * until compact()/compactSmall() re-buckets. Never guesses: a dir
+    * without stats coverage is treated as unproven. */
+  private[sources] lazy val bucketLayout: Option[(String, Int)] =
+    VersionedTable.bucketSpec(spark, root, Some(pinnedVersion))
+      .filter { case (_, n) =>
+        val dirs = VersionedTable.readManifest(spark, root, pinnedVersion)
+        val marked = VersionedTable.bucketedDirs(spark, root,
+          Some(pinnedVersion))
+        val byDir = VersionedTable.statsByDir(spark, root,
+          Some(pinnedVersion))
+        dirs.forall { d =>
+          if (marked.contains(d))
+            byDir.get(d).forall(_.forall(f =>
+              GraftBucket.fileBucket(f.path.dropWhile(_ != '/').drop(1))
+                .exists(_ < n)))
+          else byDir.get(d).exists(fs =>
+            fs.nonEmpty && fs.forall(_.rows == 0L))
+        }
+      }
+
   /** `_commit_dir`: per-row provenance (the immutable commit dir that
     * holds the row) and the group identity runtime row-level group
     * filtering keys on. Hidden until referenced; referencing it
@@ -507,7 +593,8 @@ private[sources] class GraftSqlTable(ident: String, root: String,
       // `spark.readStream.table("graft.t")`: snapshot-then-tail via
       // the same micro-batch stream the path connector uses; a
       // time-traveled table is a frozen snapshot — nothing to stream
-      streamable = version.isEmpty)
+      streamable = version.isEmpty,
+      bucketed = bucketLayout)
 
   private def requireWritable(what: String): Unit =
     require(version.isEmpty,

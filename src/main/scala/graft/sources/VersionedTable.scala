@@ -489,6 +489,15 @@ object VersionedTable {
     import org.apache.spark.sql.functions.col
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     val base = latestVersion(spark, root)
+    // two layouts can't own placement at once: the bucket pin routes
+    // every commitDirs write through repartition(n, key), which would
+    // silently override the z-order clustering this op just paid a
+    // full sort shuffle for — refuse instead of wasting the shuffle
+    require(bucketSpec(spark, root, Some(base)).isEmpty,
+      s"OPTIMIZE ZORDER on $root: table is bucket-pinned " +
+        s"(${bucketSpec(spark, root, Some(base)).get}) and bucketing " +
+        "owns data placement — compact() re-buckets; disableBucketing " +
+        "first if you want z-order instead")
     val snap = read(spark, root, Some(base))
     val zkey = graft.functions.ZOrderInterleave.zorder2(
       col(zorderCols._1).cast("long"), col(zorderCols._2).cast("long"))
@@ -740,6 +749,93 @@ object VersionedTable {
       .find(_.startsWith("#cdckey:")).map(_.stripPrefix("#cdckey:"))
   }
 
+  /** The table's bucket layout pin `(key, numBuckets)`, if
+    * [[enableBucketing]] set one — the contract that every
+    * `commitDirs`-written dir from then on is laid out by
+    * [[GraftBucket]]'s transform. */
+  def bucketSpec(spark: SparkSession, root: String,
+      version: Option[Int] = None): Option[(String, Int)] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) None
+    else manifestLines(spark, root, v)
+      .find(_.startsWith("#bucketby:"))
+      .map(_.stripPrefix("#bucketby:")).map { s =>
+        val colon = s.indexOf(':')
+        (s.drop(colon + 1), s.take(colon).toInt)
+      }
+  }
+
+  /** The commit dirs of `version` PROVABLY laid out by the bucket
+    * transform (written through the bucketing write path — a
+    * `#bucketed:` manifest mark per dir). Dirs written by paths that
+    * bypass the bucket repartition (SQL row-level DML's delegated
+    * writer, streaming epoch sinks) carry no mark, and a snapshot
+    * containing any unmarked non-empty dir must NOT report a bucketed
+    * partitioning — claiming one over mis-bucketed files would make a
+    * storage-partitioned join silently wrong, the one failure mode
+    * this design refuses by construction. A maintenance
+    * [[compact]]/[[compactSmall]] re-buckets and re-marks. */
+  def bucketedDirs(spark: SparkSession, root: String,
+      version: Option[Int] = None): Set[String] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) Set.empty
+    else manifestLines(spark, root, v)
+      .filter(_.startsWith("#bucketed:"))
+      .map(_.stripPrefix("#bucketed:")).toSet
+  }
+
+  /** Pin a bucket layout `(key, numBuckets)` on the table: every
+    * subsequent `commitDirs` write routes through
+    * `repartition(numBuckets, key)` so bucket id == task index ==
+    * `part-NNNNN` file-name prefix, and the catalog scan can report
+    * `KeyGroupedPartitioning` — shuffle-free joins between tables
+    * co-bucketed on the same key/count (storage-partitioned joins;
+    * see [[GraftBucket]]). METADATA-ONLY commit: existing dirs are NOT
+    * rewritten and carry no `#bucketed:` mark, so the scan keeps its
+    * normal (shuffling) plan until a [[compact]]/[[compactSmall]]
+    * re-lays the data out — enable-then-compact is the migration
+    * recipe, O(table) exactly once, like Delta's CLUSTER BY
+    * transition. Refuses on a table whose current snapshot lacks the
+    * key column, and composes with every other pin (constraints, CDC
+    * key, schema evolution) — they ride the same manifest. */
+  def enableBucketing(spark: SparkSession, root: String,
+      key: String, numBuckets: Int): Int = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    require(!key.contains(':') && key.nonEmpty,
+      s"bucket key must be a plain column name, got '$key'")
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    require(bucketSpec(spark, root, Some(base)).isEmpty,
+      s"bucketing already enabled on $root " +
+        s"(${bucketSpec(spark, root, Some(base)).get}) — " +
+        "disableBucketing first")
+    val schema = cheapSchema(spark, root, base)
+      .getOrElse(read(spark, root, Some(base)).schema)
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(key)),
+      s"bucket key '$key' not in table schema ${schema.simpleString}")
+    val body = manifestLines(spark, root, base)
+      .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:"))
+    writeManifest(spark, root, base + 1,
+      "#op:enable_bucketing" +: body :+ s"#bucketby:$numBuckets:$key")
+    base + 1
+  }
+
+  /** Drop the bucket pin and every per-dir mark (metadata-only; the
+    * files keep their physical layout, the scan just stops claiming
+    * it). */
+  def disableBucketing(spark: SparkSession, root: String): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    require(bucketSpec(spark, root, Some(base)).nonEmpty,
+      s"bucketing is not enabled on $root")
+    val body = manifestLines(spark, root, base)
+      .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:") ||
+        l.startsWith("#bucketby:") || l.startsWith("#bucketed:"))
+    writeManifest(spark, root, base + 1,
+      "#op:disable_bucketing" +: body)
+    base + 1
+  }
+
   /** Turn ON commit-time CDC materialization (Delta's change-data-feed
     * table property, keyed): from the next commit on, every REWRITE
     * commit (delete/update/merge/SQL DML — any commit that drops dirs
@@ -927,9 +1023,26 @@ object VersionedTable {
       metaLines: Seq[String], carryStatsLines: Seq[String] = Seq.empty): Int = {
     val commitName = newCommitName(expectedVersion + 1)
     val dataDir = new Path(new Path(root, "data"), commitName)
-    df.write.parquet(dataDir.toString) // invisible until the manifest lands
+    // bucket pin: route the physical write through repartition(n, key)
+    // so shuffle-partition index == bucket id == the part-NNNNN file
+    // prefix — what lets the catalog scan serve KeyGroupedPartitioning
+    // over this dir (see [[GraftBucket]]). Explicit numPartitions =
+    // AQE neither coalesces nor skew-splits it (REPARTITION_BY_NUM),
+    // so the index↔bucket identity holds.
+    val spec =
+      if (expectedVersion >= 0) bucketSpec(spark, root, Some(expectedVersion))
+      else None
+    val (toWrite, bucketedNew) = spec match {
+      case Some((key, n)) =>
+        require(df.columns.exists(_.equalsIgnoreCase(key)),
+          s"commit schema ${df.schema.simpleString} drops bucket key " +
+            s"'$key' — disableBucketing first")
+        (df.repartition(n, org.apache.spark.sql.functions.col(key)), true)
+      case None => (df, false)
+    }
+    toWrite.write.parquet(dataDir.toString) // invisible until the manifest lands
     publishDir(spark, root, commitName, expectedVersion, carryDirs,
-      metaLines, carryStatsLines)
+      metaLines, carryStatsLines, bucketedNew = bucketedNew)
   }
 
   private[sources] def newCommitName(version: Int): String =
@@ -946,7 +1059,8 @@ object VersionedTable {
   private[sources] def publishDir(spark: SparkSession, root: String,
       commitName: String, expectedVersion: Int, carryDirs: Seq[String],
       metaLines: Seq[String], carryStatsLines: Seq[String] = Seq.empty,
-      keepDirOnConflict: Boolean = false): Int = {
+      keepDirOnConflict: Boolean = false,
+      bucketedNew: Boolean = false): Int = {
     val next = expectedVersion + 1
     val dataDir = new Path(new Path(root, "data"), commitName)
     val fs = fsOf(spark, dataDir)
@@ -1001,6 +1115,29 @@ object VersionedTable {
           .find(_.startsWith("#cdckey:")).map(_.stripPrefix("#cdckey:"))
       else None
     val cdcLine = cdcKey.map("#cdckey:" + _).toSeq
+    // bucket layout bookkeeping: the pin carries forward like the CDC
+    // key; per-dir `#bucketed:` marks carry for dirs that survive by
+    // identity, and the NEW dir is marked only when the write actually
+    // routed through the bucket repartition (commitDirs) AND produced
+    // files — a dir written by a bypassing path (SQL DML's delegated
+    // writer, streaming epochs) stays unmarked, so the scan falls back
+    // to a shuffling plan instead of trusting a layout nobody enforced
+    val bucketLines =
+      if (expectedVersion >= 0) {
+        val prior = manifestLines(spark, root, expectedVersion)
+        val pin = prior.filter(_.startsWith("#bucketby:"))
+        if (pin.isEmpty) Seq.empty
+        else {
+          val carrySet = carryDirs.toSet
+          val carriedMarks = prior.filter(l =>
+            l.startsWith("#bucketed:") &&
+              carrySet.contains(l.stripPrefix("#bucketed:")))
+          val newMark =
+            if (bucketedNew && wroteFiles) Seq(s"#bucketed:$commitName")
+            else Seq.empty
+          pin ++ carriedMarks ++ newMark
+        }
+      } else Seq.empty
     val removedDirs =
       if (expectedVersion >= 0)
         readManifest(spark, root, expectedVersion)
@@ -1027,7 +1164,7 @@ object VersionedTable {
       spark.sparkContext.hadoopConfiguration, dataDir, commitName))
       .getOrElse(Seq.empty)
     try writeManifest(spark, root, next,
-      constraintLines ++ cdcLine ++
+      constraintLines ++ cdcLine ++ bucketLines ++
         changeName.map("#changes:" + _).toSeq ++ metaLines ++
         carryStatsLines ++ statsLines ++ carryDirs :+ commitName)
     catch {

@@ -296,7 +296,8 @@ class DirTaggedReaderFactory(inner: PartitionReaderFactory)
   * posture as [[ColumnBridge]]/[[StreamingBridge]]. */
 class DirAwareScanBuilder(spark: SparkSession, root: String,
     dataSchema: StructType, dirNames: Seq[String], inner: ScanBuilder,
-    options: CaseInsensitiveStringMap, streamable: Boolean = false)
+    options: CaseInsensitiveStringMap, streamable: Boolean = false,
+    bucketed: Option[(String, Int)] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters {
@@ -328,18 +329,33 @@ class DirAwareScanBuilder(spark: SparkSession, root: String,
       dirMode = true
       prunedData = StructType(
         requiredSchema.fields.filterNot(_.name == DirTag.ColName))
-    } else inner match {
-      case c: SupportsPushDownRequiredColumns =>
-        c.pruneColumns(requiredSchema)
-      case _ => ()
+    } else {
+      prunedData = requiredSchema
+      inner match {
+        case c: SupportsPushDownRequiredColumns =>
+          c.pruneColumns(requiredSchema)
+        case _ => ()
+      }
     }
 
   override def build(): Scan =
     if (dirMode)
       new DirTaggedScan(spark, root, () => dirNames, dataSchema,
         prunedData, options, stored)
-    else if (!streamable) inner.build()
-    else new StreamableDelegatingScan(spark, root, options, inner.build())
+    else bucketed match {
+      // report the bucket layout only while the key column survives
+      // pruning — a keyless scan can't anchor the partitioning
+      // expression, and has no join to co-locate anyway
+      case Some((key, n))
+          if prunedData.fieldNames.exists(_.equalsIgnoreCase(key)) =>
+        val cased = prunedData.fieldNames
+          .find(_.equalsIgnoreCase(key)).get
+        new BucketedDelegatingScan(spark, root, options, inner.build(),
+          cased, n, streamable)
+      case _ if streamable =>
+        new StreamableDelegatingScan(spark, root, options, inner.build())
+      case _ => inner.build()
+    }
 }
 
 /** The catalog table's batch scan with `spark.readStream.table`

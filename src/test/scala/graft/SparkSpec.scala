@@ -20,6 +20,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // storage-partitioned joins over bucket-pinned catalog tables
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // the maintenance-statement parser (OPTIMIZE/VACUUM/RESTORE);
       // delegates everything else, so it is invisible to normal SQL
       .config("spark.sql.extensions",

@@ -1,0 +1,204 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bucket-pinned tables and storage-partitioned joins: the writer
+  * lays rows out by `pmod(murmur3(key,42), n)` (commitDirs routes
+  * through `repartition(n, key)`), the catalog proves the layout
+  * through FunctionCatalog + KeyGroupedPartitioning, and Spark plans
+  * co-bucketed joins with NO shuffle exchange. Every claim here is
+  * either a plan assertion or a file-level layout check — the two
+  * things that must hold for SPJ to be sound rather than lucky. */
+class BucketedTableSpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  private lazy val wh: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_bwh").toFile
+    d.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.gb", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gb.warehouse", d.getAbsolutePath)
+    d.getAbsolutePath
+  }
+
+  private def rootOf(tbl: String) = s"$wh/$tbl"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE's final plan is what we read
+    df.queryExecution.executedPlan.toString
+  }
+
+  // the executed plan spells a shuffle "Exchange hashpartitioning"
+  // (and an SPJ-satisfied join has none); assert on the real spelling
+  // AND on the join operator so a vacuously-missing marker can never
+  // green a broken claim
+  private def assertNoShuffle(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = planOf(df)
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("BroadcastExchange"),
+      s"expected a shuffle-free storage-partitioned join:\n$plan")
+  }
+
+  private def assertShuffles(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = planOf(df)
+    assert(plan.contains("Exchange hashpartitioning"),
+      s"expected a shuffling fallback plan:\n$plan")
+  }
+
+  private def noBroadcast[T](body: => T): T = {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("every file of a bucketed commit dir holds ONLY its bucket's " +
+    "rows — the writer/reader agreement SPJ correctness rests on") {
+    wh
+    spark.sql("CREATE TABLE gb.b1 (id BIGINT, s STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.range(200).select($"id", concat(lit("v"), $"id").as("s"))
+      .createOrReplaceTempView("b1_src")
+    spark.sql("INSERT INTO gb.b1 SELECT * FROM b1_src")
+    val root = rootOf("b1")
+    assert(VersionedTable.bucketSpec(spark, root) == Some(("id", 4)))
+    val marked = VersionedTable.bucketedDirs(spark, root)
+    assert(marked.nonEmpty)
+    val dataRoot = new java.io.File(root, "data")
+    for (dir <- marked; f <- new java.io.File(dataRoot, dir).listFiles()
+        if f.getName.endsWith(".parquet")) {
+      val b = GraftBucket.fileBucket(f.getName).get
+      val bad = spark.read.parquet(f.getAbsolutePath)
+        .filter(GraftBucket.idColumn(col("id"), 4) =!= b).count()
+      assert(bad == 0, s"file ${f.getName} holds rows outside bucket $b")
+    }
+    // the V2 function the planner binds evaluates the same formula
+    val bound = GraftBucket.Bound(org.apache.spark.sql.types.LongType)
+    val expect = spark.range(50)
+      .select($"id", GraftBucket.idColumn($"id", 4).as("b"))
+      .as[(Long, Int)].collect()
+    for ((id, b) <- expect) {
+      val row = org.apache.spark.sql.catalyst.InternalRow(4, id)
+      assert(bound.produceResult(row) == b, s"function drift at id=$id")
+    }
+  }
+
+  test("a co-bucketed join plans with ZERO shuffle exchanges and " +
+    "matches the shuffled answer") {
+    wh
+    spark.sql("CREATE TABLE gb.facts (id BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("CREATE TABLE gb.dims (id BIGINT, w STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.range(1000).select($"id", ($"id" * 3).as("v"))
+      .createOrReplaceTempView("facts_src")
+    spark.range(0, 1000, 2)
+      .select($"id", concat(lit("w"), $"id").as("w"))
+      .createOrReplaceTempView("dims_src")
+    spark.sql("INSERT INTO gb.facts SELECT * FROM facts_src")
+    spark.sql("INSERT INTO gb.dims SELECT * FROM dims_src")
+    noBroadcast {
+      val joined = spark.sql(
+        "SELECT f.id, f.v, d.w FROM gb.facts f JOIN gb.dims d " +
+          "ON f.id = d.id")
+      assertNoShuffle(joined)
+      assert(joined.count() == 500)
+      // answers match the layout-oblivious computation
+      val expect = spark.table("facts_src")
+        .join(spark.table("dims_src"), "id").count()
+      assert(expect == 500)
+    }
+  }
+
+  test("appends keep the claim; a bypassing writer (SQL UPDATE) " +
+    "withdraws it — shuffle returns, answers stay right — and " +
+    "compact() re-buckets and restores it") {
+    wh
+    spark.sql("CREATE TABLE gb.f2 (id BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("CREATE TABLE gb.d2 (id BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.range(100).select($"id", $"id".as("v"))
+      .createOrReplaceTempView("f2_src")
+    spark.sql("INSERT INTO gb.f2 SELECT * FROM f2_src")
+    spark.sql("INSERT INTO gb.f2 SELECT id + 100, id FROM f2_src")
+    spark.range(200).select($"id", ($"id" + 7).as("w"))
+      .createOrReplaceTempView("d2_src")
+    spark.sql("INSERT INTO gb.d2 SELECT * FROM d2_src")
+    def join() = spark.sql(
+      "SELECT f.id, f.v, d.w FROM gb.f2 f JOIN gb.d2 d ON f.id = d.id")
+    noBroadcast {
+      // two appended commit dirs, both marked: still shuffle-free
+      assertNoShuffle(join())
+      // SQL UPDATE writes through the delegated parquet writer — its
+      // dir carries no #bucketed: mark, so the scan must stop claiming
+      // the layout instead of mis-grouping the rewritten rows
+      spark.sql("UPDATE gb.f2 SET v = -1 WHERE id = 17")
+      val root = rootOf("f2")
+      val dirs = VersionedTable.readManifest(spark, root,
+        VersionedTable.latestVersion(spark, root))
+      val marked = VersionedTable.bucketedDirs(spark, root)
+      assert(!dirs.forall(marked.contains), "UPDATE's dir must be unmarked")
+      assertShuffles(join())
+      assert(spark.sql("SELECT v FROM gb.f2 WHERE id = 17")
+        .as[Long].head() == -1L)
+      // maintenance re-lays the table out and the claim comes back
+      VersionedTable.compact(spark, root)
+      assertNoShuffle(join())
+      assert(join().count() == 200)
+    }
+  }
+
+  test("enableBucketing on an existing table is metadata-only: no SPJ " +
+    "claim until compact() rewrites; OPTIMIZE ZORDER refuses while " +
+    "pinned; disableBucketing drops the pin") {
+    wh
+    spark.sql("CREATE TABLE gb.m1 (id BIGINT, v BIGINT)")
+    spark.range(100).select($"id", $"id".as("v"))
+      .createOrReplaceTempView("m1_src")
+    spark.sql("INSERT INTO gb.m1 SELECT * FROM m1_src")
+    val root = rootOf("m1")
+    VersionedTable.enableBucketing(spark, root, "id", 4)
+    spark.sql("CREATE TABLE gb.m2 (id BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO gb.m2 SELECT id, id + 1 FROM m1_src")
+    def join() = spark.sql(
+      "SELECT a.id, a.v, b.w FROM gb.m1 a JOIN gb.m2 b ON a.id = b.id")
+    noBroadcast {
+      assertShuffles(join()) // pre-pin dirs are not bucketed yet
+      VersionedTable.compact(spark, root)
+      assertNoShuffle(join())
+      assert(join().count() == 100)
+    }
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.optimize(spark, root, ("id", "v"), 2)
+    }
+    assert(e.getMessage.contains("bucket"))
+    VersionedTable.disableBucketing(spark, root)
+    assert(VersionedTable.bucketSpec(spark, root).isEmpty)
+    assert(VersionedTable.bucketedDirs(spark, root).isEmpty)
+  }
+
+  test("the pin survives unrelated metadata commits and refuses a " +
+    "schema that drops the key; keyless scans stay unaffected") {
+    wh
+    spark.sql("CREATE TABLE gb.p1 (id BIGINT, s STRING) " +
+      "PARTITIONED BY (bucket(2, id))")
+    spark.sql("INSERT INTO gb.p1 VALUES (1, 'a'), (2, 'b')")
+    val root = rootOf("p1")
+    VersionedTable.addConstraint(spark, root, "ok", "id >= 0")
+    assert(VersionedTable.bucketSpec(spark, root) == Some(("id", 2)))
+    // a full rewrite whose schema drops the bucket key must refuse
+    val e = intercept[Exception] {
+      VersionedTable.commit(spark, root,
+        spark.range(3).select($"id".as("other")),
+        VersionedTable.latestVersion(spark, root))
+    }
+    assert(e.getMessage.contains("bucket key"))
+    // count(*) prunes every column away — no key to anchor the
+    // partitioning, and the scan must not break over it
+    assert(spark.sql("SELECT count(*) FROM gb.p1").as[Long].head() == 2L)
+  }
+}
