@@ -47,6 +47,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.extensions", "graft.sources.GraftSqlExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -20,6 +20,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.extensions", "graft.sources.GraftSqlExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

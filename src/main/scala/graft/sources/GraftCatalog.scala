@@ -550,23 +550,58 @@ private[sources] class GraftSqlTable(ident: String, root: String,
     * the scan shuffles like before (correct, just not co-located)
     * until compact()/compactSmall() re-buckets. Never guesses: a dir
     * without stats coverage is treated as unproven. */
-  private[sources] lazy val bucketLayout: Option[(String, Int)] =
+  private[sources] lazy val bucketLayout
+      : Option[org.apache.spark.sql.graft.BucketLayout] =
     VersionedTable.bucketSpec(spark, root, Some(pinnedVersion))
-      .filter { case (_, n) =>
+      .collect { case (key, n) =>
         val dirs = VersionedTable.readManifest(spark, root, pinnedVersion)
         val marked = VersionedTable.bucketedDirs(spark, root,
           Some(pinnedVersion))
         val byDir = VersionedTable.statsByDir(spark, root,
           Some(pinnedVersion))
-        dirs.forall { d =>
+        def emptyDir(d: String): Boolean = byDir.get(d).exists(fs =>
+          fs.nonEmpty && fs.forall(_.rows == 0L))
+        val provable = dirs.forall { d =>
           if (marked.contains(d))
             byDir.get(d).forall(_.forall(f =>
               GraftBucket.fileBucket(f.path.dropWhile(_ != '/').drop(1))
                 .exists(_ < n)))
-          else byDir.get(d).exists(fs =>
-            fs.nonEmpty && fs.forall(_.rows == 0L))
+          else emptyDir(d)
         }
-      }
+        if (!provable) None
+        else {
+          // ordering is a STRONGER claim: every dir key-sorted at
+          // write (#sorted: mark) AND no bucket concatenates two data
+          // files (a 0-row file can't disturb an order); needs full
+          // stats coverage to count — no stats, no claim
+          val sortedMarks = VersionedTable.sortedDirs(spark, root,
+            Some(pinnedVersion))
+          val allSorted = dirs.forall(d =>
+            sortedMarks.contains(d) || emptyDir(d))
+          val dataFilesPerBucket =
+            scala.collection.mutable.Map.empty[Int, Int]
+          val counted = dirs.forall { d =>
+            byDir.get(d) match {
+              case Some(fs) => fs.forall { f =>
+                if (f.rows == 0L) true
+                else if (f.rows < 0L) false // unknown: no claim
+                else GraftBucket.fileBucket(
+                  f.path.dropWhile(_ != '/').drop(1)) match {
+                  case Some(b) =>
+                    dataFilesPerBucket(b) =
+                      dataFilesPerBucket.getOrElse(b, 0) + 1
+                    true
+                  case None => false
+                }
+              }
+              case None => false
+            }
+          }
+          val sorted = allSorted && counted &&
+            dataFilesPerBucket.values.forall(_ <= 1)
+          Some(org.apache.spark.sql.graft.BucketLayout(key, n, sorted))
+        }
+      }.flatten
 
   /** `_commit_dir`: per-row provenance (the immutable commit dir that
     * holds the row) and the group identity runtime row-level group

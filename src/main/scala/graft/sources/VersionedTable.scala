@@ -784,6 +784,20 @@ object VersionedTable {
       .map(_.stripPrefix("#bucketed:")).toSet
   }
 
+  /** The commit dirs of `version` whose files are KEY-SORTED within
+    * each bucket (written by the bucketing path, which rides a
+    * `sortWithinPartitions(key)` on the bucket repartition) — the
+    * per-dir evidence behind the scan's `SupportsReportOrdering`
+    * claim. */
+  def sortedDirs(spark: SparkSession, root: String,
+      version: Option[Int] = None): Set[String] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) Set.empty
+    else manifestLines(spark, root, v)
+      .filter(_.startsWith("#sorted:"))
+      .map(_.stripPrefix("#sorted:")).toSet
+  }
+
   /** Pin a bucket layout `(key, numBuckets)` on the table: every
     * subsequent `commitDirs` write routes through
     * `repartition(numBuckets, key)` so bucket id == task index ==
@@ -830,7 +844,8 @@ object VersionedTable {
       s"bucketing is not enabled on $root")
     val body = manifestLines(spark, root, base)
       .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:") ||
-        l.startsWith("#bucketby:") || l.startsWith("#bucketed:"))
+        l.startsWith("#bucketby:") || l.startsWith("#bucketed:") ||
+        l.startsWith("#sorted:"))
     writeManifest(spark, root, base + 1,
       "#op:disable_bucketing" +: body)
     base + 1
@@ -1037,7 +1052,13 @@ object VersionedTable {
         require(df.columns.exists(_.equalsIgnoreCase(key)),
           s"commit schema ${df.schema.simpleString} drops bucket key " +
             s"'$key' — disableBucketing first")
-        (df.repartition(n, org.apache.spark.sql.functions.col(key)), true)
+        // sort by the key WITHIN each bucket: every file gets narrow
+        // key min/max envelopes (footer skipping on key predicates,
+        // like a one-column z-order for free) and single-file buckets
+        // can report their ordering to the planner — a join that
+        // skips the shuffle AND the sort
+        (df.repartition(n, org.apache.spark.sql.functions.col(key))
+          .sortWithinPartitions(key), true)
       case None => (df, false)
     }
     toWrite.write.parquet(dataDir.toString) // invisible until the manifest lands
@@ -1130,10 +1151,17 @@ object VersionedTable {
         else {
           val carrySet = carryDirs.toSet
           val carriedMarks = prior.filter(l =>
-            l.startsWith("#bucketed:") &&
-              carrySet.contains(l.stripPrefix("#bucketed:")))
+            (l.startsWith("#bucketed:") &&
+              carrySet.contains(l.stripPrefix("#bucketed:"))) ||
+              (l.startsWith("#sorted:") &&
+                carrySet.contains(l.stripPrefix("#sorted:"))))
+          // the bucketing write path also key-sorts within buckets
+          // (sortWithinPartitions rides the repartition), recorded as
+          // its own mark so the ordering claim stays independent of
+          // the partitioning claim
           val newMark =
-            if (bucketedNew && wroteFiles) Seq(s"#bucketed:$commitName")
+            if (bucketedNew && wroteFiles)
+              Seq(s"#bucketed:$commitName", s"#sorted:$commitName")
             else Seq.empty
           pin ++ carriedMarks ++ newMark
         }

@@ -40,6 +40,12 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * whose name doesn't parse as a bucket is therefore an invariant
   * violation and fails loudly rather than mis-grouping rows.
   */
+/** A snapshot's provable bucket layout: the pinned key and count,
+  * plus whether per-partition KEY ORDER is also provable (every dir
+  * `#sorted:`-marked and no bucket concatenates two data files —
+  * concatenation would break the order sortWithinPartitions wrote). */
+case class BucketLayout(key: String, n: Int, sorted: Boolean)
+
 private[graft] class BucketedDelegatingScan(spark: SparkSession,
     root: String, options: CaseInsensitiveStringMap, delegate: Scan,
     key: String, n: Int, streamable: Boolean)
@@ -98,6 +104,26 @@ private[graft] class BucketedDelegatingScan(spark: SparkSession,
     new graft.sources.VersionedTableMicroBatchStream(spark, root,
       delegate.readSchema(), options)
   }
+}
+
+/** [[BucketedDelegatingScan]] that ALSO proves per-partition key
+  * order (`SupportsReportOrdering`): each bucket holds at most one
+  * data file, written key-sorted by the bucketing path — so a
+  * co-bucketed, co-sorted join needs neither the shuffle NOR the
+  * sort, and the merge join runs straight off the parquet readers.
+  * The end state a 100 TB fact-fact join wants: O(read) + O(merge),
+  * zero exchange, zero sort spill. */
+private[graft] class SortedBucketedDelegatingScan(spark: SparkSession,
+    root: String, options: CaseInsensitiveStringMap, delegate: Scan,
+    key: String, n: Int, streamable: Boolean)
+    extends BucketedDelegatingScan(spark, root, options, delegate, key,
+      n, streamable)
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array(Expressions.sort(Expressions.column(key),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
 }
 
 /** All of bucket k's files (across every commit dir of the snapshot),

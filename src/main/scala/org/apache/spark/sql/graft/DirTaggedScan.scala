@@ -297,15 +297,41 @@ class DirTaggedReaderFactory(inner: PartitionReaderFactory)
 class DirAwareScanBuilder(spark: SparkSession, root: String,
     dataSchema: StructType, dirNames: Seq[String], inner: ScanBuilder,
     options: CaseInsensitiveStringMap, streamable: Boolean = false,
-    bucketed: Option[(String, Int)] = None)
+    bucketed: Option[BucketLayout] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownCatalystFilters {
+    with SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var dirMode = false
+  private var aggPushed = false
   private var prunedData: StructType = dataSchema
   private var stored: Seq[org.apache.spark.sql.catalyst.expressions
     .Expression] = Seq.empty
+
+  // MIN/MAX/COUNT forward into Spark's own parquet aggregate pushdown
+  // (footer-stats answers — `SELECT count(*) FROM graft.t` costs
+  // metadata reads, not a table scan; Spark only pushes when provably
+  // exact: no data filters, no unsupported types). A pushed
+  // aggregation rewrites the scan's output to aggregate rows, so the
+  // bucket/streamable wraps below step aside for it.
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = inner match {
+    case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+      a.supportCompletePushDown(agg)
+    case _ => false
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = inner match {
+    case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+      val ok = a.pushAggregation(agg)
+      if (ok) aggPushed = true
+      ok
+    case _ => false
+  }
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -342,16 +368,20 @@ class DirAwareScanBuilder(spark: SparkSession, root: String,
     if (dirMode)
       new DirTaggedScan(spark, root, () => dirNames, dataSchema,
         prunedData, options, stored)
+    else if (aggPushed) inner.build() // aggregate rows: no layout claims
     else bucketed match {
       // report the bucket layout only while the key column survives
       // pruning — a keyless scan can't anchor the partitioning
       // expression, and has no join to co-locate anyway
-      case Some((key, n))
+      case Some(BucketLayout(key, n, sorted))
           if prunedData.fieldNames.exists(_.equalsIgnoreCase(key)) =>
         val cased = prunedData.fieldNames
           .find(_.equalsIgnoreCase(key)).get
-        new BucketedDelegatingScan(spark, root, options, inner.build(),
-          cased, n, streamable)
+        if (sorted)
+          new SortedBucketedDelegatingScan(spark, root, options,
+            inner.build(), cased, n, streamable)
+        else new BucketedDelegatingScan(spark, root, options,
+          inner.build(), cased, n, streamable)
       case _ if streamable =>
         new StreamableDelegatingScan(spark, root, options, inner.build())
       case _ => inner.build()

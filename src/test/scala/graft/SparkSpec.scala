@@ -22,6 +22,7 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // storage-partitioned joins over bucket-pinned catalog tables
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       // the maintenance-statement parser (OPTIMIZE/VACUUM/RESTORE);
       // delegates everything else, so it is invisible to normal SQL
       .config("spark.sql.extensions",

@@ -181,6 +181,101 @@ class BucketedTableSpec extends SparkSpec {
     assert(VersionedTable.bucketedDirs(spark, root).isEmpty)
   }
 
+  test("single-file-per-bucket snapshots prove key ORDER too: the " +
+    "co-bucketed join runs with no shuffle AND no sort; a second " +
+    "append (two files per bucket) withdraws only the order claim") {
+    wh
+    spark.sql("CREATE TABLE gb.s1 (id BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("CREATE TABLE gb.s2 (id BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.range(400).select($"id", $"id".as("v"))
+      .createOrReplaceTempView("s1_src")
+    spark.sql("INSERT INTO gb.s1 SELECT * FROM s1_src")
+    spark.sql("INSERT INTO gb.s2 SELECT id, id + 1 FROM s1_src")
+    def join() = spark.sql(
+      "SELECT a.id, a.v, b.w FROM gb.s1 a JOIN gb.s2 b ON a.id = b.id")
+    noBroadcast {
+      val plan = planOf(join())
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(!plan.contains("Sort ["),
+        s"sorted single-file buckets must not re-sort:\n$plan")
+      assert(join().count() == 400)
+      // rows inside each file really are key-ascending (the physical
+      // fact the claim stands on)
+      val root = rootOf("s1")
+      val dataRoot = new java.io.File(root, "data")
+      for (dir <- VersionedTable.sortedDirs(spark, root);
+          f <- new java.io.File(dataRoot, dir).listFiles()
+          if f.getName.endsWith(".parquet")) {
+        val ids = spark.read.parquet(f.getAbsolutePath)
+          .select("id").as[Long].collect()
+        assert(ids.sameElements(ids.sorted), s"unsorted file ${f.getName}")
+      }
+      // a second append doubles the files per bucket: partitioning
+      // stays provable, ordering does not
+      spark.sql("INSERT INTO gb.s1 SELECT id + 400, id FROM s1_src")
+      val plan2 = planOf(join())
+      assert(!plan2.contains("Exchange hashpartitioning"), plan2)
+      assert(plan2.contains("Sort ["),
+        s"two files per bucket cannot claim order:\n$plan2")
+      assert(join().count() == 400)
+    }
+  }
+
+  test("GROUP BY on the bucket key aggregates WITHOUT a shuffle — " +
+    "KeyGroupedPartitioning satisfies the aggregation's distribution") {
+    wh
+    spark.sql("CREATE TABLE gb.ga (id BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.range(300).select(($"id" % 50).as("id"), $"id".as("v"))
+      .createOrReplaceTempView("ga_src")
+    spark.sql("INSERT INTO gb.ga SELECT * FROM ga_src")
+    val agg = spark.sql(
+      "SELECT id, count(*) AS n, sum(v) AS sv FROM gb.ga GROUP BY id")
+    val plan = planOf(agg)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucket-keyed aggregation still shuffles:\n$plan")
+    assert(agg.count() == 50)
+    assert(agg.filter($"id" === 7).select($"n")
+      .as[Long].head() == 6L)
+  }
+
+  test("COUNT/MIN/MAX on a catalog table push into the parquet " +
+    "footers — the plan carries PushedAggregation and answers match; " +
+    "a filtered aggregate correctly refuses the shortcut") {
+    wh
+    spark.sql("CREATE TABLE gb.agg1 (id BIGINT, v BIGINT)")
+    spark.range(500).select($"id", ($"id" * 2).as("v"))
+      .createOrReplaceTempView("agg1_src")
+    spark.sql("INSERT INTO gb.agg1 SELECT * FROM agg1_src")
+    spark.sql("INSERT INTO gb.agg1 SELECT id + 500, id FROM agg1_src")
+    val q = spark.sql(
+      "SELECT count(*) AS n, min(id) AS lo, max(id) AS hi FROM gb.agg1")
+    val (n, lo, hi) = q.as[(Long, Long, Long)].head()
+    assert((n, lo, hi) == (1000L, 0L, 999L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregate not pushed to the footers:\n$plan")
+    // a data filter makes footer stats unusable — Spark must fall
+    // back to the exact scan, never a wrong shortcut
+    val filtered = spark.sql(
+      "SELECT count(*) AS n FROM gb.agg1 WHERE id % 2 = 0")
+    assert(filtered.as[Long].head() == 500L)
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("PushedAggregation: [COUNT(*)"))
+    // composes with bucketing: same pushdown on a bucket-pinned table
+    spark.sql("CREATE TABLE gb.agg2 (id BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO gb.agg2 SELECT id FROM agg1_src")
+    val qb = spark.sql("SELECT count(*) AS n, max(id) AS hi FROM gb.agg2")
+    assert(qb.as[(Long, Long)].head() == ((500L, 499L)))
+    assert(qb.queryExecution.executedPlan.toString
+      .contains("PushedAggregation: [COUNT(*)"))
+  }
+
   test("the pin survives unrelated metadata commits and refuses a " +
     "schema that drops the key; keyless scans stay unaffected") {
     wh
