@@ -900,7 +900,47 @@ private[sources] class GraftRowLevelOperation(table: GraftSqlTable,
   * impossible by construction. */
 private[sources] class ReplaceSnapshotWrite(root: String,
     info: LogicalWriteInfo, op: String, operation: GraftRowLevelOperation)
-    extends Write {
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  // On a bucket-pinned table the row-level write DEMANDS the bucket
+  // layout from Spark (clustered on the key into exactly n partitions,
+  // key-sorted within each — the same pmod(murmur3(key,42),n) formula
+  // commitDirs' repartition uses, so partition index == bucket id ==
+  // part-NNNNN file prefix), and the commit marks its dir
+  // #bucketed:/#sorted:. SQL UPDATE/MERGE/DELETE therefore PRESERVE
+  // storage-partitioned-join layouts instead of de-bucketing the
+  // rewritten dirs until the next compact — at 100 TB, DML must not
+  // tax every subsequent join. Unbucketed tables see an unspecified
+  // distribution: no extra shuffle for them.
+  private lazy val bucketPin: Option[(String, Int)] =
+    VersionedTable.bucketSpec(SparkSession.active, root,
+      Some(operation.baseVersion))
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    bucketPin match {
+      case Some((key, _)) =>
+        org.apache.spark.sql.connector.distributions.Distributions
+          .clustered(Array(Expressions.column(key)))
+      case None =>
+        org.apache.spark.sql.connector.distributions.Distributions
+          .unspecified()
+    }
+
+  override def requiredNumPartitions(): Int =
+    bucketPin.map(_._2).getOrElse(0)
+
+  override def requiredOrdering(): Array[SortOrder] = bucketPin match {
+    case Some((key, _)) =>
+      Array(Expressions.sort(Expressions.column(key),
+        SortDirection.ASCENDING))
+    case None => Array.empty
+  }
+
+  override def distributionStrictlyRequired(): Boolean = true
 
   override def toBatch: BatchWrite = {
     val spark = SparkSession.active
@@ -948,6 +988,29 @@ private[sources] class ReplaceSnapshotWrite(root: String,
                 .exists(_.getPath.getName.endsWith(".parquet"))
             }
           }
+        // The required distribution SHOULD have laid the staged files
+        // out bucket-pure — but the mark must never rest on "should":
+        // Spark may legally collapse the write's repartition into an
+        // equivalent exchange of the statement's own plan, and AQE can
+        // then coalesce it (the same hazard commitDirs closes with its
+        // AQE-off write, unreachable here because Spark drives the DML
+        // plan). So VERIFY before marking: one key-column + file-name
+        // scan of ONLY the staged dir — O(rewritten rows) over one
+        // column, a fraction of the rewrite that just happened. Impure
+        // (or unverifiable) stages still publish fine, just unmarked:
+        // the SPJ claim is withdrawn until compact(), never wrong.
+        val bucketPure: Boolean = bucketPin.exists { case (key, n) =>
+          stagedHasRows && scala.util.Try {
+            import org.apache.spark.sql.functions._
+            spark.read.parquet(dataDir.toString)
+              .select(col(key),
+                regexp_extract(input_file_name(), "part-(\\d+)-", 1)
+                  .cast("int").as("__claimed"))
+              .filter(graft.sources.GraftBucket.idColumn(col(key), n)
+                =!= col("__claimed"))
+              .limit(1).count() == 0L
+          }.getOrElse(false)
+        }
         if (operation.affectedDirs.isEmpty && !stagedHasRows) {
           // the condition provably matched no group AND nothing was
           // written: a true no-op — nothing scanned, nothing replaced,
@@ -970,7 +1033,11 @@ private[sources] class ReplaceSnapshotWrite(root: String,
             carryDirs = carried,
             metaLines = schemaPin :+ s"#op:$op",
             carryStatsLines = VersionedTable.carriedStatsLines(
-              spark, root, base, carried.toSet))
+              spark, root, base, carried.toSet),
+            // marked only because the staged files were VERIFIED
+            // bucket-pure above — the SPJ claim survives the
+            // statement; the (cheap-to-lose) order claim does not
+            bucketedNew = bucketPure)
         }
       }
       override def abort(msgs: Array[WriterCommitMessage]): Unit = {

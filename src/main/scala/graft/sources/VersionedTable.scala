@@ -1047,7 +1047,7 @@ object VersionedTable {
     val spec =
       if (expectedVersion >= 0) bucketSpec(spark, root, Some(expectedVersion))
       else None
-    val (toWrite, bucketedNew) = spec match {
+    val bucketedNew = spec match {
       case Some((key, n)) =>
         require(df.columns.exists(_.equalsIgnoreCase(key)),
           s"commit schema ${df.schema.simpleString} drops bucket key " +
@@ -1056,14 +1056,35 @@ object VersionedTable {
         // key min/max envelopes (footer skipping on key predicates,
         // like a one-column z-order for free) and single-file buckets
         // can report their ordering to the planner — a join that
-        // skips the shuffle AND the sort
-        (df.repartition(n, org.apache.spark.sql.functions.col(key))
-          .sortWithinPartitions(key), true)
-      case None => (df, false)
+        // skips the shuffle AND the sort.
+        //
+        // The write runs with AQE OFF (cloned session — the caller's
+        // conf is untouched): the part-NNNNN file name IS the bucket
+        // id only while the plan's final partitioning stays
+        // hashpartitioning(key, n). The optimizer may legally COLLAPSE
+        // our repartition into an equivalent exchange the input plan
+        // already has (observed: an anti-join input under
+        // shuffle.partitions == n) — harmless in itself, but that
+        // surviving exchange is ENSURE_REQUIREMENTS-originated, which
+        // AQE may then COALESCE, silently folding buckets together.
+        // With AQE off every removal path preserves the partitioning
+        // invariant, so the identity holds by construction.
+        val bucketed = df
+          .repartition(n, org.apache.spark.sql.functions.col(key))
+          .sortWithinPartitions(key)
+        val s2 = org.apache.spark.sql.graft.PlanBridge.cloneSession(spark)
+        s2.conf.set("spark.sql.adaptive.enabled", "false")
+        org.apache.spark.sql.graft.PlanBridge
+          .ofRows(s2, bucketed.queryExecution.logical)
+          .write.parquet(dataDir.toString)
+        true
+      case None =>
+        df.write.parquet(dataDir.toString) // invisible until manifest lands
+        false
     }
-    toWrite.write.parquet(dataDir.toString) // invisible until the manifest lands
     publishDir(spark, root, commitName, expectedVersion, carryDirs,
-      metaLines, carryStatsLines, bucketedNew = bucketedNew)
+      metaLines, carryStatsLines, bucketedNew = bucketedNew,
+      sortedNew = bucketedNew)
   }
 
   private[sources] def newCommitName(version: Int): String =
@@ -1081,7 +1102,8 @@ object VersionedTable {
       commitName: String, expectedVersion: Int, carryDirs: Seq[String],
       metaLines: Seq[String], carryStatsLines: Seq[String] = Seq.empty,
       keepDirOnConflict: Boolean = false,
-      bucketedNew: Boolean = false): Int = {
+      bucketedNew: Boolean = false,
+      sortedNew: Boolean = false): Int = {
     val next = expectedVersion + 1
     val dataDir = new Path(new Path(root, "data"), commitName)
     val fs = fsOf(spark, dataDir)
@@ -1158,11 +1180,13 @@ object VersionedTable {
           // the bucketing write path also key-sorts within buckets
           // (sortWithinPartitions rides the repartition), recorded as
           // its own mark so the ordering claim stays independent of
-          // the partitioning claim
+          // the partitioning claim — a caller that only VERIFIED
+          // placement (the SQL DML write) marks #bucketed: alone
           val newMark =
-            if (bucketedNew && wroteFiles)
-              Seq(s"#bucketed:$commitName", s"#sorted:$commitName")
-            else Seq.empty
+            (if (bucketedNew && wroteFiles) Seq(s"#bucketed:$commitName")
+            else Seq.empty) ++
+              (if (sortedNew && wroteFiles) Seq(s"#sorted:$commitName")
+              else Seq.empty)
           pin ++ carriedMarks ++ newMark
         }
       } else Seq.empty

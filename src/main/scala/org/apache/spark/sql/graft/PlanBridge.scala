@@ -16,4 +16,12 @@ object PlanBridge {
   /** The analyzed logical plan of a DataFrame (the resolved child a
     * custom operator node builds on). */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** A cloned session (shared SparkContext + catalog + temp views,
+    * independent conf) — `cloneSession` is private[sql] in Spark 4,
+    * reached through this bridge so a caller can run ONE query under a
+    * divergent conf (e.g. the bucketed commit write, which must run
+    * with AQE off) without touching the live session's settings. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
 }

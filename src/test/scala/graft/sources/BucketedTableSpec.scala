@@ -112,9 +112,9 @@ class BucketedTableSpec extends SparkSpec {
     }
   }
 
-  test("appends keep the claim; a bypassing writer (SQL UPDATE) " +
-    "withdraws it — shuffle returns, answers stay right — and " +
-    "compact() re-buckets and restores it") {
+  test("appends and SQL UPDATE both keep the claim (the row-level " +
+    "write demands the bucket distribution); a genuinely bypassing " +
+    "writer (a streaming epoch) withdraws it and compact() restores") {
     wh
     spark.sql("CREATE TABLE gb.f2 (id BIGINT, v BIGINT) " +
       "PARTITIONED BY (bucket(4, id))")
@@ -129,21 +129,50 @@ class BucketedTableSpec extends SparkSpec {
     spark.sql("INSERT INTO gb.d2 SELECT * FROM d2_src")
     def join() = spark.sql(
       "SELECT f.id, f.v, d.w FROM gb.f2 f JOIN gb.d2 d ON f.id = d.id")
+    val root = rootOf("f2")
     noBroadcast {
       // two appended commit dirs, both marked: still shuffle-free
       assertNoShuffle(join())
-      // SQL UPDATE writes through the delegated parquet writer — its
-      // dir carries no #bucketed: mark, so the scan must stop claiming
-      // the layout instead of mis-grouping the rewritten rows
+      // SQL UPDATE rides RequiresDistributionAndOrdering: its rewrite
+      // dir is laid out bucketed+sorted and MARKED — the claim (and
+      // every downstream join plan) survives the statement
+      val before = VersionedTable.readManifest(spark, root,
+        VersionedTable.latestVersion(spark, root)).toSet
       spark.sql("UPDATE gb.f2 SET v = -1 WHERE id = 17")
-      val root = rootOf("f2")
       val dirs = VersionedTable.readManifest(spark, root,
         VersionedTable.latestVersion(spark, root))
       val marked = VersionedTable.bucketedDirs(spark, root)
-      assert(!dirs.forall(marked.contains), "UPDATE's dir must be unmarked")
-      assertShuffles(join())
+      val added = dirs.filterNot(before)
+      assert(added.nonEmpty && added.forall(marked.contains),
+        s"the DML rewrite dir must carry the #bucketed: mark " +
+          s"(added=$added marked=$marked)")
+      assertNoShuffle(join())
       assert(spark.sql("SELECT v FROM gb.f2 WHERE id = 17")
         .as[Long].head() == -1L)
+      // the rewritten dir really is bucket-pure (the physical fact)
+      val dataRoot = new java.io.File(root, "data")
+      for (dir <- marked; f <- new java.io.File(dataRoot, dir).listFiles()
+          if f.getName.endsWith(".parquet")) {
+        val b = GraftBucket.fileBucket(f.getName).get
+        assert(spark.read.parquet(f.getAbsolutePath)
+          .filter(GraftBucket.idColumn(col("id"), 4) =!= b)
+          .count() == 0, s"file ${f.getName} outside bucket $b")
+      }
+      // a streaming epoch bypasses the bucket path — ITS dir is
+      // unmarked, the claim is withdrawn, answers stay right
+      val ck = java.nio.file.Files.createTempDirectory("graft_bck").toString
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      ms.addData(500L -> 1L)
+      val q = ms.toDF().toDF("id", "v").writeStream
+        .option("checkpointLocation", ck).toTable("gb.f2")
+      try q.processAllAvailable() finally q.stop()
+      val dirs2 = VersionedTable.readManifest(spark, root,
+        VersionedTable.latestVersion(spark, root))
+      assert(!dirs2.forall(VersionedTable.bucketedDirs(spark, root)
+        .contains), "the epoch dir must be unmarked")
+      assertShuffles(join())
       // maintenance re-lays the table out and the claim comes back
       VersionedTable.compact(spark, root)
       assertNoShuffle(join())
@@ -179,6 +208,87 @@ class BucketedTableSpec extends SparkSpec {
     VersionedTable.disableBucketing(spark, root)
     assert(VersionedTable.bucketSpec(spark, root).isEmpty)
     assert(VersionedTable.bucketedDirs(spark, root).isEmpty)
+  }
+
+  test("bucket purity survives an input plan already hash-partitioned " +
+    "on the key into exactly n partitions — the optimizer collapses " +
+    "the bucket repartition into the plan's own exchange and AQE " +
+    "would coalesce it; the AQE-off write keeps the identity") {
+    wh
+    spark.sql("CREATE TABLE gb.hz (id BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.range(100).select($"id", $"id".as("v"))
+      .createOrReplaceTempView("hz_src")
+    spark.sql("INSERT INTO gb.hz SELECT * FROM hz_src")
+    val root = rootOf("hz")
+    // anti-join output is hashpartitioned(id, shuffle.partitions=4) ==
+    // the bucket layout's (key, n) — the exact shape that collapsed
+    // the write repartition and let AQE fold buckets together
+    val anti = spark.range(500, 520).select($"id", $"id".as("v"))
+      .join(spark.table("gb.hz").select("id"), Seq("id"), "left_anti")
+    val v = VersionedTable.append(spark, root, anti,
+      VersionedTable.latestVersion(spark, root))
+    val added = VersionedTable.readManifest(spark, root, v)
+      .filterNot(VersionedTable.readManifest(spark, root, v - 1).toSet)
+    val dataRoot = new java.io.File(root, "data")
+    val files = for (dir <- added;
+        f <- new java.io.File(dataRoot, dir).listFiles()
+        if f.getName.endsWith(".parquet")) yield f
+    assert(files.size > 1, "coalesced into one file — the hazard is back")
+    for (f <- files) {
+      val b = GraftBucket.fileBucket(f.getName).get
+      assert(spark.read.parquet(f.getAbsolutePath)
+        .filter(GraftBucket.idColumn(col("id"), 4) =!= b).count() == 0,
+        s"file ${f.getName} outside bucket $b")
+    }
+  }
+
+  test("MERGE INTO a bucket-pinned table preserves the layout — the " +
+    "mixed update+insert rewrite AND the insert-only pure append " +
+    "both land bucketed, marked, and bucket-pure") {
+    wh
+    spark.sql("CREATE TABLE gb.mg (id BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.range(100).select($"id", $"id".as("v"))
+      .createOrReplaceTempView("mg_src")
+    spark.sql("INSERT INTO gb.mg SELECT * FROM mg_src")
+    val root = rootOf("mg")
+    def addedByStatement(stmt: String): Seq[String] = {
+      val before = VersionedTable.readManifest(spark, root,
+        VersionedTable.latestVersion(spark, root)).toSet
+      spark.sql(stmt)
+      VersionedTable.readManifest(spark, root,
+        VersionedTable.latestVersion(spark, root)).filterNot(before)
+    }
+    def assertBucketPure(dirs: Seq[String]): Unit = {
+      val marked = VersionedTable.bucketedDirs(spark, root)
+      assert(dirs.nonEmpty && dirs.forall(marked.contains),
+        s"dirs $dirs must be marked (marked=$marked)")
+      val dataRoot = new java.io.File(root, "data")
+      for (dir <- dirs; f <- new java.io.File(dataRoot, dir).listFiles()
+          if f.getName.endsWith(".parquet")) {
+        val b = GraftBucket.fileBucket(f.getName).get
+        assert(spark.read.parquet(f.getAbsolutePath)
+          .filter(GraftBucket.idColumn(col("id"), 4) =!= b)
+          .count() == 0, s"file ${f.getName} outside bucket $b")
+      }
+    }
+    spark.range(50, 150).select($"id", lit(-5L).as("v"))
+      .createOrReplaceTempView("mg_changes")
+    assertBucketPure(addedByStatement(
+      s"MERGE INTO gb.mg t USING mg_changes c ON t.id = c.id " +
+        "WHEN MATCHED THEN UPDATE SET v = c.v " +
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (c.id, c.v)"))
+    assert(spark.sql("SELECT count(*) FROM gb.mg").as[Long].head == 150L)
+    // insert-only MERGE (no key matches): the pure-append publish path
+    spark.range(500, 520).select($"id", $"id".as("v"))
+      .createOrReplaceTempView("mg_new")
+    assertBucketPure(addedByStatement(
+      s"MERGE INTO gb.mg t USING mg_new c ON t.id = c.id " +
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (c.id, c.v)"))
+    assert(spark.sql("SELECT count(*) FROM gb.mg").as[Long].head == 170L)
+    assert(spark.sql("SELECT sum(v) FROM gb.mg WHERE id BETWEEN 50 " +
+      "AND 149").as[Long].head == -500L)
   }
 
   test("single-file-per-bucket snapshots prove key ORDER too: the " +
