@@ -622,7 +622,7 @@ private[sources] class GraftSqlTable(ident: String, root: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new org.apache.spark.sql.graft.DirAwareScanBuilder(spark, root,
-      inner.schema,
+      pinnedVersion, inner.schema,
       VersionedTable.readManifest(spark, root, pinnedVersion),
       inner.newScanBuilder(options), options,
       // `spark.readStream.table("graft.t")`: snapshot-then-tail via

@@ -46,10 +46,109 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * concatenation would break the order sortWithinPartitions wrote). */
 case class BucketLayout(key: String, n: Int, sorted: Boolean)
 
+/** Planner statistics for a delegating catalog scan. A DSv2 scan that
+  * does not implement `SupportsReportStatistics` makes its relation
+  * cost `spark.sql.defaultSizeInBytes` (effectively infinite) — the
+  * static planner then never broadcasts a graft dimension table and
+  * CBO has nothing to reorder with; AQE papers over it at runtime but
+  * static decisions (DPP planning, subqueries, AQE-off sessions) stay
+  * blind. So every wrap forwards the delegated `ParquetScan`'s
+  * estimate (file bytes × compression factor × column-pruning ratio)
+  * and upgrades the row count to the EXACT manifest count when every
+  * file carries stats — an O(manifest) driver lookup, no file I/O. */
+private[graft] object GraftScanStats {
+  import org.apache.spark.sql.connector.read.Statistics
+  import java.util.OptionalLong
+
+  def estimate(spark: SparkSession, root: String, version: Int,
+      delegate: Scan): Statistics = {
+    val base = delegate match {
+      case s: org.apache.spark.sql.connector.read
+        .SupportsReportStatistics => Some(s.estimateStatistics())
+      case _ => None
+    }
+    val exactRows: Option[Long] = scala.util.Try(
+      graft.sources.VersionedTable.rowCount(spark, root, Some(version))
+    ).toOption.flatten
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        base.map(_.sizeInBytes).getOrElse(OptionalLong.empty())
+      override def numRows(): OptionalLong = exactRows
+        .map(OptionalLong.of)
+        .orElse(base.map(_.numRows)).getOrElse(OptionalLong.empty())
+    }
+  }
+}
+
 private[graft] class BucketedDelegatingScan(spark: SparkSession,
-    root: String, options: CaseInsensitiveStringMap, delegate: Scan,
-    key: String, n: Int, streamable: Boolean)
-    extends Scan with SupportsReportPartitioning {
+    root: String, version: Int, options: CaseInsensitiveStringMap,
+    delegate: Scan, key: String, n: Int, streamable: Boolean)
+    extends Scan with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    GraftScanStats.estimate(spark, root, version, delegate)
+
+  // Runtime BUCKET pruning (Spark's DSv2 dynamic-pruning seam, the
+  // mechanism Iceberg uses for partition columns): when this table
+  // joins a filtered dimension on the bucket key and the dim side
+  // broadcasts, Spark evaluates the dim's key set at runtime and
+  // hands it to [[filter]] as IN(key, v1..vk). Each value maps to its
+  // bucket by the writer's own formula, and every OTHER bucket's
+  // files never leave the driver — a selective fact⋈dim join reads
+  // |matched buckets|/n of a 100 TB table instead of all of it.
+  // Partition COUNT is invariant (pruned buckets plan as empty
+  // partitions), so the KeyGroupedPartitioning contract — and any
+  // planned storage-partitioned join — survives the pruning.
+  @volatile private var keepBuckets: Option[Set[Int]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(key))
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val sets = predicates.flatMap(bucketSet)
+    if (sets.nonEmpty)
+      keepBuckets = Some(sets.reduce(_ intersect _))
+  }
+
+  // IN(key, literals...) / =(key, literal) → the bucket ids those
+  // values land in; any other shape prunes nothing (never guess)
+  private def bucketSet(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Set[Int]] = p.name() match {
+    case "IN" | "=" =>
+      val children = p.children()
+      children.headOption match {
+        case Some(ref: org.apache.spark.sql.connector.expressions
+          .NamedReference) if ref.fieldNames().length == 1 &&
+            ref.fieldNames()(0).equalsIgnoreCase(key) =>
+          val lits = children.tail.collect {
+            case l: org.apache.spark.sql.connector.expressions
+              .Literal[_] => l
+          }
+          if (lits.length == children.length - 1)
+            Some(lits.map(bucketOf).toSet)
+          else None // a non-literal child: don't prune on a guess
+        case _ => None
+      }
+    case _ => None
+  }
+
+  // the writer's formula exactly (see GraftBucket.Bound): NULL keys
+  // fold to the bare seed, everything else through murmur3(seed=42)
+  private def bucketOf(
+      l: org.apache.spark.sql.connector.expressions.Literal[_]): Int = {
+    val h =
+      if (l.value == null) 42L
+      else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(l.value, l.dataType, 42L)
+    val i = h.toInt % n
+    if (i < 0) i + n else i
+  }
 
   override def readSchema() = delegate.readSchema()
 
@@ -81,8 +180,12 @@ private[graft] class BucketedDelegatingScan(spark: SparkSession,
         }
       }
       Array.tabulate(n) { k =>
-        val fs = byBucket.getOrElse(k, Array.empty)
-          .sortBy(f => (f.toPath.toString, f.start))
+        val fs =
+          if (keepBuckets.forall(_.contains(k)))
+            byBucket.getOrElse(k, Array.empty)
+              .sortBy(f => (f.toPath.toString, f.start))
+          else Array.empty[org.apache.spark.sql.execution.datasources
+            .PartitionedFile] // runtime-pruned: planned but empty
         BucketPartition(k, FilePartition(k, fs))
       }
     }
@@ -114,10 +217,10 @@ private[graft] class BucketedDelegatingScan(spark: SparkSession,
   * The end state a 100 TB fact-fact join wants: O(read) + O(merge),
   * zero exchange, zero sort spill. */
 private[graft] class SortedBucketedDelegatingScan(spark: SparkSession,
-    root: String, options: CaseInsensitiveStringMap, delegate: Scan,
-    key: String, n: Int, streamable: Boolean)
-    extends BucketedDelegatingScan(spark, root, options, delegate, key,
-      n, streamable)
+    root: String, version: Int, options: CaseInsensitiveStringMap,
+    delegate: Scan, key: String, n: Int, streamable: Boolean)
+    extends BucketedDelegatingScan(spark, root, version, options,
+      delegate, key, n, streamable)
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   override def outputOrdering()

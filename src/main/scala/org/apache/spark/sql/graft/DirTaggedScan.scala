@@ -295,6 +295,7 @@ class DirTaggedReaderFactory(inner: PartitionReaderFactory)
   * `ParquetScanBuilder` actually implements — same pinned-internal
   * posture as [[ColumnBridge]]/[[StreamingBridge]]. */
 class DirAwareScanBuilder(spark: SparkSession, root: String,
+    version: Int,
     dataSchema: StructType, dirNames: Seq[String], inner: ScanBuilder,
     options: CaseInsensitiveStringMap, streamable: Boolean = false,
     bucketed: Option[BucketLayout] = None)
@@ -378,13 +379,14 @@ class DirAwareScanBuilder(spark: SparkSession, root: String,
         val cased = prunedData.fieldNames
           .find(_.equalsIgnoreCase(key)).get
         if (sorted)
-          new SortedBucketedDelegatingScan(spark, root, options,
+          new SortedBucketedDelegatingScan(spark, root, version, options,
             inner.build(), cased, n, streamable)
-        else new BucketedDelegatingScan(spark, root, options,
+        else new BucketedDelegatingScan(spark, root, version, options,
           inner.build(), cased, n, streamable)
-      case _ if streamable =>
-        new StreamableDelegatingScan(spark, root, options, inner.build())
-      case _ => inner.build()
+      // every catalog read reports statistics (time-traveled
+      // snapshots included); only live snapshots also stream
+      case _ => new StreamableDelegatingScan(spark, root, version,
+        options, inner.build(), streamable)
     }
 }
 
@@ -397,8 +399,14 @@ class DirAwareScanBuilder(spark: SparkSession, root: String,
   * modes carry extra columns the fixed catalog relation schema cannot
   * express — those route to the path connector, loudly. */
 private class StreamableDelegatingScan(spark: SparkSession,
-    root: String, options: CaseInsensitiveStringMap, delegate: Scan)
-    extends Scan {
+    root: String, version: Int, options: CaseInsensitiveStringMap,
+    delegate: Scan, streamable: Boolean = true)
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    GraftScanStats.estimate(spark, root, version, delegate)
 
   override def readSchema(): StructType = delegate.readSchema()
 
@@ -411,6 +419,9 @@ private class StreamableDelegatingScan(spark: SparkSession,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(streamable,
+      s"stream read of $root: a time-traveled snapshot is frozen — " +
+        "nothing to stream")
     require(!Option(options.get("readChangeFeed"))
       .exists(_.trim.toBoolean),
       "change-feed STREAMING adds change_kind/_commit_version columns " +

@@ -291,6 +291,52 @@ class BucketedTableSpec extends SparkSpec {
       "AND 149").as[Long].head == -500L)
   }
 
+  test("runtime bucket pruning (DSv2 dynamic pruning): a selective " +
+    "broadcast dim join on the bucket key carries a runtime filter " +
+    "and the fact scan reads ONLY the matched buckets' rows") {
+    wh
+    spark.sql("CREATE TABLE gb.rpf (id BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.range(1000).select($"id", $"id".as("v"))
+      .createOrReplaceTempView("rpf_src")
+    spark.sql("INSERT INTO gb.rpf SELECT * FROM rpf_src")
+    spark.sql("CREATE TABLE gb.rpd (id BIGINT, w STRING)")
+    spark.sql("INSERT INTO gb.rpd VALUES (17, 'hit'), (18, 'hit'), " +
+      "(523, 'miss')")
+    val joined = spark.sql(
+      "SELECT f.id, f.v, d.w FROM gb.rpf f JOIN gb.rpd d " +
+        "ON f.id = d.id WHERE d.w = 'hit'")
+    assert(joined.collect().map(_.getLong(0)).toSet == Set(17L, 18L))
+    // AQE wraps stages in leaf QueryStageExec nodes — recurse through
+    // them, or collect() never reaches the scans
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec] = p.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2
+        .BatchScanExec if b.runtimeFilters.nonEmpty => Seq(b)
+      case q: org.apache.spark.sql.execution.adaptive
+        .QueryStageExec => scans(q.plan)
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => scans(a.executedPlan)
+    }.flatten
+    val finalPlan = joined.queryExecution.executedPlan
+    val factScans = scans(finalPlan)
+    assert(factScans.nonEmpty,
+      s"fact scan must carry a runtime filter:\n$finalPlan")
+    // rows actually read == rows living in the buckets of 17 and 18;
+    // every other bucket's files never left the driver
+    val hitBuckets = spark.createDataset(Seq(17L, 18L))
+      .select(GraftBucket.idColumn($"value", 4)).as[Int].collect().toSet
+    assert(hitBuckets.size < 4, "test premise: some bucket unmatched")
+    val expected = spark.range(1000)
+      .select(GraftBucket.idColumn($"id", 4).as("b"))
+      .filter($"b".isin(hitBuckets.toSeq.map(Int.box): _*)).count()
+    val read = factScans.map(_.metrics("numOutputRows").value).max
+    assert(read == expected,
+      s"runtime pruning must shrink the read to the matched buckets " +
+        s"($expected rows), got $read")
+  }
+
   test("single-file-per-bucket snapshots prove key ORDER too: the " +
     "co-bucketed join runs with no shuffle AND no sort; a second " +
     "append (two files per bucket) withdraws only the order claim") {

@@ -766,6 +766,50 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[GraftCatalog]
 
+  test("catalog scans report statistics — exact manifest row count + " +
+    "delegated parquet size — so a small graft dim STATICALLY plans a " +
+    "broadcast join (AQE off) instead of costing defaultSizeInBytes") {
+    wh
+    spark.sql("CREATE TABLE graft.stats_f (id BIGINT, v BIGINT)")
+    spark.range(5000).select($"id", ($"id" * 2).as("v"))
+      .createOrReplaceTempView("sf_src")
+    spark.sql("INSERT INTO graft.stats_f SELECT * FROM sf_src")
+    spark.sql("CREATE TABLE graft.stats_d (id BIGINT, w STRING)")
+    spark.sql("INSERT INTO graft.stats_d VALUES (1, 'a'), (2, 'b')")
+    // the relation's cost comes from the scan, not the 8-EB default
+    val dimStats = spark.table("graft.stats_d")
+      .queryExecution.optimizedPlan.stats
+    assert(dimStats.rowCount.contains(BigInt(2)),
+      s"manifest-exact row count, got ${dimStats.rowCount}")
+    val defaultSize =
+      BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    assert(dimStats.sizeInBytes < defaultSize / 1000,
+      s"delegated size estimate, got ${dimStats.sizeInBytes}")
+    // the STATIC planner (AQE off) picks the broadcast join on its own
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.sql(
+        "SELECT f.id, f.v, d.w FROM graft.stats_f f " +
+          "JOIN graft.stats_d d ON f.id = d.id")
+      val bhj = joined.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins
+          .BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty, "dim must broadcast statically:\n" +
+        joined.queryExecution.executedPlan)
+      assert(joined.count() == 2L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    // time travel reports the PINNED version's count
+    spark.sql("INSERT INTO graft.stats_d VALUES (3, 'c')")
+    assert(spark.sql("SELECT * FROM graft.stats_d VERSION AS OF 1")
+      .queryExecution.optimizedPlan.stats.rowCount
+      .contains(BigInt(2)))
+    assert(spark.table("graft.stats_d")
+      .queryExecution.optimizedPlan.stats.rowCount
+      .contains(BigInt(3)))
+  }
+
   test("the catalog is stateless: a table created programmatically is " +
     "immediately visible to SQL and vice versa") {
     wh
