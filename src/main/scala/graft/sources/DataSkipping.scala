@@ -242,7 +242,7 @@ object DataSkipping {
 
   /** Comparison in the stats domain. Caller guarantees both sides came
     * through [[domainValue]] for the same column type. */
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
+  private[sources] def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: Double, y: Double) => java.lang.Double.compare(x, y)
     case (x: String, y: String) =>

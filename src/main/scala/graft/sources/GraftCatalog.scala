@@ -240,12 +240,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       TableCatalog.PROP_IS_MANAGED_LOCATION)
     val unsupported = props.keys.filterNot(k =>
       k.startsWith(ConstraintProp) || k == GraftCatalog.ChangeFeedKeyProp ||
+        k == GraftCatalog.NdvColumnsProp ||
         sparkReserved.contains(k) ||
         k.startsWith(TableCatalog.OPTION_PREFIX))
     require(unsupported.isEmpty,
       s"unsupported TBLPROPERTIES ${unsupported.mkString(", ")} — " +
         s"graft tables honor '${ConstraintProp}<name>' CHECK " +
-        s"constraints and '${GraftCatalog.ChangeFeedKeyProp}'")
+        s"constraints, '${GraftCatalog.ChangeFeedKeyProp}' and " +
+        s"'${GraftCatalog.NdvColumnsProp}'")
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .coalesce(1)
@@ -272,6 +274,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"CREATE TABLE refused: ${GraftCatalog.ChangeFeedKeyProp} " +
           s"'$key' is not a column of ${schema.simpleString}")
     }
+    props.get(GraftCatalog.NdvColumnsProp).foreach { v =>
+      GraftCatalog.parseNdvCols(v).foreach { c =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"CREATE TABLE refused: ${GraftCatalog.NdvColumnsProp} " +
+            s"names '$c', not a column of ${schema.simpleString}")
+      }
+    }
     bucketOpt.foreach { case (key, _) =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(key)),
         s"CREATE TABLE refused: bucket key '$key' is not a column of " +
@@ -289,6 +298,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // trivially unique on the empty table; every later commit
         // materializes its change file from day one
         VersionedTable.enableChangeFeed(spark, p.toString, key)
+      case (GraftCatalog.NdvColumnsProp, v) =>
+        VersionedTable.enableNdvStats(spark, p.toString,
+          GraftCatalog.parseNdvCols(v))
       case _ => ()
     }
     new GraftSqlTable(ident.toString, p.toString, version = None)
@@ -344,10 +356,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case rp: TableChange.RemoveProperty
           if rp.property == GraftCatalog.ChangeFeedKeyProp =>
         VersionedTable.disableChangeFeed(spark, root)
+      case sp: TableChange.SetProperty
+          if sp.property == GraftCatalog.NdvColumnsProp =>
+        VersionedTable.enableNdvStats(spark, root,
+          GraftCatalog.parseNdvCols(sp.value))
+      case rp: TableChange.RemoveProperty
+          if rp.property == GraftCatalog.NdvColumnsProp =>
+        VersionedTable.disableNdvStats(spark, root)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE supports ADD COLUMNS (additive evolution), " +
           s"[UN]SET TBLPROPERTIES ('${ConstraintProp}<name>') CHECK " +
-          s"constraints, and '${GraftCatalog.ChangeFeedKeyProp}'; got " +
+          s"constraints, '${GraftCatalog.ChangeFeedKeyProp}' and " +
+          s"'${GraftCatalog.NdvColumnsProp}'; got " +
           s"$other — drop/rename/retype need an explicit rewrite via " +
           "VersionedTable.commit")
     }
@@ -456,6 +476,17 @@ object GraftCatalog {
     * `SHOW TBLPROPERTIES`. Also honored at CREATE TABLE. */
   val ChangeFeedKeyProp = "graft.changeFeed.key"
 
+  /** TBLPROPERTY pinning per-commit NDV sketches ([[NdvStats]]):
+    * `'graft.ndv.columns' = '*'` (every eligible column) or a
+    * comma-joined column list. SET enables (backfilling existing
+    * dirs in one pass), UNSET disables, and the pin surfaces in
+    * `SHOW TBLPROPERTIES`. Also honored at CREATE TABLE. */
+  val NdvColumnsProp = "graft.ndv.columns"
+
+  private[sources] def parseNdvCols(v: String): Seq[String] =
+    if (v.trim == "*") Seq.empty
+    else v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
   /** Session conf: minimum manifest row count at which SQL MERGE pays
     * the runtime group-filter subquery (default 10M rows ≈ the few-GB
     * wall-clock crossover BASELINE.md measured). `0` forces pruning
@@ -523,7 +554,10 @@ private[sources] class GraftSqlTable(ident: String, root: String,
     (VersionedTable.constraints(spark, root, version)
       .map { case (n, e) => (GraftCatalog.ConstraintProp + n, e) } ++
       VersionedTable.changeFeedKey(spark, root, version)
-        .map(k => GraftCatalog.ChangeFeedKeyProp -> k))
+        .map(k => GraftCatalog.ChangeFeedKeyProp -> k) ++
+      VersionedTable.ndvColumns(spark, root, version)
+        .map(cs => GraftCatalog.NdvColumnsProp ->
+          (if (cs.isEmpty) "*" else cs.mkString(","))))
       .toMap.asJava
 
   override def capabilities(): java.util.Set[TableCapability] =

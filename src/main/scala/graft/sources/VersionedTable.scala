@@ -1215,10 +1215,36 @@ object VersionedTable {
     val statsLines = scala.util.Try(DataSkipping.statsLines(
       spark.sparkContext.hadoopConfiguration, dataDir, commitName))
       .getOrElse(Seq.empty)
+    // NDV sketches (when enableNdvStats pinned columns): carry the
+    // surviving dirs' lines verbatim, sketch ONLY the rows just
+    // written — one aggregate over the staged dir, O(delta).
+    // Best-effort like the skipping stats: a failed sketch leaves the
+    // dir line absent and the column's table NDV conservatively
+    // unknown, never a failed commit.
+    val ndvLines: Seq[String] =
+      if (expectedVersion < 0) Seq.empty
+      else {
+        val prior = manifestLines(spark, root, expectedVersion)
+        NdvStats.pinnedCols(prior) match {
+          case None => Seq.empty
+          case Some(pin) =>
+            val carried =
+              NdvStats.carriedLines(prior, carryDirs.toSet)
+            val fresh =
+              if (!wroteFiles) Seq.empty
+              else scala.util.Try(NdvStats.sketchLine(
+                spark.read.parquet(dataDir.toString), commitName, pin))
+                .toOption.flatten.toSeq
+            (NdvStats.PinPrefix +
+              prior.find(_.startsWith(NdvStats.PinPrefix)).get
+                .stripPrefix(NdvStats.PinPrefix)) +: (carried ++ fresh)
+        }
+      }
     try writeManifest(spark, root, next,
       constraintLines ++ cdcLine ++ bucketLines ++
         changeName.map("#changes:" + _).toSeq ++ metaLines ++
-        carryStatsLines ++ statsLines ++ carryDirs :+ commitName)
+        carryStatsLines ++ statsLines ++ ndvLines ++
+        carryDirs :+ commitName)
     catch {
       // a retrying caller (the streaming sink) keeps the already-
       // written dir across a version conflict and re-publishes it
@@ -1583,6 +1609,159 @@ object VersionedTable {
       case _ => None
     })
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
+  /** Version `v`'s TABLE-LEVEL column envelopes, folded from the
+    * per-file `#file:` stats at O(manifest) driver cost: min of mins,
+    * max of maxes, summed null counts — EXACT values (the fold of
+    * exact per-file footer stats), in [[DataSkipping]]'s comparison
+    * domain (Long / Double / String / Boolean). These are what the
+    * DSv2 scan reports as `columnStats()` so Spark's CBO estimates
+    * filter selectivity and join order from real ranges instead of
+    * defaults. Strictly conservative: any dir without stats lines,
+    * any file with an unknown bound, or a column missing from some
+    * file (schema evolution) drops that column — absent stats are
+    * never wrong stats. All-null files are NEUTRAL for min/max (they
+    * hold no value to bound) but still add their null count. */
+  def columnEnvelopes(spark: SparkSession, root: String,
+      version: Option[Int] = None)
+      : Map[String, DataSkipping.ColStats] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) return Map.empty
+    val byDir = statsByDir(spark, root, Some(v))
+    val dirs = readManifest(spark, root, v)
+    if (dirs.isEmpty || !dirs.forall(byDir.contains)) return Map.empty
+    val files = dirs.flatMap(byDir(_)).filter(_.rows != 0L)
+    if (files.isEmpty) return Map.empty
+    if (files.exists(_.rows < 0)) return Map.empty
+    val names = files.map(_.cols.keySet).reduce(_ intersect _)
+    names.iterator.flatMap { n =>
+      // fold state: (min, max, nulls) — None-valued min/max while only
+      // all-null files were seen; the fold aborts (None) on any
+      // unknown bound or null count
+      val folded = files.foldLeft(
+        Option((Option.empty[Any], Option.empty[Any], 0L))) {
+        case (None, _) => None
+        case (Some((mn, mx, nc)), f) =>
+          val cs = f.cols(n)
+          cs.nullCount match {
+            case None => None
+            case Some(nulls) =>
+              if (cs.min.isDefined && cs.max.isDefined)
+                Some((
+                  Some(mn.fold(cs.min.get)(m =>
+                    if (DataSkipping.cmp(m, cs.min.get) <= 0) m
+                    else cs.min.get)),
+                  Some(mx.fold(cs.max.get)(m =>
+                    if (DataSkipping.cmp(m, cs.max.get) >= 0) m
+                    else cs.max.get)),
+                  nc + nulls))
+              else if (nulls == f.rows) Some((mn, mx, nc + nulls))
+              else None // values exist but their bounds are unknown
+          }
+      }
+      folded.map { case (mn, mx, nc) =>
+        n -> DataSkipping.ColStats(mn, mx, Some(nc))
+      }
+    }.toMap
+  }
+
+  /** Turn on per-commit NDV sketches (see [[NdvStats]]): pins
+    * `#ndvcols:` so every later commit sketches its OWN rows
+    * (O(delta)), and BACKFILLS the existing dirs in one pass over the
+    * current snapshot grouped by commit dir — the only table-scan
+    * this feature ever costs, paid once at enable time. `cols` empty
+    * = every eligible column. */
+  def enableNdvStats(spark: SparkSession, root: String,
+      cols: Seq[String] = Seq.empty): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val prior = manifestLines(spark, root, base)
+    require(NdvStats.pinnedCols(prior).isEmpty,
+      s"NDV stats already enabled on $root")
+    val snap = read(spark, root, Some(base))
+    val lower = snap.columns.map(_.toLowerCase).toSet
+    val missing = cols.filterNot(c => lower.contains(c.toLowerCase))
+    require(missing.isEmpty,
+      s"NDV column(s) not in table schema: ${missing.mkString(", ")}")
+    val eligible = NdvStats.eligibleCols(snap.schema, cols)
+    require(eligible.nonEmpty,
+      s"no sketchable column among ${snap.schema.simpleString}")
+    // one job over the snapshot: per-dir partial sketches, grouped by
+    // the SECOND-TO-LAST path segment (data/<commitDir>/part-*)
+    import org.apache.spark.sql.functions._
+    val dirCol = substring_index(
+      substring_index(input_file_name(), "/", -2), "/", 1)
+    val aggs = eligible.map(f =>
+      hll_sketch_agg(NdvStats.sketchInput(f).get, lit(12)).as(f.name))
+    val rows = snap.withColumn("__graft_dir", dirCol)
+      .groupBy("__graft_dir")
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val lines = rows.toSeq.map { r =>
+      NdvStats.renderLine(r.getString(0),
+        eligible.zipWithIndex.flatMap { case (f, i) =>
+          Option(r.getAs[Array[Byte]](i + 1)).map(f.name -> _)
+        })
+    }
+    val pin = NdvStats.PinPrefix +
+      (if (cols.isEmpty) "*" else cols.mkString(","))
+    val body = prior
+      .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:"))
+    writeManifest(spark, root, base + 1,
+      ("#op:enable_ndv" +: body :+ pin) ++ lines)
+    base + 1
+  }
+
+  /** Drop the NDV pin and every stored sketch line. */
+  def disableNdvStats(spark: SparkSession, root: String): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val prior = manifestLines(spark, root, base)
+    require(NdvStats.pinnedCols(prior).isDefined,
+      s"NDV stats not enabled on $root")
+    val body = prior.filterNot(l =>
+      l.startsWith("#op:") || l.startsWith("#txn:") ||
+        l.startsWith(NdvStats.PinPrefix) ||
+        l.startsWith(NdvStats.LinePrefix))
+    writeManifest(spark, root, base + 1, "#op:disable_ndv" +: body)
+    base + 1
+  }
+
+  /** The pinned NDV column list as of `version` (default latest):
+    * None = off; Some(Nil) = every eligible column. */
+  def ndvColumns(spark: SparkSession, root: String,
+      version: Option[Int] = None): Option[Seq[String]] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) None
+    else NdvStats.pinnedCols(manifestLines(spark, root, v))
+  }
+
+  // per-(root, version) NDV estimates — manifests are immutable, the
+  // cache never goes stale; same lifetime discipline as statsCache
+  private val ndvCache = scala.collection.concurrent.TrieMap[
+    (String, Int), Map[String, Long]]()
+
+  /** Version `v`'s per-column distinct-count estimates from the
+    * unioned per-dir sketches; empty when NDV stats are off or any
+    * data-bearing dir lacks its sketch (conservative — see
+    * [[NdvStats]]). */
+  def tableNdv(spark: SparkSession, root: String,
+      version: Option[Int] = None): Map[String, Long] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) return Map.empty
+    ndvCache.getOrElseUpdate((new Path(root).toString, v), {
+      val lines = manifestLines(spark, root, v)
+      if (NdvStats.pinnedCols(lines).isEmpty) Map.empty
+      else {
+        val dirs = readManifest(spark, root, v)
+        val byDir = statsByDir(spark, root, Some(v))
+        // every dir must be stats-covered to tell data-bearing dirs
+        // (need a sketch) from empty ones (nothing to sketch)
+        if (!dirs.forall(byDir.contains)) Map.empty
+        else NdvStats.tableNdv(lines,
+          dirs.filter(d => byDir(d).exists(_.rows != 0L)))
+      }
+    })
   }
 
   /** Version `v`'s schema resolved at O(manifest) cost: the

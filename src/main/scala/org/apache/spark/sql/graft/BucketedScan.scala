@@ -57,8 +57,11 @@ case class BucketLayout(key: String, n: Int, sorted: Boolean)
   * and upgrades the row count to the EXACT manifest count when every
   * file carries stats — an O(manifest) driver lookup, no file I/O. */
 private[graft] object GraftScanStats {
+  import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.read.Statistics
-  import java.util.OptionalLong
+  import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+  import org.apache.spark.sql.types._
+  import java.util.{Optional, OptionalLong}
 
   def estimate(spark: SparkSession, root: String, version: Int,
       delegate: Scan): Statistics = {
@@ -70,13 +73,90 @@ private[graft] object GraftScanStats {
     val exactRows: Option[Long] = scala.util.Try(
       graft.sources.VersionedTable.rowCount(spark, root, Some(version))
     ).toOption.flatten
+    val colStats = columnStatsFor(spark, root, version,
+      delegate.readSchema())
     new Statistics {
       override def sizeInBytes(): OptionalLong =
         base.map(_.sizeInBytes).getOrElse(OptionalLong.empty())
       override def numRows(): OptionalLong = exactRows
         .map(OptionalLong.of)
         .orElse(base.map(_.numRows)).getOrElse(OptionalLong.empty())
+      override def columnStats()
+          : java.util.Map[NamedReference, ColumnStatistics] = colStats
     }
+  }
+
+  /** Manifest column envelopes → DSv2 column statistics, so CBO
+    * (`spark.sql.cbo.enabled`) estimates filter selectivity and join
+    * order from the table's REAL value ranges. Values convert from
+    * the stats comparison domain into the catalyst internal form the
+    * optimizer's estimators consume (Spark forwards `min`/`max`
+    * verbatim into `ColumnStat`); columns whose read type can't host
+    * the envelope are dropped — absent beats wrong. Distinct counts
+    * come ONLY from the table's own NDV sketches
+    * ([[graft.sources.NdvStats]]) when `enableNdvStats` pinned them —
+    * never fabricated: an invented NDV under-costs equality
+    * selectivity and over-broadcasts at scale. The estimate is
+    * clamped to the column's non-null row count (an HLL can
+    * overshoot; the clamp is a bound the manifest knows exactly). */
+  private def columnStatsFor(spark: SparkSession, root: String,
+      version: Int, schema: StructType)
+      : java.util.Map[NamedReference, ColumnStatistics] = {
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    val envs = scala.util.Try(graft.sources.VersionedTable
+      .columnEnvelopes(spark, root, Some(version))).getOrElse(Map.empty)
+    if (envs.isEmpty) return out
+    val rows: Option[Long] = scala.util.Try(graft.sources.VersionedTable
+      .rowCount(spark, root, Some(version))).toOption.flatten
+    val ndv: Map[String, Long] = scala.util.Try(graft.sources
+      .VersionedTable.tableNdv(spark, root, Some(version)))
+      .getOrElse(Map.empty)
+      .map { case (k, v) => k.toLowerCase -> v }
+    val byLower = envs.map { case (k, v) => k.toLowerCase -> v }
+    schema.fields.foreach { f =>
+      byLower.get(f.name.toLowerCase).foreach { cs =>
+        def conv(v: Any): Option[Object] = (v, f.dataType) match {
+          case (x: Long, ByteType) => Some(Byte.box(x.toByte))
+          case (x: Long, ShortType) => Some(Short.box(x.toShort))
+          case (x: Long, IntegerType) => Some(Int.box(x.toInt))
+          case (x: Long, LongType) => Some(Long.box(x))
+          case (x: Long, DateType) => Some(Int.box(x.toInt))
+          case (x: Long, TimestampType | TimestampNTZType) =>
+            Some(Long.box(x))
+          case (x: Double, FloatType) => Some(Float.box(x.toFloat))
+          case (x: Double, DoubleType) => Some(Double.box(x))
+          case (x: String, StringType) =>
+            Some(org.apache.spark.unsafe.types.UTF8String.fromString(x))
+          case (x: Boolean, BooleanType) => Some(Boolean.box(x))
+          case _ => None
+        }
+        val mn = cs.min.flatMap(conv)
+        val mx = cs.max.flatMap(conv)
+        // an envelope that exists but can't convert means the read
+        // type disagrees with the stats domain — report nothing
+        if (cs.min.isDefined == mn.isDefined &&
+            cs.max.isDefined == mx.isDefined) {
+          val nulls = cs.nullCount
+          val distinct: Option[Long] =
+            ndv.get(f.name.toLowerCase).map { est =>
+              val nonNull = for (r <- rows; n <- nulls)
+                yield math.max(0L, r - n)
+              nonNull.fold(est)(math.min(est, _))
+            }
+          out.put(Expressions.column(f.name), new ColumnStatistics {
+            override def distinctCount(): OptionalLong = distinct
+              .map(OptionalLong.of).getOrElse(OptionalLong.empty())
+            override def min(): Optional[Object] =
+              mn.map(Optional.of[Object]).getOrElse(Optional.empty())
+            override def max(): Optional[Object] =
+              mx.map(Optional.of[Object]).getOrElse(Optional.empty())
+            override def nullCount(): OptionalLong = nulls
+              .map(OptionalLong.of).getOrElse(OptionalLong.empty())
+          })
+        }
+      }
+    }
+    out
   }
 }
 

@@ -810,6 +810,75 @@ class GraftCatalogSpec extends SparkSpec {
       .contains(BigInt(3)))
   }
 
+  test("catalog scans report COLUMN statistics from the manifest " +
+    "envelopes: CBO estimates a range filter's selectivity from the " +
+    "real min/max instead of a default guess") {
+    wh
+    spark.sql(
+      "CREATE TABLE graft.cbo_t (id BIGINT, s STRING, v DOUBLE)")
+    spark.range(10000)
+      .select($"id",
+        org.apache.spark.sql.functions.when($"id" % 10 === 0, null)
+          .otherwise(org.apache.spark.sql.functions
+            .concat(org.apache.spark.sql.functions.lit("s"), $"id"))
+          .as("s"),
+        ($"id" * 0.5).as("v"))
+      .createOrReplaceTempView("cbo_src")
+    spark.sql("INSERT INTO graft.cbo_t SELECT * FROM cbo_src")
+    // NDV sketches: backfill at enable, then each commit sketches
+    // only its own rows
+    VersionedTable.enableNdvStats(spark, rootOf("cbo_t"))
+    val cbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val plan = spark.table("graft.cbo_t")
+        .queryExecution.optimizedPlan
+      val attrStats = plan.stats.attributeStats
+      val idStat = attrStats.find(_._1.name == "id").map(_._2)
+        .getOrElse(fail(s"no column stats for id: ${plan.stats}"))
+      assert(idStat.min.contains(0L) && idStat.max.contains(9999L),
+        s"exact manifest envelope, got $idStat")
+      assert(idStat.nullCount.contains(BigInt(0)))
+      // HLL estimate within 5% of the true 10000 distinct ids,
+      // clamped to the non-null row bound
+      val ndv = idStat.distinctCount
+        .getOrElse(fail(s"no NDV for id: $idStat"))
+      assert(ndv >= BigInt(9500) && ndv <= BigInt(10000),
+        s"sketched NDV near the true 10000, got $ndv")
+      val sStat = attrStats.find(_._1.name == "s").map(_._2)
+        .getOrElse(fail("no column stats for s"))
+      assert(sStat.nullCount.contains(BigInt(1000)),
+        s"exact summed null count, got ${sStat.nullCount}")
+      // CBO turns the envelope into selectivity: a 10% range filter
+      // estimates ~10% of the rows, not a default guess
+      val filtered = spark.table("graft.cbo_t").filter($"id" >= 9000L)
+      val fStats = filtered.queryExecution.optimizedPlan.stats
+      val est = fStats.rowCount
+        .getOrElse(fail(s"CBO must estimate a row count: $fStats"))
+      assert(est > BigInt(500) && est < BigInt(2000),
+        s"~10% selectivity from the real [0, 9999] envelope, got $est")
+      // time travel reports the PINNED version's envelope
+      spark.sql(
+        "INSERT INTO graft.cbo_t VALUES (100000, 'x', 1.0)")
+      val pinned = spark.sql(
+        "SELECT * FROM graft.cbo_t VERSION AS OF 1")
+        .queryExecution.optimizedPlan.stats.attributeStats
+        .find(_._1.name == "id").map(_._2)
+      assert(pinned.exists(_.max.contains(9999L)),
+        s"pinned envelope excludes the later insert, got $pinned")
+      val after = spark.table("graft.cbo_t")
+        .queryExecution.optimizedPlan.stats.attributeStats
+        .find(_._1.name == "id").map(_._2)
+        .getOrElse(fail("no stats after insert"))
+      assert(after.max.contains(100000L))
+      // the INSERT's commit sketched only its own row; the union
+      // (old dirs' sketches + the new one) tracks the growth
+      assert(after.distinctCount.exists(n =>
+        n >= BigInt(9500) && n <= BigInt(10001)),
+        s"incremental NDV union, got ${after.distinctCount}")
+    } finally spark.conf.set("spark.sql.cbo.enabled", cbo)
+  }
+
   test("the catalog is stateless: a table created programmatically is " +
     "immediately visible to SQL and vice versa") {
     wh

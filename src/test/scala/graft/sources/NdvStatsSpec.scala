@@ -1,0 +1,150 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Per-commit-dir NDV sketch lifecycle (see [[NdvStats]]): enable-time
+  * backfill accuracy, O(delta) incremental maintenance (appends sketch
+  * only their own rows, carried dirs keep their lines byte-identical),
+  * rewrite/restore/disable bookkeeping, and the conservative gaps
+  * (pre-enable history, time travel below the enable version). */
+class NdvStatsSpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("ndv").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "tbl").getAbsolutePath
+  }
+
+  private def batch(from: Long, n: Long) =
+    spark.range(from, from + n)
+      .select($"id", concat(lit("u"), $"id" % 100).as("u"),
+        ($"id" % 7).cast("double").as("d"))
+
+  private def ndvLines(root: String, v: Int): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root,
+      s"_manifests/v$v.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in).getLines()
+      .filter(_.startsWith(NdvStats.LinePrefix)).toList
+    finally in.close()
+  }
+
+  test("enable backfills the existing dirs; estimates land within " +
+    "HLL error of the true distinct counts; disable drops everything") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, batch(0, 5000))
+    VersionedTable.append(spark, root, batch(5000, 5000), 0)
+    assert(VersionedTable.tableNdv(spark, root).isEmpty,
+      "no estimates before enable")
+    val v = VersionedTable.enableNdvStats(spark, root)
+    assert(v == 2)
+    val ndv = VersionedTable.tableNdv(spark, root)
+    assert(math.abs(ndv("id") - 10000L) <= 500,
+      s"id NDV near 10000, got ${ndv.get("id")}")
+    assert(ndv("u") == 100L, s"low-cardinality NDV exact: ${ndv.get("u")}")
+    assert(ndv("d") == 7L, s"double NDV via canonical cast: ${ndv.get("d")}")
+    VersionedTable.disableNdvStats(spark, root)
+    assert(VersionedTable.tableNdv(spark, root).isEmpty)
+    assert(ndvLines(root, VersionedTable.latestVersion(spark, root))
+      .isEmpty, "disable strips the stored sketches")
+  }
+
+  test("appends are O(delta): the new commit sketches only its own " +
+    "rows, carried dirs keep their lines byte-identical, and the " +
+    "union tracks growth") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, batch(0, 4000))
+    VersionedTable.enableNdvStats(spark, root, Seq("id"))
+    val before = ndvLines(root, 1)
+    assert(before.size == 1)
+    VersionedTable.append(spark, root, batch(4000, 4000), 1)
+    val after = ndvLines(root, 2)
+    assert(after.size == 2, s"one line per data-bearing dir: $after")
+    assert(after.contains(before.head),
+      "the backfilled dir's sketch carried verbatim — not recomputed")
+    val ndv = VersionedTable.tableNdv(spark, root)("id")
+    assert(math.abs(ndv - 8000L) <= 400, s"unioned NDV near 8000: $ndv")
+    // pinned to a single column: others stay unknown
+    assert(!VersionedTable.tableNdv(spark, root).contains("u"))
+  }
+
+  test("a rewrite drops the removed dirs' sketches with the dirs and " +
+    "sketches its replacement; restore resurrects the old estimates") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, batch(0, 3000))
+    VersionedTable.enableNdvStats(spark, root, Seq("id"))
+    VersionedTable.append(spark, root, batch(3000, 3000), 1)
+    val full = VersionedTable.tableNdv(spark, root)("id")
+    assert(math.abs(full - 6000L) <= 300)
+    // delete the second half: dir-level rewrite under the pin
+    VersionedTable.delete(spark, root, col("id") >= 3000L)
+    val v = VersionedTable.latestVersion(spark, root)
+    val ndv = VersionedTable.tableNdv(spark, root, Some(v))
+    assert(ndv.contains("id") && math.abs(ndv("id") - 3000L) <= 150,
+      s"post-delete NDV near 3000, got ${ndv.get("id")}")
+    VersionedTable.restore(spark, root, 2)
+    val restored = VersionedTable.tableNdv(spark, root)("id")
+    assert(restored == full, "restore re-reads the old sketches")
+  }
+
+  test("conservative gaps: time travel below the enable version has " +
+    "no estimates, and a column added by schema evolution stays " +
+    "unknown until every dir covers it") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, batch(0, 2000))
+    VersionedTable.enableNdvStats(spark, root)
+    assert(VersionedTable.tableNdv(spark, root, Some(0)).isEmpty,
+      "the pre-enable version never gains estimates")
+    val schema = org.apache.spark.sql.types.StructType(
+      VersionedTable.read(spark, root).schema.fields :+
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.LongType, true))
+    VersionedTable.evolveSchema(spark, root, schema)
+    VersionedTable.append(spark, root,
+      batch(2000, 1000).withColumn("extra", $"id" * 2),
+      VersionedTable.latestVersion(spark, root))
+    val ndv = VersionedTable.tableNdv(spark, root)
+    assert(ndv.contains("id"), "pre-evolution columns keep estimates")
+    assert(!ndv.contains("extra"),
+      "a column the old dirs never sketched reports nothing")
+  }
+
+  test("SQL surface: graft.ndv.columns at CREATE TABLE sketches every " +
+    "commit from day one, ALTER ... UNSET disables, and the pin " +
+    "surfaces in SHOW TBLPROPERTIES") {
+    val d = java.nio.file.Files.createTempDirectory("ndvwh").toFile
+    d.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.gndv",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gndv.warehouse", d.getAbsolutePath)
+    spark.sql("CREATE TABLE gndv.t (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.ndv.columns' = 'id')")
+    spark.range(1000).select($"id", concat(lit("x"), $"id").as("s"))
+      .createOrReplaceTempView("ndv_src")
+    spark.sql("INSERT INTO gndv.t SELECT * FROM ndv_src")
+    val root = new java.io.File(d, "t").getAbsolutePath
+    val ndv = VersionedTable.tableNdv(spark, root)
+    assert(ndv.contains("id") && math.abs(ndv("id") - 1000L) <= 50,
+      s"INSERT under the pin sketched its rows: ${ndv.get("id")}")
+    val props = spark.sql("SHOW TBLPROPERTIES gndv.t")
+      .as[(String, String)].collect().toMap
+    assert(props.get("graft.ndv.columns").contains("id"))
+    spark.sql(
+      "ALTER TABLE gndv.t UNSET TBLPROPERTIES ('graft.ndv.columns')")
+    assert(VersionedTable.tableNdv(spark, root).isEmpty)
+    // re-enable via ALTER backfills again, '*' = all eligible
+    spark.sql("ALTER TABLE gndv.t SET TBLPROPERTIES " +
+      "('graft.ndv.columns' = '*')")
+    val re = VersionedTable.tableNdv(spark, root)
+    assert(re.contains("id") && re.contains("s"), s"got $re")
+    // unknown column refuses
+    assertThrows[Exception] {
+      spark.sql("CREATE TABLE gndv.bad (id BIGINT) " +
+        "TBLPROPERTIES ('graft.ndv.columns' = 'nope')")
+    }
+  }
+}
