@@ -631,6 +631,19 @@ object PipelineQueries extends QueryPack {
     TextAnalysis.qualityScores(docs(s, d),
       Seq("the", "a", "of", "and", "to", "in")).orderBy("doc_id")
 
+  // CCNet-style bigram-LM quality filter: the model trains on the
+  // doc_id%10==0 slice (the "curated reference" stand-in), every doc
+  // scores against it; the gate rounds the score (sum-order double
+  // wiggle ~1e-13 « the 1e-4 step) and carries the keep/drop verdict
+  // at the measured-median threshold -5.1
+  def textLmScore(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    TextAnalysis.lmScore(all,
+      all.filter(col("doc_id") % 10 === 0), threshold = -5.1)
+      .withColumn("lm_score", round(col("lm_score"), 4))
+      .orderBy("doc_id")
+  }
+
   def textLangid(s: SparkSession, d: String): DataFrame =
     TextAnalysis.languageId(docs(s, d)).orderBy("doc_id")
 
@@ -1821,6 +1834,7 @@ object PipelineQueries extends QueryPack {
     "sim_pq_drift" -> simPqDrift _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
+    "text_lm_score" -> textLmScore _,
     "text_langid" -> textLangid _,
     "text_fingerprint" -> textFingerprint _,
     "text_bigrams" -> textBigrams _,
@@ -2790,6 +2804,38 @@ object PipelineQueries extends QueryPack {
         |  length(text) AS n_chars_measured,
         |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]+')) AS n_subtokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // add-one bigram LM trained on the doc_id%10==0 reference slice;
+    // verdict gates the RAW mean log2 prob at -5.1 (no doc lands
+    // within float wiggle of the threshold), the score itself is
+    // rounded to 4dp for the hash
+    "text_lm_score" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |ref AS (SELECT * FROM tok WHERE doc_id % 10 = 0),
+        |rb AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+        |         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2 FROM ref),
+        |model AS (SELECT w1, w2, COUNT(*) AS c12 FROM rb GROUP BY 1, 2),
+        |ctx AS (SELECT w1, COUNT(*) AS c1 FROM rb GROUP BY 1),
+        |voc AS (SELECT COUNT(DISTINCT w) AS v
+        |        FROM (SELECT unnest(t) AS w FROM ref)),
+        |db AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2 FROM tok),
+        |sc AS (SELECT doc_id, CASE WHEN m.c12 IS NULL THEN 1 ELSE 0 END AS oov,
+        |         log2(CAST(COALESCE(m.c12, 0) + 1 AS DOUBLE) /
+        |              CAST(COALESCE(c.c1, 0) + v.v AS DOUBLE)) AS lp
+        |       FROM db LEFT JOIN model m USING (w1, w2)
+        |       LEFT JOIN ctx c USING (w1) CROSS JOIN voc v),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |          CAST(SUM(oov) AS BIGINT) AS oov_bigrams, AVG(lp) AS s
+        |        FROM sc GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(a.oov_bigrams, 0) AS oov_bigrams,
+        |  round(a.s, 4) AS lm_score,
+        |  CASE WHEN a.n_bigrams IS NULL THEN 'short'
+        |       WHEN a.s >= -5.1 THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)

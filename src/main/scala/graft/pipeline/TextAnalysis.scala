@@ -96,6 +96,75 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document (w1, w2) bigram pairs via the same zip-shift trick
+    * as [[topBigrams]] (never index inside a lambda — quadratic). */
+  private def bigramPairs(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val shifted = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val pairs = filter(
+      zip_with(toks, shifted, (x, y) =>
+        when(y.isNull, lit(null))
+          .otherwise(struct(x.as("w1"), y.as("w2")))),
+      b => b.isNotNull)
+    docs.select(col("doc_id"), explode(pairs).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+  }
+
+  /** CCNet-style statistical quality filter (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): train an add-one-smoothed BIGRAM language model on a
+    * REFERENCE corpus (the curated in-domain sample — CCNet uses
+    * Wikipedia), score every document by its mean log2 conditional
+    * probability P(w_i | w_{i-1}) = (c(w1,w2)+1) / (c(w1)+|V|), and
+    * verdict against `threshold`: 'keep' / 'drop' / 'short' (no
+    * bigrams to score). Higher = more reference-like; OOV bigram
+    * count rides along as its own signal.
+    *
+    * Scale posture: the model is two aggregates over the REFERENCE
+    * corpus only (bounded by design — a curated sample, not the
+    * 100 TB crawl); scoring shuffles the corpus bigrams against the
+    * model on (w1, w2) and the contexts on w1 — AQE broadcasts either
+    * side when it fits and both degrade to co-partitioned shuffles
+    * when it doesn't. The vocabulary size joins as a broadcast 1-row
+    * frame, so the whole op is ONE declarative plan with no
+    * driver-side model and no collect. Per-bigram log2 is a single
+    * transcendental over exact integer counts; consumers gating on
+    * the score compare against a threshold, where the ±1-ulp
+    * cross-engine wiggle of log2 is immaterial. */
+  def lmScore(docs: DataFrame, ref: DataFrame,
+      threshold: Double): DataFrame = {
+    val refBigrams = bigramPairs(ref)
+    val model = refBigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+    val contexts = refBigrams.groupBy("w1")
+      .agg(count(lit(1)).as("c1"))
+    val vocab = ref
+      .select(explode(tokens(col("text"))).as("w"))
+      .agg(count_distinct(col("w")).as("v_size"))
+    val scored = bigramPairs(docs)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(contexts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        when(col("c12").isNull, 1L).otherwise(0L).as("oov"),
+        log2((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v_size"))
+            .cast("double")).as("lp"))
+    val perDoc = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(col("oov")).as("oov_bigrams"),
+      avg(col("lp")).as("lm_score"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("oov_bigrams"), lit(0L)).as("oov_bigrams"),
+        col("lm_score"),
+        when(col("n_bigrams").isNull, lit("short"))
+          .when(col("lm_score") >= threshold, lit("keep"))
+          .otherwise(lit("drop")).as("verdict"))
+  }
+
   /** PII redaction (the C4-style scrub pass): per-document counts of
     * email / IPv4 matches and the post-redaction length. Patterns are
     * deliberately RE2-compatible (no lookarounds, no backrefs) so the

@@ -428,4 +428,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"rank<=k must push into WindowGroupLimit:\n$plan")
   }
+
+  test("lmScore: add-one bigram LM arithmetic by hand — smoothed " +
+    "in-vocab probability, OOV fallback, 'short' for bigram-less docs") {
+    // ref "a b a c": bigrams (a,b)(b,a)(a,c); contexts a=2 b=1; V=3
+    val ref = Seq((100L, "a b a c")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "a b"), // (a,b): log2((1+1)/(2+3)) = log2(0.4)
+      (1L, "z z"), // OOV:   log2((0+1)/(0+3)) = log2(1/3)
+      (2L, "hello"), // one token: nothing to score
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.lmScore(corpus, ref, threshold = -1.5)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2),
+          Option(x.get(3)).map(_.asInstanceOf[Double]),
+          x.getString(4)))).toMap
+    val (n0, oov0, s0, v0) = r(0L)
+    assert(n0 == 1 && oov0 == 0 && v0 == "keep")
+    assert(math.abs(s0.get - math.log(0.4) / math.log(2)) < 1e-12)
+    val (n1, oov1, s1, v1) = r(1L)
+    assert(n1 == 1 && oov1 == 1 && v1 == "drop")
+    assert(math.abs(s1.get - math.log(1.0 / 3) / math.log(2)) < 1e-12)
+    val (n2, oov2, s2, v2) = r(2L)
+    assert(n2 == 0 && oov2 == 0 && s2.isEmpty && v2 == "short")
+  }
 }
