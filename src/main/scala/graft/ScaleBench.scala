@@ -35,6 +35,78 @@ object ScaleBench {
     def docs = Tables.documents(spark, dir)
     def emb = Tables.embeddings(spark, dir)
     def li = Tables.lineitem(spark, dir)
+    // catalog with bucket-pinned orders/customer (8 buckets on the
+    // join key) plus a 3-row pruning dim — shared by the spj_* and
+    // bucket_prune_* rows; built once per dir, run 1 pays it,
+    // min-of-N strips it
+    lazy val spjCat: String = {
+      val wh = java.nio.file.Files.createTempDirectory("graft_spjsb")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile): Unit))
+      val cat = "gsb" + java.util.UUID.randomUUID.toString.take(8)
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("sb_spj_orders")
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .createOrReplaceTempView("sb_spj_cust")
+      spark.sql(s"CREATE TABLE $cat.ord (o_orderkey BIGINT, o_custkey " +
+        "BIGINT, o_totalprice DOUBLE) PARTITIONED BY (bucket(8, o_custkey))")
+      spark.sql(s"CREATE TABLE $cat.cust (c_custkey BIGINT, " +
+        "c_mktsegment STRING) PARTITIONED BY (bucket(8, c_custkey))")
+      spark.sql(s"INSERT INTO $cat.ord SELECT * FROM sb_spj_orders")
+      spark.sql(s"INSERT INTO $cat.cust SELECT * FROM sb_spj_cust")
+      spark.sql(s"CREATE TABLE $cat.dim (k BIGINT, w STRING)")
+      spark.sql(s"INSERT INTO $cat.dim VALUES (17, 'hit'), (23, 'hit'), " +
+        "(999999999, 'miss')")
+      // the pruning fact carries the WIDE text column — pruned buckets
+      // save real bytes, not just row headers
+      docs.select(col("doc_id"), col("text"))
+        .createOrReplaceTempView("sb_prune_docs")
+      spark.sql(s"CREATE TABLE $cat.pdocs (doc_id BIGINT, text STRING) " +
+        "PARTITIONED BY (bucket(8, doc_id))")
+      spark.sql(s"INSERT INTO $cat.pdocs SELECT * FROM sb_prune_docs")
+      cat
+    }
+    def spjRun(spjEnabled: Boolean): DataFrame = {
+      val cat = spjCat
+      val oldB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val oldS = spark.conf
+        .get("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled",
+        spjEnabled.toString)
+      try {
+        // fact-fact SELF-join: both sides carry the decade, so the
+        // removed exchanges dominate the row instead of fixed overhead
+        val row = spark.sql(
+          s"SELECT count(*) AS n, sum(a.o_totalprice) AS s " +
+            s"FROM $cat.ord a JOIN $cat.ord b " +
+            "ON a.o_custkey = b.o_custkey").head()
+        import spark.implicits._
+        Seq(row.getLong(0)).toDF("n")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", oldS)
+      }
+    }
+    def pruneRun(dpp: Boolean): DataFrame = {
+      val cat = spjCat
+      val key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, dpp.toString)
+      try {
+        val row = spark.sql(
+          s"SELECT count(*) AS n, sum(length(text)) AS b " +
+            s"FROM $cat.pdocs p JOIN $cat.dim d " +
+            "ON p.doc_id = d.k WHERE d.w = 'hit'").head()
+        import spark.implicits._
+        Seq(row.getLong(0)).toDF("n")
+      } finally spark.conf.set(key, old)
+    }
     // shared by skip_scan / skip_scan_off: the dir's documents
     // committed as FIXED 1000-doc appends with disjoint doc_id ranges
     // (2 range-partitioned files each), so the FILE count grows with
@@ -522,6 +594,72 @@ object ScaleBench {
         () => graft.sources.VersionedTable.changesBetween(spark, root,
           v - 1, v, key = Some("doc_id"))
       },
+      // CCNet bigram-LM scoring measured end-to-end (model training
+      // aggregates + the (w1,w2) scoring join): bigram volume grows
+      // with the corpus, the model with its doc_id%10 reference slice
+      // — expected ~linear, the shape a one-pass scorer must hold.
+      "lm_score" -> (() => TextAnalysis.lmScore(docs,
+        docs.filter(col("doc_id") % 10 === 0), threshold = -5.1)),
+      // storage-partitioned join measured: orders ⋈ customer
+      // co-bucketed (8 buckets on the join key) through the catalog.
+      // spj_join plans SortMergeJoin with ZERO exchange; spj_join_off
+      // runs the SAME tables with the SPJ session flag off, paying
+      // both sides' hash exchanges. The gap IS the shuffle the layout
+      // removes, and it grows with the decade. Runs are EAGER (the
+      // conf toggle must cover physical planning); the returned 1-row
+      // frame is the harness's count handle.
+      "spj_join" -> (() => spjRun(spjEnabled = true)),
+      "spj_join_off" -> (() => spjRun(spjEnabled = false)),
+      // runtime bucket pruning measured (DSv2 dynamic pruning over
+      // the bucket layout): a 2-key broadcast dim join against the
+      // bucketed orders fact. With DPP on, the dim's key set reaches
+      // the scan at runtime and only the matched buckets' files are
+      // read (~2/8 of the fact); off reads everything. The gap grows
+      // with the fact's decade.
+      "bucket_prune_join" -> (() => pruneRun(dpp = true)),
+      "bucket_prune_join_off" -> (() => pruneRun(dpp = false)),
+      // NDV sketch commit overhead measured (the O(delta) claim): a
+      // FIXED 1000-doc append against a table whose size grows with
+      // the decade — the sketch pass covers only the staged dir, so
+      // ndv_commit is expected near-flat and its gap to
+      // ndv_commit_off (same appends, no pin) is the per-commit
+      // price of the feature.
+      "ndv_commit" -> {
+        lazy val (r0, v0) = {
+          val r = tempTableRoot("graft_ndv_on")
+          val d = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+          graft.sources.VersionedTable.init(spark, r, d)
+          (r, graft.sources.VersionedTable.enableNdvStats(spark, r,
+            Seq("doc_id", "lang")))
+        }
+        var v = -2
+        () => {
+          if (v == -2) v = v0
+          v = graft.sources.VersionedTable.append(spark, r0,
+            docs.filter(col("doc_id") < 1000L)
+              .select(col("doc_id"), col("lang"), col("n_chars")),
+            expectedVersion = v)
+          import spark.implicits._
+          Seq(v).toDF("v")
+        }
+      },
+      "ndv_commit_off" -> {
+        lazy val (r0, v0) = {
+          val r = tempTableRoot("graft_ndv_off")
+          val d = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+          (r, graft.sources.VersionedTable.init(spark, r, d))
+        }
+        var v = -2
+        () => {
+          if (v == -2) v = v0
+          v = graft.sources.VersionedTable.append(spark, r0,
+            docs.filter(col("doc_id") < 1000L)
+              .select(col("doc_id"), col("lang"), col("n_chars")),
+            expectedVersion = v)
+          import spark.implicits._
+          Seq(v).toDF("v")
+        }
+      },
     )
   }
 
@@ -537,6 +675,7 @@ object ScaleBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
