@@ -147,4 +147,34 @@ class NdvStatsSpec extends SparkSpec {
         "TBLPROPERTIES ('graft.ndv.columns' = 'nope')")
     }
   }
+
+  test("streaming epochs sketch under the pin too: writeStream.toTable " +
+    "commits carry their own dir's sketch, so the union stays live " +
+    "through continuous ingest") {
+    val d = java.nio.file.Files.createTempDirectory("ndvst").toFile
+    d.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.gndvs",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gndvs.warehouse",
+      d.getAbsolutePath)
+    spark.sql("CREATE TABLE gndvs.t (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.ndv.columns' = '*')")
+    val ck = java.nio.file.Files.createTempDirectory("ndvst_ck").toString
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = ms.toDF().toDF("id", "s").writeStream
+        .option("checkpointLocation", ck).toTable("gndvs.t")
+      try q.processAllAvailable() finally q.stop()
+    }
+    ms.addData((0L until 300L).map(i => i -> s"s$i"): _*)
+    run()
+    ms.addData((300L until 500L).map(i => i -> s"s$i"): _*)
+    run()
+    val root = new java.io.File(d, "t").getAbsolutePath
+    val ndv = VersionedTable.tableNdv(spark, root)
+    assert(ndv.contains("id") && math.abs(ndv("id") - 500L) <= 25,
+      s"two epoch commits unioned, got ${ndv.get("id")}")
+  }
 }
