@@ -115,7 +115,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     // Iceberg-style METADATA TABLES: `graft.`tbl$history`` /
-    // `graft.`tbl$files`` surface the audit plane through plain SQL.
+    // `graft.`tbl$files`` / `graft.`tbl$stats`` surface the audit
+    // plane through plain SQL.
     // Both are manifest-resolved (O(versions) / O(manifest) driver
     // work, never a data scan) and served via the public LocalScan
     // seam — at 100 TB the audit query must not cost a cluster job.
@@ -131,6 +132,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             VersionedTable.history(spark, p.toString))
         case "files" =>
           return localTable(ident.toString, filesDf(p.toString))
+        case "stats" =>
+          return localTable(ident.toString, statsDf(p.toString))
         case _ => throw new NoSuchTableException(ident)
       }
     }
@@ -149,6 +152,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         files.map(f => (dir, f.path, if (f.rows >= 0) Some(f.rows) else None))
       }.sortBy(r => (r._1, r._2))
       .toDF("commit_dir", "file", "num_rows")
+  }
+
+  // (column, min, max, null_count, ndv) for the latest version — the
+  // optimizer's own view of the table (manifest envelopes + unioned
+  // NDV sketches), surfaced to SQL; bounds render as strings for a
+  // type-uniform display column, NULL where the layer is conservative
+  private def statsDf(root: String): org.apache.spark.sql.DataFrame = {
+    val s = spark
+    import s.implicits._
+    val envs = VersionedTable.columnEnvelopes(s, root)
+    val ndv = VersionedTable.tableNdv(s, root)
+      .map { case (k, v) => k.toLowerCase -> v }
+    envs.toSeq.sortBy(_._1).map { case (name, cs) =>
+      (name, cs.min.map(String.valueOf), cs.max.map(String.valueOf),
+        cs.nullCount, ndv.get(name.toLowerCase))
+    }.toDF("column", "min", "max", "null_count", "ndv")
   }
 
   // a driver-local relation on the public LocalScan seam: the rows are

@@ -1623,11 +1623,23 @@ object VersionedTable {
     * file (schema evolution) drops that column — absent stats are
     * never wrong stats. All-null files are NEUTRAL for min/max (they
     * hold no value to bound) but still add their null count. */
+  // per-(root, version) envelope folds — immutable manifests, never
+  // stale; estimateStatistics may run several times per query and the
+  // fold is O(files × columns) driver work
+  private val envelopeCache = scala.collection.concurrent.TrieMap[
+    (String, Int), Map[String, DataSkipping.ColStats]]()
+
   def columnEnvelopes(spark: SparkSession, root: String,
       version: Option[Int] = None)
       : Map[String, DataSkipping.ColStats] = {
     val v = version.getOrElse(latestVersion(spark, root))
     if (v < 0) return Map.empty
+    envelopeCache.getOrElseUpdate((new Path(root).toString, v),
+      computeColumnEnvelopes(spark, root, v))
+  }
+
+  private def computeColumnEnvelopes(spark: SparkSession, root: String,
+      v: Int): Map[String, DataSkipping.ColStats] = {
     val byDir = statsByDir(spark, root, Some(v))
     val dirs = readManifest(spark, root, v)
     if (dirs.isEmpty || !dirs.forall(byDir.contains)) return Map.empty

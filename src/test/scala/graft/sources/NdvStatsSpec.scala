@@ -141,6 +141,16 @@ class NdvStatsSpec extends SparkSpec {
       "('graft.ndv.columns' = '*')")
     val re = VersionedTable.tableNdv(spark, root)
     assert(re.contains("id") && re.contains("s"), s"got $re")
+    // the $stats metadata table is the optimizer's view in SQL:
+    // exact envelopes + sketched NDV, one row per covered column
+    val st = spark.sql("SELECT * FROM gndv.`t$stats`")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(st("id")._1 == "0" && st("id")._2 == "999")
+    assert(st("id")._3 == 0L)
+    assert(st("id")._4.exists(n => math.abs(n - 1000L) <= 50),
+      s"NDV column of the stats table, got ${st("id")._4}")
     // unknown column refuses
     assertThrows[Exception] {
       spark.sql("CREATE TABLE gndv.bad (id BIGINT) " +
