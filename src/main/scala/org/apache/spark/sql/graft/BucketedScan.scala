@@ -210,9 +210,18 @@ private[graft] class BucketedDelegatingScan(spark: SparkSession,
             case l: org.apache.spark.sql.connector.expressions
               .Literal[_] => l
           }
-          if (lits.length == children.length - 1)
+          // every literal must carry EXACTLY the key column's read
+          // type: murmur3 of 17:int and 17:long differ, so a
+          // mixed-type literal bucketed by its own type would prune
+          // the WRONG bucket (missing rows, not a missed
+          // optimization). Catalyst's type coercion makes this the
+          // common case; the guard closes the rest.
+          val keyType = readSchema().fields
+            .find(_.name.equalsIgnoreCase(key)).map(_.dataType)
+          if (lits.length == children.length - 1 &&
+              lits.forall(l => keyType.contains(l.dataType)))
             Some(lits.map(bucketOf).toSet)
-          else None // a non-literal child: don't prune on a guess
+          else None // non-literal or type-mismatched: never guess
         case _ => None
       }
     case _ => None
