@@ -22,9 +22,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   OPTIMIZE graft.docs ZORDER BY (a, b) [INTO 8 FILES]
   *   VACUUM graft.docs [RETAIN 24 HOURS] [KEEP 5 VERSIONS]
   *   RESTORE TABLE graft.docs TO VERSION AS OF 3
+  *   ANALYZE TABLE graft.docs COMPUTE STATISTICS [FOR ALL COLUMNS
+  *     | FOR COLUMNS a, b]                         -- NDV (re)pin
   * }}}
   *
-  * The injected parser intercepts EXACTLY these three statement
+  * The injected parser intercepts EXACTLY these statement
   * shapes (anchored, case-insensitive) and delegates every other
   * string to Spark's parser untouched — `injectParser` composes, so
   * the extension is invisible to normal SQL. Each statement resolves
@@ -153,6 +155,12 @@ object GraftSqlParser {
     (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident""" +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
 
+  private val AnalyzeRe: Regex =
+    (s"""(?is)\\s*ANALYZE\\s+TABLE\\s+$Ident""" +
+      """\s+COMPUTE\s+STATISTICS""" +
+      """(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+([\w`\s,]+?)))?""" +
+      """\s*;?\s*""").r
+
   private[sources] def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(p =>
       if (p.startsWith("`") && p.endsWith("`")) p.drop(1).dropRight(1)
@@ -181,6 +189,13 @@ object GraftSqlParser {
         Option(hours).map(_.toDouble), Option(keep).map(_.toInt)))
     case RestoreRe(ident, version) =>
       Some(GraftRestoreCommand(parts(ident), version.toInt))
+    case AnalyzeRe(ident, all, colList) =>
+      val cols =
+        if (all != null || colList == null) Seq.empty
+        else colList.split(',').toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty)
+      Some(GraftAnalyzeCommand(parts(ident), cols))
     case _ => None
   }
 
@@ -286,5 +301,41 @@ case class GraftRestoreCommand(nameParts: Seq[String], toVersion: Int)
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, nameParts)
     Seq(Row(VersionedTable.restore(spark, root, toVersion).toLong))
+  }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS | FOR COLUMNS
+  * a, b]` — the DBA spelling over the NDV layer: (re)pins the sketch
+  * column set ([[VersionedTable.enableNdvStats]], a fresh one-pass
+  * backfill when the pin changes or pre-pin history left gaps) and
+  * returns the optimizer's resulting view, one `$stats`-shaped row
+  * per covered column. Row counts and min/max envelopes need no
+  * ANALYZE — they are automatic at commit time; this statement only
+  * governs the opt-in NDV sketches. */
+case class GraftAnalyzeCommand(nameParts: Seq[String],
+    cols: Seq[String])
+    extends LeafRunnableCommand with GraftMaintenanceCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("min", StringType, nullable = true)(),
+    AttributeReference("max", StringType, nullable = true)(),
+    AttributeReference("null_count", LongType, nullable = true)(),
+    AttributeReference("ndv", LongType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, nameParts)
+    val current = VersionedTable.ndvColumns(spark, root)
+    if (current.isDefined) VersionedTable.disableNdvStats(spark, root)
+    VersionedTable.enableNdvStats(spark, root, cols)
+    val envs = VersionedTable.columnEnvelopes(spark, root)
+    val ndv = VersionedTable.tableNdv(spark, root)
+      .map { case (k, v) => k.toLowerCase -> v }
+    envs.toSeq.sortBy(_._1).map { case (name, cs) =>
+      Row(name, cs.min.map(String.valueOf).orNull,
+        cs.max.map(String.valueOf).orNull,
+        cs.nullCount.map(Long.box).orNull,
+        ndv.get(name.toLowerCase).map(Long.box).orNull)
+    }
   }
 }

@@ -210,4 +210,47 @@ class GraftSqlExtensionsSpec extends SparkSpec {
     assert(!new java.io.File(rootOf("badc"), "_manifests").exists,
       "failed CREATE TABLE left a committed table on disk")
   }
+
+  test("ANALYZE TABLE ... COMPUTE STATISTICS (re)pins the NDV sketch " +
+    "set and returns the optimizer's resulting view; non-graft " +
+    "targets fall through to Spark's own ANALYZE") {
+    wh
+    spark.sql("CREATE TABLE gext.an (id BIGINT, s STRING, v DOUBLE)")
+    spark.range(2000).selectExpr("id", "concat('s', id % 40) AS s",
+      "id * 0.5 AS v").createOrReplaceTempView("an_src")
+    spark.sql("INSERT INTO gext.an SELECT * FROM an_src")
+    val root = rootOf("an")
+    // FOR COLUMNS pins exactly the named columns
+    val rows = spark.sql(
+      "ANALYZE TABLE gext.an COMPUTE STATISTICS FOR COLUMNS id, s")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(rows("id")._2.exists(n => math.abs(n - 2000L) <= 100),
+      s"id NDV near 2000: ${rows("id")._2}")
+    assert(rows("s")._2.contains(40L), s"s NDV exact: ${rows("s")._2}")
+    assert(rows("v")._2.isEmpty, "v was not pinned")
+    assert(VersionedTable.ndvColumns(spark, root)
+      .contains(Seq("id", "s")))
+    // re-ANALYZE FOR ALL COLUMNS re-pins (fresh backfill, wider set)
+    val all = spark.sql(
+      "ANALYZE TABLE gext.an COMPUTE STATISTICS FOR ALL COLUMNS")
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(4)).map(_.asInstanceOf[Long])).toMap
+    assert(all("v").isDefined, "ALL COLUMNS covers v too")
+    assert(VersionedTable.ndvColumns(spark, root).contains(Seq.empty))
+    // min/max columns render the exact envelopes
+    val idRow = spark.sql(
+      "ANALYZE TABLE gext.an COMPUTE STATISTICS FOR COLUMNS id")
+      .filter($"column" === "id").head()
+    assert(idRow.getString(1) == "0" && idRow.getString(2) == "1999")
+    // a session-catalog target is NOT claimed: Spark's own ANALYZE
+    // runs (computes catalog stats instead of erroring in graft code)
+    spark.sql("CREATE TABLE IF NOT EXISTS an_plain (id BIGINT) USING parquet")
+    spark.sql("INSERT OVERWRITE an_plain SELECT id FROM range(10)")
+    spark.sql("ANALYZE TABLE an_plain COMPUTE STATISTICS")
+    assert(spark.sql("DESCRIBE EXTENDED an_plain")
+      .filter($"col_name" === "Statistics").count() == 1,
+      "Spark's own ANALYZE must have produced catalog statistics")
+  }
 }
