@@ -245,12 +245,19 @@ class GraftSqlExtensionsSpec extends SparkSpec {
       .filter($"column" === "id").head()
     assert(idRow.getString(1) == "0" && idRow.getString(2) == "1999")
     // a session-catalog target is NOT claimed: Spark's own ANALYZE
-    // runs (computes catalog stats instead of erroring in graft code)
-    spark.sql("CREATE TABLE IF NOT EXISTS an_plain (id BIGINT) USING parquet")
+    // runs (computes catalog stats instead of erroring in graft
+    // code). External table at a throwaway location — a managed
+    // table's warehouse dir would survive the JVM and poison reruns.
+    val plainLoc = java.nio.file.Files
+      .createTempDirectory("an_plain").toString
+    spark.sql("DROP TABLE IF EXISTS an_plain")
+    spark.sql("CREATE TABLE an_plain (id BIGINT) USING parquet " +
+      s"LOCATION '$plainLoc'")
     spark.sql("INSERT OVERWRITE an_plain SELECT id FROM range(10)")
     spark.sql("ANALYZE TABLE an_plain COMPUTE STATISTICS")
     assert(spark.sql("DESCRIBE EXTENDED an_plain")
       .filter($"col_name" === "Statistics").count() == 1,
       "Spark's own ANALYZE must have produced catalog statistics")
+    spark.sql("DROP TABLE IF EXISTS an_plain")
   }
 }
