@@ -72,7 +72,8 @@ case class VersionedCountRule() extends Rule[LogicalPlan] {
     }
 
   private def eligible(rel: DataSourceV2Relation): Boolean =
-    rel.table.isInstanceOf[ParquetTable] &&
+    (rel.table.isInstanceOf[ParquetTable] ||
+      rel.table.isInstanceOf[graft.sources.SnapshotStatsTable]) &&
       rel.table.name.startsWith("graft-versioned ") &&
       rel.options.get("path") != null &&
       // timestampAsOf resolves to a version at getTable time, which

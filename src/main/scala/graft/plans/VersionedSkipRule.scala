@@ -43,7 +43,7 @@ case class VersionedSkipRule() extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond, rel: DataSourceV2Relation)
         if eligible(rel) && cond.deterministic =>
-      val pt = rel.table.asInstanceOf[ParquetTable]
+      val pt = parquetOf(rel.table).get
       val spark = SparkSession.active
       val root = rel.options.get("path")
       val byDir = scala.util.Try(
@@ -77,8 +77,18 @@ case class VersionedSkipRule() extends Rule[LogicalPlan] {
       }
   }
 
+  // the path connector serves its ParquetTable wrapped in a
+  // stats-reporting shell; the rule sees through either shape (the
+  // rule's own pruned output is a bare ParquetTable)
+  private def parquetOf(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[ParquetTable] = t match {
+    case s: graft.sources.SnapshotStatsTable => Some(s.inner)
+    case p: ParquetTable => Some(p)
+    case _ => None
+  }
+
   private def eligible(rel: DataSourceV2Relation): Boolean =
-    rel.table.isInstanceOf[ParquetTable] &&
+    parquetOf(rel.table).isDefined &&
       rel.table.name.startsWith("graft-versioned ") &&
       rel.options.get("path") != null &&
       !rel.options.containsKey(Applied)

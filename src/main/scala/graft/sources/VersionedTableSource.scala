@@ -45,7 +45,11 @@ class VersionedTableSource extends TableProvider with DataSourceRegister {
   // schema comes from parquet footers, not user DDL
   override def supportsExternalMetadata(): Boolean = false
 
-  private def resolved(options: CaseInsensitiveStringMap): ParquetTable = {
+  private def resolved(options: CaseInsensitiveStringMap): ParquetTable =
+    resolvedWithVersion(options)._1
+
+  private def resolvedWithVersion(options: CaseInsensitiveStringMap)
+      : (ParquetTable, String, Int) = {
     val spark = SparkSession.active
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
@@ -74,9 +78,9 @@ class VersionedTableSource extends TableProvider with DataSourceRegister {
     // schema — footer inference over mixed-schema commit dirs would
     // nondeterministically pick a pre-evolution file's column set,
     // and the connector must read identically to VersionedTable.read
-    ParquetTable(s"graft-versioned $root", spark, options, dirs,
+    (ParquetTable(s"graft-versioned $root", spark, options, dirs,
       userSpecifiedSchema = VersionedTable.manifestSchema(spark, root, v),
-      fallbackFileFormat = classOf[ParquetFileFormat])
+      fallbackFileFormat = classOf[ParquetFileFormat]), root, v)
   }
 
   // ---- change-data-feed mode (Delta's option spelling) ----
@@ -125,8 +129,46 @@ class VersionedTableSource extends TableProvider with DataSourceRegister {
       val df = cdfFeed(options)
       new ChangeFeedTable(
         s"graft-versioned-cdf ${options.get("path")}", df)
-    } else resolved(options)
+    } else {
+      val (pt, root, v) = resolvedWithVersion(options)
+      new SnapshotStatsTable(pt, root, v)
+    }
   }
+}
+
+/** The snapshot table the path connector serves: Spark's own
+  * [[ParquetTable]] does the scanning, with the scan wrapped in the
+  * SAME [[org.apache.spark.sql.graft.DirAwareScanBuilder]] the
+  * catalog uses — so a path read reports the PINNED version's
+  * manifest statistics (exact row count, column envelopes, NDV) and
+  * the two read surfaces can never drift on optimizer input. Read
+  * capability only: writes through a path would bypass the manifest
+  * commit point (use VersionedTable / the catalog), and streaming
+  * has its own source ("graft-versioned-stream") — the wrapped scan
+  * refuses `toMicroBatchStream` loudly instead of serving a frozen
+  * file list as a fake stream. */
+private[graft] class SnapshotStatsTable(
+    private[graft] val inner: ParquetTable,
+    root: String, version: Int)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  override def name(): String = inner.name
+  override def schema(): StructType = inner.schema
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): JMap[String, String] = inner.properties()
+
+  override def capabilities(): java.util.Set[
+    org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.graft.DirAwareScanBuilder(
+      SparkSession.active, root, version, inner.schema,
+      VersionedTable.readManifest(SparkSession.active, root, version),
+      inner.newScanBuilder(options), options, streamable = false)
 }
 
 /** A computed DataFrame served through the connector seam via the
