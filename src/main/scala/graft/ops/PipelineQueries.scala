@@ -1423,6 +1423,37 @@ object PipelineQueries extends QueryPack {
   // oracle as the programmatic path (two spellings, one truth). A
   // fresh catalog name per invocation because CatalogManager caches
   // catalog instances by name and each run gets a fresh warehouse.
+  // the STATISTICS LAYER itself, oracle-gated: two INSERTs give the
+  // table two stats-bearing dirs, ANALYZE pins NDV sketches, and the
+  // $stats metadata table's (min, max, null_count, ndv) rows must
+  // hash-match DuckDB computing the same aggregates from the same
+  // parquet. The NDV column participates in the hash because the
+  // generated cardinalities stay below the HLL coupon-mode capacity
+  // (~512): the sketch is EXACT there, so the estimate IS the answer.
+  def pipelineVersionedStats(s: SparkSession, d: String): DataFrame = {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vstats")
+    val cat = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpRoot.toString)
+      docs(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("vstats_docs")
+      s.sql(s"CREATE TABLE $cat.d (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT)")
+      s.sql(s"INSERT INTO $cat.d SELECT * FROM vstats_docs " +
+        "WHERE doc_id < 150")
+      s.sql(s"INSERT INTO $cat.d SELECT * FROM vstats_docs " +
+        "WHERE doc_id >= 150")
+      s.sql(s"ANALYZE TABLE $cat.d COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.sql(s"SELECT `column` AS col_name, min, max, null_count, ndv " +
+        s"FROM $cat.`d$$stats` ORDER BY col_name")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   def pipelineVersionedSql(s: SparkSession, d: String): DataFrame = {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vsql")
     val cat = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -1778,6 +1809,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_delete" -> pipelineVersionedDelete _,
     "pipeline_versioned_update" -> pipelineVersionedUpdate _,
     "pipeline_versioned_sql" -> pipelineVersionedSql _,
+    "pipeline_versioned_stats" -> pipelineVersionedStats _,
     "pipeline_versioned_spj_join" -> pipelineVersionedSpjJoin _,
     "pipeline_versioned_sql_update_pruned" ->
       pipelineVersionedSqlUpdatePruned _,
@@ -2220,6 +2252,28 @@ object PipelineQueries extends QueryPack {
         |  md5(text) AS text_md5
         |FROM documents WHERE doc_id < 450
         |ORDER BY doc_id""".stripMargin,
+    // the $stats metadata table vs DuckDB recomputing the same
+    // aggregates — NDV included: below HLL coupon capacity the sketch
+    // is exact, so even the estimate hash-matches COUNT(DISTINCT)
+    "pipeline_versioned_stats" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents
+        |           WHERE doc_id < 300)
+        |SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name,
+        |    CAST(MIN(doc_id) AS VARCHAR) AS min,
+        |    CAST(MAX(doc_id) AS VARCHAR) AS max,
+        |    CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS null_count,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndv FROM d
+        |  UNION ALL
+        |  SELECT 'lang', MIN(lang), MAX(lang),
+        |    CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) FROM d
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(MIN(n_chars) AS VARCHAR),
+        |    CAST(MAX(n_chars) AS VARCHAR),
+        |    CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+        |    CAST(COUNT(DISTINCT n_chars) AS BIGINT) FROM d)
+        |ORDER BY col_name""".stripMargin,
     // SQL MERGE INTO must equal the programmatic merge — identical
     // oracle construction to pipeline_versioned_merge (one truth,
     // three engine spellings)
