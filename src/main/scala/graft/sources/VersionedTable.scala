@@ -1240,10 +1240,41 @@ object VersionedTable {
                 .stripPrefix(NdvStats.PinPrefix)) +: (carried ++ fresh)
         }
       }
+    // quantile sketches: same carry/fresh discipline as the NDV
+    // block above, KLL instead of HLL
+    val kllLines: Seq[String] =
+      if (expectedVersion < 0) Seq.empty
+      else {
+        val prior = manifestLines(spark, root, expectedVersion)
+        QuantileStats.pinnedCols(prior) match {
+          case None => Seq.empty
+          case Some(pin) =>
+            val carried =
+              QuantileStats.carriedLines(prior, carryDirs.toSet)
+            val fresh: Seq[String] =
+              if (!wroteFiles) Seq.empty
+              else scala.util.Try {
+                val df = spark.read.parquet(dataDir.toString)
+                val cols = QuantileStats.eligibleCols(df.schema, pin)
+                if (cols.isEmpty) Seq.empty[String]
+                else QuantileStats.sketchByDir(
+                  df.withColumn("__graft_dir",
+                    org.apache.spark.sql.functions.lit(commitName)),
+                  "__graft_dir", cols)
+                  .get(commitName).toSeq.map(m =>
+                    QuantileStats.renderLine(commitName,
+                      cols.flatMap(c => m.get(c).map(c -> _))))
+              }.getOrElse(Seq.empty)
+            (QuantileStats.PinPrefix +
+              prior.find(_.startsWith(QuantileStats.PinPrefix)).get
+                .stripPrefix(QuantileStats.PinPrefix)) +:
+              (carried ++ fresh)
+        }
+      }
     try writeManifest(spark, root, next,
       constraintLines ++ cdcLine ++ bucketLines ++
         changeName.map("#changes:" + _).toSeq ++ metaLines ++
-        carryStatsLines ++ statsLines ++ ndvLines ++
+        carryStatsLines ++ statsLines ++ ndvLines ++ kllLines ++
         carryDirs :+ commitName)
     catch {
       // a retrying caller (the streaming sink) keeps the already-
@@ -1722,6 +1753,78 @@ object VersionedTable {
     writeManifest(spark, root, base + 1,
       ("#op:enable_ndv" +: body :+ pin) ++ lines)
     base + 1
+  }
+
+  /** Turn on per-commit QUANTILE sketches (see [[QuantileStats]]):
+    * pins `#kllcols:` so every later commit sketches its OWN rows
+    * (O(delta)) and backfills existing dirs in one pass. `cols`
+    * empty = every numeric-family column. */
+  def enableQuantileStats(spark: SparkSession, root: String,
+      cols: Seq[String] = Seq.empty): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val prior = manifestLines(spark, root, base)
+    require(QuantileStats.pinnedCols(prior).isEmpty,
+      s"quantile stats already enabled on $root")
+    val snap = read(spark, root, Some(base))
+    val lower = snap.columns.map(_.toLowerCase).toSet
+    val missing = cols.filterNot(c => lower.contains(c.toLowerCase))
+    require(missing.isEmpty,
+      s"quantile column(s) not in table schema: ${missing.mkString(", ")}")
+    val eligible = QuantileStats.eligibleCols(snap.schema, cols)
+    require(eligible.nonEmpty,
+      s"no numeric-family column among ${snap.schema.simpleString}")
+    import org.apache.spark.sql.functions._
+    val dirCol = substring_index(
+      substring_index(input_file_name(), "/", -2), "/", 1)
+    val byDir = QuantileStats.sketchByDir(
+      snap.withColumn("__graft_dir", dirCol), "__graft_dir", eligible)
+    val lines = byDir.toSeq.sortBy(_._1).map { case (dir, m) =>
+      QuantileStats.renderLine(dir, eligible.flatMap(c =>
+        m.get(c).map(c -> _)))
+    }
+    val pin = QuantileStats.PinPrefix +
+      (if (cols.isEmpty) "*" else cols.mkString(","))
+    val body = prior
+      .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:"))
+    writeManifest(spark, root, base + 1,
+      ("#op:enable_quantiles" +: body :+ pin) ++ lines)
+    base + 1
+  }
+
+  /** Drop the quantile pin and every stored sketch line. */
+  def disableQuantileStats(spark: SparkSession, root: String): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val prior = manifestLines(spark, root, base)
+    require(QuantileStats.pinnedCols(prior).isDefined,
+      s"quantile stats not enabled on $root")
+    val body = prior.filterNot(l =>
+      l.startsWith("#op:") || l.startsWith("#txn:") ||
+        l.startsWith(QuantileStats.PinPrefix) ||
+        l.startsWith(QuantileStats.LinePrefix))
+    writeManifest(spark, root, base + 1, "#op:disable_quantiles" +: body)
+    base + 1
+  }
+
+  /** Quantile ESTIMATES for `column` at `probs` from the unioned
+    * per-dir KLL sketches — O(manifest) driver work, no cluster job.
+    * None when the layer is off, any data-bearing dir lacks its
+    * sketch, or the column holds no non-null values. Values are in
+    * the sketch's DOUBLE domain (epoch numbers for date/timestamp). */
+  def tableQuantiles(spark: SparkSession, root: String, column: String,
+      probs: Seq[Double], version: Option[Int] = None)
+      : Option[Seq[Double]] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) return None
+    val lines = manifestLines(spark, root, v)
+    if (QuantileStats.pinnedCols(lines).isEmpty) return None
+    val dirs = readManifest(spark, root, v)
+    val byDir = statsByDir(spark, root, Some(v))
+    if (!dirs.forall(byDir.contains)) return None
+    val bearing = dirs.filter(d => byDir(d).exists(_.rows != 0L))
+    QuantileStats.mergedSketch(lines, bearing, column)
+      .flatMap(QuantileStats.quantilesOf(_, probs))
   }
 
   /** Drop the NDV pin and every stored sketch line. */
