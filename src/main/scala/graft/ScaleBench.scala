@@ -643,6 +643,30 @@ object ScaleBench {
           Seq(v).toDF("v")
         }
       },
+      // quantile SERVING measured (the O(manifest) claim): percentiles
+      // answered from the unioned per-dir KLL sketches — driver-side
+      // merge of a few KB per dir, expected FLAT across the decade —
+      // vs the exact percentile aggregate that scans the table,
+      // expected ~linear. Their gap is the feature.
+      "quantile_serve" -> {
+        lazy val qroot = {
+          val r = tempTableRoot("graft_kll_serve")
+          graft.sources.VersionedTable.init(spark, r,
+            docs.select(col("doc_id"), col("n_chars")))
+          graft.sources.VersionedTable.enableQuantileStats(
+            spark, r, Seq("n_chars"))
+          r
+        }
+        () => {
+          val q = graft.sources.VersionedTable.tableQuantiles(
+            spark, qroot, "n_chars", Seq(0.5, 0.9, 0.99)).get
+          import spark.implicits._
+          q.toDF("q")
+        }
+      },
+      "quantile_exact" -> (() => docs.agg(
+        expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
+          .as("q"))),
       "ndv_commit_off" -> {
         lazy val (r0, v0) = {
           val r = tempTableRoot("graft_ndv_off")

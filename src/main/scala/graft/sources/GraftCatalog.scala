@@ -154,20 +154,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .toDF("commit_dir", "file", "num_rows")
   }
 
-  // (column, min, max, null_count, ndv) for the latest version — the
-  // optimizer's own view of the table (manifest envelopes + unioned
-  // NDV sketches), surfaced to SQL; bounds render as strings for a
-  // type-uniform display column, NULL where the layer is conservative
+  // (column, min, max, null_count, ndv, p50, p99) for the latest
+  // version — the optimizer's own view of the table (manifest
+  // envelopes + unioned NDV and KLL sketches), surfaced to SQL;
+  // bounds render as strings for a type-uniform display column, NULL
+  // where a layer is conservative or unpinned
   private def statsDf(root: String): org.apache.spark.sql.DataFrame = {
     val s = spark
     import s.implicits._
     val envs = VersionedTable.columnEnvelopes(s, root)
     val ndv = VersionedTable.tableNdv(s, root)
       .map { case (k, v) => k.toLowerCase -> v }
+    val kllOn = VersionedTable.quantileColumns(s, root).isDefined
     envs.toSeq.sortBy(_._1).map { case (name, cs) =>
+      val qs =
+        if (!kllOn) None
+        else VersionedTable.tableQuantiles(s, root, name,
+          Seq(0.5, 0.99))
       (name, cs.min.map(String.valueOf), cs.max.map(String.valueOf),
-        cs.nullCount, ndv.get(name.toLowerCase))
-    }.toDF("column", "min", "max", "null_count", "ndv")
+        cs.nullCount, ndv.get(name.toLowerCase),
+        qs.map(_.head), qs.map(_.last))
+    }.toDF("column", "min", "max", "null_count", "ndv", "p50", "p99")
   }
 
   // a driver-local relation on the public LocalScan seam: the rows are
@@ -260,13 +267,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val unsupported = props.keys.filterNot(k =>
       k.startsWith(ConstraintProp) || k == GraftCatalog.ChangeFeedKeyProp ||
         k == GraftCatalog.NdvColumnsProp ||
+        k == GraftCatalog.QuantileColumnsProp ||
         sparkReserved.contains(k) ||
         k.startsWith(TableCatalog.OPTION_PREFIX))
     require(unsupported.isEmpty,
       s"unsupported TBLPROPERTIES ${unsupported.mkString(", ")} — " +
         s"graft tables honor '${ConstraintProp}<name>' CHECK " +
-        s"constraints, '${GraftCatalog.ChangeFeedKeyProp}' and " +
-        s"'${GraftCatalog.NdvColumnsProp}'")
+        s"constraints, '${GraftCatalog.ChangeFeedKeyProp}', " +
+        s"'${GraftCatalog.NdvColumnsProp}' and " +
+        s"'${GraftCatalog.QuantileColumnsProp}'")
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .coalesce(1)
@@ -300,6 +309,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"names '$c', not a column of ${schema.simpleString}")
       }
     }
+    props.get(GraftCatalog.QuantileColumnsProp).foreach { v =>
+      GraftCatalog.parseNdvCols(v).foreach { c =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"CREATE TABLE refused: ${GraftCatalog.QuantileColumnsProp} " +
+            s"names '$c', not a column of ${schema.simpleString}")
+      }
+    }
     bucketOpt.foreach { case (key, _) =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(key)),
         s"CREATE TABLE refused: bucket key '$key' is not a column of " +
@@ -319,6 +335,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         VersionedTable.enableChangeFeed(spark, p.toString, key)
       case (GraftCatalog.NdvColumnsProp, v) =>
         VersionedTable.enableNdvStats(spark, p.toString,
+          GraftCatalog.parseNdvCols(v))
+      case (GraftCatalog.QuantileColumnsProp, v) =>
+        VersionedTable.enableQuantileStats(spark, p.toString,
           GraftCatalog.parseNdvCols(v))
       case _ => ()
     }
@@ -382,6 +401,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case rp: TableChange.RemoveProperty
           if rp.property == GraftCatalog.NdvColumnsProp =>
         VersionedTable.disableNdvStats(spark, root)
+      case sp: TableChange.SetProperty
+          if sp.property == GraftCatalog.QuantileColumnsProp =>
+        VersionedTable.enableQuantileStats(spark, root,
+          GraftCatalog.parseNdvCols(sp.value))
+      case rp: TableChange.RemoveProperty
+          if rp.property == GraftCatalog.QuantileColumnsProp =>
+        VersionedTable.disableQuantileStats(spark, root)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE supports ADD COLUMNS (additive evolution), " +
           s"[UN]SET TBLPROPERTIES ('${ConstraintProp}<name>') CHECK " +
@@ -506,6 +532,12 @@ object GraftCatalog {
     if (v.trim == "*") Seq.empty
     else v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** TBLPROPERTY pinning per-commit KLL quantile sketches
+    * ([[QuantileStats]]): `'graft.quantile.columns' = '*'` or a
+    * comma-joined numeric column list; same lifecycle as
+    * [[NdvColumnsProp]]. */
+  val QuantileColumnsProp = "graft.quantile.columns"
+
   /** Session conf: minimum manifest row count at which SQL MERGE pays
     * the runtime group-filter subquery (default 10M rows ≈ the few-GB
     * wall-clock crossover BASELINE.md measured). `0` forces pruning
@@ -576,6 +608,9 @@ private[sources] class GraftSqlTable(ident: String, root: String,
         .map(k => GraftCatalog.ChangeFeedKeyProp -> k) ++
       VersionedTable.ndvColumns(spark, root, version)
         .map(cs => GraftCatalog.NdvColumnsProp ->
+          (if (cs.isEmpty) "*" else cs.mkString(","))) ++
+      VersionedTable.quantileColumns(spark, root, version)
+        .map(cs => GraftCatalog.QuantileColumnsProp ->
           (if (cs.isEmpty) "*" else cs.mkString(","))))
       .toMap.asJava
 

@@ -1851,6 +1851,15 @@ object VersionedTable {
     else NdvStats.pinnedCols(manifestLines(spark, root, v))
   }
 
+  /** The pinned quantile-sketch column list as of `version` (default
+    * latest): None = off; Some(Nil) = every numeric column. */
+  def quantileColumns(spark: SparkSession, root: String,
+      version: Option[Int] = None): Option[Seq[String]] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) None
+    else QuantileStats.pinnedCols(manifestLines(spark, root, v))
+  }
+
   // per-(root, version) NDV estimates — manifests are immutable, the
   // cache never goes stale; same lifetime discipline as statsCache
   private val ndvCache = scala.collection.concurrent.TrieMap[

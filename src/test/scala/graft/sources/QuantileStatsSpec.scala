@@ -101,4 +101,34 @@ class QuantileStatsSpec extends SparkSpec {
     assert(q == Seq(0.0, 149.0),
       s"SQL INSERT commits sketched their own rows, got $q")
   }
+
+  test("SQL surface: graft.quantile.columns TBLPROPERTY lifecycle, " +
+    "and $stats serves p50/p99 under the pin") {
+    val d = java.nio.file.Files.createTempDirectory("kllwh2").toFile
+    d.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.gkl2",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gkl2.warehouse", d.getAbsolutePath)
+    spark.sql("CREATE TABLE gkl2.t (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.quantile.columns' = 'id')")
+    spark.sql("INSERT INTO gkl2.t SELECT id, concat('x', id) " +
+      "FROM range(0, 101)")
+    val root = new java.io.File(d, "t").getAbsolutePath
+    assert(VersionedTable.quantileColumns(spark, root)
+      .contains(Seq("id")))
+    val props = spark.sql("SHOW TBLPROPERTIES gkl2.t")
+      .as[(String, String)].collect().toMap
+    assert(props.get("graft.quantile.columns").contains("id"))
+    val st = spark.sql(
+      "SELECT `column`, p50, p99 FROM gkl2.`t$stats`").collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(st("id")._1.contains(50.0), s"exact-mode median: ${st("id")}")
+    assert(st("id")._2.contains(99.0) || st("id")._2.contains(100.0),
+      s"p99 order statistic: ${st("id")}")
+    assert(st("s")._1.isEmpty, "unpinned/non-numeric column: NULL p50")
+    spark.sql(
+      "ALTER TABLE gkl2.t UNSET TBLPROPERTIES ('graft.quantile.columns')")
+    assert(VersionedTable.quantileColumns(spark, root).isEmpty)
+  }
 }
