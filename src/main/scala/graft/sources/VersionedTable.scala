@@ -1107,13 +1107,16 @@ object VersionedTable {
     val next = expectedVersion + 1
     val dataDir = new Path(new Path(root, "data"), commitName)
     val fs = fsOf(spark, dataDir)
+    // the base manifest, read ONCE — five metadata layers below
+    // (constraints, CDC pin, bucket marks, NDV and quantile sketches)
+    // each derive their carry from it, and at 10^5 files the manifest
+    // is megabytes
+    val baseLines: Seq[String] =
+      if (expectedVersion >= 0) manifestLines(spark, root, expectedVersion)
+      else Seq.empty
     // CHECK constraints carry forward through every commit until
     // dropped — table-level metadata, like the schema pin
-    val constraintLines =
-      if (expectedVersion >= 0)
-        manifestLines(spark, root, expectedVersion)
-          .filter(_.startsWith("#constraint:"))
-      else Seq.empty
+    val constraintLines = baseLines.filter(_.startsWith("#constraint:"))
     // Enforce constraints on the data JUST WRITTEN, before the
     // manifest rename makes it visible: one columnar scan of the NEW
     // files only (the batch for append, the rewrite set for DML, the
@@ -1152,11 +1155,8 @@ object VersionedTable {
     // visible iff the commit is. Data-equivalent maintenance ops get
     // an EMPTY file with zero computation. Append commits (nothing
     // dropped) write no file — the manifest diff already serves them.
-    val cdcKey =
-      if (expectedVersion >= 0)
-        manifestLines(spark, root, expectedVersion)
-          .find(_.startsWith("#cdckey:")).map(_.stripPrefix("#cdckey:"))
-      else None
+    val cdcKey = baseLines
+      .find(_.startsWith("#cdckey:")).map(_.stripPrefix("#cdckey:"))
     val cdcLine = cdcKey.map("#cdckey:" + _).toSeq
     // bucket layout bookkeeping: the pin carries forward like the CDC
     // key; per-dir `#bucketed:` marks carry for dirs that survive by
@@ -1167,7 +1167,7 @@ object VersionedTable {
     // to a shuffling plan instead of trusting a layout nobody enforced
     val bucketLines =
       if (expectedVersion >= 0) {
-        val prior = manifestLines(spark, root, expectedVersion)
+        val prior = baseLines
         val pin = prior.filter(_.startsWith("#bucketby:"))
         if (pin.isEmpty) Seq.empty
         else {
@@ -1224,7 +1224,7 @@ object VersionedTable {
     val ndvLines: Seq[String] =
       if (expectedVersion < 0) Seq.empty
       else {
-        val prior = manifestLines(spark, root, expectedVersion)
+        val prior = baseLines
         NdvStats.pinnedCols(prior) match {
           case None => Seq.empty
           case Some(pin) =>
@@ -1245,7 +1245,7 @@ object VersionedTable {
     val kllLines: Seq[String] =
       if (expectedVersion < 0) Seq.empty
       else {
-        val prior = manifestLines(spark, root, expectedVersion)
+        val prior = baseLines
         QuantileStats.pinnedCols(prior) match {
           case None => Seq.empty
           case Some(pin) =>
