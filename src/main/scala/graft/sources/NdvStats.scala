@@ -80,23 +80,6 @@ object NdvStats {
       .filter(f => sketchInput(f).isDefined)
   }
 
-  /** One `#ndv:` line for the rows of `df`, attributed to commit dir
-    * `dir`: a single aggregate job (partial sketches per partition,
-    * one merge — no shuffle of the data). Returns None when nothing
-    * is eligible. */
-  def sketchLine(df: DataFrame, dir: String, pin: Seq[String])
-      : Option[String] = {
-    val cols = eligibleCols(df.schema, pin)
-    if (cols.isEmpty) return None
-    val aggs = cols.map(f =>
-      hll_sketch_agg(sketchInput(f).get, lit(LgK)).as(f.name))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val entries = cols.zipWithIndex.flatMap { case (f, i) =>
-      Option(row.getAs[Array[Byte]](i)).map(f.name -> _)
-    }
-    Some(renderLine(dir, entries))
-  }
-
   /** One `#ndv:` line from already-computed sketch bytes. */
   def renderLine(dir: String, entries: Seq[(String, Array[Byte])])
       : String = {
@@ -105,6 +88,82 @@ object NdvStats {
       "dir" -> JString(dir),
       "cols" -> JObject(entries.map { case (n, bytes) =>
         n -> (JString(b64.encodeToString(bytes)): JValue) }.toList))))
+  }
+
+  /** ONE pass over a staged commit dir computing BOTH sketch
+    * families — the HLL distinct-count sketches AND the KLL quantile
+    * sketches — so a dual-pinned table pays a single read of its
+    * delta per commit instead of one per family. The HLL updates
+    * replicate `hll_sketch_agg`'s exact hashing (long inputs via
+    * `update(long)`, string/binary via their UTF-8 bytes — verified
+    * by NdvStatsSpec's union-compatibility case: commit-path and
+    * backfill-path sketches of the SAME rows union to n, not 2n), so
+    * sketches from this path and the enable-time backfill remain
+    * unionable. Returns (ndvLine, kllLine). */
+  def combinedLines(df: DataFrame, dir: String, ndvPin: Option[Seq[String]],
+      kllPin: Option[Seq[String]]): (Option[String], Option[String]) = {
+    val ndvCols = ndvPin.map(eligibleCols(df.schema, _))
+      .getOrElse(Seq.empty)
+    val kllCols = kllPin.map(QuantileStats.eligibleCols(df.schema, _))
+      .getOrElse(Seq.empty)
+    if (ndvCols.isEmpty && kllCols.isEmpty) return (None, None)
+    // canonical casts: the NDV inputs keep their sketchInput domain
+    // (long / string / binary), the KLL inputs are double
+    val projected = df.select(
+      (ndvCols.map(f => sketchInput(f).get.as(s"__n_${f.name}")) ++
+        kllCols.map(c => col(c).cast(DoubleType).as(s"__k_$c"))): _*)
+    val types = projected.schema.fields.map(_.dataType)
+    val nN = ndvCols.size
+    val nK = kllCols.size
+    val partial = projected.queryExecution.toRdd.mapPartitions { it =>
+      val hlls = Array.fill(nN)(
+        new org.apache.datasketches.hll.HllSketch(12,
+          org.apache.datasketches.hll.TgtHllType.HLL_8))
+      val klls = Array.fill(nK)(
+        org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(200))
+      it.foreach { row =>
+        var i = 0
+        while (i < nN) {
+          if (!row.isNullAt(i)) types(i) match {
+            case LongType => hlls(i).update(row.getLong(i))
+            case StringType =>
+              hlls(i).update(row.getUTF8String(i).getBytes)
+            case BinaryType => hlls(i).update(row.getBinary(i))
+            case other => throw new IllegalStateException(
+              s"unexpected NDV sketch domain $other")
+          }
+          i += 1
+        }
+        var j = 0
+        while (j < nK) {
+          if (!row.isNullAt(nN + j)) klls(j).update(row.getDouble(nN + j))
+          j += 1
+        }
+      }
+      Iterator.single((hlls.map(_.toCompactByteArray),
+        klls.map(_.toByteArray)))
+    }.collect()
+    val hllMerged: Seq[Array[Byte]] = (0 until nN).map { i =>
+      val u = new org.apache.datasketches.hll.Union(12)
+      partial.foreach(p => u.update(
+        org.apache.datasketches.hll.HllSketch.heapify(p._1(i))))
+      u.getResult.toCompactByteArray
+    }
+    val kllMerged: Seq[Array[Byte]] = (0 until nK).map { j =>
+      val s = org.apache.datasketches.kll.KllDoublesSketch
+        .newHeapInstance(200)
+      partial.foreach(p => s.merge(
+        org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(p._2(j)))))
+      s.toByteArray
+    }
+    val ndvLine =
+      if (ndvCols.isEmpty) None
+      else Some(renderLine(dir, ndvCols.map(_.name).zip(hllMerged)))
+    val kllLine =
+      if (kllCols.isEmpty) None
+      else Some(QuantileStats.renderLine(dir, kllCols.zip(kllMerged)))
+    (ndvLine, kllLine)
   }
 
   /** Parse one line → (dir, colName → sketch bytes). */

@@ -1215,62 +1215,37 @@ object VersionedTable {
     val statsLines = scala.util.Try(DataSkipping.statsLines(
       spark.sparkContext.hadoopConfiguration, dataDir, commitName))
       .getOrElse(Seq.empty)
-    // NDV sketches (when enableNdvStats pinned columns): carry the
-    // surviving dirs' lines verbatim, sketch ONLY the rows just
-    // written — one aggregate over the staged dir, O(delta).
-    // Best-effort like the skipping stats: a failed sketch leaves the
-    // dir line absent and the column's table NDV conservatively
-    // unknown, never a failed commit.
-    val ndvLines: Seq[String] =
-      if (expectedVersion < 0) Seq.empty
-      else {
-        val prior = baseLines
-        NdvStats.pinnedCols(prior) match {
-          case None => Seq.empty
-          case Some(pin) =>
-            val carried =
-              NdvStats.carriedLines(prior, carryDirs.toSet)
-            val fresh =
-              if (!wroteFiles) Seq.empty
-              else scala.util.Try(NdvStats.sketchLine(
-                spark.read.parquet(dataDir.toString), commitName, pin))
-                .toOption.flatten.toSeq
-            (NdvStats.PinPrefix +
-              prior.find(_.startsWith(NdvStats.PinPrefix)).get
-                .stripPrefix(NdvStats.PinPrefix)) +: (carried ++ fresh)
-        }
-      }
-    // quantile sketches: same carry/fresh discipline as the NDV
-    // block above, KLL instead of HLL
-    val kllLines: Seq[String] =
-      if (expectedVersion < 0) Seq.empty
-      else {
-        val prior = baseLines
-        QuantileStats.pinnedCols(prior) match {
-          case None => Seq.empty
-          case Some(pin) =>
-            val carried =
-              QuantileStats.carriedLines(prior, carryDirs.toSet)
-            val fresh: Seq[String] =
-              if (!wroteFiles) Seq.empty
-              else scala.util.Try {
-                val df = spark.read.parquet(dataDir.toString)
-                val cols = QuantileStats.eligibleCols(df.schema, pin)
-                if (cols.isEmpty) Seq.empty[String]
-                else QuantileStats.sketchByDir(
-                  df.withColumn("__graft_dir",
-                    org.apache.spark.sql.functions.lit(commitName)),
-                  "__graft_dir", cols)
-                  .get(commitName).toSeq.map(m =>
-                    QuantileStats.renderLine(commitName,
-                      cols.flatMap(c => m.get(c).map(c -> _))))
-              }.getOrElse(Seq.empty)
-            (QuantileStats.PinPrefix +
-              prior.find(_.startsWith(QuantileStats.PinPrefix)).get
-                .stripPrefix(QuantileStats.PinPrefix)) +:
-              (carried ++ fresh)
-        }
-      }
+    // SKETCH MAINTENANCE (NDV + quantiles, when their pins are
+    // active): carry the surviving dirs' lines verbatim, sketch ONLY
+    // the rows just written — BOTH families in ONE pass over the
+    // staged dir (NdvStats.combinedLines), so a dual-pinned table
+    // pays a single read of its delta per commit. Best-effort like
+    // the skipping stats: a failed sketch leaves the dir's line
+    // absent and the column's estimate conservatively unknown, never
+    // a failed commit.
+    val ndvPin = NdvStats.pinnedCols(baseLines)
+    val kllPin = QuantileStats.pinnedCols(baseLines)
+    val (freshNdv, freshKll): (Option[String], Option[String]) =
+      if (!wroteFiles || (ndvPin.isEmpty && kllPin.isEmpty)) (None, None)
+      else scala.util.Try(NdvStats.combinedLines(
+        spark.read.parquet(dataDir.toString), commitName,
+        ndvPin, kllPin)).getOrElse((None, None))
+    val ndvLines: Seq[String] = ndvPin match {
+      case None => Seq.empty
+      case Some(pin) =>
+        (NdvStats.PinPrefix +
+          (if (pin.isEmpty) "*" else pin.mkString(","))) +:
+          (NdvStats.carriedLines(baseLines, carryDirs.toSet) ++
+            freshNdv.toSeq)
+    }
+    val kllLines: Seq[String] = kllPin match {
+      case None => Seq.empty
+      case Some(pin) =>
+        (QuantileStats.PinPrefix +
+          (if (pin.isEmpty) "*" else pin.mkString(","))) +:
+          (QuantileStats.carriedLines(baseLines, carryDirs.toSet) ++
+            freshKll.toSeq)
+    }
     try writeManifest(spark, root, next,
       constraintLines ++ cdcLine ++ bucketLines ++
         changeName.map("#changes:" + _).toSeq ++ metaLines ++

@@ -72,6 +72,23 @@ class NdvStatsSpec extends SparkSpec {
     assert(!VersionedTable.tableNdv(spark, root).contains("u"))
   }
 
+  test("commit-path and backfill-path sketches hash IDENTICALLY: " +
+    "appending the same rows again leaves the unioned NDV unchanged " +
+    "(divergent hashing would read ~2n)") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, batch(0, 4000))
+    // backfill path: hll_sketch_agg over the existing dir
+    VersionedTable.enableNdvStats(spark, root)
+    val before = VersionedTable.tableNdv(spark, root)
+    // commit path: NdvStats.combinedLines' direct DataSketches updates
+    VersionedTable.append(spark, root, batch(0, 4000), 1)
+    val after = VersionedTable.tableNdv(spark, root)
+    assert(after("id") == before("id") && after("u") == before("u") &&
+      after("d") == before("d"),
+      s"identical rows through the two sketch paths must union to the " +
+        s"same estimate: $before vs $after")
+  }
+
   test("a rewrite drops the removed dirs' sketches with the dirs and " +
     "sketches its replacement; restore resurrects the old estimates") {
     val root = freshRoot()
