@@ -157,6 +157,12 @@ object Bench {
     }
     val contaminated =
       scala.collection.mutable.LinkedHashMap[String, Double]()
+    // every row's micro-probe ratio, for the run-level normalizer: a
+    // UNIFORMLY inflated window (fabric storm — four were measured in
+    // round 14 at calibration 0.30-0.46 with per-row ratios tracking
+    // it) normalizes as total / probe_median; "contaminated" still
+    // flags the rows that spiked NON-uniformly
+    val probeRatios = scala.collection.mutable.ArrayBuffer[Double]()
 
     // rows whose FIRST run builds a cached offline artifact get one
     // untimed warm run, so the timed runs measure SERVING — the same
@@ -185,6 +191,7 @@ object Bench {
       if (offlineBuildRows.contains(name))
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       val microRatio = microProbe() / microBase
+      probeRatios += microRatio
       if (microRatio >= 1.5)
         contaminated(name) = math.rint(microRatio * 10) / 10
       val times = scala.collection.mutable.ArrayBuffer[Double]()
@@ -241,8 +248,11 @@ object Bench {
     val contam = contaminated.map { case (k, r) =>
       "\"" + k + "\":" + f"$r%.1f"
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","spread":$spreads,"queries":$qs,"load":$loadAvg%.2f,"calibration":$calibration%.3f,"membw_gbps":$memBw%.1f,"agg_membw_gbps":$aggMemBw%.0f,"contaminated":$contam,"errors":$errs,"flaky":$flaky}""")
-    println(f"""{"metric":"meta","total":$total%.3f,"unit":"sec","sf":"$sfDir","load":$loadAvg%.2f,"calibration":$calibration%.3f,"membw_gbps":$memBw%.1f,"agg_membw_gbps":$aggMemBw%.0f,"contaminated":$contam,"errors":$errs,"flaky":$flaky}""")
+    val probeMedian =
+      if (probeRatios.isEmpty) 1.0
+      else probeRatios.sorted.apply(probeRatios.length / 2)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","spread":$spreads,"queries":$qs,"load":$loadAvg%.2f,"calibration":$calibration%.3f,"probe_median":$probeMedian%.2f,"membw_gbps":$memBw%.1f,"agg_membw_gbps":$aggMemBw%.0f,"contaminated":$contam,"errors":$errs,"flaky":$flaky}""")
+    println(f"""{"metric":"meta","total":$total%.3f,"unit":"sec","sf":"$sfDir","load":$loadAvg%.2f,"calibration":$calibration%.3f,"probe_median":$probeMedian%.2f,"membw_gbps":$memBw%.1f,"agg_membw_gbps":$aggMemBw%.0f,"contaminated":$contam,"errors":$errs,"flaky":$flaky}""")
     spark.stop()
   }
 }
