@@ -649,9 +649,12 @@ private[sources] class GraftSqlTable(ident: String, root: String,
           Some(pinnedVersion))
         def emptyDir(d: String): Boolean = byDir.get(d).exists(fs =>
           fs.nonEmpty && fs.forall(_.rows == 0L))
+        // `.exists`, not `.forall`: a marked dir WITHOUT stats
+        // coverage is unproven (Option.forall on None would claim it
+        // vacuously and defer the failure to scan time)
         val provable = dirs.forall { d =>
           if (marked.contains(d))
-            byDir.get(d).forall(_.forall(f =>
+            byDir.get(d).exists(_.forall(f =>
               GraftBucket.fileBucket(f.path.dropWhile(_ != '/').drop(1))
                 .exists(_ < n)))
           else emptyDir(d)
@@ -1094,8 +1097,13 @@ private[sources] class ReplaceSnapshotWrite(root: String,
               .select(col(key),
                 regexp_extract(input_file_name(), "part-(\\d+)-", 1)
                   .cast("int").as("__claimed"))
-              .filter(graft.sources.GraftBucket.idColumn(col(key), n)
-                =!= col("__claimed"))
+              // a NULL claim (file not named part-NNNNN-) is IMPURE,
+              // not invisible: =!= alone would null-filter such rows
+              // and mark a dir whose file→bucket mapping is
+              // unverifiable, deferring the failure to scan time
+              .filter(col("__claimed").isNull ||
+                graft.sources.GraftBucket.idColumn(col(key), n)
+                  =!= col("__claimed"))
               .limit(1).count() == 0L
           }.getOrElse(false)
         }

@@ -325,9 +325,10 @@ case class GraftAnalyzeCommand(nameParts: Seq[String],
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, nameParts)
-    val current = VersionedTable.ndvColumns(spark, root)
-    if (current.isDefined) VersionedTable.disableNdvStats(spark, root)
-    VersionedTable.enableNdvStats(spark, root, cols)
+    // atomic: the backfill runs first and the pin swap commits as ONE
+    // manifest transition — a failed ANALYZE leaves the existing pin
+    // and its sketches exactly as they were
+    VersionedTable.repinNdvStats(spark, root, cols)
     val envs = VersionedTable.columnEnvelopes(spark, root)
     val ndv = VersionedTable.tableNdv(spark, root)
       .map { case (k, v) => k.toLowerCase -> v }

@@ -56,17 +56,24 @@ object NdvStats {
 
   /** The canonical sketch input for a column: every integral-family
     * type widens to LONG (so int→long schema widening unions with its
-    * own history), fractional/decimal go through their string form
-    * (HLL hashes exact bytes; the cast is injective per distinct
-    * value), strings/binary hash as-is. None = type we keep no NDV
+    * own history); DATE sketches as its epoch-day number and
+    * TIMESTAMP as epoch MICROseconds (`unix_date`/`unix_micros` —
+    * direct date/timestamp→numeric casts are illegal in Spark 4, and
+    * the microsecond domain keeps sub-second-distinct event times
+    * distinct); TIMESTAMP_NTZ and fractional/decimal go through their
+    * string form (injective per distinct value and, for NTZ,
+    * independent of the session timezone — a zone-dependent numeric
+    * mapping could collide distinct wall-clock values across DST
+    * gaps); strings/binary hash as-is. None = type we keep no NDV
     * for (nested, interval, variant). The cast is part of the
     * on-disk contract — changing it invalidates every stored sketch. */
   private[sources] def sketchInput(f: StructField)
       : Option[org.apache.spark.sql.Column] = f.dataType match {
-    case ByteType | ShortType | IntegerType | LongType | DateType |
-        TimestampType | TimestampNTZType | BooleanType =>
+    case ByteType | ShortType | IntegerType | LongType | BooleanType =>
       Some(col(f.name).cast(LongType))
-    case FloatType | DoubleType | _: DecimalType =>
+    case DateType => Some(unix_date(col(f.name)).cast(LongType))
+    case TimestampType => Some(unix_micros(col(f.name)))
+    case TimestampNTZType | FloatType | DoubleType | _: DecimalType =>
       Some(col(f.name).cast(StringType))
     case StringType | BinaryType => Some(col(f.name))
     case _ => None
@@ -108,10 +115,13 @@ object NdvStats {
       .getOrElse(Seq.empty)
     if (ndvCols.isEmpty && kllCols.isEmpty) return (None, None)
     // canonical casts: the NDV inputs keep their sketchInput domain
-    // (long / string / binary), the KLL inputs are double
+    // (long / string / binary), the KLL inputs QuantileStats' double
+    // domain (epoch numbers for date/timestamp)
+    val fields = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val projected = df.select(
       (ndvCols.map(f => sketchInput(f).get.as(s"__n_${f.name}")) ++
-        kllCols.map(c => col(c).cast(DoubleType).as(s"__k_$c"))): _*)
+        kllCols.map(c => QuantileStats.sketchInput(fields(c.toLowerCase))
+          .get.as(s"__k_$c"))): _*)
     val types = projected.schema.fields.map(_.dataType)
     val nN = ndvCols.size
     val nK = kllCols.size

@@ -44,19 +44,31 @@ object QuantileStats {
       }
     }
 
+  /** The canonical DOUBLE-domain sketch input for a column: numerics
+    * cast directly; DATE rides as its epoch-day number and TIMESTAMP
+    * as epoch MICROseconds (`unix_date`/`unix_micros` — direct
+    * date/timestamp→numeric casts are illegal in Spark 4, and micros
+    * keep sub-second event times apart). TIMESTAMP_NTZ is NOT
+    * eligible: its only numeric mapping goes through the session
+    * timezone, which would mix domains across sessions — absent
+    * beats wrong. The mapping is part of the on-disk contract. */
+  private[sources] def sketchInput(f: StructField)
+      : Option[org.apache.spark.sql.Column] = f.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+        DoubleType =>
+      Some(col(f.name).cast(DoubleType))
+    case DateType => Some(unix_date(col(f.name)).cast(DoubleType))
+    case TimestampType => Some(unix_micros(col(f.name)).cast(DoubleType))
+    case _ => None
+  }
+
   /** Numeric-family columns the pin selects; the sketch domain is
     * double, so date/timestamp ride as their epoch numbers. */
   def eligibleCols(schema: StructType, pin: Seq[String]): Seq[String] = {
     val wanted = pin.map(_.toLowerCase).toSet
-    def numeric(dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType | FloatType |
-          DoubleType | DateType | TimestampType | TimestampNTZType =>
-        true
-      case _ => false
-    }
     schema.fields.toSeq
       .filter(f => pin.isEmpty || wanted.contains(f.name.toLowerCase))
-      .filter(f => numeric(f.dataType))
+      .filter(f => sketchInput(f).isDefined)
       .map(_.name)
   }
 
@@ -67,9 +79,10 @@ object QuantileStats {
   def sketchByDir(df: DataFrame, dirCol: String, cols: Seq[String])
       : Map[String, Map[String, Array[Byte]]] = {
     if (cols.isEmpty) return Map.empty
+    val fields = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val projected = df.select(
       (col(dirCol).cast(StringType) +:
-        cols.map(c => col(c).cast(DoubleType))): _*)
+        cols.map(c => sketchInput(fields(c.toLowerCase)).get)): _*)
     val n = cols.size
     val partial: Array[(String, Array[Array[Byte]])] =
       projected.queryExecution.toRdd.mapPartitions { it =>

@@ -1697,6 +1697,26 @@ object VersionedTable {
     val prior = manifestLines(spark, root, base)
     require(NdvStats.pinnedCols(prior).isEmpty,
       s"NDV stats already enabled on $root")
+    ndvRepinCommit(spark, root, base, prior, cols, "#op:enable_ndv")
+  }
+
+  /** ANALYZE's atomic (re)pin: replace any existing NDV pin and every
+    * stored sketch with a freshly-backfilled set in ONE manifest
+    * transition. The backfill job runs FIRST — a failure (bad column,
+    * transient job error) leaves the table's current pin and sketches
+    * untouched, never half-applied the way a disable-then-enable pair
+    * would. */
+  def repinNdvStats(spark: SparkSession, root: String,
+      cols: Seq[String] = Seq.empty): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val prior = manifestLines(spark, root, base)
+    ndvRepinCommit(spark, root, base, prior, cols, "#op:analyze_ndv")
+  }
+
+  private def ndvRepinCommit(spark: SparkSession, root: String,
+      base: Int, prior: Seq[String], cols: Seq[String],
+      opTag: String): Int = {
     val snap = read(spark, root, Some(base))
     val lower = snap.columns.map(_.toLowerCase).toSet
     val missing = cols.filterNot(c => lower.contains(c.toLowerCase))
@@ -1723,10 +1743,11 @@ object VersionedTable {
     }
     val pin = NdvStats.PinPrefix +
       (if (cols.isEmpty) "*" else cols.mkString(","))
-    val body = prior
-      .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:"))
-    writeManifest(spark, root, base + 1,
-      ("#op:enable_ndv" +: body :+ pin) ++ lines)
+    val body = prior.filterNot(l =>
+      l.startsWith("#op:") || l.startsWith("#txn:") ||
+        l.startsWith(NdvStats.PinPrefix) ||
+        l.startsWith(NdvStats.LinePrefix))
+    writeManifest(spark, root, base + 1, (opTag +: body :+ pin) ++ lines)
     base + 1
   }
 

@@ -204,4 +204,37 @@ class NdvStatsSpec extends SparkSpec {
     assert(ndv.contains("id") && math.abs(ndv("id") - 500L) <= 25,
       s"two epoch commits unioned, got ${ndv.get("id")}")
   }
+
+  test("date / timestamp / timestamp_ntz columns sketch through LEGAL " +
+    "conversions on both the backfill and the commit path; " +
+    "sub-second-distinct timestamps stay distinct (micros domain)") {
+    val root = freshRoot()
+    def tbatch(from: Long, n: Long) = spark.range(from, from + n).select(
+      $"id",
+      date_add(lit(java.sql.Date.valueOf("2026-01-01")),
+        ($"id" % 50).cast("int")).as("dt"),
+      // 300 values inside ONE second — a seconds-domain sketch would
+      // collapse them to a single NDV value
+      timestamp_micros($"id" % 300).as("ts"),
+      to_timestamp_ntz(concat(lit("2026-01-01 00:00:"),
+        lpad(($"id" % 60).cast("string"), 2, "0"))).as("tntz"))
+    VersionedTable.init(spark, root, tbatch(0, 600))
+    // backfill path (hll_sketch_agg over sketchInput) must not throw
+    // on the temporal types — Spark 4 rejects date/ntz→numeric casts
+    VersionedTable.enableNdvStats(spark, root)
+    val ndv = VersionedTable.tableNdv(spark, root)
+    assert(ndv("dt") == 50L, s"date NDV exact, got ${ndv.get("dt")}")
+    assert(ndv("ts") == 300L,
+      s"timestamp NDV in the MICROS domain, got ${ndv.get("ts")}")
+    assert(ndv("tntz") == 60L, s"ntz NDV, got ${ndv.get("tntz")}")
+    // commit path (combinedLines' hand-rolled hashing) must union
+    // with the backfill sketches, not double them: same value sets
+    // appended → NDV unchanged
+    VersionedTable.append(spark, root, tbatch(600, 600),
+      VersionedTable.latestVersion(spark, root))
+    val after = VersionedTable.tableNdv(spark, root)
+    assert(after("dt") == 50L && after("ts") == 300L &&
+      after("tntz") == 60L,
+      s"union-compatible across paths, got $after")
+  }
 }

@@ -131,4 +131,40 @@ class QuantileStatsSpec extends SparkSpec {
       "ALTER TABLE gkl2.t UNSET TBLPROPERTIES ('graft.quantile.columns')")
     assert(VersionedTable.quantileColumns(spark, root).isEmpty)
   }
+
+  test("date and timestamp columns sketch in the epoch-day / " +
+    "epoch-micros domain on both paths; timestamp_ntz is INELIGIBLE " +
+    "(no timezone-free numeric mapping)") {
+    val root = freshRoot()
+    def tbatch(from: Long, n: Long) = spark.range(from, from + n).select(
+      $"id",
+      date_add(lit(java.sql.Date.valueOf("2026-01-01")),
+        ($"id" % 50).cast("int")).as("dt"),
+      timestamp_micros($"id" % 100).as("ts"),
+      to_timestamp_ntz(lit("2026-01-01 00:00:00")).as("tntz"))
+    VersionedTable.init(spark, root, tbatch(0, 100))
+    // ntz alone is not sketchable — loud refusal, not a broken pin
+    intercept[IllegalArgumentException] {
+      VersionedTable.enableQuantileStats(spark, root, Seq("tntz"))
+    }
+    VersionedTable.enableQuantileStats(spark, root) // backfill path
+    val epochDay = java.time.LocalDate.of(2026, 1, 1).toEpochDay.toDouble
+    val qdt = VersionedTable.tableQuantiles(spark, root, "dt",
+      Seq(0.0, 1.0)).get
+    assert(qdt(0) == epochDay && qdt(1) == epochDay + 49,
+      s"date quantiles in the epoch-day domain, got $qdt")
+    val qts = VersionedTable.tableQuantiles(spark, root, "ts",
+      Seq(0.0, 1.0)).get
+    assert(qts(0) == 0.0 && qts(1) == 99.0,
+      s"timestamp quantiles in the epoch-MICROS domain, got $qts")
+    assert(VersionedTable.tableQuantiles(spark, root, "tntz",
+      Seq(0.5)).isEmpty, "ntz has no sketch")
+    // commit path (combinedLines) uses the same domain: appending the
+    // same value set moves no extreme
+    VersionedTable.append(spark, root, tbatch(100, 100),
+      VersionedTable.latestVersion(spark, root))
+    val after = VersionedTable.tableQuantiles(spark, root, "dt",
+      Seq(0.0, 1.0)).get
+    assert(after == qdt, s"same domain across paths, got $after vs $qdt")
+  }
 }
