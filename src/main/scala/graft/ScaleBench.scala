@@ -107,6 +107,38 @@ object ScaleBench {
         Seq(row.getLong(0)).toDF("n")
       } finally spark.conf.set(key, old)
     }
+    // planted 90%-one-key join column over the dir's events — the
+    // UNBOUNDED skewed big side for the skew_join_* pair. Carries the
+    // wide props payload: a skewed join's stuck task is stuck moving
+    // BYTES, so the big side must weigh what a real fact row weighs.
+    def skewBig = Tables.events(spark, dir).select(
+      when(col("event_id") % 10 =!= 0, lit(0L))
+        .otherwise(col("event_id") % 96 + 1).as("k"),
+      col("event_id"), col("value"), col("props"))
+    lazy val skewAdvisedSalt: Int = {
+      val root = tempTableRoot("graft_skewsb")
+      val vt = graft.sources.VersionedTable
+      vt.init(spark, root, skewBig)
+      vt.enableQuantileStats(spark, root, Seq("k"))
+      graft.ops.SkewAdvisor.advise(spark, root, "k", 32).salt
+    }
+    def skewRun(salts: Int): DataFrame = {
+      val oldB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        import spark.implicits._
+        val dim = spark.range(0, 97).select(col("id").as("k"),
+          concat(lit("d"), col("id")).as("attr")).hint("shuffle_hash")
+        // the agg CONSUMES the wide payload (sum of its length) so
+        // column pruning cannot strip props out of the shuffled join
+        val row = graft.ops.Skew.saltedJoin(skewBig, dim, Seq("k"),
+            salts = salts)
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("props"))).as("b")).head()
+        Seq(row.getLong(0)).toDF("n")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
+    }
     // shared by skip_scan / skip_scan_off: the dir's documents
     // committed as FIXED 1000-doc appends with disjoint doc_id ranges
     // (2 range-partitioned files each), so the FILE count grows with
@@ -166,6 +198,17 @@ object ScaleBench {
           .agg(max(col("l_extendedprice")).as("maxp")).hint("shuffle_hash")
         graft.ops.Skew.saltedJoin(l, dim, Seq("l_returnflag"), salts = 8)
       }),
+      // quantile-ADVISED skew join vs its unsalted twin: the fixture
+      // pins KLL on a planted 90%-one-key join column (built once per
+      // dir; run 1 pays it, min-of-N strips it), the advisor reads
+      // the salt off the manifest sketches with ZERO Spark jobs, and
+      // the row pair measures what the statistics-chosen salt buys at
+      // each decade. shuffle_hash pins the physical join to the
+      // regime the static salt targets (first executions, bucketed
+      // plans, SHJ — where AQE's post-shuffle skew split won't save
+      // the stuck task); broadcast is disabled for both rows alike.
+      "skew_join_advised" -> (() => skewRun(skewAdvisedSalt)),
+      "skew_join_unsalted" -> (() => skewRun(1)),
       "stratified_sample" -> (() => graft.pipeline.Sampling
         .stratifiedSample(docs, "lang", "doc_id", k = 25)),
       "weighted_sample" -> (() => graft.pipeline.Sampling

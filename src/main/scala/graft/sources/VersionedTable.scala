@@ -1810,7 +1810,19 @@ object VersionedTable {
     * the sketch's DOUBLE domain (epoch numbers for date/timestamp). */
   def tableQuantiles(spark: SparkSession, root: String, column: String,
       probs: Seq[Double], version: Option[Int] = None)
-      : Option[Seq[Double]] = {
+      : Option[Seq[Double]] =
+    tableColumnSketch(spark, root, column, version)
+      .flatMap(QuantileStats.quantilesOf(_, probs))
+
+  /** The table-level merged KLL sketch for `column` — the full
+    * distribution object behind [[tableQuantiles]], exposed so
+    * consumers needing RANKS rather than quantiles (the skew
+    * advisor's heavy-hitter mass) share the same coverage rules:
+    * None when the layer is off or any data-bearing dir lacks its
+    * sketch. O(manifest) driver work, no cluster job. */
+  def tableColumnSketch(spark: SparkSession, root: String,
+      column: String, version: Option[Int] = None)
+      : Option[org.apache.datasketches.kll.KllDoublesSketch] = {
     val v = version.getOrElse(latestVersion(spark, root))
     if (v < 0) return None
     val lines = manifestLines(spark, root, v)
@@ -1820,7 +1832,6 @@ object VersionedTable {
     if (!dirs.forall(byDir.contains)) return None
     val bearing = dirs.filter(d => byDir(d).exists(_.rows != 0L))
     QuantileStats.mergedSketch(lines, bearing, column)
-      .flatMap(QuantileStats.quantilesOf(_, probs))
   }
 
   /** Drop the NDV pin and every stored sketch line. */

@@ -932,6 +932,79 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CBO reorder and the skew advisor COMPOSE: stats pick the join " +
+    "order, the advisor salts the surviving skewed edge, and the " +
+    "answer is invariant under both") {
+    wh
+    // fact 50k: k1 90%-one-key (the skewed edge), k2 uniform over 5
+    spark.sql("CREATE TABLE graft.sk_fact (k1 BIGINT, k2 BIGINT, " +
+      "v BIGINT)")
+    spark.range(50000).select(
+      when($"id" % 10 =!= 0, lit(0L)).otherwise($"id" % 40 + 1).as("k1"),
+      ($"id" % 5).as("k2"), $"id".as("v"))
+      .createOrReplaceTempView("sk_fact_src")
+    spark.sql("INSERT INTO graft.sk_fact SELECT * FROM sk_fact_src")
+    spark.sql("CREATE TABLE graft.sk_mid (k1 BIGINT, a STRING)")
+    spark.range(41).select($"id".as("k1"),
+      concat(lit("a"), $"id").as("a"))
+      .createOrReplaceTempView("sk_mid_src")
+    spark.sql("INSERT INTO graft.sk_mid SELECT * FROM sk_mid_src")
+    spark.sql("CREATE TABLE graft.sk_tiny (k2 BIGINT, b STRING)")
+    spark.sql("INSERT INTO graft.sk_tiny VALUES (0, 'x'), (1, 'y')")
+    Seq("sk_fact", "sk_mid", "sk_tiny").foreach(t =>
+      VersionedTable.enableNdvStats(spark, rootOf(t)))
+    VersionedTable.enableQuantileStats(spark, rootOf("sk_fact"),
+      Seq("k1"))
+    val q = "SELECT f.v, m.a, t.b FROM graft.sk_fact f " +
+      "JOIN graft.sk_mid m ON f.k1 = m.k1 " +
+      "JOIN graft.sk_tiny t ON f.k2 = t.k2"
+    def joinOrder(): Seq[String] = spark.sql(q).queryExecution
+      .optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.condition.map(_.references.map(_.name).toSeq.sorted
+            .mkString(",")).getOrElse("")
+      }
+    val (cbo, reorder) = (spark.conf.get("spark.sql.cbo.enabled"),
+      spark.conf.get("spark.sql.cbo.joinReorder.enabled"))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val naive = joinOrder()
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // 1) the REORDER half: NDV stats change the order
+      assert(naive != joinOrder(),
+        s"stats must change the join order, still $naive")
+      // 2) the ADVISOR half: the surviving skewed edge (f.k1 = m.k1)
+      //    gets a statistics-chosen salt tracking the planted 90%
+      val advice = graft.ops.SkewAdvisor.advise(spark,
+        rootOf("sk_fact"), "k1", 32)
+      assert(advice.basis == "kll-mass" &&
+        math.abs(advice.hotShare - 0.9) < 0.05 &&
+        advice.salt >= 26 && advice.salt <= 32,
+        s"advisor tracks the planted skew, got $advice")
+      val uniform = graft.ops.SkewAdvisor.advise(spark,
+        rootOf("sk_fact"), "k2", 32)
+      assert(uniform.salt > 1,
+        s"5-value k2 needs spreading too, got $uniform")
+      // 3) COMPOSED execution: tiny joins first (the reorder's pick),
+      //    then the skewed edge runs salted — answer invariant
+      val fact = spark.table("graft.sk_fact")
+      val mid = spark.table("graft.sk_mid")
+      val tiny = spark.table("graft.sk_tiny")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select($"v", $"a", $"b").orderBy("v")
+          .collect().map(_.toSeq).toSeq
+      val plain = canon(fact.join(mid, Seq("k1")).join(tiny, Seq("k2")))
+      val composed = canon(graft.ops.Skew.saltedJoin(
+        fact.join(tiny, Seq("k2")), mid, Seq("k1"),
+        salts = advice.salt))
+      assert(composed == plain)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", cbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", reorder)
+    }
+  }
+
   test("the catalog is stateless: a table created programmatically is " +
     "immediately visible to SQL and vice versa") {
     wh
