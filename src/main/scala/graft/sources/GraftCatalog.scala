@@ -408,13 +408,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case rp: TableChange.RemoveProperty
           if rp.property == GraftCatalog.QuantileColumnsProp =>
         VersionedTable.disableQuantileStats(spark, root)
+      case r: TableChange.RenameColumn =>
+        throw new UnsupportedOperationException(
+          s"RENAME COLUMN ${r.fieldNames.mkString(".")} is not a " +
+            "metadata operation in this format (files carry no field " +
+            "ids; every stats layer keys columns by name). Either " +
+            "rewrite the table explicitly — VersionedTable" +
+            s".renameColumn(spark, <root>, '${r.fieldNames.head}', " +
+            s"'${r.newName}') — which costs O(table) I/O and says so, " +
+            "or keep the data in place behind a renaming view: " +
+            s"CREATE VIEW v AS SELECT ${r.fieldNames.head} AS " +
+            s"${r.newName}, ... FROM ${ident}")
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE supports ADD COLUMNS (additive evolution), " +
           s"[UN]SET TBLPROPERTIES ('${ConstraintProp}<name>') CHECK " +
           s"constraints, '${GraftCatalog.ChangeFeedKeyProp}' and " +
           s"'${GraftCatalog.NdvColumnsProp}'; got " +
           s"$other — drop/rename/retype need an explicit rewrite via " +
-          "VersionedTable.commit")
+          "VersionedTable.commit (rename: VersionedTable.renameColumn)")
     }
     new GraftSqlTable(ident.toString, root, version = None)
   }

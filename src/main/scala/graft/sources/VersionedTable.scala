@@ -1371,6 +1371,85 @@ object VersionedTable {
     base + 1
   }
 
+  /** RENAME a column — as an EXPLICIT FULL REWRITE, never a metadata
+    * trick. This format's parquet files carry no field ids and every
+    * metadata layer (skipping stats, NDV/KLL sketch lines, bucket
+    * marks, constraints) keys columns BY NAME, so a Delta-style
+    * metadata-only rename (logical→physical name mapping) would need
+    * a name-translation seam through every read, write, DML, CDF and
+    * stats path — a cross-cutting feature whose defect surface
+    * outweighs the rewrite it avoids (see SURVEY.md §rename). The
+    * rewrite is correct on every layer BY CONSTRUCTION: files, stats
+    * lines and sketches regenerate under the new name in one commit,
+    * and pre-rename versions still time-travel under their exact old
+    * schema. Cost: O(table) I/O, stated loudly here and in the SQL
+    * refusal that points at this method — a 100 TB rename should look
+    * expensive, because it is.
+    *
+    * Pre-flight refusals (before any I/O) for pins that NAME the
+    * column — each names its unpin spelling:
+    * the bucket key (disableBucketing → rename → enableBucketing),
+    * the CDC key (disableChangeFeed first), an explicit NDV/quantile
+    * pin list (disable or repin after), and CHECK constraints whose
+    * expression references the old name (dropConstraint, rename,
+    * re-add under the new name). A `*` stats pin rides through: the
+    * rewrite re-sketches every eligible column automatically. */
+  def renameColumn(spark: SparkSession, root: String,
+      oldName: String, newName: String): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val snap = read(spark, root, Some(base))
+    val actual = snap.schema.fields
+      .find(_.name.equalsIgnoreCase(oldName)).map(_.name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$oldName' in ${snap.schema.simpleString}"))
+    require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists")
+    bucketSpec(spark, root, Some(base)).foreach { case (key, _) =>
+      require(!key.equalsIgnoreCase(oldName),
+        s"'$oldName' is the table's bucket key — disableBucketing, " +
+          "rename, then enableBucketing on the new name")
+    }
+    changeFeedKey(spark, root, Some(base)).foreach { _ =>
+      // matches the commit-time guard: a rename is a schema-changing
+      // rewrite, and keyed change pairing across a schema change is
+      // ill-defined whichever column moved
+      throw new IllegalArgumentException(
+        "the change feed is enabled — a rename is a schema-changing " +
+          "rewrite; disableChangeFeed, rename, re-enable on the new " +
+          "schema")
+    }
+    ndvColumns(spark, root, Some(base)).foreach { cols =>
+      require(cols.isEmpty || !cols.exists(_.equalsIgnoreCase(oldName)),
+        s"'$oldName' is NDV-pinned by name — disableNdvStats (or " +
+          "repin without it), rename, re-enable on the new name")
+    }
+    quantileColumns(spark, root, Some(base)).foreach { cols =>
+      require(cols.isEmpty || !cols.exists(_.equalsIgnoreCase(oldName)),
+        s"'$oldName' is quantile-pinned by name — " +
+          "disableQuantileStats, rename, re-enable on the new name")
+    }
+    val renamed = snap.withColumnRenamed(actual, newName)
+    // constraints must still analyze under the renamed schema — check
+    // BEFORE paying the rewrite (publishDir would refuse atomically
+    // anyway, but after the O(table) write). The probe is a LEAF
+    // relation carrying exactly the renamed schema: analyzing against
+    // `renamed` itself would let Spark's missing-reference resolution
+    // reach the OLD name straight through the rename projection.
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      renamed.schema)
+    constraints(spark, root, Some(base)).foreach { case (n, e) =>
+      try probe.filter(e).collect()
+      catch { case _: Throwable =>
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$n' ($e) references '$oldName' — " +
+            "dropConstraint, rename, re-add it under the new name")
+      }
+    }
+    commit(spark, root, renamed, base, op = s"rename_column")
+  }
+
   /** DROP a CHECK constraint by name — metadata-only commit; history
     * keeps every version's constraint set (time travel shows what was
     * enforced when). */

@@ -1005,6 +1005,26 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL RENAME COLUMN refuses with the rewrite spelling and the " +
+    "view workaround — never a silent O(table) rewrite from a " +
+    "metadata-looking statement") {
+    wh
+    spark.sql("CREATE TABLE graft.rn_t (id BIGINT, body STRING)")
+    spark.sql("INSERT INTO graft.rn_t VALUES (1, 'a')")
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE graft.rn_t RENAME COLUMN body TO text")
+    }
+    assert(e.getMessage.contains("renameColumn") &&
+      e.getMessage.contains("O(table)") &&
+      e.getMessage.contains("CREATE VIEW"),
+      s"refusal must name both escape hatches, got: ${e.getMessage}")
+    // the programmatic rewrite named by the message works on the same
+    // table, and the catalog serves the renamed schema
+    VersionedTable.renameColumn(spark, rootOf("rn_t"), "body", "text")
+    assert(spark.table("graft.rn_t").schema.fieldNames.toSeq ==
+      Seq("id", "text"))
+  }
+
   test("the catalog is stateless: a table created programmatically is " +
     "immediately visible to SQL and vice versa") {
     wh

@@ -464,4 +464,79 @@ class VersionedTableSpec extends SparkSpec {
         .option("timestampAsOf", between.toString).load(root).collect()
     }
   }
+
+  test("renameColumn: an explicit rewrite — new name serves, time " +
+    "travel keeps the exact pre-rename schema, version-range change " +
+    "feeds still serve each side of the boundary") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a", 2L -> "b"))
+    val v = VersionedTable.renameColumn(spark, root, "body", "text")
+    assert(VersionedTable.read(spark, root).schema.fieldNames.toSeq ==
+      Seq("id", "text"), "new name serves")
+    assert(VersionedTable.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq(1L -> "a", 2L -> "b"),
+      "values untouched")
+    assert(VersionedTable.read(spark, root, Some(0))
+      .schema.fieldNames.toSeq == Seq("id", "body"),
+      "time travel keeps the exact old schema")
+    // a later append writes under the NEW schema with no pin residue,
+    // and the change feed serves post-rename commits normally
+    val v2 = VersionedTable.append(spark, root,
+      Seq((3L, "c")).toDF("id", "text"), expectedVersion = v)
+    assert(VersionedTable.read(spark, root).count() == 3)
+    val after = VersionedTable.changeFeed(spark, root, v2, Some(v2))
+    assert(after.count() == 1 &&
+      after.schema.fieldNames.contains("text"),
+      "post-rename commits feed under the new schema")
+    // a feed RANGE crossing the rename boundary mixes two schemas —
+    // it fails to analyze (loud) rather than pairing columns wrongly
+    intercept[Throwable] {
+      VersionedTable.changeFeed(spark, root, v, Some(v2)).count()
+    }
+    // errors: missing column, collision, case-insensitive match
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "TEXT", "id")
+    }
+  }
+
+  test("renameColumn pre-flight refusals name the unpin spelling: " +
+    "bucket key, CDC key, explicit stats pins, constraints — and a " +
+    "'*' stats pin rides through with fresh sketches") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root,
+      spark.range(100).select($"id", ($"id" % 7).as("k"),
+        concat(lit("s"), $"id").as("s")))
+    VersionedTable.enableBucketing(spark, root, "k", 4)
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "k", "k2")
+    }.getMessage.contains("disableBucketing"))
+    VersionedTable.disableBucketing(spark, root)
+    // ANY enabled feed refuses a rename (schema-changing rewrite),
+    // even when the renamed column is not the feed key
+    VersionedTable.enableChangeFeed(spark, root, "id")
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "k", "k2")
+    }.getMessage.contains("disableChangeFeed"))
+    VersionedTable.disableChangeFeed(spark, root)
+    VersionedTable.enableNdvStats(spark, root, Seq("k"))
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "k", "k2")
+    }.getMessage.contains("disableNdvStats"))
+    VersionedTable.disableNdvStats(spark, root)
+    VersionedTable.addConstraint(spark, root, "kpos", "k >= 0")
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "k", "k2")
+    }.getMessage.contains("dropConstraint"))
+    VersionedTable.dropConstraint(spark, root, "kpos")
+    // '*' pins are name-free: the rewrite re-sketches automatically
+    VersionedTable.enableNdvStats(spark, root)
+    VersionedTable.renameColumn(spark, root, "k", "k2")
+    val ndv = VersionedTable.tableNdv(spark, root)
+    assert(ndv.get("k2").contains(7L),
+      s"renamed column re-sketched under the new name, got $ndv")
+    assert(!ndv.contains("k"))
+  }
 }
