@@ -134,6 +134,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           return localTable(ident.toString, filesDf(p.toString))
         case "stats" =>
           return localTable(ident.toString, statsDf(p.toString))
+        case "skew" =>
+          return localTable(ident.toString, skewDf(p.toString))
         case _ => throw new NoSuchTableException(ident)
       }
     }
@@ -175,6 +177,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         cs.nullCount, ndv.get(name.toLowerCase),
         qs.map(_.head), qs.map(_.last))
     }.toDF("column", "min", "max", "null_count", "ndv", "p50", "p99")
+  }
+
+  // (column, hot_share, basis, advised_salt) — the skew advisor's
+  // view of every column it can answer for, at the session's reduce
+  // width (spark.sql.shuffle.partitions): `SELECT * FROM
+  // graft.`t$skew`` is the DBA's pre-flight for a join on t. Columns
+  // no statistics cover are ABSENT (the advisor refuses to guess;
+  // rows here are measured, not invented). O(manifest) driver work.
+  private def skewDf(root: String): org.apache.spark.sql.DataFrame = {
+    val s = spark
+    import s.implicits._
+    val parallelism = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val schema = VersionedTable.read(s, root).schema
+    schema.fieldNames.toSeq.sorted.flatMap { c =>
+      scala.util.Try(
+        graft.ops.SkewAdvisor.advise(s, root, c, parallelism))
+        .toOption.map(a => (c, a.hotShare, a.basis, a.salt))
+    }.toDF("column", "hot_share", "basis", "advised_salt")
   }
 
   // a driver-local relation on the public LocalScan seam: the rows are

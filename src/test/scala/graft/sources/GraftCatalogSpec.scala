@@ -1005,6 +1005,29 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("$skew metadata table serves the advisor's view: pinned " +
+    "columns row with measured mass, unpinned columns ABSENT (refuse " +
+    "to guess, in SQL too)") {
+    wh
+    spark.sql("CREATE TABLE graft.sw_t (k BIGINT, u BIGINT, s STRING)")
+    spark.range(1000).select(
+      when($"id" % 10 =!= 0, lit(0L)).otherwise($"id").as("k"),
+      $"id".as("u"), concat(lit("x"), $"id").as("s"))
+      .createOrReplaceTempView("sw_src")
+    spark.sql("INSERT INTO graft.sw_t SELECT * FROM sw_src")
+    VersionedTable.enableQuantileStats(spark, rootOf("sw_t"),
+      Seq("k", "u"))
+    val rows = spark.sql("SELECT column, hot_share, basis, " +
+      "advised_salt FROM graft.`sw_t$skew` ORDER BY column").collect()
+    val byCol = rows.map(r => r.getString(0) ->
+      (r.getDouble(1), r.getString(2), r.getInt(3))).toMap
+    assert(byCol.contains("k") && byCol("k")._2 == "kll-mass" &&
+      byCol("k")._3 > 1, s"hot column advises a real salt: $byCol")
+    assert(byCol("u")._3 == 1, s"uniform column advises 1: $byCol")
+    assert(!byCol.contains("s"),
+      "unpinned string column absent — measured rows only")
+  }
+
   test("SQL RENAME COLUMN refuses with the rewrite spelling and the " +
     "view workaround — never a silent O(table) rewrite from a " +
     "metadata-looking statement") {
