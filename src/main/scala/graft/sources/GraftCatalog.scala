@@ -439,13 +439,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "or keep the data in place behind a renaming view: " +
             s"CREATE VIEW v AS SELECT ${r.fieldNames.head} AS " +
             s"${r.newName}, ... FROM ${ident}")
+      case d: TableChange.DeleteColumn =>
+        throw new UnsupportedOperationException(
+          s"DROP COLUMN ${d.fieldNames.mkString(".")} is not a " +
+            "metadata operation in this format (a metadata-only drop " +
+            "would leave the bytes readable forever) — rewrite " +
+            "explicitly: VersionedTable.dropColumn(spark, <root>, " +
+            s"'${d.fieldNames.head}') — which costs O(table) I/O and " +
+            "says so, or hide it behind a view: CREATE VIEW v AS " +
+            s"SELECT <other columns> FROM ${ident}")
+      case u: TableChange.UpdateColumnType =>
+        throw new UnsupportedOperationException(
+          s"ALTER COLUMN ${u.fieldNames.mkString(".")} TYPE " +
+            s"${u.newDataType.simpleString} is not a metadata " +
+            "operation (parquet files carry the physical type). For " +
+            "a provably lossless widening rewrite explicitly — " +
+            "VersionedTable.widenColumnType(spark, <root>, " +
+            s"'${u.fieldNames.head}', ${u.newDataType.simpleString}) " +
+            "— O(table) I/O, stated; lossy changes are data changes: " +
+            "rewrite via VersionedTable.commit with the cast you mean")
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE supports ADD COLUMNS (additive evolution), " +
           s"[UN]SET TBLPROPERTIES ('${ConstraintProp}<name>') CHECK " +
           s"constraints, '${GraftCatalog.ChangeFeedKeyProp}' and " +
           s"'${GraftCatalog.NdvColumnsProp}'; got " +
           s"$other — drop/rename/retype need an explicit rewrite via " +
-          "VersionedTable.commit (rename: VersionedTable.renameColumn)")
+          "VersionedTable.commit (rename: VersionedTable.renameColumn, " +
+          "drop: dropColumn, widen: widenColumnType)")
     }
     new GraftSqlTable(ident.toString, root, version = None)
   }

@@ -1405,30 +1405,8 @@ object VersionedTable {
         s"no column '$oldName' in ${snap.schema.simpleString}"))
     require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
       s"column '$newName' already exists")
-    bucketSpec(spark, root, Some(base)).foreach { case (key, _) =>
-      require(!key.equalsIgnoreCase(oldName),
-        s"'$oldName' is the table's bucket key — disableBucketing, " +
-          "rename, then enableBucketing on the new name")
-    }
-    changeFeedKey(spark, root, Some(base)).foreach { _ =>
-      // matches the commit-time guard: a rename is a schema-changing
-      // rewrite, and keyed change pairing across a schema change is
-      // ill-defined whichever column moved
-      throw new IllegalArgumentException(
-        "the change feed is enabled — a rename is a schema-changing " +
-          "rewrite; disableChangeFeed, rename, re-enable on the new " +
-          "schema")
-    }
-    ndvColumns(spark, root, Some(base)).foreach { cols =>
-      require(cols.isEmpty || !cols.exists(_.equalsIgnoreCase(oldName)),
-        s"'$oldName' is NDV-pinned by name — disableNdvStats (or " +
-          "repin without it), rename, re-enable on the new name")
-    }
-    quantileColumns(spark, root, Some(base)).foreach { cols =>
-      require(cols.isEmpty || !cols.exists(_.equalsIgnoreCase(oldName)),
-        s"'$oldName' is quantile-pinned by name — " +
-          "disableQuantileStats, rename, re-enable on the new name")
-    }
+    schemaChangePreflight(spark, root, base, oldName,
+      statsPinsMatter = true)
     val renamed = snap.withColumnRenamed(actual, newName)
     // constraints must still analyze under the renamed schema — check
     // BEFORE paying the rewrite (publishDir would refuse atomically
@@ -1448,6 +1426,116 @@ object VersionedTable {
       }
     }
     commit(spark, root, renamed, base, op = s"rename_column")
+  }
+
+  /** DROP a column — an EXPLICIT FULL REWRITE, same posture and
+    * reasoning as [[renameColumn]] (no field ids in files, every
+    * metadata layer keys by name; a metadata-only drop would leave
+    * the bytes readable forever — a retention hazard, not just a
+    * format nicety). Pre-flight refusals mirror renameColumn's;
+    * pre-drop versions still time-travel with the column intact. */
+  def dropColumn(spark: SparkSession, root: String,
+      colName: String): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val snap = read(spark, root, Some(base))
+    val actual = snap.schema.fields
+      .find(_.name.equalsIgnoreCase(colName)).map(_.name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$colName' in ${snap.schema.simpleString}"))
+    require(snap.schema.fields.length > 1,
+      s"cannot drop the only column of $root")
+    schemaChangePreflight(spark, root, base, colName,
+      statsPinsMatter = true)
+    val remaining = snap.drop(actual)
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      remaining.schema)
+    constraints(spark, root, Some(base)).foreach { case (n, e) =>
+      try probe.filter(e).collect()
+      catch { case _: Throwable =>
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$n' ($e) references '$colName' — " +
+            "dropConstraint first")
+      }
+    }
+    commit(spark, root, remaining, base, op = "drop_column")
+  }
+
+  /** WIDEN a column's type (byte/short/int→long, float→double,
+    * int→double family) — an EXPLICIT FULL REWRITE, same posture as
+    * [[renameColumn]]: parquet files carry the physical type, so a
+    * metadata-only widening would need per-file read casts through
+    * every scan path. Only provably LOSSLESS widenings are accepted —
+    * a lossy cast is a data change, not a schema change. The bucket
+    * key refuses (murmur3 of 17:int and 17:long differ — widening it
+    * would strand every bucket file name); stats pins ride through
+    * (the rewrite re-sketches, and the NDV long-domain cast already
+    * unions int with long history). */
+  def widenColumnType(spark: SparkSession, root: String,
+      colName: String, to: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val snap = read(spark, root, Some(base))
+    val field = snap.schema.fields
+      .find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$colName' in ${snap.schema.simpleString}"))
+    val lossless: Set[(DataType, DataType)] = Set(
+      (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
+      (ShortType, IntegerType), (ShortType, LongType),
+      (IntegerType, LongType), (FloatType, DoubleType),
+      (ByteType, DoubleType), (ShortType, DoubleType),
+      (IntegerType, DoubleType))
+    require(lossless.contains((field.dataType, to)),
+      s"widening ${field.dataType.simpleString} → ${to.simpleString} " +
+        "is not provably lossless (long→double loses precision above " +
+        "2^53; narrowing is a data change) — rewrite explicitly via " +
+        "commit() if you accept the cast")
+    bucketSpec(spark, root, Some(base)).foreach { case (key, _) =>
+      require(!key.equalsIgnoreCase(colName),
+        s"'$colName' is the bucket key — its murmur3 hash is " +
+          "type-dependent, so widening it would strand the bucket " +
+          "layout; disableBucketing, widen, enableBucketing")
+    }
+    changeFeedKey(spark, root, Some(base)).foreach { _ =>
+      throw new IllegalArgumentException(
+        "the change feed is enabled — a widening is a schema-changing " +
+          "rewrite; disableChangeFeed, widen, re-enable")
+    }
+    val widened = snap.withColumn(field.name,
+      org.apache.spark.sql.functions.col(field.name).cast(to))
+    commit(spark, root, widened, base, op = "widen_column")
+  }
+
+  // shared rename/drop pre-flight: pins that NAME the column refuse
+  // with their unpin spelling; an enabled change feed refuses any
+  // schema-changing rewrite
+  private def schemaChangePreflight(spark: SparkSession, root: String,
+      base: Int, colName: String, statsPinsMatter: Boolean): Unit = {
+    bucketSpec(spark, root, Some(base)).foreach { case (key, _) =>
+      require(!key.equalsIgnoreCase(colName),
+        s"'$colName' is the table's bucket key — disableBucketing " +
+          "first")
+    }
+    changeFeedKey(spark, root, Some(base)).foreach { _ =>
+      throw new IllegalArgumentException(
+        "the change feed is enabled — this is a schema-changing " +
+          "rewrite; disableChangeFeed first, re-enable after")
+    }
+    if (statsPinsMatter) {
+      ndvColumns(spark, root, Some(base)).foreach { cols =>
+        require(cols.isEmpty || !cols.exists(_.equalsIgnoreCase(colName)),
+          s"'$colName' is NDV-pinned by name — disableNdvStats (or " +
+            "repin without it) first")
+      }
+      quantileColumns(spark, root, Some(base)).foreach { cols =>
+        require(cols.isEmpty || !cols.exists(_.equalsIgnoreCase(colName)),
+          s"'$colName' is quantile-pinned by name — " +
+            "disableQuantileStats (or repin without it) first")
+      }
+    }
   }
 
   /** DROP a CHECK constraint by name — metadata-only commit; history

@@ -539,4 +539,67 @@ class VersionedTableSpec extends SparkSpec {
       s"renamed column re-sketched under the new name, got $ndv")
     assert(!ndv.contains("k"))
   }
+
+  test("dropColumn: explicit rewrite — column gone forward, intact " +
+    "under time travel; constraint/pin pre-flight; can't drop the " +
+    "last column") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root,
+      spark.range(50).select($"id", ($"id" % 5).as("k"),
+        concat(lit("s"), $"id").as("s")))
+    VersionedTable.addConstraint(spark, root, "kpos", "k >= 0")
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, root, "k")
+    }.getMessage.contains("dropConstraint"))
+    VersionedTable.dropConstraint(spark, root, "kpos")
+    val v = VersionedTable.dropColumn(spark, root, "k")
+    assert(VersionedTable.read(spark, root).schema.fieldNames.toSeq ==
+      Seq("id", "s"))
+    assert(VersionedTable.read(spark, root, Some(0))
+      .schema.fieldNames.toSeq == Seq("id", "k", "s"),
+      "time travel keeps the dropped column")
+    assert(VersionedTable.read(spark, root).count() == 50)
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, root, "k") // already gone
+    }
+    VersionedTable.dropColumn(spark, root, "s")
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, root, "id")
+    }.getMessage.contains("only column"))
+    assert(v == 3, "init, addConstraint, dropConstraint, then the drop")
+  }
+
+  test("widenColumnType: lossless widenings rewrite (values exact, " +
+    "time travel keeps the narrow type); lossy/narrowing and the " +
+    "bucket key refuse") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root,
+      spark.range(40).select($"id".cast("int").as("i"),
+        ($"id" * 1.5f).cast("float").as("f")))
+    import org.apache.spark.sql.types._
+    VersionedTable.widenColumnType(spark, root, "i", LongType)
+    VersionedTable.widenColumnType(spark, root, "f", DoubleType)
+    val sch = VersionedTable.read(spark, root).schema
+    assert(sch("i").dataType == LongType && sch("f").dataType == DoubleType)
+    assert(VersionedTable.read(spark, root)
+      .agg(sum($"i")).head.getLong(0) == (0L until 40L).sum)
+    assert(VersionedTable.read(spark, root, Some(0))
+      .schema("i").dataType == IntegerType,
+      "time travel keeps the narrow type")
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.widenColumnType(spark, root, "i", IntegerType)
+    }.getMessage.contains("lossless"), "narrowing refused")
+    assert(intercept[IllegalArgumentException] {
+      // long→double is lossy above 2^53
+      VersionedTable.widenColumnType(spark, root, "i", DoubleType)
+    }.getMessage.contains("lossless"))
+    // bucket key: murmur3 is type-dependent — widening it refuses
+    val root2 = freshRoot()
+    VersionedTable.init(spark, root2,
+      spark.range(40).select($"id".cast("int").as("k"), $"id".as("v")))
+    VersionedTable.enableBucketing(spark, root2, "k", 4)
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.widenColumnType(spark, root2, "k", LongType)
+    }.getMessage.contains("disableBucketing"))
+  }
 }
