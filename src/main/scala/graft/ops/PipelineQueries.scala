@@ -1554,8 +1554,8 @@ object PipelineQueries extends QueryPack {
   // advised JOIN, not table setup.
   private val skewFixture =
     scala.collection.concurrent.TrieMap[String, (String, Int)]()
-  def pipelineSkewAdvisedJoin(s: SparkSession, d: String): DataFrame = {
-    val (root, salt) = skewFixture.getOrElseUpdate(
+  private def skewFixtureFor(s: SparkSession, d: String): (String, Int) =
+    skewFixture.getOrElseUpdate(
       s.sparkContext.applicationId + "|" + d, {
         val tmp = java.nio.file.Files.createTempDirectory("graft_skew")
         val r = new java.io.File(tmp.toFile, "t").getAbsolutePath
@@ -1573,6 +1573,8 @@ object PipelineQueries extends QueryPack {
           s"skew gate: planted 90% hot share misread as $advice")
         (r, advice.salt)
       })
+  def pipelineSkewAdvisedJoin(s: SparkSession, d: String): DataFrame = {
+    val (root, salt) = skewFixtureFor(s, d)
     val dim = s.range(0, 97).select(col("id").as("k"),
       concat(lit("d"), col("id")).as("attr"))
     Skew.saltedJoin(graft.sources.VersionedTable.read(s, root), dim,
@@ -1582,6 +1584,22 @@ object PipelineQueries extends QueryPack {
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("sum_value"))
       .orderBy("k", "attr")
+  }
+
+  // the AGGREGATION twin: the SAME statistics-chosen salt drives
+  // saltedAgg's two-phase decomposition over the planted-skew table —
+  // phase 1 groups by (k, salt), spreading the hot key across ~salt
+  // reducers, phase 2 re-merges |keys|·salt partial rows. Answer
+  // hash-gated by the plain GROUP BY oracle: the decomposition is a
+  // physical choice, the aggregate is exact.
+  def pipelineSkewAdvisedAgg(s: SparkSession, d: String): DataFrame = {
+    val (root, salt) = skewFixtureFor(s, d)
+    Skew.saltedAgg(graft.sources.VersionedTable.read(s, root),
+        Seq("k"), salts = salt, seed = 7L,
+        Skew.CountAll("cnt"), Skew.SumDec("value", "sum_value"))
+      .select(col("k"), col("cnt"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy("k")
   }
 
   // the programmatic UPDATE's predicate driven through SQL UPDATE with
@@ -1866,6 +1884,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_stats" -> pipelineVersionedStats _,
     "pipeline_versioned_spj_join" -> pipelineVersionedSpjJoin _,
     "pipeline_skew_advised_join" -> pipelineSkewAdvisedJoin _,
+    "pipeline_skew_advised_agg" -> pipelineSkewAdvisedAgg _,
     "pipeline_versioned_sql_update_pruned" ->
       pipelineVersionedSqlUpdatePruned _,
     "pipeline_versioned_sql_merge" -> pipelineVersionedSqlMerge _,
@@ -2314,6 +2333,19 @@ object PipelineQueries extends QueryPack {
         |FROM big b JOIN dim d ON b.k = d.k
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // the agg twin: same planted key, plain GROUP BY oracle — the
+    // two-phase salted decomposition is answer-invisible
+    "pipeline_skew_advised_agg" ->
+      """WITH big AS (
+        |  SELECT CASE WHEN event_id % 10 <> 0 THEN 0
+        |              ELSE event_id % 96 + 1 END AS k, value
+        |  FROM events)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value
+        |FROM big
+        |GROUP BY k
+        |ORDER BY k""".stripMargin,
     // SQL UPDATE with group-filter pruning must equal the programmatic
     // update's CASE WHEN oracle — pruning is answer-invisible
     "pipeline_versioned_sql_update_pruned" ->
