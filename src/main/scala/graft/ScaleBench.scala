@@ -118,7 +118,9 @@ object ScaleBench {
     lazy val skewAdvisedSalt: Int = {
       val root = tempTableRoot("graft_skewsb")
       val vt = graft.sources.VersionedTable
-      vt.init(spark, root, skewBig)
+      // only the advised column: the fixture exists for its KLL
+      // sketch, so writing the wide payload would be pure I/O waste
+      vt.init(spark, root, skewBig.select(col("k")))
       vt.enableQuantileStats(spark, root, Seq("k"))
       graft.ops.SkewAdvisor.advise(spark, root, "k", 32).salt
     }

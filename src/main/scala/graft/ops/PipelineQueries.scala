@@ -1495,12 +1495,12 @@ object PipelineQueries extends QueryPack {
   // fixture dir lives until JVM exit (same lifetime as the session
   // catalog conf that references it).
   private val spjFixture =
-    scala.collection.concurrent.TrieMap[String, String]()
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
   def pipelineVersionedSpjJoin(s: SparkSession, d: String): DataFrame = {
     val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val cat = spjFixture.getOrElseUpdate(
+      val (cat, wh) = spjFixture.getOrElseUpdate(
         s.sparkContext.applicationId + "|" + d, {
           val tmpRoot = java.nio.file.Files.createTempDirectory("graft_spj")
           val c = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -1519,8 +1519,15 @@ object PipelineQueries extends QueryPack {
             "STRING) PARTITIONED BY (bucket(8, c_custkey))")
           s.sql(s"INSERT INTO $c.ord SELECT * FROM spj_orders")
           s.sql(s"INSERT INTO $c.cust SELECT * FROM spj_cust")
-          c
+          (c, tmpRoot.toString)
         })
+      // the catalog registration is SESSION conf, the cache is
+      // application-wide: a second session hitting the cache must
+      // (re-)register the name in ITS conf or the SQL below fails
+      // with CATALOG_NOT_FOUND (idempotent for the building session)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       val joined = s.sql(
         s"SELECT o.o_orderkey AS orderkey, o.o_totalprice AS totalprice, " +
           s"c.c_mktsegment AS mktsegment FROM $cat.ord o " +

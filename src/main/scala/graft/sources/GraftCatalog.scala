@@ -189,11 +189,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val s = spark
     import s.implicits._
     val parallelism = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val schema = VersionedTable.read(s, root).schema
-    schema.fieldNames.toSeq.sorted.flatMap { c =>
-      scala.util.Try(
-        graft.ops.SkewAdvisor.advise(s, root, c, parallelism))
-        .toOption.map(a => (c, a.hotShare, a.basis, a.salt))
+    // candidate columns come from the stats plane itself, never a
+    // file-index listing: NDV-sketched names (one cached manifest
+    // union) plus the explicit quantile pin; a `*` quantile pin
+    // resolves through the envelope column set (also manifest-only)
+    val ndvCols = VersionedTable.tableNdv(s, root).keySet
+    val kllCols = VersionedTable.quantileColumns(s, root) match {
+      case None => Set.empty[String]
+      case Some(pin) if pin.nonEmpty => pin.toSet
+      case Some(_) => VersionedTable.columnEnvelopes(s, root).keySet
+    }
+    // only the advisor's refusal renders as "absent"; an unreadable
+    // manifest must SURFACE, not read as 'nothing is pinned'
+    (ndvCols ++ kllCols).toSeq.distinct.sorted.flatMap { c =>
+      try Some(graft.ops.SkewAdvisor.advise(s, root, c, parallelism))
+        .map(a => (c, a.hotShare, a.basis, a.salt))
+      catch { case _: IllegalArgumentException => None }
     }.toDF("column", "hot_share", "basis", "advised_salt")
   }
 

@@ -1403,7 +1403,10 @@ object VersionedTable {
       .find(_.name.equalsIgnoreCase(oldName)).map(_.name)
       .getOrElse(throw new IllegalArgumentException(
         s"no column '$oldName' in ${snap.schema.simpleString}"))
-    require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+    // collision excludes the column being renamed: a CASE-ONLY rename
+    // ("body" → "Body") is legitimate, not a conflict with itself
+    require(!snap.schema.fieldNames.exists(n =>
+        n.equalsIgnoreCase(newName) && !n.equalsIgnoreCase(oldName)),
       s"column '$newName' already exists")
     schemaChangePreflight(spark, root, base, oldName,
       statsPinsMatter = true)
@@ -1493,17 +1496,13 @@ object VersionedTable {
         "is not provably lossless (long→double loses precision above " +
         "2^53; narrowing is a data change) — rewrite explicitly via " +
         "commit() if you accept the cast")
-    bucketSpec(spark, root, Some(base)).foreach { case (key, _) =>
-      require(!key.equalsIgnoreCase(colName),
-        s"'$colName' is the bucket key — its murmur3 hash is " +
-          "type-dependent, so widening it would strand the bucket " +
-          "layout; disableBucketing, widen, enableBucketing")
-    }
-    changeFeedKey(spark, root, Some(base)).foreach { _ =>
-      throw new IllegalArgumentException(
-        "the change feed is enabled — a widening is a schema-changing " +
-          "rewrite; disableChangeFeed, widen, re-enable")
-    }
+    // shared pre-flight (bucket key refuses here because murmur3
+    // hashes are TYPE-dependent — widening the key would strand the
+    // bucket file layout; change feed refuses any schema change).
+    // Stats pins ride through: the pin name survives the widening and
+    // the NDV long-domain cast already unions int with long history.
+    schemaChangePreflight(spark, root, base, colName,
+      statsPinsMatter = false)
     val widened = snap.withColumn(field.name,
       org.apache.spark.sql.functions.col(field.name).cast(to))
     commit(spark, root, widened, base, op = "widen_column")
@@ -1890,6 +1889,15 @@ object VersionedTable {
     require(missing.isEmpty,
       s"NDV column(s) not in table schema: ${missing.mkString(", ")}")
     val eligible = NdvStats.eligibleCols(snap.schema, cols)
+    // an EXPLICIT pin must be honored in full — silently storing a
+    // never-sketched name would read as coverage that never arrives
+    if (cols.nonEmpty) {
+      val el = eligible.map(_.name.toLowerCase).toSet
+      val ineligible = cols.filterNot(c => el.contains(c.toLowerCase))
+      require(ineligible.isEmpty,
+        s"column(s) not sketchable for NDV (unsupported type): " +
+          ineligible.mkString(", "))
+    }
     require(eligible.nonEmpty,
       s"no sketchable column among ${snap.schema.simpleString}")
     // one job over the snapshot: per-dir partial sketches, grouped by
@@ -1935,6 +1943,16 @@ object VersionedTable {
     require(missing.isEmpty,
       s"quantile column(s) not in table schema: ${missing.mkString(", ")}")
     val eligible = QuantileStats.eligibleCols(snap.schema, cols)
+    // explicit pins are all-or-nothing, same posture as NDV: a pin
+    // naming an ineligible column (string, TIMESTAMP_NTZ) must refuse
+    // loudly, not commit a name that will never produce sketches
+    if (cols.nonEmpty) {
+      val el = eligible.map(_.toLowerCase).toSet
+      val ineligible = cols.filterNot(c => el.contains(c.toLowerCase))
+      require(ineligible.isEmpty,
+        s"column(s) not sketchable for quantiles (non-numeric or " +
+          s"timezone-ambiguous type): ${ineligible.mkString(", ")}")
+    }
     require(eligible.nonEmpty,
       s"no numeric-family column among ${snap.schema.simpleString}")
     import org.apache.spark.sql.functions._

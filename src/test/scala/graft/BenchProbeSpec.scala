@@ -1,5 +1,6 @@
 package graft
 
+import org.scalactic.Tolerance
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench's probe-contamination estimator ([[Bench.probeStats]]),
@@ -9,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * normalizer divided by a ratio < 1 and INFLATED totals. The
   * session-minimum baseline is immune to both: a storm can only
   * inflate probes, never deflate them. */
-class BenchProbeSpec extends AnyFunSuite {
+class BenchProbeSpec extends AnyFunSuite with Tolerance {
 
   test("JIT-cold head probes do not set the base: steady-state rows " +
     "ratio ~1, not ~0.46") {
@@ -43,14 +44,5 @@ class BenchProbeSpec extends AnyFunSuite {
       Seq(0.0001, 0.010))
     assert(base == 0.005)
     assert(ratios(0) < 1.0 && ratios(1) == 2.0)
-  }
-
-  private implicit class Approx(val d: Double) {
-    def ===(other: ApproxTarget): Boolean =
-      math.abs(d - other.v) <= other.eps
-  }
-  private case class ApproxTarget(v: Double, eps: Double)
-  private implicit class Pm(val v: Double) {
-    def +-(eps: Double): ApproxTarget = ApproxTarget(v, eps)
   }
 }

@@ -147,6 +147,11 @@ class QuantileStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       VersionedTable.enableQuantileStats(spark, root, Seq("tntz"))
     }
+    // and a MIXED pin refuses too: silently storing a never-sketched
+    // name would read as coverage that never arrives
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.enableQuantileStats(spark, root, Seq("dt", "tntz"))
+    }.getMessage.contains("tntz"))
     VersionedTable.enableQuantileStats(spark, root) // backfill path
     val epochDay = java.time.LocalDate.of(2026, 1, 1).toEpochDay.toDouble
     val qdt = VersionedTable.tableQuantiles(spark, root, "dt",

@@ -500,6 +500,10 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       VersionedTable.renameColumn(spark, root, "TEXT", "id")
     }
+    // a CASE-ONLY rename is a legitimate casing fix, not a collision
+    VersionedTable.renameColumn(spark, root, "text", "Text")
+    assert(VersionedTable.read(spark, root).schema.fieldNames
+      .contains("Text"))
   }
 
   test("renameColumn pre-flight refusals name the unpin spelling: " +
