@@ -83,4 +83,37 @@ object SkewAdvisor {
         "measured heavy-hitter mass, or enableNdvStats(...) for the " +
         "cardinality floor — the advisor refuses to guess."))
   }
+
+  /** Advise a salt for a COMPOSITE join key via the projection bound:
+    * a composite value's row count never exceeds any of its
+    * projections' counts, so
+    * `mass(k1,…,kn) ≤ min_i mass(k_i)` — the minimum covered
+    * marginal's hot share is a SOUND UPPER bound on the composite hot
+    * share. Consequences: one uniform covered key proves the whole
+    * composite uniform (salt 1, confidently — the common win: a join
+    * on (customer, order) never needs salt when order is uniform,
+    * however hot customer is), while a bound from only-hot marginals
+    * may OVER-salt (costs ×salt dim replication, never a wrong
+    * answer). NDV-floor marginals are excluded from the minimum:
+    * a floor is a LOWER bound on that marginal's mass, so it cannot
+    * cap the composite. Refuses when no key has measured (kll-mass)
+    * coverage. Basis records which marginal bounded the estimate. */
+  def adviseComposite(spark: SparkSession, root: String,
+      keys: Seq[String], parallelism: Int,
+      version: Option[Int] = None): SaltAdvice = {
+    require(keys.nonEmpty, "composite advice needs at least one key")
+    val measured = keys.flatMap { k =>
+      VersionedTable.tableColumnSketch(spark, root, k, version)
+        .flatMap(QuantileStats.modalMass(_))
+        .map(k -> _)
+    }
+    if (measured.isEmpty) throw new IllegalArgumentException(
+      s"cannot advise a composite salt for (${keys.mkString(", ")}) " +
+        s"on $root: no key has measured quantile coverage — pin at " +
+        "least one via enableQuantileStats(...); the advisor refuses " +
+        "to guess.")
+    val (boundKey, mass) = measured.minBy(_._2)
+    SaltAdvice(saltFor(mass, parallelism), mass,
+      s"composite-min($boundKey)")
+  }
 }

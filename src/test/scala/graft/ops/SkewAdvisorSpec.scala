@@ -97,6 +97,47 @@ class SkewAdvisorSpec extends SparkSpec {
     assert(high.salt == 1, s"high-ndv floor is no salt, got $high")
   }
 
+  test("composite keys use the projection bound: one uniform covered " +
+    "key proves the composite uniform; hot-only coverage bounds from " +
+    "above; no measured coverage refuses") {
+    val root = freshRoot()
+    // k hot (90% one value), u uniform, s uncovered string
+    val df = spark.range(0, 2000).select(
+      $"id",
+      when($"id" % 10 =!= 0, lit(0L)).otherwise($"id" % 96 + 1).as("k"),
+      ($"id" * 7 % 997).as("u"),
+      concat(lit("x"), $"id").as("s"))
+    VersionedTable.init(spark, root, df)
+    VersionedTable.enableQuantileStats(spark, root, Seq("k", "u"))
+    // (k, u): u's uniform marginal caps the composite — salt 1 even
+    // though k alone is 90%-hot
+    val both = SkewAdvisor.adviseComposite(spark, root,
+      Seq("k", "u"), 32)
+    assert(both.salt == 1 && both.basis == "composite-min(u)",
+      s"uniform marginal proves the composite uniform, got $both")
+    // (k, s): only the hot marginal is covered — a sound upper bound
+    val hotOnly = SkewAdvisor.adviseComposite(spark, root,
+      Seq("k", "s"), 32)
+    assert(hotOnly.salt >= 26 && hotOnly.basis == "composite-min(k)",
+      s"hot-only coverage bounds from above, got $hotOnly")
+    // exact: the composite-salted join equals the plain join
+    val big = VersionedTable.read(spark, root)
+    val dim = spark.range(0, 97).crossJoin(
+        spark.range(0, 10).select(($"id" * 7 % 997).as("u")))
+      .select($"id".as("k"), $"u", concat(lit("d"), $"id").as("attr"))
+      .dropDuplicates("k", "u")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id", $"k", $"u", $"attr").orderBy("id")
+        .collect().map(_.toSeq).toSeq
+    assert(canon(Skew.saltedJoin(big, dim, Seq("k", "u"),
+        salts = hotOnly.salt)) ==
+      canon(big.join(dim, Seq("k", "u"))))
+    // nothing measured → refusal
+    intercept[IllegalArgumentException] {
+      SkewAdvisor.adviseComposite(spark, root, Seq("s"), 32)
+    }
+  }
+
   test("kll-mass wins over ndv-floor when both are pinned (measured " +
     "beats bound)") {
     val root = freshRoot()
