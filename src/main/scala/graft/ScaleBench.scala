@@ -122,7 +122,8 @@ object ScaleBench {
       // sketch, so writing the wide payload would be pure I/O waste
       vt.init(spark, root, skewBig.select(col("k")))
       vt.enableQuantileStats(spark, root, Seq("k"))
-      graft.ops.SkewAdvisor.advise(spark, root, "k", 32).salt
+      graft.ops.SkewAdvisor.advise(spark, root, "k",
+        spark.conf.get("spark.sql.shuffle.partitions").toInt).salt
     }
     def skewRun(salts: Int): DataFrame = {
       val oldB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -1503,6 +1503,9 @@ object PipelineQueries extends QueryPack {
       val (cat, wh) = spjFixture.getOrElseUpdate(
         s.sparkContext.applicationId + "|" + d, {
           val tmpRoot = java.nio.file.Files.createTempDirectory("graft_spj")
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            org.apache.commons.io.FileUtils
+              .deleteQuietly(tmpRoot.toFile): Unit))
           val c = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
           s.conf.set(s"spark.sql.catalog.$c",
             classOf[graft.sources.GraftCatalog].getName)
@@ -1565,6 +1568,9 @@ object PipelineQueries extends QueryPack {
     skewFixture.getOrElseUpdate(
       s.sparkContext.applicationId + "|" + d, {
         val tmp = java.nio.file.Files.createTempDirectory("graft_skew")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(tmp.toFile): Unit))
         val r = new java.io.File(tmp.toFile, "t").getAbsolutePath
         val big = events(s, d).select(
           when(col("event_id") % 10 =!= 0, lit(0L))
@@ -1572,7 +1578,10 @@ object PipelineQueries extends QueryPack {
           col("event_id"), col("value"))
         graft.sources.VersionedTable.init(s, r, big)
         graft.sources.VersionedTable.enableQuantileStats(s, r, Seq("k"))
-        val advice = SkewAdvisor.advise(s, r, "k", 32)
+        // the salt is sized for THIS session's reduce width — a
+        // hardcoded width would mis-size whenever cpus differ
+        val advice = SkewAdvisor.advise(s, r, "k",
+          s.conf.get("spark.sql.shuffle.partitions").toInt)
         require(advice.basis == "kll-mass" && advice.salt > 1,
           "skew gate: expected a statistics-chosen salt > 1 from " +
             s"measured mass, got $advice")

@@ -84,6 +84,42 @@ object SkewAdvisor {
         "cardinality floor — the advisor refuses to guess."))
   }
 
+  /** Whole-table advice at O(manifest): ONE manifest read serves
+    * every column any stats family covers — the shape the `t$skew`
+    * metadata table needs (per-column [[advise]] calls re-parse the
+    * manifest and re-decode every sketch blob each time). Candidates
+    * are the NDV-sketched names plus the quantile pin (a `*` pin
+    * resolves through the envelope column set, also manifest-only),
+    * deduped case-insensitively. Returns (column → advice) sorted by
+    * column; columns with no coverage are absent — same refusal
+    * semantics as [[advise]], rendered as absence. */
+  def adviseAll(spark: SparkSession, root: String, parallelism: Int,
+      version: Option[Int] = None): Seq[(String, SaltAdvice)] = {
+    require(parallelism > 0, "parallelism must be positive")
+    val ndv = VersionedTable.tableNdv(spark, root, version)
+    val kllCandidates = VersionedTable
+      .quantileColumns(spark, root, version) match {
+      case None => Seq.empty[String]
+      case Some(pin) if pin.nonEmpty => pin
+      case Some(_) =>
+        VersionedTable.columnEnvelopes(spark, root, version)
+          .keys.toSeq
+    }
+    val candidates = (ndv.keys ++ kllCandidates)
+      .groupBy(_.toLowerCase).map(_._2.head).toSeq
+    val sketches = VersionedTable.tableColumnSketches(spark, root,
+      candidates, version)
+    candidates.flatMap { c =>
+      val fromKll = sketches.get(c).flatMap(QuantileStats.modalMass(_))
+        .map(m => SaltAdvice(saltFor(m, parallelism), m, "kll-mass"))
+      def fromNdv = ndv.collectFirst {
+        case (n, d) if n.equalsIgnoreCase(c) =>
+          SaltAdvice(saltFor(1.0 / d, parallelism), 1.0 / d, "ndv-floor")
+      }
+      fromKll.orElse(fromNdv).map(c -> _)
+    }.sortBy(_._1)
+  }
+
   /** Advise a salt for a COMPOSITE join key via the projection bound:
     * a composite value's row count never exceeds any of its
     * projections' counts, so

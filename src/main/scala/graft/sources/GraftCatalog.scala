@@ -189,23 +189,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val s = spark
     import s.implicits._
     val parallelism = s.conf.get("spark.sql.shuffle.partitions").toInt
-    // candidate columns come from the stats plane itself, never a
-    // file-index listing: NDV-sketched names (one cached manifest
-    // union) plus the explicit quantile pin; a `*` quantile pin
-    // resolves through the envelope column set (also manifest-only)
-    val ndvCols = VersionedTable.tableNdv(s, root).keySet
-    val kllCols = VersionedTable.quantileColumns(s, root) match {
-      case None => Set.empty[String]
-      case Some(pin) if pin.nonEmpty => pin.toSet
-      case Some(_) => VersionedTable.columnEnvelopes(s, root).keySet
-    }
-    // only the advisor's refusal renders as "absent"; an unreadable
-    // manifest must SURFACE, not read as 'nothing is pinned'
-    (ndvCols ++ kllCols).toSeq.distinct.sorted.flatMap { c =>
-      try Some(graft.ops.SkewAdvisor.advise(s, root, c, parallelism))
-        .map(a => (c, a.hotShare, a.basis, a.salt))
-      catch { case _: IllegalArgumentException => None }
-    }.toDF("column", "hot_share", "basis", "advised_salt")
+    // one manifest read serves every covered column; uncovered
+    // columns are absent (the advisor's refusal, rendered as
+    // absence) while an unreadable manifest SURFACES as the error
+    // it is instead of reading as 'nothing is pinned'
+    graft.ops.SkewAdvisor.adviseAll(s, root, parallelism)
+      .map { case (c, a) => (c, a.hotShare, a.basis, a.salt) }
+      .toDF("column", "hot_share", "basis", "advised_salt")
   }
 
   // a driver-local relation on the public LocalScan seam: the rows are

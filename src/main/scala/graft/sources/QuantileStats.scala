@@ -148,19 +148,31 @@ object QuantileStats {
   /** Union the per-dir sketches over exactly `dirs` for one column;
     * None unless EVERY dir carries the column's sketch. */
   def mergedSketch(lines: Seq[String], dirs: Seq[String],
-      column: String): Option[KllDoublesSketch] = {
+      column: String): Option[KllDoublesSketch] =
+    mergedSketches(lines, dirs, Seq(column)).get(column)
+
+  /** Batch form of [[mergedSketch]]: ONE parse of the `#kll:` lines
+    * serves every requested column (a per-column caller re-decodes
+    * every dir's base64 blob N times). Keys are the requested
+    * spellings; a column absent from any dir is absent from the
+    * result. */
+  def mergedSketches(lines: Seq[String], dirs: Seq[String],
+      columns: Seq[String]): Map[String, KllDoublesSketch] = {
+    if (dirs.isEmpty || columns.isEmpty) return Map.empty
     val byDir = lines.filter(_.startsWith(LinePrefix))
       .flatMap(parseLine).toMap
-    val lower = column.toLowerCase
-    val perDir = dirs.map(d => byDir.get(d).flatMap(m =>
-      m.collectFirst { case (nm, b) if nm.toLowerCase == lower => b }))
-    if (dirs.isEmpty || perDir.exists(_.isEmpty)) return None
-    scala.util.Try {
-      val u = KllDoublesSketch.newHeapInstance(K)
-      perDir.flatten.foreach(b =>
-        u.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
-      u
-    }.toOption
+    columns.flatMap { column =>
+      val lower = column.toLowerCase
+      val perDir = dirs.map(d => byDir.get(d).flatMap(m =>
+        m.collectFirst { case (nm, b) if nm.toLowerCase == lower => b }))
+      if (perDir.exists(_.isEmpty)) None
+      else scala.util.Try {
+        val u = KllDoublesSketch.newHeapInstance(K)
+        perDir.flatten.foreach(b =>
+          u.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
+        column -> u
+      }.toOption
+    }.toMap
   }
 
   /** Quantile estimates (INCLUSIVE rank semantics — the order

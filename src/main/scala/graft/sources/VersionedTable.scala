@@ -2007,16 +2007,25 @@ object VersionedTable {
     * sketch. O(manifest) driver work, no cluster job. */
   def tableColumnSketch(spark: SparkSession, root: String,
       column: String, version: Option[Int] = None)
-      : Option[org.apache.datasketches.kll.KllDoublesSketch] = {
+      : Option[org.apache.datasketches.kll.KllDoublesSketch] =
+    tableColumnSketches(spark, root, Seq(column), version).get(column)
+
+  /** Batch form of [[tableColumnSketch]]: one manifest read and one
+    * `#kll:` parse serve every requested column — the shape a
+    * whole-table consumer (`t$skew`) needs at O(manifest), not
+    * O(columns × manifest). */
+  def tableColumnSketches(spark: SparkSession, root: String,
+      columns: Seq[String], version: Option[Int] = None)
+      : Map[String, org.apache.datasketches.kll.KllDoublesSketch] = {
     val v = version.getOrElse(latestVersion(spark, root))
-    if (v < 0) return None
+    if (v < 0) return Map.empty
     val lines = manifestLines(spark, root, v)
-    if (QuantileStats.pinnedCols(lines).isEmpty) return None
+    if (QuantileStats.pinnedCols(lines).isEmpty) return Map.empty
     val dirs = readManifest(spark, root, v)
     val byDir = statsByDir(spark, root, Some(v))
-    if (!dirs.forall(byDir.contains)) return None
+    if (!dirs.forall(byDir.contains)) return Map.empty
     val bearing = dirs.filter(d => byDir(d).exists(_.rows != 0L))
-    QuantileStats.mergedSketch(lines, bearing, column)
+    QuantileStats.mergedSketches(lines, bearing, columns)
   }
 
   /** Drop the NDV pin and every stored sketch line. */
