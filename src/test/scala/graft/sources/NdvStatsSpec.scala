@@ -205,6 +205,31 @@ class NdvStatsSpec extends SparkSpec {
       s"two epoch commits unioned, got ${ndv.get("id")}")
   }
 
+  test("a failed ANALYZE leaves the existing pin and its sketches " +
+    "untouched: the backfill runs before the pin swap commits") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, batch(0, 2000))
+    VersionedTable.enableNdvStats(spark, root, Seq("u"))
+    val before = VersionedTable.tableNdv(spark, root)
+    assert(before.get("u").contains(100L))
+    val vBefore = VersionedTable.latestVersion(spark, root)
+    // repin naming a missing column fails in validation — BEFORE
+    // anything was dropped (the old disable-then-enable pair lost the
+    // stored sketches here)
+    intercept[IllegalArgumentException] {
+      VersionedTable.repinNdvStats(spark, root, Seq("nope"))
+    }
+    assert(VersionedTable.latestVersion(spark, root) == vBefore,
+      "no version committed by the failed repin")
+    assert(VersionedTable.tableNdv(spark, root) == before,
+      "old pin and sketches still serve")
+    // and a SUCCESSFUL repin swaps in ONE commit
+    VersionedTable.repinNdvStats(spark, root, Seq("id"))
+    assert(VersionedTable.latestVersion(spark, root) == vBefore + 1)
+    val after = VersionedTable.tableNdv(spark, root)
+    assert(after.contains("id") && !after.contains("u"))
+  }
+
   test("date / timestamp / timestamp_ntz columns sketch through LEGAL " +
     "conversions on both the backfill and the commit path; " +
     "sub-second-distinct timestamps stay distinct (micros domain)") {

@@ -597,6 +597,15 @@ class VersionedTableSpec extends SparkSpec {
       // long→double is lossy above 2^53
       VersionedTable.widenColumnType(spark, root, "i", DoubleType)
     }.getMessage.contains("lossless"))
+    // explicit stats pins RIDE THROUGH a widen (the pin name
+    // survives; the rewrite re-sketches in the unchanged long domain)
+    val root3 = freshRoot()
+    VersionedTable.init(spark, root3,
+      spark.range(40).select($"id".cast("int").as("i"), $"id".as("v")))
+    VersionedTable.enableNdvStats(spark, root3, Seq("i"))
+    VersionedTable.widenColumnType(spark, root3, "i", LongType)
+    assert(VersionedTable.tableNdv(spark, root3).get("i").contains(40L),
+      "widened column re-sketched under its carried pin")
     // bucket key: murmur3 is type-dependent — widening it refuses
     val root2 = freshRoot()
     VersionedTable.init(spark, root2,
