@@ -48,7 +48,16 @@ object SkewAdvisor {
 
   /** What the advisor measured and chose. `hotShare` is the heaviest
     * value's estimated row share (`kll-mass` basis) or its pigeonhole
-    * floor 1/ndv (`ndv-floor` basis). */
+    * floor 1/ndv (`ndv-floor` basis).
+    *
+    * Resolution note (property-tested in SkewProps): past KLL's exact
+    * threshold a compacted item carries weight > 1, so a TINY true
+    * mass can read as ~weight/n — bounded by the sketch's ±1.65% rank
+    * error. Consequence: at extreme parallelism (mass resolution
+    * finer than 1/parallelism) a perfectly uniform key may advise
+    * salt 2 instead of 1 — a benign over-salt costing one extra dim
+    * replica, never a missed hot key (errors on heavy masses are
+    * RELATIVE and small). */
   final case class SaltAdvice(salt: Int, hotShare: Double, basis: String)
 
   /** Pure salt sizing from a measured hot share — unit-testable
