@@ -1502,10 +1502,7 @@ object PipelineQueries extends QueryPack {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val (cat, wh) = spjFixture.getOrElseUpdate(
         s.sparkContext.applicationId + "|" + d, {
-          val tmpRoot = java.nio.file.Files.createTempDirectory("graft_spj")
-          Runtime.getRuntime.addShutdownHook(new Thread(() =>
-            org.apache.commons.io.FileUtils
-              .deleteQuietly(tmpRoot.toFile): Unit))
+          val tmpRoot = tempDirCleanedAtExit("graft_spj")
           val c = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
           s.conf.set(s"spark.sql.catalog.$c",
             classOf[graft.sources.GraftCatalog].getName)
@@ -1562,15 +1559,22 @@ object PipelineQueries extends QueryPack {
   // mixing-shuffle insight), the answer is not negotiable. The table
   // is a per-(application, dir) fixture so bench reps time the
   // advised JOIN, not table setup.
+  // the fixture caches (tableRoot, measured hotShare) — NOT the salt:
+  // the salt is width-dependent and sessions within one application
+  // may run different shuffle widths, so each call re-sizes it from
+  // the cached measurement at ITS session's width
   private val skewFixture =
-    scala.collection.concurrent.TrieMap[String, (String, Int)]()
-  private def skewFixtureFor(s: SparkSession, d: String): (String, Int) =
-    skewFixture.getOrElseUpdate(
+    scala.collection.concurrent.TrieMap[String, (String, Double)]()
+  private def tempDirCleanedAtExit(prefix: String): java.nio.file.Path = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile): Unit))
+    tmp
+  }
+  private def skewFixtureFor(s: SparkSession, d: String): (String, Int) = {
+    val (root, hotShare) = skewFixture.getOrElseUpdate(
       s.sparkContext.applicationId + "|" + d, {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_skew")
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          org.apache.commons.io.FileUtils
-            .deleteQuietly(tmp.toFile): Unit))
+        val tmp = tempDirCleanedAtExit("graft_skew")
         val r = new java.io.File(tmp.toFile, "t").getAbsolutePath
         val big = events(s, d).select(
           when(col("event_id") % 10 =!= 0, lit(0L))
@@ -1578,17 +1582,21 @@ object PipelineQueries extends QueryPack {
           col("event_id"), col("value"))
         graft.sources.VersionedTable.init(s, r, big)
         graft.sources.VersionedTable.enableQuantileStats(s, r, Seq("k"))
-        // the salt is sized for THIS session's reduce width — a
-        // hardcoded width would mis-size whenever cpus differ
-        val advice = SkewAdvisor.advise(s, r, "k",
-          s.conf.get("spark.sql.shuffle.partitions").toInt)
-        require(advice.basis == "kll-mass" && advice.salt > 1,
-          "skew gate: expected a statistics-chosen salt > 1 from " +
-            s"measured mass, got $advice")
+        val advice = SkewAdvisor.advise(s, r, "k", 32)
+        require(advice.basis == "kll-mass",
+          s"skew gate: expected measured-mass advice, got $advice")
         require(math.abs(advice.hotShare - 0.9) < 0.05,
           s"skew gate: planted 90% hot share misread as $advice")
-        (r, advice.salt)
+        (r, advice.hotShare)
       })
+    val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val salt = SkewAdvisor.saltFor(hotShare, width)
+    // canary: at any width > 1 the measured 0.9 mass must yield a
+    // real salt; width 1 correctly advises 1 (nothing to spread over)
+    require(width == 1 || salt > 1,
+      s"skew gate: 0.9 mass at width $width must salt, got $salt")
+    (root, salt)
+  }
   def pipelineSkewAdvisedJoin(s: SparkSession, d: String): DataFrame = {
     val (root, salt) = skewFixtureFor(s, d)
     val dim = s.range(0, 97).select(col("id").as("k"),

@@ -105,19 +105,25 @@ object SkewAdvisor {
   def adviseAll(spark: SparkSession, root: String, parallelism: Int,
       version: Option[Int] = None): Seq[(String, SaltAdvice)] = {
     require(parallelism > 0, "parallelism must be positive")
-    val ndv = VersionedTable.tableNdv(spark, root, version)
+    // resolve the version ONCE and pin every read to it — otherwise a
+    // concurrent commit tears the result across versions (candidates
+    // from version N, sketches from N+1 where the pin may be gone)
+    val v = Some(version.getOrElse(
+      VersionedTable.latestVersion(spark, root)))
+    if (v.get < 0) return Seq.empty
+    val ndv = VersionedTable.tableNdv(spark, root, v)
     val kllCandidates = VersionedTable
-      .quantileColumns(spark, root, version) match {
+      .quantileColumns(spark, root, v) match {
       case None => Seq.empty[String]
       case Some(pin) if pin.nonEmpty => pin
       case Some(_) =>
-        VersionedTable.columnEnvelopes(spark, root, version)
+        VersionedTable.columnEnvelopes(spark, root, v)
           .keys.toSeq
     }
     val candidates = (ndv.keys ++ kllCandidates)
       .groupBy(_.toLowerCase).map(_._2.head).toSeq
     val sketches = VersionedTable.tableColumnSketches(spark, root,
-      candidates, version)
+      candidates, v)
     candidates.flatMap { c =>
       val fromKll = sketches.get(c).flatMap(QuantileStats.modalMass(_))
         .map(m => SaltAdvice(saltFor(m, parallelism), m, "kll-mass"))
