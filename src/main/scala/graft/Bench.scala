@@ -172,7 +172,10 @@ object Bench {
     // (nn_descent_graph). Without this, run 1 is the ~6 s index build
     // and the row's spread reads as noise instead of an architecture.
     val offlineBuildRows = Set("sim_topk_graph", "sim_topk_pq",
-      "sim_topk_ivfpq", "q30_bucket_join", "sim_pq_drift")
+      "sim_topk_ivfpq", "q30_bucket_join", "sim_pq_drift",
+      // per-(application, dir) fixture tables build on first call
+      "pipeline_versioned_spj_join", "pipeline_skew_advised_join",
+      "pipeline_skew_advised_agg")
 
     // a query with ZERO successful runs reports null and lands in
     // "errors" (breakage can't masquerade as speed) — but only after
