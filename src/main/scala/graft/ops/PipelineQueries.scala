@@ -1599,15 +1599,31 @@ object PipelineQueries extends QueryPack {
   }
   def pipelineSkewAdvisedJoin(s: SparkSession, d: String): DataFrame = {
     val (root, salt) = skewFixtureFor(s, d)
-    val dim = s.range(0, 97).select(col("id").as("k"),
-      concat(lit("d"), col("id")).as("attr"))
-    Skew.saltedJoin(graft.sources.VersionedTable.read(s, root), dim,
-        Seq("k"), salts = salt)
-      .groupBy("k", "attr")
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .cast("double").as("sum_value"))
-      .orderBy("k", "attr")
+    // broadcast off (restored in finally), or the 97-row dim side
+    // broadcasts and the salted SHUFFLE join this gate times never
+    // engages a shuffle at all — mirror pipelineVersionedSpjJoin:
+    // materialize inside the conf window so planning sees it
+    val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dim = s.range(0, 97).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("attr"))
+      val joined = Skew
+        .saltedJoin(graft.sources.VersionedTable.read(s, root), dim,
+          Seq("k"), salts = salt)
+        .groupBy("k", "attr")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+        .orderBy("k", "attr")
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastExchange"),
+        s"skew gate: the dim side still broadcasts\n$plan")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
+    } finally
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
   }
 
   // the AGGREGATION twin: the SAME statistics-chosen salt drives

@@ -83,8 +83,10 @@ object SkewAdvisor {
       .map(m => SaltAdvice(saltFor(m, parallelism), m, "kll-mass"))
     def fromNdv = VersionedTable.tableNdv(spark, root, version)
       .collectFirst { case (n, ndv) if n.equalsIgnoreCase(column) =>
-        SaltAdvice(saltFor(1.0 / ndv, parallelism), 1.0 / ndv,
-          "ndv-floor")
+        // tableNdv floors estimates at 1, but guard the reciprocal
+        // anyway — a 0 here would surface Infinity as the hot share
+        val share = 1.0 / math.max(ndv, 1L)
+        SaltAdvice(saltFor(share, parallelism), share, "ndv-floor")
       }
     fromKll.orElse(fromNdv).getOrElse(throw new IllegalArgumentException(
       s"cannot advise a salt for '$column' on $root: no statistics " +
@@ -129,7 +131,8 @@ object SkewAdvisor {
         .map(m => SaltAdvice(saltFor(m, parallelism), m, "kll-mass"))
       def fromNdv = ndv.collectFirst {
         case (n, d) if n.equalsIgnoreCase(c) =>
-          SaltAdvice(saltFor(1.0 / d, parallelism), 1.0 / d, "ndv-floor")
+          val share = 1.0 / math.max(d, 1L) // see advise's guard
+          SaltAdvice(saltFor(share, parallelism), share, "ndv-floor")
       }
       fromKll.orElse(fromNdv).map(c -> _)
     }.sortBy(_._1)

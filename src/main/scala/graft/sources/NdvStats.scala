@@ -41,8 +41,20 @@ import org.json4s.jackson.JsonMethods
 object NdvStats {
 
   val PinPrefix = "#ndvcols:" // comma-joined column list; "*" = all
-  val LinePrefix = "#ndv:" // {"dir":"c…","cols":{"name":"<b64>"}}
+  val LinePrefix = "#ndv:" // {"v":2,"dir":"c…","cols":{"name":"<b64>"}}
   private val LgK = 12
+
+  /** The sketch-DOMAIN version stamped into every `#ndv:` line and
+    * required back at parse time. [[sketchInput]]'s type→update
+    * mapping is part of the on-disk contract — when it changes
+    * (v1→v2: timestamps moved from a seconds cast to epoch micros,
+    * NTZ to its string form), sketches written under the old domain
+    * must NOT union with new-domain appends (a mixed-domain union
+    * inflates NDV silently instead of refusing). Lines whose `v`
+    * differs (or is absent) parse as ABSENT, so [[tableNdv]]'s
+    * every-dir rule degrades the column to "unknown — repin/ANALYZE
+    * to backfill" — absent beats wrong, mechanically enforced. */
+  val DomainVersion = 2
 
   /** The pinned column set as of a manifest's lines: None = NDV
     * stats off; Some(Nil) = every eligible column. */
@@ -92,6 +104,7 @@ object NdvStats {
       : String = {
     val b64 = java.util.Base64.getEncoder
     LinePrefix + JsonMethods.compact(JsonMethods.render(JObject(
+      "v" -> JInt(DomainVersion),
       "dir" -> JString(dir),
       "cols" -> JObject(entries.map { case (n, bytes) =>
         n -> (JString(b64.encodeToString(bytes)): JValue) }.toList))))
@@ -176,10 +189,17 @@ object NdvStats {
     (ndvLine, kllLine)
   }
 
-  /** Parse one line → (dir, colName → sketch bytes). */
+  /** Parse one line → (dir, colName → sketch bytes). None for a
+    * line from another sketch-domain version (see [[DomainVersion]]) —
+    * the dir then reads as sketch-less and the column's table stat
+    * refuses rather than unioning mixed domains. */
   def parseLine(line: String): Option[(String, Map[String, Array[Byte]])] =
     scala.util.Try {
       val j = JsonMethods.parse(line.stripPrefix(LinePrefix))
+      (j \ "v") match {
+        case JInt(v) if v == DomainVersion => ()
+        case _ => return None
+      }
       val dir = (j \ "dir") match {
         case JString(s) => s
         case _ => return None

@@ -32,8 +32,16 @@ import org.json4s.jackson.JsonMethods
 object QuantileStats {
 
   val PinPrefix = "#kllcols:" // comma-joined column list; "*" = all
-  val LinePrefix = "#kll:" // {"dir":"c…","cols":{"name":"<b64>"}}
+  val LinePrefix = "#kll:" // {"v":2,"dir":"c…","cols":{"name":"<b64>"}}
   private val K = 200
+
+  /** Sketch-DOMAIN version, same contract as
+    * [[NdvStats.DomainVersion]]: stamped into every `#kll:` line,
+    * required back at parse. v1→v2 moved timestamps from a seconds
+    * cast to epoch micros; a v1 sketch merged into a v2 union would
+    * serve garbage quantiles silently. Mismatched/absent `v` parses
+    * as absent → the every-dir rule refuses the column. */
+  val DomainVersion = 2
 
   /** The pinned column set: None = off; Some(Nil) = all eligible. */
   def pinnedCols(lines: Seq[String]): Option[Seq[String]] =
@@ -118,6 +126,7 @@ object QuantileStats {
       : String = {
     val b64 = java.util.Base64.getEncoder
     LinePrefix + JsonMethods.compact(JsonMethods.render(JObject(
+      "v" -> JInt(DomainVersion),
       "dir" -> JString(dir),
       "cols" -> JObject(entries.map { case (nm, bytes) =>
         nm -> (JString(b64.encodeToString(bytes)): JValue) }.toList))))
@@ -126,6 +135,10 @@ object QuantileStats {
   def parseLine(line: String): Option[(String, Map[String, Array[Byte]])] =
     scala.util.Try {
       val j = JsonMethods.parse(line.stripPrefix(LinePrefix))
+      (j \ "v") match {
+        case JInt(v) if v == DomainVersion => ()
+        case _ => return None
+      }
       val dir = (j \ "dir") match {
         case JString(s) => s
         case _ => return None

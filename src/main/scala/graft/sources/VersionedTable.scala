@@ -1421,11 +1421,16 @@ object VersionedTable {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       renamed.schema)
     constraints(spark, root, Some(base)).foreach { case (n, e) =>
+      // AnalysisException is the "references the old name" signal;
+      // anything else (broken expression, transient failure) must
+      // surface with its own diagnosis, not this one's
       try probe.filter(e).collect()
-      catch { case _: Throwable =>
+      catch { case cause: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(
-          s"CHECK constraint '$n' ($e) references '$oldName' — " +
-            "dropConstraint, rename, re-add it under the new name")
+          s"CHECK constraint '$n' ($e) does not analyze under the " +
+            s"renamed schema (likely references '$oldName') — " +
+            "dropConstraint, rename, re-add it under the new name",
+          cause)
       }
     }
     commit(spark, root, renamed, base, op = s"rename_column")
@@ -1455,11 +1460,13 @@ object VersionedTable {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       remaining.schema)
     constraints(spark, root, Some(base)).foreach { case (n, e) =>
+      // same discipline as renameColumn's probe: only an analysis
+      // failure means "references the dropped column"
       try probe.filter(e).collect()
-      catch { case _: Throwable =>
+      catch { case cause: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(
-          s"CHECK constraint '$n' ($e) references '$colName' — " +
-            "dropConstraint first")
+          s"CHECK constraint '$n' ($e) does not analyze without " +
+            s"'$colName' — dropConstraint first", cause)
       }
     }
     commit(spark, root, remaining, base, op = "drop_column")
