@@ -1904,6 +1904,50 @@ object PipelineQueries extends QueryPack {
         uniqueCols = Seq("doc_id"))
       .orderBy("rule")
 
+  // INCREMENTALLY MAINTAINED MATERIALIZED VIEW, end to end: the view
+  // aggregates (lang, source) → count/sum/avg of a versioned base and
+  // is refreshed through two appends and a row-level DELETE — each
+  // refresh folds ONLY the change feed (in-gate canaries: the append
+  // refreshes must detect the O(delta) fast path; the post-delete one
+  // must not). The final view is hash-gated by DuckDB recomputing the
+  // same GROUP BY over the final state from scratch: incremental
+  // maintenance is a physical choice, the aggregate is not negotiable.
+  // Decimal-summed in both engines (the MV's exactness contract).
+  def pipelineVersionedMv(s: SparkSession, d: String): DataFrame = {
+    val mvOps = graft.sources.MaterializedView
+    val vt = graft.sources.VersionedTable
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mv")
+    try {
+      val root = tmpRoot.resolve("base").toString
+      val mv = tmpRoot.resolve("mv").toString
+      val base = docs(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      vt.init(s, root, base.filter(col("doc_id") < 300))
+      mvOps.create(s, mv, root, Seq("lang", "source"),
+        Seq(mvOps.MvCount("cnt"), mvOps.MvSum("n_chars", "sum_chars"),
+          mvOps.MvAvg("n_chars", "avg_chars")))
+      vt.append(s, root,
+        base.filter(col("doc_id") >= 300 && col("doc_id") < 450), 0)
+      val r1 = mvOps.refresh(s, mv)
+      require(r1.refreshed && r1.appendOnly,
+        s"mv gate: append refresh missed the O(delta) regime: $r1")
+      vt.delete(s, root, col("doc_id") % 7 === 0)
+      val r2 = mvOps.refresh(s, mv)
+      require(r2.refreshed && !r2.appendOnly,
+        s"mv gate: delete refresh misread as append-only: $r2")
+      vt.append(s, root,
+        base.filter(col("doc_id") >= 450 && col("doc_id") < 500),
+        vt.latestVersion(s, root))
+      val r3 = mvOps.refresh(s, mv)
+      require(r3.refreshed && r3.appendOnly,
+        s"mv gate: append refresh missed the O(delta) regime: $r3")
+      require(mvOps.watermark(s, mv) == vt.latestVersion(s, root),
+        "mv gate: watermark must track the base head")
+      mvOps.read(s, mv).orderBy("lang", "source").localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_sorted_neighborhood" -> dedupSortedNeighborhood _,
@@ -1922,6 +1966,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_update" -> pipelineVersionedUpdate _,
     "pipeline_versioned_sql" -> pipelineVersionedSql _,
     "pipeline_versioned_stats" -> pipelineVersionedStats _,
+    "pipeline_versioned_mv" -> pipelineVersionedMv _,
     "pipeline_versioned_spj_join" -> pipelineVersionedSpjJoin _,
     "pipeline_skew_advised_join" -> pipelineSkewAdvisedJoin _,
     "pipeline_skew_advised_agg" -> pipelineSkewAdvisedAgg _,
@@ -2397,6 +2442,22 @@ object PipelineQueries extends QueryPack {
         |  md5(text) AS text_md5
         |FROM documents WHERE doc_id < 450
         |ORDER BY doc_id""".stripMargin,
+    // the incrementally maintained view vs DuckDB recomputing the
+    // final aggregate from scratch; final state = three appends minus
+    // the %7 delete that ran BEFORE the last append. Decimal sums
+    // mirror the MV's exactness contract; avg divides exact doubles.
+    "pipeline_versioned_mv" ->
+      """SELECT lang, source,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS BIGINT)
+        |    AS sum_chars,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) /
+        |    CAST(COUNT(n_chars) AS DOUBLE) AS avg_chars
+        |FROM documents
+        |WHERE (doc_id < 450 AND doc_id % 7 <> 0)
+        |   OR (doc_id >= 450 AND doc_id < 500)
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     // the $stats metadata table vs DuckDB recomputing the same
     // aggregates — NDV included: below HLL coupon capacity the sketch
     // is exact, so even the estimate hash-matches COUNT(DISTINCT)

@@ -1,0 +1,409 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** INCREMENTALLY MAINTAINED AGGREGATE VIEWS over versioned tables —
+  * the consumer of the CDF plane that turns "the table changed" into
+  * "the dashboard is current" at O(delta) instead of O(table).
+  *
+  * A materialized view is itself a versioned table (so it gets
+  * snapshot isolation, time travel, SQL/catalog reads, and vacuum for
+  * free) holding `base.groupBy(keys).agg(...)` in ACCUMULATOR form,
+  * plus two pieces of bookkeeping:
+  *
+  *  - the immutable DEFINITION (`_mvdef.json` beside `_manifests/`,
+  *    written once at [[create]]): base root, group keys, aggregate
+  *    specs and their serve types;
+  *  - the BASE-VERSION WATERMARK: each MV commit carries
+  *    `#txn:graft-mv:<baseVersion>` — the same atomic idempotency
+  *    marker streaming sinks use — so "which base version does this
+  *    MV reflect" is answered from the MV's own manifest chain and
+  *    can never tear from the data (a crashed refresh either
+  *    committed both or neither; a replay sees the marker and no-ops).
+  *
+  * [[refresh]] folds `VersionedTable.changeFeed(watermark+1 .. latest)`
+  * into the accumulators. Every delta row carries a sign (+1 for
+  * insert/update_postimage, −1 for delete/update_preimage), so the
+  * fold is ONE aggregate over the delta plus ONE |groups|-sized
+  * re-group — never a base-table scan. Cost per refresh:
+  *
+  *  - append-only range (the ingest steady state): the feed is the
+  *    added dirs read directly — O(delta) I/O, and the refresh's only
+  *    shuffles are over delta-groups ∪ view-groups. A 1 GB append
+  *    against a 100 TB base refreshes for the price of the 1 GB.
+  *  - a range containing rewrites: each rewrite version serves its
+  *    commit-time CDC file when the base pins a change-feed key
+  *    (O(change-file)), else pays the honest snapshot diff for THAT
+  *    version — the same regime ladder `changeFeed` already
+  *    implements; the MV inherits it by construction.
+  *
+  * Supported aggregates: COUNT(*), SUM, AVG (and anything derivable
+  * from them) — the SELF-MAINTAINABLE set: a delete's effect on a
+  * sum/count is computable from the deleted row alone. Sums
+  * accumulate in DECIMAL(38,6) of the cast input, never native
+  * doubles — FP addition is not associative, and an MV whose value
+  * depends on the order history arrived would drift from its own
+  * full recompute; the decimal contract makes
+  * `refresh ∘ refresh ∘ ... == fullRecompute` an identity, which is
+  * what the spec asserts on random histories. MIN/MAX are REFUSED by
+  * design: under deletes they are not self-maintainable — evicting
+  * the current minimum requires rescanning the group (the classic
+  * materialized-view result; production engines either recompute or
+  * keep per-group heaps). The escape hatches are [[fullRefresh]]
+  * (recompute, same atomic commit path) or an insert-only workload
+  * where min/max of (old, new) IS maintainable — spell that as a
+  * downstream query over this MV's SUM/COUNT plus the base table.
+  *
+  * NULL semantics match GROUP BY recompute exactly: NULL group keys
+  * form their own group (the fold re-groups accumulators, so no
+  * null-unsafe join is ever involved); a group whose rows are all
+  * deleted leaves the view (`count(*) == 0`); a SUM/AVG over only
+  * NULL inputs serves NULL (per-aggregate non-null counts are part of
+  * the accumulator state, distinguishing "sums to 0" from "nothing to
+  * sum").
+  */
+object MaterializedView {
+
+  /** The txn app id MV commits stamp their base-version watermark
+    * under. Shared with nothing else by construction — [[VersionedTable
+    * .lastCommittedTxn]] scans past other writers' markers. */
+  val TxnAppId = "graft-mv"
+
+  private val DefFile = "_mvdef.json"
+  private val SumType = DecimalType(38, 6)
+
+  /** An aggregate the view maintains. `as` is the user-facing output
+    * column name ([A-Za-z_][A-Za-z0-9_]* — it names accumulator
+    * columns and must survive parquet/metadata round trips). */
+  sealed trait MvAgg { def as: String }
+  /** COUNT(*) per group, served as BIGINT. */
+  final case class MvCount(as: String) extends MvAgg
+  /** SUM(col), accumulated in DECIMAL(38,6), served as BIGINT when
+    * the base column is integral (exact) else DOUBLE. */
+  final case class MvSum(col: String, as: String) extends MvAgg
+  /** AVG(col) = decimal sum / non-null count, served as DOUBLE. */
+  final case class MvAvg(col: String, as: String) extends MvAgg
+
+  /** The persisted definition. `serveLong(as)` = the sum serves as
+    * BIGINT (integral base column). `anchor` = (version, md5 of that
+    * version's sorted manifest dir list) captured at create/
+    * fullRefresh — the base-INCARNATION check: commit dirs are
+    * UUID-named and manifests immutable, so a re-created base (rm +
+    * init, same path) cannot reproduce the anchor, and [[refresh]]
+    * refuses instead of folding a delta from a different table's
+    * history. Best-effort by design: when the anchor version's
+    * manifest has been vacuumed away the check is skipped (the
+    * watermark-behind check still catches shorter re-creations). */
+  final case class MvDef(base: String, keys: Seq[String],
+      aggs: Seq[MvAgg], serveLong: Set[String],
+      anchor: Option[(Int, String)])
+
+  /** What a [[refresh]] did. `appendOnly` = every version in the
+    * folded range was append-only (the whole delta came off the
+    * O(delta) fast path — the canary the gates assert). */
+  final case class RefreshReport(fromBase: Int, toBase: Int,
+      mvVersion: Int, refreshed: Boolean, appendOnly: Boolean)
+
+  // ---- accumulator column naming ----------------------------------
+  private def cntCol = "__mv_cnt"
+  private def sumCol(as: String) = s"__mv_sum_$as"
+  private def nnCol(as: String) = s"__mv_nn_$as"
+
+  /** Create the view at `mvRoot` as the aggregate of `baseRoot`'s
+    * LATEST version; returns that base version. One full aggregate —
+    * the only time the base is ever scanned whole. */
+  def create(spark: SparkSession, mvRoot: String, baseRoot: String,
+      keys: Seq[String], aggs: Seq[MvAgg]): Int = {
+    require(keys.nonEmpty, "a materialized view needs group keys")
+    require(aggs.nonEmpty, "a materialized view needs aggregates")
+    val ident = "[A-Za-z_][A-Za-z0-9_]*"
+    aggs.foreach(a => require(a.as.matches(ident),
+      s"aggregate name '${a.as}' must match $ident"))
+    val dup = (keys ++ aggs.map(_.as)).groupBy(_.toLowerCase)
+      .collect { case (n, vs) if vs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate output columns: ${dup.mkString(", ")}")
+    require(VersionedTable.latestVersion(spark, mvRoot) < 0,
+      s"$mvRoot already holds a table — refresh it, don't re-create")
+    val baseV = VersionedTable.latestVersion(spark, baseRoot)
+    require(baseV >= 0, s"base table $baseRoot has no committed version")
+    val snap = VersionedTable.read(spark, baseRoot, Some(baseV))
+    val fields = snap.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    def resolve(c: String): StructField = fields.getOrElse(c.toLowerCase,
+      throw new IllegalArgumentException(
+        s"column '$c' not in base schema ${snap.schema.simpleString}"))
+    keys.foreach(resolve)
+    val serveLong = aggs.collect {
+      case MvSum(c, as) if isIntegral(resolve(c).dataType) => as
+    }.toSet
+    aggs.foreach {
+      case MvSum(c, _) => requireNumeric(resolve(c))
+      case MvAvg(c, _) => requireNumeric(resolve(c))
+      case _: MvCount => ()
+    }
+    val d = MvDef(new Path(baseRoot).toString, keys, aggs, serveLong,
+      Some(baseV -> anchorOf(spark, baseRoot, baseV)))
+    writeDef(spark, mvRoot, d)
+    val acc = accumulate(snap, d, signed = false)
+    VersionedTable.init(spark, mvRoot, acc,
+      txn = Some(baseV.toLong), txnAppId = Some(TxnAppId))
+    baseV
+  }
+
+  /** Fold the base's changes since the watermark into the view —
+    * one CDF read + one |delta-groups ∪ view-groups| re-group, then
+    * one atomic commit carrying the new watermark. No-op (and no
+    * commit) when the base hasn't moved. Fails with the CDF plane's
+    * typed data-loss error if the range was vacuumed — [[fullRefresh]]
+    * is the recovery spelling. */
+  def refresh(spark: SparkSession, mvRoot: String): RefreshReport = {
+    val d = readDef(spark, mvRoot)
+    val mvV = VersionedTable.latestVersion(spark, mvRoot)
+    require(mvV >= 0, s"$mvRoot has no committed version — create first")
+    val from = watermark(spark, mvRoot)
+    val to = VersionedTable.latestVersion(spark, d.base)
+    require(to >= from, s"base ${d.base} is at version $to, behind the " +
+      s"view's watermark $from — the base was re-created or restored; " +
+      "fullRefresh to re-anchor")
+    checkAnchor(spark, d)
+    if (to == from)
+      return RefreshReport(from, to, mvV, refreshed = false,
+        appendOnly = true)
+    val appendOnly = (from + 1 to to).forall { v =>
+      VersionedTable.readManifest(spark, d.base, v - 1).toSet
+        .subsetOf(VersionedTable.readManifest(spark, d.base, v).toSet)
+    }
+    // keyed vocabulary when the base pins a CDC key (rewrite versions
+    // then serve their commit-time change files at O(change-file));
+    // both vocabularies carry the same sign structure
+    val key = VersionedTable.changeFeedKey(spark, d.base, Some(to))
+    val feed = VersionedTable.changeFeed(spark, d.base, from + 1,
+      Some(to), key)
+    val sign = when(col("change_kind")
+      .isin("delete", "update_preimage"), lit(-1L)).otherwise(lit(1L))
+    val delta = accumulate(feed.withColumn("__mv_sign", sign), d,
+      signed = true)
+    val state = VersionedTable.read(spark, mvRoot, Some(mvV))
+    val merged = foldAccumulators(state.unionByName(delta), d)
+    val committed = VersionedTable.commit(spark, mvRoot, merged, mvV,
+      txn = Some(to.toLong), txnAppId = Some(TxnAppId),
+      op = "mv_refresh")
+    RefreshReport(from, to, committed, refreshed = true, appendOnly)
+  }
+
+  /** Recompute the view from the base's latest snapshot — the
+    * recovery path for a vacuumed CDF range, a base schema epoch the
+    * feed refuses to span, or a restored/re-created base. Same atomic
+    * commit + watermark as [[refresh]]; prior view versions stay
+    * time-travelable. */
+  def fullRefresh(spark: SparkSession, mvRoot: String): RefreshReport = {
+    val d = readDef(spark, mvRoot)
+    val mvV = VersionedTable.latestVersion(spark, mvRoot)
+    require(mvV >= 0, s"$mvRoot has no committed version — create first")
+    val from = watermark(spark, mvRoot)
+    val to = VersionedTable.latestVersion(spark, d.base)
+    require(to >= 0, s"base ${d.base} has no committed version")
+    val acc = accumulate(VersionedTable.read(spark, d.base, Some(to)), d,
+      signed = false)
+    val committed = VersionedTable.commit(spark, mvRoot, acc, mvV,
+      txn = Some(to.toLong), txnAppId = Some(TxnAppId),
+      op = "mv_full_refresh")
+    // recompute legitimately re-anchors (the recovery path for a
+    // re-created base); rewrite the def with the fresh incarnation
+    writeDef(spark, mvRoot,
+      d.copy(anchor = Some(to -> anchorOf(spark, d.base, to))))
+    RefreshReport(from, to, committed, refreshed = true,
+      appendOnly = false)
+  }
+
+  /** md5 over a version's sorted commit-dir names — the incarnation
+    * fingerprint (dirs are UUID-named, manifests immutable). */
+  private def anchorOf(spark: SparkSession, base: String, v: Int): String = {
+    val dirs = VersionedTable.readManifest(spark, base, v).sorted
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dirs.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def checkAnchor(spark: SparkSession, d: MvDef): Unit =
+    d.anchor.foreach { case (v, fp) =>
+      val have = scala.util.Try(anchorOf(spark, d.base, v)).toOption
+      // a vacuumed anchor manifest reads as None → check skipped
+      have.foreach(h => require(h == fp,
+        s"base ${d.base} version $v does not match the view's anchor " +
+          "fingerprint — the base was re-created at the same path; its " +
+          "change history is a different table's. fullRefresh to " +
+          "re-anchor."))
+    }
+
+  /** The user-facing view: group keys + one column per aggregate
+    * (COUNT as BIGINT, integral SUM as BIGINT, fractional SUM and AVG
+    * as DOUBLE; SUM/AVG over zero non-null inputs serve NULL). Time
+    * travel via `version` reads the accumulators the view held THEN —
+    * i.e. the aggregate as of that refresh's base watermark. */
+  def read(spark: SparkSession, mvRoot: String,
+      version: Option[Int] = None): DataFrame = {
+    val d = readDef(spark, mvRoot)
+    val state = VersionedTable.read(spark, mvRoot, version)
+    val out: Seq[Column] = d.keys.map(col) ++ d.aggs.map {
+      case MvCount(as) => col(cntCol).as(as)
+      case MvSum(_, as) =>
+        val served =
+          if (d.serveLong(as)) col(sumCol(as)).cast(LongType)
+          else col(sumCol(as)).cast(DoubleType)
+        when(col(nnCol(as)) > 0L, served).as(as)
+      case MvAvg(_, as) =>
+        when(col(nnCol(as)) > 0L,
+          col(sumCol(as)).cast(DoubleType) /
+            col(nnCol(as)).cast(DoubleType)).as(as)
+    }
+    state.select(out: _*)
+  }
+
+  /** The base version the view currently reflects. */
+  def watermark(spark: SparkSession, mvRoot: String): Int =
+    VersionedTable.lastCommittedTxn(spark, mvRoot, TxnAppId)
+      .map(_.toInt).getOrElse(throw new IllegalStateException(
+        s"$mvRoot carries no '$TxnAppId' watermark — not a " +
+          "materialized view (or its history was vacuumed past the " +
+          "last refresh, which cannot happen: the marker rides the " +
+          "latest commit)"))
+
+  def definition(spark: SparkSession, mvRoot: String): MvDef =
+    readDef(spark, mvRoot)
+
+  // ---- internals ---------------------------------------------------
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def requireNumeric(f: StructField): Unit = f.dataType match {
+    case _: NumericType => ()
+    case t => throw new IllegalArgumentException(
+      s"SUM/AVG need a numeric column; '${f.name}' is ${t.sql}")
+  }
+
+  /** Rows → accumulator rows. `signed` = `df` is a change feed
+    * carrying `__mv_sign`; counts and sums then fold with the sign so
+    * pre-images subtract exactly what their insert added. */
+  private def accumulate(df: DataFrame, d: MvDef,
+      signed: Boolean): DataFrame = {
+    val s: Column = if (signed) col("__mv_sign") else lit(1L)
+    def sumAccs(c: String, as: String): Seq[Column] = Seq(
+      coalesce(sum(when(col(c).isNotNull, s * col(c).cast(SumType))),
+        lit(0).cast(SumType)).cast(SumType).as(sumCol(as)),
+      coalesce(sum(when(col(c).isNotNull, s)), lit(0L)).as(nnCol(as)))
+    val accs: Seq[Column] = sum(s).as(cntCol) +:
+      d.aggs.flatMap {
+        case MvCount(_) => Seq.empty[Column]
+        case MvSum(c, as) => sumAccs(c, as)
+        case MvAvg(c, as) => sumAccs(c, as)
+      }
+    df.groupBy(d.keys.map(col): _*).agg(accs.head, accs.tail: _*)
+  }
+
+  /** Re-group a union of accumulator frames (state ∪ delta) and drop
+    * groups whose live row count reached zero. NULL keys group
+    * natively — this is why the fold is a union+group, not a join. */
+  private def foldAccumulators(acc: DataFrame, d: MvDef): DataFrame = {
+    val folded: Seq[Column] = sum(col(cntCol)).as(cntCol) +:
+      d.aggs.flatMap {
+        case MvCount(_) => Seq.empty[Column]
+        case a => Seq(
+          sum(col(sumCol(a.as))).cast(SumType).as(sumCol(a.as)),
+          sum(col(nnCol(a.as))).as(nnCol(a.as)))
+      }
+    acc.groupBy(d.keys.map(col): _*)
+      .agg(folded.head, folded.tail: _*)
+      .filter(col(cntCol) > 0L)
+  }
+
+  // ---- definition persistence --------------------------------------
+
+  private def defPath(root: String) = new Path(root, DefFile)
+
+  private def writeDef(spark: SparkSession, root: String, d: MvDef): Unit = {
+    val j = JObject(
+      "v" -> JInt(1),
+      "base" -> JString(d.base),
+      "anchor" -> d.anchor.map { case (v, fp) =>
+        JObject("version" -> JInt(v), "fp" -> JString(fp)): JValue
+      }.getOrElse(JNothing),
+      "keys" -> JArray(d.keys.map(JString(_)).toList),
+      "aggs" -> JArray(d.aggs.map {
+        case MvCount(as) => JObject("op" -> JString("count"),
+          "as" -> JString(as))
+        case MvSum(c, as) => JObject("op" -> JString("sum"),
+          "col" -> JString(c), "as" -> JString(as),
+          "long" -> JBool(d.serveLong(as)))
+        case MvAvg(c, as) => JObject("op" -> JString("avg"),
+          "col" -> JString(c), "as" -> JString(as))
+      }.toList))
+    val p = defPath(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(root, s"$DefFile.tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(j))
+      .getBytes("UTF-8"))
+    finally out.close()
+    // overwrite = re-anchor (fullRefresh); local fs rename refuses an
+    // existing target, so displace it first. The tiny window between
+    // delete and rename only ever follows a successful recompute
+    // commit, and a missing def fails loudly at the next call rather
+    // than serving anything stale.
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      sys.error(s"could not publish $p")
+    }
+  }
+
+  private def readDef(spark: SparkSession, root: String): MvDef = {
+    val p = defPath(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"$root is not a materialized view (no $DefFile)")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val j = JsonMethods.parse(text)
+    require((j \ "v") == JInt(1), s"unknown mvdef version in $p")
+    val base = (j \ "base") match { case JString(s) => s
+      case _ => sys.error(s"malformed $p: no base") }
+    val anchor = (j \ "anchor") match {
+      case JObject(_) =>
+        ((j \ "anchor" \ "version"), (j \ "anchor" \ "fp")) match {
+          case (JInt(v), JString(fp)) => Some(v.toInt -> fp)
+          case _ => sys.error(s"malformed $p: bad anchor")
+        }
+      case _ => None
+    }
+    val keys = (j \ "keys") match {
+      case JArray(ks) => ks.collect { case JString(s) => s }
+      case _ => sys.error(s"malformed $p: no keys") }
+    var serveLong = Set.empty[String]
+    val aggs = (j \ "aggs") match {
+      case JArray(as) => as.map { a =>
+        val name = (a \ "as") match { case JString(s) => s
+          case _ => sys.error(s"malformed $p: agg without as") }
+        (a \ "op") match {
+          case JString("count") => MvCount(name)
+          case JString("sum") =>
+            if ((a \ "long") == JBool(true)) serveLong += name
+            MvSum((a \ "col") match { case JString(c) => c
+              case _ => sys.error(s"malformed $p: sum without col") }, name)
+          case JString("avg") =>
+            MvAvg((a \ "col") match { case JString(c) => c
+              case _ => sys.error(s"malformed $p: avg without col") }, name)
+          case other => sys.error(s"malformed $p: unknown op $other")
+        }
+      }
+      case _ => sys.error(s"malformed $p: no aggs")
+    }
+    MvDef(base, keys, aggs, serveLong, anchor)
+  }
+}

@@ -1,0 +1,276 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.SparkSpec
+import graft.sources.{MaterializedView => MV}
+
+/** The materialized-view contract: `refresh` after ANY history of
+  * appends/merges/deletes must read back exactly what a full GROUP BY
+  * recompute of the base's latest snapshot reads — refresh is an
+  * identity over recompute, asserted per step on fixed and random
+  * histories. Plus the bookkeeping: atomic watermarks, no-op
+  * refreshes, append-only detection, time travel, NULL semantics,
+  * and the MIN/MAX-shaped refusals. */
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(prefix)
+  private def rm(p: java.nio.file.Path): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit
+
+  /** Full recompute mirroring MV serve semantics (decimal sums,
+    * double division for avg). */
+  private def recompute(base: DataFrame): DataFrame =
+    base.groupBy("k")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("x").cast(DecimalType(38, 6))).cast("long").as("sum_x"),
+        sum(col("v").cast(DecimalType(38, 6))).cast("double").as("sum_v"),
+        (sum(col("x").cast(DecimalType(38, 6))).cast("double") /
+          count(col("x")).cast("double")).as("avg_x"))
+
+  private def sorted(df: DataFrame): Seq[Row] =
+    df.orderBy(asc_nulls_first("k")).collect().toSeq
+
+  private def mvAggs = Seq(MV.MvCount("cnt"), MV.MvSum("x", "sum_x"),
+    MV.MvSum("v", "sum_v"), MV.MvAvg("x", "avg_x"))
+
+  test("create + read equals GROUP BY recompute, including NULL keys " +
+    "and all-NULL sum groups") {
+    val dir = tmp("mv_basic")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      val rows = Seq[(Option[String], Option[Long], Double)](
+        (Some("a"), Some(1L), 0.5), (Some("a"), Some(2L), 1.5),
+        (Some("b"), None, 2.0), (Some("b"), None, 3.0), // all-NULL x
+        (None, Some(7L), 4.0), (None, None, 5.0)) // NULL key group
+        .toDF("k", "x", "v")
+      VersionedTable.init(spark, base, rows)
+      val baseV = MV.create(spark, mv, base, Seq("k"), mvAggs)
+      assert(baseV == 0 && MV.watermark(spark, mv) == 0)
+      val got = sorted(MV.read(spark, mv))
+      val want = sorted(recompute(rows))
+      assert(got == want)
+      // all-NULL group serves NULL sum/avg, not 0
+      val b = got.find(_.getString(0) == "b").get
+      assert(b.isNullAt(2) && b.isNullAt(4))
+    } finally rm(dir)
+  }
+
+  test("append refresh: O(delta) regime detected, result equals " +
+    "recompute, no-op when base unmoved") {
+    val dir = tmp("mv_append")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      val b0 = Seq(("a", 1L, 1.0), ("b", 2L, 2.0)).toDF("k", "x", "v")
+      VersionedTable.init(spark, base, b0)
+      MV.create(spark, mv, base, Seq("k"), mvAggs)
+      VersionedTable.append(spark, base,
+        Seq(("a", 3L, 3.0), ("c", 4L, 4.0)).toDF("k", "x", "v"), 0)
+      VersionedTable.append(spark, base,
+        Seq(("c", 5L, 5.0)).toDF("k", "x", "v"), 1)
+      val r = MV.refresh(spark, mv)
+      assert(r.refreshed && r.appendOnly && r.fromBase == 0 && r.toBase == 2)
+      assert(MV.watermark(spark, mv) == 2)
+      assert(sorted(MV.read(spark, mv)) ==
+        sorted(recompute(VersionedTable.read(spark, base))))
+      val noop = MV.refresh(spark, mv)
+      assert(!noop.refreshed && noop.mvVersion == r.mvVersion,
+        "an unmoved base must not commit a new MV version")
+    } finally rm(dir)
+  }
+
+  test("deletes and updates fold exactly; an emptied group leaves " +
+    "the view") {
+    val dir = tmp("mv_rewrite")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      val b0 = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("gone", 9L, 9.0))
+        .toDF("k", "x", "v")
+      VersionedTable.init(spark, base, b0)
+      MV.create(spark, mv, base, Seq("k"), mvAggs)
+      // rewrite commit: drop the 'gone' group entirely, mutate one
+      // 'a' row (delete+insert through the content diff)
+      val next = Seq(("a", 1L, 1.0), ("a", 20L, 2.5)).toDF("k", "x", "v")
+      VersionedTable.commit(spark, base, next, 0)
+      val r = MV.refresh(spark, mv)
+      assert(r.refreshed && !r.appendOnly)
+      val got = sorted(MV.read(spark, mv))
+      assert(got == sorted(recompute(next)))
+      assert(!got.exists(_.getString(0) == "gone"),
+        "a group whose rows were all deleted must leave the view")
+    } finally rm(dir)
+  }
+
+  test("CDC-keyed base: refresh folds pre/post images from the " +
+    "commit-time change files") {
+    val dir = tmp("mv_cdc")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      val b0 = Seq((1L, "a", 10L, 1.0), (2L, "a", 20L, 2.0),
+        (3L, "b", 30L, 3.0)).toDF("id", "k", "x", "v")
+      VersionedTable.init(spark, base, b0)
+      VersionedTable.enableChangeFeed(spark, base, "id")
+      MV.create(spark, mv, base, Seq("k"), mvAggs)
+      // merge: update id=2 (x 20→25), delete id=3, insert id=4
+      val changeset = Seq((2L, "a", 25L, 2.0, "U"), (3L, "b", 30L, 3.0, "D"),
+        (4L, "b", 40L, 4.0, "U")).toDF("id", "k", "x", "v", "op")
+      VersionedTable.merge(spark, base, changeset, "id")
+      val r = MV.refresh(spark, mv)
+      assert(r.refreshed)
+      assert(sorted(MV.read(spark, mv)) ==
+        sorted(recompute(VersionedTable.read(spark, base)
+          .select("k", "x", "v"))))
+    } finally rm(dir)
+  }
+
+  test("time travel: an older MV version reads the aggregate as of " +
+    "its refresh watermark") {
+    val dir = tmp("mv_tt")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      val b0 = Seq(("a", 1L, 1.0)).toDF("k", "x", "v")
+      VersionedTable.init(spark, base, b0)
+      MV.create(spark, mv, base, Seq("k"), mvAggs)
+      val asOf0 = sorted(MV.read(spark, mv))
+      VersionedTable.append(spark, base,
+        Seq(("a", 2L, 2.0)).toDF("k", "x", "v"), 0)
+      MV.refresh(spark, mv)
+      assert(sorted(MV.read(spark, mv, Some(0))) == asOf0)
+      assert(sorted(MV.read(spark, mv)) !=(asOf0))
+    } finally rm(dir)
+  }
+
+  test("random histories: refresh after every commit equals full " +
+    "recompute (the identity the decimal contract buys)") {
+    val dir = tmp("mv_rand")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      val rnd = new scala.util.Random(20260815L)
+      def randRows(n: Int): DataFrame = {
+        val ks = Array("a", "b", "c", null)
+        (1 to n).map { _ =>
+          (ks(rnd.nextInt(ks.length)),
+            if (rnd.nextBoolean()) Some(rnd.nextInt(100).toLong) else None,
+            math.round(rnd.nextDouble() * 100) / 4.0)
+        }.toDF("k", "x", "v")
+      }
+      VersionedTable.init(spark, base, randRows(6))
+      MV.create(spark, mv, base, Seq("k"), mvAggs)
+      (1 to 6).foreach { i =>
+        val cur = VersionedTable.latestVersion(spark, base)
+        if (rnd.nextBoolean())
+          VersionedTable.append(spark, base, randRows(1 + rnd.nextInt(4)),
+            cur)
+        else {
+          // rewrite: keep a random subset, add fresh rows
+          val keep = VersionedTable.read(spark, base)
+            .filter(pmod(crc32(concat_ws("|", col("k"),
+              col("x").cast("string"), col("v"))), lit(3)) =!= (i % 3))
+          VersionedTable.commit(spark, base,
+            keep.unionByName(randRows(2)), cur)
+        }
+        MV.refresh(spark, mv)
+        assert(sorted(MV.read(spark, mv)) ==
+          sorted(recompute(VersionedTable.read(spark, base))),
+          s"divergence after commit $i")
+      }
+    } finally rm(dir)
+  }
+
+  test("fullRefresh re-anchors after history the feed cannot span") {
+    val dir = tmp("mv_full")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      VersionedTable.init(spark, base,
+        Seq(("a", 1L, 1.0)).toDF("k", "x", "v"))
+      MV.create(spark, mv, base, Seq("k"), mvAggs)
+      VersionedTable.append(spark, base,
+        Seq(("b", 2L, 2.0)).toDF("k", "x", "v"), 0)
+      val r = MV.fullRefresh(spark, mv)
+      assert(r.refreshed && MV.watermark(spark, mv) == 1)
+      assert(sorted(MV.read(spark, mv)) ==
+        sorted(recompute(VersionedTable.read(spark, base))))
+    } finally rm(dir)
+  }
+
+  test("refusals: existing table, unknown/non-numeric columns, " +
+    "duplicate outputs, bad names, base behind watermark") {
+    val dir = tmp("mv_refuse")
+    try {
+      val base = dir.resolve("base").toString
+      VersionedTable.init(spark, base,
+        Seq(("a", 1L, "s")).toDF("k", "x", "t"))
+      def freshMv = dir.resolve(
+        "mv" + java.util.UUID.randomUUID.toString.take(8)).toString
+      intercept[IllegalArgumentException] { // unknown column
+        MV.create(spark, freshMv, base, Seq("k"),
+          Seq(MV.MvSum("nope", "s")))
+      }
+      intercept[IllegalArgumentException] { // non-numeric sum
+        MV.create(spark, freshMv, base, Seq("k"),
+          Seq(MV.MvSum("t", "s")))
+      }
+      intercept[IllegalArgumentException] { // duplicate outputs
+        MV.create(spark, freshMv, base, Seq("k"),
+          Seq(MV.MvCount("c"), MV.MvSum("x", "c")))
+      }
+      intercept[IllegalArgumentException] { // name collides with key
+        MV.create(spark, freshMv, base, Seq("k"),
+          Seq(MV.MvCount("k")))
+      }
+      intercept[IllegalArgumentException] { // bad identifier
+        MV.create(spark, freshMv, base, Seq("k"),
+          Seq(MV.MvCount("a b")))
+      }
+      val mv = freshMv
+      MV.create(spark, mv, base, Seq("k"), Seq(MV.MvCount("c")))
+      intercept[IllegalArgumentException] { // re-create over existing
+        MV.create(spark, mv, base, Seq("k"), Seq(MV.MvCount("c")))
+      }
+      // base re-created behind the watermark → loud refusal
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(base))
+      VersionedTable.init(spark, base,
+        Seq(("a", 1L, "s")).toDF("k", "x", "t"))
+      val e = intercept[IllegalArgumentException] { MV.refresh(spark, mv) }
+      assert(e.getMessage.contains("fullRefresh"))
+      // fullRefresh re-anchors onto the new incarnation; refresh
+      // then serves again
+      MV.fullRefresh(spark, mv)
+      val ok = MV.refresh(spark, mv)
+      assert(!ok.refreshed)
+      assert(sorted(MV.read(spark, mv)).map(_.getLong(1)) == Seq(1L))
+    } finally rm(dir)
+  }
+
+  test("crash idempotency: a replayed refresh of the same range " +
+    "no-ops on the watermark instead of double-folding") {
+    val dir = tmp("mv_idem")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      VersionedTable.init(spark, base,
+        Seq(("a", 1L, 1.0)).toDF("k", "x", "v"))
+      MV.create(spark, mv, base, Seq("k"), mvAggs)
+      VersionedTable.append(spark, base,
+        Seq(("a", 2L, 2.0)).toDF("k", "x", "v"), 0)
+      val r1 = MV.refresh(spark, mv)
+      // the "crash after commit, rerun the job" replay
+      val r2 = MV.refresh(spark, mv)
+      assert(r1.refreshed && !r2.refreshed && r2.mvVersion == r1.mvVersion)
+      assert(sorted(MV.read(spark, mv)) ==
+        sorted(recompute(VersionedTable.read(spark, base))))
+    } finally rm(dir)
+  }
+}
