@@ -742,6 +742,46 @@ object ScaleBench {
       "quantile_exact" -> (() => docs.agg(
         expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
           .as("q"))),
+      // MATERIALIZED-VIEW refresh vs recompute: the fixture holds the
+      // decade's documents as a versioned base with an MV aggregating
+      // (lang, source) → count/sum/avg; each rep appends a FIXED
+      // 1000-doc batch and refreshes. The refresh folds only the
+      // change feed (O(batch)) plus a view-sized re-group, so the row
+      // is expected ~FLAT across the decade; mv_recompute is the same
+      // aggregate recomputed from the full table (~linear). Their
+      // widening gap is the feature — at 100 TB it is the difference
+      // between a dashboard that follows ingest and one that re-scans
+      // the lake.
+      "mv_refresh" -> {
+        lazy val (broot, mroot) = {
+          val r = tempTableRoot("graft_mv_base")
+          val m = tempTableRoot("graft_mv_view")
+          graft.sources.VersionedTable.init(spark, r,
+            docs.select(col("doc_id"), col("lang"), col("source"),
+              col("n_chars")))
+          graft.sources.MaterializedView.create(spark, m, r,
+            Seq("lang", "source"),
+            Seq(graft.sources.MaterializedView.MvCount("cnt"),
+              graft.sources.MaterializedView.MvSum("n_chars", "sum_chars"),
+              graft.sources.MaterializedView.MvAvg("n_chars", "avg_chars")))
+          (r, m)
+        }
+        () => {
+          val v = graft.sources.VersionedTable.latestVersion(spark, broot)
+          graft.sources.VersionedTable.append(spark, broot,
+            docs.filter(col("doc_id") < 1000L)
+              .select(col("doc_id"), col("lang"), col("source"),
+                col("n_chars")),
+            expectedVersion = v)
+          graft.sources.MaterializedView.refresh(spark, mroot)
+          graft.sources.MaterializedView.read(spark, mroot)
+        }
+      },
+      "mv_recompute" -> (() => docs
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars").cast("decimal(38,6)")).as("sum_chars"),
+          avg(col("n_chars")).as("avg_chars"))),
       "ndv_commit_off" -> {
         lazy val (r0, v0) = {
           val r = tempTableRoot("graft_ndv_off")
