@@ -185,6 +185,36 @@ object ScaleBench {
       }
       r
     }
+    // shared by bloom_lookup / bloom_lookup_off: the decade's
+    // documents in ~5000-row single-file slices (file count grows
+    // with the decade), blooms pinned on the content hash, probe =
+    // the lowest-id doc whose hash is unique. Built lazily once per
+    // dir; run 1 pays it, min-of-N strips it.
+    lazy val bloomFixture: (String, String) = {
+      val r = tempTableRoot("graft_bloom_sb")
+      val vt = graft.sources.VersionedTable
+      val d = docs.select(col("doc_id"), md5(col("text")).as("fp"),
+        col("n_chars"))
+      val nRows = d.count()
+      val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+      val nSlices = math.max(4L, nRows / 5000L)
+      val step = maxId / nSlices + 1L
+      var v = -1
+      var lo = 0L
+      while (lo <= maxId) {
+        val b = d.filter(col("doc_id") >= lo &&
+          col("doc_id") < lo + step).coalesce(1)
+        v = if (v < 0) vt.init(spark, r, b)
+        else vt.append(spark, r, b, expectedVersion = v)
+        lo += step
+      }
+      vt.enableBloomFilters(spark, r, Seq("fp"))
+      val probe = d.groupBy("fp")
+        .agg(count(lit(1)).as("c"), min(col("doc_id")).as("m"))
+        .filter(col("c") === 1).orderBy("m").limit(1)
+        .head.getString(0)
+      (r, probe)
+    }
     Seq(
       "dedup_exact" -> (() => Dedup.exact(docs)),
       "minhash_trigram" -> (() => Dedup.minhashPairs(docs,
@@ -782,6 +812,21 @@ object ScaleBench {
         .agg(count(lit(1)).as("cnt"),
           sum(col("n_chars").cast("decimal(38,6)")).as("sum_chars"),
           avg(col("n_chars")).as("avg_chars"))),
+      // BLOOM point lookup vs full filter scan: the fixture commits
+      // the decade's documents as ~5000-row slices (one file each, so
+      // the FILE COUNT grows with the decade) with blooms pinned on
+      // the content hash — a column whose per-file envelopes overlap
+      // completely. The lookup probes a provably-unique hash: bloom
+      // skipping opens ~1 file of ~constant size at any decade
+      // (expected FLAT), while the _off twin filters the full scan
+      // (~linear). Their widening gap is the feature: at 100 TB the
+      // needle query must not pay for the haystack.
+      "bloom_lookup" -> (() =>
+        graft.sources.VersionedTable.readWhere(spark, bloomFixture._1,
+          col("fp") === bloomFixture._2)),
+      "bloom_lookup_off" -> (() =>
+        graft.sources.VersionedTable.read(spark, bloomFixture._1)
+          .filter(col("fp") === bloomFixture._2)),
       "ndv_commit_off" -> {
         lazy val (r0, v0) = {
           val r = tempTableRoot("graft_ndv_off")

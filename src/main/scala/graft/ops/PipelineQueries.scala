@@ -1948,6 +1948,49 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // BLOOM FILE SKIPPING, end to end: the base pins blooms on a
+  // content-hash column whose per-file envelopes overlap completely
+  // (random hex — min/max pruning provably gets NOTHING, asserted
+  // in-gate), then a point lookup on a provably-unique hash must
+  // prune most files via the sidecar filters and still answer
+  // exactly what DuckDB computes scanning everything. Skipping is a
+  // physical choice; the lookup row is not negotiable.
+  def pipelineVersionedBloomSkip(s: SparkSession, d: String): DataFrame = {
+    val vt = graft.sources.VersionedTable
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_bloom")
+    try {
+      val root = tmpRoot.resolve("t").toString
+      val base = docs(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text")).as("fp"))
+        .filter(col("doc_id") < 500)
+      vt.init(s, root, base.filter(col("doc_id") < 200).repartition(2))
+      vt.append(s, root,
+        base.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+          .repartition(2), 0)
+      vt.append(s, root,
+        base.filter(col("doc_id") >= 350).repartition(2), 1)
+      // the lowest-id doc whose text hash is UNIQUE in the corpus —
+      // deterministic, and it lives in exactly one file
+      val probe = base.groupBy("fp")
+        .agg(count(lit(1)).as("c"), min(col("doc_id")).as("m"))
+        .filter(col("c") === 1).orderBy("m").limit(1)
+        .head.getString(0)
+      val (envPruned, covered) =
+        vt.pruneCounts(s, root, col("fp") === probe).get
+      require(envPruned == 0 && covered == 6,
+        s"random-hex envelopes must prune nothing ($envPruned/$covered)")
+      vt.enableBloomFilters(s, root, Seq("fp"))
+      val (bloomPruned, _) =
+        vt.pruneCounts(s, root, col("fp") === probe).get
+      require(bloomPruned >= 4,
+        s"bloom must prune most of 6 files, pruned $bloomPruned")
+      vt.readWhere(s, root, col("fp") === probe)
+        .orderBy("doc_id").localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_sorted_neighborhood" -> dedupSortedNeighborhood _,
@@ -1967,6 +2010,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_sql" -> pipelineVersionedSql _,
     "pipeline_versioned_stats" -> pipelineVersionedStats _,
     "pipeline_versioned_mv" -> pipelineVersionedMv _,
+    "pipeline_versioned_bloom_skip" -> pipelineVersionedBloomSkip _,
     "pipeline_versioned_spj_join" -> pipelineVersionedSpjJoin _,
     "pipeline_skew_advised_join" -> pipelineSkewAdvisedJoin _,
     "pipeline_skew_advised_agg" -> pipelineSkewAdvisedAgg _,
@@ -2458,6 +2502,18 @@ object PipelineQueries extends QueryPack {
         |   OR (doc_id >= 450 AND doc_id < 500)
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    // bloom-skipped point lookup vs DuckDB scanning everything: the
+    // probe is the lowest-id doc whose text hash is unique, computed
+    // identically on both sides
+    "pipeline_versioned_bloom_skip" ->
+      """WITH f AS (
+        |  SELECT md5(text) AS fp, COUNT(*) AS c, MIN(doc_id) AS m
+        |  FROM documents WHERE doc_id < 500 GROUP BY 1),
+        |probe AS (SELECT fp FROM f WHERE c = 1 ORDER BY m LIMIT 1)
+        |SELECT d.doc_id, d.lang, d.n_chars, md5(d.text) AS fp
+        |FROM documents d, probe p
+        |WHERE d.doc_id < 500 AND md5(d.text) = p.fp
+        |ORDER BY d.doc_id""".stripMargin,
     // the $stats metadata table vs DuckDB recomputing the same
     // aggregates — NDV included: below HLL coupon capacity the sketch
     // is exact, so even the estimate hash-matches COUNT(DISTINCT)

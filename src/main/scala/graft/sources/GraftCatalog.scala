@@ -967,10 +967,30 @@ private[sources] class GraftRowLevelOperation(table: GraftSqlTable,
             case Some(pred) =>
               val byDir = VersionedTable.statsByDir(spark, root,
                 Some(baseVersion))
+              // bloom coverage ANDs with the envelope check for
+              // equality predicates on pinned columns (see
+              // BloomSkipping) — a dir survives only if some file
+              // passes BOTH layers
+              val bloomPin = VersionedTable
+                .bloomColumns(spark, root, Some(baseVersion))
+                .filter(BloomSkipping.relevant(pred, _))
+              val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
+              def bloomOk(dir: String, filePath: String): Boolean =
+                bloomPin.isEmpty || {
+                  val name = filePath
+                    .substring(filePath.lastIndexOf('/') + 1)
+                  BloomSkipping.bloomsForDir(spark,
+                    new org.apache.hadoop.fs.Path(dataRoot, dir))
+                    .flatMap(_.get(name)) match {
+                    case Some(bs) => BloomSkipping.mayMatch(bs, pred)
+                    case None => true
+                  }
+                }
               val (hit, miss) = allDirs.partition { dir =>
                 byDir.get(dir) match {
                   case Some(files) =>
-                    files.exists(f => DataSkipping.mayMatch(f, pred))
+                    files.exists(f => DataSkipping.mayMatch(f, pred) &&
+                      bloomOk(dir, f.path))
                   case None => true // uncovered: conservatively scanned
                 }
               }

@@ -1246,11 +1246,30 @@ object VersionedTable {
           (QuantileStats.carriedLines(baseLines, carryDirs.toSet) ++
             freshKll.toSeq)
     }
+    // BLOOM sidecar for the files just written (pin active): one
+    // columnar pass over the staged dir's pinned columns, sized from
+    // the footer row counts harvested above. Best-effort like every
+    // stats layer — a failed build leaves the dir bloom-uncovered
+    // (conservatively scanned), never fails the commit. Carried dirs
+    // keep their sidecars by identity (they live INSIDE the dir).
+    val bloomPin = BloomSkipping.pinnedCols(baseLines)
+    val bloomLines: Seq[String] = bloomPin match {
+      case None => Seq.empty
+      case Some(pin) =>
+        if (wroteFiles) scala.util.Try {
+          val rowsByFile = statsLines
+            .flatMap(l => DataSkipping.parseLine(l.stripPrefix("#file:")))
+            .map(f => f.path.substring(f.path.lastIndexOf('/') + 1) ->
+              f.rows).toMap
+          BloomSkipping.buildSidecar(spark, dataDir, pin, rowsByFile)
+        }: Unit
+        Seq(BloomSkipping.PinPrefix + pin.mkString(","))
+    }
     try writeManifest(spark, root, next,
       constraintLines ++ cdcLine ++ bucketLines ++
         changeName.map("#changes:" + _).toSeq ++ metaLines ++
         carryStatsLines ++ statsLines ++ ndvLines ++ kllLines ++
-        carryDirs :+ commitName)
+        bloomLines ++ carryDirs :+ commitName)
     catch {
       // a retrying caller (the streaming sink) keeps the already-
       // written dir across a version conflict and re-publishes it
@@ -1679,6 +1698,21 @@ object VersionedTable {
     val v = version.getOrElse(latestVersion(spark, root))
     val byDir = statsByDir(spark, root, Some(v))
     val dataRoot = new Path(root, "data")
+    // bloom pruning ANDs with the envelope check — but only when the
+    // pin exists AND the predicate holds an equality on a pinned
+    // column (the `relevant` guard keeps sidecar reads off plans
+    // that cannot use them)
+    val bloomPin = bloomColumns(spark, root, Some(v))
+      .filter(BloomSkipping.relevant(pred, _))
+    def bloomOk(dir: String, filePath: String): Boolean =
+      bloomPin.isEmpty || {
+        val fileName = filePath.substring(filePath.lastIndexOf('/') + 1)
+        BloomSkipping.bloomsForDir(spark, new Path(dataRoot, dir))
+          .flatMap(_.get(fileName)) match {
+          case Some(blooms) => BloomSkipping.mayMatch(blooms, pred)
+          case None => true // uncovered file: conservatively scanned
+        }
+      }
     var covered = 0
     var pruned = 0
     val paths = readManifest(spark, root, v).flatMap { dir =>
@@ -1686,7 +1720,8 @@ object VersionedTable {
         case None => Seq(new Path(dataRoot, dir).toString)
         case Some(files) =>
           covered += files.size
-          val keep = files.filter(f => DataSkipping.mayMatch(f, pred))
+          val keep = files.filter(f =>
+            DataSkipping.mayMatch(f, pred) && bloomOk(dir, f.path))
           pruned += files.size - keep.size
           keep.map(f => new Path(dataRoot, f.path).toString)
       }
@@ -1978,6 +2013,112 @@ object VersionedTable {
     writeManifest(spark, root, base + 1,
       ("#op:enable_quantiles" +: body :+ pin) ++ lines)
     base + 1
+  }
+
+  /** Pin per-file BLOOM FILTERS on `cols` — equality file skipping
+    * for high-cardinality UNCLUSTERED columns, where the `#file:`
+    * min/max envelopes are structurally powerless (every file spans
+    * the domain). Explicit columns only (no `*` — blooms cost ~1.2
+    * bytes/row/column). Backfills a `_bloom.bin` sidecar into every
+    * existing commit dir (one columnar pass over the pinned columns
+    * per dir — enable is O(table) ONCE, like ANALYZE), then every
+    * commit maintains coverage at O(delta). See [[BloomSkipping]]. */
+  def enableBloomFilters(spark: SparkSession, root: String,
+      cols: Seq[String]): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val prior = manifestLines(spark, root, base)
+    require(BloomSkipping.pinnedCols(prior).isEmpty,
+      s"bloom filters already enabled on $root — disable first to " +
+        "change the column set")
+    require(cols.nonEmpty,
+      "name the lookup columns explicitly — bloom filters cost bytes " +
+        "per row per column, so there is no '*' spelling")
+    val snap = read(spark, root, Some(base))
+    val lower = snap.columns.map(_.toLowerCase).toSet
+    val missing = cols.filterNot(c => lower.contains(c.toLowerCase))
+    require(missing.isEmpty,
+      s"bloom column(s) not in table schema: ${missing.mkString(", ")}")
+    val eligible = BloomSkipping.eligibleCols(snap.schema, cols)
+      .map(_.name.toLowerCase).toSet
+    val ineligible = cols.filterNot(c => eligible.contains(c.toLowerCase))
+    require(ineligible.isEmpty,
+      s"column(s) not bloomable (fractional/decimal/boolean/nested " +
+        s"types have no equality-skipping value): " +
+        ineligible.mkString(", "))
+    // backfill BEFORE the pin commit: a crash mid-backfill leaves
+    // harmless sidecars and no pin; a dir that fails its build stays
+    // uncovered (conservatively scanned), never fails the enable
+    val byDir = statsByDir(spark, root, Some(base))
+    val dataRoot = new Path(root, "data")
+    readManifest(spark, root, base).foreach { dir =>
+      val rows = byDir.getOrElse(dir, Seq.empty).map { f =>
+        f.path.substring(f.path.lastIndexOf('/') + 1) -> f.rows
+      }.toMap
+      scala.util.Try(BloomSkipping.buildSidecar(spark,
+        new Path(dataRoot, dir), cols, rows)): Unit
+    }
+    val body = prior
+      .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:"))
+    writeManifest(spark, root, base + 1,
+      "#op:enable_bloom" +: body :+
+        (BloomSkipping.PinPrefix + cols.mkString(",")))
+    base + 1
+  }
+
+  /** Drop the bloom pin and delete the sidecars (best-effort — a
+    * leftover sidecar is dead bytes behind an absent pin, never
+    * consulted). */
+  def disableBloomFilters(spark: SparkSession, root: String): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val prior = manifestLines(spark, root, base)
+    require(BloomSkipping.pinnedCols(prior).isDefined,
+      s"bloom filters not enabled on $root")
+    val body = prior.filterNot(l =>
+      l.startsWith("#op:") || l.startsWith("#txn:") ||
+        l.startsWith(BloomSkipping.PinPrefix))
+    writeManifest(spark, root, base + 1, "#op:disable_bloom" +: body)
+    // sweep EVERY on-disk commit dir, not just the live manifest's:
+    // pre-rewrite dirs kept for time travel also carry sidecars, and
+    // behind a dropped pin they are all equally dead bytes (a
+    // time-traveled read consults the pin of ITS version, so the only
+    // cost is old-version lookups degrading to unpruned — the scan
+    // stays exact)
+    val dataRoot = new Path(root, "data")
+    val fs = fsOf(spark, dataRoot)
+    if (fs.exists(dataRoot)) fs.listStatus(dataRoot)
+      .filter(_.isDirectory).foreach { st =>
+        scala.util.Try(fs.delete(
+          new Path(st.getPath, BloomSkipping.SidecarName), false)): Unit
+      }
+    base + 1
+  }
+
+  /** (prunedFiles, coveredFiles) a skipped scan under `condition`
+    * would see — the [[prunedPaths]] counters behind a public Column
+    * spelling, for gates/monitoring. None when the table carries no
+    * usable schema or the predicate doesn't resolve. */
+  def pruneCounts(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column,
+      version: Option[Int] = None): Option[(Int, Int)] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) return None
+    for {
+      s <- cheapSchema(spark, root, v)
+      pred <- resolveCondition(spark, s, condition)
+    } yield {
+      val (_, pruned, covered) = prunedPaths(spark, root, pred, Some(v))
+      (pruned, covered)
+    }
+  }
+
+  /** The bloom pin of version `v`, if any. */
+  def bloomColumns(spark: SparkSession, root: String,
+      version: Option[Int] = None): Option[Seq[String]] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) None
+    else BloomSkipping.pinnedCols(manifestLines(spark, root, v))
   }
 
   /** Drop the quantile pin and every stored sketch line. */

@@ -1,0 +1,212 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Bloom file-skipping contract: equality lookups on a pinned
+  * high-cardinality UNCLUSTERED column prune to ~the files that hold
+  * the value (the envelopes can't — every file spans the hex domain),
+  * while never pruning a file that holds it (no false negatives,
+  * asserted exhaustively), staying invisible to answers, surviving
+  * rewrites, and degrading conservatively wherever coverage is
+  * absent. */
+class BloomSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("bloom_spec")
+  private def rm(p: java.nio.file.Path): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit
+
+  /** 3 appends × 2 files of rows whose `fp` (hex hash) and `h`
+    * (long hash) are UNCLUSTERED: every file's envelope spans the
+    * domain, so min/max pruning gets nothing — exactly bloom
+    * territory. */
+  private def buildTable(root: String): Unit = {
+    def batch(lo: Long, hi: Long): DataFrame =
+      spark.range(lo, hi).select(col("id"),
+        md5(col("id").cast("string")).as("fp"),
+        xxhash64(col("id")).as("h"))
+        .repartition(2) // unclustered within the dir too
+    VersionedTable.init(spark, root, batch(0, 200))
+    VersionedTable.append(spark, root, batch(200, 400), 0)
+    VersionedTable.append(spark, root, batch(400, 600), 1)
+  }
+
+  private def prunes(root: String, cond: org.apache.spark.sql.Column)
+      : (Int, Int) = {
+    val schema = VersionedTable.read(spark, root).schema
+    val pred = VersionedTable.resolveCondition(spark, schema, cond).get
+    val (_, pruned, covered) = VersionedTable.prunedPaths(
+      spark, root, pred)
+    (pruned, covered)
+  }
+
+  test("enable backfills sidecars; a hex point lookup prunes most " +
+    "files and answers exactly; envelopes alone prune nothing") {
+    val dir = tmp()
+    try {
+      val root = dir.resolve("t").toString
+      buildTable(root)
+      val probe = spark.range(123, 124)
+        .select(md5(col("id").cast("string"))).head.getString(0)
+      // pre-enable: hex envelopes overlap fully — zero pruning power
+      val (p0, c0) = prunes(root, col("fp") === probe)
+      assert(p0 == 0 && c0 == 6,
+        s"random-hex envelopes should prune nothing, got $p0/$c0")
+      VersionedTable.enableBloomFilters(spark, root, Seq("fp", "h"))
+      val (p1, c1) = prunes(root, col("fp") === probe)
+      assert(c1 == 6 && p1 >= 4,
+        s"bloom should prune most of 6 files, pruned $p1")
+      // answers: skipped scan == full filter scan
+      val got = VersionedTable.readWhere(spark, root,
+        col("fp") === probe).collect().toSeq
+      val want = VersionedTable.read(spark, root)
+        .filter(col("fp") === probe).collect().toSeq
+      assert(got == want && got.size == 1)
+    } finally rm(dir)
+  }
+
+  test("no false negatives, string and long domains: every present " +
+    "value still scans its file (exhaustive)") {
+    val dir = tmp()
+    try {
+      val root = dir.resolve("t").toString
+      buildTable(root)
+      VersionedTable.enableBloomFilters(spark, root, Seq("fp", "h"))
+      val rows = VersionedTable.read(spark, root)
+        .select("id", "fp", "h").collect()
+      // exhaustive: every row's fp and h must survive its own lookup
+      rows.foreach { r =>
+        val byFp = VersionedTable.readWhere(spark, root,
+          col("fp") === r.getString(1)).count()
+        assert(byFp >= 1, s"false negative on fp of id=${r.getLong(0)}")
+        val byH = VersionedTable.readWhere(spark, root,
+          col("h") === r.getLong(2)).count()
+        assert(byH >= 1, s"false negative on h of id=${r.getLong(0)}")
+      }
+    } finally rm(dir)
+  }
+
+  test("IN lists prune to the union of their members' files; a miss " +
+    "value prunes everything bloom-covered") {
+    val dir = tmp()
+    try {
+      val root = dir.resolve("t").toString
+      buildTable(root)
+      VersionedTable.enableBloomFilters(spark, root, Seq("fp"))
+      val prs = spark.range(7, 9).select(md5(col("id").cast("string")))
+        .collect().map(_.getString(0))
+      val (pIn, _) = prunes(root, col("fp").isin(prs.toSeq: _*))
+      assert(pIn >= 2, s"IN lookup should still prune, pruned $pIn")
+      // absent value: with fpp 1% over 6 files, expect all pruned
+      // (allow 1 false positive without flaking)
+      val (pMiss, _) = prunes(root,
+        col("fp") === "0123456789abcdef0123456789abcdef")
+      assert(pMiss >= 5, s"absent value should prune ~all, pruned $pMiss")
+      val miss = VersionedTable.readWhere(spark, root,
+        col("fp") === "0123456789abcdef0123456789abcdef").count()
+      assert(miss == 0)
+    } finally rm(dir)
+  }
+
+  test("commits after enable maintain coverage at O(delta); rewrites " +
+    "rebuild the new dir's sidecar; disable removes pin + sidecars") {
+    val dir = tmp()
+    try {
+      val root = dir.resolve("t").toString
+      buildTable(root)
+      VersionedTable.enableBloomFilters(spark, root, Seq("fp"))
+      // post-enable append: the new dir must be covered by the commit
+      VersionedTable.append(spark, root,
+        spark.range(600, 800).select(col("id"),
+          md5(col("id").cast("string")).as("fp"),
+          xxhash64(col("id")).as("h")).repartition(2),
+        VersionedTable.latestVersion(spark, root))
+      val probeNew = spark.range(700, 701)
+        .select(md5(col("id").cast("string"))).head.getString(0)
+      val (pNew, cNew) = prunes(root, col("fp") === probeNew)
+      assert(cNew == 8 && pNew >= 6,
+        s"append-after-enable must stay covered, pruned $pNew/$cNew")
+      // rewrite: compact collapses all dirs into one fresh dir — the
+      // commit path must give IT a sidecar too
+      VersionedTable.compact(spark, root)
+      val (pC, cC) = prunes(root, col("fp") === probeNew)
+      assert(cC > 0 && pC >= 0) // counts depend on compact layout
+      val got = VersionedTable.readWhere(spark, root,
+        col("fp") === probeNew).count()
+      assert(got == 1)
+      // disable: pin gone, sidecars gone, answers unchanged
+      VersionedTable.disableBloomFilters(spark, root)
+      assert(VersionedTable.bloomColumns(spark, root).isEmpty)
+      val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
+      val fs = dataRoot.getFileSystem(
+        spark.sessionState.newHadoopConf())
+      fs.listStatus(dataRoot).foreach { st =>
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(st.getPath,
+          BloomSkipping.SidecarName)),
+          s"sidecar survived disable under ${st.getPath}")
+      }
+      assert(VersionedTable.readWhere(spark, root,
+        col("fp") === probeNew).count() == 1)
+    } finally rm(dir)
+  }
+
+  test("conservative passes: unpinned columns, non-equality shapes, " +
+    "nulls, and OR mixing stay unpruned-by-bloom but exact") {
+    val dir = tmp()
+    try {
+      val root = dir.resolve("t").toString
+      buildTable(root)
+      VersionedTable.enableBloomFilters(spark, root, Seq("fp"))
+      // range shape on the pinned column: bloom is silent, envelopes
+      // own it; answer must match
+      val full = VersionedTable.read(spark, root)
+      assert(VersionedTable.readWhere(spark, root,
+        col("fp") > "f").count() == full.filter(col("fp") > "f").count())
+      // OR with an unpinned side must not prune the unpinned side away
+      val probe = spark.range(5, 6)
+        .select(md5(col("id").cast("string"))).head.getString(0)
+      val cond = col("fp") === probe || col("id") === 599L
+      assert(VersionedTable.readWhere(spark, root, cond).count() == 2)
+      // refusals: '*', unknown column, ineligible type, double enable
+      intercept[IllegalArgumentException] {
+        VersionedTable.enableBloomFilters(spark, root, Seq.empty)
+      }
+      intercept[IllegalArgumentException] {
+        VersionedTable.enableBloomFilters(spark, root, Seq("nope"))
+      }
+      intercept[IllegalArgumentException] {
+        VersionedTable.enableBloomFilters(spark, root, Seq("fp"))
+      }
+    } finally rm(dir)
+  }
+
+  test("a file read in multiple input splits merges its partial " +
+    "filters — still no false negatives") {
+    val dir = tmp()
+    try {
+      val root = dir.resolve("t").toString
+      // ONE file per dir, large enough to split under a tiny
+      // maxPartitionBytes
+      VersionedTable.init(spark, root,
+        spark.range(0, 20000).select(col("id"),
+          md5(col("id").cast("string")).as("fp")).coalesce(1))
+      val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        VersionedTable.enableBloomFilters(spark, root, Seq("fp"))
+      } finally
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+      val probes = Seq(1L, 9999L, 19999L).map(i =>
+        spark.range(i, i + 1).select(md5(col("id").cast("string")))
+          .head.getString(0))
+      probes.foreach { p =>
+        assert(VersionedTable.readWhere(spark, root,
+          col("fp") === p).count() == 1, s"false negative on $p")
+      }
+    } finally rm(dir)
+  }
+}
