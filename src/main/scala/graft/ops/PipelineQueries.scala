@@ -1948,6 +1948,35 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // the INSERT-ONLY aggregate family (MIN/MAX/HLL-distinct) folding an
+  // append-only history — exactly the regime where those accumulators
+  // are maintainable; the sketch is exact below its coupon capacity at
+  // this scale, so even the approximate column hash-matches DuckDB's
+  // COUNT(DISTINCT). The in-gate canary requires the O(delta) regime.
+  def pipelineVersionedMvAppend(s: SparkSession, d: String): DataFrame = {
+    val mvOps = graft.sources.MaterializedView
+    val vt = graft.sources.VersionedTable
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mva")
+    try {
+      val root = tmpRoot.resolve("base").toString
+      val mv = tmpRoot.resolve("mv").toString
+      val base = docs(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("doc_id") < 500)
+      vt.init(s, root, base.filter(col("doc_id") < 250))
+      mvOps.create(s, mv, root, Seq("lang"),
+        Seq(mvOps.MvCount("cnt"), mvOps.MvMin("n_chars", "min_chars"),
+          mvOps.MvMax("n_chars", "max_chars"),
+          mvOps.MvHllCount("doc_id", "nd_docs")))
+      vt.append(s, root, base.filter(col("doc_id") >= 250), 0)
+      val r = mvOps.refresh(s, mv)
+      require(r.refreshed && r.appendOnly,
+        s"mv append gate: expected the O(delta) regime, got $r")
+      mvOps.read(s, mv).orderBy("lang").localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // BLOOM FILE SKIPPING, end to end: the base pins blooms on a
   // content-hash column whose per-file envelopes overlap completely
   // (random hex — min/max pruning provably gets NOTHING, asserted
@@ -2010,6 +2039,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_sql" -> pipelineVersionedSql _,
     "pipeline_versioned_stats" -> pipelineVersionedStats _,
     "pipeline_versioned_mv" -> pipelineVersionedMv _,
+    "pipeline_versioned_mv_append" -> pipelineVersionedMvAppend _,
     "pipeline_versioned_bloom_skip" -> pipelineVersionedBloomSkip _,
     "pipeline_versioned_spj_join" -> pipelineVersionedSpjJoin _,
     "pipeline_skew_advised_join" -> pipelineSkewAdvisedJoin _,
@@ -2502,6 +2532,18 @@ object PipelineQueries extends QueryPack {
         |   OR (doc_id >= 450 AND doc_id < 500)
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    // insert-only MV family vs DuckDB recomputing from scratch; the
+    // HLL column is exact below coupon capacity at gate scale, so it
+    // hash-matches COUNT(DISTINCT)
+    "pipeline_versioned_mv_append" ->
+      """SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd_docs
+        |FROM documents WHERE doc_id < 500
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     // bloom-skipped point lookup vs DuckDB scanning everything: the
     // probe is the lowest-id doc whose text hash is unique, computed
     // identically on both sides

@@ -50,14 +50,15 @@ import org.json4s.jackson.JsonMethods
   * depends on the order history arrived would drift from its own
   * full recompute; the decimal contract makes
   * `refresh ∘ refresh ∘ ... == fullRecompute` an identity, which is
-  * what the spec asserts on random histories. MIN/MAX are REFUSED by
-  * design: under deletes they are not self-maintainable — evicting
-  * the current minimum requires rescanning the group (the classic
-  * materialized-view result; production engines either recompute or
-  * keep per-group heaps). The escape hatches are [[fullRefresh]]
-  * (recompute, same atomic commit path) or an insert-only workload
-  * where min/max of (old, new) IS maintainable — spell that as a
-  * downstream query over this MV's SUM/COUNT plus the base table.
+  * what the spec asserts on random histories. MIN/MAX and approximate
+  * COUNT DISTINCT ([[MvMin]]/[[MvMax]]/[[MvHllCount]]) are
+  * INSERT-ONLY: `min(old,new)` and HLL union fold appends exactly,
+  * but neither can un-see a deleted row (the classic
+  * materialized-view result — evicting the current minimum means
+  * rescanning the group), so [[refresh]] folds them across
+  * append-only ranges (the ingest steady state) and REFUSES a range
+  * containing rewrites, naming [[fullRefresh]] (recompute, same
+  * atomic commit path) as the recipe.
   *
   * NULL semantics match GROUP BY recompute exactly: NULL group keys
   * form their own group (the fold re-groups accumulators, so no
@@ -88,6 +89,25 @@ object MaterializedView {
   final case class MvSum(col: String, as: String) extends MvAgg
   /** AVG(col) = decimal sum / non-null count, served as DOUBLE. */
   final case class MvAvg(col: String, as: String) extends MvAgg
+  /** MIN(col) — INSERT-ONLY maintainable: `min(old, new)` folds an
+    * append exactly, but a delete can evict the current minimum,
+    * which no accumulator can recover without rescanning the group.
+    * [[refresh]] therefore serves append-only ranges and REFUSES a
+    * range containing rewrites (fullRefresh is the recipe). */
+  final case class MvMin(col: String, as: String) extends MvAgg
+  /** MAX(col) — insert-only maintainable, same contract as [[MvMin]]. */
+  final case class MvMax(col: String, as: String) extends MvAgg
+  /** APPROX COUNT(DISTINCT col) as a per-group HLL sketch (Spark's
+    * `hll_sketch_agg`, lgK 12 — exact below its coupon capacity,
+    * ±~1.6% beyond): sketches UNION under inserts but cannot forget,
+    * so insert-only like [[MvMin]]. Served as BIGINT. */
+  final case class MvHllCount(col: String, as: String) extends MvAgg
+
+  /** The aggregates a delete-bearing range can still fold. */
+  private def insertOnly(a: MvAgg): Boolean = a match {
+    case _: MvMin | _: MvMax | _: MvHllCount => true
+    case _ => false
+  }
 
   /** The persisted definition. `serveLong(as)` = the sum serves as
     * BIGINT (integral base column). `anchor` = (version, md5 of that
@@ -113,6 +133,9 @@ object MaterializedView {
   private def cntCol = "__mv_cnt"
   private def sumCol(as: String) = s"__mv_sum_$as"
   private def nnCol(as: String) = s"__mv_nn_$as"
+  private def minCol(as: String) = s"__mv_min_$as"
+  private def maxCol(as: String) = s"__mv_max_$as"
+  private def hllCol(as: String) = s"__mv_hll_$as"
 
   /** Create the view at `mvRoot` as the aggregate of `baseRoot`'s
     * LATEST version; returns that base version. One full aggregate —
@@ -143,6 +166,12 @@ object MaterializedView {
     aggs.foreach {
       case MvSum(c, _) => requireNumeric(resolve(c))
       case MvAvg(c, _) => requireNumeric(resolve(c))
+      case MvMin(c, _) => requireOrderable(resolve(c))
+      case MvMax(c, _) => requireOrderable(resolve(c))
+      case MvHllCount(c, _) =>
+        require(NdvStats.sketchInput(resolve(c)).isDefined,
+          s"'$c' (${resolve(c).dataType.sql}) has no distinct-count " +
+            "sketch domain")
       case _: MvCount => ()
     }
     val d = MvDef(new Path(baseRoot).toString, keys, aggs, serveLong,
@@ -177,6 +206,17 @@ object MaterializedView {
       VersionedTable.readManifest(spark, d.base, v - 1).toSet
         .subsetOf(VersionedTable.readManifest(spark, d.base, v).toSet)
     }
+    // insert-only aggregates cannot fold a delete (a MIN's evicted
+    // minimum, a sketch's forgotten value) — refuse the range rather
+    // than serve a silently-stale extreme
+    if (!appendOnly && d.aggs.exists(insertOnly))
+      throw new IllegalStateException(
+        s"refresh range v$from..v$to of ${d.base} contains a rewrite, " +
+          "and the view holds insert-only aggregates (" +
+          d.aggs.filter(insertOnly).map(_.as).mkString(", ") +
+          ") — MIN/MAX/HLL cannot un-see deleted rows. Run " +
+          "fullRefresh (one recompute, same atomic commit), or keep " +
+          "such views on append-only tables.")
     // keyed vocabulary when the base pins a CDC key (rewrite versions
     // then serve their commit-time change files at O(change-file));
     // both vocabularies carry the same sign structure
@@ -260,6 +300,12 @@ object MaterializedView {
         when(col(nnCol(as)) > 0L,
           col(sumCol(as)).cast(DoubleType) /
             col(nnCol(as)).cast(DoubleType)).as(as)
+      case MvMin(_, as) => col(minCol(as)).as(as)
+      case MvMax(_, as) => col(maxCol(as)).as(as)
+      // a group whose column is all NULL has a NULL sketch; COUNT
+      // DISTINCT of nothing is 0
+      case MvHllCount(_, as) =>
+        coalesce(hll_sketch_estimate(col(hllCol(as))), lit(0L)).as(as)
     }
     state.select(out: _*)
   }
@@ -287,6 +333,12 @@ object MaterializedView {
     case t => throw new IllegalArgumentException(
       s"SUM/AVG need a numeric column; '${f.name}' is ${t.sql}")
   }
+  private def requireOrderable(f: StructField): Unit = f.dataType match {
+    case _: NumericType | StringType | BinaryType | BooleanType |
+        DateType | TimestampType | TimestampNTZType => ()
+    case t => throw new IllegalArgumentException(
+      s"MIN/MAX need an orderable atomic column; '${f.name}' is ${t.sql}")
+  }
 
   /** Rows → accumulator rows. `signed` = `df` is a change feed
     * carrying `__mv_sign`; counts and sums then fold with the sign so
@@ -298,11 +350,19 @@ object MaterializedView {
       coalesce(sum(when(col(c).isNotNull, s * col(c).cast(SumType))),
         lit(0).cast(SumType)).cast(SumType).as(sumCol(as)),
       coalesce(sum(when(col(c).isNotNull, s)), lit(0L)).as(nnCol(as)))
+    val fields = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val accs: Seq[Column] = sum(s).as(cntCol) +:
       d.aggs.flatMap {
         case MvCount(_) => Seq.empty[Column]
         case MvSum(c, as) => sumAccs(c, as)
         case MvAvg(c, as) => sumAccs(c, as)
+        // insert-only accumulators never see a signed (pre-image) row:
+        // refresh refuses non-append ranges before building the fold
+        case MvMin(c, as) => Seq(min(col(c)).as(minCol(as)))
+        case MvMax(c, as) => Seq(max(col(c)).as(maxCol(as)))
+        case MvHllCount(c, as) => Seq(
+          hll_sketch_agg(NdvStats.sketchInput(fields(c.toLowerCase)).get)
+            .as(hllCol(as)))
       }
     df.groupBy(d.keys.map(col): _*).agg(accs.head, accs.tail: _*)
   }
@@ -314,6 +374,10 @@ object MaterializedView {
     val folded: Seq[Column] = sum(col(cntCol)).as(cntCol) +:
       d.aggs.flatMap {
         case MvCount(_) => Seq.empty[Column]
+        case MvMin(_, as) => Seq(min(col(minCol(as))).as(minCol(as)))
+        case MvMax(_, as) => Seq(max(col(maxCol(as))).as(maxCol(as)))
+        case MvHllCount(_, as) => Seq(
+          hll_union_agg(col(hllCol(as))).as(hllCol(as)))
         case a => Seq(
           sum(col(sumCol(a.as))).cast(SumType).as(sumCol(a.as)),
           sum(col(nnCol(a.as))).as(nnCol(a.as)))
@@ -342,6 +406,12 @@ object MaterializedView {
           "col" -> JString(c), "as" -> JString(as),
           "long" -> JBool(d.serveLong(as)))
         case MvAvg(c, as) => JObject("op" -> JString("avg"),
+          "col" -> JString(c), "as" -> JString(as))
+        case MvMin(c, as) => JObject("op" -> JString("min"),
+          "col" -> JString(c), "as" -> JString(as))
+        case MvMax(c, as) => JObject("op" -> JString("max"),
+          "col" -> JString(c), "as" -> JString(as))
+        case MvHllCount(c, as) => JObject("op" -> JString("hllcount"),
           "col" -> JString(c), "as" -> JString(as))
       }.toList))
     val p = defPath(root)
@@ -399,6 +469,16 @@ object MaterializedView {
           case JString("avg") =>
             MvAvg((a \ "col") match { case JString(c) => c
               case _ => sys.error(s"malformed $p: avg without col") }, name)
+          case JString("min") =>
+            MvMin((a \ "col") match { case JString(c) => c
+              case _ => sys.error(s"malformed $p: min without col") }, name)
+          case JString("max") =>
+            MvMax((a \ "col") match { case JString(c) => c
+              case _ => sys.error(s"malformed $p: max without col") }, name)
+          case JString("hllcount") =>
+            MvHllCount((a \ "col") match { case JString(c) => c
+              case _ => sys.error(s"malformed $p: hllcount without col")
+            }, name)
           case other => sys.error(s"malformed $p: unknown op $other")
         }
       }

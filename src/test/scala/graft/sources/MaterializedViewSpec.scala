@@ -254,6 +254,47 @@ class MaterializedViewSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("insert-only aggregates: MIN/MAX/HLL fold appends exactly " +
+    "(below coupon capacity the sketch equals COUNT DISTINCT), " +
+    "refuse a rewrite range, and fullRefresh recovers") {
+    val dir = tmp("mv_insonly")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      val b0 = Seq(("a", 5L, "x"), ("a", 3L, "y"), ("b", 7L, "x"))
+        .toDF("k", "x", "t")
+      VersionedTable.init(spark, base, b0)
+      MV.create(spark, mv, base, Seq("k"),
+        Seq(MV.MvMin("x", "min_x"), MV.MvMax("x", "max_x"),
+          MV.MvHllCount("t", "nd_t")))
+      def expect(): Seq[Row] = sorted(
+        VersionedTable.read(spark, base).groupBy("k")
+          .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            countDistinct(col("t")).as("nd_t")))
+      assert(sorted(MV.read(spark, mv)) == expect())
+      VersionedTable.append(spark, base,
+        Seq(("a", 1L, "z"), ("b", 9L, "x"), ("c", 4L, "w"))
+          .toDF("k", "x", "t"), 0)
+      val r = MV.refresh(spark, mv)
+      assert(r.refreshed && r.appendOnly)
+      assert(sorted(MV.read(spark, mv)) == expect())
+      // a delete makes the range non-append → loud refusal naming
+      // fullRefresh
+      VersionedTable.delete(spark, base, col("x") === 1L)
+      val e = intercept[IllegalStateException] { MV.refresh(spark, mv) }
+      assert(e.getMessage.contains("fullRefresh") &&
+        e.getMessage.contains("min_x"))
+      MV.fullRefresh(spark, mv)
+      assert(sorted(MV.read(spark, mv)) == expect())
+      // and appends keep folding after the recovery
+      VersionedTable.append(spark, base,
+        Seq(("a", 0L, "q")).toDF("k", "x", "t"),
+        VersionedTable.latestVersion(spark, base))
+      assert(MV.refresh(spark, mv).appendOnly)
+      assert(sorted(MV.read(spark, mv)) == expect())
+    } finally rm(dir)
+  }
+
   test("crash idempotency: a replayed refresh of the same range " +
     "no-ops on the watermark instead of double-folding") {
     val dir = tmp("mv_idem")
