@@ -1977,6 +1977,41 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // the SAME materialized-view lifecycle driven ENTIRELY through
+  // spark.sql — CREATE TABLE / INSERT / CREATE MATERIALIZED VIEW /
+  // REFRESH / SELECT — the warehouse spelling over the one
+  // programmatic truth, hash-gated by DuckDB recomputing the final
+  // aggregate. The refresh report's append_only canary rides in-gate.
+  def pipelineVersionedMvSql(s: SparkSession, d: String): DataFrame = {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mvsql")
+    val cat = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpRoot.toString)
+      docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("doc_id") < 500)
+        .createOrReplaceTempView("mvsql_docs")
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT)")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM mvsql_docs " +
+        "WHERE doc_id < 250")
+      s.sql(s"CREATE MATERIALIZED VIEW $cat.mv AS " +
+        s"SELECT lang, count(*) AS cnt, sum(n_chars) AS sum_chars, " +
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
+        s"approx_count_distinct(doc_id) AS nd_docs FROM $cat.docs " +
+        "GROUP BY lang")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM mvsql_docs " +
+        "WHERE doc_id >= 250")
+      val r = s.sql(s"REFRESH MATERIALIZED VIEW $cat.mv").head()
+      require(r.getBoolean(3) && r.getBoolean(4),
+        s"mv sql gate: expected (refreshed, append_only), got $r")
+      s.sql(s"SELECT lang, cnt, sum_chars, min_chars, max_chars, " +
+        s"nd_docs FROM $cat.mv ORDER BY lang").localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // BLOOM FILE SKIPPING, end to end: the base pins blooms on a
   // content-hash column whose per-file envelopes overlap completely
   // (random hex — min/max pruning provably gets NOTHING, asserted
@@ -2040,6 +2075,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_stats" -> pipelineVersionedStats _,
     "pipeline_versioned_mv" -> pipelineVersionedMv _,
     "pipeline_versioned_mv_append" -> pipelineVersionedMvAppend _,
+    "pipeline_versioned_mv_sql" -> pipelineVersionedMvSql _,
     "pipeline_versioned_bloom_skip" -> pipelineVersionedBloomSkip _,
     "pipeline_versioned_spj_join" -> pipelineVersionedSpjJoin _,
     "pipeline_skew_advised_join" -> pipelineSkewAdvisedJoin _,
@@ -2538,6 +2574,19 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_mv_append" ->
       """SELECT lang,
         |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd_docs
+        |FROM documents WHERE doc_id < 500
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    // the SQL MV lifecycle vs DuckDB recomputing from scratch — same
+    // exactness reasoning as the programmatic twin
+    "pipeline_versioned_mv_sql" ->
+      """SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS BIGINT)
+        |    AS sum_chars,
         |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
         |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd_docs

@@ -100,6 +100,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     p.toString
   }
 
+  /** The root a NEW table/view at `ident` would live at — no
+    * existence requirement (CREATE MATERIALIZED VIEW's seam; the
+    * create itself refuses an occupied root). */
+  private[sources] def newTableRoot(ident: Identifier): String =
+    tablePath(ident).toString
+
   private def isTable(p: Path): Boolean =
     fs.exists(new Path(p, "_manifests"))
 

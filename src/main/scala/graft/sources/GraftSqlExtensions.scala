@@ -24,6 +24,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   RESTORE TABLE graft.docs TO VERSION AS OF 3
   *   ANALYZE TABLE graft.docs COMPUTE STATISTICS [FOR ALL COLUMNS
   *     | FOR COLUMNS a, b]                         -- NDV (re)pin
+  *   CREATE MATERIALIZED VIEW graft.mv AS
+  *     SELECT k, count(*) AS c FROM graft.docs GROUP BY k
+  *   REFRESH MATERIALIZED VIEW graft.mv [FULL]     -- O(delta) fold
   * }}}
   *
   * The injected parser intercepts EXACTLY these statement
@@ -161,6 +164,14 @@ object GraftSqlParser {
       """(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+([\w`\s,]+?)))?""" +
       """\s*;?\s*""").r
 
+  private val CreateMvRe: Regex =
+    (s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ident""" +
+      """\s+AS\s+(.+?)\s*;?\s*""").r
+
+  private val RefreshMvRe: Regex =
+    (s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Ident""" +
+      """(\s+FULL)?\s*;?\s*""").r
+
   private[sources] def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(p =>
       if (p.startsWith("`") && p.endsWith("`")) p.drop(1).dropRight(1)
@@ -196,7 +207,29 @@ object GraftSqlParser {
           .map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty)
       Some(GraftAnalyzeCommand(parts(ident), cols))
+    case CreateMvRe(ident, query) =>
+      Some(GraftCreateMaterializedViewCommand(parts(ident), query))
+    case RefreshMvRe(ident, full) =>
+      Some(GraftRefreshMaterializedViewCommand(parts(ident),
+        full != null))
     case _ => None
+  }
+
+  /** Like [[resolveRoot]] but for a table that need not exist yet
+    * (CREATE MATERIALIZED VIEW's target). */
+  private[sources] def resolveNewRoot(spark: SparkSession,
+      nameParts: Seq[String]): String = {
+    require(nameParts.length >= 2,
+      s"qualify the view as <catalog>.<name>, got " +
+        nameParts.mkString("."))
+    spark.sessionState.catalogManager.catalog(nameParts.head) match {
+      case g: GraftCatalog =>
+        g.newTableRoot(org.apache.spark.sql.connector.catalog.Identifier
+          .of(nameParts.tail.init.toArray, nameParts.last))
+      case other => throw new IllegalArgumentException(
+        s"${nameParts.head} is not a graft catalog " +
+          s"(${other.getClass.getName})")
+    }
   }
 
   /** Resolve `catalog.ns...tbl` to the table's filesystem root via
@@ -301,6 +334,135 @@ case class GraftRestoreCommand(nameParts: Seq[String], toVersion: Int)
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, nameParts)
     Seq(Row(VersionedTable.restore(spark, root, toVersion).toLong))
+  }
+}
+
+/** `CREATE MATERIALIZED VIEW g.mv AS SELECT k..., agg(x) AS a...
+  * FROM g.base GROUP BY k...` — the warehouse spelling of
+  * [[MaterializedView.create]]. The query is ANALYZED by Spark and
+  * must be exactly one GROUP BY aggregate over one whole graft table
+  * — no WHERE/JOIN/HAVING (the incremental fold maintains the
+  * aggregate of the TABLE; derived inputs belong in the base or a
+  * future round). Supported aggregates: `count(*)`, `sum`, `avg`
+  * (exact under every change type), `min`/`max`/
+  * `approx_count_distinct` (insert-only — see [[MaterializedView]]).
+  * Every aggregate needs an alias (it names the view column);
+  * `count(DISTINCT x)` refuses, naming approx_count_distinct. The
+  * view lands at the catalog's `<warehouse>/<name>` root as a
+  * versioned table whose SERVED columns are materialized, so plain
+  * `SELECT ... FROM g.mv` reads the aggregate (the `__mv_*`
+  * accumulator columns ride behind them); `DROP TABLE g.mv` removes
+  * it. Returns the base version the view reflects. */
+case class GraftCreateMaterializedViewCommand(nameParts: Seq[String],
+    query: String)
+    extends LeafRunnableCommand with GraftMaintenanceCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("base_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    import MaterializedView._
+
+    val mvRoot = GraftSqlParser.resolveNewRoot(spark, nameParts)
+    def refuse(why: String): Nothing = throw new IllegalArgumentException(
+      "CREATE MATERIALIZED VIEW: " + why +
+        " — the view must be one GROUP BY aggregate (count(*)/sum/avg/" +
+        "min/max/approx_count_distinct, each aliased) over one whole " +
+        "graft table")
+    @scala.annotation.tailrec
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => unwrap(c)
+      case other => other
+    }
+    def attrOf(e: Expression): String = e match {
+      case a: AttributeReference => a.name
+      case c: Cast => attrOf(c.child)
+      case other => refuse(s"aggregate input must be a bare column, " +
+        s"got ${other.sql}")
+    }
+    val analyzed = spark.sql(query).queryExecution.analyzed
+    unwrap(analyzed) match {
+      case Aggregate(groupingExprs, aggExprs, child, _) =>
+        val rel = unwrap(child) match {
+          case r: DataSourceV2Relation => r
+          case other => refuse(
+            s"FROM must be a bare graft table, got ${other.nodeName}")
+        }
+        val baseRoot = (rel.catalog, rel.identifier) match {
+          case (Some(g: GraftCatalog), Some(id)) => g.tableRoot(id)
+          case _ => refuse("the base table is not in a graft catalog")
+        }
+        val keys = groupingExprs.map {
+          case a: AttributeReference => a.name
+          case other => refuse(
+            s"GROUP BY keys must be bare columns, got ${other.sql}")
+        }
+        val keySet = keys.map(_.toLowerCase).toSet
+        val aggs = aggExprs.flatMap {
+          case a: AttributeReference if keySet(a.name.toLowerCase) =>
+            None // group key projected under its own name
+          case Alias(ae: AggregateExpression, name) =>
+            if (ae.isDistinct) refuse(
+              s"'$name' aggregates DISTINCT — exact distinct counts " +
+                "are not incrementally maintainable; use " +
+                "approx_count_distinct")
+            Some(ae.aggregateFunction match {
+              case c: Count if c.children.forall(_.foldable) =>
+                MvCount(name)
+              case _: Count => refuse(
+                s"'$name' is count(col) (non-null count) — spell it " +
+                  "count(*) or sum(CASE WHEN col IS NOT NULL ...)")
+              case s: Sum => MvSum(attrOf(s.child), name)
+              case a: Average => MvAvg(attrOf(a.child), name)
+              case m: Min => MvMin(attrOf(m.child), name)
+              case m: Max => MvMax(attrOf(m.child), name)
+              case h: HyperLogLogPlusPlus => MvHllCount(attrOf(h.child),
+                name)
+              case other => refuse(
+                s"'$name' uses ${other.prettyName}, which has no " +
+                  "incremental accumulator here")
+            })
+          case other => refuse(s"output '${other.name}' is neither a " +
+            "group key under its own name nor an aliased aggregate")
+        }
+        if (aggs.isEmpty) refuse("no aggregates in the SELECT list")
+        val v = MaterializedView.create(spark, mvRoot, baseRoot,
+          keys, aggs)
+        Seq(Row(v.toLong))
+      case other => refuse(s"query is ${other.nodeName}, not a GROUP " +
+        "BY aggregate")
+    }
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW g.mv [FULL]` —
+  * [[MaterializedView.refresh]] (the O(delta) change-feed fold) or,
+  * with FULL, [[MaterializedView.fullRefresh]] (the recompute
+  * recovery path). Returns the refresh report. */
+case class GraftRefreshMaterializedViewCommand(nameParts: Seq[String],
+    full: Boolean)
+    extends LeafRunnableCommand with GraftMaintenanceCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("from_base", LongType, nullable = false)(),
+    AttributeReference("to_base", LongType, nullable = false)(),
+    AttributeReference("mv_version", LongType, nullable = false)(),
+    AttributeReference("refreshed",
+      org.apache.spark.sql.types.BooleanType, nullable = false)(),
+    AttributeReference("append_only",
+      org.apache.spark.sql.types.BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, nameParts)
+    val r =
+      if (full) MaterializedView.fullRefresh(spark, root)
+      else MaterializedView.refresh(spark, root)
+    Seq(Row(r.fromBase.toLong, r.toBase.toLong, r.mvVersion.toLong,
+      r.refreshed, r.appendOnly))
   }
 }
 

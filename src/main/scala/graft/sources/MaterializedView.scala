@@ -137,6 +137,47 @@ object MaterializedView {
   private def maxCol(as: String) = s"__mv_max_$as"
   private def hllCol(as: String) = s"__mv_hll_$as"
 
+  private def accColNames(d: MvDef): Seq[String] =
+    cntCol +: d.aggs.flatMap {
+      case MvCount(_) => Seq.empty[String]
+      case MvMin(_, as) => Seq(minCol(as))
+      case MvMax(_, as) => Seq(maxCol(as))
+      case MvHllCount(_, as) => Seq(hllCol(as))
+      case a => Seq(sumCol(a.as), nnCol(a.as))
+    }
+
+  /** The user-facing value of each aggregate, derived from its
+    * accumulators (COUNT as BIGINT, integral SUM as BIGINT, fractional
+    * SUM and AVG as DOUBLE, MIN/MAX in the column's type, HLL as
+    * BIGINT; SUM/AVG over zero non-null inputs serve NULL). */
+  private def servedCols(d: MvDef): Seq[Column] = d.aggs.map {
+    case MvCount(as) => col(cntCol).as(as)
+    case MvSum(_, as) =>
+      val served =
+        if (d.serveLong(as)) col(sumCol(as)).cast(LongType)
+        else col(sumCol(as)).cast(DoubleType)
+      when(col(nnCol(as)) > 0L, served).as(as)
+    case MvAvg(_, as) =>
+      when(col(nnCol(as)) > 0L,
+        col(sumCol(as)).cast(DoubleType) /
+          col(nnCol(as)).cast(DoubleType)).as(as)
+    case MvMin(_, as) => col(minCol(as)).as(as)
+    case MvMax(_, as) => col(maxCol(as)).as(as)
+    // a group whose column is all NULL has a NULL sketch; COUNT
+    // DISTINCT of nothing is 0
+    case MvHllCount(_, as) =>
+      coalesce(hll_sketch_estimate(col(hllCol(as))), lit(0L)).as(as)
+  }
+
+  /** The frame an MV version COMMITS: group keys, then the SERVED
+    * columns (so any reader — catalog SQL, the path connector, a
+    * time-traveled snapshot — sees the aggregate directly, no
+    * MV-aware projection needed), then the `__mv_*` accumulators the
+    * next fold resumes from. */
+  private def withServed(acc: DataFrame, d: MvDef): DataFrame =
+    acc.select(d.keys.map(col) ++ servedCols(d) ++
+      accColNames(d).map(col): _*)
+
   /** Create the view at `mvRoot` as the aggregate of `baseRoot`'s
     * LATEST version; returns that base version. One full aggregate —
     * the only time the base is ever scanned whole. */
@@ -178,7 +219,7 @@ object MaterializedView {
       Some(baseV -> anchorOf(spark, baseRoot, baseV)))
     writeDef(spark, mvRoot, d)
     val acc = accumulate(snap, d, signed = false)
-    VersionedTable.init(spark, mvRoot, acc,
+    VersionedTable.init(spark, mvRoot, withServed(acc, d),
       txn = Some(baseV.toLong), txnAppId = Some(TxnAppId))
     baseV
   }
@@ -227,9 +268,13 @@ object MaterializedView {
       .isin("delete", "update_preimage"), lit(-1L)).otherwise(lit(1L))
     val delta = accumulate(feed.withColumn("__mv_sign", sign), d,
       signed = true)
+    // state strips to keys+accumulators before the fold (the stored
+    // served columns are derived data, recomputed at commit)
     val state = VersionedTable.read(spark, mvRoot, Some(mvV))
+      .select(d.keys.map(col) ++ accColNames(d).map(col): _*)
     val merged = foldAccumulators(state.unionByName(delta), d)
-    val committed = VersionedTable.commit(spark, mvRoot, merged, mvV,
+    val committed = VersionedTable.commit(spark, mvRoot,
+      withServed(merged, d), mvV,
       txn = Some(to.toLong), txnAppId = Some(TxnAppId),
       op = "mv_refresh")
     RefreshReport(from, to, committed, refreshed = true, appendOnly)
@@ -249,7 +294,8 @@ object MaterializedView {
     require(to >= 0, s"base ${d.base} has no committed version")
     val acc = accumulate(VersionedTable.read(spark, d.base, Some(to)), d,
       signed = false)
-    val committed = VersionedTable.commit(spark, mvRoot, acc, mvV,
+    val committed = VersionedTable.commit(spark, mvRoot,
+      withServed(acc, d), mvV,
       txn = Some(to.toLong), txnAppId = Some(TxnAppId),
       op = "mv_full_refresh")
     // recompute legitimately re-anchors (the recovery path for a
@@ -288,26 +334,12 @@ object MaterializedView {
   def read(spark: SparkSession, mvRoot: String,
       version: Option[Int] = None): DataFrame = {
     val d = readDef(spark, mvRoot)
-    val state = VersionedTable.read(spark, mvRoot, version)
-    val out: Seq[Column] = d.keys.map(col) ++ d.aggs.map {
-      case MvCount(as) => col(cntCol).as(as)
-      case MvSum(_, as) =>
-        val served =
-          if (d.serveLong(as)) col(sumCol(as)).cast(LongType)
-          else col(sumCol(as)).cast(DoubleType)
-        when(col(nnCol(as)) > 0L, served).as(as)
-      case MvAvg(_, as) =>
-        when(col(nnCol(as)) > 0L,
-          col(sumCol(as)).cast(DoubleType) /
-            col(nnCol(as)).cast(DoubleType)).as(as)
-      case MvMin(_, as) => col(minCol(as)).as(as)
-      case MvMax(_, as) => col(maxCol(as)).as(as)
-      // a group whose column is all NULL has a NULL sketch; COUNT
-      // DISTINCT of nothing is 0
-      case MvHllCount(_, as) =>
-        coalesce(hll_sketch_estimate(col(hllCol(as))), lit(0L)).as(as)
-    }
-    state.select(out: _*)
+    // served values are MATERIALIZED per commit (withServed), so the
+    // read is a plain projection — which also means any OTHER reader
+    // (catalog SQL, the path connector) sees the same values without
+    // MV-aware code; the __mv_* accumulators ride behind them
+    VersionedTable.read(spark, mvRoot, version)
+      .select(d.keys.map(col) ++ d.aggs.map(a => col(a.as)): _*)
   }
 
   /** The base version the view currently reflects. */

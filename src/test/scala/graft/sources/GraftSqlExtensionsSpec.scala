@@ -260,4 +260,66 @@ class GraftSqlExtensionsSpec extends SparkSpec {
       "Spark's own ANALYZE must have produced catalog statistics")
     spark.sql("DROP TABLE IF EXISTS an_plain")
   }
+
+  test("CREATE/REFRESH MATERIALIZED VIEW: the SQL lifecycle folds " +
+    "appends at O(delta), serves through plain SELECT, and refuses " +
+    "non-aggregate shapes") {
+    wh
+    spark.sql("CREATE TABLE gext.mvbase (k STRING, x BIGINT)")
+    spark.sql("INSERT INTO gext.mvbase VALUES ('a', 1), ('a', 2), ('b', 5)")
+    val created = spark.sql(
+      "CREATE MATERIALIZED VIEW gext.mv1 AS " +
+        "SELECT k, count(*) AS cnt, sum(x) AS sx, avg(x) AS ax, " +
+        "max(x) AS mx, approx_count_distinct(x) AS nd " +
+        "FROM gext.mvbase GROUP BY k")
+    assert(created.as[Long].head == 1L) // base at v1 (CREATE+INSERT)
+    // the view serves through PLAIN SQL — no MV-aware reader needed
+    def served() = spark.sql(
+      "SELECT k, cnt, sx, ax, mx, nd FROM gext.mv1 ORDER BY k")
+      .collect().toSeq
+    def recomputed() = spark.sql(
+      "SELECT k, count(*) AS cnt, sum(x) AS sx, avg(x) AS ax, " +
+        "max(x) AS mx, CAST(count(DISTINCT x) AS BIGINT) AS nd " +
+        "FROM gext.mvbase GROUP BY k ORDER BY k").collect().toSeq
+    assert(served() == recomputed())
+    spark.sql("INSERT INTO gext.mvbase VALUES ('a', 9), ('c', 3)")
+    val r = spark.sql("REFRESH MATERIALIZED VIEW gext.mv1").head()
+    assert(r.getBoolean(3) && r.getBoolean(4),
+      s"append refresh must report (refreshed, append_only), got $r")
+    assert(served() == recomputed())
+    // a second refresh with an unmoved base no-ops
+    val r2 = spark.sql("REFRESH MATERIALIZED VIEW gext.mv1").head()
+    assert(!r2.getBoolean(3))
+    // a DELETE makes the range non-append: the insert-only max/nd
+    // refuse, FULL recovers
+    spark.sql("DELETE FROM gext.mvbase WHERE x = 9")
+    val e = intercept[Exception] {
+      spark.sql("REFRESH MATERIALIZED VIEW gext.mv1").collect()
+    }
+    assert(e.getMessage.contains("fullRefresh") ||
+      Option(e.getCause).exists(_.getMessage.contains("fullRefresh")))
+    spark.sql("REFRESH MATERIALIZED VIEW gext.mv1 FULL").collect()
+    assert(served() == recomputed())
+    // refusals: WHERE/JOIN shapes, unaliased aggregates, count(col),
+    // DISTINCT
+    def refuses(sql: String, needle: String): Unit = {
+      val ex = intercept[Exception] { spark.sql(sql).collect() }
+      val msg = ex.getMessage +
+        Option(ex.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains(needle), s"wanted '$needle' in: $msg")
+    }
+    refuses("CREATE MATERIALIZED VIEW gext.mv2 AS SELECT k, count(*) " +
+      "AS c FROM gext.mvbase WHERE x > 0 GROUP BY k",
+      "bare graft table")
+    refuses("CREATE MATERIALIZED VIEW gext.mv2 AS SELECT k, " +
+      "count(x) AS c FROM gext.mvbase GROUP BY k", "count(*)")
+    refuses("CREATE MATERIALIZED VIEW gext.mv2 AS SELECT k, " +
+      "count(DISTINCT x) AS c FROM gext.mvbase GROUP BY k",
+      "approx_count_distinct")
+    refuses("CREATE MATERIALIZED VIEW gext.mv2 AS " +
+      "SELECT k, x FROM gext.mvbase", "not a GROUP BY aggregate")
+    // DROP TABLE removes the view like any table
+    spark.sql("DROP TABLE gext.mv1")
+    assert(!spark.catalog.tableExists("gext.mv1"))
+  }
 }
