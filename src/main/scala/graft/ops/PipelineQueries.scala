@@ -2042,13 +2042,16 @@ object PipelineQueries extends QueryPack {
         .head.getString(0)
       val (envPruned, covered) =
         vt.pruneCounts(s, root, col("fp") === probe).get
-      require(envPruned == 0 && covered == 6,
-        s"random-hex envelopes must prune nothing ($envPruned/$covered)")
+      // hex envelopes are near-powerless here (each file spans ~the
+      // whole domain); a boundary probe can still luck past a file or
+      // two at some SFs, so the canary is the GAP, not a zero
+      require(covered == 6 && envPruned <= 2,
+        s"random-hex envelopes should prune ~nothing ($envPruned/$covered)")
       vt.enableBloomFilters(s, root, Seq("fp"))
       val (bloomPruned, _) =
         vt.pruneCounts(s, root, col("fp") === probe).get
-      require(bloomPruned >= 4,
-        s"bloom must prune most of 6 files, pruned $bloomPruned")
+      require(bloomPruned >= 4 && bloomPruned > envPruned,
+        s"bloom must out-prune envelopes ($bloomPruned vs $envPruned of 6)")
       vt.readWhere(s, root, col("fp") === probe)
         .orderBy("doc_id").localCheckpoint(true)
     } finally

@@ -289,7 +289,9 @@ object MaterializedView {
     val d = readDef(spark, mvRoot)
     val mvV = VersionedTable.latestVersion(spark, mvRoot)
     require(mvV >= 0, s"$mvRoot has no committed version — create first")
-    val from = watermark(spark, mvRoot)
+    // tolerate a vacuumed-away watermark: fullRefresh IS the recovery
+    val from = VersionedTable.lastCommittedTxn(spark, mvRoot, TxnAppId)
+      .map(_.toInt).getOrElse(-1)
     val to = VersionedTable.latestVersion(spark, d.base)
     require(to >= 0, s"base ${d.base} has no committed version")
     val acc = accumulate(VersionedTable.read(spark, d.base, Some(to)), d,
@@ -342,14 +344,35 @@ object MaterializedView {
       .select(d.keys.map(col) ++ d.aggs.map(a => col(a.as)): _*)
   }
 
-  /** The base version the view currently reflects. */
+  /** The base version the view currently reflects. Throws when no
+    * surviving manifest carries the marker — either the root is not a
+    * materialized view, or a marker-less maintenance commit (a
+    * generic `VersionedTable.compact`) plus an aggressive vacuum aged
+    * the marker-bearing manifest out. Loud beats a silent re-fold:
+    * recover with [[fullRefresh]], and compact the view through
+    * [[compact]] (which re-stamps the marker) to avoid the state. */
   def watermark(spark: SparkSession, mvRoot: String): Int =
     VersionedTable.lastCommittedTxn(spark, mvRoot, TxnAppId)
       .map(_.toInt).getOrElse(throw new IllegalStateException(
-        s"$mvRoot carries no '$TxnAppId' watermark — not a " +
-          "materialized view (or its history was vacuumed past the " +
-          "last refresh, which cannot happen: the marker rides the " +
-          "latest commit)"))
+        s"$mvRoot carries no reachable '$TxnAppId' watermark — either " +
+          "this is not a materialized view, or a marker-less " +
+          "maintenance commit plus vacuum aged it out. fullRefresh " +
+          "re-anchors; use MaterializedView.compact (not the generic " +
+          "compact) so maintenance keeps the marker reachable."))
+
+  /** Compact the VIEW's own commit dirs (the read-amplification
+    * antidote after many refreshes), RE-STAMPING the base-version
+    * watermark on the compacted commit so it stays reachable under
+    * any later vacuum — the generic `VersionedTable.compact` writes
+    * no marker, leaving the watermark on an older manifest that an
+    * aggressive vacuum could age out. */
+  def compact(spark: SparkSession, mvRoot: String): Int = {
+    val w = watermark(spark, mvRoot)
+    val v = VersionedTable.latestVersion(spark, mvRoot)
+    VersionedTable.commit(spark, mvRoot,
+      VersionedTable.read(spark, mvRoot, Some(v)), v,
+      txn = Some(w.toLong), txnAppId = Some(TxnAppId), op = "compact")
+  }
 
   def definition(spark: SparkSession, mvRoot: String): MvDef =
     readDef(spark, mvRoot)

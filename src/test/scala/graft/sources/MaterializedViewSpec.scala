@@ -295,6 +295,45 @@ class MaterializedViewSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("the view is a versioned table: compact + vacuum between " +
+    "refreshes preserve the fold and the watermark") {
+    val dir = tmp("mv_maint")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      VersionedTable.init(spark, base,
+        Seq(("a", 1L, 1.0)).toDF("k", "x", "v"))
+      MV.create(spark, mv, base, Seq("k"), mvAggs)
+      VersionedTable.append(spark, base,
+        Seq(("b", 2L, 2.0)).toDF("k", "x", "v"), 0)
+      MV.refresh(spark, mv)
+      // maintenance on the VIEW's own table: MV.compact folds its
+      // commit dirs RE-STAMPING the watermark, so even an aggressive
+      // vacuum that keeps only the compacted version cannot lose it
+      MV.compact(spark, mv)
+      VersionedTable.vacuum(spark, mv, keepVersions = 1,
+        retainMillis = 0L)
+      assert(MV.watermark(spark, mv) == 1)
+      VersionedTable.append(spark, base,
+        Seq(("a", 3L, 3.0)).toDF("k", "x", "v"), 1)
+      val r = MV.refresh(spark, mv)
+      assert(r.refreshed && r.appendOnly)
+      assert(sorted(MV.read(spark, mv)) ==
+        sorted(recompute(VersionedTable.read(spark, base))))
+      // the GENERIC compact writes no marker — vacuum can then age
+      // the watermark out; the view fails LOUDLY (never a silent
+      // re-fold) and fullRefresh recovers
+      VersionedTable.compact(spark, mv)
+      VersionedTable.vacuum(spark, mv, keepVersions = 1,
+        retainMillis = 0L)
+      val e = intercept[IllegalStateException] { MV.refresh(spark, mv) }
+      assert(e.getMessage.contains("fullRefresh"))
+      MV.fullRefresh(spark, mv)
+      assert(sorted(MV.read(spark, mv)) ==
+        sorted(recompute(VersionedTable.read(spark, base))))
+    } finally rm(dir)
+  }
+
   test("crash idempotency: a replayed refresh of the same range " +
     "no-ops on the watermark instead of double-folding") {
     val dir = tmp("mv_idem")
