@@ -250,8 +250,10 @@ object BloomSkipping {
   }
 
   /** The probe domain of a literal for a column type — mirrors
-    * [[bloomInput]]; None = not bloomable (conservative pass). */
-  private def probeValue(value: Any, dt: DataType): Option[Any] =
+    * [[bloomInput]]; None = not bloomable (conservative pass).
+    * Public because the runtime-filtering scan converts DSv2 literal
+    * values through the same mapping. */
+  def probeValue(value: Any, dt: DataType): Option[Any] =
     (value, dt) match {
       case (null, _) => None
       case (v: java.lang.Number, ByteType | ShortType | IntegerType |
@@ -263,11 +265,14 @@ object BloomSkipping {
       case _ => None
     }
 
-  private def contains(bf: BloomFilter, v: Any): Boolean = v match {
+  /** Membership probe in the build domain; unknown domains pass. */
+  def mightContain(bf: BloomFilter, v: Any): Boolean = v match {
     case l: Long => bf.mightContainLong(l)
     case b: Array[Byte] => bf.mightContainBinary(b)
     case _ => true
   }
+  private def contains(bf: BloomFilter, v: Any): Boolean =
+    mightContain(bf, v)
 
   /** Could any row of a file with blooms `blooms` satisfy `pred`?
     * Conservative: unknown shapes/columns/values ⇒ true. Sound

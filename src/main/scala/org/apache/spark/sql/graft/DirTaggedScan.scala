@@ -384,9 +384,20 @@ class DirAwareScanBuilder(spark: SparkSession, root: String,
         else new BucketedDelegatingScan(spark, root, version, options,
           inner.build(), cased, n, streamable)
       // every catalog read reports statistics (time-traveled
-      // snapshots included); only live snapshots also stream
-      case _ => new StreamableDelegatingScan(spark, root, version,
-        options, inner.build(), streamable)
+      // snapshots included); only live snapshots also stream. A
+      // bloom-pinned table additionally accepts RUNTIME equality
+      // filters (a selective broadcast-dim join hands its key set to
+      // the scan, which drops files whose blooms miss every value)
+      case _ =>
+        val bloomCols = graft.sources.VersionedTable
+          .bloomColumns(spark, root, Some(version))
+          .getOrElse(Seq.empty)
+          .filter(c => prunedData.fieldNames.exists(_.equalsIgnoreCase(c)))
+        if (bloomCols.nonEmpty)
+          new BloomRuntimeFilteredScan(spark, root, version, options,
+            inner.build(), streamable, bloomCols)
+        else new StreamableDelegatingScan(spark, root, version,
+          options, inner.build(), streamable)
     }
 }
 
@@ -430,5 +441,118 @@ private class StreamableDelegatingScan(spark: SparkSession,
         ".option(\"readChangeFeed\", \"true\").load(<table root>)")
     new graft.sources.VersionedTableMicroBatchStream(spark, root,
       delegate.readSchema(), options)
+  }
+}
+
+/** [[StreamableDelegatingScan]] for tables with a BLOOM pin: accepts
+  * RUNTIME equality filters (the same DSv2 dynamic-pruning seam the
+  * bucket scan uses). When the table joins a filtered dim on a
+  * bloom-pinned column and the dim broadcasts, Spark hands the dim's
+  * key set to [[filter]] as IN(col, v1..vk) at runtime; files whose
+  * per-file bloom misses EVERY value never leave the driver. This is
+  * exactly the point-enrichment join shape — keys high-cardinality
+  * and unclustered, where min/max envelopes cannot prune. A SEPARATE
+  * subclass (not a mixin on every plain scan) because merely
+  * ADVERTISING `SupportsRuntimeV2Filtering` changes how the planner
+  * treats the relation in DPP decisions — unpinned tables must stay
+  * byte-identical to the planner. Conjunction across predicates;
+  * conservative everywhere (uncovered file, non-literal, unknown
+  * domain all pass). */
+private class BloomRuntimeFilteredScan(spark: SparkSession,
+    root: String, version: Int, options: CaseInsensitiveStringMap,
+    delegate: Scan, streamable: Boolean, bloomCols: Seq[String])
+    extends StreamableDelegatingScan(spark, root, version, options,
+      delegate, streamable)
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  @volatile private var keepValues
+      : Option[Map[String, Set[Any]]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    bloomCols.map(Expressions.column).toArray
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val perPredicate = predicates.flatMap(valueSet)
+    if (perPredicate.nonEmpty) {
+      // same column constrained twice → intersect; different columns
+      // → independent conjuncts
+      val merged = perPredicate.groupBy(_._1)
+        .map { case (c, vs) => c -> vs.map(_._2).reduce(_ intersect _) }
+      keepValues = Some(merged)
+    }
+  }
+
+  // IN(col, literals...) / =(col, literal) on a bloom-pinned column →
+  // the probe-domain value set; any other shape prunes nothing
+  private def valueSet(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[(String, Set[Any])] = p.name() match {
+    case "IN" | "=" =>
+      val children = p.children()
+      children.headOption match {
+        case Some(ref: org.apache.spark.sql.connector.expressions
+          .NamedReference) if ref.fieldNames().length == 1 &&
+            bloomCols.exists(_.equalsIgnoreCase(ref.fieldNames()(0))) =>
+          val colName = ref.fieldNames()(0).toLowerCase
+          val dt = readSchema().fields
+            .find(_.name.equalsIgnoreCase(colName)).map(_.dataType)
+          val lits = children.tail.collect {
+            case l: org.apache.spark.sql.connector.expressions
+              .Literal[_] => l
+          }
+          if (lits.length != children.length - 1 || dt.isEmpty) None
+          else {
+            val vals = lits.flatMap(l =>
+              graft.sources.BloomSkipping.probeValue(l.value, dt.get))
+            // every literal must convert, or the set is incomplete
+            // and pruning on it would drop matching files
+            if (vals.length == lits.length) Some(colName -> vals.toSet)
+            else None
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def toBatch: Batch = new Batch {
+    private val inner = delegate.toBatch
+    override def planInputPartitions(): Array[InputPartition] =
+      keepValues match {
+        case None => inner.planInputPartitions()
+        case Some(keep) =>
+          val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
+          def fileOk(pf: org.apache.spark.sql.execution.datasources
+            .PartitionedFile): Boolean = {
+            val dir = pf.filePath.toPath.getParent.getName
+            val name = pf.filePath.toPath.getName
+            graft.sources.BloomSkipping.bloomsForDir(spark,
+              new org.apache.hadoop.fs.Path(dataRoot, dir))
+              .flatMap(_.get(name)) match {
+              case None => true // uncovered file: conservatively read
+              case Some(byCol) => keep.forall { case (c, vs) =>
+                byCol.get(c) match {
+                  case Some(bf) => vs.exists(
+                    graft.sources.BloomSkipping.mightContain(bf, _))
+                  case None => true
+                }
+              }
+            }
+          }
+          import org.apache.spark.sql.execution.datasources.FilePartition
+          inner.planInputPartitions().flatMap {
+            case fp: FilePartition =>
+              val kept = fp.files.filter(f => fileOk(f))
+              if (kept.isEmpty) None
+              else Some(fp.copy(files = kept): InputPartition)
+            case other => Some(other) // never guess on unknown shapes
+          }.zipWithIndex.map {
+            case (fp: FilePartition, i) => fp.copy(index = i)
+            case (other, _) => other
+          }
+      }
+    override def createReaderFactory(): PartitionReaderFactory =
+      inner.createReaderFactory()
   }
 }

@@ -184,6 +184,73 @@ class BloomSkippingSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("runtime bloom pruning: a selective broadcast-dim join on a " +
+    "bloom-pinned hash column carries a runtime filter and the fact " +
+    "scan skips the files whose blooms miss every key") {
+    import spark.implicits._
+    val whDir = java.nio.file.Files.createTempDirectory("bloom_rt_wh")
+    try {
+      spark.conf.set("spark.sql.catalog.gbl",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gbl.warehouse", whDir.toString)
+      // 4 single-file appends of 250 rows each; fp is unclustered hex
+      val root = whDir.resolve("fact").toString
+      def batch(lo: Long): org.apache.spark.sql.DataFrame =
+        spark.range(lo, lo + 250).select(col("id"),
+          md5(col("id").cast("string")).as("fp")).coalesce(1)
+      VersionedTable.init(spark, root, batch(0))
+      (1 to 3).foreach(i =>
+        VersionedTable.append(spark, root, batch(i * 250L), i - 1))
+      VersionedTable.enableBloomFilters(spark, root, Seq("fp"))
+      // dim: two hit keys (ids 10 and 700 — different files), one miss
+      val hits = Seq(10L, 700L).map(i => spark.range(i, i + 1)
+        .select(md5(col("id").cast("string"))).head.getString(0))
+      spark.sql("CREATE TABLE gbl.dim (fp STRING, w STRING)")
+      spark.sql("INSERT INTO gbl.dim VALUES " +
+        s"('${hits(0)}', 'hit'), ('${hits(1)}', 'hit'), " +
+        "('0123456789abcdef0123456789abcdef', 'miss')")
+      // at this toy scale AQE declines to REUSE the join's broadcast
+      // for the pruning subquery and (under reuseBroadcastOnly, the
+      // default) degrades the filter to `true`; allowing a standalone
+      // subquery isolates the mechanism under test — production-size
+      // facts reuse the join's own broadcast
+      val oldReuse = spark.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false")
+      val joined = spark.sql(
+        "SELECT f.id, d.w FROM gbl.fact f JOIN gbl.dim d " +
+          "ON f.fp = d.fp WHERE d.w = 'hit'")
+      try assert(joined.collect().map(_.getLong(0)).toSet ==
+        Set(10L, 700L))
+      finally spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        oldReuse)
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec] = p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec if b.runtimeFilters.nonEmpty => Seq(b)
+        case q: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => scans(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => scans(a.executedPlan)
+      }.flatten
+      val factScans = scans(joined.queryExecution.executedPlan)
+      assert(factScans.nonEmpty, "fact scan must carry a runtime " +
+        s"filter:\n${joined.queryExecution.executedPlan}")
+      // two hit keys live in two distinct 250-row files; at 1% fpp
+      // allow one false-positive file before calling it a regression
+      val read = factScans.map(_.metrics("numOutputRows").value).max
+      assert(read <= 750,
+        s"runtime bloom pruning must skip unmatched files, read $read " +
+          "of 1000 rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(whDir.toFile): Unit
+    }
+  }
+
   test("a file read in multiple input splits merges its partial " +
     "filters — still no false negatives") {
     val dir = tmp()
