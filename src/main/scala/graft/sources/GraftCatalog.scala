@@ -142,6 +142,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           return localTable(ident.toString, statsDf(p.toString))
         case "skew" =>
           return localTable(ident.toString, skewDf(p.toString))
+        case "mv" =>
+          return localTable(ident.toString, mvDf(p.toString))
         case _ => throw new NoSuchTableException(ident)
       }
     }
@@ -202,6 +204,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     graft.ops.SkewAdvisor.adviseAll(s, root, parallelism)
       .map { case (c, a) => (c, a.hotShare, a.basis, a.salt) }
       .toDF("column", "hot_share", "basis", "advised_salt")
+  }
+
+  // `mv$mv`: the materialized view's bookkeeping — one row per
+  // aggregate, each carrying the header facts (base root, the base
+  // version the view reflects, how many base versions it trails by,
+  // the group keys) plus the aggregate's spelling and whether it is
+  // insert-only (refuses rewrite ranges). `SELECT * FROM
+  // graft.`mv$mv`` is the freshness dashboard; O(manifests) driver
+  // work. Refuses loudly on a root that is not a materialized view.
+  private def mvDf(root: String): org.apache.spark.sql.DataFrame = {
+    val s = spark
+    import s.implicits._
+    import MaterializedView._
+    val d = definition(s, root)
+    val w = watermark(s, root)
+    val baseLatest = scala.util.Try(
+      VersionedTable.latestVersion(s, d.base)).getOrElse(-1)
+    val keys = d.keys.mkString(",")
+    d.aggs.map { a =>
+      val (op, c, insertOnly) = a match {
+        case MvCount(_) => ("count", None, false)
+        case MvSum(col, _) => ("sum", Some(col), false)
+        case MvAvg(col, _) => ("avg", Some(col), false)
+        case MvMin(col, _) => ("min", Some(col), true)
+        case MvMax(col, _) => ("max", Some(col), true)
+        case MvHllCount(col, _) => ("approx_count_distinct", Some(col),
+          true)
+      }
+      (d.base, w.toLong, (baseLatest - w).toLong, keys,
+        a.as, op, c, insertOnly)
+    }.toDF("base", "watermark", "stale_by_versions", "group_keys",
+      "agg", "op", "col", "insert_only")
   }
 
   // a driver-local relation on the public LocalScan seam: the rows are

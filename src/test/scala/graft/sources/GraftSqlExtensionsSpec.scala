@@ -318,6 +318,18 @@ class GraftSqlExtensionsSpec extends SparkSpec {
       "approx_count_distinct")
     refuses("CREATE MATERIALIZED VIEW gext.mv2 AS " +
       "SELECT k, x FROM gext.mvbase", "not a GROUP BY aggregate")
+    // the $mv metadata table: one row per aggregate, freshness header
+    val meta = spark.sql("SELECT * FROM gext.`mv1$mv` ORDER BY agg")
+      .collect()
+    assert(meta.length == 5)
+    assert(meta.forall(_.getLong(2) == 0L),
+      "after the FULL refresh the view must not trail the base")
+    assert(meta.forall(_.getString(3) == "k"))
+    val byAgg = meta.map(r => r.getString(4) ->
+      (r.getString(5), r.getBoolean(7))).toMap
+    assert(byAgg("cnt") == ("count", false))
+    assert(byAgg("mx") == ("max", true))
+    assert(byAgg("nd") == ("approx_count_distinct", true))
     // DROP TABLE removes the view like any table
     spark.sql("DROP TABLE gext.mv1")
     assert(!spark.catalog.tableExists("gext.mv1"))
