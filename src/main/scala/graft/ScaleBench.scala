@@ -827,6 +827,49 @@ object ScaleBench {
       "bloom_lookup_off" -> (() =>
         graft.sources.VersionedTable.read(spark, bloomFixture._1)
           .filter(col("fp") === bloomFixture._2)),
+      // RUNTIME bloom pruning through a broadcast-dim JOIN (the
+      // point-enrichment shape): the catalog scan receives the dim's
+      // key set at runtime and opens only the files whose blooms
+      // might hold it — expected ~flat; the _off twin is the same
+      // join through the path connector (no runtime seam), scanning
+      // every file (~linear). reuseBroadcastOnly off isolates the
+      // mechanism at bench scale (production facts reuse the join's
+      // own broadcast).
+      "bloom_join" -> { () =>
+        val (root, probe) = bloomFixture
+        val wh = new java.io.File(root).getParent
+        val cat = "gblsb"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val dimRows = Seq(probe -> "hit",
+          "0123456789abcdef0123456789abcdef" -> "miss")
+        import spark.implicits._
+        dimRows.toDF("fp", "w").createOrReplaceTempView("sb_bloom_dim")
+        val old = spark.conf.get(
+          "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+          "false")
+        try {
+          val n = spark.sql(
+            s"SELECT count(*) AS n FROM $cat.tbl f JOIN sb_bloom_dim d " +
+              "ON f.fp = d.fp WHERE d.w = 'hit'").head.getLong(0)
+          Seq(n).toDF("n")
+        } finally spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+          old)
+      },
+      "bloom_join_off" -> { () =>
+        val (root, probe) = bloomFixture
+        import spark.implicits._
+        val dim = Seq(probe -> "hit",
+          "0123456789abcdef0123456789abcdef" -> "miss").toDF("fp", "w")
+        val n = graft.sources.VersionedTable.read(spark, root)
+          .join(dim.filter(col("w") === "hit"), Seq("fp"))
+          .count()
+        Seq(n).toDF("n")
+      },
       "ndv_commit_off" -> {
         lazy val (r0, v0) = {
           val r = tempTableRoot("graft_ndv_off")
