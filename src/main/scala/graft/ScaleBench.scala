@@ -838,7 +838,11 @@ object ScaleBench {
       "bloom_join" -> { () =>
         val (root, probe) = bloomFixture
         val wh = new java.io.File(root).getParent
-        val cat = "gblsb"
+        // catalog name UNIQUE per warehouse (the spjCat discipline):
+        // CatalogManager caches plugin instances by name, so a fixed
+        // name would pin every later decade's query to the FIRST
+        // decade's warehouse and time a stale table
+        val cat = "gblsb" + math.abs(wh.hashCode).toString
         spark.conf.set(s"spark.sql.catalog.$cat",
           "graft.sources.GraftCatalog")
         spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
@@ -855,6 +859,10 @@ object ScaleBench {
           val n = spark.sql(
             s"SELECT count(*) AS n FROM $cat.tbl f JOIN sb_bloom_dim d " +
               "ON f.fp = d.fp WHERE d.w = 'hit'").head.getLong(0)
+          // the probe is unique IN THIS decade's fixture: a zero here
+          // means the catalog answered from a different warehouse
+          require(n == 1L, s"bloom_join: expected 1 match, got $n — " +
+            "stale catalog binding?")
           Seq(n).toDF("n")
         } finally spark.conf.set(
           "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",

@@ -191,15 +191,26 @@ object BloomSkipping {
 
   /** (dirPath, colName-lower → per-file filter map) cache; commit
     * dirs are immutable, and [[buildSidecar]] (the only writer)
-    * invalidates its dir. None = no/unreadable sidecar. */
+    * invalidates its dir. None = no/unreadable sidecar. BOUNDED:
+    * filters are megabytes per big dir, and a long-lived driver
+    * (Thrift server, streaming) scanning many tables would otherwise
+    * grow the heap monotonically — past the cap the cache clears
+    * wholesale (simple and correct: entries are pure reads of
+    * immutable files, a re-read costs one small file). */
+  private val MaxCachedDirs = 512
   private val cache = scala.collection.concurrent.TrieMap
     .empty[String, Option[Map[String, Map[String, BloomFilter]]]]
+
+  /** Drop cached sidecars under `root` (disable/vacuum hygiene). */
+  private[sources] def invalidateUnder(root: String): Unit =
+    cache.keys.filter(_.startsWith(root)).foreach(cache.remove)
 
   /** file-name → (colName-lower → filter) for one commit dir; None
     * when the dir has no (readable) sidecar. Driver-side, one small
     * file read, cached. */
   def bloomsForDir(spark: SparkSession, dirPath: Path)
-      : Option[Map[String, Map[String, BloomFilter]]] =
+      : Option[Map[String, Map[String, BloomFilter]]] = {
+    if (cache.size > MaxCachedDirs) cache.clear()
     cache.getOrElseUpdate(dirPath.toString, {
       scala.util.Try {
         val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -226,6 +237,22 @@ object BloomSkipping {
         }
       }.toOption.flatten
     })
+  }
+
+  /** ONE file's may-match decision under `pred` — the sidecar lookup
+    * plus [[mayMatch]], shared by the path reader's `prunedPaths` and
+    * the SQL row-level operation's group pruning so the two can never
+    * prune differently. `filePath` is `<dir>/<file>` (manifest-stat
+    * form); conservative on any missing coverage. */
+  def fileMayMatch(spark: SparkSession, dataRoot: Path, dir: String,
+      filePath: String, pred: Expression): Boolean = {
+    val fileName = filePath.substring(filePath.lastIndexOf('/') + 1)
+    bloomsForDir(spark, new Path(dataRoot, dir))
+      .flatMap(_.get(fileName)) match {
+      case Some(blooms) => mayMatch(blooms, pred)
+      case None => true // uncovered file: conservatively scanned
+    }
+  }
 
   /** Does `pred` reference any pinned column in a bloomable
     * (equality) position? The cheap guard that keeps sidecar reads

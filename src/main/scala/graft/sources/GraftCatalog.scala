@@ -219,8 +219,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     import MaterializedView._
     val d = definition(s, root)
     val w = watermark(s, root)
-    val baseLatest = scala.util.Try(
-      VersionedTable.latestVersion(s, d.base)).getOrElse(-1)
+    // a missing/unreadable base serves NULL staleness, never a
+    // negative number a `stale_by_versions > N` monitor would read
+    // as "maximally fresh" — the dead base IS the alert
+    val staleBy: Option[Long] = scala.util.Try(
+      VersionedTable.latestVersion(s, d.base)).toOption
+      .filter(_ >= 0).map(latest => (latest - w).toLong)
     val keys = d.keys.mkString(",")
     d.aggs.map { a =>
       val (op, c, insertOnly) = a match {
@@ -232,8 +236,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case MvHllCount(col, _) => ("approx_count_distinct", Some(col),
           true)
       }
-      (d.base, w.toLong, (baseLatest - w).toLong, keys,
-        a.as, op, c, insertOnly)
+      (d.base, w.toLong, staleBy, keys, a.as, op, c, insertOnly)
     }.toDF("base", "watermark", "stale_by_versions", "group_keys",
       "agg", "op", "col", "insert_only")
   }
@@ -1016,16 +1019,8 @@ private[sources] class GraftRowLevelOperation(table: GraftSqlTable,
                 .filter(BloomSkipping.relevant(pred, _))
               val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
               def bloomOk(dir: String, filePath: String): Boolean =
-                bloomPin.isEmpty || {
-                  val name = filePath
-                    .substring(filePath.lastIndexOf('/') + 1)
-                  BloomSkipping.bloomsForDir(spark,
-                    new org.apache.hadoop.fs.Path(dataRoot, dir))
-                    .flatMap(_.get(name)) match {
-                    case Some(bs) => BloomSkipping.mayMatch(bs, pred)
-                    case None => true
-                  }
-                }
+                bloomPin.isEmpty || BloomSkipping.fileMayMatch(spark,
+                  dataRoot, dir, filePath, pred)
               val (hit, miss) = allDirs.partition { dir =>
                 byDir.get(dir) match {
                   case Some(files) =>

@@ -420,8 +420,16 @@ case class GraftCreateMaterializedViewCommand(nameParts: Seq[String],
               case a: Average => MvAvg(attrOf(a.child), name)
               case m: Min => MvMin(attrOf(m.child), name)
               case m: Max => MvMax(attrOf(m.child), name)
-              case h: HyperLogLogPlusPlus => MvHllCount(attrOf(h.child),
-                name)
+              case h: HyperLogLogPlusPlus =>
+                // the view maintains a DataSketches HLL at lgK 12
+                // (±~1.6%); silently serving that for a tighter
+                // requested precision would be a semantic lie
+                if (h.relativeSD < 0.016) refuse(
+                  s"'$name' requests approx_count_distinct at " +
+                    s"relativeSD=${h.relativeSD}, tighter than the " +
+                    "view's maintained sketch (~0.016 at lgK 12) — " +
+                    "omit the precision argument")
+                MvHllCount(attrOf(h.child), name)
               case other => refuse(
                 s"'$name' uses ${other.prettyName}, which has no " +
                   "incremental accumulator here")

@@ -243,9 +243,20 @@ object MaterializedView {
     if (to == from)
       return RefreshReport(from, to, mvV, refreshed = false,
         appendOnly = true)
-    val appendOnly = (from + 1 to to).forall { v =>
-      VersionedTable.readManifest(spark, d.base, v - 1).toSet
-        .subsetOf(VersionedTable.readManifest(spark, d.base, v).toSet)
+    // typed data-loss refusal BEFORE any manifest read: a vacuumed
+    // range must surface as the CDF plane's GraftDataLossException
+    // (which names the recovery), never a raw missing-file error from
+    // the append-only probe below
+    VersionedTable.requireVersionsAvailable(spark, d.base, from, to)
+    // each manifest read ONCE (adjacent-pair comparison over a single
+    // sweep): a refresh trailing by K versions costs K+1 metadata
+    // reads, not 2K — this loop runs on every refresh of the CDC
+    // steady state
+    val manifests = (from to to).map(v =>
+      VersionedTable.readManifest(spark, d.base, v).toSet)
+    val appendOnly = manifests.sliding(2).forall {
+      case Seq(prev, next) => prev.subsetOf(next)
+      case _ => true
     }
     // insert-only aggregates cannot fold a delete (a MIN's evicted
     // minimum, a sketch's forgotten value) — refuse the range rather

@@ -1705,14 +1705,8 @@ object VersionedTable {
     val bloomPin = bloomColumns(spark, root, Some(v))
       .filter(BloomSkipping.relevant(pred, _))
     def bloomOk(dir: String, filePath: String): Boolean =
-      bloomPin.isEmpty || {
-        val fileName = filePath.substring(filePath.lastIndexOf('/') + 1)
-        BloomSkipping.bloomsForDir(spark, new Path(dataRoot, dir))
-          .flatMap(_.get(fileName)) match {
-          case Some(blooms) => BloomSkipping.mayMatch(blooms, pred)
-          case None => true // uncovered file: conservatively scanned
-        }
-      }
+      bloomPin.isEmpty ||
+        BloomSkipping.fileMayMatch(spark, dataRoot, dir, filePath, pred)
     var covered = 0
     var pruned = 0
     val paths = readManifest(spark, root, v).flatMap { dir =>
@@ -2092,6 +2086,7 @@ object VersionedTable {
         scala.util.Try(fs.delete(
           new Path(st.getPath, BloomSkipping.SidecarName), false)): Unit
       }
+    BloomSkipping.invalidateUnder(dataRoot.toString)
     base + 1
   }
 
