@@ -334,6 +334,30 @@ class MaterializedViewSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("a vacuumed base range refuses with the typed data-loss " +
+    "error (naming the recovery), never a raw missing-file error; " +
+    "fullRefresh recovers") {
+    val dir = tmp("mv_vac")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      VersionedTable.init(spark, base,
+        Seq(("a", 1L, 1.0)).toDF("k", "x", "v"))
+      MV.create(spark, mv, base, Seq("k"), mvAggs)
+      (0 to 2).foreach(v => VersionedTable.append(spark, base,
+        Seq(("b", 2L, 2.0)).toDF("k", "x", "v"), v))
+      // age out everything but the live version: the MV's watermark
+      // (base v0) now points into vacuumed history
+      VersionedTable.vacuum(spark, base, keepVersions = 1,
+        retainMillis = 0L)
+      val e = intercept[GraftDataLossException] { MV.refresh(spark, mv) }
+      assert(e.getMessage.contains("VACUUM"))
+      MV.fullRefresh(spark, mv)
+      assert(sorted(MV.read(spark, mv)) ==
+        sorted(recompute(VersionedTable.read(spark, base))))
+    } finally rm(dir)
+  }
+
   test("crash idempotency: a replayed refresh of the same range " +
     "no-ops on the watermark instead of double-folding") {
     val dir = tmp("mv_idem")
