@@ -2012,6 +2012,37 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // a WHERE-FILTERED materialized view folded through appends AND a
+  // row-level delete: σ_where commutes with the signed fold, so the
+  // filtered view must hash-match DuckDB recomputing the filtered
+  // GROUP BY over the final state from scratch.
+  def pipelineVersionedMvWhere(s: SparkSession, d: String): DataFrame = {
+    val mvOps = graft.sources.MaterializedView
+    val vt = graft.sources.VersionedTable
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mvw")
+    try {
+      val root = tmpRoot.resolve("base").toString
+      val mv = tmpRoot.resolve("mv").toString
+      val base = docs(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("doc_id") < 500)
+      vt.init(s, root, base.filter(col("doc_id") < 250))
+      mvOps.create(s, mv, root, Seq("lang"),
+        Seq(mvOps.MvCount("cnt"), mvOps.MvSum("n_chars", "sum_chars"),
+          mvOps.MvAvg("n_chars", "avg_chars")),
+        where = Some("n_chars >= 300"))
+      vt.append(s, root, base.filter(col("doc_id") >= 250), 0)
+      require(mvOps.refresh(s, mv).appendOnly,
+        "mv where gate: append refresh must ride the O(delta) path")
+      vt.delete(s, root, col("doc_id") % 5 === 0)
+      val r = mvOps.refresh(s, mv)
+      require(r.refreshed && !r.appendOnly,
+        s"mv where gate: delete refresh misread: $r")
+      mvOps.read(s, mv).orderBy("lang").localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // BLOOM FILE SKIPPING, end to end: the base pins blooms on a
   // content-hash column whose per-file envelopes overlap completely
   // (random hex — min/max pruning provably gets NOTHING, asserted
@@ -2079,6 +2110,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_mv" -> pipelineVersionedMv _,
     "pipeline_versioned_mv_append" -> pipelineVersionedMvAppend _,
     "pipeline_versioned_mv_sql" -> pipelineVersionedMvSql _,
+    "pipeline_versioned_mv_where" -> pipelineVersionedMvWhere _,
     "pipeline_versioned_bloom_skip" -> pipelineVersionedBloomSkip _,
     "pipeline_versioned_spj_join" -> pipelineVersionedSpjJoin _,
     "pipeline_skew_advised_join" -> pipelineSkewAdvisedJoin _,
@@ -2594,6 +2626,19 @@ object PipelineQueries extends QueryPack {
         |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd_docs
         |FROM documents WHERE doc_id < 500
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    // the WHERE-filtered view vs DuckDB recomputing the filtered
+    // aggregate over the final state (appends minus the %5 delete)
+    "pipeline_versioned_mv_where" ->
+      """SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS BIGINT)
+        |    AS sum_chars,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) /
+        |    CAST(COUNT(n_chars) AS DOUBLE) AS avg_chars
+        |FROM documents
+        |WHERE doc_id < 500 AND doc_id % 5 <> 0 AND n_chars >= 300
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
     // bloom-skipped point lookup vs DuckDB scanning everything: the

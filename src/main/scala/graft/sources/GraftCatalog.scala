@@ -236,9 +236,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case MvHllCount(col, _) => ("approx_count_distinct", Some(col),
           true)
       }
-      (d.base, w.toLong, staleBy, keys, a.as, op, c, insertOnly)
+      (d.base, w.toLong, staleBy, keys, a.as, op, c, insertOnly,
+        d.where)
     }.toDF("base", "watermark", "stale_by_versions", "group_keys",
-      "agg", "op", "col", "insert_only")
+      "agg", "op", "col", "insert_only", "where")
   }
 
   // a driver-local relation on the public LocalScan seam: the rows are

@@ -338,12 +338,12 @@ case class GraftRestoreCommand(nameParts: Seq[String], toVersion: Int)
 }
 
 /** `CREATE MATERIALIZED VIEW g.mv AS SELECT k..., agg(x) AS a...
-  * FROM g.base GROUP BY k...` — the warehouse spelling of
+  * FROM g.base [WHERE p] GROUP BY k...` — the warehouse spelling of
   * [[MaterializedView.create]]. The query is ANALYZED by Spark and
-  * must be exactly one GROUP BY aggregate over one whole graft table
-  * — no WHERE/JOIN/HAVING (the incremental fold maintains the
-  * aggregate of the TABLE; derived inputs belong in the base or a
-  * future round). Supported aggregates: `count(*)`, `sum`, `avg`
+  * must be exactly one GROUP BY aggregate over one graft table with
+  * at most one deterministic row filter — no JOIN/HAVING (a join
+  * delta re-pairs against the other side's full history, which IS
+  * the recompute). Supported aggregates: `count(*)`, `sum`, `avg`
   * (exact under every change type), `min`/`max`/
   * `approx_count_distinct` (insert-only — see [[MaterializedView]]).
   * Every aggregate needs an alias (it names the view column);
@@ -371,8 +371,8 @@ case class GraftCreateMaterializedViewCommand(nameParts: Seq[String],
     def refuse(why: String): Nothing = throw new IllegalArgumentException(
       "CREATE MATERIALIZED VIEW: " + why +
         " — the view must be one GROUP BY aggregate (count(*)/sum/avg/" +
-        "min/max/approx_count_distinct, each aliased) over one whole " +
-        "graft table")
+        "min/max/approx_count_distinct, each aliased) over one graft " +
+        "table with at most one deterministic WHERE")
     @scala.annotation.tailrec
     def unwrap(p: LogicalPlan): LogicalPlan = p match {
       case SubqueryAlias(_, c) => unwrap(c)
@@ -387,10 +387,27 @@ case class GraftCreateMaterializedViewCommand(nameParts: Seq[String],
     val analyzed = spark.sql(query).queryExecution.analyzed
     unwrap(analyzed) match {
       case Aggregate(groupingExprs, aggExprs, child, _) =>
-        val rel = unwrap(child) match {
+        // one optional row FILTER between the aggregate and the table
+        // is foldable (σ commutes with the signed fold — see
+        // MaterializedView.create's where contract); anything else
+        // (joins, projections, nested aggregates) refuses
+        val (whereSql, relPlan) = unwrap(child) match {
+          case org.apache.spark.sql.catalyst.plans.logical
+            .Filter(cond, c) =>
+            // strip qualifiers before rendering: `gext.mvbase.x`
+            // would not re-parse against the bare base frame the
+            // stored predicate is later applied to
+            val bare = cond.transform {
+              case a: AttributeReference => a.withQualifier(Seq.empty)
+            }
+            (Some(bare.sql), unwrap(c))
+          case other => (None, other)
+        }
+        val rel = relPlan match {
           case r: DataSourceV2Relation => r
           case other => refuse(
-            s"FROM must be a bare graft table, got ${other.nodeName}")
+            s"FROM must be a graft table (with at most one WHERE), " +
+              s"got ${other.nodeName}")
         }
         val baseRoot = (rel.catalog, rel.identifier) match {
           case (Some(g: GraftCatalog), Some(id)) => g.tableRoot(id)
@@ -439,7 +456,7 @@ case class GraftCreateMaterializedViewCommand(nameParts: Seq[String],
         }
         if (aggs.isEmpty) refuse("no aggregates in the SELECT list")
         val v = MaterializedView.create(spark, mvRoot, baseRoot,
-          keys, aggs)
+          keys, aggs, whereSql)
         Seq(Row(v.toLong))
       case other => refuse(s"query is ${other.nodeName}, not a GROUP " +
         "BY aggregate")

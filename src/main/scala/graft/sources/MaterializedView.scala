@@ -121,7 +121,8 @@ object MaterializedView {
     * watermark-behind check still catches shorter re-creations). */
   final case class MvDef(base: String, keys: Seq[String],
       aggs: Seq[MvAgg], serveLong: Set[String],
-      anchor: Option[(Int, String)])
+      anchor: Option[(Int, String)],
+      where: Option[String] = None)
 
   /** What a [[refresh]] did. `appendOnly` = every version in the
     * folded range was append-only (the whole delta came off the
@@ -180,9 +181,21 @@ object MaterializedView {
 
   /** Create the view at `mvRoot` as the aggregate of `baseRoot`'s
     * LATEST version; returns that base version. One full aggregate —
-    * the only time the base is ever scanned whole. */
+    * the only time the base is ever scanned whole.
+    *
+    * `where` (optional, a SQL predicate over base columns) restricts
+    * the view to σ_where(base): a row FILTER commutes with the signed
+    * fold — every change-feed row either satisfies it or not,
+    * independent of history — so refresh stays O(delta) with the
+    * filter applied to the delta before signing. The predicate must
+    * be DETERMINISTIC (a rand()-bearing filter would make the fold
+    * and the recompute disagree — refused at create) and is stored as
+    * SQL text in the definition. JOINs stay out by design: a delta on
+    * one side re-pairs against the other side's full history, which
+    * IS the recompute. */
   def create(spark: SparkSession, mvRoot: String, baseRoot: String,
-      keys: Seq[String], aggs: Seq[MvAgg]): Int = {
+      keys: Seq[String], aggs: Seq[MvAgg],
+      where: Option[String] = None): Int = {
     require(keys.nonEmpty, "a materialized view needs group keys")
     require(aggs.nonEmpty, "a materialized view needs aggregates")
     val ident = "[A-Za-z_][A-Za-z0-9_]*"
@@ -215,14 +228,31 @@ object MaterializedView {
             "sketch domain")
       case _: MvCount => ()
     }
+    where.foreach { w =>
+      // the predicate must analyze against the base schema AND be
+      // deterministic — checked here, once, against the same analyzed
+      // form every later filter re-derives from the stored SQL
+      val analyzed = snap.filter(expr(w)).queryExecution.analyzed
+      val conds = analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }
+      require(conds.forall(_.deterministic),
+        s"WHERE predicate '$w' is non-deterministic — the fold and " +
+          "the recompute would disagree; filter on row values only")
+    }
     val d = MvDef(new Path(baseRoot).toString, keys, aggs, serveLong,
-      Some(baseV -> anchorOf(spark, baseRoot, baseV)))
+      Some(baseV -> anchorOf(spark, baseRoot, baseV)), where)
     writeDef(spark, mvRoot, d)
-    val acc = accumulate(snap, d, signed = false)
+    val acc = accumulate(filtered(snap, d), d, signed = false)
     VersionedTable.init(spark, mvRoot, withServed(acc, d),
       txn = Some(baseV.toLong), txnAppId = Some(TxnAppId))
     baseV
   }
+
+  /** σ_where(df) under the stored predicate; identity when none. */
+  private def filtered(df: DataFrame, d: MvDef): DataFrame =
+    d.where.fold(df)(w => df.filter(expr(w)))
 
   /** Fold the base's changes since the watermark into the view —
     * one CDF read + one |delta-groups ∪ view-groups| re-group, then
@@ -277,7 +307,10 @@ object MaterializedView {
       Some(to), key)
     val sign = when(col("change_kind")
       .isin("delete", "update_preimage"), lit(-1L)).otherwise(lit(1L))
-    val delta = accumulate(feed.withColumn("__mv_sign", sign), d,
+    // σ_where BEFORE signing: a pre/post image pair crossing the
+    // predicate boundary nets to exactly the enter/leave delta
+    val delta = accumulate(
+      filtered(feed, d).withColumn("__mv_sign", sign), d,
       signed = true)
     // state strips to keys+accumulators before the fold (the stored
     // served columns are derived data, recomputed at commit)
@@ -305,7 +338,8 @@ object MaterializedView {
       .map(_.toInt).getOrElse(-1)
     val to = VersionedTable.latestVersion(spark, d.base)
     require(to >= 0, s"base ${d.base} has no committed version")
-    val acc = accumulate(VersionedTable.read(spark, d.base, Some(to)), d,
+    val acc = accumulate(
+      filtered(VersionedTable.read(spark, d.base, Some(to)), d), d,
       signed = false)
     val committed = VersionedTable.commit(spark, mvRoot,
       withServed(acc, d), mvV,
@@ -464,6 +498,7 @@ object MaterializedView {
       "anchor" -> d.anchor.map { case (v, fp) =>
         JObject("version" -> JInt(v), "fp" -> JString(fp)): JValue
       }.getOrElse(JNothing),
+      "where" -> d.where.map(JString(_): JValue).getOrElse(JNothing),
       "keys" -> JArray(d.keys.map(JString(_)).toList),
       "aggs" -> JArray(d.aggs.map {
         case MvCount(as) => JObject("op" -> JString("count"),
@@ -518,6 +553,10 @@ object MaterializedView {
         }
       case _ => None
     }
+    val where = (j \ "where") match {
+      case JString(w) => Some(w)
+      case _ => None
+    }
     val keys = (j \ "keys") match {
       case JArray(ks) => ks.collect { case JString(s) => s }
       case _ => sys.error(s"malformed $p: no keys") }
@@ -550,6 +589,6 @@ object MaterializedView {
       }
       case _ => sys.error(s"malformed $p: no aggs")
     }
-    MvDef(base, keys, aggs, serveLong, anchor)
+    MvDef(base, keys, aggs, serveLong, anchor, where)
   }
 }

@@ -308,9 +308,11 @@ class GraftSqlExtensionsSpec extends SparkSpec {
         Option(ex.getCause).map(_.getMessage).getOrElse("")
       assert(msg.contains(needle), s"wanted '$needle' in: $msg")
     }
-    refuses("CREATE MATERIALIZED VIEW gext.mv2 AS SELECT k, count(*) " +
-      "AS c FROM gext.mvbase WHERE x > 0 GROUP BY k",
-      "bare graft table")
+    // a JOIN is NOT foldable: a one-side delta re-pairs against the
+    // other side's history — refused
+    refuses("CREATE MATERIALIZED VIEW gext.mv2 AS SELECT a.k, " +
+      "count(*) AS c FROM gext.mvbase a JOIN gext.mvbase b " +
+      "ON a.k = b.k GROUP BY a.k", "graft table")
     refuses("CREATE MATERIALIZED VIEW gext.mv2 AS SELECT k, " +
       "count(x) AS c FROM gext.mvbase GROUP BY k", "count(*)")
     refuses("CREATE MATERIALIZED VIEW gext.mv2 AS SELECT k, " +
@@ -333,5 +335,21 @@ class GraftSqlExtensionsSpec extends SparkSpec {
     // DROP TABLE removes the view like any table
     spark.sql("DROP TABLE gext.mv1")
     assert(!spark.catalog.tableExists("gext.mv1"))
+    // WHERE is FOLDABLE (σ commutes with the signed fold) and
+    // therefore supported; the filtered view tracks the filtered
+    // recompute through a later refresh, and $mv records the predicate
+    spark.sql("CREATE MATERIALIZED VIEW gext.mvw AS SELECT k, " +
+      "count(*) AS c, sum(x) AS sx FROM gext.mvbase " +
+      "WHERE x >= 2 GROUP BY k")
+    spark.sql("INSERT INTO gext.mvbase VALUES ('a', 1), ('c', 7)")
+    spark.sql("REFRESH MATERIALIZED VIEW gext.mvw").collect()
+    assert(spark.sql("SELECT k, c, sx FROM gext.mvw ORDER BY k")
+      .collect().toSeq ==
+      spark.sql("SELECT k, count(*) AS c, sum(x) AS sx FROM " +
+        "gext.mvbase WHERE x >= 2 GROUP BY k ORDER BY k")
+        .collect().toSeq)
+    assert(spark.sql("SELECT DISTINCT `where` FROM gext.`mvw$mv`")
+      .head.getString(0).contains("2"))
+    spark.sql("DROP TABLE gext.mvw")
   }
 }

@@ -334,6 +334,45 @@ class MaterializedViewSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("WHERE-filtered views: the fold tracks the filtered recompute " +
+    "through appends, updates crossing the predicate boundary, and " +
+    "deletes; non-deterministic predicates refuse at create") {
+    val dir = tmp("mv_where")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      VersionedTable.init(spark, base,
+        Seq((1L, "a", 5L, 1.0), (2L, "a", 1L, 2.0), (3L, "b", 9L, 3.0))
+          .toDF("id", "k", "x", "v"))
+      VersionedTable.enableChangeFeed(spark, base, "id")
+      MV.create(spark, mv, base, Seq("k"), mvAggs,
+        where = Some("x >= 3"))
+      def expect(): Seq[Row] = sorted(recompute(
+        VersionedTable.read(spark, base).filter(col("x") >= 3)
+          .select("k", "x", "v")))
+      assert(sorted(MV.read(spark, mv)) == expect())
+      VersionedTable.append(spark, base,
+        Seq((4L, "a", 2L, 4.0), (5L, "c", 8L, 5.0))
+          .toDF("id", "k", "x", "v"), 1)
+      assert(MV.refresh(spark, mv).appendOnly)
+      assert(sorted(MV.read(spark, mv)) == expect())
+      // updates CROSSING the predicate boundary: id=2 enters the set
+      // (1→6), id=3 leaves it (9→0), id=5 deleted outright
+      VersionedTable.merge(spark, base,
+        Seq((2L, "a", 6L, 2.0, "U"), (3L, "b", 0L, 3.0, "U"),
+          (5L, "c", 8L, 5.0, "D")).toDF("id", "k", "x", "v", "op"),
+        "id")
+      MV.refresh(spark, mv)
+      assert(sorted(MV.read(spark, mv)) == expect())
+      assert(!sorted(MV.read(spark, mv)).exists(_.getString(0) == "b"),
+        "a group whose rows all left the predicate set must leave")
+      intercept[IllegalArgumentException] {
+        MV.create(spark, dir.resolve("mv2").toString, base, Seq("k"),
+          Seq(MV.MvCount("c")), where = Some("rand() > 0.5"))
+      }
+    } finally rm(dir)
+  }
+
   test("a vacuumed base range refuses with the typed data-loss " +
     "error (naming the recovery), never a raw missing-file error; " +
     "fullRefresh recovers") {
