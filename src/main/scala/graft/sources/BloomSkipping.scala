@@ -191,27 +191,42 @@ object BloomSkipping {
 
   /** (dirPath, colName-lower → per-file filter map) cache; commit
     * dirs are immutable, and [[buildSidecar]] (the only writer)
-    * invalidates its dir. None = no/unreadable sidecar. BOUNDED:
-    * filters are megabytes per big dir, and a long-lived driver
+    * invalidates its dir. None = no/unreadable sidecar. BOUNDED and
+    * LRU: filters are megabytes per big dir, and a long-lived driver
     * (Thrift server, streaming) scanning many tables would otherwise
-    * grow the heap monotonically — past the cap the cache clears
-    * wholesale (simple and correct: entries are pure reads of
-    * immutable files, a re-read costs one small file). */
+    * grow the heap monotonically — past the cap the LEAST RECENTLY
+    * USED entry evicts, so a driver hovering at the cap keeps its hot
+    * tables' sidecars instead of re-reading every one each scan (the
+    * wholesale-clear alternative's failure mode). Entries are pure
+    * reads of immutable files — an eviction costs one small re-read,
+    * never correctness. */
   private val MaxCachedDirs = 512
-  private val cache = scala.collection.concurrent.TrieMap
-    .empty[String, Option[Map[String, Map[String, BloomFilter]]]]
+  private type CacheVal = Option[Map[String, Map[String, BloomFilter]]]
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, CacheVal](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, CacheVal]): Boolean =
+        size() > MaxCachedDirs
+    })
 
   /** Drop cached sidecars under `root` (disable/vacuum hygiene). */
   private[sources] def invalidateUnder(root: String): Unit =
-    cache.keys.filter(_.startsWith(root)).foreach(cache.remove)
+    cache.synchronized {
+      cache.keySet.removeIf(_.startsWith(root)): Unit
+    }
 
   /** file-name → (colName-lower → filter) for one commit dir; None
     * when the dir has no (readable) sidecar. Driver-side, one small
     * file read, cached. */
   def bloomsForDir(spark: SparkSession, dirPath: Path)
       : Option[Map[String, Map[String, BloomFilter]]] = {
-    if (cache.size > MaxCachedDirs) cache.clear()
-    cache.getOrElseUpdate(dirPath.toString, {
+    val key = dirPath.toString
+    val hit = cache.get(key) // records the access for LRU order
+    if (hit != null) return hit
+    // compute OUTSIDE the lock (a slow filesystem read must not block
+    // every other table's lookups); a racing duplicate read of the
+    // same immutable file is harmless
+    val computed: CacheVal = {
       scala.util.Try {
         val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
         val p = new Path(dirPath, SidecarName)
@@ -236,7 +251,9 @@ object BloomSkipping {
           } finally in.close()
         }
       }.toOption.flatten
-    })
+    }
+    cache.put(key, computed)
+    computed
   }
 
   /** ONE file's may-match decision under `pred` — the sidecar lookup

@@ -176,15 +176,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val ndv = VersionedTable.tableNdv(s, root)
       .map { case (k, v) => k.toLowerCase -> v }
     val kllOn = VersionedTable.quantileColumns(s, root).isDefined
+    // absent-because-STALE-DOMAIN is distinguishable from
+    // never-pinned: a bumped sketch-domain version degrades old lines
+    // to absence by refusal (mixed-domain unions lie), and the `note`
+    // column names the fix instead of leaving the operator to guess
+    val (staleNdv, staleKll) = VersionedTable.staleSketchCols(s, root)
     envs.toSeq.sortBy(_._1).map { case (name, cs) =>
       val qs =
         if (!kllOn) None
         else VersionedTable.tableQuantiles(s, root, name,
           Seq(0.5, 0.99))
+      val lower = name.toLowerCase
+      val notes =
+        (if (ndv.get(lower).isEmpty && staleNdv(lower))
+          Seq("stale ndv sketch domain — re-run ANALYZE/repin")
+        else Seq.empty) ++
+          (if (qs.isEmpty && staleKll(lower))
+            Seq("stale quantile sketch domain — re-run ANALYZE/repin")
+          else Seq.empty)
       (name, cs.min.map(String.valueOf), cs.max.map(String.valueOf),
-        cs.nullCount, ndv.get(name.toLowerCase),
-        qs.map(_.head), qs.map(_.last))
-    }.toDF("column", "min", "max", "null_count", "ndv", "p50", "p99")
+        cs.nullCount, ndv.get(lower),
+        qs.map(_.head), qs.map(_.last),
+        if (notes.isEmpty) None else Some(notes.mkString("; ")))
+    }.toDF("column", "min", "max", "null_count", "ndv", "p50", "p99",
+      "note")
   }
 
   // (column, hot_share, basis, advised_salt) — the skew advisor's
@@ -201,8 +216,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // columns are absent (the advisor's refusal, rendered as
     // absence) while an unreadable manifest SURFACES as the error
     // it is instead of reading as 'nothing is pinned'
-    graft.ops.SkewAdvisor.adviseAll(s, root, parallelism)
-      .map { case (c, a) => (c, a.hotShare, a.basis, a.salt) }
+    val measured = graft.ops.SkewAdvisor.adviseAll(s, root, parallelism)
+      .map { case (c, a) =>
+        (c, Option(a.hotShare), a.basis, Option(a.salt)) }
+    // columns degraded to "no advice" by a STALE sketch domain get a
+    // row naming the fix — indistinguishable absence would read as
+    // "nothing is pinned" when a re-ANALYZE restores the advice
+    val answered = measured.map(_._1.toLowerCase).toSet
+    val (staleNdv, staleKll) = VersionedTable.staleSketchCols(s, root)
+    val stale = (staleNdv ++ staleKll).toSeq.sorted
+      .filterNot(answered)
+      .map(c => (c, None: Option[Double],
+        "stale-sketch-domain — re-run ANALYZE/repin",
+        None: Option[Int]))
+    (measured ++ stale)
       .toDF("column", "hot_share", "basis", "advised_salt")
   }
 

@@ -455,6 +455,20 @@ case class GraftCreateMaterializedViewCommand(nameParts: Seq[String],
             "group key under its own name nor an aliased aggregate")
         }
         if (aggs.isEmpty) refuse("no aggregates in the SELECT list")
+        // the served view is ALWAYS keys-then-aggregates; a SELECT
+        // list that omits a group key (or reorders columns) would
+        // silently diverge from the shape the view actually serves —
+        // require every key to appear under its own name instead
+        val projectedKeys = aggExprs.collect {
+          case a: AttributeReference if keySet(a.name.toLowerCase) =>
+            a.name.toLowerCase
+        }.toSet
+        val missingKeys = keys.filterNot(k => projectedKeys(k.toLowerCase))
+        if (missingKeys.nonEmpty) refuse(
+          s"every GROUP BY key must appear in the SELECT list under " +
+            s"its own name (the view serves keys first, then " +
+            s"aggregates, regardless of SELECT order); missing: " +
+            missingKeys.mkString(", "))
         val v = MaterializedView.create(spark, mvRoot, baseRoot,
           keys, aggs, whereSql)
         Seq(Row(v.toLong))

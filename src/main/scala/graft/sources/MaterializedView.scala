@@ -75,6 +75,19 @@ object MaterializedView {
     * .lastCommittedTxn]] scans past other writers' markers. */
   val TxnAppId = "graft-mv"
 
+  /** Manifest meta line restating the view's base-incarnation anchor
+    * (`#mvanchor:<baseVersion>:<fingerprint>`). Stamped on EVERY mv
+    * commit, so the anchor travels ATOMICALLY with the commit that
+    * establishes it: [[fullRefresh]]'s re-anchor lands in the same
+    * manifest rename as its recompute (a crash between commit and the
+    * best-effort def rewrite can no longer leave a stale def-file
+    * anchor that later refuses a legitimate refresh). Resolution
+    * order at check time: newest manifest line (the
+    * `lastCommittedTxn` backward scan, so interleaved marker-less
+    * maintenance commits don't hide it), then the def file for views
+    * created before the line existed. */
+  private[sources] val AnchorPrefix = "#mvanchor:"
+
   private val DefFile = "_mvdef.json"
   private val SumType = DecimalType(38, 6)
 
@@ -240,13 +253,32 @@ object MaterializedView {
       require(conds.forall(_.deterministic),
         s"WHERE predicate '$w' is non-deterministic — the fold and " +
           "the recompute would disagree; filter on row values only")
+      // time-dependent expressions are 'deterministic' inside one
+      // query (the optimizer pins them per-execution) but re-evaluate
+      // differently at every refresh — a view filtered on
+      // current_date() would silently diverge from its own full
+      // recompute as the clock moves, violating the refresh ==
+      // fullRecompute contract. Refused at create, same spelling as
+      // the rand() refusal.
+      import org.apache.spark.sql.catalyst.expressions.{
+        CurrentDate, CurrentTimeZone, CurrentTimestamp, LocalTimestamp, Now}
+      require(!conds.exists(_.exists {
+        case _: CurrentDate | _: CurrentTimestamp | _: Now |
+            _: LocalTimestamp | _: CurrentTimeZone => true
+        case _ => false
+      }), s"WHERE predicate '$w' is time-dependent (current_date/" +
+        "current_timestamp/now/localtimestamp/current_timezone) — " +
+        "each refresh would evaluate it at a different instant and " +
+        "diverge from the recompute; filter on row values only")
     }
+    val anchor = baseV -> anchorOf(spark, baseRoot, baseV)
     val d = MvDef(new Path(baseRoot).toString, keys, aggs, serveLong,
-      Some(baseV -> anchorOf(spark, baseRoot, baseV)), where)
+      Some(anchor), where)
     writeDef(spark, mvRoot, d)
     val acc = accumulate(filtered(snap, d), d, signed = false)
     VersionedTable.init(spark, mvRoot, withServed(acc, d),
-      txn = Some(baseV.toLong), txnAppId = Some(TxnAppId))
+      txn = Some(baseV.toLong), txnAppId = Some(TxnAppId),
+      extraMetaLines = Seq(anchorMetaLine(anchor)))
     baseV
   }
 
@@ -269,7 +301,7 @@ object MaterializedView {
     require(to >= from, s"base ${d.base} is at version $to, behind the " +
       s"view's watermark $from — the base was re-created or restored; " +
       "fullRefresh to re-anchor")
-    checkAnchor(spark, d)
+    checkAnchor(spark, mvRoot, d)
     if (to == from)
       return RefreshReport(from, to, mvV, refreshed = false,
         appendOnly = true)
@@ -317,10 +349,14 @@ object MaterializedView {
     val state = VersionedTable.read(spark, mvRoot, Some(mvV))
       .select(d.keys.map(col) ++ accColNames(d).map(col): _*)
     val merged = foldAccumulators(state.unionByName(delta), d)
+    // restate the anchor so the newest manifest always carries it
+    // (an aggressive vacuum can then never age the line out)
     val committed = VersionedTable.commit(spark, mvRoot,
       withServed(merged, d), mvV,
       txn = Some(to.toLong), txnAppId = Some(TxnAppId),
-      op = "mv_refresh")
+      op = "mv_refresh",
+      extraMetaLines =
+        currentAnchor(spark, mvRoot, d).map(anchorMetaLine).toSeq)
     RefreshReport(from, to, committed, refreshed = true, appendOnly)
   }
 
@@ -341,14 +377,18 @@ object MaterializedView {
     val acc = accumulate(
       filtered(VersionedTable.read(spark, d.base, Some(to)), d), d,
       signed = false)
+    // recompute legitimately re-anchors (the recovery path for a
+    // re-created base). The fresh anchor rides the commit's OWN
+    // manifest (atomic — a crash after the rename can never leave
+    // the recompute visible under the stale anchor); the def rewrite
+    // below is best-effort redundancy for readers of the def file.
+    val anchor = to -> anchorOf(spark, d.base, to)
     val committed = VersionedTable.commit(spark, mvRoot,
       withServed(acc, d), mvV,
       txn = Some(to.toLong), txnAppId = Some(TxnAppId),
-      op = "mv_full_refresh")
-    // recompute legitimately re-anchors (the recovery path for a
-    // re-created base); rewrite the def with the fresh incarnation
-    writeDef(spark, mvRoot,
-      d.copy(anchor = Some(to -> anchorOf(spark, d.base, to))))
+      op = "mv_full_refresh",
+      extraMetaLines = Seq(anchorMetaLine(anchor)))
+    writeDef(spark, mvRoot, d.copy(anchor = Some(anchor)))
     RefreshReport(from, to, committed, refreshed = true,
       appendOnly = false)
   }
@@ -362,9 +402,43 @@ object MaterializedView {
       .map("%02x".format(_)).mkString
   }
 
-  private def checkAnchor(spark: SparkSession, d: MvDef): Unit =
-    d.anchor.foreach { case (v, fp) =>
-      val have = scala.util.Try(anchorOf(spark, d.base, v)).toOption
+  private def anchorMetaLine(a: (Int, String)): String =
+    s"$AnchorPrefix${a._1}:${a._2}"
+
+  /** The view's effective anchor: the newest manifest's `#mvanchor:`
+    * line (atomic with the commit that established it), falling back
+    * to the def file for pre-line views. */
+  private def currentAnchor(spark: SparkSession, mvRoot: String,
+      d: MvDef): Option[(Int, String)] =
+    VersionedTable.lastMetaLine(spark, mvRoot, AnchorPrefix)
+      .flatMap { body =>
+        val i = body.indexOf(':')
+        scala.util.Try((body.take(i).toInt, body.drop(i + 1))).toOption
+      }.orElse(d.anchor)
+
+  /** Is this anchor-manifest read failure the DOCUMENTED skip case (a
+    * vacuumed-away manifest) rather than a real error? Only a
+    * missing-file signal qualifies — a transient I/O failure or
+    * corrupt read must RETHROW, not silently disable the incarnation
+    * check exactly when storage is flaky. Pure so the discrimination
+    * itself is spec-testable. */
+  private[sources] def anchorReadFailureIsVacuum(e: Throwable): Boolean =
+    e match {
+      case _: java.io.FileNotFoundException => true
+      case e: IllegalArgumentException => // manifestLines' missing-
+        // version require reads "version N does not exist under ..."
+        Option(e.getMessage).exists(_.contains("does not exist"))
+      case _ => false
+    }
+
+  private def checkAnchor(spark: SparkSession, mvRoot: String,
+      d: MvDef): Unit =
+    currentAnchor(spark, mvRoot, d).foreach { case (v, fp) =>
+      val have =
+        try Some(anchorOf(spark, d.base, v))
+        catch {
+          case e: Throwable if anchorReadFailureIsVacuum(e) => None
+        }
       // a vacuumed anchor manifest reads as None → check skipped
       have.foreach(h => require(h == fp,
         s"base ${d.base} version $v does not match the view's anchor " +
@@ -414,9 +488,13 @@ object MaterializedView {
   def compact(spark: SparkSession, mvRoot: String): Int = {
     val w = watermark(spark, mvRoot)
     val v = VersionedTable.latestVersion(spark, mvRoot)
+    val anchor = scala.util.Try(
+      currentAnchor(spark, mvRoot, readDef(spark, mvRoot))).toOption
+      .flatten
     VersionedTable.commit(spark, mvRoot,
       VersionedTable.read(spark, mvRoot, Some(v)), v,
-      txn = Some(w.toLong), txnAppId = Some(TxnAppId), op = "compact")
+      txn = Some(w.toLong), txnAppId = Some(TxnAppId), op = "compact",
+      extraMetaLines = anchor.map(anchorMetaLine).toSeq)
   }
 
   def definition(spark: SparkSession, mvRoot: String): MvDef =
@@ -488,8 +566,31 @@ object MaterializedView {
   }
 
   // ---- definition persistence --------------------------------------
+  //
+  // Defs publish under VERSIONED names (`_mvdef.v<N>.json`, read the
+  // highest), each landing by rename onto a name that never existed —
+  // so there is no delete-then-rename window in which a crash leaves
+  // a table with commits but no def (the legacy single-file scheme's
+  // failure mode, whose only recovery was manual because create()
+  // refuses an existing root). The legacy `_mvdef.json` remains a
+  // read fallback for views created before the scheme.
 
   private def defPath(root: String) = new Path(root, DefFile)
+  private val DefVersioned = """_mvdef\.v(\d+)\.json""".r
+
+  /** Highest-index versioned def path (and its index), if any. */
+  private def latestDefPath(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Option[(Path, Int)] = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return None
+    fs.listStatus(rootPath).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case DefVersioned(n) =>
+          scala.util.Try(st.getPath -> n.toInt).toOption
+        case _ => None
+      }
+    }.sortBy(_._2).lastOption
+  }
 
   private def writeDef(spark: SparkSession, root: String, d: MvDef): Unit = {
     val j = JObject(
@@ -515,19 +616,19 @@ object MaterializedView {
         case MvHllCount(c, as) => JObject("op" -> JString("hllcount"),
           "col" -> JString(c), "as" -> JString(as))
       }.toList))
-    val p = defPath(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(root, s"$DefFile.tmp-${java.util.UUID.randomUUID}")
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val next = latestDefPath(fs, root).map(_._2).getOrElse(0) + 1
+    val p = new Path(root, s"_mvdef.v$next.json")
+    val tmp = new Path(root,
+      s"._mvdef.v$next.json.tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, true)
     try out.write(JsonMethods.compact(JsonMethods.render(j))
       .getBytes("UTF-8"))
     finally out.close()
-    // overwrite = re-anchor (fullRefresh); local fs rename refuses an
-    // existing target, so displace it first. The tiny window between
-    // delete and rename only ever follows a successful recompute
-    // commit, and a missing def fails loudly at the next call rather
-    // than serving anything stale.
-    if (fs.exists(p)) fs.delete(p, false)
+    // the target name is FRESH, so the publish is a single atomic
+    // rename — no displace window; a concurrent writer racing the
+    // same index loses the rename and fails loudly
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
       sys.error(s"could not publish $p")
@@ -535,8 +636,9 @@ object MaterializedView {
   }
 
   private def readDef(spark: SparkSession, root: String): MvDef = {
-    val p = defPath(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val p = latestDefPath(fs, root).map(_._1).getOrElse(defPath(root))
     require(fs.exists(p), s"$root is not a materialized view (no $DefFile)")
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString

@@ -214,6 +214,37 @@ object NdvStats {
       (dir, cols)
     }.toOption
 
+  /** Column names (lowercased) carried by `prefix`-family sketch
+    * lines whose domain version differs from `expected` — the
+    * operator-facing half of the domain-version contract. A v-bumped
+    * domain makes [[parseLine]] read old lines as ABSENT (correct:
+    * mixed-domain unions lie), but absent-because-stale must be
+    * DISTINGUISHABLE from never-pinned, or the degradation ("NDV
+    * silently unknown everywhere") has no signal telling the operator
+    * a re-ANALYZE/repin would fix it. Shared by the `#ndv:` and
+    * `#kll:` families (same JSON shape). */
+  private[sources] def staleDomainColsOf(lines: Seq[String],
+      prefix: String, expected: Int): Set[String] =
+    lines.filter(_.startsWith(prefix)).flatMap { line =>
+      scala.util.Try {
+        val j = JsonMethods.parse(line.stripPrefix(prefix))
+        val stale = (j \ "v") match {
+          case JInt(v) => v != expected
+          case _ => true // pre-versioning line: stale by definition
+        }
+        if (!stale) Seq.empty[String]
+        else (j \ "cols") match {
+          case JObject(fields) => fields.map(_._1.toLowerCase)
+          case _ => Seq.empty[String]
+        }
+      }.getOrElse(Seq.empty)
+    }.toSet
+
+  /** Columns with at least one stale-domain `#ndv:` line — their
+    * table NDV reads as unknown until a repin/ANALYZE backfills. */
+  def staleCols(lines: Seq[String]): Set[String] =
+    staleDomainColsOf(lines, LinePrefix, DomainVersion)
+
   /** The `#ndv:` lines of a base manifest that describe `keep` dirs —
     * carried verbatim alongside the dirs a rewrite never touched. */
   def carriedLines(lines: Seq[String], keep: Set[String]): Seq[String] =

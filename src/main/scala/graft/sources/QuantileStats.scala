@@ -153,6 +153,12 @@ object QuantileStats {
       (dir, cols)
     }.toOption
 
+  /** Columns with at least one stale-domain `#kll:` line — their
+    * table quantiles read as unknown until a repin/ANALYZE backfills
+    * (see [[NdvStats.staleCols]]; same JSON shape, same contract). */
+  def staleCols(lines: Seq[String]): Set[String] =
+    NdvStats.staleDomainColsOf(lines, LinePrefix, DomainVersion)
+
   /** The `#kll:` lines of a base manifest describing `keep` dirs. */
   def carriedLines(lines: Seq[String], keep: Set[String]): Seq[String] =
     lines.filter(_.startsWith(LinePrefix))

@@ -244,6 +244,26 @@ object VersionedTable {
     None
   }
 
+  /** The newest surviving manifest's metadata line starting with
+    * `prefix` (stripped), scanning newest-first past commits that
+    * don't carry it — the [[lastCommittedTxn]] pattern generalized, so
+    * per-writer bookkeeping (the materialized-view anchor) survives
+    * interleaved commits that don't restate it. Stops at the vacuum
+    * horizon like the txn scan. */
+  private[sources] def lastMetaLine(spark: SparkSession, root: String,
+      prefix: String): Option[String] = {
+    val fs = fsOf(spark, manifestDir(root))
+    var v = latestVersion(spark, root)
+    while (v >= 0 && fs.exists(manifestPath(root, v))) {
+      manifestLines(spark, root, v).find(_.startsWith(prefix)) match {
+        case Some(l) => return Some(l.stripPrefix(prefix))
+        case None => ()
+      }
+      v -= 1
+    }
+    None
+  }
+
   /** The commit-dir paths version `version` (default: latest)
     * resolves to — the manifest lookup shared by [[read]] and the
     * `graft-versioned` DataSourceV2 connector
@@ -307,9 +327,10 @@ object VersionedTable {
     * marker for multi-writer tables (see [[lastCommittedTxn]]). */
   def commit(spark: SparkSession, root: String, df: DataFrame,
       expectedVersion: Int, txn: Option[Long] = None,
-      txnAppId: Option[String] = None, op: String = "commit"): Int =
+      txnAppId: Option[String] = None, op: String = "commit",
+      extraMetaLines: Seq[String] = Seq.empty): Int =
     commitDirs(spark, root, df, expectedVersion, carryDirs = Seq.empty,
-      metaLines = txnLine(txn, txnAppId) :+ s"#op:$op")
+      metaLines = txnLine(txn, txnAppId) ++ extraMetaLines :+ s"#op:$op")
 
   /** APPEND `df` as a new version WITHOUT rewriting existing data:
     * only the new rows are written; the new manifest lists the
@@ -2204,6 +2225,20 @@ object VersionedTable {
     else QuantileStats.pinnedCols(manifestLines(spark, root, v))
   }
 
+  /** Columns (lowercased) whose NDV (`_1`) / quantile (`_2`) sketches
+    * include lines written under an OLD sketch domain — their
+    * estimates read as unknown BY REFUSAL (a mixed-domain union would
+    * lie), and the fix is a repin/ANALYZE backfill. Surfaced in the
+    * `$stats` metadata table so the degradation is distinguishable
+    * from never-pinned absence. O(manifest) driver work. */
+  def staleSketchCols(spark: SparkSession, root: String,
+      version: Option[Int] = None): (Set[String], Set[String]) = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) return (Set.empty, Set.empty)
+    val lines = manifestLines(spark, root, v)
+    (NdvStats.staleCols(lines), QuantileStats.staleCols(lines))
+  }
+
   // per-(root, version) NDV estimates — manifests are immutable, the
   // cache never goes stale; same lifetime discipline as statsCache
   private val ndvCache = scala.collection.concurrent.TrieMap[
@@ -2444,8 +2479,10 @@ object VersionedTable {
   /** Initialize a table at version 0 (fails if already initialized —
     * init is a commit like any other). */
   def init(spark: SparkSession, root: String, df: DataFrame,
-      txn: Option[Long] = None, txnAppId: Option[String] = None): Int =
-    commit(spark, root, df, expectedVersion = -1, txn, txnAppId, op = "init")
+      txn: Option[Long] = None, txnAppId: Option[String] = None,
+      extraMetaLines: Seq[String] = Seq.empty): Int =
+    commit(spark, root, df, expectedVersion = -1, txn, txnAppId,
+      op = "init", extraMetaLines = extraMetaLines)
 
   /** MERGE with atomic visibility: read the latest snapshot, apply
     * the changeset (`pipeline.Merge.applyChangeset` — the same
