@@ -2043,6 +2043,49 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // the STREAMING FOLLOW of a materialized view: the same signed-fold
+  // truth, but driven by a Structured Streaming query over the base's
+  // versioned stream (Streams.followMaterializedView) instead of
+  // explicit refresh calls — appends and a row-level DELETE land as
+  // stream triggers, each drained micro-batch folds the CDF, and the
+  // final followed view is hash-gated by DuckDB recomputing the GROUP
+  // BY over the final state from scratch. In-gate canary: the
+  // watermark must have tracked the base to its head THROUGH the
+  // stream (no explicit refresh is ever called here).
+  def pipelineVersionedMvFollow(s: SparkSession, d: String): DataFrame = {
+    val mvOps = graft.sources.MaterializedView
+    val vt = graft.sources.VersionedTable
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mvf")
+    try {
+      val root = tmpRoot.resolve("base").toString
+      val mv = tmpRoot.resolve("mv").toString
+      val base = docs(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("doc_id") < 500)
+      vt.init(s, root, base.filter(col("doc_id") < 250))
+      mvOps.create(s, mv, root, Seq("lang"),
+        Seq(mvOps.MvCount("cnt"), mvOps.MvSum("n_chars", "sum_chars"),
+          mvOps.MvAvg("n_chars", "avg_chars")))
+      val q = graft.streaming.Streams.followMaterializedView(s, mv,
+        Some(tmpRoot.resolve("ck").toString))
+      try {
+        vt.append(s, root,
+          base.filter(col("doc_id") >= 250 && col("doc_id") < 400), 0)
+        q.processAllAvailable()
+        // a rewrite AND an append may share one trigger — the fold
+        // spans the whole range either way
+        vt.delete(s, root, col("doc_id") % 7 === 0)
+        vt.append(s, root, base.filter(col("doc_id") >= 400),
+          vt.latestVersion(s, root))
+        q.processAllAvailable()
+      } finally q.stop()
+      require(mvOps.watermark(s, mv) == vt.latestVersion(s, root),
+        "mv follow gate: the stream must have folded to the base head")
+      mvOps.read(s, mv).orderBy("lang").localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // BLOOM FILE SKIPPING, end to end: the base pins blooms on a
   // content-hash column whose per-file envelopes overlap completely
   // (random hex — min/max pruning provably gets NOTHING, asserted
@@ -2111,6 +2154,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_mv_append" -> pipelineVersionedMvAppend _,
     "pipeline_versioned_mv_sql" -> pipelineVersionedMvSql _,
     "pipeline_versioned_mv_where" -> pipelineVersionedMvWhere _,
+    "pipeline_versioned_mv_follow" -> pipelineVersionedMvFollow _,
     "pipeline_versioned_bloom_skip" -> pipelineVersionedBloomSkip _,
     "pipeline_versioned_spj_join" -> pipelineVersionedSpjJoin _,
     "pipeline_skew_advised_join" -> pipelineSkewAdvisedJoin _,
@@ -2639,6 +2683,22 @@ object PipelineQueries extends QueryPack {
         |    CAST(COUNT(n_chars) AS DOUBLE) AS avg_chars
         |FROM documents
         |WHERE doc_id < 500 AND doc_id % 5 <> 0 AND n_chars >= 300
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    // the STREAMED follow vs DuckDB recomputing from scratch: final
+    // state = appends to 400 minus the %7 delete that ran BEFORE the
+    // last append (rows >= 400 never saw the delete), all folded
+    // through stream triggers rather than explicit refresh calls
+    "pipeline_versioned_mv_follow" ->
+      """SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS BIGINT)
+        |    AS sum_chars,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) /
+        |    CAST(COUNT(n_chars) AS DOUBLE) AS avg_chars
+        |FROM documents
+        |WHERE (doc_id < 400 AND doc_id % 7 <> 0)
+        |   OR (doc_id >= 400 AND doc_id < 500)
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
     // bloom-skipped point lookup vs DuckDB scanning everything: the

@@ -202,12 +202,19 @@ object BloomSkipping {
     * never correctness. */
   private val MaxCachedDirs = 512
   private type CacheVal = Option[Map[String, Map[String, BloomFilter]]]
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, CacheVal](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, CacheVal]): Boolean =
-        size() > MaxCachedDirs
-    })
+
+  /** ACCESS-ordered bounded map: reads refresh recency, inserts past
+    * `cap` evict the least recently used entry. Factored out so the
+    * eviction policy itself is spec-testable at a small cap (the
+    * production cap would need 512 real sidecar dirs to exercise). */
+  private[sources] def newLruCache[V](cap: Int): java.util.Map[String, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, V]): Boolean = size() > cap
+      })
+
+  private val cache = newLruCache[CacheVal](MaxCachedDirs)
 
   /** Drop cached sidecars under `root` (disable/vacuum hygiene). */
   private[sources] def invalidateUnder(root: String): Unit =

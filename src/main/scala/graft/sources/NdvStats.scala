@@ -245,11 +245,31 @@ object NdvStats {
   def staleCols(lines: Seq[String]): Set[String] =
     staleDomainColsOf(lines, LinePrefix, DomainVersion)
 
+  /** The dir a sketch line describes, parsed WITHOUT the domain
+    * check — bookkeeping (carry, staleness surfacing) must see
+    * old-domain lines; only sketch UNIONS refuse them. Shared by the
+    * `#ndv:` and `#kll:` families (same JSON shape). */
+  private[sources] def lineDir(line: String, prefix: String)
+      : Option[String] =
+    scala.util.Try {
+      JsonMethods.parse(line.stripPrefix(prefix)) \ "dir" match {
+        case JString(d) => Option(d)
+        case _ => None
+      }
+    }.toOption.flatten
+
   /** The `#ndv:` lines of a base manifest that describe `keep` dirs —
-    * carried verbatim alongside the dirs a rewrite never touched. */
+    * carried VERBATIM alongside the dirs a rewrite never touched,
+    * INCLUDING old-domain lines: a stale line must keep riding the
+    * manifest chain so [[staleCols]] can keep naming the re-ANALYZE
+    * fix (dropping it at the first post-bump commit would silently
+    * convert "stale — backfill me" into indistinguishable
+    * never-pinned absence). Unions still refuse stale lines at parse
+    * time; a repin/ANALYZE backfill REPLACES them, which is the one
+    * legitimate way they leave. */
   def carriedLines(lines: Seq[String], keep: Set[String]): Seq[String] =
     lines.filter(_.startsWith(LinePrefix))
-      .filter(l => parseLine(l).exists(p => keep.contains(p._1)))
+      .filter(l => lineDir(l, LinePrefix).exists(keep.contains))
 
   /** Union the per-dir sketches of `lines` over exactly `dirs` into a
     * per-column estimate. A column counts only when EVERY dir's line

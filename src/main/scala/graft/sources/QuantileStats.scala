@@ -161,8 +161,11 @@ object QuantileStats {
 
   /** The `#kll:` lines of a base manifest describing `keep` dirs. */
   def carriedLines(lines: Seq[String], keep: Set[String]): Seq[String] =
+    // dir parsed domain-agnostically: stale lines ride verbatim so
+    // [[staleCols]] keeps naming the re-ANALYZE fix (see
+    // [[NdvStats.carriedLines]]); unions still refuse them at parse
     lines.filter(_.startsWith(LinePrefix))
-      .filter(l => parseLine(l).exists(p => keep.contains(p._1)))
+      .filter(l => NdvStats.lineDir(l, LinePrefix).exists(keep.contains))
 
   /** Union the per-dir sketches over exactly `dirs` for one column;
     * None unless EVERY dir carries the column's sketch. */

@@ -2425,18 +2425,33 @@ object VersionedTable {
     val schema = cheapSchema(spark, root, base)
       .getOrElse(read(spark, root, Some(base)).schema)
     val pred = resolveCondition(spark, schema, condition)
+    val dataRoot = new Path(root, "data")
     // a dir is AFFECTED unless its stats prove no file can match;
     // missing stats or an unsupported predicate shape = affected
-    // (conservative: correctness never rests on the envelopes)
+    // (conservative: correctness never rests on the envelopes).
+    // Bloom sidecars AND with the envelope check — the same shared
+    // fileMayMatch the read path's prunedPaths uses, so a scan and a
+    // DML classify identically. This is what makes a point-keyed
+    // DELETE/UPDATE on a bloom-pinned hash column O(matching dirs)
+    // instead of O(table): random hashes span every envelope (min/max
+    // prunes nothing), but only the dir whose filter saw the value
+    // may-matches. Sound because blooms have no false negatives — a
+    // "not present" file provably holds no row the equality can
+    // select. The `relevant` guard keeps sidecar reads off
+    // predicates that can't use them.
+    val bloomPin = pred.flatMap(p =>
+      bloomColumns(spark, root, Some(base))
+        .filter(BloomSkipping.relevant(p, _)))
     val (affected, untouched) = dirs.partition { dir =>
       (byDir.get(dir), pred) match {
         case (Some(files), Some(p)) =>
-          files.exists(f => DataSkipping.mayMatch(f, p))
+          files.exists(f => DataSkipping.mayMatch(f, p) &&
+            (bloomPin.isEmpty || BloomSkipping.fileMayMatch(
+              spark, dataRoot, dir, f.path, p)))
         case _ => true
       }
     }
     if (affected.isEmpty) return base // provably nothing matches
-    val dataRoot = new Path(root, "data")
     val affectedDf = spark.read.schema(schema).parquet(
       affected.map(d => new Path(dataRoot, d).toString): _*)
     val rewritten = transform(affectedDf, condition)

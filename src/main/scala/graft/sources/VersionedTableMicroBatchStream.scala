@@ -113,8 +113,20 @@ class VersionedTableMicroBatchStream(spark: SparkSession, root: String,
       .newScanBuilder(options).build()
       .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
 
+  // triggerOnly: the stream is consumed as a COMMIT TICKER — offsets
+  // advance with the base's versions (one trigger per commit, same
+  // checkpoint/Trigger semantics) but every batch plans ZERO
+  // partitions, so no data is ever read and the append-only
+  // restriction never applies (a rewrite version ticks like any
+  // other). The shape a side-effecting follower wants
+  // (Streams.followMaterializedView: refresh reads the CDF plane
+  // itself — executing the batch would read the same delta twice).
+  private val triggerOnly: Boolean =
+    Option(options.get("triggerOnly")).exists(_.trim.toBoolean)
+
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
+    if (triggerOnly) return Array.empty
     val from = version(start)
     val to = version(end)
     if (to < 0 || to == from) Array.empty

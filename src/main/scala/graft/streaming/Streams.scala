@@ -512,6 +512,56 @@ object Streams {
     }
   }
 
+  /** STREAMING MATERIALIZED-VIEW FOLLOW — the glue that turns
+    * [[graft.sources.MaterializedView.refresh]] into a continuously
+    * maintained view: a Structured Streaming query over the base's
+    * versioned stream whose ONLY job is to call `refresh` once per
+    * micro-batch. The stream is the TRIGGER, not the data path:
+    *
+    *  - offsets ARE base versions ([[graft.sources
+    *    .VersionedTableMicroBatchStream]]), so a micro-batch fires
+    *    exactly when the base commits — no polling loop to write, and
+    *    `Trigger.AvailableNow`/`processAllAvailable` drain semantics
+    *    come free;
+    *  - the batch carries NO DATA (`triggerOnly`: the source plans
+    *    zero partitions per batch). `refresh` reads the change feed
+    *    off the CDF plane itself (signed fold, decimal-exact,
+    *    O(delta)), so streaming the rows would read the same delta
+    *    twice — and the data-less batch also means the snapshot
+    *    stream's append-only restriction never applies, making the
+    *    follow exactly as rewrite-tolerant as `refresh` is:
+    *    SUM/COUNT/AVG views fold rewrite ranges through CDC files or
+    *    the snapshot diff; INSERT-ONLY views (MIN/MAX/HLL) hit
+    *    refresh's loud refusal, which FAILS THE QUERY — the correct
+    *    outcome (run fullRefresh, restart the follow) rather than a
+    *    silently stale extreme.
+    *
+    * Exactly-once is the WATERMARK's, not the checkpoint's: every
+    * refresh commits atomically with its `#txn:graft-mv:<baseV>`
+    * marker, so a replayed trigger (crash before the stream
+    * checkpoint advanced, a checkpoint-less restart re-firing the
+    * initial batch) finds the watermark current and no-ops. The
+    * stream checkpoint is therefore OPTIONAL — pass one to avoid
+    * re-triggering from the initial offset at restart, not for
+    * correctness. The returned query runs until stopped; use
+    * `processAllAvailable()` to drain synchronously. */
+  def followMaterializedView(spark: SparkSession, mvRoot: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val base = graft.sources.MaterializedView
+      .definition(spark, mvRoot).base
+    val writer = spark.readStream.format("graft-versioned-stream")
+      .option("triggerOnly", "true")
+      .load(base)
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.sources.MaterializedView.refresh(spark, mvRoot): Unit
+      }
+    checkpointDir.map(writer.option("checkpointLocation", _))
+      .getOrElse(writer)
+      .start()
+  }
+
   /** Run any of the above on a stream into an in-memory table and block
     * until the file source drains — the synchronous harness used by
     * tests and demos. Returns the materialized result. */

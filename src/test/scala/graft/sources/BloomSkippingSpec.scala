@@ -276,4 +276,84 @@ class BloomSkippingSpec extends SparkSpec {
       }
     } finally rm(dir)
   }
+
+  test("bloom sidecars prune the row-level DELETE/UPDATE rewrite " +
+    "set: a point-keyed delete on a hash column rewrites ONE dir, " +
+    "not the table (and without the pin, rewrites everything)") {
+    val dir = tmp()
+    try {
+      def build(root: String, pin: Boolean): Unit = {
+        // 3 commit dirs of random-hex hashes: every dir's envelope
+        // spans the full domain, so min/max pruning provably gets
+        // nothing — only the blooms can tell the dirs apart
+        VersionedTable.init(spark, root,
+          spark.range(0, 500).select(col("id"),
+            md5(col("id").cast("string")).as("fp")))
+        (1 to 2).foreach(i => VersionedTable.append(spark, root,
+          spark.range(i * 500L, i * 500L + 500).select(col("id"),
+            md5(col("id").cast("string")).as("fp")), i - 1))
+        if (pin) VersionedTable.enableBloomFilters(spark, root, Seq("fp"))
+      }
+      val probe = spark.range(1200, 1201)
+        .select(md5(col("id").cast("string"))).head.getString(0)
+      val pinned = dir.resolve("pinned").toString
+      build(pinned, pin = true)
+      val before = VersionedTable.dataDirs(spark, pinned).toSet
+      VersionedTable.delete(spark, pinned, col("fp") === probe)
+      val after = VersionedTable.dataDirs(spark, pinned).toSet
+      assert(before.intersect(after).size >= before.size - 1,
+        s"bloom-pinned delete must carry the untouched dirs: " +
+          s"carried ${before.intersect(after).size} of ${before.size}")
+      assert(VersionedTable.read(spark, pinned).count() == 1499)
+      assert(VersionedTable.readWhere(spark, pinned,
+        col("fp") === probe).count() == 0)
+      // UPDATE rides the same classification
+      val probe2 = spark.range(100, 101)
+        .select(md5(col("id").cast("string"))).head.getString(0)
+      val b2 = VersionedTable.dataDirs(spark, pinned).toSet
+      VersionedTable.update(spark, pinned, col("fp") === probe2,
+        Seq("id" -> (col("id") + 1000000L)))
+      val a2 = VersionedTable.dataDirs(spark, pinned).toSet
+      assert(b2.intersect(a2).size >= b2.size - 1,
+        "bloom-pinned update must carry the untouched dirs")
+      assert(VersionedTable.readWhere(spark, pinned,
+        col("fp") === probe2).select("id").head.getLong(0) == 1000100L)
+      // control: the SAME delete without the pin rewrites every dir
+      // (overlapping envelopes prune nothing) — the measured gap the
+      // wiring closes
+      val bare = dir.resolve("bare").toString
+      build(bare, pin = false)
+      val beforeBare = VersionedTable.dataDirs(spark, bare).toSet
+      VersionedTable.delete(spark, bare, col("fp") === probe)
+      val afterBare = VersionedTable.dataDirs(spark, bare).toSet
+      assert(beforeBare.intersect(afterBare).isEmpty,
+        "without blooms, overlapping envelopes force a full rewrite " +
+          "(if this starts passing, the control is no longer a control)")
+      assert(VersionedTable.read(spark, bare).count() == 1499)
+    } finally rm(dir)
+  }
+
+  test("the sidecar cache evicts LEAST-RECENTLY-USED, not wholesale: " +
+    "a hot dir survives eviction pressure from many cold dirs") {
+    val c = BloomSkipping.newLruCache[Int](3)
+    c.put("hot", 0)
+    c.put("cold1", 1)
+    c.put("cold2", 2)
+    // keep 'hot' hot: a READ must refresh recency (access order, not
+    // insertion order — the property wholesale-clear and
+    // insertion-order LRU both lack)
+    assert(c.get("hot") == 0)
+    c.put("cold3", 3) // over cap: evicts cold1 (LRU), NOT hot
+    assert(c.containsKey("hot"), "the hot entry must survive")
+    assert(!c.containsKey("cold1"), "the least-recently-used evicts")
+    assert(c.containsKey("cold2") && c.containsKey("cold3"))
+    assert(c.size() == 3, "the cache never exceeds its cap")
+    // sustained pressure: hammer many cold keys, touching hot between
+    // each — hot still survives, size still bounded
+    (4 to 40).foreach { i =>
+      c.put(s"cold$i", i)
+      assert(c.get("hot") == 0)
+    }
+    assert(c.size() == 3 && c.containsKey("hot"))
+  }
 }

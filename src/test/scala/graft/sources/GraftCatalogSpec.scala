@@ -1028,6 +1028,58 @@ class GraftCatalogSpec extends SparkSpec {
       "unpinned string column absent — measured rows only")
   }
 
+  test("stale sketch domains surface in $stats (note column) and " +
+    "$skew (named refusal row) — degradation is distinguishable " +
+    "from never-pinned absence") {
+    wh
+    spark.sql("CREATE TABLE graft.stale_t (k BIGINT, s STRING)")
+    spark.range(500).select(($"id" % 50).as("k"),
+      concat(lit("x"), $"id").as("s")).createOrReplaceTempView("stale_src")
+    spark.sql("INSERT INTO graft.stale_t SELECT * FROM stale_src")
+    val root = rootOf("stale_t")
+    VersionedTable.enableNdvStats(spark, root, Seq("k"))
+    VersionedTable.enableQuantileStats(spark, root, Seq("k"))
+    // fresh pins: no notes, measured skew advice
+    val fresh = spark.sql(
+      "SELECT column, note FROM graft.`stale_t$stats`").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(fresh("k").isEmpty, s"fresh pins carry no note: $fresh")
+    assert(spark.sql("SELECT basis FROM graft.`stale_t$skew` " +
+      "WHERE column = 'k'").head().getString(0) != null)
+    // simulate a sketch-domain bump over persisted history: rewrite
+    // the #ndv:/#kll: lines to the old version, then commit again so
+    // the carried-verbatim lines land in a fresh (uncached) manifest
+    val v = VersionedTable.latestVersion(spark, root)
+    val mf = new java.io.File(root, s"_manifests/v$v.json")
+    val doctored = new String(
+      java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+      .linesIterator.map { l =>
+        if (l.startsWith(NdvStats.LinePrefix) ||
+          l.startsWith(QuantileStats.LinePrefix))
+          l.replace(s""""v":${NdvStats.DomainVersion},""", """"v":1,""")
+        else l
+      }.mkString("\n")
+    java.nio.file.Files.write(mf.toPath, doctored.getBytes("UTF-8"))
+    // drop the local FS's checksum sibling of the doctored manifest
+    new java.io.File(root, s"_manifests/.v$v.json.crc").delete()
+    spark.sql("INSERT INTO graft.stale_t SELECT * FROM stale_src")
+    // $stats: ndv degrades to NULL, and the note NAMES the fix
+    val after = spark.sql("SELECT column, ndv, note FROM " +
+      "graft.`stale_t$stats` WHERE column = 'k'").head()
+    assert(after.isNullAt(1), "mixed-domain NDV must read unknown")
+    assert(Option(after.getString(2)).exists(n =>
+      n.contains("stale ndv sketch domain") &&
+        n.contains("stale quantile sketch domain")),
+      s"note must name both stale families, got: ${after.getString(2)}")
+    // $skew: the degraded column gets a named-refusal row (NULL
+    // advice, basis says why) instead of vanishing
+    val skew = spark.sql("SELECT hot_share, basis, advised_salt FROM " +
+      "graft.`stale_t$skew` WHERE column = 'k'").head()
+    assert(skew.isNullAt(0) && skew.isNullAt(2) &&
+      skew.getString(1).contains("stale-sketch-domain"),
+      s"stale column must surface the named refusal, got: $skew")
+  }
+
   test("SQL RENAME COLUMN refuses with the rewrite spelling and the " +
     "view workaround — never a silent O(table) rewrite from a " +
     "metadata-looking statement") {

@@ -320,6 +320,12 @@ class GraftSqlExtensionsSpec extends SparkSpec {
       "approx_count_distinct")
     refuses("CREATE MATERIALIZED VIEW gext.mv2 AS " +
       "SELECT k, x FROM gext.mvbase", "not a GROUP BY aggregate")
+    // a SELECT list omitting a GROUP BY key would silently diverge
+    // from the served shape (the view always serves keys first):
+    // refused, naming the missing key
+    refuses("CREATE MATERIALIZED VIEW gext.mv2 AS SELECT " +
+      "count(*) AS c FROM gext.mvbase GROUP BY k",
+      "every GROUP BY key must appear in the SELECT list")
     // the $mv metadata table: one row per aggregate, freshness header
     val meta = spark.sql("SELECT * FROM gext.`mv1$mv` ORDER BY agg")
       .collect()

@@ -397,6 +397,144 @@ class MaterializedViewSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("time-dependent WHERE predicates refuse at create: they pass " +
+    "Expression.deterministic but re-evaluate at every refresh, " +
+    "diverging from the recompute") {
+    val dir = tmp("mv_timewhere")
+    try {
+      val base = dir.resolve("base").toString
+      VersionedTable.init(spark, base,
+        Seq(("a", java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+          .toDF("k", "ts"))
+      def refuses(w: String): Unit = {
+        val e = intercept[IllegalArgumentException] {
+          MV.create(spark, dir.resolve(
+            "mv" + java.util.UUID.randomUUID.toString.take(8)).toString,
+            base, Seq("k"), Seq(MV.MvCount("c")), where = Some(w))
+        }
+        assert(e.getMessage.contains("time-dependent"),
+          s"'$w' must refuse as time-dependent: ${e.getMessage}")
+      }
+      refuses("ts < current_timestamp()")
+      refuses("ts < now()")
+      refuses("cast(ts as date) <= current_date()")
+      refuses("ts < localtimestamp()")
+      // a plain row-value predicate on the same column is fine
+      val mv = dir.resolve("mv_ok").toString
+      MV.create(spark, mv, base, Seq("k"), Seq(MV.MvCount("c")),
+        where = Some("ts >= timestamp'2026-01-01 00:00:00'"))
+      assert(sorted(MV.read(spark, mv)).map(_.getLong(1)) == Seq(1L))
+    } finally rm(dir)
+  }
+
+  test("fullRefresh's re-anchor is atomic with its commit: a crash " +
+    "before the def rewrite (stale def anchor) cannot cause a " +
+    "spurious anchor-mismatch refusal on the next refresh") {
+    val dir = tmp("mv_anchoratomic")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      VersionedTable.init(spark, base,
+        Seq(("a", 1L, 1.0)).toDF("k", "x", "v"))
+      MV.create(spark, mv, base, Seq("k"), mvAggs)
+      // re-create the base at the same path: version 0 again, but a
+      // DIFFERENT incarnation (UUID commit dirs → new fingerprint)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(base))
+      VersionedTable.init(spark, base,
+        Seq(("b", 2L, 2.0)).toDF("k", "x", "v"))
+      MV.fullRefresh(spark, mv) // re-anchors onto the new incarnation
+      // simulate the crash window: the commit landed (manifest line
+      // carries the fresh anchor) but the def rewrite did not — put
+      // the STALE pre-fullRefresh def back as the newest def
+      val fs = new java.io.File(mv)
+      val defs = fs.listFiles().filter(_.getName.matches(
+        "_mvdef\\.v\\d+\\.json")).sortBy(_.getName)
+      assert(defs.length >= 2, "fullRefresh must write a new def")
+      assert(defs.last.delete())
+      // the re-created base is AT the stale anchor's version (0): the
+      // def-file anchor alone would mismatch and refuse. The manifest
+      // anchor (atomic with the recompute) must win instead.
+      VersionedTable.append(spark, base,
+        Seq(("c", 3L, 3.0)).toDF("k", "x", "v"), 0)
+      val r = MV.refresh(spark, mv)
+      assert(r.refreshed && r.appendOnly)
+      assert(sorted(MV.read(spark, mv)) ==
+        sorted(recompute(VersionedTable.read(spark, base))))
+    } finally rm(dir)
+  }
+
+  test("anchor-read failure discrimination: only a missing-manifest " +
+    "signal skips the incarnation check; transient I/O rethrows") {
+    assert(MV.anchorReadFailureIsVacuum(
+      new java.io.FileNotFoundException("gone")))
+    assert(MV.anchorReadFailureIsVacuum(new IllegalArgumentException(
+      "requirement failed: version 3 does not exist under /t")))
+    assert(!MV.anchorReadFailureIsVacuum(
+      new RuntimeException("connection reset")))
+    assert(!MV.anchorReadFailureIsVacuum(
+      new IllegalArgumentException("malformed manifest")))
+    assert(!MV.anchorReadFailureIsVacuum(
+      new java.io.IOException("timeout")))
+    // and end-to-end: a CORRUPT (readable but wrong) anchor manifest
+    // fails LOUDLY at refresh — never a silent check skip, never a
+    // committed fold
+    val dir = tmp("mv_anchorio")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      VersionedTable.init(spark, base,
+        Seq(("a", 1L, 1.0)).toDF("k", "x", "v"))
+      MV.create(spark, mv, base, Seq("k"), mvAggs)
+      VersionedTable.append(spark, base,
+        Seq(("b", 2L, 2.0)).toDF("k", "x", "v"), 0)
+      java.nio.file.Files.write(
+        new java.io.File(base, "_manifests/v0.json").toPath,
+        "c-bogus-dir\n".getBytes("UTF-8"))
+      // drop the local FS's checksum sibling so the doctored bytes
+      // READ (we are testing the fingerprint check, not the CRC)
+      new java.io.File(base, "_manifests/.v0.json.crc").delete()
+      val e = intercept[IllegalArgumentException] { MV.refresh(spark, mv) }
+      assert(e.getMessage.contains("anchor"),
+        s"corrupt anchor manifest must refuse loudly: ${e.getMessage}")
+      assert(MV.watermark(spark, mv) == 0,
+        "a failed anchor check must not have committed a fold")
+    } finally rm(dir)
+  }
+
+  test("defs publish under versioned names: create writes v1, " +
+    "fullRefresh v2 (read picks the highest), and the legacy " +
+    "_mvdef.json remains a read fallback") {
+    val dir = tmp("mv_defver")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      VersionedTable.init(spark, base,
+        Seq(("a", 1L, 1.0)).toDF("k", "x", "v"))
+      MV.create(spark, mv, base, Seq("k"), mvAggs)
+      def defNames() = new java.io.File(mv).listFiles()
+        .map(_.getName).filter(_.startsWith("_mvdef")).sorted.toSeq
+      assert(defNames() == Seq("_mvdef.v1.json"))
+      val a1 = MV.definition(spark, mv).anchor
+      MV.fullRefresh(spark, mv)
+      assert(defNames() == Seq("_mvdef.v1.json", "_mvdef.v2.json"))
+      // no tmp debris from the rename-only publish
+      assert(!new java.io.File(mv).listFiles()
+        .exists(_.getName.contains(".tmp-")))
+      // a legacy view (single unversioned def) still reads
+      val legacy = dir.resolve("legacy").toString
+      VersionedTable.init(spark, legacy + "_b",
+        Seq(("a", 1L, 1.0)).toDF("k", "x", "v"))
+      MV.create(spark, legacy, legacy + "_b", Seq("k"), mvAggs)
+      val f = new java.io.File(legacy)
+      assert(new java.io.File(f, "_mvdef.v1.json")
+        .renameTo(new java.io.File(f, "_mvdef.json")))
+      assert(MV.definition(spark, legacy).keys == Seq("k"))
+      assert(MV.refresh(spark, legacy).refreshed == false)
+      assert(a1.isDefined)
+    } finally rm(dir)
+  }
+
   test("crash idempotency: a replayed refresh of the same range " +
     "no-ops on the watermark instead of double-folding") {
     val dir = tmp("mv_idem")

@@ -262,4 +262,68 @@ class NdvStatsSpec extends SparkSpec {
       after("tntz") == 60L,
       s"union-compatible across paths, got $after")
   }
+
+  test("staleCols names the columns degraded by an old sketch " +
+    "domain — absent-because-stale is distinguishable from " +
+    "never-pinned") {
+    def line(v: Option[Int], cols: String*): String =
+      NdvStats.LinePrefix + """{"dir":"c-x"""" +
+        v.map(n => s""","v":$n""").getOrElse("") +
+        s""","cols":{${cols.map(c => s""""$c":"AA=="""").mkString(",")}}}"""
+    // current-domain lines are NOT stale
+    assert(NdvStats.staleCols(
+      Seq(line(Some(NdvStats.DomainVersion), "a", "b"))) == Set.empty)
+    // an old version IS stale; names lowercase
+    assert(NdvStats.staleCols(
+      Seq(line(Some(1), "A", "b"))) == Set("a", "b"))
+    // a PRE-VERSIONING line (no v field) is stale by definition
+    assert(NdvStats.staleCols(Seq(line(None, "c"))) == Set("c"))
+    // mixed: one dir current, one dir old → the old dir's columns
+    // degrade the table reads, so they report
+    assert(NdvStats.staleCols(Seq(
+      line(Some(NdvStats.DomainVersion), "a"),
+      line(Some(1), "a"))) == Set("a"))
+    // malformed lines and foreign prefixes are ignored, not thrown
+    assert(NdvStats.staleCols(Seq(
+      NdvStats.LinePrefix + "not json", "#kll:{}", "c-somedir")) ==
+      Set.empty)
+    // the KLL family shares the contract through the same parser
+    assert(QuantileStats.staleCols(Seq(
+      QuantileStats.LinePrefix + """{"v":1,"dir":"c-x","cols":{"q":"AA=="}}"""
+    )) == Set("q"))
+    assert(QuantileStats.staleCols(Seq(
+      QuantileStats.LinePrefix +
+        s"""{"v":${QuantileStats.DomainVersion},"dir":"c-x","cols":{"q":"AA=="}}"""
+    )) == Set.empty)
+  }
+
+  test("staleSketchCols end-to-end: rewriting a manifest line to an " +
+    "old domain version degrades the column's NDV to unknown AND " +
+    "flags it stale") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, batch(0, 1000))
+    VersionedTable.enableNdvStats(spark, root)
+    assert(VersionedTable.tableNdv(spark, root).contains("u"))
+    assert(VersionedTable.staleSketchCols(spark, root)._1.isEmpty)
+    // simulate a domain bump over persisted history: rewrite the
+    // newest manifest's #ndv: lines to claim the OLD version, then
+    // append — carried dirs keep their (now old-domain) lines
+    // verbatim while the new dir sketches under the current domain,
+    // which is exactly what a real domain bump leaves behind
+    val v = VersionedTable.latestVersion(spark, root)
+    val mf = new java.io.File(root, s"_manifests/v$v.json")
+    val body = new String(
+      java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    val doctored = body.replace(
+      s""""v":${NdvStats.DomainVersion},""", """"v":1,""")
+    assert(doctored != body, "manifest must have carried a #ndv: line")
+    java.nio.file.Files.write(mf.toPath, doctored.getBytes("UTF-8"))
+    // drop the local FS's checksum sibling of the doctored manifest
+    new java.io.File(root, s"_manifests/.v$v.json.crc").delete()
+    VersionedTable.append(spark, root, batch(1000, 100), v)
+    // absent by refusal (mixed/old-domain lines never union) ...
+    assert(!VersionedTable.tableNdv(spark, root).contains("u"))
+    // ... and DISTINGUISHABLY so
+    assert(VersionedTable.staleSketchCols(spark, root)._1.contains("u"))
+  }
 }

@@ -464,4 +464,121 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(100L, 200L))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("streaming MV follow: the followed view equals the " +
+    "batch-refreshed view after arbitrary append/rewrite " +
+    "interleavings, and a restart replays idempotently") {
+    import graft.sources.{MaterializedView => MV, VersionedTable => VT}
+    import org.apache.spark.sql.{DataFrame, Row}
+    import SparkSpec.session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mv_follow")
+    try {
+      val base = tmp.resolve("base").toString
+      val mv = tmp.resolve("mv").toString
+      val ck = tmp.resolve("ck").toString
+      VT.init(spark, base,
+        Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "x"))
+      VT.enableChangeFeed(spark, base, "id")
+      MV.create(spark, mv, base, Seq("k"),
+        Seq(MV.MvCount("cnt"), MV.MvSum("x", "sum_x"),
+          MV.MvAvg("x", "avg_x")))
+      def expect(): Seq[Row] = VT.read(spark, base).groupBy("k")
+        .agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"),
+          avg(col("x")).as("avg_x"))
+        .orderBy("k").collect().toSeq
+      def served(): Seq[Row] =
+        MV.read(spark, mv).orderBy("k").collect().toSeq
+      val q = Streams.followMaterializedView(spark, mv, Some(ck))
+      try {
+        q.processAllAvailable()
+        assert(served() == expect(), "initial drain")
+        // APPEND → one trigger, O(delta) fold
+        VT.append(spark, base,
+          Seq((3L, "a", 30L), (4L, "c", 40L)).toDF("id", "k", "x"),
+          VT.latestVersion(spark, base))
+        q.processAllAvailable()
+        assert(served() == expect(), "after append")
+        // REWRITE (keyed merge: update + delete) — the follow must
+        // fold it, NOT die on the snapshot stream's append-only rule
+        VT.merge(spark, base,
+          Seq((2L, "b", 25L, "U"), (4L, "c", 40L, "D"))
+            .toDF("id", "k", "x", "op"), "id")
+        q.processAllAvailable()
+        assert(served() == expect(), "after keyed rewrite")
+        assert(!served().exists(_.getString(0) == "c"),
+          "an emptied group leaves the followed view")
+        // plain DELETE (content-diff rewrite) interleaved with an
+        // append before the next drain: one trigger may fold both
+        VT.delete(spark, base, col("x") === 30L)
+        VT.append(spark, base,
+          Seq((5L, "d", 50L)).toDF("id", "k", "x"),
+          VT.latestVersion(spark, base))
+        q.processAllAvailable()
+        assert(served() == expect(), "after delete+append")
+      } finally q.stop()
+      assert(MV.watermark(spark, mv) == VT.latestVersion(spark, base))
+      // RESTART from the same checkpoint: nothing pending → no new
+      // fold; then a checkpoint-LESS follow re-fires the initial
+      // batch and the watermark no-ops it (refresh's idempotency is
+      // the exactly-once, not the checkpoint)
+      val mvVer = VT.latestVersion(spark, mv)
+      val q2 = Streams.followMaterializedView(spark, mv, Some(ck))
+      try q2.processAllAvailable() finally q2.stop()
+      val q3 = Streams.followMaterializedView(spark, mv, None)
+      try q3.processAllAvailable() finally q3.stop()
+      assert(VT.latestVersion(spark, mv) == mvVer,
+        "replayed triggers must no-op on the watermark, not re-fold")
+      assert(served() == expect(), "after restarts")
+      // a lagging restart CATCHES UP: move the base while no follow
+      // runs, then restart from the checkpoint
+      VT.append(spark, base,
+        Seq((6L, "a", 60L)).toDF("id", "k", "x"),
+        VT.latestVersion(spark, base))
+      val q4 = Streams.followMaterializedView(spark, mv, Some(ck))
+      try {
+        q4.processAllAvailable()
+        assert(served() == expect(), "catch-up after lagging restart")
+      } finally q4.stop()
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("streaming MV follow: an insert-only view REFUSES a rewrite " +
+    "batch loudly — the stream fails with the fullRefresh recipe, " +
+    "never serves a silently stale extreme") {
+    import graft.sources.{MaterializedView => MV, VersionedTable => VT}
+    import SparkSpec.session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mv_follow_io")
+    try {
+      val base = tmp.resolve("base").toString
+      val mv = tmp.resolve("mv").toString
+      VT.init(spark, base,
+        Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("id", "k", "x"))
+      MV.create(spark, mv, base, Seq("k"),
+        Seq(MV.MvCount("cnt"), MV.MvMax("x", "max_x")))
+      VT.delete(spark, base, col("x") === 20L) // evicts the max
+      val q = Streams.followMaterializedView(spark, mv, None)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("fullRefresh")),
+        s"the failure must name the recovery, got: ${messages(e)}")
+      // the view is UNCHANGED — still the pre-delete aggregate at the
+      // old watermark, never a half-fold
+      assert(MV.watermark(spark, mv) == 0)
+      assert(MV.read(spark, mv).orderBy("k").collect().toSeq ==
+        Seq(org.apache.spark.sql.Row("a", 2L, 20L)))
+      // fullRefresh + a fresh follow recovers
+      MV.fullRefresh(spark, mv)
+      val q2 = Streams.followMaterializedView(spark, mv, None)
+      try q2.processAllAvailable() finally q2.stop()
+      assert(MV.read(spark, mv).orderBy("k").collect().toSeq ==
+        Seq(org.apache.spark.sql.Row("a", 1L, 10L)))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
 }
