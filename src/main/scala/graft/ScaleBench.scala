@@ -878,6 +878,86 @@ object ScaleBench {
           .count()
         Seq(n).toDF("n")
       },
+      // BLOOM-PRUNED row-level DELETE vs the unpinned twin: the
+      // point-DELETE (GDPR-erasure shape) probes a syntactically valid
+      // content hash that is absent from the corpus. On the PINNED
+      // fixture the blooms prove absence for all but their FALSE
+      // POSITIVES (1% fpp per file — at ~100 files a decade expects a
+      // couple of FP dirs), so the delete rewrites O(FP dirs), never
+      // O(table); the in-row canary bounds the rewrite set at 10% of
+      // the dirs. On the UNPINNED twin the hashes span every
+      // envelope, nothing is provable, and the same statement
+      // rewrites the WHOLE table — O(table), growing with the decade.
+      // The pair is the measured gap the DML bloom consultation
+      // closes.
+      "bloom_delete" -> { () =>
+        val (root, _) = bloomFixture
+        val vt = graft.sources.VersionedTable
+        val before = vt.dataDirs(spark, root).toSet
+        vt.delete(spark, root,
+          col("fp") === "7f0f0f0f0f0f0f0f0f0f0f0f0f0f0f0f")
+        val carried = vt.dataDirs(spark, root).toSet
+          .intersect(before).size
+        require(carried >= before.size - math.max(2, before.size / 10),
+          s"bloom_delete: rewrite set must be O(FP dirs), carried " +
+            s"only $carried of ${before.size}")
+        import spark.implicits._
+        Seq(carried).toDF("v")
+      },
+      "bloom_delete_off" -> {
+        lazy val offRoot: String = {
+          val r = tempTableRoot("graft_dmloff_sb")
+          val vt = graft.sources.VersionedTable
+          val d = docs.select(col("doc_id"), md5(col("text")).as("fp"),
+            col("n_chars"))
+          val v0 = vt.init(spark, r, d.filter(col("doc_id") % 3 === 0))
+          val v1 = vt.append(spark, r,
+            d.filter(col("doc_id") % 3 === 1), v0)
+          vt.append(spark, r, d.filter(col("doc_id") % 3 === 2), v1)
+          r
+        }
+        () => {
+          val vt = graft.sources.VersionedTable
+          val before = vt.latestVersion(spark, offRoot)
+          val after = vt.delete(spark, offRoot,
+            col("fp") === "7f0f0f0f0f0f0f0f0f0f0f0f0f0f0f0f")
+          require(after == before + 1,
+            "bloom_delete_off: without blooms the rewrite must run " +
+              s"(no dir is provably clean), got $before→$after")
+          import spark.implicits._
+          Seq(after).toDF("v")
+        }
+      },
+      // COMMIT COST OF A TRIPLE-PINNED TABLE measured: a FIXED
+      // 1000-doc append against a table pinning all three stats
+      // families (NDV+KLL sketches, bloom sidecar) — the number the
+      // one-pass-commit-statistics question is about. Near-flat
+      // across decades by construction (every family covers only the
+      // staged dir); the gap to ndv_commit_off is the full
+      // per-commit price of the statistics plane.
+      "stats_commit_3pin" -> {
+        lazy val (r3, v3) = {
+          val r = tempTableRoot("graft_3pin")
+          val vt = graft.sources.VersionedTable
+          val d = docs.select(col("doc_id"), md5(col("text")).as("fp"),
+            col("lang"), col("n_chars"))
+          vt.init(spark, r, d)
+          vt.enableNdvStats(spark, r, Seq("doc_id", "lang"))
+          vt.enableQuantileStats(spark, r, Seq("n_chars"))
+          (r, vt.enableBloomFilters(spark, r, Seq("fp")))
+        }
+        var v = -2
+        () => {
+          if (v == -2) v = v3
+          v = graft.sources.VersionedTable.append(spark, r3,
+            docs.filter(col("doc_id") < 1000L)
+              .select(col("doc_id"), md5(col("text")).as("fp"),
+                col("lang"), col("n_chars")),
+            expectedVersion = v)
+          import spark.implicits._
+          Seq(v).toDF("v")
+        }
+      },
       "ndv_commit_off" -> {
         lazy val (r0, v0) = {
           val r = tempTableRoot("graft_ndv_off")

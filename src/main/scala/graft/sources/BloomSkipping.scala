@@ -58,7 +58,7 @@ object BloomSkipping {
   private val Magic = 0x47424c4d // "GBLM"
   private val Version = 1
   /** Capacity when a file's footer row count is unknown. */
-  private val DefaultCapacity = 100000L
+  private[sources] val DefaultCapacity = 100000L
 
   /** The pinned column set: None = blooms off. Never `Some(empty)` —
     * the pin refuses `*` at enable time. */
@@ -156,6 +156,17 @@ object BloomSkipping {
   }
   private def de(b: Array[Byte]): BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+
+  /** Publish a finished per-file filter map as the dir's sidecar and
+    * drop any cached content for it — the shared back half of
+    * [[buildSidecar]] and the fused one-pass commit path
+    * ([[CommitStats.onePass]]). */
+  private[sources] def publishSidecar(spark: SparkSession, dirPath: Path,
+      colNames: Seq[String], byFile: Map[String, Array[BloomFilter]])
+      : Unit = {
+    writeSidecar(spark, dirPath, colNames, byFile)
+    cache.remove(dirPath.toString): Unit
+  }
 
   private def writeSidecar(spark: SparkSession, dirPath: Path,
       colNames: Seq[String], byFile: Map[String, Array[BloomFilter]])

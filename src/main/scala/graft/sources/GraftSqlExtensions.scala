@@ -530,6 +530,12 @@ case class GraftAnalyzeCommand(nameParts: Seq[String],
     // manifest transition — a failed ANALYZE leaves the existing pin
     // and its sketches exactly as they were
     VersionedTable.repinNdvStats(spark, root, cols)
+    // a quantile pin, when present, re-backfills under the CURRENT
+    // sketch domain with its own column set — so one ANALYZE heals
+    // BOTH families after a domain bump (the recovery the
+    // stale-sketch notes in $stats/$skew prescribe)
+    VersionedTable.quantileColumns(spark, root).foreach(pin =>
+      VersionedTable.repinQuantileStats(spark, root, pin))
     val envs = VersionedTable.columnEnvelopes(spark, root)
     val ndv = VersionedTable.tableNdv(spark, root)
       .map { case (k, v) => k.toLowerCase -> v }

@@ -1246,11 +1246,26 @@ object VersionedTable {
     // a failed commit.
     val ndvPin = NdvStats.pinnedCols(baseLines)
     val kllPin = QuantileStats.pinnedCols(baseLines)
+    val bloomPin = BloomSkipping.pinnedCols(baseLines)
+    // ONE pass over the staged dir computes EVERY pinned family —
+    // NDV + KLL sketch lines AND the bloom sidecar (CommitStats
+    // .onePass) — so a triple-pinned commit reads its delta once,
+    // not once per family. Best-effort like each standalone path:
+    // a failed pass leaves the dir stats-less (estimates degrade
+    // conservatively, the bloom-less dir is conservatively scanned),
+    // never a failed commit.
     val (freshNdv, freshKll): (Option[String], Option[String]) =
-      if (!wroteFiles || (ndvPin.isEmpty && kllPin.isEmpty)) (None, None)
-      else scala.util.Try(NdvStats.combinedLines(
-        spark.read.parquet(dataDir.toString), commitName,
-        ndvPin, kllPin)).getOrElse((None, None))
+      if (!wroteFiles ||
+        (ndvPin.isEmpty && kllPin.isEmpty && bloomPin.isEmpty))
+        (None, None)
+      else scala.util.Try {
+        val rowsByFile = statsLines
+          .flatMap(l => DataSkipping.parseLine(l.stripPrefix("#file:")))
+          .map(f => f.path.substring(f.path.lastIndexOf('/') + 1) ->
+            f.rows).toMap
+        CommitStats.onePass(spark, dataDir, commitName,
+          ndvPin, kllPin, bloomPin, rowsByFile)
+      }.getOrElse((None, None))
     val ndvLines: Seq[String] = ndvPin match {
       case None => Seq.empty
       case Some(pin) =>
@@ -1267,24 +1282,12 @@ object VersionedTable {
           (QuantileStats.carriedLines(baseLines, carryDirs.toSet) ++
             freshKll.toSeq)
     }
-    // BLOOM sidecar for the files just written (pin active): one
-    // columnar pass over the staged dir's pinned columns, sized from
-    // the footer row counts harvested above. Best-effort like every
-    // stats layer — a failed build leaves the dir bloom-uncovered
-    // (conservatively scanned), never fails the commit. Carried dirs
-    // keep their sidecars by identity (they live INSIDE the dir).
-    val bloomPin = BloomSkipping.pinnedCols(baseLines)
+    // the bloom sidecar itself was published by the fused pass above
+    // (it lives INSIDE the staged dir; carried dirs keep theirs by
+    // identity) — only the pin line restates here
     val bloomLines: Seq[String] = bloomPin match {
       case None => Seq.empty
-      case Some(pin) =>
-        if (wroteFiles) scala.util.Try {
-          val rowsByFile = statsLines
-            .flatMap(l => DataSkipping.parseLine(l.stripPrefix("#file:")))
-            .map(f => f.path.substring(f.path.lastIndexOf('/') + 1) ->
-              f.rows).toMap
-          BloomSkipping.buildSidecar(spark, dataDir, pin, rowsByFile)
-        }: Unit
-        Seq(BloomSkipping.PinPrefix + pin.mkString(","))
+      case Some(pin) => Seq(BloomSkipping.PinPrefix + pin.mkString(","))
     }
     try writeManifest(spark, root, next,
       constraintLines ++ cdcLine ++ bucketLines ++
@@ -1994,6 +1997,30 @@ object VersionedTable {
     val prior = manifestLines(spark, root, base)
     require(QuantileStats.pinnedCols(prior).isEmpty,
       s"quantile stats already enabled on $root")
+    kllRepinCommit(spark, root, base, prior, cols,
+      "#op:enable_quantiles")
+  }
+
+  /** ANALYZE's atomic (re)pin for the QUANTILE family — the KLL twin
+    * of [[repinNdvStats]]: replace any existing `#kllcols:` pin and
+    * every stored `#kll:` sketch with a freshly-backfilled set in ONE
+    * manifest transition. This is the recovery the stale-sketch-domain
+    * notes in `$stats`/`$skew` prescribe: a domain bump degrades old
+    * lines to refusal; one repin rebuilds every dir's sketch under
+    * the CURRENT domain. The backfill job runs FIRST — a failure
+    * leaves the current pin and sketches untouched, never
+    * half-applied the way a disable-then-enable pair would. */
+  def repinQuantileStats(spark: SparkSession, root: String,
+      cols: Seq[String] = Seq.empty): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val prior = manifestLines(spark, root, base)
+    kllRepinCommit(spark, root, base, prior, cols, "#op:analyze_quantiles")
+  }
+
+  private def kllRepinCommit(spark: SparkSession, root: String,
+      base: Int, prior: Seq[String], cols: Seq[String],
+      opTag: String): Int = {
     val snap = read(spark, root, Some(base))
     val lower = snap.columns.map(_.toLowerCase).toSet
     val missing = cols.filterNot(c => lower.contains(c.toLowerCase))
@@ -2023,10 +2050,14 @@ object VersionedTable {
     }
     val pin = QuantileStats.PinPrefix +
       (if (cols.isEmpty) "*" else cols.mkString(","))
-    val body = prior
-      .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:"))
-    writeManifest(spark, root, base + 1,
-      ("#op:enable_quantiles" +: body :+ pin) ++ lines)
+    // strip any prior pin + stored sketches (repin replaces them
+    // atomically; on first enable there is nothing to strip except
+    // possibly orphaned stale-domain lines, which must go too)
+    val body = prior.filterNot(l =>
+      l.startsWith("#op:") || l.startsWith("#txn:") ||
+        l.startsWith(QuantileStats.PinPrefix) ||
+        l.startsWith(QuantileStats.LinePrefix))
+    writeManifest(spark, root, base + 1, (opTag +: body :+ pin) ++ lines)
     base + 1
   }
 

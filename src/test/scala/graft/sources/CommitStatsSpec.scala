@@ -1,0 +1,122 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The one-pass commit statistics contract ([[CommitStats.onePass]]):
+  * the fused pass must produce BYTE-IDENTICAL artifacts to the
+  * standalone spellings it replaces on the commit path — the same
+  * `#ndv:`/`#kll:` manifest lines [[NdvStats.combinedLines]] renders
+  * and the same `_bloom.bin` sidecar [[BloomSkipping.buildSidecar]]
+  * writes — because those bytes are on-disk contracts (commit-path
+  * sketches union with backfill sketches; sidecar probes must see
+  * exactly the filters the backfill would build). */
+class CommitStatsSpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  private def sidecarBytes(root: String, dir: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(
+      new java.io.File(new java.io.File(root, "data"),
+        s"$dir/${BloomSkipping.SidecarName}").toPath)
+
+  test("a triple-pinned append writes the SAME sketch lines and the " +
+    "SAME sidecar bytes as the standalone builders on the same dir") {
+    val tmp = java.nio.file.Files.createTempDirectory("commitstats")
+    try {
+      val root = tmp.resolve("t").toString
+      val vt = VersionedTable
+      def rows(from: Long, n: Long) = spark.range(from, from + n)
+        .select(col("id").as("doc_id"),
+          md5(col("id").cast("string")).as("fp"),
+          concat(lit("l"), col("id") % 5).as("lang"),
+          (col("id") % 997).as("n_chars"))
+      vt.init(spark, root, rows(0, 3000))
+      vt.enableNdvStats(spark, root, Seq("doc_id", "lang"))
+      vt.enableQuantileStats(spark, root, Seq("n_chars"))
+      vt.enableBloomFilters(spark, root, Seq("fp"))
+      val before = vt.dataDirs(spark, root).map(p =>
+        p.substring(p.lastIndexOf('/') + 1)).toSet
+      // the APPEND runs the fused one-pass commit path
+      val v = vt.append(spark, root, rows(3000, 2000),
+        vt.latestVersion(spark, root))
+      val staged = (vt.dataDirs(spark, root).map(p =>
+        p.substring(p.lastIndexOf('/') + 1)).toSet -- before).head
+      val fusedSidecar = sidecarBytes(root, staged)
+      val lines = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(root, s"_manifests/v$v.json").toPath), "UTF-8")
+        .linesIterator.toSeq
+      val fusedNdv = lines.find(l =>
+        l.startsWith(NdvStats.LinePrefix) && l.contains(staged)).get
+      val fusedKll = lines.find(l =>
+        l.startsWith(QuantileStats.LinePrefix) && l.contains(staged)).get
+      // standalone spellings over the SAME staged dir
+      val dirPath = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, "data"), staged)
+      val staged_df = spark.read.parquet(dirPath.toString)
+      val (aloneNdv, aloneKll) = NdvStats.combinedLines(staged_df,
+        staged, Some(Seq("doc_id", "lang")), Some(Seq("n_chars")))
+      assert(aloneNdv.contains(fusedNdv),
+        "fused #ndv: line must equal the standalone render (HLL " +
+          "registers are order-independent, so bytes must match)")
+      // KLL serialization is compaction-ORDER-sensitive (two valid
+      // sketches of the same rows can differ in retained items), so
+      // the contract is EQUIVALENCE, not byte equality: same domain
+      // version, same column, same quantile answers within the
+      // sketch's rank error
+      def kllMedian(line: Option[String]): Double = {
+        val bytes = QuantileStats.parseLine(line.get).get._2("n_chars")
+        org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(bytes))
+          .getQuantile(0.5)
+      }
+      val (mF, mA) = (kllMedian(Some(fusedKll)), kllMedian(aloneKll))
+      assert(math.abs(mF - mA) <= 0.05 * math.max(mA.abs, 1.0),
+        s"fused KLL must answer like the standalone sketch: $mF vs $mA")
+      val rowsByFile = staged_df.select(input_file_name()).distinct()
+        .as[String].collect().map { p =>
+          val f = p.substring(p.lastIndexOf('/') + 1)
+          f -> spark.read.parquet(p).count()
+        }.toMap
+      BloomSkipping.buildSidecar(spark, dirPath, Seq("fp"), rowsByFile)
+      assert(java.util.Arrays.equals(fusedSidecar,
+        sidecarBytes(root, staged)),
+        "fused sidecar must be byte-identical to the standalone build")
+      // and the artifacts SERVE: NDV/quantiles answer, the bloom
+      // prunes a point lookup to one file's dirs
+      assert(vt.tableNdv(spark, root).contains("doc_id"))
+      assert(vt.tableQuantiles(spark, root, "n_chars", Seq(0.5)).isDefined)
+      val probe = spark.range(4321, 4322)
+        .select(md5(col("id").cast("string"))).head.getString(0)
+      assert(vt.readWhere(spark, root, col("fp") === probe).count() == 1)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("single-family pins keep working through the fused path: " +
+    "bloom-only commits get sidecars, sketch-only commits get lines") {
+    val tmp = java.nio.file.Files.createTempDirectory("commitstats1")
+    try {
+      val broot = tmp.resolve("b").toString
+      VersionedTable.init(spark, broot, spark.range(0, 1000)
+        .select(col("id"), md5(col("id").cast("string")).as("fp")))
+      VersionedTable.enableBloomFilters(spark, broot, Seq("fp"))
+      VersionedTable.append(spark, broot, spark.range(1000, 2000)
+        .select(col("id"), md5(col("id").cast("string")).as("fp")), 1)
+      val dirs = VersionedTable.dataDirs(spark, broot)
+      assert(dirs.forall(d => new java.io.File(
+        d, BloomSkipping.SidecarName).exists()),
+        "every commit dir of a bloom-pinned table carries a sidecar")
+      val nroot = tmp.resolve("n").toString
+      VersionedTable.init(spark, nroot, spark.range(0, 1000)
+        .select(col("id"), (col("id") % 7).as("x")))
+      VersionedTable.enableNdvStats(spark, nroot, Seq("id"))
+      VersionedTable.append(spark, nroot, spark.range(1000, 2000)
+        .select(col("id"), (col("id") % 7).as("x")), 1)
+      val ndv = VersionedTable.tableNdv(spark, nroot)
+      assert(ndv.get("id").exists(n => n > 1900 && n < 2100),
+        s"sketch-only commit path must keep estimating, got $ndv")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+}

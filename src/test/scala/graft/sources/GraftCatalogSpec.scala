@@ -1078,6 +1078,18 @@ class GraftCatalogSpec extends SparkSpec {
     assert(skew.isNullAt(0) && skew.isNullAt(2) &&
       skew.getString(1).contains("stale-sketch-domain"),
       s"stale column must surface the named refusal, got: $skew")
+    // the note names the fix, and the fix WORKS: one ANALYZE repins
+    // BOTH families under the current domain — estimates return, the
+    // notes clear, the advisor measures again
+    spark.sql("ANALYZE TABLE graft.stale_t COMPUTE STATISTICS " +
+      "FOR COLUMNS k").collect()
+    val healed = spark.sql("SELECT ndv, note FROM " +
+      "graft.`stale_t$stats` WHERE column = 'k'").head()
+    assert(!healed.isNullAt(0) && healed.isNullAt(1),
+      s"ANALYZE must heal the stale domain, got: $healed")
+    assert(spark.sql("SELECT basis FROM graft.`stale_t$skew` " +
+      "WHERE column = 'k'").head().getString(0)
+      .contains("kll"), "the advisor must measure again after ANALYZE")
   }
 
   test("SQL RENAME COLUMN refuses with the rewrite spelling and the " +

@@ -323,7 +323,17 @@ class NdvStatsSpec extends SparkSpec {
     VersionedTable.append(spark, root, batch(1000, 100), v)
     // absent by refusal (mixed/old-domain lines never union) ...
     assert(!VersionedTable.tableNdv(spark, root).contains("u"))
-    // ... and DISTINGUISHABLY so
+    // ... and DISTINGUISHABLY so — and the signal SURVIVES further
+    // commits (stale lines carry verbatim; dropping them would
+    // convert "backfill me" into never-pinned absence)
     assert(VersionedTable.staleSketchCols(spark, root)._1.contains("u"))
+    VersionedTable.append(spark, root, batch(1100, 50),
+      VersionedTable.latestVersion(spark, root))
+    assert(VersionedTable.staleSketchCols(spark, root)._1.contains("u"))
+    // the prescribed recovery: one atomic repin rebuilds every dir's
+    // sketch under the current domain — estimate back, flag gone
+    VersionedTable.repinNdvStats(spark, root)
+    assert(VersionedTable.tableNdv(spark, root).contains("u"))
+    assert(VersionedTable.staleSketchCols(spark, root)._1.isEmpty)
   }
 }
