@@ -56,7 +56,19 @@ object BloomSkipping {
   val SidecarName = "_bloom.bin"
   val Fpp = 0.01
   private val Magic = 0x47424c4d // "GBLM"
-  private val Version = 1
+  private val Version = 2 // container layout (v1→v2: +domain header)
+
+  /** The PROBE-DOMAIN version stamped into every sidecar header and
+    * required back at read time — the same discipline as
+    * [[NdvStats.DomainVersion]]: [[bloomInput]]'s type→bytes mapping
+    * (integral→long, date→epoch days, timestamp→epoch micros,
+    * string/binary→bytes) is an on-disk contract, and a filter built
+    * under an old mapping probed under a new one would FALSELY prove
+    * absence — the one lie a skipping layer must never tell. A
+    * mismatched sidecar reads as NO COVERAGE (conservative full
+    * scan, mechanically enforced in the header check);
+    * `VersionedTable.repinBloomFilters` is the rebuild spelling. */
+  val ProbeDomainVersion = 1
   /** Capacity when a file's footer row count is unknown. */
   private[sources] val DefaultCapacity = 100000L
 
@@ -178,6 +190,7 @@ object BloomSkipping {
     try {
       out.writeInt(Magic)
       out.writeInt(Version)
+      out.writeInt(ProbeDomainVersion)
       out.writeInt(colNames.size)
       colNames.foreach(out.writeUTF)
       out.writeInt(byFile.size)
@@ -252,7 +265,12 @@ object BloomSkipping {
         else {
           val in = new DataInputStream(fs.open(p))
           try {
-            require(in.readInt() == Magic && in.readInt() == Version)
+            // any header mismatch (foreign file, old container
+            // layout, old PROBE DOMAIN) reads as no-coverage — a
+            // conservative full scan, never a filter that could
+            // falsely prove absence under a different byte mapping
+            require(in.readInt() == Magic && in.readInt() == Version &&
+              in.readInt() == ProbeDomainVersion)
             val nCols = in.readInt()
             val names = (0 until nCols).map(_ => in.readUTF().toLowerCase)
             val nFiles = in.readInt()

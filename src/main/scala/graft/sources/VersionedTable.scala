@@ -2077,6 +2077,28 @@ object VersionedTable {
     require(BloomSkipping.pinnedCols(prior).isEmpty,
       s"bloom filters already enabled on $root — disable first to " +
         "change the column set")
+    bloomRepinCommit(spark, root, base, prior, cols, "#op:enable_bloom")
+  }
+
+  /** ANALYZE's atomic (re)pin for the BLOOM family: rebuild every
+    * dir's `_bloom.bin` sidecar under the CURRENT probe domain and
+    * (re)write the pin in one manifest transition — the recovery for
+    * sidecars orphaned by a [[BloomSkipping]] probe-domain bump
+    * (which read as no-coverage: scans stay correct but prune
+    * nothing until rebuilt). Backfill-before-pin like enable: a
+    * crash mid-rebuild leaves some dirs refreshed and the old pin
+    * intact, never a half-applied state. */
+  def repinBloomFilters(spark: SparkSession, root: String,
+      cols: Seq[String]): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val prior = manifestLines(spark, root, base)
+    bloomRepinCommit(spark, root, base, prior, cols, "#op:analyze_bloom")
+  }
+
+  private def bloomRepinCommit(spark: SparkSession, root: String,
+      base: Int, prior: Seq[String], cols: Seq[String],
+      opTag: String): Int = {
     require(cols.nonEmpty,
       "name the lookup columns explicitly — bloom filters cost bytes " +
         "per row per column, so there is no '*' spelling")
@@ -2104,11 +2126,11 @@ object VersionedTable {
       scala.util.Try(BloomSkipping.buildSidecar(spark,
         new Path(dataRoot, dir), cols, rows)): Unit
     }
-    val body = prior
-      .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:"))
+    val body = prior.filterNot(l =>
+      l.startsWith("#op:") || l.startsWith("#txn:") ||
+        l.startsWith(BloomSkipping.PinPrefix))
     writeManifest(spark, root, base + 1,
-      "#op:enable_bloom" +: body :+
-        (BloomSkipping.PinPrefix + cols.mkString(",")))
+      opTag +: body :+ (BloomSkipping.PinPrefix + cols.mkString(",")))
     base + 1
   }
 

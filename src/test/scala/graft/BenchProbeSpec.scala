@@ -45,4 +45,20 @@ class BenchProbeSpec extends AnyFunSuite with Tolerance {
     assert(base == 0.005)
     assert(ratios(0) < 1.0 && ratios(1) == 2.0)
   }
+
+  test("one atypically fast probe in a long session does not set the " +
+    "base: the near-minimum survives the outlier (round-17 failure " +
+    "mode — a 0.048 s lull among ~0.14 s quiet probes flagged every " +
+    "row at a uniform ~1.5-2x)") {
+    // 30 quiet probes at ~0.14 s, one 0.048 s idle-core lull
+    val rows = Seq.fill(15)(0.14) ++ Seq(0.048) ++ Seq.fill(15)(0.141)
+    val (base, ratios) = Bench.probeStats(rows, rows)
+    assert(base >= 0.13, s"the lull must not anchor the base, got $base")
+    assert(ratios.count(_ >= 1.5) == 0,
+      "a quiet session with one fast lull must flag NOTHING")
+    // but a real storm over the same session still flags at ~ratio
+    val stormed = rows.updated(20, 0.42)
+    val (_, r2) = Bench.probeStats(stormed, stormed)
+    assert(r2(20) >= 2.8, "a genuine 3x spike still flags")
+  }
 }

@@ -333,6 +333,47 @@ class BloomSkippingSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("a sidecar from another PROBE DOMAIN reads as no coverage — " +
+    "scans stay correct but prune nothing — and repinBloomFilters " +
+    "is the rebuild that restores pruning") {
+    val dir = tmp()
+    try {
+      val root = dir.resolve("t").toString
+      buildTable(root)
+      VersionedTable.enableBloomFilters(spark, root, Seq("fp"))
+      val probe = spark.range(77, 78)
+        .select(md5(col("id").cast("string"))).head.getString(0)
+      assert(prunes(root, col("fp") === probe)._1 >= 4)
+      // doctor every sidecar's domain header (offset 8: after Magic
+      // and the container Version) to a FUTURE domain — what a probe-
+      // mapping change would leave behind
+      VersionedTable.dataDirs(spark, root).foreach { d =>
+        val p = new java.io.File(d, BloomSkipping.SidecarName).toPath
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        buf.putInt(8, buf.getInt(8) + 1)
+        java.nio.file.Files.write(p, bytes)
+        // local FS checksum sibling of the doctored file
+        new java.io.File(new java.io.File(d),
+          s".${BloomSkipping.SidecarName}.crc").delete()
+      }
+      BloomSkipping.invalidateUnder(root)
+      // foreign-domain filters must NOT be consulted (a stale byte
+      // mapping could falsely prove absence) — coverage reads absent,
+      // the lookup scans everything and still answers exactly
+      assert(prunes(root, col("fp") === probe)._1 == 0,
+        "a foreign-domain sidecar must read as no coverage")
+      assert(VersionedTable.readWhere(spark, root,
+        col("fp") === probe).count() == 1)
+      // the rebuild spelling: one atomic repin restores pruning
+      VersionedTable.repinBloomFilters(spark, root, Seq("fp"))
+      assert(prunes(root, col("fp") === probe)._1 >= 4,
+        "repin must rebuild current-domain sidecars")
+      assert(VersionedTable.readWhere(spark, root,
+        col("fp") === probe).count() == 1)
+    } finally rm(dir)
+  }
+
   test("the sidecar cache evicts LEAST-RECENTLY-USED, not wholesale: " +
     "a hot dir survives eviction pressure from many cold dirs") {
     val c = BloomSkipping.newLruCache[Int](3)
