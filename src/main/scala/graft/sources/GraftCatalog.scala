@@ -144,6 +144,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           return localTable(ident.toString, skewDf(p.toString))
         case "mv" =>
           return localTable(ident.toString, mvDf(p.toString))
+        case "retention" =>
+          // the vacuum sizing table: per candidate keepVersions, the
+          // versions/dirs/bytes a vacuum at that setting reclaims —
+          // O(versions × manifest) driver work, never a cluster job
+          return localTable(ident.toString,
+            VersionedTable.retentionSchedule(spark, p.toString))
         case _ => throw new NoSuchTableException(ident)
       }
     }

@@ -466,6 +466,58 @@ object VersionedTable {
     rows.sortBy(_._1).toDF("commit_dir", "num_files", "bytes")
   }
 
+  /** The RETENTION SCHEDULE: for every candidate `keepVersions`
+    * setting (1 .. surviving manifests), what a vacuum at that
+    * setting would reclaim — versions dropped, commit dirs no kept
+    * manifest references, their file count and bytes. The DBA's
+    * sizing table for the storage-vs-time-travel trade: read it,
+    * pick the row whose `bytes_reclaimed` pays for the history you
+    * lose, and run `vacuum(keepVersions = k)`. Served in SQL as
+    * `graft.`t$retention``.
+    *
+    * O(versions × manifest) DRIVER work plus one listing of the data
+    * dirs — never a cluster job (the 100 TB audit-plane rule). The
+    * schedule deliberately ignores `retainMillis`: that guard
+    * protects in-flight commits at delete time and depends on NOW,
+    * while this table answers the capacity-planning question
+    * ("what does keeping k versions cost/save"), which should not
+    * change from minute to minute. What it cannot know: EXTERNAL
+    * consumers' positions (a lagging streaming reader, a
+    * materialized view's watermark live in THEIR state, not the
+    * base's manifests) — keep `keepVersions` above your slowest
+    * consumer's lag, as [[vacuum]]'s scaladoc prescribes. */
+  def retentionSchedule(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion(spark, root)
+    val fs = fsOf(spark, new Path(root))
+    val live = (0 to math.max(latest, -1))
+      .filter(v => fs.exists(manifestPath(root, v)))
+    val dataRoot = new Path(root, "data")
+    val dirSizes: Map[String, (Long, Long)] =
+      if (!fs.exists(dataRoot)) Map.empty
+      else fs.listStatus(dataRoot).toSeq
+        .filterNot(_.getPath.getName.startsWith("."))
+        .map { st =>
+          val files = fs.listStatus(st.getPath)
+          st.getPath.getName -> (files.length.toLong, files.map(_.getLen).sum)
+        }.toMap
+    val manifests = live.map(v => v -> readManifest(spark, root, v).toSet)
+    val rows = (1 to math.max(live.size, 1)).map { k =>
+      val keepFrom = math.max(0, latest - k + 1)
+      val (kept, dropped) = manifests.partition(_._1 >= keepFrom)
+      val keptDirs = kept.flatMap(_._2).toSet
+      val droppedDirs = dirSizes.keySet -- keptDirs
+      val (nf, nb) = droppedDirs.foldLeft((0L, 0L)) { case ((f, b), d) =>
+        val (df0, db) = dirSizes.getOrElse(d, (0L, 0L))
+        (f + df0, b + db)
+      }
+      (k, keepFrom, dropped.size.toLong, droppedDirs.size.toLong, nf, nb)
+    }
+    rows.toDF("keep_versions", "earliest_kept_version",
+      "versions_dropped", "dirs_dropped", "files_dropped",
+      "bytes_reclaimed")
+  }
+
   // the unreferenced, aged-out data dirs vacuum would delete, plus the
   // keepFrom floor — ONE candidate-selection implementation shared by
   // vacuum (destructive) and vacuumPreview (DRY RUN) so the two can

@@ -1092,6 +1092,50 @@ class GraftCatalogSpec extends SparkSpec {
       .contains("kll"), "the advisor must measure again after ANALYZE")
   }
 
+  test("$retention serves the vacuum sizing schedule: per candidate " +
+    "keepVersions, the versions/dirs/bytes reclaimed — consistent " +
+    "with vacuumPreview and with what vacuum actually does") {
+    wh
+    spark.sql("CREATE TABLE graft.rt_t (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.rt_t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.rt_t VALUES (3, 'c')")
+    // a rewrite makes the old dirs exclusive to old versions; the
+    // modulo predicate is untranslatable to envelopes, so BOTH insert
+    // dirs rewrite (a plain `id = 1` would be stats-pruned to one)
+    spark.sql("DELETE FROM graft.rt_t WHERE id % 4 = 1")
+    val root = rootOf("rt_t")
+    val sched = spark.sql("SELECT * FROM graft.`rt_t$retention` " +
+      "ORDER BY keep_versions").collect()
+    // versions: 0 create, 1+2 inserts, 3 delete-rewrite → 4 rows
+    assert(sched.length == 4)
+    def row(k: Int) = sched.find(_.getInt(0) == k).get
+    // keep only the live version: the two insert dirs (both rewritten
+    // at v3) drop; keep 2+: every dir is still referenced
+    assert(row(1).getLong(2) == 3L, "k=1 drops three versions")
+    // three dirs: CREATE's empty init dir + the two rewritten inserts
+    assert(row(1).getLong(3) == 3L && row(1).getLong(5) > 0L,
+      s"k=1 reclaims the pre-rewrite dirs, got ${row(1)}")
+    assert(row(2).getLong(3) == 0L && row(2).getLong(5) == 0L,
+      "k=2 keeps v2 whose manifest references every pre-delete dir")
+    assert(row(4).getLong(2) == 0L && row(4).getLong(5) == 0L)
+    // bytes monotonically non-increasing in k
+    val bytes = sched.map(_.getLong(5))
+    assert(bytes.zip(bytes.tail).forall { case (a, b) => a >= b })
+    // consistency with vacuumPreview (retainMillis=0 = no age guard)
+    val pv = VersionedTable.vacuumPreview(spark, root,
+      keepVersions = 1, retainMillis = 0L).collect()
+    assert(pv.map(_.getLong(2)).sum == row(1).getLong(5),
+      "schedule row k=1 must equal vacuumPreview's byte total")
+    // and with vacuum itself: after vacuum(keep=1) the schedule
+    // re-reads as nothing-left-to-reclaim
+    VersionedTable.vacuum(spark, root, keepVersions = 1,
+      retainMillis = 0L)
+    val after = spark.sql("SELECT bytes_reclaimed FROM " +
+      "graft.`rt_t$retention`").collect()
+    assert(after.forall(_.getLong(0) == 0L))
+    assert(spark.sql("SELECT * FROM graft.rt_t").count() == 2)
+  }
+
   test("SQL RENAME COLUMN refuses with the rewrite spelling and the " +
     "view workaround — never a silent O(table) rewrite from a " +
     "metadata-looking statement") {
