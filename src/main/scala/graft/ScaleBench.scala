@@ -812,6 +812,40 @@ object ScaleBench {
         .agg(count(lit(1)).as("cnt"),
           sum(col("n_chars").cast("decimal(38,6)")).as("sum_chars"),
           avg(col("n_chars")).as("avg_chars"))),
+      // STREAMING FOLLOW latency: one CONTINUOUS follow query per
+      // (app, dir) — built lazily like the other fixtures — and each
+      // rep measures append → processAllAvailable → view-current,
+      // i.e. the commit-to-dashboard latency of the ingest steady
+      // state. Expected ~FLAT like mv_refresh (the fold is O(batch))
+      // plus the stream engine's constant per-trigger overhead; the
+      // in-row canary requires the watermark to have reached the head
+      // THROUGH the stream.
+      "mv_follow" -> {
+        lazy val (fbase, fmv, fquery) = {
+          val r = tempTableRoot("graft_mvf_base")
+          val m = tempTableRoot("graft_mvf_view")
+          graft.sources.VersionedTable.init(spark, r,
+            docs.select(col("doc_id"), col("lang"), col("n_chars")))
+          graft.sources.MaterializedView.create(spark, m, r, Seq("lang"),
+            Seq(graft.sources.MaterializedView.MvCount("cnt"),
+              graft.sources.MaterializedView.MvSum("n_chars", "sum_chars")))
+          val q = graft.streaming.Streams.followMaterializedView(
+            spark, m, None)
+          q.processAllAvailable()
+          (r, m, q)
+        }
+        () => {
+          val v = graft.sources.VersionedTable.latestVersion(spark, fbase)
+          graft.sources.VersionedTable.append(spark, fbase,
+            docs.filter(col("doc_id") < 1000L)
+              .select(col("doc_id"), col("lang"), col("n_chars")),
+            expectedVersion = v)
+          fquery.processAllAvailable()
+          require(graft.sources.MaterializedView.watermark(spark, fmv)
+            == v + 1, "mv_follow: the stream must have folded to head")
+          graft.sources.MaterializedView.read(spark, fmv)
+        }
+      },
       // BLOOM point lookup vs full filter scan: the fixture commits
       // the decade's documents as ~5000-row slices (one file each, so
       // the FILE COUNT grows with the decade) with blooms pinned on
