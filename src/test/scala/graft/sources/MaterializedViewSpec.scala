@@ -535,6 +535,52 @@ class MaterializedViewSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("base schema evolution: a post-evolution refresh folds the " +
+    "evolved rows (extra columns are harmless), an epoch-SPANNING " +
+    "range fails loudly rather than wrongly, and fullRefresh recovers") {
+    val dir = tmp("mv_evolve")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      VersionedTable.init(spark, base,
+        Seq(("a", 1L, 1.0)).toDF("k", "x", "v"))
+      MV.create(spark, mv, base, Seq("k"), mvAggs)
+      // additive evolution + data in ONE commit; the refresh range
+      // lies entirely in the new epoch → the fold just ignores the
+      // extra column
+      VersionedTable.append(spark, base,
+        Seq(("b", 2L, 2.0, "extra")).toDF("k", "x", "v", "note"), 0,
+        evolveSchema = true)
+      val r = MV.refresh(spark, mv)
+      assert(r.refreshed && r.appendOnly)
+      assert(sorted(MV.read(spark, mv)) == sorted(recompute(
+        VersionedTable.read(spark, base).select("k", "x", "v"))))
+      // a range SPANNING a second epoch (pre-epoch append left
+      // unrefreshed, then another evolution): the feed refuses a
+      // mixed-schema union loudly — never a silently mis-shaped fold
+      VersionedTable.append(spark, base,
+        Seq(("c", 3L, 3.0, "n")).toDF("k", "x", "v", "note"), 1)
+      VersionedTable.append(spark, base,
+        Seq(("d", 4L, 4.0, "n", Option(9L)))
+          .toDF("k", "x", "v", "note", "extra2"),
+        2, evolveSchema = true)
+      intercept[Exception] { MV.refresh(spark, mv) }
+      assert(MV.watermark(spark, mv) == 1,
+        "a failed epoch-spanning refresh must not have committed")
+      MV.fullRefresh(spark, mv)
+      assert(sorted(MV.read(spark, mv)) == sorted(recompute(
+        VersionedTable.read(spark, base).select("k", "x", "v"))))
+      // and the steady state resumes post-recovery
+      VersionedTable.append(spark, base,
+        Seq(("e", 5L, 5.0, "n", Option(1L)))
+          .toDF("k", "x", "v", "note", "extra2"),
+        VersionedTable.latestVersion(spark, base))
+      assert(MV.refresh(spark, mv).appendOnly)
+      assert(sorted(MV.read(spark, mv)) == sorted(recompute(
+        VersionedTable.read(spark, base).select("k", "x", "v"))))
+    } finally rm(dir)
+  }
+
   test("crash idempotency: a replayed refresh of the same range " +
     "no-ops on the watermark instead of double-folding") {
     val dir = tmp("mv_idem")
