@@ -2086,6 +2086,36 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // MV ROLLUP: one maintained (lang, source) view serves the COARSER
+  // lang-level aggregate from its accumulators — O(view groups),
+  // never a base scan, and EXACT (folded decimal sums divided by
+  // folded counts, not an average of averages). Hash-gated by DuckDB
+  // recomputing GROUP BY lang over the final base state from
+  // scratch: the rollup must be indistinguishable from aggregating
+  // the base directly.
+  def pipelineVersionedMvRollup(s: SparkSession, d: String): DataFrame = {
+    val mvOps = graft.sources.MaterializedView
+    val vt = graft.sources.VersionedTable
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mvr")
+    try {
+      val root = tmpRoot.resolve("base").toString
+      val mv = tmpRoot.resolve("mv").toString
+      val base = docs(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .filter(col("doc_id") < 500)
+      vt.init(s, root, base.filter(col("doc_id") < 250))
+      mvOps.create(s, mv, root, Seq("lang", "source"),
+        Seq(mvOps.MvCount("cnt"), mvOps.MvSum("n_chars", "sum_chars"),
+          mvOps.MvAvg("n_chars", "avg_chars")))
+      vt.append(s, root, base.filter(col("doc_id") >= 250), 0)
+      require(mvOps.refresh(s, mv).appendOnly,
+        "mv rollup gate: the append must ride the O(delta) path")
+      mvOps.rollup(s, mv, Seq("lang"))
+        .orderBy("lang").localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   // BLOOM FILE SKIPPING, end to end: the base pins blooms on a
   // content-hash column whose per-file envelopes overlap completely
   // (random hex — min/max pruning provably gets NOTHING, asserted
@@ -2155,6 +2185,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_mv_sql" -> pipelineVersionedMvSql _,
     "pipeline_versioned_mv_where" -> pipelineVersionedMvWhere _,
     "pipeline_versioned_mv_follow" -> pipelineVersionedMvFollow _,
+    "pipeline_versioned_mv_rollup" -> pipelineVersionedMvRollup _,
     "pipeline_versioned_bloom_skip" -> pipelineVersionedBloomSkip _,
     "pipeline_versioned_spj_join" -> pipelineVersionedSpjJoin _,
     "pipeline_skew_advised_join" -> pipelineSkewAdvisedJoin _,
@@ -2699,6 +2730,19 @@ object PipelineQueries extends QueryPack {
         |FROM documents
         |WHERE (doc_id < 400 AND doc_id % 7 <> 0)
         |   OR (doc_id >= 400 AND doc_id < 500)
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    // the accumulator ROLLUP vs DuckDB aggregating the base directly
+    // at the coarser key — exactness includes the avg (folded sums /
+    // folded counts, never an average of the per-(lang,source) avgs)
+    "pipeline_versioned_mv_rollup" ->
+      """SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS BIGINT)
+        |    AS sum_chars,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) /
+        |    CAST(COUNT(n_chars) AS DOUBLE) AS avg_chars
+        |FROM documents WHERE doc_id < 500
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
     // bloom-skipped point lookup vs DuckDB scanning everything: the

@@ -500,6 +500,39 @@ object MaterializedView {
   def definition(spark: SparkSession, mvRoot: String): MvDef =
     readDef(spark, mvRoot)
 
+  /** ROLL the view UP to a coarser key set WITHOUT another
+    * maintenance pipeline: every accumulator the view stores is
+    * ASSOCIATIVE (decimal sums, counts, min/max, HLL unions), so any
+    * GROUP BY over a SUBSET of the view's keys is answerable from
+    * the |groups|-sized accumulator table — O(view groups), never a
+    * base scan, and EXACT for COUNT/SUM/AVG (the same decimal
+    * contract refresh keeps; note a naive `AVG(avg_col)` over the
+    * served columns would be wrong — this is why the accumulators
+    * ride behind the serve columns). MIN/MAX/HLL roll up by
+    * min/max/union with their usual insert-only caveats inherited
+    * from the view itself. `version` time-travels the rollup to an
+    * older refresh watermark. The cube of dashboards from ONE
+    * maintained view: maintain (lang, source), serve lang, source,
+    * and () for free. */
+  def rollup(spark: SparkSession, mvRoot: String, keys: Seq[String],
+      version: Option[Int] = None): DataFrame = {
+    val d = readDef(spark, mvRoot)
+    val have = d.keys.map(_.toLowerCase)
+    val bad = keys.filterNot(k => have.contains(k.toLowerCase))
+    require(bad.isEmpty, s"rollup keys ${bad.mkString(", ")} are not " +
+      s"among the view's group keys ${d.keys.mkString(", ")} — a " +
+      "FINER grouping needs the base (the view folded those rows)")
+    val coarse = d.copy(keys = keys)
+    val acc = VersionedTable.read(spark, mvRoot, version)
+      .select(d.keys.map(col) ++ accColNames(d).map(col): _*)
+    // an all-keys "rollup" is just the view; re-grouping is harmless
+    // but the empty-keys global rollup needs the no-key groupBy path.
+    // Serve ONLY the user-facing columns — a rollup result is never
+    // committed, so the __mv_* accumulators stay behind the curtain
+    foldAccumulators(acc, coarse)
+      .select(keys.map(col) ++ servedCols(coarse): _*)
+  }
+
   // ---- internals ---------------------------------------------------
 
   private def isIntegral(t: DataType): Boolean = t match {

@@ -535,6 +535,66 @@ class MaterializedViewSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("rollup: any key-subset GROUP BY serves from the accumulators " +
+    "— exact for COUNT/SUM/AVG (not avg-of-avgs), min/max/HLL roll " +
+    "by their own fold, empty keys = the global aggregate") {
+    val dir = tmp("mv_rollup")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      val rows = Seq(
+        ("a", "x", 1L, "p"), ("a", "x", 2L, "q"), ("a", "y", 30L, "p"),
+        ("b", "x", 4L, "r"), ("b", "y", 5L, "p"), ("b", "y", 6L, "s"))
+        .toDF("k1", "k2", "x", "t")
+      VersionedTable.init(spark, base, rows)
+      MV.create(spark, mv, base, Seq("k1", "k2"),
+        Seq(MV.MvCount("cnt"), MV.MvSum("x", "sum_x"),
+          MV.MvAvg("x", "avg_x"), MV.MvMin("x", "min_x"),
+          MV.MvMax("x", "max_x"), MV.MvHllCount("t", "nd_t")))
+      // appends keep the insert-only accs foldable
+      VersionedTable.append(spark, base,
+        Seq(("a", "y", 7L, "q"), ("a", "y", 100L, "z"),
+          ("c", "x", 8L, "p")).toDF("k1", "k2", "x", "t"), 0)
+      MV.refresh(spark, mv)
+      def expect(ks: Seq[String]): Seq[Row] = {
+        val b = VersionedTable.read(spark, base)
+        val aggs = Seq(count(lit(1)).as("cnt"),
+          sum(col("x")).cast("long").as("sum_x"),
+          (sum(col("x").cast(DecimalType(38, 6))).cast("double") /
+            count(col("x")).cast("double")).as("avg_x"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          countDistinct(col("t")).as("nd_t"))
+        val g = if (ks.isEmpty) b.agg(aggs.head, aggs.tail: _*)
+          else b.groupBy(ks.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        g.orderBy(ks.map(asc_nulls_first): _*).collect().toSeq
+      }
+      def got(ks: Seq[String]): Seq[Row] =
+        MV.rollup(spark, mv, ks)
+          .orderBy(ks.map(asc_nulls_first): _*).collect().toSeq
+      assert(got(Seq("k1")) == expect(Seq("k1")))
+      assert(got(Seq("k2")) == expect(Seq("k2")))
+      assert(got(Seq.empty) == expect(Seq.empty), "global rollup")
+      assert(got(Seq("k1", "k2")) == expect(Seq("k1", "k2")),
+        "all-keys rollup is the view itself")
+      // the avg-of-avgs trap, explicitly: k1=a has groups (a,x)
+      // avg 1.5 (2 rows) and (a,y) avg 45.667 (3 rows) — a naive
+      // mean of the SERVED avgs reads 23.58; the accumulator rollup
+      // serves the true (1+2+30+7+100)/5 = 28.0
+      val aRow = got(Seq("k1")).find(_.getString(0) == "a").get
+      assert(aRow.getLong(1) == 5L && aRow.getDouble(3) == 28.0,
+        s"rollup must divide folded sums, not average averages: $aRow")
+      val e = intercept[IllegalArgumentException] {
+        MV.rollup(spark, mv, Seq("nope"))
+      }
+      assert(e.getMessage.contains("FINER") ||
+        e.getMessage.contains("not"), e.getMessage)
+      // time travel: rollup at version 0 reflects the pre-append
+      // state (no key columns → cnt is the first served column)
+      assert(MV.rollup(spark, mv, Seq.empty, Some(0)).head.getLong(0) ==
+        6L)
+    } finally rm(dir)
+  }
+
   test("base schema evolution: a post-evolution refresh folds the " +
     "evolved rows (extra columns are harmless), an epoch-SPANNING " +
     "range fails loudly rather than wrongly, and fullRefresh recovers") {
