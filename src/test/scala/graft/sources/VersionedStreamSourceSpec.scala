@@ -645,6 +645,41 @@ class VersionedStreamSourceSpec extends SparkSpec {
       Set("update_preimage", "update_postimage"))
   }
 
+  test("triggerOnly mode: the stream is a COMMIT TICKER — one batch " +
+    "per version range, zero rows ever, and rewrites tick instead of " +
+    "failing the append-only rule") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a", 2L -> "b"))
+    val batches = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = spark.readStream.format("graft-versioned-stream")
+      .option("triggerOnly", "true").load(root)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized { batches += (id -> batch.count()) }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batches.nonEmpty && batches.forall(_._2 == 0L),
+        s"triggerOnly batches must carry no rows: $batches")
+      val before = batches.size
+      // an append ticks
+      VersionedTable.append(spark, root, docs(3L -> "c"), 0)
+      q.processAllAvailable()
+      assert(batches.size == before + 1 && batches.last._2 == 0L)
+      // a REWRITE also ticks — the append-only restriction never
+      // applies when no partitions are planned
+      VersionedTable.delete(spark, root,
+        org.apache.spark.sql.functions.col("id") === 1L)
+      q.processAllAvailable()
+      assert(batches.size == before + 2 && batches.last._2 == 0L,
+        s"a rewrite must tick, not fail: $batches")
+      // nothing new → no tick
+      q.processAllAvailable()
+      assert(batches.size == before + 2)
+    } finally q.stop()
+  }
+
   test("a rewrite committed BEFORE enableChangeFeed refuses on the " +
       "keyed DSv2 stream with the batch/v1 replay recipe") {
     val root = freshRoot()
