@@ -333,6 +333,44 @@ class BloomSkippingSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("MEASURED gap for file-level DML carry (round-18 candidate): " +
+    "a point delete against one many-file dir rewrites the whole " +
+    "dir while the blooms prove ~one file suffices — the factor is " +
+    "the dir's file count, pinned here so the candidate stays " +
+    "quantified") {
+    val dir = tmp()
+    try {
+      val root = dir.resolve("t").toString
+      // ONE large commit: 1 dir, 16 files — the shape any big append
+      // produces (files scale with partitions, dirs do not)
+      VersionedTable.init(spark, root,
+        spark.range(0, 80000).select(col("id"),
+          md5(col("id").cast("string")).as("fp")).repartition(16))
+      VersionedTable.enableBloomFilters(spark, root, Seq("fp"))
+      val probe = spark.range(12345, 12346)
+        .select(md5(col("id").cast("string"))).head.getString(0)
+      val schema = VersionedTable.read(spark, root).schema
+      val pred = VersionedTable.resolveCondition(spark, schema,
+        col("fp") === probe).get
+      val (_, pruned, covered) = VersionedTable.prunedPaths(
+        spark, root, pred)
+      val mayMatch = covered - pruned
+      assert(covered == 16 && mayMatch <= 3,
+        s"blooms should isolate ~1 of 16 files, got $mayMatch")
+      // yet the delete's carry unit is the DIR: the single affected
+      // dir rewrites whole — covered/mayMatch is the measured factor
+      // a file-granular manifest reference would buy (recorded in
+      // SURVEY round-18 candidate #1; revisit if real workloads show
+      // many-file dirs surviving dir classification)
+      val before = VersionedTable.dataDirs(spark, root).toSet
+      VersionedTable.delete(spark, root, col("fp") === probe)
+      assert(VersionedTable.dataDirs(spark, root).toSet
+        .intersect(before).isEmpty,
+        "single-dir table: the point delete rewrites its only dir")
+      assert(VersionedTable.read(spark, root).count() == 79999)
+    } finally rm(dir)
+  }
+
   test("a sidecar from another PROBE DOMAIN reads as no coverage — " +
     "scans stay correct but prune nothing — and repinBloomFilters " +
     "is the rebuild that restores pruning") {
