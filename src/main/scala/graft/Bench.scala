@@ -262,14 +262,16 @@ object Bench {
 
   /** The pure half of the probe-contamination accounting, so the
     * estimator's properties are unit-testable without a bench run:
-    * the base is the SESSION MINIMUM over every probe observed
-    * (floored at 5 ms — never divide by scheduler noise), and each
-    * row's ratio is its probe over that base. Minimum, not
-    * head-of-run median: a storm can only INFLATE probes, so the min
-    * is the one estimator it cannot bias upward, and any quiet moment
-    * in the session anchors it (round 14's head median was JIT-cold
-    * at ~2.2× steady state). Quiet-run contract: median ratio lands
-    * in [0.9, 1.1]. */
+    * the base is the session's 10th-PERCENTILE probe (floored at
+    * 5 ms — never divide by scheduler noise), and each row's ratio
+    * is its probe over that base. Near-minimum, not head-of-run
+    * median: a storm can only INFLATE probes, so a low quantile is
+    * an estimator it cannot bias upward (round 14's head median was
+    * JIT-cold at ~2.2× steady state) — and p10, not the raw min,
+    * because one idle-core lull among 150+ probes otherwise anchors
+    * the denominator and flags a quiet session wholesale (round 17).
+    * For short sessions (< 10 probes) p10 IS the minimum. Quiet-run
+    * contract: median ratio lands in ~[0.9, 1.2]. */
   def probeStats(all: Seq[Double], perRow: Seq[Double])
       : (Double, Seq[Double]) = {
     // NEAR-minimum, not the raw minimum: with 150+ probes a session,

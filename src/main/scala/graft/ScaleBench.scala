@@ -826,16 +826,17 @@ object ScaleBench {
         .agg(count(lit(1)).as("cnt"),
           sum(col("n_chars").cast("decimal(38,6)")).as("sum_chars"),
           avg(col("n_chars")).as("avg_chars"))),
-      // STREAMING FOLLOW latency: one CONTINUOUS follow query per
-      // (app, dir) — built lazily like the other fixtures — and each
-      // rep measures append → processAllAvailable → view-current,
-      // i.e. the commit-to-dashboard latency of the ingest steady
-      // state. Expected ~FLAT like mv_refresh (the fold is O(batch))
-      // plus the stream engine's constant per-trigger overhead; the
-      // in-row canary requires the watermark to have reached the head
-      // THROUGH the stream.
+      // STREAMING FOLLOW latency: each rep measures append → start a
+      // follow → processAllAvailable → stop → view-current. The
+      // start/stop rides INSIDE the timed rep deliberately: a
+      // continuous background query (the production shape) would
+      // busy-poll the base's manifests for the rest of the JVM,
+      // contaminating every later row's min-of-N on a harness whose
+      // design assumes an otherwise idle host — so this row honestly
+      // measures the cold-follow catch-up (stream start + one trigger
+      // + the O(batch) fold), still expected ~FLAT across decades.
       "mv_follow" -> {
-        lazy val (fbase, fmv, fquery) = {
+        lazy val (fbase, fmv) = {
           val r = tempTableRoot("graft_mvf_base")
           val m = tempTableRoot("graft_mvf_view")
           graft.sources.VersionedTable.init(spark, r,
@@ -843,10 +844,7 @@ object ScaleBench {
           graft.sources.MaterializedView.create(spark, m, r, Seq("lang"),
             Seq(graft.sources.MaterializedView.MvCount("cnt"),
               graft.sources.MaterializedView.MvSum("n_chars", "sum_chars")))
-          val q = graft.streaming.Streams.followMaterializedView(
-            spark, m, None)
-          q.processAllAvailable()
-          (r, m, q)
+          (r, m)
         }
         () => {
           val v = graft.sources.VersionedTable.latestVersion(spark, fbase)
@@ -854,7 +852,9 @@ object ScaleBench {
             docs.filter(col("doc_id") < 1000L)
               .select(col("doc_id"), col("lang"), col("n_chars")),
             expectedVersion = v)
-          fquery.processAllAvailable()
+          val q = graft.streaming.Streams.followMaterializedView(
+            spark, fmv, None)
+          try q.processAllAvailable() finally q.stop()
           require(graft.sources.MaterializedView.watermark(spark, fmv)
             == v + 1, "mv_follow: the stream must have folded to head")
           graft.sources.MaterializedView.read(spark, fmv)

@@ -161,12 +161,12 @@ object BloomSkipping {
     cache.remove(dirPath.toString): Unit
   }
 
-  private def ser(bf: BloomFilter): Array[Byte] = {
+  private[sources] def ser(bf: BloomFilter): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray
   }
-  private def de(b: Array[Byte]): BloomFilter =
+  private[sources] def de(b: Array[Byte]): BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
 
   /** Publish a finished per-file filter map as the dir's sidecar and
@@ -265,12 +265,22 @@ object BloomSkipping {
         else {
           val in = new DataInputStream(fs.open(p))
           try {
-            // any header mismatch (foreign file, old container
-            // layout, old PROBE DOMAIN) reads as no-coverage — a
-            // conservative full scan, never a filter that could
-            // falsely prove absence under a different byte mapping
-            require(in.readInt() == Magic && in.readInt() == Version &&
-              in.readInt() == ProbeDomainVersion)
+            // any header mismatch (foreign file, old PROBE DOMAIN)
+            // reads as no-coverage — a conservative full scan, never
+            // a filter that could falsely prove absence under a
+            // different byte mapping. A v1 container (written before
+            // the domain header existed) was BUILT under domain 1, so
+            // it stays readable as long as domain 1 is current —
+            // upgrading must not silently zero the pruning on every
+            // pre-existing table.
+            require(in.readInt() == Magic)
+            val ver = in.readInt()
+            val domain = ver match {
+              case 1 => 1
+              case v if v == Version => in.readInt()
+              case _ => -1
+            }
+            require(domain == ProbeDomainVersion)
             val nCols = in.readInt()
             val names = (0 until nCols).map(_ => in.readUTF().toLowerCase)
             val nFiles = in.readInt()

@@ -130,7 +130,7 @@ object CommitStats {
         Iterator.single((hlls.map(_.toCompactByteArray),
           klls.map(_.toByteArray),
           blooms.iterator.map { case (f, bfs) =>
-            (f, bfs.map(serBloom)) }.toMap))
+            (f, bfs.map(BloomSkipping.ser)) }.toMap))
       }.collect()
     val hllMerged: Seq[Array[Byte]] = (0 until nN).map { i =>
       val u = new org.apache.datasketches.hll.Union(12)
@@ -146,19 +146,28 @@ object CommitStats {
           org.apache.datasketches.memory.Memory.wrap(p._2(j)))))
       s.toByteArray
     }
-    if (nB > 0) {
+    // BEST-EFFORT publish, per-family degradation preserved: by this
+    // point the HLL/KLL lines are already computed from the shared
+    // pass, so a transient failure in the sidecar's merge/rename must
+    // cost ONLY this dir's bloom coverage (conservatively scanned),
+    // never the sketch lines — losing a dir's #ndv:/#kll: line would
+    // degrade the WHOLE table's estimates (the every-dir rule) until
+    // a re-ANALYZE.
+    if (nB > 0) scala.util.Try {
       val merged: Map[String, Array[BloomFilter]] = partial
         .flatMap(_._3.toSeq).groupBy(_._1).map { case (f, parts) =>
-          val acc = parts.head._2.map(deBloom)
+          val acc = parts.head._2.map(BloomSkipping.de)
           parts.tail.foreach { case (_, bs) =>
             var i = 0
-            while (i < nB) { acc(i).mergeInPlace(deBloom(bs(i))); i += 1 }
+            while (i < nB) {
+              acc(i).mergeInPlace(BloomSkipping.de(bs(i))); i += 1
+            }
           }
           f -> acc
         }
       BloomSkipping.publishSidecar(spark, dirPath,
         bloomCols.map(_.name), merged)
-    }
+    }: Unit
     (if (ndvCols.isEmpty) None
      else Some(NdvStats.renderLine(dirName,
        ndvCols.map(_.name).zip(hllMerged))),
@@ -166,11 +175,4 @@ object CommitStats {
       else Some(QuantileStats.renderLine(dirName, kllCols.zip(kllMerged))))
   }
 
-  private def serBloom(bf: BloomFilter): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    bos.toByteArray
-  }
-  private def deBloom(b: Array[Byte]): BloomFilter =
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
 }

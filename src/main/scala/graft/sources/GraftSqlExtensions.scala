@@ -533,9 +533,20 @@ case class GraftAnalyzeCommand(nameParts: Seq[String],
     // a quantile pin, when present, re-backfills under the CURRENT
     // sketch domain with its own column set — so one ANALYZE heals
     // BOTH families after a domain bump (the recovery the
-    // stale-sketch notes in $stats/$skew prescribe)
-    VersionedTable.quantileColumns(spark, root).foreach(pin =>
-      VersionedTable.repinQuantileStats(spark, root, pin))
+    // stale-sketch notes in $stats/$skew prescribe). The stored pin
+    // is intersected with the CURRENT schema's eligible columns
+    // first: schema evolution may have outdated pin entries, and an
+    // ANALYZE that throws here would land half-applied (NDV already
+    // repinned above) and keep failing until a manual disable — the
+    // vanished columns can never be sketched again anyway.
+    VersionedTable.quantileColumns(spark, root).foreach { pin =>
+      val schema = VersionedTable.read(spark, root).schema
+      val eligible =
+        if (pin.isEmpty) pin // '*': kllRepinCommit resolves it
+        else QuantileStats.eligibleCols(schema, pin)
+      if (pin.isEmpty || eligible.nonEmpty)
+        VersionedTable.repinQuantileStats(spark, root, eligible)
+    }
     val envs = VersionedTable.columnEnvelopes(spark, root)
     val ndv = VersionedTable.tableNdv(spark, root)
       .map { case (k, v) => k.toLowerCase -> v }

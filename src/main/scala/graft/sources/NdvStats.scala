@@ -119,7 +119,13 @@ object NdvStats {
     * by NdvStatsSpec's union-compatibility case: commit-path and
     * backfill-path sketches of the SAME rows union to n, not 2n), so
     * sketches from this path and the enable-time backfill remain
-    * unionable. Returns (ndvLine, kllLine). */
+    * unionable. Returns (ndvLine, kllLine).
+    *
+    * ROLE since the one-pass fuse: the COMMIT path now runs
+    * [[CommitStats.onePass]] (same updates plus the bloom sidecar in
+    * one read); this function remains as the INDEPENDENT twin
+    * CommitStatsSpec compares the fused output against — the
+    * reference implementation that keeps the fused path honest. */
   def combinedLines(df: DataFrame, dir: String, ndvPin: Option[Seq[String]],
       kllPin: Option[Seq[String]]): (Option[String], Option[String]) = {
     val ndvCols = ndvPin.map(eligibleCols(df.schema, _))

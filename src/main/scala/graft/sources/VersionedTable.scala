@@ -502,16 +502,29 @@ object VersionedTable {
           st.getPath.getName -> (files.length.toLong, files.map(_.getLen).sum)
         }.toMap
     val manifests = live.map(v => v -> readManifest(spark, root, v).toSet)
+    // incremental suffix union, newest-first: as k grows, manifests
+    // JOIN the kept set one by one and their dirs leave the running
+    // dropped tally — each manifest's dir set is touched ONCE, so the
+    // whole schedule is O(versions × manifest), not O(versions²)
+    // (a 5000-version streaming-ingest history must stay audit-cheap)
+    val byDesc = manifests.sortBy(-_._1)
+    val dropped = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    dropped ++= dirSizes
+    var nDirs = dropped.size.toLong
+    var nFiles = dropped.valuesIterator.map(_._1).sum
+    var nBytes = dropped.valuesIterator.map(_._2).sum
+    var idx = 0
     val rows = (1 to math.max(live.size, 1)).map { k =>
       val keepFrom = math.max(0, latest - k + 1)
-      val (kept, dropped) = manifests.partition(_._1 >= keepFrom)
-      val keptDirs = kept.flatMap(_._2).toSet
-      val droppedDirs = dirSizes.keySet -- keptDirs
-      val (nf, nb) = droppedDirs.foldLeft((0L, 0L)) { case ((f, b), d) =>
-        val (df0, db) = dirSizes.getOrElse(d, (0L, 0L))
-        (f + df0, b + db)
+      while (idx < byDesc.length && byDesc(idx)._1 >= keepFrom) {
+        byDesc(idx)._2.foreach { d =>
+          dropped.remove(d).foreach { case (f, b) =>
+            nDirs -= 1; nFiles -= f; nBytes -= b
+          }
+        }
+        idx += 1
       }
-      (k, keepFrom, dropped.size.toLong, droppedDirs.size.toLong, nf, nb)
+      (k, keepFrom, (byDesc.length - idx).toLong, nDirs, nFiles, nBytes)
     }
     rows.toDF("keep_versions", "earliest_kept_version",
       "versions_dropped", "dirs_dropped", "files_dropped",
@@ -1288,12 +1301,12 @@ object VersionedTable {
     val statsLines = scala.util.Try(DataSkipping.statsLines(
       spark.sparkContext.hadoopConfiguration, dataDir, commitName))
       .getOrElse(Seq.empty)
-    // SKETCH MAINTENANCE (NDV + quantiles, when their pins are
-    // active): carry the surviving dirs' lines verbatim, sketch ONLY
-    // the rows just written — BOTH families in ONE pass over the
-    // staged dir (NdvStats.combinedLines), so a dual-pinned table
-    // pays a single read of its delta per commit. Best-effort like
-    // the skipping stats: a failed sketch leaves the dir's line
+    // SKETCH MAINTENANCE (NDV + quantiles + blooms, when their pins
+    // are active): carry the surviving dirs' lines verbatim, sketch
+    // ONLY the rows just written — ALL pinned families in ONE pass
+    // over the staged dir (CommitStats.onePass), so an N-pinned
+    // table pays a single read of its delta per commit. Best-effort
+    // like the skipping stats: a failed sketch leaves the dir's line
     // absent and the column's estimate conservatively unknown, never
     // a failed commit.
     val ndvPin = NdvStats.pinnedCols(baseLines)

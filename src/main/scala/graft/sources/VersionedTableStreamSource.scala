@@ -47,7 +47,8 @@ import org.apache.spark.sql.types.StructType
 class VersionedTableStreamSource(sqlContext: SQLContext, root: String,
     override val schema: StructType,
     cdf: Option[VersionedTableStreamSource.CdfMode] = None,
-    maxVersionsPerTrigger: Option[Int] = None) extends Source {
+    maxVersionsPerTrigger: Option[Int] = None,
+    triggerOnly: Boolean = false) extends Source {
 
   private def spark: SparkSession = sqlContext.sparkSession
 
@@ -102,6 +103,14 @@ class VersionedTableStreamSource(sqlContext: SQLContext, root: String,
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     lastEnd = Some(versionOf(end))
+    // triggerOnly: the commit-ticker mode, SAME contract as the DSv2
+    // stream's option — offsets advance per version, batches carry no
+    // rows, and the append-only rewrite check never applies. Kept in
+    // parity here so a follow consumer behaves identically under the
+    // disabledV2MicroBatchReaders fallback.
+    if (triggerOnly)
+      return StreamingBridge.asStreaming(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     if (cdf.isDefined)
       return StreamingBridge.asStreaming(cdfBatch(start, versionOf(end)))
     val to = versionOf(end)
@@ -235,8 +244,10 @@ class VersionedTableStreamSourceProvider
       if (cdf.isDefined) VersionedTableStreamSource.cdfSchema(base)
       else base
     }
-    val maxV = parameters.map { case (k, v) => k.toLowerCase -> v }
-      .get("maxversionspertrigger").map(_.trim.toInt)
-    new VersionedTableStreamSource(sqlContext, root, s, cdf, maxV)
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val maxV = lower.get("maxversionspertrigger").map(_.trim.toInt)
+    val tick = lower.get("triggeronly").exists(_.trim.toBoolean)
+    new VersionedTableStreamSource(sqlContext, root, s, cdf, maxV,
+      triggerOnly = tick)
   }
 }

@@ -678,6 +678,31 @@ class VersionedStreamSourceSpec extends SparkSpec {
       q.processAllAvailable()
       assert(batches.size == before + 2)
     } finally q.stop()
+    // PARITY under the v1 fallback: a follow consumer selected onto
+    // the legacy Source seam (disabledV2MicroBatchReaders) must get
+    // the same commit-ticker contract — zero rows, rewrites tick
+    val disableKey = "spark.sql.streaming.disabledV2MicroBatchReaders"
+    spark.conf.set(disableKey,
+      classOf[VersionedTableStreamSourceProvider].getName)
+    try {
+      val batches1 = scala.collection.mutable.ArrayBuffer[Long]()
+      val q1 = spark.readStream.format("graft-versioned-stream")
+        .option("triggerOnly", "true").load(root)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches1.synchronized { batches1 += b.count() }: Unit
+        }
+        .start()
+      try {
+        q1.processAllAvailable()
+        VersionedTable.delete(spark, root,
+          org.apache.spark.sql.functions.col("id") === 2L)
+        q1.processAllAvailable()
+        assert(batches1.nonEmpty && batches1.forall(_ == 0L),
+          s"v1 triggerOnly must tick data-free through a rewrite: " +
+            batches1)
+      } finally q1.stop()
+    } finally spark.conf.unset(disableKey)
   }
 
   test("a rewrite committed BEFORE enableChangeFeed refuses on the " +
