@@ -776,14 +776,19 @@ private[sources] class GraftSqlTable(ident: String, root: String,
           Some(pinnedVersion))
         val byDir = VersionedTable.statsByDir(spark, root,
           Some(pinnedVersion))
-        def emptyDir(d: String): Boolean = byDir.get(d).exists(fs =>
-          fs.nonEmpty && fs.forall(_.rows == 0L))
+        // references resolve through statsForRef: a file reference
+        // (partial DML carry) inherits its dir's #bucketed: mark —
+        // bucket purity is a per-file property, so the surviving
+        // files still honor the claim
+        def emptyDir(d: String): Boolean =
+          VersionedTable.statsForRef(byDir, d).exists(fs =>
+            fs.nonEmpty && fs.forall(_.rows == 0L))
         // `.exists`, not `.forall`: a marked dir WITHOUT stats
         // coverage is unproven (Option.forall on None would claim it
         // vacuously and defer the failure to scan time)
         val provable = dirs.forall { d =>
-          if (marked.contains(d))
-            byDir.get(d).exists(_.forall(f =>
+          if (marked.contains(VersionedTable.refDir(d)))
+            VersionedTable.statsForRef(byDir, d).exists(_.forall(f =>
               GraftBucket.fileBucket(f.path.dropWhile(_ != '/').drop(1))
                 .exists(_ < n)))
           else emptyDir(d)
@@ -797,11 +802,11 @@ private[sources] class GraftSqlTable(ident: String, root: String,
           val sortedMarks = VersionedTable.sortedDirs(spark, root,
             Some(pinnedVersion))
           val allSorted = dirs.forall(d =>
-            sortedMarks.contains(d) || emptyDir(d))
+            sortedMarks.contains(VersionedTable.refDir(d)) || emptyDir(d))
           val dataFilesPerBucket =
             scala.collection.mutable.Map.empty[Int, Int]
           val counted = dirs.forall { d =>
-            byDir.get(d) match {
+            VersionedTable.statsForRef(byDir, d) match {
               case Some(fs) => fs.forall { f =>
                 if (f.rows == 0L) true
                 else if (f.rows < 0L) false // unknown: no claim
@@ -1055,16 +1060,26 @@ private[sources] class GraftRowLevelOperation(table: GraftSqlTable,
               def bloomOk(dir: String, filePath: String): Boolean =
                 bloomPin.isEmpty || BloomSkipping.fileMayMatch(spark,
                   dataRoot, dir, filePath, pred)
-              val (hit, miss) = allDirs.partition { dir =>
-                byDir.get(dir) match {
+              // FILE-GRANULAR, same discipline as the programmatic
+              // rewriteWhere: a stats-covered dir where only some
+              // files may match splits — clean files carry as
+              // in-place file references, only may-match files scan
+              // and rewrite (SQL DELETE/UPDATE at O(matching files))
+              val classified = allDirs.map { ref =>
+                VersionedTable.statsForRef(byDir, ref) match {
                   case Some(files) =>
-                    files.exists(f => DataSkipping.mayMatch(f, pred) &&
-                      bloomOk(dir, f.path))
-                  case None => true // uncovered: conservatively scanned
+                    val (hit, clean) = files.partition(f =>
+                      DataSkipping.mayMatch(f, pred) &&
+                        bloomOk(VersionedTable.refDir(ref), f.path))
+                    if (hit.isEmpty) (Seq.empty[String], Seq(ref))
+                    else if (clean.isEmpty) (Seq(ref), Seq.empty[String])
+                    else (hit.map(_.path), clean.map(_.path))
+                  case None => // uncovered: conservatively scanned
+                    (Seq(ref), Seq.empty[String])
                 }
               }
-              affectedDirs = hit
-              carriedDirs = miss
+              affectedDirs = classified.flatMap(_._1)
+              carriedDirs = classified.flatMap(_._2)
               pruningFilters = filters
             case None => ()
           }
@@ -1092,9 +1107,14 @@ private[sources] class GraftRowLevelOperation(table: GraftSqlTable,
             root, affectedDirs, table.snapshotSchema, prunedData,
             CaseInsensitiveStringMap.empty(),
             onFilter = { survivors =>
+              // recompute over the CURRENT (possibly file-split)
+              // reference list, not allDirs: after a static split,
+              // carrying a whole dir AND its file refs would
+              // double-count rows
               val keep = survivors.toSet
-              carriedDirs = allDirs.filterNot(keep.contains)
-              affectedDirs = allDirs.filter(keep.contains)
+              val entries = affectedDirs ++ carriedDirs
+              carriedDirs = entries.filterNot(keep.contains)
+              affectedDirs = entries.filter(keep.contains)
             })
         else {
           val dataRoot = new Path(root, "data")

@@ -16,8 +16,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout:
   * {{{
   *   <root>/data/c{version}-{uuid}/part-*.parquet   immutable commit dirs
-  *   <root>/_manifests/v{N}.json                    version N's commit-dir list
+  *   <root>/_manifests/v{N}.json                    version N's reference list
   * }}}
+  *
+  * Manifest body entries are REFERENCES at two granularities:
+  * `dirname` keeps a whole commit dir; `dirname/file.parquet` keeps
+  * ONE file of a dir whose other files left the snapshot. File
+  * references are what a partial DML rewrite emits for an affected
+  * dir's CLEAN files (blooms/envelopes prove they hold no matching
+  * row): the clean files are carried IN PLACE — pure metadata, zero
+  * bytes copied, the same move on a local disk and an object store —
+  * while only the may-match files rewrite (Iceberg's file-granular
+  * manifest idea, reached only when a rewrite actually splits a
+  * dir). Files are immutable, so a reference of either shape is a
+  * stable identity across later appends and carries; vacuum keeps a
+  * dir alive while ANY reference (whole or file) into it survives,
+  * and reclaims a split dir's replaced files once no kept manifest
+  * references the dir wholesale.
   *
   * Commit protocol (optimistic concurrency):
   *  1. write the new version's data files to a fresh commit dir —
@@ -166,22 +181,48 @@ object VersionedTable {
 
   // manifest body: `#`-prefixed metadata lines (the `#txn:` of an
   // idempotent streaming append, the `#schema:` pin of an evolved
-  // table) followed by one commit-dir name per line (no JSON library
-  // dependency; driver tools never parse these)
+  // table) followed by one data REFERENCE per line — a commit-dir
+  // name, or `dir/file.parquet` for a single carried file (no JSON
+  // library dependency; driver tools never parse these)
   private[sources] def readManifest(spark: SparkSession, root: String,
       v: Int): Seq[String] =
     manifestLines(spark, root, v).filterNot(_.startsWith("#"))
 
-  // the `#file:` stats lines of version `v` that describe files in
-  // `keep` dirs — carried verbatim alongside carried dirs, so a
-  // partial rewrite (DML, SQL row-level op) keeps skipping exact for
-  // the data it never touched
+  /** Is this manifest reference a single FILE (`dir/file.parquet`)
+    * rather than a whole commit dir? */
+  private[sources] def refIsFile(ref: String): Boolean = ref.contains('/')
+
+  /** The commit dir a manifest reference lives in — the ref itself
+    * for whole-dir entries, the parent for file references. This is
+    * the identity vacuum keeps dirs alive by. */
+  private[sources] def refDir(ref: String): String = ref.takeWhile(_ != '/')
+
+  /** The `#file:` stats covering manifest reference `ref` under the
+    * per-dir grouping [[statsByDir]] returns: a whole-dir entry
+    * resolves to all of its dir's lines, a file reference to exactly
+    * that file's line. None = uncovered (callers stay conservative,
+    * exactly as for a stats-less dir). */
+  private[sources] def statsForRef(
+      byDir: Map[String, Seq[DataSkipping.FileStats]], ref: String)
+      : Option[Seq[DataSkipping.FileStats]] =
+    if (!refIsFile(ref)) byDir.get(ref)
+    else byDir.get(refDir(ref)).flatMap { fs =>
+      val hit = fs.filter(_.path == ref)
+      if (hit.isEmpty) None else Some(hit)
+    }
+
+  // the `#file:` stats lines of version `v` that describe files
+  // covered by `keep` references (whole dirs or single files) —
+  // carried verbatim alongside carried refs, so a partial rewrite
+  // (DML, SQL row-level op) keeps skipping exact for the data it
+  // never touched
   private[sources] def carriedStatsLines(spark: SparkSession, root: String,
       v: Int, keep: Set[String]): Seq[String] =
     manifestLines(spark, root, v)
       .filter(_.startsWith("#file:"))
       .filter(l => DataSkipping.parseLine(l.stripPrefix("#file:"))
-        .exists(f => keep.contains(f.path.takeWhile(_ != '/'))))
+        .exists(f => keep.contains(refDir(f.path)) ||
+          keep.contains(f.path)))
 
   // marker body after "#txn:": either "<batchId>" (anonymous legacy
   // single-writer) or "<appId>:<batchId>" (multi-writer, Delta's
@@ -423,7 +464,7 @@ object VersionedTable {
     val dirs = readManifest(spark, root, base)
     val byDir = statsByDir(spark, root, Some(base))
     val (small, big) = dirs.partition { d =>
-      byDir.get(d) match {
+      statsForRef(byDir, d) match {
         case Some(files) if files.forall(_.rows >= 0) =>
           files.map(_.rows).sum < smallDirMaxRows
         case _ => true // uncovered: folding it is always sound
@@ -501,7 +542,8 @@ object VersionedTable {
           val files = fs.listStatus(st.getPath)
           st.getPath.getName -> (files.length.toLong, files.map(_.getLen).sum)
         }.toMap
-    val manifests = live.map(v => v -> readManifest(spark, root, v).toSet)
+    val manifests = live.map(v =>
+      v -> readManifest(spark, root, v).map(refDir).toSet)
     // incremental suffix union, newest-first: as k grows, manifests
     // JOIN the kept set one by one and their dirs leave the running
     // dropped tally — each manifest's dir set is touched ONCE, so the
@@ -543,9 +585,11 @@ object VersionedTable {
     if (latest < 0) return (Seq.empty, 0)
     val keepFrom = math.max(0, latest - keepVersions + 1)
     val fs = fsOf(spark, new Path(root))
+    // a dir stays while ANY kept reference — whole-dir or a single
+    // carried file — still points into it
     val keep = (keepFrom to latest)
       .filter(v => fs.exists(manifestPath(root, v)))
-      .flatMap(v => readManifest(spark, root, v)).toSet
+      .flatMap(v => readManifest(spark, root, v)).map(refDir).toSet
     val horizon = System.currentTimeMillis() - retainMillis
     val dataRoot = new Path(root, "data")
     if (!fs.exists(dataRoot)) (Seq.empty, keepFrom)
@@ -1071,7 +1115,7 @@ object VersionedTable {
   // can't collide, and a failed commit's dir is an unreferenced
   // orphan vacuum's horizon sweep removes.
   private def writeChangeFile(spark: SparkSession, root: String,
-      next: Int, key: String, removedDirs: Seq[String], dataDir: Path,
+      next: Int, key: String, removedRefs: Seq[String], dataDir: Path,
       wroteFiles: Boolean, metaLines: Seq[String],
       equivalent: Boolean): String = {
     import org.apache.spark.sql.types.StructType
@@ -1108,7 +1152,7 @@ object VersionedTable {
             org.apache.spark.sql.types.StringType, nullable = true)))
       else {
         val oldDf = spark.read.schema(schema).parquet(
-          removedDirs.map(d => new Path(dataRoot, d).toString): _*)
+          removedRefs.map(d => new Path(dataRoot, d).toString): _*)
         val newDf =
           if (wroteFiles) spark.read.schema(schema).parquet(dataDir.toString)
           else empty(schema)
@@ -1257,7 +1301,12 @@ object VersionedTable {
         val pin = prior.filter(_.startsWith("#bucketby:"))
         if (pin.isEmpty) Seq.empty
         else {
-          val carrySet = carryDirs.toSet
+          // marks key on the commit DIR; a dir partially carried as
+          // file references keeps its marks — bucket purity and
+          // within-file ordering are per-file properties, so the
+          // surviving files still honor them (dropping a dir's other
+          // files never mixes buckets into the ones that remain)
+          val carrySet = carryDirs.map(refDir).toSet
           val carriedMarks = prior.filter(l =>
             (l.startsWith("#bucketed:") &&
               carrySet.contains(l.stripPrefix("#bucketed:"))) ||
@@ -1276,18 +1325,43 @@ object VersionedTable {
           pin ++ carriedMarks ++ newMark
         }
       } else Seq.empty
-    val removedDirs =
-      if (expectedVersion >= 0)
-        readManifest(spark, root, expectedVersion)
-          .filterNot(carryDirs.toSet)
+    val baseRefs: Seq[String] =
+      if (expectedVersion >= 0) readManifest(spark, root, expectedVersion)
       else Seq.empty
+    // the REFERENCES this commit drops, at file granularity: a
+    // whole-dir base entry that the new manifest carries only
+    // PARTIALLY (file references) removed exactly its non-carried
+    // files — the CDC diff below must read those files alone, or
+    // rows in the carried files would surface as phantom deletes
+    val removedRefs: Seq[String] = {
+      val carrySet = carryDirs.toSet
+      val partialDirs = carryDirs.filter(refIsFile).map(refDir).toSet
+      baseRefs.flatMap { e =>
+        if (carrySet.contains(e)) Seq.empty
+        else if (!refIsFile(e) && partialDirs.contains(e)) {
+          val all = statsByDir(spark, root, Some(expectedVersion)).get(e)
+            .map(_.map(_.path))
+            .getOrElse {
+              // a split without stats coverage cannot originate here
+              // (rewriteWhere only splits covered dirs) but an
+              // external carry list might — fall back to listing the
+              // immutable dir's data files
+              val dp = new Path(new Path(root, "data"), e)
+              fsOf(spark, dp).listStatus(dp).toSeq
+                .map(_.getPath.getName)
+                .filter(_.endsWith(".parquet")).map(n => s"$e/$n")
+            }
+          all.filterNot(carrySet.contains)
+        } else Seq(e)
+      }
+    }
     val changeName: Option[String] =
-      if (cdcKey.isDefined && removedDirs.nonEmpty) {
+      if (cdcKey.isDefined && removedRefs.nonEmpty) {
         val opName = metaLines.collectFirst {
           case l if l.startsWith("#op:") => l.stripPrefix("#op:")
         }
         try Some(writeChangeFile(spark, root, next, cdcKey.get,
-          removedDirs, dataDir, wroteFiles, metaLines,
+          removedRefs, dataDir, wroteFiles, metaLines,
           equivalent = opName.exists(DataEquivalentOps)))
         catch { case e: Throwable =>
           fs.delete(dataDir, true) // same atomic refusal as constraints
@@ -1331,12 +1405,27 @@ object VersionedTable {
         CommitStats.onePass(spark, dataDir, commitName,
           ndvPin, kllPin, bloomPin, rowsByFile)
       }.getOrElse((None, None))
+    // sketch lines key on the commit DIR and summarize its LIVE rows;
+    // they may only carry while the dir's live-file set is UNCHANGED
+    // — a dir the new manifest carries partially (file references)
+    // lost rows the sketch still counts, so its line drops and the
+    // estimate degrades conservatively until ANALYZE re-sketches
+    // (the established stale-sketch lifecycle). "Intact" = every base
+    // reference into the dir is carried verbatim.
+    val sketchCarryDirs: Set[String] = {
+      val baseByDir = baseRefs.groupBy(refDir)
+      val carryByDir = carryDirs.groupBy(refDir)
+      baseByDir.collect {
+        case (d, es)
+            if carryByDir.get(d).exists(_.toSet == es.toSet) => d
+      }.toSet
+    }
     val ndvLines: Seq[String] = ndvPin match {
       case None => Seq.empty
       case Some(pin) =>
         (NdvStats.PinPrefix +
           (if (pin.isEmpty) "*" else pin.mkString(","))) +:
-          (NdvStats.carriedLines(baseLines, carryDirs.toSet) ++
+          (NdvStats.carriedLines(baseLines, sketchCarryDirs) ++
             freshNdv.toSeq)
     }
     val kllLines: Seq[String] = kllPin match {
@@ -1344,7 +1433,7 @@ object VersionedTable {
       case Some(pin) =>
         (QuantileStats.PinPrefix +
           (if (pin.isEmpty) "*" else pin.mkString(","))) +:
-          (QuantileStats.carriedLines(baseLines, carryDirs.toSet) ++
+          (QuantileStats.carriedLines(baseLines, sketchCarryDirs) ++
             freshKll.toSeq)
     }
     // the bloom sidecar itself was published by the fused pass above
@@ -1798,13 +1887,13 @@ object VersionedTable {
         BloomSkipping.fileMayMatch(spark, dataRoot, dir, filePath, pred)
     var covered = 0
     var pruned = 0
-    val paths = readManifest(spark, root, v).flatMap { dir =>
-      byDir.get(dir) match {
-        case None => Seq(new Path(dataRoot, dir).toString)
+    val paths = readManifest(spark, root, v).flatMap { ref =>
+      statsForRef(byDir, ref) match {
+        case None => Seq(new Path(dataRoot, ref).toString)
         case Some(files) =>
           covered += files.size
           val keep = files.filter(f =>
-            DataSkipping.mayMatch(f, pred) && bloomOk(dir, f.path))
+            DataSkipping.mayMatch(f, pred) && bloomOk(refDir(ref), f.path))
           pruned += files.size - keep.size
           keep.map(f => new Path(dataRoot, f.path).toString)
       }
@@ -1856,7 +1945,7 @@ object VersionedTable {
       .map { v =>
         val dirs = readManifest(spark, root, v)
         val byDir = statsByDir(spark, root, Some(v))
-        val files = dirs.flatMap(byDir.get).map(_.size).sum
+        val files = dirs.flatMap(statsForRef(byDir, _)).map(_.size).sum
         val mtime = fs.getFileStatus(manifestPath(root, v))
           .getModificationTime
         (v, commitOp(spark, root, v),
@@ -1900,7 +1989,7 @@ object VersionedTable {
     if (v < 0) return None
     val byDir = statsByDir(spark, root, Some(v))
     val dirs = readManifest(spark, root, v)
-    val counts = dirs.map(d => byDir.get(d) match {
+    val counts = dirs.map(d => statsForRef(byDir, d) match {
       case Some(files) if files.forall(_.rows >= 0) =>
         Some(files.map(_.rows).sum)
       case _ => None
@@ -1939,8 +2028,9 @@ object VersionedTable {
       v: Int): Map[String, DataSkipping.ColStats] = {
     val byDir = statsByDir(spark, root, Some(v))
     val dirs = readManifest(spark, root, v)
-    if (dirs.isEmpty || !dirs.forall(byDir.contains)) return Map.empty
-    val files = dirs.flatMap(byDir(_)).filter(_.rows != 0L)
+    val perRef = dirs.map(d => statsForRef(byDir, d))
+    if (dirs.isEmpty || perRef.exists(_.isEmpty)) return Map.empty
+    val files = perRef.flatMap(_.get).filter(_.rows != 0L)
     if (files.isEmpty) return Map.empty
     if (files.exists(_.rows < 0)) return Map.empty
     val names = files.map(_.cols.keySet).reduce(_ intersect _)
@@ -2184,7 +2274,10 @@ object VersionedTable {
     // uncovered (conservatively scanned), never fails the enable
     val byDir = statsByDir(spark, root, Some(base))
     val dataRoot = new Path(root, "data")
-    readManifest(spark, root, base).foreach { dir =>
+    // one sidecar per physical DIR (file references share their
+    // dir's sidecar — probes are keyed per file, so entries for
+    // non-referenced files are dead bytes, never consulted)
+    readManifest(spark, root, base).map(refDir).distinct.foreach { dir =>
       val rows = byDir.getOrElse(dir, Seq.empty).map { f =>
         f.path.substring(f.path.lastIndexOf('/') + 1) -> f.rows
       }.toMap
@@ -2305,8 +2398,13 @@ object VersionedTable {
     if (QuantileStats.pinnedCols(lines).isEmpty) return Map.empty
     val dirs = readManifest(spark, root, v)
     val byDir = statsByDir(spark, root, Some(v))
-    if (!dirs.forall(byDir.contains)) return Map.empty
-    val bearing = dirs.filter(d => byDir(d).exists(_.rows != 0L))
+    if (dirs.exists(d => statsForRef(byDir, d).isEmpty)) return Map.empty
+    // sketch lines key on the commit DIR; file references resolve to
+    // their dir (whose line, when present, covers exactly the live
+    // subset — a split drops the line until ANALYZE re-sketches)
+    val bearing = dirs
+      .filter(d => statsForRef(byDir, d).get.exists(_.rows != 0L))
+      .map(refDir).distinct
     QuantileStats.mergedSketches(lines, bearing, columns)
   }
 
@@ -2376,11 +2474,12 @@ object VersionedTable {
       else {
         val dirs = readManifest(spark, root, v)
         val byDir = statsByDir(spark, root, Some(v))
-        // every dir must be stats-covered to tell data-bearing dirs
-        // (need a sketch) from empty ones (nothing to sketch)
-        if (!dirs.forall(byDir.contains)) Map.empty
+        // every reference must be stats-covered to tell data-bearing
+        // dirs (need a sketch) from empty ones (nothing to sketch)
+        if (dirs.exists(d => statsForRef(byDir, d).isEmpty)) Map.empty
         else NdvStats.tableNdv(lines,
-          dirs.filter(d => byDir(d).exists(_.rows != 0L)))
+          dirs.filter(d => statsForRef(byDir, d).get.exists(_.rows != 0L))
+            .map(refDir).distinct)
       }
     })
   }
@@ -2544,31 +2643,52 @@ object VersionedTable {
       .getOrElse(read(spark, root, Some(base)).schema)
     val pred = resolveCondition(spark, schema, condition)
     val dataRoot = new Path(root, "data")
-    // a dir is AFFECTED unless its stats prove no file can match;
+    // a file is AFFECTED unless its stats prove no row can match;
     // missing stats or an unsupported predicate shape = affected
     // (conservative: correctness never rests on the envelopes).
     // Bloom sidecars AND with the envelope check — the same shared
     // fileMayMatch the read path's prunedPaths uses, so a scan and a
     // DML classify identically. This is what makes a point-keyed
-    // DELETE/UPDATE on a bloom-pinned hash column O(matching dirs)
+    // DELETE/UPDATE on a bloom-pinned hash column O(matching FILES)
     // instead of O(table): random hashes span every envelope (min/max
-    // prunes nothing), but only the dir whose filter saw the value
+    // prunes nothing), but only the file whose filter saw the value
     // may-matches. Sound because blooms have no false negatives — a
     // "not present" file provably holds no row the equality can
     // select. The `relevant` guard keeps sidecar reads off
     // predicates that can't use them.
+    //
+    // CARRY IS FILE-GRANULAR: a stats-covered dir where only SOME
+    // files may match splits — the clean files carry as in-place
+    // file references (`dir/file.parquet` manifest entries, zero
+    // bytes copied) and only the may-match files rewrite. On the
+    // 1-dir/16-file shape a large append produces, a point delete
+    // therefore rewrites the ≤3 files the blooms implicate, not all
+    // 16 (the round-17 measured gap, now closed). The split is sound
+    // because `#file:` stats lines are complete per covered dir —
+    // the same invariant dir-level classification already rested on
+    // (an unlisted matching file would have mis-carried the dir).
     val bloomPin = pred.flatMap(p =>
       bloomColumns(spark, root, Some(base))
         .filter(BloomSkipping.relevant(p, _)))
-    val (affected, untouched) = dirs.partition { dir =>
-      (byDir.get(dir), pred) match {
+    def fileAffected(dir: String, f: DataSkipping.FileStats,
+        p: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      DataSkipping.mayMatch(f, p) &&
+        (bloomPin.isEmpty || BloomSkipping.fileMayMatch(
+          spark, dataRoot, dir, f.path, p))
+    // (affected refs, carried refs) per manifest entry
+    val classified: Seq[(Seq[String], Seq[String])] = dirs.map { ref =>
+      (statsForRef(byDir, ref), pred) match {
         case (Some(files), Some(p)) =>
-          files.exists(f => DataSkipping.mayMatch(f, p) &&
-            (bloomPin.isEmpty || BloomSkipping.fileMayMatch(
-              spark, dataRoot, dir, f.path, p)))
-        case _ => true
+          val (hit, clean) =
+            files.partition(f => fileAffected(refDir(ref), f, p))
+          if (hit.isEmpty) (Seq.empty, Seq(ref)) // provably untouched
+          else if (clean.isEmpty) (Seq(ref), Seq.empty) // all files hit
+          else (hit.map(_.path), clean.map(_.path)) // split the dir
+        case _ => (Seq(ref), Seq.empty) // uncovered: conservative
       }
     }
+    val affected = classified.flatMap(_._1)
+    val untouched = classified.flatMap(_._2)
     if (affected.isEmpty) return base // provably nothing matches
     val affectedDf = spark.read.schema(schema).parquet(
       affected.map(d => new Path(dataRoot, d).toString): _*)
@@ -2733,9 +2853,39 @@ object VersionedTable {
       val latestNow = latestVersion(spark, root)
       val lateKeep = (keepFrom to latestNow)
         .filter(v => fs.exists(manifestPath(root, v)))
-        .flatMap(v => readManifest(spark, root, v)).toSet
+        .flatMap(v => readManifest(spark, root, v)).map(refDir).toSet
       candidates.filterNot(p => lateKeep.contains(p.getName))
         .foreach(p => fs.delete(p, true))
+    }
+    // FILE-LEVEL SWEEP: a dir kept ONLY through file references (a
+    // partial DML rewrite carried its clean files in place) still
+    // holds the files the rewrite replaced. Once every manifest that
+    // referenced the dir WHOLESALE has aged out, those files are
+    // referenced by nothing — reclaim them like dropped dirs, under
+    // the same mtime horizon and with the same late re-list guard
+    // (a kept manifest's references are re-read HERE, after the
+    // candidate scan, so a mid-vacuum commit can't lose files: any
+    // new manifest only references files reachable from a kept base).
+    // The `_bloom.bin` sidecar survives — it serves the carried files
+    // (probe lookups are keyed per file; entries for swept files are
+    // dead bytes, not lies).
+    {
+      val latestNow = latestVersion(spark, root)
+      val keptRefs = (keepFrom to latestNow)
+        .filter(v => fs.exists(manifestPath(root, v)))
+        .flatMap(v => readManifest(spark, root, v))
+      val wholeDirs = keptRefs.filterNot(refIsFile).toSet
+      val keptFiles = keptRefs.filter(refIsFile).toSet
+      val horizon = System.currentTimeMillis() - retainMillis
+      keptRefs.filter(refIsFile).map(refDir).distinct
+        .filterNot(wholeDirs.contains).foreach { d =>
+          val dp = new Path(new Path(root, "data"), d)
+          if (fs.exists(dp)) fs.listStatus(dp)
+            .filter(st => st.getPath.getName.endsWith(".parquet") &&
+              !keptFiles.contains(s"$d/${st.getPath.getName}") &&
+              st.getModificationTime < horizon)
+            .foreach(st => fs.delete(st.getPath, false))
+        }
     }
     (0 until keepFrom).foreach(v => fs.delete(manifestPath(root, v), false))
     // change-dir sweep: anything under _changes/ that no SURVIVING

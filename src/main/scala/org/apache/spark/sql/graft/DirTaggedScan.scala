@@ -132,8 +132,18 @@ private[graft] object DirTaggedScan {
     val paths = dirs.map(d => new Path(dataRoot, d).toString)
     val combined = scanFor(paths).toBatch.planInputPartitions()
     if (combined.forall(_.isInstanceOf[FilePartition])) {
-      def dirOf(f: PartitionedFile): String =
-        f.toPath.getParent.getName
+      // the tag is the manifest REFERENCE a file was planned under:
+      // the dir name for whole-dir entries, `dir/file.parquet` for a
+      // file reference (a partial rewrite's in-place carry) — so the
+      // runtime group filter's surviving values match the operation's
+      // reference list exactly, whichever granularity produced them
+      val entrySet = dirs.toSet
+      def dirOf(f: PartitionedFile): String = {
+        val p = f.toPath
+        val d = p.getParent.getName
+        val fileRef = s"$d/${p.getName}"
+        if (entrySet.contains(fileRef)) fileRef else d
+      }
       // keep Spark's size-balanced packing; split only the partitions
       // that pack files from more than one dir
       var idx = -1
@@ -217,7 +227,22 @@ class RuntimeFilteredDirScan(spark: SparkSession, root: String,
   override def filter(predicates: Array[Predicate]): Unit = {
     val keep = predicates.foldLeft(current) { (dirs, p) =>
       matchedDirs(p) match {
-        case Some(vals) => dirs.filter(vals.contains)
+        case Some(vals) =>
+          // the subquery's values and this scan's references may sit
+          // at DIFFERENT granularities: the statement's static
+          // classification can split a dir into file references
+          // while the subquery (planned over the table's own scan)
+          // tags at dir granularity, or the manifest itself carries
+          // file refs. Exact match drops provably-matchless entries;
+          // a dir-level value conservatively keeps every file ref
+          // inside it (the value proves the DIR holds matching rows,
+          // not which file), and a file-level value keeps its whole
+          // dir if this scan is coarser. Sound either way: dropping
+          // requires proof, keeping never loses rows.
+          def dirOf(s: String) = s.takeWhile(_ != '/')
+          val valDirs = vals.map(dirOf)
+          dirs.filter(r => vals.contains(r) ||
+            vals.contains(dirOf(r)) || valDirs.contains(r))
         case None => dirs // unrecognized shape: never prune on a guess
       }
     }

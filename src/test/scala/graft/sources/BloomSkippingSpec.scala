@@ -333,11 +333,10 @@ class BloomSkippingSpec extends SparkSpec {
     } finally rm(dir)
   }
 
-  test("MEASURED gap for file-level DML carry (round-18 candidate): " +
-    "a point delete against one many-file dir rewrites the whole " +
-    "dir while the blooms prove ~one file suffices — the factor is " +
-    "the dir's file count, pinned here so the candidate stays " +
-    "quantified") {
+  test("file-level DML carry CLOSES the round-17 measured gap: a " +
+    "point delete against one many-file dir rewrites ONLY the files " +
+    "the blooms implicate — the clean files carry as in-place file " +
+    "references, zero bytes copied") {
     val dir = tmp()
     try {
       val root = dir.resolve("t").toString
@@ -357,17 +356,40 @@ class BloomSkippingSpec extends SparkSpec {
       val mayMatch = covered - pruned
       assert(covered == 16 && mayMatch <= 3,
         s"blooms should isolate ~1 of 16 files, got $mayMatch")
-      // yet the delete's carry unit is the DIR: the single affected
-      // dir rewrites whole — covered/mayMatch is the measured factor
-      // a file-granular manifest reference would buy (recorded in
-      // SURVEY round-18 candidate #1; revisit if real workloads show
-      // many-file dirs surviving dir classification)
-      val before = VersionedTable.dataDirs(spark, root).toSet
-      VersionedTable.delete(spark, root, col("fp") === probe)
-      assert(VersionedTable.dataDirs(spark, root).toSet
-        .intersect(before).isEmpty,
-        "single-dir table: the point delete rewrites its only dir")
+      // the delete's carry unit is now the FILE: exactly the
+      // may-match files rewrite, the other 13+ carry as manifest
+      // file references into the original dir
+      val baseV = VersionedTable.latestVersion(spark, root)
+      val v = VersionedTable.delete(spark, root, col("fp") === probe)
+      val refs = VersionedTable.readManifest(spark, root, v)
+      val carriedFiles = refs.filter(VersionedTable.refIsFile)
+      assert(carriedFiles.size == 16 - mayMatch,
+        s"expected ${16 - mayMatch} carried file refs, got " +
+          s"${carriedFiles.size} in $refs")
+      // the rewrite wrote at most mayMatch files' worth of data into
+      // ONE fresh dir; nothing else is new
+      assert(refs.count(!VersionedTable.refIsFile(_)) == 1,
+        s"one fresh rewrite dir expected, got $refs")
       assert(VersionedTable.read(spark, root).count() == 79999)
+      assert(VersionedTable.readWhere(spark, root,
+        col("fp") === probe).count() == 0)
+      // carried refs keep their stats: the snapshot row count still
+      // resolves from the manifest alone
+      assert(VersionedTable.rowCount(spark, root).contains(79999L))
+      // time travel: the pre-delete version still reads the dir whole
+      assert(VersionedTable.read(spark, root, Some(baseV)).count()
+        == 80000)
+      // and the carried files' bloom coverage still prunes: a lookup
+      // for a SURVIVING key opens few files, not 16
+      val probe2 = spark.range(500, 501)
+        .select(md5(col("id").cast("string"))).head.getString(0)
+      val pred2 = VersionedTable.resolveCondition(spark, schema,
+        col("fp") === probe2).get
+      val (_, pruned2, covered2) = VersionedTable.prunedPaths(
+        spark, root, pred2, Some(v))
+      assert(covered2 - pruned2 <= 4,
+        s"carried file refs lost bloom pruning: ${covered2 - pruned2} " +
+          s"of $covered2 may-match")
     } finally rm(dir)
   }
 

@@ -1,0 +1,215 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** FILE-GRANULAR carry through the DML rewrite — the manifest
+  * reference extension that closes the round-17 measured gap: an
+  * affected dir splits into may-match files (rewritten) and clean
+  * files (carried IN PLACE as `dir/file.parquet` manifest entries,
+  * zero bytes copied — the same move on a local disk and an object
+  * store, which is why no server-side-copy variant is needed).
+  *
+  * This spec pins the parts of the table lifecycle a file reference
+  * flows through AFTER the split: the CDC diff (no phantom deletes
+  * from carried rows), vacuum (parent dir survives while any file
+  * ref points into it; replaced files reclaim once no kept manifest
+  * references the dir wholesale), appends over a split manifest,
+  * sketch-line degradation + ANALYZE healing, and SQL MERGE's
+  * runtime group filter across reference granularities. */
+class FileCarrySpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("fcarry").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "tbl").getAbsolutePath
+  }
+
+  /** one 8-file commit, id-range-clustered so envelopes split files */
+  private def manyFileTable(n: Int = 800): String = {
+    val root = freshRoot()
+    VersionedTable.init(spark, root,
+      spark.range(0, n).select(col("id"),
+        concat(lit("s"), col("id")).as("s"))
+        .repartitionByRange(8, col("id")))
+    root
+  }
+
+  test("a point delete on a many-file dir carries the clean files as " +
+    "refs; a second delete over the SPLIT manifest classifies per " +
+    "reference and splits no further than it must") {
+    val root = manyFileTable()
+    val v1 = VersionedTable.delete(spark, root, col("id") === 7L)
+    val refs1 = VersionedTable.readManifest(spark, root, v1)
+    assert(refs1.count(VersionedTable.refIsFile) == 7,
+      s"7 clean files should carry as refs, got $refs1")
+    assert(VersionedTable.read(spark, root).count() == 799)
+    // second delete targets a CARRIED file ref: only that ref leaves
+    // the manifest; the other six file refs and the v1 rewrite dir
+    // ride forward by identity
+    val v2 = VersionedTable.delete(spark, root, col("id") === 300L)
+    val refs2 = VersionedTable.readManifest(spark, root, v2)
+    val survived = refs1.toSet intersect refs2.toSet
+    assert(refs1.size - survived.size == 1,
+      s"exactly one reference should rewrite: $refs1 -> $refs2")
+    assert(VersionedTable.read(spark, root).count() == 798)
+    assert(VersionedTable.rowCount(spark, root).contains(798L))
+    // column envelopes still fold from the manifest alone
+    assert(VersionedTable.columnEnvelopes(spark, root).contains("id"))
+  }
+
+  test("CDC over a split delete is EXACT: carried files' rows never " +
+    "surface as phantom deletes") {
+    val root = manyFileTable()
+    VersionedTable.enableChangeFeed(spark, root, "id") // v1
+    val v = VersionedTable.delete(spark, root,
+      col("id") === 123L || col("id") === 456L) // v2, splits the dir
+    assert(VersionedTable.readManifest(spark, root, v)
+      .exists(VersionedTable.refIsFile), "delete should split the dir")
+    // the commit-time change file serves the keyed delta — exactly
+    // the two deleted rows, nothing from the carried files
+    val feed = VersionedTable.changesBetween(spark, root, v - 1, v,
+      key = Some("id"))
+    assert(feed.select("id", "change_kind").as[(Long, String)]
+      .collect().toSet == Set(123L -> "delete", 456L -> "delete"))
+    // and the keyless content diff agrees
+    val diff = VersionedTable.changesBetween(spark, root, v - 1, v)
+    assert(diff.select("id", "change_kind").as[(Long, String)]
+      .collect().toSet == Set(123L -> "delete", 456L -> "delete"))
+  }
+
+  test("vacuum keeps a dir alive while ANY file ref points into it, " +
+    "and reclaims the replaced files once no kept manifest " +
+    "references the dir wholesale") {
+    val root = manyFileTable()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
+    val origDir = VersionedTable.readManifest(spark, root, 0).head
+    val origFiles = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dataRoot, origDir))
+      .map(_.getPath.getName).count(_.endsWith(".parquet"))
+    val v = VersionedTable.delete(spark, root, col("id") === 7L)
+    val carried = VersionedTable.readManifest(spark, root, v)
+      .filter(VersionedTable.refIsFile)
+    assert(carried.nonEmpty)
+    // keepVersions = 1 drops v0 (the only wholesale reference);
+    // retainMillis = 0 is the single-writer test spelling
+    VersionedTable.vacuum(spark, root, keepVersions = 1,
+      retainMillis = 0L)
+    // the split dir SURVIVES (file refs keep it alive) but holds
+    // exactly the carried files now — the replaced ones are swept
+    val left = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dataRoot, origDir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    assert(left == carried.map(r =>
+      r.substring(r.indexOf('/') + 1)).toSet,
+      s"expected exactly the carried files to survive, got $left")
+    assert(left.size < origFiles)
+    // the live snapshot still answers exactly
+    assert(VersionedTable.read(spark, root).count() == 799)
+    assert(VersionedTable.readWhere(spark, root, col("id") === 7L)
+      .count() == 0)
+    assert(VersionedTable.readWhere(spark, root, col("id") === 8L)
+      .count() == 1)
+  }
+
+  test("appends over a split manifest carry file refs verbatim; " +
+    "NDV sketch lines DROP for the split dir (its live rows " +
+    "changed) and ANALYZE re-pins them over the live subset") {
+    val root = manyFileTable()
+    VersionedTable.enableNdvStats(spark, root, Seq("id")) // v1
+    val before = VersionedTable.tableNdv(spark, root)("id")
+    assert(math.abs(before - 800L) <= 24,
+      s"pre-split NDV should be ~800, got $before")
+    val v = VersionedTable.delete(spark, root, col("id") === 7L) // v2
+    assert(VersionedTable.readManifest(spark, root, v)
+      .exists(VersionedTable.refIsFile))
+    // the split dir's sketch must NOT carry (it still counts the
+    // deleted row) — the estimate degrades to unknown, never lies
+    assert(VersionedTable.tableNdv(spark, root).isEmpty,
+      "a split dir's stale sketch line must drop, not carry")
+    // an append over the split manifest: refs ride forward verbatim
+    val v3 = VersionedTable.append(spark, root,
+      spark.range(800, 900).select(col("id"),
+        concat(lit("s"), col("id")).as("s")), expectedVersion = v)
+    val refs3 = VersionedTable.readManifest(spark, root, v3)
+    assert(VersionedTable.readManifest(spark, root, v)
+      .forall(refs3.contains), "append must carry every ref verbatim")
+    assert(VersionedTable.read(spark, root).count() == 899)
+    // ANALYZE heals: repin re-sketches per dir over the LIVE subset
+    VersionedTable.repinNdvStats(spark, root, Seq("id"))
+    val healed = VersionedTable.tableNdv(spark, root)("id")
+    assert(math.abs(healed - 899L) <= 27,
+      s"post-ANALYZE NDV should be ~899, got $healed")
+    // and the NEXT append carries the healed line (the dir's live
+    // file set is intact), so the estimate stays resolvable
+    val v5 = VersionedTable.append(spark, root,
+      spark.range(900, 950).select(col("id"),
+        concat(lit("s"), col("id")).as("s")),
+      expectedVersion = VersionedTable.latestVersion(spark, root))
+    val after = VersionedTable.tableNdv(spark, root, Some(v5))
+    assert(after.contains("id") && math.abs(after("id") - 949L) <= 29,
+      s"healed sketch lines must carry through appends, got $after")
+  }
+
+  test("SQL MERGE over a table whose manifest already holds file " +
+    "refs: the runtime group filter bridges reference granularities " +
+    "and the statement stays exact") {
+    val wh = java.nio.file.Files.createTempDirectory("fcarry_wh")
+    wh.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.graftfc",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftfc.warehouse",
+      wh.toString)
+    spark.conf.set(GraftCatalog.MergeRuntimeFilterMinRows, "0")
+    try {
+      spark.sql("CREATE TABLE graftfc.m1 (id BIGINT, s STRING)")
+      spark.sql("INSERT INTO graftfc.m1 SELECT id, concat('s', id) " +
+        "FROM range(0, 400)")
+      val root = new java.io.File(wh.toFile, "m1").getAbsolutePath
+      // split the manifest via a programmatic point delete
+      val v = VersionedTable.delete(spark, root, col("id") === 50L)
+      assert(VersionedTable.readManifest(spark, root, v)
+        .exists(VersionedTable.refIsFile), "precondition: split")
+      spark.sql("""MERGE INTO graftfc.m1 t
+        |USING (SELECT 60 AS id, 'u' AS s UNION ALL
+        |       SELECT 999 AS id, 'new' AS s) src
+        |ON t.id = src.id
+        |WHEN MATCHED THEN UPDATE SET t.s = src.s
+        |WHEN NOT MATCHED THEN INSERT (id, s) VALUES (src.id, src.s)
+        |""".stripMargin)
+      assert(spark.sql("SELECT count(*) FROM graftfc.m1")
+        .as[Long].head == 400L) // 399 + 1 insert
+      assert(spark.sql("SELECT s FROM graftfc.m1 WHERE id = 60")
+        .as[String].head == "u")
+      assert(spark.sql("SELECT s FROM graftfc.m1 WHERE id = 999")
+        .as[String].head == "new")
+      assert(spark.sql("SELECT s FROM graftfc.m1 WHERE id = 10")
+        .as[String].head == "s10")
+      assert(spark.sql("SELECT count(*) FROM graftfc.m1 WHERE id = 50")
+        .as[Long].head == 0L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graftfc.m1")
+      spark.conf.unset("spark.sql.catalog.graftfc")
+      spark.conf.unset("spark.sql.catalog.graftfc.warehouse")
+    }
+  }
+
+  test("restore across a split is metadata-only and exact both ways") {
+    val root = manyFileTable()
+    val v = VersionedTable.delete(spark, root, col("id") === 7L)
+    assert(VersionedTable.readManifest(spark, root, v)
+      .exists(VersionedTable.refIsFile))
+    // back to the pre-split snapshot: whole-dir reference restored
+    val r1 = VersionedTable.restore(spark, root, 0)
+    assert(VersionedTable.read(spark, root, Some(r1)).count() == 800)
+    // forward again to the split snapshot: file refs re-referenced
+    val r2 = VersionedTable.restore(spark, root, v)
+    assert(VersionedTable.read(spark, root, Some(r2)).count() == 799)
+    assert(VersionedTable.readManifest(spark, root, r2).toSet ==
+      VersionedTable.readManifest(spark, root, v).toSet)
+  }
+}

@@ -330,17 +330,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(v == 4)
     val after = VersionedTable.dataDirs(spark, root, Some(v)).toSet
     // only the [100,200) dir may match: the other three carry by
-    // IDENTITY (same dir names), one dir rewritten
+    // IDENTITY (same dir names); the affected dir itself splits at
+    // FILE granularity — its clean files carry as in-place file
+    // references, only the may-match files rewrote
     assert((before intersect after).size == 3,
       s"expected 3 carried dirs, got ${(before intersect after).size}")
-    assert(after.size == 4)
-    // carried dirs keep their skipping stats: every surviving dir is
-    // still covered by #file: lines in the new manifest
+    val affectedDir = (before -- after).toSeq match {
+      case Seq(d) => d.substring(d.lastIndexOf('/') + 1)
+      case other => fail(s"expected exactly one split dir, got $other")
+    }
+    val refs = VersionedTable.readManifest(spark, root, v)
+    val fileRefs = refs.filter(VersionedTable.refIsFile)
+    assert(fileRefs.nonEmpty &&
+      fileRefs.forall(r => VersionedTable.refDir(r) == affectedDir),
+      s"clean files of $affectedDir should carry as file refs, got $refs")
+    // every surviving reference is still covered by #file: lines in
+    // the new manifest — carried dirs AND carried file refs
     val byDir = VersionedTable.statsByDir(spark, root, Some(v))
-    val carriedNames = (before intersect after)
-      .map(p => p.substring(p.lastIndexOf('/') + 1))
-    carriedNames.foreach(d => assert(byDir.contains(d),
-      s"carried dir $d lost its stats lines"))
+    refs.filterNot(_.startsWith(f"c$v%05d")).foreach(r =>
+      assert(VersionedTable.statsForRef(byDir, r).isDefined,
+        s"carried ref $r lost its stats lines"))
     // pruning is answer-invisible
     assert(spark.sql(
       "SELECT count(*) FROM graft.gp1 WHERE s = 'hit'").as[Long].head
