@@ -215,6 +215,27 @@ object ScaleBench {
         .head.getString(0)
       (r, probe)
     }
+    // shared by file_carry_delete / _off: the decade's documents as
+    // ONE commit of ~5000-row files (file count grows with the
+    // decade), blooms pinned on the content hash; probes = 8 docs
+    // whose hashes are unique (each rep deletes a different one).
+    // Built lazily once per dir; run 1 pays it, min-of-N strips it.
+    lazy val carryFixture: (String, Seq[String]) = {
+      val r = tempTableRoot("graft_fcarry_sb")
+      val vt = graft.sources.VersionedTable
+      // the FULL document body rides in the table (the GDPR-erasure
+      // shape: the rewrite cost is the payload, not the key)
+      val d = docs.select(col("doc_id"), md5(col("text")).as("fp"),
+        col("n_chars"), col("text"))
+      val nFiles = math.max(16L, d.count() / 5000L).toInt
+      vt.init(spark, r, d.repartition(nFiles))
+      vt.enableBloomFilters(spark, r, Seq("fp"))
+      val probes = d.groupBy("fp")
+        .agg(count(lit(1)).as("c"), min(col("doc_id")).as("m"))
+        .filter(col("c") === 1).orderBy("m").limit(8)
+        .collect().map(_.getString(0)).toSeq
+      (r, probes)
+    }
     // the (lang, source) materialized view over the decade's docs as
     // a versioned base — shared by mv_refresh and mv_rollup; built
     // lazily once per dir, run 1 pays it, min-of-N strips it
@@ -974,6 +995,76 @@ object ScaleBench {
               s"(no dir is provably clean), got $before→$after")
           import spark.implicits._
           Seq(after).toDF("v")
+        }
+      },
+      // FILE-GRANULAR DML CARRY vs the whole-dir rewrite it replaced:
+      // ONE large commit whose FILE count grows with the decade (the
+      // big-append shape: files scale with partitions, dirs do not),
+      // blooms pinned on the content hash. A point delete of one
+      // doc's hash rewrites ONLY the files whose blooms may-match —
+      // O(matching files), expected ~flat across decades — and
+      // carries the rest as in-place manifest file references (zero
+      // bytes copied). The _off twin is the same fixture without
+      // blooms: random hashes span every file's envelope, nothing
+      // is provable, and the same statement rewrites the WHOLE
+      // single-dir table — O(table), growing with the decade. The
+      // pair is the round-17 measured gap (16-file dir, ≤3 provable),
+      // closed by the manifest's file references.
+      "file_carry_delete" -> {
+        var rep = 0
+        () => {
+          val (r, probes) = carryFixture
+          val vt = graft.sources.VersionedTable
+          def refsOf(v: Int): Seq[String] =
+            vt.dataDirs(spark, r, Some(v))
+              .map(p => p.substring(p.indexOf("/data/") + 6))
+          def filesOf(v: Int): Set[String] = {
+            val byDir = vt.statsByDir(spark, r, Some(v))
+            refsOf(v).flatMap { e =>
+              if (e.contains('/')) Seq(e)
+              else byDir.getOrElse(e, Seq.empty).map(_.path)
+            }.toSet
+          }
+          val v0 = vt.latestVersion(spark, r)
+          val before = filesOf(v0)
+          val v1 = vt.delete(spark, r,
+            col("fp") === probes(rep % probes.size))
+          rep += 1
+          val rewrote = (before -- filesOf(v1)).size
+          // in-row canary: the rewrite set is O(bloom-matching files)
+          // — a handful — never the dir's file count
+          require(rewrote >= 1 && rewrote <= 6,
+            s"file_carry_delete: expected O(matching files) rewrite, " +
+              s"rewrote $rewrote of ${before.size}")
+          import spark.implicits._
+          Seq(rewrote).toDF("rewrote")
+        }
+      },
+      "file_carry_delete_off" -> {
+        lazy val offRoot: String = {
+          val r = tempTableRoot("graft_fcarry_off")
+          val d = docs.select(col("doc_id"), md5(col("text")).as("fp"),
+            col("n_chars"), col("text"))
+          val nFiles = math.max(16L, d.count() / 5000L).toInt
+          graft.sources.VersionedTable.init(spark, r,
+            d.repartition(nFiles))
+          r
+        }
+        var rep = 0
+        () => {
+          val vt = graft.sources.VersionedTable
+          val probes = carryFixture._2
+          val before = vt.dataDirs(spark, offRoot).toSet
+          vt.delete(spark, offRoot,
+            col("fp") === probes(rep % probes.size))
+          rep += 1
+          val carried = vt.dataDirs(spark, offRoot).toSet
+            .intersect(before).size
+          require(carried == 0,
+            s"file_carry_delete_off: without blooms the single dir " +
+              s"must rewrite whole, carried $carried")
+          import spark.implicits._
+          Seq(carried).toDF("v")
         }
       },
       // COMMIT COST OF A TRIPLE-PINNED TABLE measured: a FIXED
