@@ -1067,6 +1067,48 @@ object ScaleBench {
           Seq(carried).toDF("v")
         }
       },
+      // ANALYZE RECOVERY COST, fused vs sequential: a dual-pinned
+      // table (NDV on doc_id+lang, KLL on n_chars) re-sketched by
+      // repinStats' ONE grouped pass + one commit vs the two
+      // full-snapshot jobs + two commits the per-family repins pay.
+      // Expected: fused ≈ the larger single family, sequential ≈ the
+      // sum — the saved pass scales with snapshot bytes, which is
+      // the whole point on a 100 TB table.
+      "analyze_fused" -> {
+        lazy val aRoot: String = {
+          val r = tempTableRoot("graft_analyze_sb")
+          val vt = graft.sources.VersionedTable
+          vt.init(spark, r, docs.select(col("doc_id"), col("lang"),
+            col("n_chars"), col("text")))
+          vt.enableNdvStats(spark, r, Seq("doc_id", "lang"))
+          vt.enableQuantileStats(spark, r, Seq("n_chars"))
+          r
+        }
+        () => {
+          val v = graft.sources.VersionedTable.repinStats(spark, aRoot,
+            Seq("doc_id", "lang"))
+          import spark.implicits._
+          Seq(v).toDF("v")
+        }
+      },
+      "analyze_seq" -> {
+        lazy val sRoot: String = {
+          val r = tempTableRoot("graft_analyzeseq_sb")
+          val vt = graft.sources.VersionedTable
+          vt.init(spark, r, docs.select(col("doc_id"), col("lang"),
+            col("n_chars"), col("text")))
+          vt.enableNdvStats(spark, r, Seq("doc_id", "lang"))
+          vt.enableQuantileStats(spark, r, Seq("n_chars"))
+          r
+        }
+        () => {
+          val vt = graft.sources.VersionedTable
+          vt.repinNdvStats(spark, sRoot, Seq("doc_id", "lang"))
+          val v = vt.repinQuantileStats(spark, sRoot, Seq("n_chars"))
+          import spark.implicits._
+          Seq(v).toDF("v")
+        }
+      },
       // COMMIT COST OF A TRIPLE-PINNED TABLE measured: a FIXED
       // 1000-doc append against a table pinning all three stats
       // families (NDV+KLL sketches, bloom sidecar) — the number the

@@ -526,27 +526,16 @@ case class GraftAnalyzeCommand(nameParts: Seq[String],
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, nameParts)
-    // atomic: the backfill runs first and the pin swap commits as ONE
-    // manifest transition — a failed ANALYZE leaves the existing pin
-    // and its sketches exactly as they were
-    VersionedTable.repinNdvStats(spark, root, cols)
-    // a quantile pin, when present, re-backfills under the CURRENT
-    // sketch domain with its own column set — so one ANALYZE heals
-    // BOTH families after a domain bump (the recovery the
-    // stale-sketch notes in $stats/$skew prescribe). The stored pin
-    // is intersected with the CURRENT schema's eligible columns
-    // first: schema evolution may have outdated pin entries, and an
-    // ANALYZE that throws here would land half-applied (NDV already
-    // repinned above) and keep failing until a manual disable — the
-    // vanished columns can never be sketched again anyway.
-    VersionedTable.quantileColumns(spark, root).foreach { pin =>
-      val schema = VersionedTable.read(spark, root).schema
-      val eligible =
-        if (pin.isEmpty) pin // '*': kllRepinCommit resolves it
-        else QuantileStats.eligibleCols(schema, pin)
-      if (pin.isEmpty || eligible.nonEmpty)
-        VersionedTable.repinQuantileStats(spark, root, eligible)
-    }
+    // FUSED and atomic: ONE grouped job over the snapshot re-sketches
+    // the NDV family, the stored quantile pin (narrowed to surviving
+    // eligible columns under schema evolution — logged) AND rebuilds
+    // bloom sidecars when pinned; ONE manifest transition lands every
+    // family's fresh sketches together. A failed ANALYZE leaves the
+    // existing pins and sketches exactly as they were — the
+    // half-applied window of the old sequential per-family repins
+    // (NDV at base+1, quantiles failing at base+2) no longer exists,
+    // and a dual-pinned 100 TB table pays one table read, not two.
+    VersionedTable.repinStats(spark, root, cols)
     val envs = VersionedTable.columnEnvelopes(spark, root)
     val ndv = VersionedTable.tableNdv(spark, root)
       .map { case (k, v) => k.toLowerCase -> v }

@@ -83,6 +83,9 @@ object VersionedTable {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private lazy val statsLog =
+    org.slf4j.LoggerFactory.getLogger("graft.sources.VersionedTable")
+
   private def manifestDir(root: String) = new Path(root, "_manifests")
 
   private def manifestPath(root: String, v: Int) =
@@ -1404,6 +1407,16 @@ object VersionedTable {
             f.rows).toMap
         CommitStats.onePass(spark, dataDir, commitName,
           ndvPin, kllPin, bloomPin, rowsByFile)
+      }.recoverWith { case e =>
+        // best-effort by contract, but never SILENT: a persistently
+        // failing fused pass degrades every pinned family on every
+        // commit — the warning is what makes that diagnosable before
+        // someone notices the estimates are gone
+        statsLog.warn(s"one-pass commit statistics failed for " +
+          s"$commitName under $root — this commit's sketch lines and " +
+          s"bloom sidecar are absent (estimates degrade " +
+          s"conservatively): $e")
+        scala.util.Failure(e)
       }.getOrElse((None, None))
     // sketch lines key on the commit DIR and summarize its LIVE rows;
     // they may only carry while the dir's live-file set is UNCHANGED
@@ -2213,6 +2226,101 @@ object VersionedTable {
         l.startsWith(QuantileStats.PinPrefix) ||
         l.startsWith(QuantileStats.LinePrefix))
     writeManifest(spark, root, base + 1, (opTag +: body :+ pin) ++ lines)
+    base + 1
+  }
+
+  /** FUSED ANALYZE — the one-pass, one-commit recovery for a
+    * multi-pinned table: re-sketch the NDV family (pin set to `cols`;
+    * empty = every eligible column) AND the stored quantile family
+    * (when pinned) AND rebuild every dir's bloom sidecar (when
+    * pinned) from ONE grouped job over the snapshot
+    * ([[CommitStats.groupedPass]] — the repin twin of the commit
+    * path's fused `onePass`), committed as ONE manifest transition.
+    * A dual-pinned 100 TB table's ANALYZE therefore reads the table
+    * once instead of once per family, and the half-applied window
+    * the sequential repins left open (NDV committed at base+1,
+    * quantiles failing at base+2) is closed: every family's fresh
+    * sketches land atomically or none do. A stored quantile pin
+    * naming columns schema evolution made ineligible is NARROWED to
+    * the surviving set — logged, never silent; narrowed to nothing,
+    * the family is left untouched (its stale lines keep surfacing in
+    * `$stats` rather than being silently dropped). The per-family
+    * spellings remain [[repinNdvStats]] / [[repinQuantileStats]] /
+    * [[repinBloomFilters]]. */
+  def repinStats(spark: SparkSession, root: String,
+      cols: Seq[String] = Seq.empty): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val prior = manifestLines(spark, root, base)
+    val snap = read(spark, root, Some(base))
+    // NDV eligibility: the same loud all-or-nothing posture as
+    // ndvRepinCommit (an explicit pin naming an unsketchable column
+    // must refuse, not silently store a name that never produces
+    // coverage)
+    val lower = snap.columns.map(_.toLowerCase).toSet
+    val missing = cols.filterNot(c => lower.contains(c.toLowerCase))
+    require(missing.isEmpty,
+      s"NDV column(s) not in table schema: ${missing.mkString(", ")}")
+    val ndvEligible = NdvStats.eligibleCols(snap.schema, cols)
+    if (cols.nonEmpty) {
+      val el = ndvEligible.map(_.name.toLowerCase).toSet
+      val ineligible = cols.filterNot(c => el.contains(c.toLowerCase))
+      require(ineligible.isEmpty,
+        s"column(s) not sketchable for NDV (unsupported type): " +
+          ineligible.mkString(", "))
+    }
+    require(ndvEligible.nonEmpty,
+      s"no sketchable column among ${snap.schema.simpleString}")
+    // quantile family: the STORED pin, narrowed to the columns the
+    // current schema still makes eligible
+    val kllPin = QuantileStats.pinnedCols(prior)
+    val kllPlan: Option[(Boolean, Seq[String])] = kllPin.flatMap {
+      case Nil => Some((true, QuantileStats.eligibleCols(snap.schema,
+        Seq.empty)))
+      case pin =>
+        val el = QuantileStats.eligibleCols(snap.schema, pin)
+        val dropped = pin.filterNot(c =>
+          el.exists(_.equalsIgnoreCase(c)))
+        if (dropped.nonEmpty) statsLog.warn(
+          s"ANALYZE narrows the quantile pin of $root: column(s) " +
+            s"${dropped.mkString(", ")} vanished or became ineligible " +
+            s"via schema evolution; re-pinning ${el.mkString(", ")}")
+        if (el.isEmpty) {
+          statsLog.warn(s"quantile pin of $root has NO surviving " +
+            "eligible column — family left untouched (disable or " +
+            "re-pin explicitly)")
+          None
+        } else Some((false, el))
+    }
+    val kllCols = kllPlan.map(_._2).getOrElse(Seq.empty)
+    // bloom family: pin verbatim, sidecars rebuilt for the pinned
+    // columns the schema still supports
+    val bloomEligible = BloomSkipping.pinnedCols(prior)
+      .map(BloomSkipping.eligibleCols(snap.schema, _))
+      .getOrElse(Seq.empty)
+    val byDirStats = statsByDir(spark, root, Some(base))
+    val rowsByFile = byDirStats.values.flatten
+      .map(f => f.path -> f.rows).toMap
+    val (ndvLines, kllLines) = CommitStats.groupedPass(spark, snap,
+      ndvEligible, kllCols, bloomEligible, new Path(root, "data"),
+      rowsByFile)
+    val kllActive = kllPlan.isDefined
+    val body = prior.filterNot(l =>
+      l.startsWith("#op:") || l.startsWith("#txn:") ||
+        l.startsWith(NdvStats.PinPrefix) ||
+        l.startsWith(NdvStats.LinePrefix) ||
+        (kllActive && (l.startsWith(QuantileStats.PinPrefix) ||
+          l.startsWith(QuantileStats.LinePrefix))))
+    val ndvPinLine = NdvStats.PinPrefix +
+      (if (cols.isEmpty) "*" else cols.mkString(","))
+    val kllPinLine = kllPlan.map { case (star, el) =>
+      QuantileStats.PinPrefix + (if (star) "*" else el.mkString(","))
+    }.toSeq
+    writeManifest(spark, root, base + 1,
+      ("#op:analyze" +: body :+ ndvPinLine) ++ kllPinLine ++
+        ndvLines ++ kllLines)
+    if (bloomEligible.nonEmpty)
+      BloomSkipping.invalidateUnder(new Path(root, "data").toString)
     base + 1
   }
 

@@ -119,4 +119,129 @@ class CommitStatsSpec extends SparkSpec {
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
+
+  test("FUSED ANALYZE (repinStats): one pass + ONE manifest " +
+    "transition produces per-dir lines equivalent to the sequential " +
+    "per-family repins, and rebuilds bloom sidecars") {
+    val tmp = java.nio.file.Files.createTempDirectory("fusedrepin")
+    try {
+      def build(at: String): String = {
+        val root = tmp.resolve(at).toString
+        def rows(from: Long, n: Long) = spark.range(from, from + n)
+          .select(col("id").as("doc_id"),
+            md5(col("id").cast("string")).as("fp"),
+            (col("id") % 997).as("n_chars"))
+        VersionedTable.init(spark, root, rows(0, 2000))
+        VersionedTable.append(spark, root, rows(2000, 1500), 0)
+        root
+      }
+      val fusedRoot = build("fused")
+      val seqRoot = build("seq")
+      // pre-pin both the same way so the repins start identical
+      Seq(fusedRoot, seqRoot).foreach { r =>
+        VersionedTable.enableNdvStats(spark, r, Seq("doc_id"))
+        VersionedTable.enableQuantileStats(spark, r, Seq("n_chars"))
+        VersionedTable.enableBloomFilters(spark, r, Seq("fp"))
+      }
+      val vBefore = VersionedTable.latestVersion(spark, fusedRoot)
+      val vAfter = VersionedTable.repinStats(spark, fusedRoot,
+        Seq("doc_id"))
+      assert(vAfter == vBefore + 1,
+        "fused ANALYZE must commit exactly ONE version")
+      VersionedTable.repinNdvStats(spark, seqRoot, Seq("doc_id"))
+      VersionedTable.repinQuantileStats(spark, seqRoot, Seq("n_chars"))
+      // the same-content fixtures were committed through the same
+      // sequence, so dir CONTENTS correspond even though uuid names
+      // differ — compare the family outputs, not the raw lines
+      val fusedNdv = VersionedTable.tableNdv(spark, fusedRoot)
+      val seqNdv = VersionedTable.tableNdv(spark, seqRoot)
+      assert(fusedNdv.keySet == seqNdv.keySet && fusedNdv.nonEmpty)
+      assert(fusedNdv("doc_id") == seqNdv("doc_id"),
+        s"HLL union is content-associative: fused $fusedNdv must " +
+          s"equal sequential $seqNdv exactly")
+      val fm = VersionedTable.tableColumnSketch(spark, fusedRoot,
+        "n_chars").get.getQuantile(0.5)
+      val sm = VersionedTable.tableColumnSketch(spark, seqRoot,
+        "n_chars").get.getQuantile(0.5)
+      assert(math.abs(fm - sm) <= 30,
+        s"fused KLL median $fm must match sequential $sm within rank " +
+          "error")
+      // pins present and correct in the ONE new manifest
+      assert(VersionedTable.ndvColumns(spark, fusedRoot)
+        .contains(Seq("doc_id")))
+      assert(VersionedTable.quantileColumns(spark, fusedRoot)
+        .contains(Seq("n_chars")))
+      // bloom sidecars rebuilt: point lookups prune
+      val probe = spark.range(42, 43)
+        .select(md5(col("id").cast("string"))).head.getString(0)
+      val schema = VersionedTable.read(spark, fusedRoot).schema
+      val pred = VersionedTable.resolveCondition(spark, schema,
+        col("fp") === probe).get
+      val (_, pruned, covered) = VersionedTable.prunedPaths(
+        spark, fusedRoot, pred)
+      assert(covered > 0 && pruned > 0,
+        s"fused ANALYZE must rebuild sidecars that prune " +
+          s"($pruned/$covered)")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("FUSED ANALYZE heals doctored-domain sketches AND sidecars in " +
+    "one commit; a quantile pin narrowed to nothing leaves that " +
+    "family untouched instead of half-applying") {
+    val tmp = java.nio.file.Files.createTempDirectory("fusedheal")
+    try {
+      val root = tmp.resolve("t").toString
+      def rows(from: Long, n: Long) = spark.range(from, from + n)
+        .select(col("id").as("doc_id"),
+          md5(col("id").cast("string")).as("fp"),
+          (col("id") % 997).as("n_chars"))
+      VersionedTable.init(spark, root, rows(0, 2000))
+      VersionedTable.enableNdvStats(spark, root, Seq("doc_id"))
+      VersionedTable.enableQuantileStats(spark, root, Seq("n_chars"))
+      VersionedTable.enableBloomFilters(spark, root, Seq("fp"))
+      // doctor every sidecar to a FUTURE probe domain (coverage
+      // reads absent) — one fused ANALYZE must restore everything
+      VersionedTable.dataDirs(spark, root).foreach { d =>
+        val p = new java.io.File(d, BloomSkipping.SidecarName).toPath
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        buf.putInt(8, buf.getInt(8) + 1)
+        java.nio.file.Files.write(p, bytes)
+        new java.io.File(new java.io.File(d),
+          s".${BloomSkipping.SidecarName}.crc").delete()
+      }
+      BloomSkipping.invalidateUnder(root)
+      val probe = spark.range(7, 8)
+        .select(md5(col("id").cast("string"))).head.getString(0)
+      val schema = VersionedTable.read(spark, root).schema
+      val pred = VersionedTable.resolveCondition(spark, schema,
+        col("fp") === probe).get
+      assert(VersionedTable.prunedPaths(spark, root, pred)._2 == 0,
+        "doctored sidecars must read as no coverage")
+      VersionedTable.repinStats(spark, root, Seq("doc_id"))
+      assert(VersionedTable.prunedPaths(spark, root, pred)._2 > 0,
+        "one fused ANALYZE must rebuild current-domain sidecars")
+      assert(VersionedTable.tableNdv(spark, root).contains("doc_id"))
+      assert(VersionedTable.tableColumnSketch(spark, root, "n_chars")
+        .isDefined)
+      // narrowed-to-nothing: a full rewrite that drops the pinned
+      // quantile column leaves a pin with no eligible target — the
+      // fused ANALYZE must still repin NDV, keep the stale quantile
+      // pin VISIBLE (not silently drop it), and not throw
+      VersionedTable.commit(spark, root,
+        VersionedTable.read(spark, root).drop("n_chars"),
+        expectedVersion = VersionedTable.latestVersion(spark, root))
+      val v = VersionedTable.repinStats(spark, root, Seq("doc_id"))
+      assert(VersionedTable.ndvColumns(spark, root, Some(v))
+        .contains(Seq("doc_id")))
+      assert(VersionedTable.quantileColumns(spark, root, Some(v))
+        .contains(Seq("n_chars")),
+        "a pin narrowed to nothing stays visible for the DBA to " +
+          "disable or re-target")
+      assert(VersionedTable.tableNdv(spark, root, Some(v))
+        .contains("doc_id"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
 }
