@@ -27,6 +27,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   CREATE MATERIALIZED VIEW graft.mv AS
   *     SELECT k, count(*) AS c FROM graft.docs GROUP BY k
   *   REFRESH MATERIALIZED VIEW graft.mv [FULL]     -- O(delta) fold
+  *   ALTER MATERIALIZED VIEW graft.mv FOLLOW [STOP]-- per-commit stream
   * }}}
   *
   * The injected parser intercepts EXACTLY these statement
@@ -172,6 +173,10 @@ object GraftSqlParser {
     (s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Ident""" +
       """(\s+FULL)?\s*;?\s*""").r
 
+  private val AlterMvFollowRe: Regex =
+    (s"""(?is)\\s*ALTER\\s+MATERIALIZED\\s+VIEW\\s+$Ident""" +
+      """\s+FOLLOW(\s+STOP)?\s*;?\s*""").r
+
   private[sources] def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(p =>
       if (p.startsWith("`") && p.endsWith("`")) p.drop(1).dropRight(1)
@@ -212,6 +217,8 @@ object GraftSqlParser {
     case RefreshMvRe(ident, full) =>
       Some(GraftRefreshMaterializedViewCommand(parts(ident),
         full != null))
+    case AlterMvFollowRe(ident, stop) =>
+      Some(GraftMvFollowCommand(parts(ident), stop != null))
     case _ => None
   }
 
@@ -503,6 +510,69 @@ case class GraftRefreshMaterializedViewCommand(nameParts: Seq[String],
     Seq(Row(r.fromBase.toLong, r.toBase.toLong, r.mvVersion.toLong,
       r.refreshed, r.appendOnly))
   }
+}
+
+/** `ALTER MATERIALIZED VIEW g.mv FOLLOW [STOP]` — the SQL spelling
+  * of [[graft.streaming.Streams.followMaterializedView]]: FOLLOW
+  * starts the per-commit refresh stream (a `triggerOnly` Structured
+  * Streaming query — zero-row batches, refresh reads the CDF plane)
+  * and STOP ends it.
+  *
+  * Query-lifecycle ownership: the query registers in SPARK'S OWN
+  * `StreamingQueryManager` (`spark.streams`) under a deterministic
+  * name derived from the view's root — no registry of this
+  * library's, so every surface a DBA already uses (`spark.streams
+  * .active`, the streaming UI, `awaitAnyTermination`) sees and can
+  * manage the follow, and the query dies with the session exactly
+  * like any other unnamed-checkpoint stream. STOP resolves the name
+  * through the same manager. Exactly-once needs no checkpoint here
+  * (each refresh commits atomically with its watermark `#txn:`
+  * marker, so a re-fired trigger no-ops); a caller who wants
+  * restart-without-retrigger semantics uses the programmatic
+  * spelling with an explicit checkpoint. A second FOLLOW while one
+  * is active refuses, naming STOP; STOP with none active refuses. */
+case class GraftMvFollowCommand(nameParts: Seq[String], stop: Boolean)
+    extends LeafRunnableCommand with GraftMaintenanceCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("query_name", StringType, nullable = false)(),
+    AttributeReference("query_id", StringType, nullable = false)(),
+    AttributeReference("active",
+      org.apache.spark.sql.types.BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, nameParts)
+    val name = GraftMvFollowCommand.queryNameFor(root)
+    val existing = spark.streams.active.find(q => q.name == name)
+    if (stop) {
+      val q = existing.getOrElse(throw new IllegalStateException(
+        s"no active FOLLOW for ${nameParts.mkString(".")} in this " +
+          "session — start one with ALTER MATERIALIZED VIEW " +
+          s"${nameParts.mkString(".")} FOLLOW"))
+      q.stop()
+      Seq(Row(name, q.id.toString, false))
+    } else {
+      existing.foreach(q => throw new IllegalStateException(
+        s"${nameParts.mkString(".")} is already being followed by " +
+          s"query ${q.id} — ALTER MATERIALIZED VIEW " +
+          s"${nameParts.mkString(".")} FOLLOW STOP first"))
+      val q = graft.streaming.Streams.followMaterializedView(
+        spark, root, queryName = Some(name))
+      Seq(Row(name, q.id.toString, true))
+    }
+  }
+}
+
+object GraftMvFollowCommand {
+  /** Deterministic per-root query name — what makes FOLLOW/STOP a
+    * pure function of the view identity instead of a handle the
+    * session would have to hold. */
+  def queryNameFor(root: String): String =
+    "graft-mv-follow-" + java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(new org.apache.hadoop.fs.Path(root).toString
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
 }
 
 /** `ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS | FOR COLUMNS

@@ -546,7 +546,8 @@ object Streams {
     * correctness. The returned query runs until stopped; use
     * `processAllAvailable()` to drain synchronously. */
   def followMaterializedView(spark: SparkSession, mvRoot: String,
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      queryName: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val base = graft.sources.MaterializedView
       .definition(spark, mvRoot).base
@@ -557,8 +558,9 @@ object Streams {
       .foreachBatch { (_: DataFrame, _: Long) =>
         graft.sources.MaterializedView.refresh(spark, mvRoot): Unit
       }
-    checkpointDir.map(writer.option("checkpointLocation", _))
-      .getOrElse(writer)
+    val named = queryName.map(writer.queryName).getOrElse(writer)
+    checkpointDir.map(named.option("checkpointLocation", _))
+      .getOrElse(named)
       .start()
   }
 

@@ -358,4 +358,53 @@ class GraftSqlExtensionsSpec extends SparkSpec {
       .head.getString(0).contains("2"))
     spark.sql("DROP TABLE gext.mvw")
   }
+
+  test("ALTER MATERIALIZED VIEW ... FOLLOW [STOP]: the query lives " +
+    "in Spark's own StreamingQueryManager under a deterministic " +
+    "name — FOLLOW starts it, commits on the base refresh the view, " +
+    "double-FOLLOW and orphan STOP refuse, STOP ends it") {
+    wh
+    spark.sql("CREATE TABLE gext.fb (k STRING, x BIGINT)")
+    spark.sql("INSERT INTO gext.fb VALUES ('a', 1), ('b', 5)")
+    spark.sql("CREATE MATERIALIZED VIEW gext.fmv AS " +
+      "SELECT k, count(*) AS cnt, sum(x) AS sx FROM gext.fb GROUP BY k")
+    val started = spark.sql(
+      "ALTER MATERIALIZED VIEW gext.fmv FOLLOW").head()
+    val qName = started.getString(0)
+    assert(started.getBoolean(2) && qName.startsWith("graft-mv-follow-"))
+    val q = spark.streams.active.find(_.name == qName)
+      .getOrElse(fail("FOLLOW must register in spark.streams"))
+    assert(q.id.toString == started.getString(1))
+    try {
+      // a second FOLLOW refuses, naming STOP
+      val e = intercept[Exception] {
+        spark.sql("ALTER MATERIALIZED VIEW gext.fmv FOLLOW").collect()
+      }
+      assert((e.getMessage + Option(e.getCause).map(_.getMessage)
+        .getOrElse("")).contains("FOLLOW STOP"))
+      // a base commit lands in the view without any REFRESH statement
+      spark.sql("INSERT INTO gext.fb VALUES ('a', 9), ('c', 3)")
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k, cnt, sx FROM gext.fmv ORDER BY k")
+        .collect().toSeq ==
+        spark.sql("SELECT k, count(*) AS cnt, sum(x) AS sx " +
+          "FROM gext.fb GROUP BY k ORDER BY k").collect().toSeq,
+        "a follow must fold the commit without an explicit REFRESH")
+    } finally if (q.isActive) q.stop()
+    // restart cleanly after a manual stop, then STOP via SQL
+    spark.sql("ALTER MATERIALIZED VIEW gext.fmv FOLLOW").collect()
+    val stopped = spark.sql(
+      "ALTER MATERIALIZED VIEW gext.fmv FOLLOW STOP").head()
+    assert(!stopped.getBoolean(2))
+    assert(!spark.streams.active.exists(_.name == qName),
+      "STOP must terminate the registered query")
+    // STOP with nothing active refuses, naming FOLLOW
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER MATERIALIZED VIEW gext.fmv FOLLOW STOP").collect()
+    }
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage)
+      .getOrElse("")).contains("no active FOLLOW"))
+    spark.sql("DROP TABLE gext.fmv")
+    spark.sql("DROP TABLE gext.fb")
+  }
 }
