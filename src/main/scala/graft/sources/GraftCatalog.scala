@@ -146,10 +146,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           return localTable(ident.toString, mvDf(p.toString))
         case "retention" =>
           // the vacuum sizing table: per candidate keepVersions, the
-          // versions/dirs/bytes a vacuum at that setting reclaims —
+          // versions/dirs/bytes a vacuum at that setting reclaims,
+          // plus the registered consumers it would starve —
           // O(versions × manifest) driver work, never a cluster job
           return localTable(ident.toString,
             VersionedTable.retentionSchedule(spark, p.toString))
+        case "consumers" =>
+          // the advisory consumer-floor registry (who published
+          // "I still need version >= X", and when)
+          return localTable(ident.toString,
+            VersionedTable.consumerFloors(spark, p.toString))
         case _ => throw new NoSuchTableException(ident)
       }
     }

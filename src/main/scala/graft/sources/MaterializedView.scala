@@ -526,11 +526,30 @@ object MaterializedView {
     val acc = VersionedTable.read(spark, mvRoot, version)
       .select(d.keys.map(col) ++ accColNames(d).map(col): _*)
     // an all-keys "rollup" is just the view; re-grouping is harmless
-    // but the empty-keys global rollup needs the no-key groupBy path.
-    // Serve ONLY the user-facing columns — a rollup result is never
-    // committed, so the __mv_* accumulators stay behind the curtain
-    foldAccumulators(acc, coarse)
+    // but the empty-keys global rollup needs the no-key groupBy path
+    // — and, like SQL's global aggregation, always yields its one
+    // row (COUNT 0 over an empty or fully-deleted view), so the
+    // cnt>0 group filter only applies when keys remain. Serve ONLY
+    // the user-facing columns — a rollup result is never committed,
+    // so the __mv_* accumulators stay behind the curtain
+    foldAccumulators(acc, coarse, dropEmpty = keys.nonEmpty)
       .select(keys.map(col) ++ servedCols(coarse): _*)
+  }
+
+  /** Publish this view's refresh watermark into the BASE's consumer
+    * registry ([[VersionedTable.publishConsumerFloor]]) under the id
+    * `mv:<view-dir-name>` — the one-call spelling of the retention
+    * convention for views: a base vacuum keeping versions ≥ the
+    * published floor can never break the next refresh's delta read.
+    * Deliberately NOT automatic on refresh (a registry commit per
+    * refresh would tax the commit-to-dashboard path for a
+    * capacity-planning signal); call it at whatever cadence
+    * retention planning reviews `$retention`. */
+  def publishFloor(spark: SparkSession, mvRoot: String): Unit = {
+    val d = readDef(spark, mvRoot)
+    VersionedTable.publishConsumerFloor(spark, d.base,
+      "mv:" + new org.apache.hadoop.fs.Path(mvRoot).getName,
+      watermark(spark, mvRoot))
   }
 
   // ---- internals ---------------------------------------------------
@@ -580,8 +599,17 @@ object MaterializedView {
 
   /** Re-group a union of accumulator frames (state ∪ delta) and drop
     * groups whose live row count reached zero. NULL keys group
-    * natively — this is why the fold is a union+group, not a join. */
-  private def foldAccumulators(acc: DataFrame, d: MvDef): DataFrame = {
+    * natively — this is why the fold is a union+group, not a join.
+    *
+    * `dropEmpty = false` is the EMPTY-KEYS rollup's spelling: SQL's
+    * global aggregation always yields exactly one row (COUNT 0 over
+    * an empty input), so the lone no-key group must survive with its
+    * count coalesced to 0 instead of being filtered — otherwise a
+    * global rollup over a fully-deleted view would be distinguishable
+    * from aggregating the base directly. Keyed folds keep the filter:
+    * a keyed SQL aggregate has no row for a vanished group. */
+  private def foldAccumulators(acc: DataFrame, d: MvDef,
+      dropEmpty: Boolean = true): DataFrame = {
     val folded: Seq[Column] = sum(col(cntCol)).as(cntCol) +:
       d.aggs.flatMap {
         case MvCount(_) => Seq.empty[Column]
@@ -593,9 +621,10 @@ object MaterializedView {
           sum(col(sumCol(a.as))).cast(SumType).as(sumCol(a.as)),
           sum(col(nnCol(a.as))).as(nnCol(a.as)))
       }
-    acc.groupBy(d.keys.map(col): _*)
+    val grouped = acc.groupBy(d.keys.map(col): _*)
       .agg(folded.head, folded.tail: _*)
-      .filter(col(cntCol) > 0L)
+    if (dropEmpty) grouped.filter(col(cntCol) > 0L)
+    else grouped.withColumn(cntCol, coalesce(col(cntCol), lit(0L)))
   }
 
   // ---- definition persistence --------------------------------------

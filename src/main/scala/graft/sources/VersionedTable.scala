@@ -515,7 +515,7 @@ object VersionedTable {
     * setting would reclaim — versions dropped, commit dirs no kept
     * manifest references, their file count and bytes. The DBA's
     * sizing table for the storage-vs-time-travel trade: read it,
-    * pick the row whose `bytes_reclaimed` pays for the history you
+    * pick the row whose `bytes_reclaimable` pays for the history you
     * lose, and run `vacuum(keepVersions = k)`. Served in SQL as
     * `graft.`t$retention``.
     *
@@ -530,6 +530,63 @@ object VersionedTable {
     * materialized view's watermark live in THEIR state, not the
     * base's manifests) — keep `keepVersions` above your slowest
     * consumer's lag, as [[vacuum]]'s scaladoc prescribes. */
+  // ---- consumer-floor registry (advisory) ---------------------------
+
+  private def consumersRoot(root: String): String =
+    new Path(root, "_consumers").toString
+
+  /** PUBLISH a consumer's version floor — the documented convention
+    * that closes [[retentionSchedule]]'s blind spot: readers'
+    * positions (a streaming checkpoint's offset, a materialized
+    * view's watermark, a CDC tail's marker) live in THEIR state, not
+    * the base's manifests, so the schedule alone cannot know which
+    * keepVersions settings would starve a lagging consumer. Any
+    * reader MAY publish `floorVersion` ("I still need version ≥
+    * this") under a stable `consumer` id; the registry is itself a
+    * tiny versioned table at `<root>/_consumers` (underscore-named —
+    * invisible to data scans, same commit protocol, no new
+    * contract), and [[retentionSchedule]] joins it into a
+    * `consumers_behind` column. ADVISORY by design: vacuum never
+    * reads the registry (an abandoned consumer id must not pin
+    * storage forever — the DBA sees the stale floor in
+    * [[consumerFloors]] and decides), and unregistered readers
+    * remain governed by the keep-horizon rule in [[vacuum]]'s
+    * scaladoc. [[MaterializedView.publishFloor]] is the one-call
+    * spelling for views. */
+  def publishConsumerFloor(spark: SparkSession, root: String,
+      consumer: String, floorVersion: Int): Unit = {
+    require(consumer.nonEmpty, "consumer id must be non-empty")
+    import spark.implicits._
+    val creg = consumersRoot(root)
+    val row = Seq((consumer, floorVersion.toLong,
+      new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDF("consumer", "floor_version", "published_at")
+    withRetry() {
+      if (latestVersion(spark, creg) < 0)
+        scala.util.Try(init(spark, creg, row)).getOrElse {
+          // lost the init race: fall through to the merge path
+          merge(spark, creg,
+            row.withColumn("op", org.apache.spark.sql.functions
+              .lit("U")), "consumer")
+        }: Unit
+      else merge(spark, creg,
+        row.withColumn("op", org.apache.spark.sql.functions
+          .lit("U")), "consumer"): Unit
+    }
+  }
+
+  /** The registered consumer floors of `root` — empty when no reader
+    * ever published. One row per consumer id, latest floor wins (the
+    * registry is merge-by-key). */
+  def consumerFloors(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val creg = consumersRoot(root)
+    if (latestVersion(spark, creg) < 0)
+      Seq.empty[(String, Long, java.sql.Timestamp)]
+        .toDF("consumer", "floor_version", "published_at")
+    else read(spark, creg)
+  }
+
   def retentionSchedule(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val latest = latestVersion(spark, root)
@@ -559,6 +616,16 @@ object VersionedTable {
     var nFiles = dropped.valuesIterator.map(_._1).sum
     var nBytes = dropped.valuesIterator.map(_._2).sum
     var idx = 0
+    // registered consumer floors (the publish convention): a row's
+    // `consumers_behind` counts REGISTERED consumers whose floor sits
+    // below its earliest kept version — i.e. consumers a vacuum at
+    // that setting would starve. Unregistered readers are invisible
+    // here by design; 0 means "no registered objection", not "safe".
+    val floors: Seq[Long] =
+      if (fs.exists(new Path(consumersRoot(root))))
+        consumerFloors(spark, root).select("floor_version")
+          .collect().map(_.getLong(0)).toSeq
+      else Seq.empty
     val rows = (1 to math.max(live.size, 1)).map { k =>
       val keepFrom = math.max(0, latest - k + 1)
       while (idx < byDesc.length && byDesc(idx)._1 >= keepFrom) {
@@ -569,11 +636,12 @@ object VersionedTable {
         }
         idx += 1
       }
-      (k, keepFrom, (byDesc.length - idx).toLong, nDirs, nFiles, nBytes)
+      (k, keepFrom, (byDesc.length - idx).toLong, nDirs, nFiles, nBytes,
+        floors.count(_ < keepFrom).toLong)
     }
     rows.toDF("keep_versions", "earliest_kept_version",
       "versions_dropped", "dirs_dropped", "files_dropped",
-      "bytes_reclaimed")
+      "bytes_reclaimable", "consumers_behind")
   }
 
   // the unreferenced, aged-out data dirs vacuum would delete, plus the

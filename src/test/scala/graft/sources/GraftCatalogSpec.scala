@@ -1139,10 +1139,23 @@ class GraftCatalogSpec extends SparkSpec {
     // re-reads as nothing-left-to-reclaim
     VersionedTable.vacuum(spark, root, keepVersions = 1,
       retainMillis = 0L)
-    val after = spark.sql("SELECT bytes_reclaimed FROM " +
+    val after = spark.sql("SELECT bytes_reclaimable FROM " +
       "graft.`rt_t$retention`").collect()
     assert(after.forall(_.getLong(0) == 0L))
     assert(spark.sql("SELECT * FROM graft.rt_t").count() == 2)
+    // the consumer-floor convention through SQL: $consumers serves
+    // the registry (empty before any publish), and $retention's
+    // consumers_behind counts the floors a setting would starve
+    assert(spark.sql("SELECT * FROM graft.`rt_t$consumers`")
+      .count() == 0)
+    // floor 0 = "I still need version 0", which the vacuum above
+    // already dropped — every schedule row now reports it starved
+    VersionedTable.publishConsumerFloor(spark, root, "dash", 0)
+    assert(spark.sql(
+      "SELECT floor_version FROM graft.`rt_t$consumers` " +
+        "WHERE consumer = 'dash'").as[Long].head == 0L)
+    assert(spark.sql("SELECT max(consumers_behind) FROM " +
+      "graft.`rt_t$retention`").as[Long].head == 1L)
   }
 
   test("SQL RENAME COLUMN refuses with the rewrite spelling and the " +

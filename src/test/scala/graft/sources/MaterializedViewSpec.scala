@@ -595,6 +595,38 @@ class MaterializedViewSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("global rollup over an EMPTY (fully-deleted) view matches " +
+    "SQL's global aggregation: exactly one row, COUNT 0, NULL sums " +
+    "— keyed rollups still drop vanished groups") {
+    val dir = tmp("mv_rollup_empty")
+    try {
+      val base = dir.resolve("base").toString
+      val mv = dir.resolve("mv").toString
+      VersionedTable.init(spark, base,
+        Seq(("a", 1L), ("b", 2L)).toDF("k", "x"))
+      // SUM/COUNT/AVG only: the view must fold the full delete
+      MV.create(spark, mv, base, Seq("k"),
+        Seq(MV.MvCount("cnt"), MV.MvSum("x", "sum_x"),
+          MV.MvAvg("x", "avg_x")))
+      VersionedTable.delete(spark, base, lit(true))
+      MV.refresh(spark, mv)
+      // keyed: SQL has no row for a vanished group
+      assert(MV.rollup(spark, mv, Seq("k")).count() == 0)
+      // global: SQL always yields its one row
+      val g = MV.rollup(spark, mv, Seq.empty).collect().toSeq
+      assert(g.size == 1, s"global rollup must yield one row, got $g")
+      assert(g.head.getLong(0) == 0L && g.head.isNullAt(1) &&
+        g.head.isNullAt(2),
+        s"COUNT 0, NULL SUM/AVG over the empty view, got ${g.head}")
+      // and it matches aggregating the (empty) base directly
+      val direct = VersionedTable.read(spark, base)
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("x")).cast("long").as("sum_x"),
+          avg(col("x")).as("avg_x")).collect().toSeq
+      assert(g == direct)
+    } finally rm(dir)
+  }
+
   test("base schema evolution: a post-evolution refresh folds the " +
     "evolved rows (extra columns are harmless), an epoch-SPANNING " +
     "range fails loudly rather than wrongly, and fullRefresh recovers") {

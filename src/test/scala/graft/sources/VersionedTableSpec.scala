@@ -615,4 +615,53 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.widenColumnType(spark, root2, "k", LongType)
     }.getMessage.contains("disableBucketing"))
   }
+
+  test("consumer-floor registry: readers publish advisory floors, " +
+    "the retention schedule counts who a setting would starve, and " +
+    "vacuum deliberately ignores the registry") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a")) // v0
+    VersionedTable.append(spark, root, snapshot(2L -> "b"), 0) // v1
+    VersionedTable.append(spark, root, snapshot(3L -> "c"), 1) // v2
+    VersionedTable.publishConsumerFloor(spark, root, "tail-a", 1)
+    // an MV publishes its watermark with one call, under mv:<name>
+    val mvRoot = new java.io.File(
+      new java.io.File(root).getParentFile, "mv").getAbsolutePath
+    MaterializedView.create(spark, mvRoot, root, Seq("body"),
+      Seq(MaterializedView.MvCount("cnt")))
+    MaterializedView.refresh(spark, mvRoot)
+    MaterializedView.publishFloor(spark, mvRoot)
+    val floors = VersionedTable.consumerFloors(spark, root)
+      .select("consumer", "floor_version")
+      .as[(String, Long)].collect().toMap
+    assert(floors("tail-a") == 1L && floors("mv:mv") == 2L,
+      s"got $floors")
+    // merge-by-key: re-publishing replaces, never duplicates
+    VersionedTable.publishConsumerFloor(spark, root, "tail-a", 0)
+    val floors2 = VersionedTable.consumerFloors(spark, root)
+    assert(floors2.count() == 2)
+    assert(floors2.filter(col("consumer") === "tail-a")
+      .select("floor_version").as[Long].head == 0L)
+    // the schedule: keeping everything starves nobody; keeping only
+    // the live version (earliest kept 2) starves exactly the floor-0
+    // consumer — the mv's floor 2 is still satisfied
+    val sched = VersionedTable.retentionSchedule(spark, root)
+      .orderBy("keep_versions").collect()
+    assert(sched.head.getLong(6) == 1L,
+      s"keep=1 must report 1 consumer behind, got ${sched.head}")
+    assert(sched.last.getLong(6) == 0L,
+      "keeping the full history starves no registered consumer")
+    // ADVISORY: vacuum still runs regardless (an abandoned id must
+    // not pin storage), and the registry survives the vacuum
+    VersionedTable.vacuum(spark, root, keepVersions = 1,
+      retainMillis = 0L)
+    assert(VersionedTable.earliestVersion(spark, root) == 2)
+    assert(VersionedTable.consumerFloors(spark, root).count() == 2)
+    // a base without any registry serves an EMPTY frame, not an error
+    val bare = freshRoot()
+    VersionedTable.init(spark, bare, snapshot(1L -> "x"))
+    assert(VersionedTable.consumerFloors(spark, bare).count() == 0)
+    assert(VersionedTable.retentionSchedule(spark, bare)
+      .select("consumers_behind").as[Long].collect().forall(_ == 0L))
+  }
 }
