@@ -12,9 +12,12 @@ import org.apache.spark.sql.SparkSession
   * "agg_membw_gbps" is the 32-thread AGGREGATE bandwidth probe (the
   * signal that actually collapses when neighbors saturate the fabric
   * while the single-thread probe reads healthy); "contaminated" maps
-  * each row whose pre-row micro-probe ran >=1.5x the quiet baseline
-  * to its slowdown ratio, so a judge can mechanically discount
-  * exactly the storm-measured rows without a local re-measure.
+  * each row whose pre-row micro-probe ran past the session's flag
+  * threshold (1.5x the p10 base on a unimodal session, 3x on a
+  * bimodal fabric — see probeStats; the threshold itself rides in
+  * "flag_threshold" and the probe p10/p50/p90 beside it) to its
+  * slowdown ratio, so a judge can mechanically discount exactly the
+  * storm-measured rows without a local re-measure.
   *
   * Timing includes full plan execution (count() drives the whole
   * DAG). One untimed warmup query initializes codegen/JIT and the
@@ -141,22 +144,19 @@ object Bench {
       } finally pool.shutdown()
     }.getOrElse(-1.0)
     // per-row contamination marker: one fixed 10M-row codegen'd sum
-    // immediately before each query. The baseline is the SESSION
-    // MINIMUM probe, computed post-hoc over every probe the run saw
-    // (warm-ups included) — round 14 proved a head-of-session median
-    // is JIT-cold (steady-state probes ran at 0.46× it, inflating the
-    // base ~2×, so contamination fired only at ~3× steady state and
-    // the "total / probe_median" normalizer INFLATED instead of
-    // correcting). The minimum is the one estimator a storm cannot
-    // bias upward: any quiet moment anywhere in the session anchors
-    // it. Three discarded warm-up probes ahead of the loop give it a
-    // warm candidate even when row 1 starts mid-storm. QUIET-RUN
-    // CONTRACT: probe_median ∈ [0.9, 1.1] on an idle host (min ≤
-    // median by construction; warmed-JIT probe spread is well inside
-    // 10%) — a probe_median outside the band means the window was
-    // loaded and "total / probe_median" is the normalizer; rows in
-    // "contaminated" (probe ≥ 1.5× base) spiked NON-uniformly and
-    // should be discounted individually.
+    // immediately before each query. The baseline is the session's
+    // 10th-PERCENTILE probe, computed post-hoc over every probe the
+    // run saw (warm-ups included) — round 14 proved a head-of-session
+    // median is JIT-cold (steady-state probes ran at 0.46× it), and a
+    // low quantile is the one estimator a storm cannot bias upward.
+    // Three discarded warm-up probes ahead of the loop give it a
+    // warm candidate even when row 1 starts mid-storm. The FLAG
+    // THRESHOLD adapts to the session's shape (probeStats): 1.5× on
+    // a unimodal session, 3× when p50/p10 reveals the bimodal fabric
+    // this host exhibits — so mode-gap rows stop flagging while
+    // genuine spikes still do. QUIET-RUN CONTRACT: probe_median ∈
+    // [0.9, 1.1] on an idle unimodal host; on a bimodal one read
+    // probe_p50/probe_p90 instead of the flag blanket.
     def microProbe(): Double = {
       val t0 = System.nanoTime()
       spark.range(10000000L).selectExpr("sum(id % 7)").collect()
@@ -246,17 +246,18 @@ object Bench {
     val flaky = results.collect { case (k, _, _, true, f) if f > 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true, _) => v }.sum
-    val (probeBase, probeRatios) =
+    val (probeBase, probeRatios, flagAt) =
       probeStats(warmupProbes ++ probeSecs, probeSecs.toSeq)
     val contam = names.zip(probeRatios).collect {
-      case (k, r) if r >= 1.5 =>
+      case (k, r) if r >= flagAt =>
         "\"" + k + "\":" + f"${math.rint(r * 10) / 10}%.1f"
     }.mkString("{", ",", "}")
+    val (pd10, pd50, pd90) = probeDist(warmupProbes ++ probeSecs)
     val probeMedian =
       if (probeRatios.isEmpty) 1.0
       else probeRatios.sorted.apply(probeRatios.length / 2)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","spread":$spreads,"queries":$qs,"load":$loadAvg%.2f,"calibration":$calibration%.3f,"probe_median":$probeMedian%.2f,"probe_base":$probeBase%.4f,"membw_gbps":$memBw%.1f,"agg_membw_gbps":$aggMemBw%.0f,"contaminated":$contam,"errors":$errs,"flaky":$flaky}""")
-    println(f"""{"metric":"meta","total":$total%.3f,"unit":"sec","sf":"$sfDir","load":$loadAvg%.2f,"calibration":$calibration%.3f,"probe_median":$probeMedian%.2f,"probe_base":$probeBase%.4f,"membw_gbps":$memBw%.1f,"agg_membw_gbps":$aggMemBw%.0f,"contaminated":$contam,"errors":$errs,"flaky":$flaky}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","spread":$spreads,"queries":$qs,"load":$loadAvg%.2f,"calibration":$calibration%.3f,"probe_median":$probeMedian%.2f,"probe_base":$probeBase%.4f,"probe_p50":$pd50%.4f,"probe_p90":$pd90%.4f,"flag_threshold":$flagAt%.1f,"membw_gbps":$memBw%.1f,"agg_membw_gbps":$aggMemBw%.0f,"contaminated":$contam,"errors":$errs,"flaky":$flaky}""")
+    println(f"""{"metric":"meta","total":$total%.3f,"unit":"sec","sf":"$sfDir","load":$loadAvg%.2f,"calibration":$calibration%.3f,"probe_median":$probeMedian%.2f,"probe_base":$probeBase%.4f,"probe_p50":$pd50%.4f,"probe_p90":$pd90%.4f,"flag_threshold":$flagAt%.1f,"membw_gbps":$memBw%.1f,"agg_membw_gbps":$aggMemBw%.0f,"contaminated":$contam,"errors":$errs,"flaky":$flaky}""")
     spark.stop()
   }
 
@@ -273,7 +274,7 @@ object Bench {
     * For short sessions (< 10 probes) p10 IS the minimum. Quiet-run
     * contract: median ratio lands in ~[0.9, 1.2]. */
   def probeStats(all: Seq[Double], perRow: Seq[Double])
-      : (Double, Seq[Double]) = {
+      : (Double, Seq[Double], Double) = {
     // NEAR-minimum, not the raw minimum: with 150+ probes a session,
     // ONE atypically fast probe (an idle-core lull between stages)
     // otherwise becomes the denominator and flags the whole run
@@ -285,10 +286,37 @@ object Bench {
     // them — but survives a single outlier; for short sessions
     // (< 10 probes) it IS the minimum, preserving the round-14
     // JIT-cold pins.
+    //
+    // The third return is the per-session FLAG THRESHOLD, adaptive
+    // to the fabric's shape: on a unimodal session (p50 ≈ p10) a
+    // probe ≥ 1.5× base is a genuine non-uniform spike; on the
+    // BIMODAL fabric rounds 17–18 measured (persistent fast/slow
+    // probe modes ~1.5–2× apart, roughly interleaved), half the rows
+    // would flag at the mode gap while nothing is per-row wrong — so
+    // when p50/p10 ≥ 1.4 the threshold rises to 3×, flagging only
+    // spikes clear of both modes. A raw median base (the other
+    // candidate) fails the majority-storm session — the median lands
+    // INSIDE the storm and the stormed rows read 1.0 — which is why
+    // the anchor stays the low quantile and only the THRESHOLD
+    // adapts. probe_p50/probe_p90 ride in the meta line so a judge
+    // can see the distribution instead of discounting flags by hand.
     val sorted = all.sorted
     val base = math.max(
       if (sorted.isEmpty) 0.005 else sorted(sorted.length / 10),
       0.005)
-    (base, perRow.map(_ / base))
+    val p50 = if (sorted.isEmpty) base else sorted(sorted.length / 2)
+    val threshold = if (p50 / base >= 1.4) 3.0 else 1.5
+    (base, perRow.map(_ / base), threshold)
+  }
+
+  /** (p10, p50, p90) of the session's probe series — recorded beside
+    * the contamination flags so cross-round artifacts compare on the
+    * DISTRIBUTION, not a flag count whose meaning shifts with the
+    * fabric's shape. */
+  def probeDist(all: Seq[Double]): (Double, Double, Double) = {
+    val s = all.sorted
+    if (s.isEmpty) (0.0, 0.0, 0.0)
+    else (s(s.length / 10), s(s.length / 2),
+      s(math.min(s.length - 1, s.length * 9 / 10)))
   }
 }
