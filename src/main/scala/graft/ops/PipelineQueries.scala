@@ -2162,6 +2162,42 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // FILE-GRANULAR DML carry end-to-end: ONE 8-file range-clustered
+  // commit (envelopes isolate a range predicate to a file subset),
+  // then a range delete — the affected dir SPLITS: clean files carry
+  // as in-place manifest file references (`dir/file.parquet`
+  // entries, zero bytes copied) and only the may-match files
+  // rewrite. In-gate canaries pin the split shape (most files carried
+  // as refs, exactly one fresh rewrite dir); the RESULT is hash-gated
+  // against DuckDB computing the delete's complement — the carry
+  // must be answer-invisible.
+  def pipelineVersionedFileCarry(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vfcarry")
+    val root = tmpRoot.resolve("tbl").toString
+    try {
+      val vt = graft.sources.VersionedTable
+      vt.init(s, root, base.repartitionByRange(8, col("doc_id")))
+      val thr = base.agg(max(col("doc_id"))).head.getLong(0) / 8L
+      val v = vt.delete(s, root, col("doc_id") <= thr)
+      val refs = vt.dataDirs(s, root, Some(v))
+        .map(p => p.substring(p.indexOf("/data/") + 6))
+      require(refs.count(_.contains('/')) >= 5,
+        s"the 8-file dir should split with most files carried in " +
+          s"place as file refs, got $refs")
+      require(refs.count(!_.contains('/')) == 1,
+        s"exactly one fresh rewrite dir expected, got $refs")
+      vt.read(s, root)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_sorted_neighborhood" -> dedupSortedNeighborhood _,
@@ -2177,6 +2213,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_versioned_skip" -> pipelineVersionedSkip _,
     "pipeline_versioned_count" -> pipelineVersionedCount _,
     "pipeline_versioned_delete" -> pipelineVersionedDelete _,
+    "pipeline_versioned_file_carry" -> pipelineVersionedFileCarry _,
     "pipeline_versioned_update" -> pipelineVersionedUpdate _,
     "pipeline_versioned_sql" -> pipelineVersionedSql _,
     "pipeline_versioned_stats" -> pipelineVersionedStats _,
@@ -2603,6 +2640,14 @@ object PipelineQueries extends QueryPack {
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents
         |WHERE doc_id < 450 AND NOT (doc_id BETWEEN 180 AND 260)
+        |ORDER BY doc_id""".stripMargin,
+    // the file-carry split is answer-invisible: the oracle is the
+    // delete's complement, threshold spelled with the same integer
+    // floor division (`//`) the Spark side computes
+    "pipeline_versioned_file_carry" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents
+        |WHERE doc_id > (SELECT max(doc_id) // 8 FROM documents)
         |ORDER BY doc_id""".stripMargin,
     // the SQL-catalog spelling of the same delete: one oracle, two
     // engine paths (programmatic and spark.sql-through-TableCatalog)
