@@ -486,6 +486,42 @@ object VersionedTable {
       carryStatsLines = carriedStatsLines(spark, root, base, big.toSet))
   }
 
+  /** Fold ONLY the file-granular references into one fresh commit
+    * dir, carrying every whole-dir reference by IDENTITY — the
+    * targeted antidote to DML-history fragmentation. A long run of
+    * point-DML accretes manifests holding many `dir/file.parquet`
+    * refs into old dirs; each ref keeps its parent dir alive (and,
+    * until every wholesale manifest ages out, its replaced siblings
+    * on disk). Folding re-homes exactly the carried rows at
+    * O(fragmented refs) I/O — never O(table) like [[compact]], and
+    * cheaper than [[compactSmall]] when the table's small dirs are
+    * fine but its ref list is long — after which vacuum can drop the
+    * old dirs entirely once older manifests age out.
+    * Data-equivalent by construction (`#op:compact_refs` rides the
+    * DataEquivalentOps contract: CDC and streaming serve it as an
+    * empty delta). Fewer than `minRefs` file references is a no-op
+    * returning the current version. */
+  def compactRefs(spark: SparkSession, root: String,
+      minRefs: Int = 2): Int = {
+    require(minRefs >= 1, s"minRefs must be positive, got $minRefs")
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    val refs = readManifest(spark, root, base)
+    val (fileRefs, wholeDirs) = refs.partition(refIsFile)
+    if (fileRefs.size < minRefs) return base
+    val dataRoot = new Path(root, "data")
+    val schema = cheapSchema(spark, root, base)
+      .getOrElse(read(spark, root, Some(base)).schema)
+    val folded = spark.read.schema(schema).parquet(
+      fileRefs.map(r => new Path(dataRoot, r).toString): _*)
+    commitDirs(spark, root, folded, base,
+      carryDirs = wholeDirs,
+      metaLines = manifestSchema(spark, root, base)
+        .map("#schema:" + _.json).toSeq :+ "#op:compact_refs",
+      carryStatsLines = carriedStatsLines(spark, root, base,
+        wholeDirs.toSet))
+  }
+
   /** What [[vacuum]] WOULD delete, without deleting — Delta's
     * `VACUUM ... DRY RUN`: one row per unreferenced commit dir older
     * than the retention horizon, with its file count and bytes. The
@@ -925,7 +961,7 @@ object VersionedTable {
     * own record of who committed — trusted the same way the dir list
     * is. */
   private[sources] val DataEquivalentOps: Set[String] =
-    Set("compact", "compact_small", "optimize")
+    Set("compact", "compact_small", "compact_refs", "optimize")
 
   private def changesDir(root: String) = new Path(root, "_changes")
 
@@ -1024,6 +1060,9 @@ object VersionedTable {
       s"bucketing already enabled on $root " +
         s"(${bucketSpec(spark, root, Some(base)).get}) — " +
         "disableBucketing first")
+    require(clusterSpec(spark, root, Some(base)).isEmpty,
+      s"$root is cluster-pinned — one physical layout authority per " +
+        "table; disableClustering first")
     val schema = cheapSchema(spark, root, base)
       .getOrElse(read(spark, root, Some(base)).schema)
     require(schema.fieldNames.exists(_.equalsIgnoreCase(key)),
@@ -1032,6 +1071,81 @@ object VersionedTable {
       .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:"))
     writeManifest(spark, root, base + 1,
       "#op:enable_bucketing" +: body :+ s"#bucketby:$numBuckets:$key")
+    base + 1
+  }
+
+  /** The pinned range-cluster column list of `version` (default
+    * latest), if any — see [[enableClustering]]. */
+  def clusterSpec(spark: SparkSession, root: String,
+      version: Option[Int] = None): Option[Seq[String]] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    if (v < 0) None
+    else manifestLines(spark, root, v)
+      .find(_.startsWith("#clusterby:"))
+      .map(_.stripPrefix("#clusterby:").split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty))
+  }
+
+  /** Pin RANGE CLUSTERING on `cols` — "liquid clustering lite" as a
+    * TABLE PROPERTY instead of a per-batch call: from the next
+    * commit on, every engine-side write path (append, the DML
+    * rewrite's replacement files, compact/compactSmall/compactRefs'
+    * folds) routes its output through [[cluster]] on the pinned
+    * columns, so file envelopes on them stay TIGHT as the table
+    * grows and churns. This is what keeps point-DML from slowly
+    * de-clustering a clustered table: the rewrite set is small
+    * (file-granular carry makes it minimal) and one range shuffle of
+    * exactly those rows per statement keeps the `#file:` stats
+    * prunable — O(batch) per commit, never O(table). METADATA-ONLY
+    * commit: existing dirs are not rewritten (enable-then-compact is
+    * the migration recipe, like bucketing's). Honest limits: the SQL
+    * row-level DML write (Spark's delegated writer) and streaming
+    * epochs bypass the engine-side write and stay unclustered until
+    * the next maintenance fold; a pinned column later dropped by
+    * schema evolution makes the pin a silent no-op for writes that
+    * lack it (the commit must not fail over a layout hint).
+    * Mutually exclusive with [[enableBucketing]] — one physical
+    * layout authority per table. */
+  def enableClustering(spark: SparkSession, root: String,
+      cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "name at least one cluster column")
+    cols.foreach(c => require(c.nonEmpty && !c.contains(':') &&
+      !c.contains(','), s"cluster column must be a plain name: '$c'"))
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    require(bucketSpec(spark, root, Some(base)).isEmpty,
+      s"$root is bucket-pinned — one physical layout authority per " +
+        "table; disableBucketing first")
+    require(clusterSpec(spark, root, Some(base)).isEmpty,
+      s"clustering already enabled on $root " +
+        s"(${clusterSpec(spark, root, Some(base)).get.mkString(",")}) — " +
+        "disableClustering first")
+    val schema = cheapSchema(spark, root, base)
+      .getOrElse(read(spark, root, Some(base)).schema)
+    val missing = cols.filterNot(c =>
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty, s"cluster column(s) not in table " +
+      s"schema: ${missing.mkString(", ")}")
+    val body = manifestLines(spark, root, base)
+      .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:"))
+    writeManifest(spark, root, base + 1,
+      "#op:enable_clustering" +: body :+
+        s"#clusterby:${cols.mkString(",")}")
+    base + 1
+  }
+
+  /** Drop the cluster pin (metadata-only; files keep their layout,
+    * later writes just stop range-shuffling). */
+  def disableClustering(spark: SparkSession, root: String): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"table $root has no committed version")
+    require(clusterSpec(spark, root, Some(base)).nonEmpty,
+      s"clustering is not enabled on $root")
+    val body = manifestLines(spark, root, base)
+      .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:") ||
+        l.startsWith("#clusterby:"))
+    writeManifest(spark, root, base + 1,
+      "#op:disable_clustering" +: body)
     base + 1
   }
 
@@ -1280,7 +1394,26 @@ object VersionedTable {
           .write.parquet(dataDir.toString)
         true
       case None =>
-        df.write.parquet(dataDir.toString) // invisible until manifest lands
+        // cluster pin: route the write through the range-cluster
+        // shuffle so this commit's files keep tight envelopes on the
+        // pinned columns — O(batch), the liquid-clustering-lite
+        // discipline as a table property. A pinned column the frame
+        // lacks (schema-evolution edge) silently skips the layout
+        // hint; the commit itself must never fail over it.
+        val clusterCols =
+          if (expectedVersion >= 0)
+            clusterSpec(spark, root, Some(expectedVersion))
+              .map(_.filter(c =>
+                df.columns.exists(_.equalsIgnoreCase(c))))
+              .filter(_.nonEmpty)
+          else None
+        clusterCols match {
+          case Some(cols) =>
+            val n = math.max(1, df.rdd.getNumPartitions)
+            cluster(df, cols, n).write.parquet(dataDir.toString)
+          case None =>
+            df.write.parquet(dataDir.toString) // invisible until manifest lands
+        }
         false
     }
     publishDir(spark, root, commitName, expectedVersion, carryDirs,
@@ -1359,6 +1492,9 @@ object VersionedTable {
     val cdcKey = baseLines
       .find(_.startsWith("#cdckey:")).map(_.stripPrefix("#cdckey:"))
     val cdcLine = cdcKey.map("#cdckey:" + _).toSeq
+    // the cluster pin is table-level metadata like the CDC key —
+    // carried forward through every commit until disabled
+    val clusterLine = baseLines.filter(_.startsWith("#clusterby:"))
     // bucket layout bookkeeping: the pin carries forward like the CDC
     // key; per-dir `#bucketed:` marks carry for dirs that survive by
     // identity, and the NEW dir is marked only when the write actually
@@ -1525,7 +1661,7 @@ object VersionedTable {
       case Some(pin) => Seq(BloomSkipping.PinPrefix + pin.mkString(","))
     }
     try writeManifest(spark, root, next,
-      constraintLines ++ cdcLine ++ bucketLines ++
+      constraintLines ++ cdcLine ++ clusterLine ++ bucketLines ++
         changeName.map("#changes:" + _).toSeq ++ metaLines ++
         carryStatsLines ++ statsLines ++ ndvLines ++ kllLines ++
         bloomLines ++ carryDirs :+ commitName)

@@ -198,6 +198,103 @@ class FileCarrySpec extends SparkSpec {
     }
   }
 
+  test("compactRefs heals ref fragmentation at O(fragmented refs): " +
+    "file refs fold into one fresh dir, whole dirs carry by " +
+    "identity, CDC serves the fold as an empty delta, and vacuum " +
+    "can then drop the old dir wholesale") {
+    val root = manyFileTable()
+    VersionedTable.enableChangeFeed(spark, root, "id") // v1
+    VersionedTable.append(spark, root,
+      spark.range(800, 900).select(col("id"),
+        concat(lit("s"), col("id")).as("s")), 1) // v2: a second dir
+    val v3 = VersionedTable.delete(spark, root, col("id") === 7L)
+    val refs3 = VersionedTable.readManifest(spark, root, v3)
+    val wholeBefore = refs3.filterNot(VersionedTable.refIsFile).toSet
+    assert(refs3.exists(VersionedTable.refIsFile))
+    val v4 = VersionedTable.compactRefs(spark, root)
+    val refs4 = VersionedTable.readManifest(spark, root, v4)
+    assert(!refs4.exists(VersionedTable.refIsFile),
+      s"compactRefs must fold every file ref, got $refs4")
+    // whole dirs ride by identity; exactly one fresh dir appears
+    assert(wholeBefore.subsetOf(refs4.toSet))
+    assert((refs4.toSet -- wholeBefore).size == 1)
+    // data-equivalent: content identical, CDC delta empty
+    assert(VersionedTable.read(spark, root).count() == 899)
+    assert(VersionedTable.changesBetween(spark, root, v3, v4,
+      key = Some("id")).count() == 0,
+      "a maintenance fold must serve an EMPTY change feed")
+    // a second compactRefs is a no-op (nothing fragmented)
+    assert(VersionedTable.compactRefs(spark, root) == v4)
+    // vacuum now reclaims the formerly-split dir WHOLESALE: no kept
+    // manifest references it at any granularity
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val splitDir = VersionedTable.readManifest(spark, root, 0).head
+    VersionedTable.vacuum(spark, root, keepVersions = 1,
+      retainMillis = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "data"), splitDir)),
+      "after the fold ages out, the fragmented dir drops entirely")
+    assert(VersionedTable.read(spark, root).count() == 899)
+  }
+
+  test("the #clusterby: pin keeps envelopes tight through appends " +
+    "AND the DML rewrite: point-DML no longer de-clusters a " +
+    "clustered table, and a point lookup keeps pruning to ~1 file " +
+    "per dir after the churn") {
+    val root = freshRoot()
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id"), concat(lit("s"), col("id")).as("s"))
+      .repartition(4) // deliberately UNclustered input
+    VersionedTable.init(spark, root,
+      batch(0, 800).repartitionByRange(8, col("id")))
+    VersionedTable.enableClustering(spark, root, Seq("id")) // v1
+    // an append of an unclustered batch: the pin range-shuffles it,
+    // so the new dir's files carry tight id envelopes
+    val v2 = VersionedTable.append(spark, root, batch(800, 1200), 1)
+    def mayMatchFiles(idVal: Long): Int = {
+      val schema = VersionedTable.read(spark, root).schema
+      val pred = VersionedTable.resolveCondition(spark, schema,
+        col("id") === idVal).get
+      val (_, pruned, covered) = VersionedTable.prunedPaths(
+        spark, root, pred)
+      covered - pruned
+    }
+    assert(mayMatchFiles(1000) <= 2,
+      "an appended batch must land range-clustered under the pin")
+    // a point delete: the rewrite output re-clusters, so lookups
+    // NEAR the deleted key still prune after the churn
+    VersionedTable.delete(spark, root, col("id") === 400L)
+    assert(VersionedTable.read(spark, root).count() == 1199)
+    assert(mayMatchFiles(401) <= 2,
+      "the DML rewrite must not de-cluster the table")
+    // maintenance folds consult the pin too
+    VersionedTable.compactRefs(spark, root)
+    assert(mayMatchFiles(401) <= 2)
+    assert(VersionedTable.read(spark, root).count() == 1199)
+    // mutual exclusion with bucketing, both directions
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.enableBucketing(spark, root, "id", 4)
+    }.getMessage.contains("disableClustering"))
+    VersionedTable.disableClustering(spark, root)
+    assert(VersionedTable.clusterSpec(spark, root).isEmpty)
+    val root2 = freshRoot()
+    VersionedTable.init(spark, root2, batch(0, 100))
+    VersionedTable.enableBucketing(spark, root2, "id", 4)
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.enableClustering(spark, root2, Seq("id"))
+    }.getMessage.contains("disableBucketing"))
+    // schema-evolution edge: a commit lacking the pinned column
+    // still succeeds (layout hint skipped, never a failed commit)
+    val root3 = freshRoot()
+    VersionedTable.init(spark, root3, batch(0, 100))
+    VersionedTable.enableClustering(spark, root3, Seq("id"))
+    VersionedTable.commit(spark, root3,
+      VersionedTable.read(spark, root3).drop("id"),
+      expectedVersion = VersionedTable.latestVersion(spark, root3))
+    assert(VersionedTable.read(spark, root3).columns.toSeq == Seq("s"))
+  }
+
   test("restore across a split is metadata-only and exact both ways") {
     val root = manyFileTable()
     val v = VersionedTable.delete(spark, root, col("id") === 7L)
