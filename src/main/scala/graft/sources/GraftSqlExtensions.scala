@@ -28,6 +28,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *     SELECT k, count(*) AS c FROM graft.docs GROUP BY k
   *   REFRESH MATERIALIZED VIEW graft.mv [FULL]     -- O(delta) fold
   *   ALTER MATERIALIZED VIEW graft.mv FOLLOW [STOP]-- per-commit stream
+  *   OPTIMIZE graft.docs REFS                      -- fold file refs
+  *   ALTER TABLE graft.docs CLUSTER BY (a, b)      -- range-cluster pin
+  *   ALTER TABLE graft.docs CLUSTER BY NONE
+  *   ALTER TABLE graft.docs SET CONSUMER FLOOR 'id' TO 3
   * }}}
   *
   * The injected parser intercepts EXACTLY these statement
@@ -177,6 +181,17 @@ object GraftSqlParser {
     (s"""(?is)\\s*ALTER\\s+MATERIALIZED\\s+VIEW\\s+$Ident""" +
       """\s+FOLLOW(\s+STOP)?\s*;?\s*""").r
 
+  private val AlterClusterRe: Regex =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ident""" +
+      """\s+CLUSTER\s+BY\s+(?:(NONE)|\(\s*([\w`\s,]+?)\s*\))\s*;?\s*""").r
+
+  private val CompactRefsRe: Regex =
+    (s"""(?is)\\s*OPTIMIZE\\s+$Ident\\s+REFS\\s*;?\\s*""").r
+
+  private val ConsumerFloorRe: Regex =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ident""" +
+      """\s+SET\s+CONSUMER\s+FLOOR\s+'([^']+)'\s+TO\s+(\d+)\s*;?\s*""").r
+
   private[sources] def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(p =>
       if (p.startsWith("`") && p.endsWith("`")) p.drop(1).dropRight(1)
@@ -219,6 +234,18 @@ object GraftSqlParser {
         full != null))
     case AlterMvFollowRe(ident, stop) =>
       Some(GraftMvFollowCommand(parts(ident), stop != null))
+    case CompactRefsRe(ident) =>
+      Some(GraftCompactRefsCommand(parts(ident)))
+    case AlterClusterRe(ident, none, colList) =>
+      val cols =
+        if (none != null) Seq.empty
+        else colList.split(',').toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty)
+      Some(GraftClusterByCommand(parts(ident), cols))
+    case ConsumerFloorRe(ident, consumer, floor) =>
+      Some(GraftConsumerFloorCommand(parts(ident), consumer,
+        floor.toInt))
     case _ => None
   }
 
@@ -573,6 +600,66 @@ object GraftMvFollowCommand {
       .digest(new org.apache.hadoop.fs.Path(root).toString
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
+}
+
+/** `OPTIMIZE t REFS` — [[VersionedTable.compactRefs]]: fold ONLY the
+  * file-granular manifest references (a DML history's fragmentation)
+  * into one fresh dir at O(fragmented refs), whole dirs carried by
+  * identity. Returns the committed version (unchanged when nothing
+  * was fragmented). */
+case class GraftCompactRefsCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand with GraftMaintenanceCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, nameParts)
+    Seq(Row(VersionedTable.compactRefs(spark, root).toLong))
+  }
+}
+
+/** `ALTER TABLE t CLUSTER BY (c1, c2)` / `ALTER TABLE t CLUSTER BY
+  * NONE` — the Databricks liquid-clustering spelling over
+  * [[VersionedTable.enableClustering]]/[[VersionedTable
+  * .disableClustering]]: pin (or drop) range clustering as a table
+  * property, so every engine-side write keeps the pinned columns'
+  * file envelopes tight. Metadata-only; `OPTIMIZE t` after enabling
+  * is the one-time migration of existing data. */
+case class GraftClusterByCommand(nameParts: Seq[String],
+    cols: Seq[String])
+    extends LeafRunnableCommand with GraftMaintenanceCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, nameParts)
+    val v =
+      if (cols.isEmpty) VersionedTable.disableClustering(spark, root)
+      else VersionedTable.enableClustering(spark, root, cols)
+    Seq(Row(v.toLong))
+  }
+}
+
+/** `ALTER TABLE t SET CONSUMER FLOOR 'id' TO n` — the SQL spelling
+  * of [[VersionedTable.publishConsumerFloor]]: record an advisory
+  * "consumer <id> still needs version ≥ n" in the table's
+  * `_consumers` registry, surfaced by `t$consumers` and counted by
+  * `t$retention.consumers_behind`. */
+case class GraftConsumerFloorCommand(nameParts: Seq[String],
+    consumer: String, floor: Int)
+    extends LeafRunnableCommand with GraftMaintenanceCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("consumer", StringType, nullable = false)(),
+    AttributeReference("floor_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, nameParts)
+    VersionedTable.publishConsumerFloor(spark, root, consumer, floor)
+    Seq(Row(consumer, floor.toLong))
+  }
 }
 
 /** `ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS | FOR COLUMNS

@@ -359,6 +359,41 @@ class GraftSqlExtensionsSpec extends SparkSpec {
     spark.sql("DROP TABLE gext.mvw")
   }
 
+  test("ALTER TABLE ... CLUSTER BY / OPTIMIZE ... REFS / SET " +
+    "CONSUMER FLOOR: the round-18 features' SQL spellings round-trip " +
+    "through the maintenance parser") {
+    wh
+    spark.sql("CREATE TABLE gext.cl (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO gext.cl SELECT id, concat('s', id) " +
+      "FROM range(0, 400)")
+    val root = rootOf("cl")
+    // CLUSTER BY pins; appends now range-shuffle their batches
+    spark.sql("ALTER TABLE gext.cl CLUSTER BY (id)")
+    assert(VersionedTable.clusterSpec(spark, root).contains(Seq("id")))
+    // a point delete splits the dir into file refs
+    spark.sql("DELETE FROM gext.cl WHERE id = 7")
+    assert(VersionedTable.readManifest(spark, root,
+      VersionedTable.latestVersion(spark, root))
+      .exists(VersionedTable.refIsFile))
+    // OPTIMIZE REFS folds the fragmentation and returns the version
+    val v = spark.sql("OPTIMIZE gext.cl REFS").as[Long].head
+    assert(v == VersionedTable.latestVersion(spark, root))
+    assert(!VersionedTable.readManifest(spark, root, v.toInt)
+      .exists(VersionedTable.refIsFile))
+    assert(spark.sql("SELECT count(*) FROM gext.cl").as[Long].head
+      == 399L)
+    // a second OPTIMIZE REFS is a no-op returning the same version
+    assert(spark.sql("OPTIMIZE gext.cl REFS").as[Long].head == v)
+    // CLUSTER BY NONE drops the pin
+    spark.sql("ALTER TABLE gext.cl CLUSTER BY NONE")
+    assert(VersionedTable.clusterSpec(spark, root).isEmpty)
+    // consumer floor publish + the metadata tables that serve it
+    spark.sql("ALTER TABLE gext.cl SET CONSUMER FLOOR 'dash' TO 2")
+    assert(spark.sql("SELECT floor_version FROM gext.`cl$consumers` " +
+      "WHERE consumer = 'dash'").as[Long].head == 2L)
+    spark.sql("DROP TABLE gext.cl")
+  }
+
   test("ALTER MATERIALIZED VIEW ... FOLLOW [STOP]: the query lives " +
     "in Spark's own StreamingQueryManager under a deterministic " +
     "name — FOLLOW starts it, commits on the base refresh the view, " +
