@@ -1177,13 +1177,37 @@ private[sources] class ReplaceSnapshotWrite(root: String,
     VersionedTable.bucketSpec(SparkSession.active, root,
       Some(operation.baseVersion))
 
+  // the #clusterby: pin's SQL-DML parity: with no bucket pin, the
+  // row-level write demands an ORDERED distribution on the pinned
+  // columns (a range partition + sort of exactly the rewrite set —
+  // O(rewritten rows), the same cost the programmatic rewrite pays
+  // through cluster()), so SQL DELETE/UPDATE/MERGE replacement files
+  // keep tight envelopes too instead of de-clustering the table.
+  // Columns the write schema lacks drop out (never fail a DML over a
+  // layout hint) — the pins are mutually exclusive, so at most one
+  // branch fires.
+  private lazy val clusterPin: Option[Seq[String]] =
+    if (bucketPin.isDefined) None
+    else VersionedTable.clusterSpec(SparkSession.active, root,
+      Some(operation.baseVersion))
+      .map(_.filter(c =>
+        info.schema().fieldNames.exists(_.equalsIgnoreCase(c))))
+      .filter(_.nonEmpty)
+
+  private def clusterOrders(cols: Seq[String]): Array[SortOrder] =
+    cols.map(c => Expressions.sort(Expressions.column(c),
+      SortDirection.ASCENDING)).toArray
+
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
-    bucketPin match {
-      case Some((key, _)) =>
+    (bucketPin, clusterPin) match {
+      case (Some((key, _)), _) =>
         org.apache.spark.sql.connector.distributions.Distributions
           .clustered(Array(Expressions.column(key)))
-      case None =>
+      case (None, Some(cols)) =>
+        org.apache.spark.sql.connector.distributions.Distributions
+          .ordered(clusterOrders(cols))
+      case _ =>
         org.apache.spark.sql.connector.distributions.Distributions
           .unspecified()
     }
@@ -1191,12 +1215,14 @@ private[sources] class ReplaceSnapshotWrite(root: String,
   override def requiredNumPartitions(): Int =
     bucketPin.map(_._2).getOrElse(0)
 
-  override def requiredOrdering(): Array[SortOrder] = bucketPin match {
-    case Some((key, _)) =>
-      Array(Expressions.sort(Expressions.column(key),
-        SortDirection.ASCENDING))
-    case None => Array.empty
-  }
+  override def requiredOrdering(): Array[SortOrder] =
+    (bucketPin, clusterPin) match {
+      case (Some((key, _)), _) =>
+        Array(Expressions.sort(Expressions.column(key),
+          SortDirection.ASCENDING))
+      case (None, Some(cols)) => clusterOrders(cols)
+      case _ => Array.empty
+    }
 
   override def distributionStrictlyRequired(): Boolean = true
 

@@ -370,11 +370,22 @@ class GraftSqlExtensionsSpec extends SparkSpec {
     // CLUSTER BY pins; appends now range-shuffle their batches
     spark.sql("ALTER TABLE gext.cl CLUSTER BY (id)")
     assert(VersionedTable.clusterSpec(spark, root).contains(Seq("id")))
-    // a point delete splits the dir into file refs
+    // a point delete splits the dir into file refs — and under the
+    // pin the SQL rewrite's replacement files land range-sorted
+    // (ReplaceSnapshotWrite demands an ordered distribution), so a
+    // lookup near the deleted key still prunes afterwards
     spark.sql("DELETE FROM gext.cl WHERE id = 7")
     assert(VersionedTable.readManifest(spark, root,
       VersionedTable.latestVersion(spark, root))
       .exists(VersionedTable.refIsFile))
+    val pred = VersionedTable.resolveCondition(spark,
+      VersionedTable.read(spark, root).schema,
+      org.apache.spark.sql.functions.col("id") === 8L).get
+    val (_, pruned, covered) = VersionedTable.prunedPaths(
+      spark, root, pred)
+    assert(covered > 0 && covered - pruned <= 2,
+      s"SQL DML under the cluster pin must keep envelopes prunable, " +
+        s"got ${covered - pruned} of $covered may-match")
     // OPTIMIZE REFS folds the fragmentation and returns the version
     val v = spark.sql("OPTIMIZE gext.cl REFS").as[Long].head
     assert(v == VersionedTable.latestVersion(spark, root))
