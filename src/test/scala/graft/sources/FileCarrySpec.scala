@@ -139,8 +139,9 @@ class FileCarrySpec extends SparkSpec {
     assert(VersionedTable.readManifest(spark, root, v)
       .forall(refs3.contains), "append must carry every ref verbatim")
     assert(VersionedTable.read(spark, root).count() == 899)
-    // ANALYZE heals: repin re-sketches per dir over the LIVE subset
-    VersionedTable.repinNdvStats(spark, root, Seq("id"))
+    // ANALYZE heals: the FUSED repin (groupedPass) re-sketches per
+    // physical dir over exactly the LIVE subset the file refs select
+    VersionedTable.repinStats(spark, root, Seq("id"))
     val healed = VersionedTable.tableNdv(spark, root)("id")
     assert(math.abs(healed - 899L) <= 27,
       s"post-ANALYZE NDV should be ~899, got $healed")
