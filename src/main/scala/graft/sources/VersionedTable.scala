@@ -204,7 +204,13 @@ object VersionedTable {
     * per-dir grouping [[statsByDir]] returns: a whole-dir entry
     * resolves to all of its dir's lines, a file reference to exactly
     * that file's line. None = uncovered (callers stay conservative,
-    * exactly as for a stats-less dir). */
+    * exactly as for a stats-less dir). Cost note: the file-ref branch
+    * scans its PARENT DIR's line list, so a metadata pass over a
+    * manifest with R refs into one D-file dir costs O(R×D) driver
+    * string compares — bounded by the dir's own file count squared
+    * (refs into a dir never exceed its files), and [[compactRefs]]
+    * is the documented antidote when a long DML history accretes
+    * refs. */
   private[sources] def statsForRef(
       byDir: Map[String, Seq[DataSkipping.FileStats]], ref: String)
       : Option[Seq[DataSkipping.FileStats]] =
