@@ -57,11 +57,19 @@ object CommitStats {
     * exactly the LIVE rows — for a dir carried partially by file
     * references this is tighter than the standalone bloom backfill,
     * which scans the whole physical dir. */
+  /** `keyByFile = true` keys the sketch lines by `dir/file.parquet`
+    * instead of the dir — the per-FILE-REFERENCE sketches a partial
+    * rewrite writes for its carried files, so estimates stay
+    * maintained through DML (a later delete of one ref just drops
+    * its line, no re-read). Bloom sidecars are dir-scoped and are
+    * not built in this mode (callers pass bloomCols empty — the
+    * carried files keep their existing per-file sidecar entries). */
   def groupedPass(spark: SparkSession,
       snapshot: org.apache.spark.sql.DataFrame,
       ndvCols: Seq[StructField], kllCols: Seq[String],
       bloomCols: Seq[StructField], dataRoot: Path,
-      rowsByFile: Map[String, Long]): (Seq[String], Seq[String]) = {
+      rowsByFile: Map[String, Long],
+      keyByFile: Boolean = false): (Seq[String], Seq[String]) = {
     if (ndvCols.isEmpty && kllCols.isEmpty && bloomCols.isEmpty)
       return (Seq.empty, Seq.empty)
     val fields = snapshot.schema.fields
@@ -95,7 +103,8 @@ object CommitStats {
           val dirStart = path.lastIndexOf('/', cut - 1)
           val dir = path.substring(dirStart + 1, cut)
           val file = path.substring(cut + 1)
-          val (hlls, klls, blooms) = byDir.getOrElseUpdate(dir, (
+          val key = if (keyByFile) s"$dir/$file" else dir
+          val (hlls, klls, blooms) = byDir.getOrElseUpdate(key, (
             Array.fill(nN)(new org.apache.datasketches.hll.HllSketch(12,
               org.apache.datasketches.hll.TgtHllType.HLL_8)),
             Array.fill(nK)(org.apache.datasketches.kll.KllDoublesSketch

@@ -277,6 +277,14 @@ object NdvStats {
     lines.filter(_.startsWith(LinePrefix))
       .filter(l => lineDir(l, LinePrefix).exists(keep.contains))
 
+  /** The sketch KEYS present among `lines` — commit-dir names, plus
+    * `dir/file.parquet` for per-file-reference sketches (written when
+    * a partial rewrite splits a dir: the carried files get their own
+    * lines so estimates stay maintained through DML). */
+  def lineKeys(lines: Seq[String]): Set[String] =
+    lines.filter(_.startsWith(LinePrefix))
+      .flatMap(lineDir(_, LinePrefix)).toSet
+
   /** Union the per-dir sketches of `lines` over exactly `dirs` into a
     * per-column estimate. A column counts only when EVERY dir's line
     * carries its sketch (a gap means unknown history — no estimate).

@@ -167,6 +167,12 @@ object QuantileStats {
     lines.filter(_.startsWith(LinePrefix))
       .filter(l => NdvStats.lineDir(l, LinePrefix).exists(keep.contains))
 
+  /** The sketch keys among `lines` (dir names and per-file-reference
+    * keys) — see [[NdvStats.lineKeys]]. */
+  def lineKeys(lines: Seq[String]): Set[String] =
+    lines.filter(_.startsWith(LinePrefix))
+      .flatMap(NdvStats.lineDir(_, LinePrefix)).toSet
+
   /** Union the per-dir sketches over exactly `dirs` for one column;
     * None unless EVERY dir carries the column's sketch. */
   def mergedSketch(lines: Seq[String], dirs: Seq[String],

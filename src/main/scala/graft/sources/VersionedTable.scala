@@ -1643,21 +1643,66 @@ object VersionedTable {
             if carryByDir.get(d).exists(_.toSet == es.toSet) => d
       }.toSet
     }
+    // PER-FILE-REFERENCE sketch maintenance: a carried file ref whose
+    // dir line just dropped (the split) and that has no ref-keyed
+    // line of its own would leave the table's estimate unknown until
+    // ANALYZE — so the commit re-sketches exactly those files, keyed
+    // by the ref, in one grouped read. Honest cost: the FIRST split
+    // of a dir reads its carried files once (still strictly cheaper
+    // than the whole-dir rewrite it replaced, which read AND wrote
+    // them); every later drop of a ref is free — its line just
+    // leaves the manifest. Refs re-sketched here replace any partial
+    // old ref lines (never duplicate keys); best-effort like every
+    // sketch path.
+    val carriedFileRefs = carryDirs.filter(refIsFile)
+    val (refSketchTargets, sketchCarryKeys): (Seq[String], Set[String]) =
+      if ((ndvPin.isEmpty && kllPin.isEmpty) || carriedFileRefs.isEmpty)
+        (Seq.empty, sketchCarryDirs ++ carriedFileRefs)
+      else {
+        val ndvKeys = NdvStats.lineKeys(baseLines)
+        val kllKeys = QuantileStats.lineKeys(baseLines)
+        val need = carriedFileRefs
+          .filterNot(r => sketchCarryDirs.contains(refDir(r)))
+          .filterNot(r => (ndvPin.isEmpty || ndvKeys.contains(r)) &&
+            (kllPin.isEmpty || kllKeys.contains(r)))
+        (need, sketchCarryDirs ++ (carriedFileRefs.toSet -- need))
+      }
+    val (refNdvLines, refKllLines): (Seq[String], Seq[String]) =
+      if (refSketchTargets.isEmpty) (Seq.empty, Seq.empty)
+      else scala.util.Try {
+        val dataRoot = new Path(root, "data")
+        val schema = cheapSchema(spark, root, expectedVersion)
+          .getOrElse(spark.read.parquet(refSketchTargets
+            .map(r => new Path(dataRoot, r).toString): _*).schema)
+        val df = spark.read.schema(schema).parquet(refSketchTargets
+          .map(r => new Path(dataRoot, r).toString): _*)
+        CommitStats.groupedPass(spark, df,
+          ndvPin.map(NdvStats.eligibleCols(schema, _))
+            .getOrElse(Seq.empty),
+          kllPin.map(QuantileStats.eligibleCols(schema, _))
+            .getOrElse(Seq.empty),
+          Seq.empty, dataRoot, Map.empty, keyByFile = true)
+      }.recoverWith { case e =>
+        statsLog.warn(s"per-file-reference sketch pass failed under " +
+          s"$root — the split dir's estimate degrades until ANALYZE: " +
+          e.toString)
+        scala.util.Failure(e)
+      }.getOrElse((Seq.empty, Seq.empty))
     val ndvLines: Seq[String] = ndvPin match {
       case None => Seq.empty
       case Some(pin) =>
         (NdvStats.PinPrefix +
           (if (pin.isEmpty) "*" else pin.mkString(","))) +:
-          (NdvStats.carriedLines(baseLines, sketchCarryDirs) ++
-            freshNdv.toSeq)
+          (NdvStats.carriedLines(baseLines, sketchCarryKeys) ++
+            freshNdv.toSeq ++ refNdvLines)
     }
     val kllLines: Seq[String] = kllPin match {
       case None => Seq.empty
       case Some(pin) =>
         (QuantileStats.PinPrefix +
           (if (pin.isEmpty) "*" else pin.mkString(","))) +:
-          (QuantileStats.carriedLines(baseLines, sketchCarryDirs) ++
-            freshKll.toSeq)
+          (QuantileStats.carriedLines(baseLines, sketchCarryKeys) ++
+            freshKll.toSeq ++ refKllLines)
     }
     // the bloom sidecar itself was published by the fused pass above
     // (it lives INSIDE the staged dir; carried dirs keep theirs by
@@ -2717,12 +2762,14 @@ object VersionedTable {
     val dirs = readManifest(spark, root, v)
     val byDir = statsByDir(spark, root, Some(v))
     if (dirs.exists(d => statsForRef(byDir, d).isEmpty)) return Map.empty
-    // sketch lines key on the commit DIR; file references resolve to
-    // their dir (whose line, when present, covers exactly the live
-    // subset — a split drops the line until ANALYZE re-sketches)
+    // a reference resolves to ITS OWN sketch line when one exists
+    // (the per-file-ref lines a split writes), else to its dir's
+    // line — which, when present, covers the dir's whole live set
+    // by the intact-group carry rule
+    val keyed = QuantileStats.lineKeys(lines)
     val bearing = dirs
       .filter(d => statsForRef(byDir, d).get.exists(_.rows != 0L))
-      .map(refDir).distinct
+      .map(e => if (keyed.contains(e)) e else refDir(e)).distinct
     QuantileStats.mergedSketches(lines, bearing, columns)
   }
 
@@ -2795,9 +2842,16 @@ object VersionedTable {
         // every reference must be stats-covered to tell data-bearing
         // dirs (need a sketch) from empty ones (nothing to sketch)
         if (dirs.exists(d => statsForRef(byDir, d).isEmpty)) Map.empty
-        else NdvStats.tableNdv(lines,
-          dirs.filter(d => statsForRef(byDir, d).get.exists(_.rows != 0L))
-            .map(refDir).distinct)
+        else {
+          // a reference resolves to ITS OWN sketch line when one
+          // exists (the per-file-ref lines a split writes), else to
+          // its dir's line — which, when present, covers the dir's
+          // whole live set by the intact-group carry rule
+          val keyed = NdvStats.lineKeys(lines)
+          NdvStats.tableNdv(lines, dirs
+            .filter(d => statsForRef(byDir, d).get.exists(_.rows != 0L))
+            .map(e => if (keyed.contains(e)) e else refDir(e)).distinct)
+        }
       }
     })
   }

@@ -117,8 +117,9 @@ class FileCarrySpec extends SparkSpec {
   }
 
   test("appends over a split manifest carry file refs verbatim; " +
-    "NDV sketch lines DROP for the split dir (its live rows " +
-    "changed) and ANALYZE re-pins them over the live subset") {
+    "NDV stays MAINTAINED through the split (per-file-ref sketch " +
+    "lines replace the dropped dir line) and ANALYZE re-folds them " +
+    "into dir lines") {
     val root = manyFileTable()
     VersionedTable.enableNdvStats(spark, root, Seq("id")) // v1
     val before = VersionedTable.tableNdv(spark, root)("id")
@@ -127,24 +128,33 @@ class FileCarrySpec extends SparkSpec {
     val v = VersionedTable.delete(spark, root, col("id") === 7L) // v2
     assert(VersionedTable.readManifest(spark, root, v)
       .exists(VersionedTable.refIsFile))
-    // the split dir's sketch must NOT carry (it still counts the
-    // deleted row) — the estimate degrades to unknown, never lies
-    assert(VersionedTable.tableNdv(spark, root).isEmpty,
-      "a split dir's stale sketch line must drop, not carry")
+    // the split dir's OLD sketch line must not carry (it still
+    // counts the deleted row) — but the estimate must not go dark
+    // either: the commit re-sketched the carried files per ref, so
+    // the union stays current (NDV maintenance survives DML)
+    val split = VersionedTable.tableNdv(spark, root)
+    assert(split.get("id").exists(n => math.abs(n - 799L) <= 24),
+      s"the split commit must keep the estimate maintained, got $split")
+    // a SECOND delete hitting a carried ref costs no re-sketch: the
+    // ref's own line just leaves the manifest with it
+    val v3 = VersionedTable.delete(spark, root, col("id") === 300L)
+    val after2 = VersionedTable.tableNdv(spark, root)
+    assert(after2.get("id").exists(n => math.abs(n - 798L) <= 24),
+      s"ref-keyed lines must keep serving after later drops, got $after2")
     // an append over the split manifest: refs ride forward verbatim
-    val v3 = VersionedTable.append(spark, root,
+    val v4 = VersionedTable.append(spark, root,
       spark.range(800, 900).select(col("id"),
-        concat(lit("s"), col("id")).as("s")), expectedVersion = v)
-    val refs3 = VersionedTable.readManifest(spark, root, v3)
-    assert(VersionedTable.readManifest(spark, root, v)
-      .forall(refs3.contains), "append must carry every ref verbatim")
-    assert(VersionedTable.read(spark, root).count() == 899)
+        concat(lit("s"), col("id")).as("s")), expectedVersion = v3)
+    val refs4 = VersionedTable.readManifest(spark, root, v4)
+    assert(VersionedTable.readManifest(spark, root, v3)
+      .forall(refs4.contains), "append must carry every ref verbatim")
+    assert(VersionedTable.read(spark, root).count() == 898)
     // ANALYZE heals: the FUSED repin (groupedPass) re-sketches per
     // physical dir over exactly the LIVE subset the file refs select
     VersionedTable.repinStats(spark, root, Seq("id"))
     val healed = VersionedTable.tableNdv(spark, root)("id")
-    assert(math.abs(healed - 899L) <= 27,
-      s"post-ANALYZE NDV should be ~899, got $healed")
+    assert(math.abs(healed - 898L) <= 27,
+      s"post-ANALYZE NDV should be ~898, got $healed")
     // and the NEXT append carries the healed line (the dir's live
     // file set is intact), so the estimate stays resolvable
     val v5 = VersionedTable.append(spark, root,
@@ -152,7 +162,7 @@ class FileCarrySpec extends SparkSpec {
         concat(lit("s"), col("id")).as("s")),
       expectedVersion = VersionedTable.latestVersion(spark, root))
     val after = VersionedTable.tableNdv(spark, root, Some(v5))
-    assert(after.contains("id") && math.abs(after("id") - 949L) <= 29,
+    assert(after.contains("id") && math.abs(after("id") - 948L) <= 29,
       s"healed sketch lines must carry through appends, got $after")
   }
 
