@@ -28,6 +28,10 @@ object CdfProps extends Properties("ChangeFeed") {
   private case class Append(rows: List[(Long, String)]) extends Op
   private case class Merge(rows: List[(Long, String)], deletes: List[Long])
       extends Op
+  // row-level range delete: the op whose rewrite can SPLIT a dir into
+  // carried file references — its CDC removed-set must be computed at
+  // file granularity or carried rows surface as phantom deletes
+  private case class RangeDelete(lo: Long, hi: Long) extends Op
   private case object Compact extends Op
 
   private val rowGen = for {
@@ -52,6 +56,9 @@ object CdfProps extends Properties("ChangeFeed") {
       val dels = dels0.distinct.filterNot(ups.map(_._1).contains)
       Merge(ups, dels)
     }),
+    2 -> (for {
+      lo <- Gen.choose(0L, 7L); w <- Gen.choose(0L, 3L)
+    } yield RangeDelete(lo, lo + w)),
     1 -> Gen.const(Compact))
 
   private val historyGen = for {
@@ -72,6 +79,9 @@ object CdfProps extends Properties("ChangeFeed") {
           dels.map(id => (id, "", "D"))
         if (cs.nonEmpty)
           VersionedTable.merge(spark, root, cs.toDF("id", "text", "op"), "id")
+      case RangeDelete(lo, hi) =>
+        VersionedTable.delete(spark, root,
+          col("id").between(lo, hi)): Unit
       case Compact =>
         VersionedTable.compact(spark, root)
     }
@@ -99,7 +109,7 @@ object CdfProps extends Properties("ChangeFeed") {
   }
 
   property("feed folds from->to for the full range and a middle pair, " +
-      "on any append/merge/compact history") =
+      "on any append/merge/delete/compact history") =
     Prop.forAllNoShrink(historyGen) { case (init, ops) =>
       val root = build(init, ops)
       val latest = VersionedTable.latestVersion(spark, root)
@@ -137,6 +147,9 @@ object CdfProps extends Properties("ChangeFeed") {
           if (cs.nonEmpty)
             VersionedTable.merge(spark, root,
               cs.toDF("id", "text", "op"), "id")
+        case RangeDelete(lo, hi) =>
+          VersionedTable.delete(spark, root,
+            col("id").between(lo, hi)): Unit
         case Compact =>
           VersionedTable.compact(spark, root)
       }
