@@ -2503,29 +2503,64 @@ object VersionedTable {
     * spellings remain [[repinNdvStats]] / [[repinQuantileStats]] /
     * [[repinBloomFilters]]. */
   def repinStats(spark: SparkSession, root: String,
-      cols: Seq[String] = Seq.empty): Int = {
+      cols: Seq[String] = Seq.empty): Int =
+    fusedRepin(spark, root, ndvArg = Some(cols))
+
+  /** The NO-NEW-PIN fused recovery: re-sketch every family the table
+    * ALREADY pins — the stored NDV pin (when present), the stored
+    * quantile pin, the bloom sidecars — in the same one-pass,
+    * one-commit shape as [[repinStats]], WITHOUT ANALYZE's
+    * acquire-an-NDV-pin side effect. The spelling for a KLL- or
+    * bloom-only table whose sketches went stale (domain bump, split
+    * degradation) when the operator does not want distinct-count
+    * coverage added as a side effect. Refuses when nothing is
+    * pinned (there is nothing to re-sketch). */
+  def repinPinnedStats(spark: SparkSession, root: String): Int =
+    fusedRepin(spark, root, ndvArg = None)
+
+  private def fusedRepin(spark: SparkSession, root: String,
+      ndvArg: Option[Seq[String]]): Int = {
     val base = latestVersion(spark, root)
     require(base >= 0, s"table $root has no committed version")
     val prior = manifestLines(spark, root, base)
     val snap = read(spark, root, Some(base))
-    // NDV eligibility: the same loud all-or-nothing posture as
-    // ndvRepinCommit (an explicit pin naming an unsketchable column
-    // must refuse, not silently store a name that never produces
-    // coverage)
     val lower = snap.columns.map(_.toLowerCase).toSet
-    val missing = cols.filterNot(c => lower.contains(c.toLowerCase))
-    require(missing.isEmpty,
-      s"NDV column(s) not in table schema: ${missing.mkString(", ")}")
-    val ndvEligible = NdvStats.eligibleCols(snap.schema, cols)
-    if (cols.nonEmpty) {
-      val el = ndvEligible.map(_.name.toLowerCase).toSet
-      val ineligible = cols.filterNot(c => el.contains(c.toLowerCase))
-      require(ineligible.isEmpty,
-        s"column(s) not sketchable for NDV (unsupported type): " +
-          ineligible.mkString(", "))
+    // NDV plan: an explicit argument (the ANALYZE spelling) keeps
+    // the loud all-or-nothing posture of ndvRepinCommit; with no
+    // argument the STORED pin drives, narrowed like the quantile
+    // family below
+    val ndvPlan: Option[(Boolean, Seq[org.apache.spark.sql.types
+      .StructField])] = ndvArg match {
+      case Some(cols) =>
+        val missing = cols.filterNot(c => lower.contains(c.toLowerCase))
+        require(missing.isEmpty,
+          s"NDV column(s) not in table schema: ${missing.mkString(", ")}")
+        val eligible = NdvStats.eligibleCols(snap.schema, cols)
+        if (cols.nonEmpty) {
+          val el = eligible.map(_.name.toLowerCase).toSet
+          val ineligible = cols.filterNot(c => el.contains(c.toLowerCase))
+          require(ineligible.isEmpty,
+            s"column(s) not sketchable for NDV (unsupported type): " +
+              ineligible.mkString(", "))
+        }
+        require(eligible.nonEmpty,
+          s"no sketchable column among ${snap.schema.simpleString}")
+        Some((cols.isEmpty, eligible))
+      case None => NdvStats.pinnedCols(prior).flatMap {
+        case Nil => Some((true, NdvStats.eligibleCols(snap.schema,
+          Seq.empty)))
+        case pin =>
+          val el = NdvStats.eligibleCols(snap.schema, pin)
+          val dropped = pin.filterNot(c =>
+            el.exists(_.name.equalsIgnoreCase(c)))
+          if (dropped.nonEmpty) statsLog.warn(
+            s"repin narrows the NDV pin of $root: column(s) " +
+              s"${dropped.mkString(", ")} vanished or became " +
+              s"ineligible; re-pinning ${el.map(_.name).mkString(", ")}")
+          if (el.isEmpty) None else Some((false, el))
+      }
     }
-    require(ndvEligible.nonEmpty,
-      s"no sketchable column among ${snap.schema.simpleString}")
+    val ndvEligible = ndvPlan.map(_._2).getOrElse(Seq.empty)
     // quantile family: the STORED pin, narrowed to the columns the
     // current schema still makes eligible
     val kllPin = QuantileStats.pinnedCols(prior)
@@ -2556,23 +2591,33 @@ object VersionedTable {
     val byDirStats = statsByDir(spark, root, Some(base))
     val rowsByFile = byDirStats.values.flatten
       .map(f => f.path -> f.rows).toMap
+    require(ndvPlan.isDefined || kllPlan.isDefined ||
+      bloomEligible.nonEmpty,
+      s"nothing to re-sketch on $root — no family is pinned (enable " +
+        "one, or use ANALYZE/repinStats to acquire an NDV pin)")
     val (ndvLines, kllLines) = CommitStats.groupedPass(spark, snap,
       ndvEligible, kllCols, bloomEligible, new Path(root, "data"),
       rowsByFile)
+    val ndvActive = ndvPlan.isDefined
     val kllActive = kllPlan.isDefined
     val body = prior.filterNot(l =>
       l.startsWith("#op:") || l.startsWith("#txn:") ||
-        l.startsWith(NdvStats.PinPrefix) ||
-        l.startsWith(NdvStats.LinePrefix) ||
+        (ndvActive && (l.startsWith(NdvStats.PinPrefix) ||
+          l.startsWith(NdvStats.LinePrefix))) ||
         (kllActive && (l.startsWith(QuantileStats.PinPrefix) ||
           l.startsWith(QuantileStats.LinePrefix))))
-    val ndvPinLine = NdvStats.PinPrefix +
-      (if (cols.isEmpty) "*" else cols.mkString(","))
+    val ndvPinLine = ndvPlan.map { case (star, el) =>
+      NdvStats.PinPrefix + (ndvArg match {
+        case Some(cols) if cols.nonEmpty => cols.mkString(",")
+        case Some(_) => "*"
+        case None => if (star) "*" else el.map(_.name).mkString(",")
+      })
+    }.toSeq
     val kllPinLine = kllPlan.map { case (star, el) =>
       QuantileStats.PinPrefix + (if (star) "*" else el.mkString(","))
     }.toSeq
     writeManifest(spark, root, base + 1,
-      ("#op:analyze" +: body :+ ndvPinLine) ++ kllPinLine ++
+      ("#op:analyze" +: body) ++ ndvPinLine ++ kllPinLine ++
         ndvLines ++ kllLines)
     if (bloomEligible.nonEmpty)
       BloomSkipping.invalidateUnder(new Path(root, "data").toString)

@@ -186,6 +186,45 @@ class CommitStatsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("repinPinnedStats: the no-new-pin fused recovery re-sketches " +
+    "exactly the PINNED families — a KLL+bloom table heals both in " +
+    "one commit without acquiring an NDV pin; nothing pinned refuses") {
+    val tmp = java.nio.file.Files.createTempDirectory("pinnedrepin")
+    try {
+      val root = tmp.resolve("t").toString
+      def rows(from: Long, n: Long) = spark.range(from, from + n)
+        .select(col("id").as("doc_id"),
+          md5(col("id").cast("string")).as("fp"),
+          (col("id") % 997).as("n_chars"))
+      VersionedTable.init(spark, root, rows(0, 2000))
+      VersionedTable.enableQuantileStats(spark, root, Seq("n_chars"))
+      VersionedTable.enableBloomFilters(spark, root, Seq("fp"))
+      val before = VersionedTable.latestVersion(spark, root)
+      val v = VersionedTable.repinPinnedStats(spark, root)
+      assert(v == before + 1, "one commit")
+      assert(VersionedTable.ndvColumns(spark, root).isEmpty,
+        "repinPinnedStats must NOT acquire an NDV pin")
+      assert(VersionedTable.quantileColumns(spark, root)
+        .contains(Seq("n_chars")))
+      assert(VersionedTable.tableColumnSketch(spark, root, "n_chars")
+        .isDefined)
+      // sidecars rebuilt in the same pass: a point lookup prunes
+      val probe = spark.range(9, 10)
+        .select(md5(col("id").cast("string"))).head.getString(0)
+      val pred = VersionedTable.resolveCondition(spark,
+        VersionedTable.read(spark, root).schema,
+        col("fp") === probe).get
+      assert(VersionedTable.prunedPaths(spark, root, pred)._2 > 0)
+      // an UNpinned table has nothing to re-sketch: loud refusal
+      val bare = tmp.resolve("bare").toString
+      VersionedTable.init(spark, bare, rows(0, 10))
+      assert(intercept[IllegalArgumentException] {
+        VersionedTable.repinPinnedStats(spark, bare)
+      }.getMessage.contains("no family is pinned"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("FUSED ANALYZE heals doctored-domain sketches AND sidecars in " +
     "one commit; a quantile pin narrowed to nothing leaves that " +
     "family untouched instead of half-applying") {
