@@ -537,7 +537,7 @@ object VersionedTable {
       retainMillis: Long = 3600L * 1000L): DataFrame = {
     import spark.implicits._
     val fs = fsOf(spark, new Path(root))
-    val (candidates, _) =
+    val (candidates, keepFrom) =
       vacuumCandidates(spark, root, keepVersions, retainMillis)
     val rows = candidates
       // in-flight `.stream-*` staging dirs are housekeeping, not table
@@ -547,9 +547,21 @@ object VersionedTable {
       .filterNot(_.getPath.getName.startsWith("."))
       .map { st =>
         val files = fs.listStatus(st.getPath)
-        (st.getPath.getName, files.length.toLong, files.map(_.getLen).sum)
+        (st.getPath.getName, files.length.toLong,
+          files.map(_.getLen).sum, "dir")
       }
-    rows.sortBy(_._1).toDF("commit_dir", "num_files", "bytes")
+    // plus the FILE-LEVEL sweep: replaced files inside dirs kept only
+    // through file references — same shared candidate selection the
+    // destructive vacuum uses, one row per affected dir with scope
+    // "files" (the dir itself survives; only the listed bytes go)
+    val sweepRows = fileSweepCandidates(spark, root, keepFrom,
+      retainMillis)
+      .groupBy(_.getPath.getParent.getName).toSeq
+      .map { case (d, sts) =>
+        (d, sts.length.toLong, sts.map(_.getLen).sum, "files")
+      }
+    (rows ++ sweepRows).sortBy(_._1)
+      .toDF("commit_dir", "num_files", "bytes", "scope")
   }
 
   /** The RETENTION SCHEDULE: for every candidate `keepVersions`
@@ -684,6 +696,32 @@ object VersionedTable {
     rows.toDF("keep_versions", "earliest_kept_version",
       "versions_dropped", "dirs_dropped", "files_dropped",
       "bytes_reclaimable", "consumers_behind")
+  }
+
+  // the sweepable FILES inside dirs kept only through file
+  // references — ONE implementation shared by vacuum (destructive)
+  // and vacuumPreview (DRY RUN) so the two can never drift, same
+  // contract as vacuumCandidates for whole dirs
+  private def fileSweepCandidates(spark: SparkSession, root: String,
+      keepFrom: Int, retainMillis: Long)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val fs = fsOf(spark, new Path(root))
+    val latestNow = latestVersion(spark, root)
+    val keptRefs = (keepFrom to math.max(latestNow, keepFrom))
+      .filter(v => fs.exists(manifestPath(root, v)))
+      .flatMap(v => readManifest(spark, root, v))
+    val wholeDirs = keptRefs.filterNot(refIsFile).toSet
+    val keptFiles = keptRefs.filter(refIsFile).toSet
+    val horizon = System.currentTimeMillis() - retainMillis
+    keptRefs.filter(refIsFile).map(refDir).distinct
+      .filterNot(wholeDirs.contains).flatMap { d =>
+        val dp = new Path(new Path(root, "data"), d)
+        if (!fs.exists(dp)) Seq.empty
+        else fs.listStatus(dp).toSeq
+          .filter(st => st.getPath.getName.endsWith(".parquet") &&
+            !keptFiles.contains(s"$d/${st.getPath.getName}") &&
+            st.getModificationTime < horizon)
+      }
   }
 
   // the unreferenced, aged-out data dirs vacuum would delete, plus the
@@ -3280,30 +3318,14 @@ object VersionedTable {
     // referenced the dir WHOLESALE has aged out, those files are
     // referenced by nothing — reclaim them like dropped dirs, under
     // the same mtime horizon and with the same late re-list guard
-    // (a kept manifest's references are re-read HERE, after the
-    // candidate scan, so a mid-vacuum commit can't lose files: any
-    // new manifest only references files reachable from a kept base).
-    // The `_bloom.bin` sidecar survives — it serves the carried files
-    // (probe lookups are keyed per file; entries for swept files are
-    // dead bytes, not lies).
-    {
-      val latestNow = latestVersion(spark, root)
-      val keptRefs = (keepFrom to latestNow)
-        .filter(v => fs.exists(manifestPath(root, v)))
-        .flatMap(v => readManifest(spark, root, v))
-      val wholeDirs = keptRefs.filterNot(refIsFile).toSet
-      val keptFiles = keptRefs.filter(refIsFile).toSet
-      val horizon = System.currentTimeMillis() - retainMillis
-      keptRefs.filter(refIsFile).map(refDir).distinct
-        .filterNot(wholeDirs.contains).foreach { d =>
-          val dp = new Path(new Path(root, "data"), d)
-          if (fs.exists(dp)) fs.listStatus(dp)
-            .filter(st => st.getPath.getName.endsWith(".parquet") &&
-              !keptFiles.contains(s"$d/${st.getPath.getName}") &&
-              st.getModificationTime < horizon)
-            .foreach(st => fs.delete(st.getPath, false))
-        }
-    }
+    // (the shared candidate selection re-reads kept manifests HERE,
+    // after the dir-candidate scan, so a mid-vacuum commit can't
+    // lose files: any new manifest only references files reachable
+    // from a kept base). The `_bloom.bin` sidecar survives — it
+    // serves the carried files (probe lookups are keyed per file;
+    // entries for swept files are dead bytes, not lies).
+    fileSweepCandidates(spark, root, keepFrom, retainMillis)
+      .foreach(st => fs.delete(st.getPath, false))
     (0 until keepFrom).foreach(v => fs.delete(manifestPath(root, v), false))
     // change-dir sweep: anything under _changes/ that no SURVIVING
     // manifest references and that is older than the horizon — covers

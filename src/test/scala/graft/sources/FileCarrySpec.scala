@@ -95,6 +95,18 @@ class FileCarrySpec extends SparkSpec {
     val carried = VersionedTable.readManifest(spark, root, v)
       .filter(VersionedTable.refIsFile)
     assert(carried.nonEmpty)
+    // DRY RUN first: the preview must show the file-level sweep the
+    // destructive vacuum will perform (shared candidate selection —
+    // the two can never drift), scoped "files" because the dir
+    // itself survives its carried refs
+    val pv = VersionedTable.vacuumPreview(spark, root,
+      keepVersions = 1, retainMillis = 0L).collect()
+    val sweepRow = pv.find(r => r.getString(3) == "files" &&
+      r.getString(0) == origDir)
+    assert(sweepRow.exists(_.getLong(1) ==
+      (origFiles - carried.size).toLong),
+      s"preview must list the sweepable replaced files, got " +
+        s"${pv.toSeq}")
     // keepVersions = 1 drops v0 (the only wholesale reference);
     // retainMillis = 0 is the single-writer test spelling
     VersionedTable.vacuum(spark, root, keepVersions = 1,
