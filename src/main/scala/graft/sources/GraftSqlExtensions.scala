@@ -346,7 +346,12 @@ case class GraftVacuumPreviewCommand(nameParts: Seq[String],
   override val output: Seq[Attribute] = Seq(
     AttributeReference("commit_dir", StringType, nullable = false)(),
     AttributeReference("num_files", LongType, nullable = false)(),
-    AttributeReference("bytes", LongType, nullable = false)())
+    AttributeReference("bytes", LongType, nullable = false)(),
+    // "dir" = the whole dir drops; "files" = the dir SURVIVES its
+    // carried file refs and only the listed replaced files sweep —
+    // without the discriminator a DBA would read a file-level sweep
+    // row as whole-dir data loss
+    AttributeReference("scope", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, nameParts)

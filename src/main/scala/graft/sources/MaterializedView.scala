@@ -548,8 +548,20 @@ object MaterializedView {
   def publishFloor(spark: SparkSession, mvRoot: String): Unit = {
     val d = readDef(spark, mvRoot)
     VersionedTable.publishConsumerFloor(spark, d.base,
-      "mv:" + new org.apache.hadoop.fs.Path(mvRoot).getName,
-      watermark(spark, mvRoot))
+      floorConsumerId(mvRoot), watermark(spark, mvRoot))
+  }
+
+  /** The registry id [[publishFloor]] publishes under: the view's
+    * leaf name for readability PLUS a full-path hash for identity —
+    * two views over the same base whose roots merely share a leaf
+    * name (`/a/daily`, `/b/daily`) must never overwrite each other's
+    * floors (the starved one would read as unobjecting). */
+  def floorConsumerId(mvRoot: String): String = {
+    val p = new org.apache.hadoop.fs.Path(mvRoot)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(p.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    s"mv:${p.getName}-$h"
   }
 
   // ---- internals ---------------------------------------------------

@@ -567,7 +567,10 @@ object VersionedTable {
   /** The RETENTION SCHEDULE: for every candidate `keepVersions`
     * setting (1 .. surviving manifests), what a vacuum at that
     * setting would reclaim — versions dropped, commit dirs no kept
-    * manifest references, their file count and bytes. The DBA's
+    * manifest references, AND the file-level sweep (replaced files
+    * inside dirs kept only through carried file references count
+    * toward files_dropped/bytes_reclaimable even though the dir
+    * itself survives; its sidecar counts as kept). The DBA's
     * sizing table for the storage-vs-time-travel trade: read it,
     * pick the row whose `bytes_reclaimable` pays for the history you
     * lose, and run `vacuum(keepVersions = k)`. Served in SQL as
@@ -617,12 +620,18 @@ object VersionedTable {
       .toDF("consumer", "floor_version", "published_at")
     withRetry() {
       if (latestVersion(spark, creg) < 0)
-        scala.util.Try(init(spark, creg, row)).getOrElse {
-          // lost the init race: fall through to the merge path
-          merge(spark, creg,
-            row.withColumn("op", org.apache.spark.sql.functions
-              .lit("U")), "consumer")
-        }: Unit
+        try init(spark, creg, row): Unit
+        catch {
+          // lost the init RACE specifically: fall through to the
+          // merge path. Any other failure (permissions, IO)
+          // propagates — swallowing it would surface later as a
+          // misleading "no committed version" from merge's read,
+          // with the real cause discarded
+          case _: VersionConflictException =>
+            merge(spark, creg,
+              row.withColumn("op", org.apache.spark.sql.functions
+                .lit("U")), "consumer"): Unit
+        }
       else merge(spark, creg,
         row.withColumn("op", org.apache.spark.sql.functions
           .lit("U")), "consumer"): Unit
@@ -648,27 +657,40 @@ object VersionedTable {
     val live = (0 to math.max(latest, -1))
       .filter(v => fs.exists(manifestPath(root, v)))
     val dataRoot = new Path(root, "data")
-    val dirSizes: Map[String, (Long, Long)] =
+    // one listing, per-FILE sizes kept: the schedule must model the
+    // FILE-LEVEL sweep too (a dir kept only through carried file
+    // refs survives as a dir while its replaced files reclaim) — a
+    // dir-granular tally would understate reclaim for DML-heavy
+    // tables exactly where the sizing question matters most
+    val fileSizes: Map[String, Map[String, Long]] =
       if (!fs.exists(dataRoot)) Map.empty
       else fs.listStatus(dataRoot).toSeq
         .filterNot(_.getPath.getName.startsWith("."))
         .map { st =>
-          val files = fs.listStatus(st.getPath)
-          st.getPath.getName -> (files.length.toLong, files.map(_.getLen).sum)
+          st.getPath.getName -> fs.listStatus(st.getPath)
+            .map(f => f.getPath.getName -> f.getLen).toMap
         }.toMap
     val manifests = live.map(v =>
-      v -> readManifest(spark, root, v).map(refDir).toSet)
+      v -> readManifest(spark, root, v))
     // incremental suffix union, newest-first: as k grows, manifests
-    // JOIN the kept set one by one and their dirs leave the running
-    // dropped tally — each manifest's dir set is touched ONCE, so the
-    // whole schedule is O(versions × manifest), not O(versions²)
-    // (a 5000-version streaming-ingest history must stay audit-cheap)
+    // JOIN the kept set one by one; each reference is processed once
+    // per manifest appearance with set-dedupe, so the whole schedule
+    // is O(versions × manifest), not O(versions²) (a 5000-version
+    // streaming-ingest history must stay audit-cheap). Per-dir
+    // status only STRENGTHENS as k grows (dropped → ref-kept →
+    // wholesale-kept), so the three running sums update in O(1)
+    // amortized per reference.
     val byDesc = manifests.sortBy(-_._1)
-    val dropped = scala.collection.mutable.Map.empty[String, (Long, Long)]
-    dropped ++= dirSizes
-    var nDirs = dropped.size.toLong
-    var nFiles = dropped.valuesIterator.map(_._1).sum
-    var nBytes = dropped.valuesIterator.map(_._2).sum
+    val totalFiles = fileSizes.valuesIterator.map(_.size.toLong).sum
+    val totalBytes = fileSizes.valuesIterator.map(_.values.sum).sum
+    val wholeDirs = scala.collection.mutable.Set.empty[String]
+    val refOnly = scala.collection.mutable.Set.empty[String]
+    val seenRefs = scala.collection.mutable.Set.empty[String]
+    val keptRefAgg = scala.collection.mutable
+      .Map.empty[String, (Long, Long)] // dir -> (files, bytes) kept
+    var keptFiles = 0L
+    var keptBytes = 0L
+    var droppedDirs = fileSizes.size.toLong
     var idx = 0
     // registered consumer floors (the publish convention): a row's
     // `consumers_behind` counts REGISTERED consumers whose floor sits
@@ -683,14 +705,45 @@ object VersionedTable {
     val rows = (1 to math.max(live.size, 1)).map { k =>
       val keepFrom = math.max(0, latest - k + 1)
       while (idx < byDesc.length && byDesc(idx)._1 >= keepFrom) {
-        byDesc(idx)._2.foreach { d =>
-          dropped.remove(d).foreach { case (f, b) =>
-            nDirs -= 1; nFiles -= f; nBytes -= b
+        byDesc(idx)._2.foreach { ref =>
+          val d = refDir(ref)
+          if (!wholeDirs.contains(d)) {
+            if (!refIsFile(ref)) {
+              // dir becomes wholesale-kept: its whole size is kept;
+              // retract any partial ref tally it accumulated
+              wholeDirs += d
+              val (rf, rb) = keptRefAgg.getOrElse(d, (0L, 0L))
+              if (refOnly.remove(d)) { keptFiles -= rf; keptBytes -= rb }
+              else droppedDirs -= 1
+              fileSizes.get(d).foreach { fsz =>
+                keptFiles += fsz.size; keptBytes += fsz.values.sum
+              }
+            } else if (seenRefs.add(ref)) {
+              if (refOnly.add(d)) {
+                droppedDirs -= 1
+                // non-parquet files (the _bloom.bin sidecar) survive
+                // the file sweep alongside the carried refs
+                val extra = fileSizes.get(d)
+                  .map(_.filterNot(_._1.endsWith(".parquet")))
+                  .getOrElse(Map.empty)
+                keptRefAgg(d) = (extra.size.toLong, extra.values.sum)
+                keptFiles += extra.size; keptBytes += extra.values.sum
+              }
+              val name = ref.drop(d.length + 1)
+              val present = fileSizes.get(d).exists(_.contains(name))
+              val sz = fileSizes.get(d).flatMap(_.get(name))
+                .getOrElse(0L)
+              val n = if (present) 1L else 0L
+              val (rf, rb) = keptRefAgg.getOrElse(d, (0L, 0L))
+              keptRefAgg(d) = (rf + n, rb + sz)
+              keptFiles += n; keptBytes += sz
+            }
           }
         }
         idx += 1
       }
-      (k, keepFrom, (byDesc.length - idx).toLong, nDirs, nFiles, nBytes,
+      (k, keepFrom, (byDesc.length - idx).toLong, droppedDirs,
+        totalFiles - keptFiles, totalBytes - keptBytes,
         floors.count(_ < keepFrom).toLong)
     }
     rows.toDF("keep_versions", "earliest_kept_version",
@@ -1453,7 +1506,19 @@ object VersionedTable {
           else None
         clusterCols match {
           case Some(cols) =>
-            val n = math.max(1, df.rdd.getNumPartitions)
+            // the file-count target comes from SESSION CONF, never
+            // from df.rdd.getNumPartitions: materializing .rdd on an
+            // AQE plan EXECUTES its shuffle stages just to read a
+            // partition count, and the write would then re-run them
+            // (no stage reuse across separate actions) — a
+            // cluster-pinned commit of any joined/aggregated frame
+            // would pay its shuffles twice. Range boundaries come
+            // from sampling, so a small batch fills only a few of
+            // the n ranges and empty partitions write no files —
+            // the conf cap is an upper bound, not a file-count
+            // mandate.
+            val n = math.max(1,
+              spark.conf.get("spark.sql.shuffle.partitions").toInt)
             cluster(df, cols, n).write.parquet(dataDir.toString)
           case None =>
             df.write.parquet(dataDir.toString) // invisible until manifest lands

@@ -123,15 +123,21 @@ class VersionedTableStreamSource(sqlContext: SQLContext, root: String,
         val from = versionOf(s)
         VersionedTable.requireVersionsAvailable(spark, root,
           math.max(from, 0), to)
-        val fromDirs = VersionedTable.dataDirs(spark, root, Some(from))
-          .map(d => new Path(d).getName).toSet
-        val toDirs = VersionedTable.dataDirs(spark, root, Some(to))
-          .map(d => new Path(d).getName)
-        require(fromDirs.subsetOf(toDirs.toSet),
+        // compare manifest REFERENCES, not flattened leaf names:
+        // a file-granular reference (`dir/file.parquet`, a partial
+        // rewrite's in-place carry) must keep its parent dir both
+        // for the append-only subset check and for path resolution —
+        // Path.getName would alias it to a bare file name that
+        // resolves nowhere (same contract as addedDirsForVersion on
+        // the DSv2 path)
+        val fromRefs = VersionedTable.readManifest(spark, root, from)
+          .toSet
+        val toRefs = VersionedTable.readManifest(spark, root, to)
+        require(fromRefs.subsetOf(toRefs.toSet),
           s"versions ($from, $to] of $root contain a rewrite " +
             "(merge/compact/optimize) — the streaming source only tails " +
             "APPENDS; use VersionedTable.changesBetween for rewrite deltas")
-        val added = toDirs.filterNot(fromDirs)
+        val added = toRefs.filterNot(fromRefs)
         if (added.isEmpty) // defensive: engine never asks for (v, v]
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

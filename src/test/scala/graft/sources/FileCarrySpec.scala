@@ -107,6 +107,16 @@ class FileCarrySpec extends SparkSpec {
       (origFiles - carried.size).toLong),
       s"preview must list the sweepable replaced files, got " +
         s"${pv.toSeq}")
+    // the RETENTION SCHEDULE models the sweep too: its k=1 row's
+    // bytes must equal the preview's total (dir rows + files rows) —
+    // a dir-granular schedule would understate reclaim here
+    val schedK1 = VersionedTable.retentionSchedule(spark, root)
+      .filter(col("keep_versions") === 1).head
+    assert(schedK1.getLong(5) == pv.map(_.getLong(2)).sum,
+      s"schedule k=1 bytes ${schedK1.getLong(5)} must equal the " +
+        s"preview total ${pv.map(_.getLong(2)).sum}")
+    assert(schedK1.getLong(3) == 0L,
+      "no whole dir drops at k=1 — the split dir survives its refs")
     // keepVersions = 1 drops v0 (the only wholesale reference);
     // retainMillis = 0 is the single-writer test spelling
     VersionedTable.vacuum(spark, root, keepVersions = 1,

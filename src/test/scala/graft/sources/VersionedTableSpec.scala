@@ -634,7 +634,8 @@ class VersionedTableSpec extends SparkSpec {
     val floors = VersionedTable.consumerFloors(spark, root)
       .select("consumer", "floor_version")
       .as[(String, Long)].collect().toMap
-    assert(floors("tail-a") == 1L && floors("mv:mv") == 2L,
+    assert(floors("tail-a") == 1L &&
+      floors(MaterializedView.floorConsumerId(mvRoot)) == 2L,
       s"got $floors")
     // merge-by-key: re-publishing replaces, never duplicates
     VersionedTable.publishConsumerFloor(spark, root, "tail-a", 0)
