@@ -97,11 +97,12 @@ class GraftSqlExtensionsSpec extends SparkSpec {
     val before = census
     val preview = spark.sql(
       "VACUUM gext.t5 RETAIN 0 HOURS KEEP 1 VERSIONS DRY RUN")
-      .as[(String, Long, Long)].collect()
+      .as[(String, Long, Long, String)].collect()
     // the compact folded 3 dirs (init + 2 inserts); all 3 are now
-    // unreferenced by the live version and would age out
+    // unreferenced by the live version and would age out — each a
+    // whole-dir row (no file refs in this history)
     assert(preview.length == 3, s"preview: ${preview.toSeq}")
-    assert(preview.forall(_._3 >= 0))
+    assert(preview.forall(r => r._3 >= 0 && r._4 == "dir"))
     assert(census == before, "DRY RUN deleted data")
     // the real vacuum then deletes exactly the previewed dirs
     spark.sql("VACUUM gext.t5 RETAIN 0 HOURS KEEP 1 VERSIONS")
