@@ -847,6 +847,35 @@ object ScaleBench {
         .agg(count(lit(1)).as("cnt"),
           sum(col("n_chars").cast("decimal(38,6)")).as("sum_chars"),
           avg(col("n_chars")).as("avg_chars"))),
+      // the SAME rollup contrast at CONTRAST-OPENING scale: the
+      // documents pair above records both-flat honestly (500k narrow
+      // rows stay overhead-bound at local[32]); lineitem is the
+      // decade's big fact table (600k/6M/60M rows), so the direct
+      // aggregate scans the decade while the rollup still reads the
+      // view's ~6 accumulator rows. Expected: rollup FLAT at the
+      // manifest-read floor, off ~linear — the widening gap is the
+      // accumulator serve.
+      "mv_rollup_line" -> {
+        lazy val mvLine: String = {
+          val r = tempTableRoot("graft_mvline_base")
+          val m = tempTableRoot("graft_mvline_view")
+          graft.sources.VersionedTable.init(spark, r,
+            li.select(col("l_returnflag"), col("l_linestatus"),
+              col("l_quantity")))
+          graft.sources.MaterializedView.create(spark, m, r,
+            Seq("l_returnflag", "l_linestatus"),
+            Seq(graft.sources.MaterializedView.MvCount("cnt"),
+              graft.sources.MaterializedView
+                .MvSum("l_quantity", "sum_qty")))
+          m
+        }
+        () => graft.sources.MaterializedView.rollup(spark, mvLine,
+          Seq("l_returnflag"))
+      },
+      "mv_rollup_line_off" -> (() => li
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(38,6)")).as("sum_qty"))),
       // STREAMING FOLLOW latency: each rep measures append → start a
       // follow → processAllAvailable → stop → view-current. The
       // start/stop rides INSIDE the timed rep deliberately: a
@@ -1107,6 +1136,93 @@ object ScaleBench {
           val v = vt.repinQuantileStats(spark, sRoot, Seq("n_chars"))
           import spark.implicits._
           Seq(v).toDF("v")
+        }
+      },
+      // VACUUM'S FILE-LEVEL SWEEP measured against the dir-level
+      // sweep it extends: both fixtures hold the decade's docs as K
+      // commit dirs (K grows with the decade) of 4 files each. The
+      // PINNED table's point delete splits exactly ONE dir (bloom
+      // classification), so the sweep's candidate selection — the
+      // shared vacuumPreview/vacuum implementation, timed here via
+      // the non-destructive preview so reps are deterministic —
+      // lists the files of ONE dir: O(replaced files), expected
+      // ~FLAT as the table's file count grows. The UNPINNED twin's
+      // delete rewrites every dir (random hashes span all
+      // envelopes), so its preview must list EVERY old dir's files:
+      // O(table files), expected to grow with the decade. In-row
+      // canaries pin both shapes.
+      "vacuum_sweep" -> {
+        lazy val swRoot: String = {
+          val r = tempTableRoot("graft_vsweep")
+          val vt = graft.sources.VersionedTable
+          val d = docs.select(col("doc_id"), md5(col("text")).as("fp"),
+            col("n_chars"), col("text"))
+          val n = d.count()
+          val k = math.max(8L, math.min(64L, n / 5000L)).toInt
+          val step = n / k + 1
+          vt.init(spark, r,
+            d.filter(col("doc_id") < step).repartition(4))
+          (1 until k).foreach { i =>
+            vt.append(spark, r,
+              d.filter(col("doc_id") >= i.toLong * step &&
+                col("doc_id") < (i + 1).toLong * step).repartition(4),
+              expectedVersion = i - 1)
+          }
+          vt.enableBloomFilters(spark, r, Seq("fp"))
+          // ONE point delete (a provably-unique hash) splits ONE dir
+          val probe = d.groupBy("fp")
+            .agg(count(lit(1)).as("c"), min(col("doc_id")).as("m"))
+            .filter(col("c") === 1).orderBy("m").limit(1)
+            .head.getString(0)
+          vt.delete(spark, r, col("fp") === probe)
+          r
+        }
+        () => {
+          val pv = graft.sources.VersionedTable.vacuumPreview(spark,
+            swRoot, keepVersions = 1, retainMillis = 0L)
+          val rows = pv.collect()
+          val fileScoped = rows.filter(_.getString(3) == "files")
+          require(fileScoped.length == 1 &&
+            fileScoped.head.getLong(1) <= 6L,
+            s"vacuum_sweep: the sweep must touch ONE split dir's " +
+              s"few replaced files, got ${rows.toSeq}")
+          pv
+        }
+      },
+      "vacuum_sweep_off" -> {
+        lazy val swOffRoot: String = {
+          val r = tempTableRoot("graft_vsweep_off")
+          val vt = graft.sources.VersionedTable
+          val d = docs.select(col("doc_id"), md5(col("text")).as("fp"),
+            col("n_chars"), col("text"))
+          val n = d.count()
+          val k = math.max(8L, math.min(64L, n / 5000L)).toInt
+          val step = n / k + 1
+          vt.init(spark, r,
+            d.filter(col("doc_id") < step).repartition(4))
+          (1 until k).foreach { i =>
+            vt.append(spark, r,
+              d.filter(col("doc_id") >= i.toLong * step &&
+                col("doc_id") < (i + 1).toLong * step).repartition(4),
+              expectedVersion = i - 1)
+          }
+          // no blooms: the same point delete rewrites EVERY dir
+          val probe = d.groupBy("fp")
+            .agg(count(lit(1)).as("c"), min(col("doc_id")).as("m"))
+            .filter(col("c") === 1).orderBy("m").limit(1)
+            .head.getString(0)
+          vt.delete(spark, r, col("fp") === probe)
+          r
+        }
+        () => {
+          val pv = graft.sources.VersionedTable.vacuumPreview(spark,
+            swOffRoot, keepVersions = 1, retainMillis = 0L)
+          val rows = pv.collect()
+          val dirScoped = rows.count(_.getString(3) == "dir")
+          require(dirScoped >= 8,
+            s"vacuum_sweep_off: the whole-table rewrite must leave " +
+              s"every old dir a candidate, got ${rows.toSeq}")
+          pv
         }
       },
       // COMMIT COST OF A TRIPLE-PINNED TABLE measured: a FIXED

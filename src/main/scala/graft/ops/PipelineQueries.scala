@@ -2198,7 +2198,52 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // REF-FRAGMENTATION ADVISOR end-to-end: a point delete on a
+  // 24-file range-clustered commit splits it (~23 carried refs —
+  // past the advisor's 16-ref floor, and the refs plus their carried
+  // #file: lines dominate the manifest), the advisor recommends the
+  // fold, compactRefs heals it at O(fragmented refs), and the
+  // advisor goes quiet. In-gate canaries pin the advisor lifecycle
+  // (recommend → fold → quiet) and the measured fold cost; the
+  // RESULT is hash-gated against DuckDB computing the delete's
+  // complement — advice and fold must both be answer-invisible.
+  def pipelineVersionedRefsAdvisor(s: SparkSession, d: String)
+      : DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("text"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_refadv")
+    val root = tmpRoot.resolve("tbl").toString
+    try {
+      val vt = graft.sources.VersionedTable
+      vt.init(s, root, base.repartitionByRange(24, col("doc_id")))
+      val quiet0 = graft.ops.RefAdvisor.advise(s, root)
+      require(!quiet0.recommend && quiet0.frag.fileRefs == 0,
+        s"fresh table must not recommend a fold: $quiet0")
+      val probe = base.agg(min(col("doc_id"))).head.getLong(0) + 7L
+      vt.delete(s, root, col("doc_id") === probe)
+      val hot = graft.ops.RefAdvisor.advise(s, root)
+      require(hot.recommend &&
+        hot.frag.fileRefs >= graft.ops.RefAdvisor.DefaultMinRefs &&
+        hot.overheadShare >= graft.ops.RefAdvisor.DefaultShareThreshold,
+        s"the split history must trip both advisor guards: $hot")
+      require(hot.frag.foldRows.exists(_ > 0L),
+        s"fold cost must be measured from the carried stats: $hot")
+      vt.compactRefs(s, root)
+      val healed = graft.ops.RefAdvisor.advise(s, root)
+      require(!healed.recommend && healed.frag.fileRefs == 0,
+        s"the fold must silence the advisor: $healed")
+      vt.read(s, root)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_versioned_refs_advisor" -> pipelineVersionedRefsAdvisor _,
     "dedup_exact" -> dedupExact _,
     "dedup_sorted_neighborhood" -> dedupSortedNeighborhood _,
     "stats_corr_by_lang" -> statsCorrByLang _,
@@ -2640,6 +2685,14 @@ object PipelineQueries extends QueryPack {
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents
         |WHERE doc_id < 450 AND NOT (doc_id BETWEEN 180 AND 260)
+        |ORDER BY doc_id""".stripMargin,
+    // the advisor lifecycle (recommend → fold → quiet) is
+    // answer-invisible: the oracle is the point delete's complement,
+    // the probe spelled exactly as the Spark side computes it
+    "pipeline_versioned_refs_advisor" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents
+        |WHERE doc_id <> (SELECT min(doc_id) + 7 FROM documents)
         |ORDER BY doc_id""".stripMargin,
     // the file-carry split is answer-invisible: the oracle is the
     // delete's complement, threshold spelled with the same integer

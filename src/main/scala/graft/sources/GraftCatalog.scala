@@ -109,6 +109,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def isTable(p: Path): Boolean =
     fs.exists(new Path(p, "_manifests"))
 
+  /** Re-arm every materialized view whose durable `_follow` marker is
+    * set — the one-call session-restart recipe for `ALTER
+    * MATERIALIZED VIEW ... FOLLOW`: the SQL command owns its query
+    * through Spark's StreamingQueryManager (dies with the session),
+    * but arms the marker in the view root; call this at warehouse-
+    * session start and every marked view follows again under its
+    * deterministic per-root query name. Views already followed in
+    * THIS session are reported, not double-started; exactly-once
+    * needs no checkpoint (the first re-armed trigger folds from the
+    * view's own `#txn:` watermark). Returns one row per marked view:
+    * (table_root, query_name, resumed — false = was already active).
+    * O(warehouse listing) driver work; the walk prunes at the first
+    * `_manifests` dir, so it never descends into table data. */
+  def resumeFollows(): Seq[(String, String, Boolean)] = {
+    def walk(dir: Path): Seq[Path] = {
+      if (!fs.exists(dir)) return Seq.empty
+      val entries = fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      if (fs.exists(new Path(dir, "_manifests"))) Seq(dir)
+      else entries.flatMap(st => walk(st.getPath))
+    }
+    // re-home each discovered (fs-QUALIFIED) path onto the CONFIGURED
+    // warehouse string, so the root — and therefore the hashed query
+    // name — is byte-identical to what the SQL FOLLOW command derived
+    // via tablePath(ident)
+    val whPath = fs.makeQualified(warehouse).toUri.getPath
+    def rootStringOf(p: Path): String =
+      p.toUri.getPath.stripPrefix(whPath).split('/').filter(_.nonEmpty)
+        .foldLeft(warehouse)((a, seg) => new Path(a, seg)).toString
+    walk(warehouse)
+      .map(rootStringOf)
+      .filter(MaterializedView.followArmed(spark, _))
+      .sorted
+      .map { root =>
+        val name = GraftMvFollowCommand.queryNameFor(root)
+        val already = spark.streams.active.exists(_.name == name)
+        if (!already)
+          graft.streaming.Streams.followMaterializedView(
+            spark, root, queryName = Some(name)): Unit
+        (root, name, !already)
+      }
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = namespace.foldLeft(warehouse)((p, s) => new Path(p, s))
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
@@ -156,6 +198,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // "I still need version >= X", and when)
           return localTable(ident.toString,
             VersionedTable.consumerFloors(spark, p.toString))
+        case "refs" =>
+          // the ref-fragmentation advisor: the manifest's reference
+          // census plus the measured-threshold OPTIMIZE ... REFS
+          // recommendation — O(manifest) driver work
+          return localTable(ident.toString,
+            refsDf(baseIdent, p.toString))
         case _ => throw new NoSuchTableException(ident)
       }
     }
@@ -243,6 +291,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         None: Option[Int]))
     (measured ++ stale)
       .toDF("column", "hot_share", "basis", "advised_salt")
+  }
+
+  // `t$refs`: ONE summary row — the manifest's reference census
+  // (file-granular refs, split/whole dirs, the per-ref #file: and
+  // sketch-line tax), the fragmentation overhead share, the fold's
+  // measured row cost (NULL when #file: stats don't cover every ref
+  // — the advisor refuses to guess), and the recommendation with its
+  // basis. `SELECT recommendation FROM graft.`t$refs`` is the
+  // maintenance scheduler's one-liner; the thresholds' derivation
+  // lives on [[graft.ops.RefAdvisor]]. O(manifest) driver work.
+  private def refsDf(ident: Identifier, root: String)
+      : org.apache.spark.sql.DataFrame = {
+    val s = spark
+    import s.implicits._
+    val a = graft.ops.RefAdvisor.advise(s, root)
+    val recommendation =
+      if (a.recommend)
+        Some(s"OPTIMIZE ${name()}.${ident.toString} REFS")
+      else None
+    Seq((a.frag.fileRefs.toLong, a.frag.splitDirs.toLong,
+      a.frag.wholeDirs.toLong, a.frag.refStatsLines.toLong,
+      a.frag.refSketchLines.toLong, a.frag.manifestLines.toLong,
+      a.overheadShare, a.frag.foldRows, recommendation, a.basis))
+      .toDF("file_refs", "split_dirs", "whole_dirs",
+        "ref_stats_lines", "ref_sketch_lines", "manifest_lines",
+        "overhead_share", "fold_rows", "recommendation", "basis")
   }
 
   // `mv$mv`: the materialized view's bookkeeping — one row per
@@ -872,7 +946,58 @@ private[sources] class GraftSqlTable(ident: String, root: String,
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): V1Write = new V1Write {
+      override def build(): V1Write = new V1Write
+          with org.apache.spark.sql.connector.write
+            .RequiresDistributionAndOrdering {
+
+        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+        // the #clusterby: pin's STREAMING parity (the cluster-pin
+        // contract's last uncovered write path): a `writeStream
+        // .toTable` epoch DEMANDS an ordered distribution on the
+        // pinned columns, so micro-batch commits range-cluster their
+        // own batch exactly like batch appends through commitDirs —
+        // a followed/streamed table no longer de-clusters between
+        // OPTIMIZE runs. O(micro-batch) per epoch: one extra range
+        // shuffle of the batch (boundary sampling included), the
+        // same price the bucket-pinned DML write already pays for
+        // layout. Non-strict + no partition mandate: AQE may
+        // coalesce a small epoch's ranges into fewer files (tiny
+        // epochs should not fan out into `shuffle.partitions`
+        // near-empty cluster files). Columns the write schema lacks
+        // drop out — never fail a write over a layout hint. The
+        // BATCH insert path below ignores this declaration (V1
+        // InsertableRelation bypasses prepareQuery) and clusters in
+        // commitDirs as before — the layout discipline has exactly
+        // one owner per path.
+        private lazy val clusterPin: Option[Seq[String]] =
+          VersionedTable.clusterSpec(spark, root, None)
+            .map(_.filter(c =>
+              info.schema().fieldNames.exists(_.equalsIgnoreCase(c))))
+            .filter(_.nonEmpty)
+
+        private def clusterOrders(cols: Seq[String]): Array[SortOrder] =
+          cols.map(c => Expressions.sort(Expressions.column(c),
+            SortDirection.ASCENDING)).toArray
+
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          clusterPin match {
+            case Some(cols) =>
+              org.apache.spark.sql.connector.distributions.Distributions
+                .ordered(clusterOrders(cols))
+            case None =>
+              org.apache.spark.sql.connector.distributions.Distributions
+                .unspecified()
+          }
+
+        override def requiredOrdering(): Array[SortOrder] =
+          clusterPin.map(clusterOrders).getOrElse(Array.empty)
+
+        override def requiredNumPartitions(): Int = 0
+
+        override def distributionStrictlyRequired(): Boolean = false
+
         // `df.writeStream.toTable("graft.t")`: every micro-batch is
         // one atomic append through the same commit point as batch
         // INSERT, with exactly-once via the txn marker (see

@@ -244,8 +244,12 @@ object GraftSqlParser {
           .filter(_.nonEmpty)
       Some(GraftClusterByCommand(parts(ident), cols))
     case ConsumerFloorRe(ident, consumer, floor) =>
+      // the regex admits any digit run; an out-of-Int-range floor must
+      // refuse descriptively, not leak a raw NumberFormatException
       Some(GraftConsumerFloorCommand(parts(ident), consumer,
-        floor.toInt))
+        floor.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"consumer floor $floor is out of range — versions are Ints " +
+            s"(<= ${Int.MaxValue})"))))
     case _ => None
   }
 
@@ -559,10 +563,13 @@ case class GraftRefreshMaterializedViewCommand(nameParts: Seq[String],
   * like any other unnamed-checkpoint stream. STOP resolves the name
   * through the same manager. Exactly-once needs no checkpoint here
   * (each refresh commits atomically with its watermark `#txn:`
-  * marker, so a re-fired trigger no-ops); a caller who wants
-  * restart-without-retrigger semantics uses the programmatic
-  * spelling with an explicit checkpoint. A second FOLLOW while one
-  * is active refuses, naming STOP; STOP with none active refuses. */
+  * marker, so a re-fired trigger no-ops). The intent is DURABLE even
+  * though the query is not: FOLLOW arms a `_follow` marker in the
+  * view root, STOP disarms it, and a restarted session re-arms every
+  * marked view with one [[GraftCatalog.resumeFollows]] call — a
+  * crashed warehouse session no longer silently stops following. A
+  * second FOLLOW while one is active refuses, naming STOP; STOP with
+  * none active refuses. */
 case class GraftMvFollowCommand(nameParts: Seq[String], stop: Boolean)
     extends LeafRunnableCommand with GraftMaintenanceCommand {
 
@@ -582,6 +589,10 @@ case class GraftMvFollowCommand(nameParts: Seq[String], stop: Boolean)
           "session — start one with ALTER MATERIALIZED VIEW " +
           s"${nameParts.mkString(".")} FOLLOW"))
       q.stop()
+      // STOP (and only STOP — never a crash) clears the durable
+      // follow intent, so a restarted session's resumeFollows
+      // re-arms crashed follows but respects deliberate stops
+      MaterializedView.disarmFollow(spark, root)
       Seq(Row(name, q.id.toString, false))
     } else {
       existing.foreach(q => throw new IllegalStateException(
@@ -590,6 +601,9 @@ case class GraftMvFollowCommand(nameParts: Seq[String], stop: Boolean)
           s"${nameParts.mkString(".")} FOLLOW STOP first"))
       val q = graft.streaming.Streams.followMaterializedView(
         spark, root, queryName = Some(name))
+      // durable intent AFTER the successful start: a refused FOLLOW
+      // must not leave a marker a later resume would act on
+      MaterializedView.armFollow(spark, root)
       Seq(Row(name, q.id.toString, true))
     }
   }

@@ -639,6 +639,44 @@ object MaterializedView {
     else grouped.withColumn(cntCol, coalesce(col(cntCol), lit(0L)))
   }
 
+  // ---- follow re-arm marker ------------------------------------------
+  //
+  // `ALTER MATERIALIZED VIEW ... FOLLOW` owns its query lifecycle
+  // through Spark's StreamingQueryManager — correct per-session, but a
+  // crashed/restarted warehouse session silently stops following. The
+  // `_follow` marker is the DURABLE half: FOLLOW arms it, STOP disarms
+  // it (a crash does NOT — that asymmetry is the point), and
+  // [[GraftCatalog.resumeFollows]] re-arms every marked view at
+  // session start. No checkpoint is needed for exactly-once: each
+  // refresh commits atomically with its watermark `#txn:` marker, so
+  // a re-armed follow's first trigger folds only what the view
+  // missed. Underscore-named like every control file — invisible to
+  // data scans, atomic single-file create/delete.
+
+  private val FollowMarker = "_follow"
+
+  /** Record "this view should be followed" durably. Idempotent. */
+  def armFollow(spark: SparkSession, mvRoot: String): Unit = {
+    readDef(spark, mvRoot): Unit // not-a-view refuses loudly here
+    val p = new Path(mvRoot, FollowMarker)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write("v1".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Clear the durable follow intent (STOP's other half). Idempotent. */
+  def disarmFollow(spark: SparkSession, mvRoot: String): Unit = {
+    val p = new Path(mvRoot, FollowMarker)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, false): Unit
+  }
+
+  /** Is the durable follow intent set? */
+  def followArmed(spark: SparkSession, mvRoot: String): Boolean = {
+    val p = new Path(mvRoot, FollowMarker)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   // ---- definition persistence --------------------------------------
   //
   // Defs publish under VERSIONED names (`_mvdef.v<N>.json`, read the

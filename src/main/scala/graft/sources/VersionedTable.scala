@@ -215,10 +215,40 @@ object VersionedTable {
       byDir: Map[String, Seq[DataSkipping.FileStats]], ref: String)
       : Option[Seq[DataSkipping.FileStats]] =
     if (!refIsFile(ref)) byDir.get(ref)
-    else byDir.get(refDir(ref)).flatMap { fs =>
-      val hit = fs.filter(_.path == ref)
-      if (hit.isEmpty) None else Some(hit)
+    else byDir match {
+      // the [[statsByDir]]-cached map carries a lazy by-path index, so
+      // a metadata pass over a FRAGMENTED manifest (R file refs into a
+      // D-file dir) costs O(R), not O(R×D) — built once per (root,
+      // version), amortized across every ref lookup of every pass
+      case ix: IndexedStats => ix.byPath.get(ref)
+      case _ => byDir.get(refDir(ref)).flatMap { fs =>
+        val hit = fs.filter(_.path == ref)
+        if (hit.isEmpty) None else Some(hit)
+      }
     }
+
+  /** An immutable per-dir stats map that ALSO answers by full file
+    * path in O(1) — the concrete type [[statsByDir]] caches. Plain
+    * `Map` to every existing caller; [[statsForRef]] pattern-matches
+    * for the fast path. */
+  private[sources] final class IndexedStats(
+      underlying: Map[String, Seq[DataSkipping.FileStats]])
+      extends scala.collection.immutable
+        .AbstractMap[String, Seq[DataSkipping.FileStats]] {
+    override def get(k: String): Option[Seq[DataSkipping.FileStats]] =
+      underlying.get(k)
+    override def iterator
+        : Iterator[(String, Seq[DataSkipping.FileStats])] =
+      underlying.iterator
+    override def removed(k: String)
+        : Map[String, Seq[DataSkipping.FileStats]] =
+      underlying.removed(k)
+    override def updated[V1 >: Seq[DataSkipping.FileStats]](
+        k: String, v: V1): Map[String, V1] = underlying.updated(k, v)
+    override def size: Int = underlying.size
+    lazy val byPath: Map[String, Seq[DataSkipping.FileStats]] =
+      underlying.valuesIterator.flatten.toSeq.groupBy(_.path)
+  }
 
   // the `#file:` stats lines of version `v` that describe files
   // covered by `keep` references (whole dirs or single files) —
@@ -528,6 +558,65 @@ object VersionedTable {
         wholeDirs.toSet))
   }
 
+  /** What one manifest read can MEASURE about DML-history
+    * fragmentation — the raw material for
+    * [[graft.ops.RefAdvisor]]'s fold recommendation and the `t$refs`
+    * metadata table. Every field is counted, never estimated:
+    *
+    *  - `fileRefs` / `splitDirs` / `wholeDirs`: the manifest's
+    *    reference census (file-granular refs, the distinct dirs they
+    *    point into, whole-dir refs).
+    *  - `refStatsLines` / `refSketchLines`: the per-ref metadata tax
+    *    — `#file:` skipping lines and `#ndv:`/`#kll:` sketch lines
+    *    that exist ONLY to cover carried file refs. Every scan's
+    *    manifest parse pays for these lines; [[compactRefs]] folds
+    *    them back to per-dir granularity.
+    *  - `manifestLines`: the whole manifest, for the share
+    *    denominator.
+    *  - `foldRows`: what a [[compactRefs]] fold would REWRITE (the
+    *    carried rows), served only when `#file:` stats cover every
+    *    file ref — absent coverage yields None rather than a guess,
+    *    the stats plane's standing refusal discipline.
+    *
+    * O(manifest) driver work, zero Spark jobs — the audit-plane rule. */
+  final case class RefFragmentation(fileRefs: Int, splitDirs: Int,
+      wholeDirs: Int, refStatsLines: Int, refSketchLines: Int,
+      manifestLines: Int, foldRows: Option[Long])
+
+  def refFragmentation(spark: SparkSession, root: String,
+      version: Option[Int] = None): RefFragmentation = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    require(v >= 0, s"table $root has no committed version")
+    val lines = manifestLines(spark, root, v)
+    val refs = lines.filterNot(_.startsWith("#"))
+    val fileRefs = refs.filter(refIsFile)
+    val fileRefSet = fileRefs.toSet
+    val wholeDirs = refs.filterNot(refIsFile)
+    val splitDirs = fileRefs.map(refDir).distinct
+    val refStatsLines = lines.count(l => l.startsWith("#file:") &&
+      DataSkipping.parseLine(l.stripPrefix("#file:"))
+        .exists(f => fileRefSet.contains(f.path)))
+    // a sketch line keyed by a file ref (its `dir` field carries the
+    // `dir/file.parquet` path) is per-ref overhead the fold removes
+    def sketchRef(l: String): Option[String] =
+      if (l.startsWith(NdvStats.LinePrefix))
+        NdvStats.parseLine(l).map(_._1)
+      else if (l.startsWith(QuantileStats.LinePrefix))
+        QuantileStats.parseLine(l).map(_._1)
+      else None
+    val refSketchLines =
+      lines.count(l => sketchRef(l).exists(fileRefSet.contains))
+    val byDir = statsByDir(spark, root, Some(v))
+    val perRef = fileRefs.map(r => statsForRef(byDir, r))
+    val foldRows =
+      if (fileRefs.isEmpty) Some(0L)
+      else if (perRef.exists(o =>
+        o.isEmpty || o.get.exists(_.rows < 0))) None
+      else Some(perRef.flatMap(_.get.map(_.rows)).sum)
+    RefFragmentation(fileRefs.size, splitDirs.size, wholeDirs.size,
+      refStatsLines, refSketchLines, lines.size, foldRows)
+  }
+
   /** What [[vacuum]] WOULD delete, without deleting — Delta's
     * `VACUUM ... DRY RUN`: one row per unreferenced commit dir older
     * than the retention horizon, with its file count and bytes. The
@@ -710,17 +799,22 @@ object VersionedTable {
           if (!wholeDirs.contains(d)) {
             if (!refIsFile(ref)) {
               // dir becomes wholesale-kept: its whole size is kept;
-              // retract any partial ref tally it accumulated
+              // retract any partial ref tally it accumulated. Dirs
+              // ABSENT from the data listing (a kept manifest
+              // referencing an externally-removed dir) adjust NOTHING
+              // — they were never counted into droppedDirs/totals, so
+              // decrementing for them would drift dirs_dropped
+              // negative
               wholeDirs += d
               val (rf, rb) = keptRefAgg.getOrElse(d, (0L, 0L))
               if (refOnly.remove(d)) { keptFiles -= rf; keptBytes -= rb }
-              else droppedDirs -= 1
+              else if (fileSizes.contains(d)) droppedDirs -= 1
               fileSizes.get(d).foreach { fsz =>
                 keptFiles += fsz.size; keptBytes += fsz.values.sum
               }
             } else if (seenRefs.add(ref)) {
               if (refOnly.add(d)) {
-                droppedDirs -= 1
+                if (fileSizes.contains(d)) droppedDirs -= 1
                 // non-parquet files (the _bloom.bin sidecar) survive
                 // the file sweep alongside the carried refs
                 val extra = fileSizes.get(d)
@@ -760,16 +854,46 @@ object VersionedTable {
       : Seq[org.apache.hadoop.fs.FileStatus] = {
     val fs = fsOf(spark, new Path(root))
     val latestNow = latestVersion(spark, root)
-    val keptRefs = (keepFrom to math.max(latestNow, keepFrom))
+    val perVersion = (keepFrom to math.max(latestNow, keepFrom))
       .filter(v => fs.exists(manifestPath(root, v)))
-      .flatMap(v => readManifest(spark, root, v))
+      .map(v => v -> readManifest(spark, root, v))
+    val keptRefs = perVersion.flatMap(_._2)
     val wholeDirs = keptRefs.filterNot(refIsFile).toSet
     val keptFiles = keptRefs.filter(refIsFile).toSet
     val horizon = System.currentTimeMillis() - retainMillis
+    // the retention grace must key on WHEN THE FILES WERE REPLACED,
+    // not on the files' own mtimes: a split's replaced files are OLD
+    // (written at dir creation), so an mtime-only horizon gives a
+    // file replaced by a recent DML effectively zero grace once the
+    // wholesale manifests age out — Delta keys vacuum retention on
+    // the remove-action timestamp for exactly this reason. Our
+    // witness of the replacement is the OLDEST kept manifest that
+    // references the dir by file refs without keeping it wholesale
+    // (the split's own commit, or — when the split predates the keep
+    // window — a newer, therefore MORE protective, bound). A swept
+    // file appears in NO kept manifest, so the per-dir witness
+    // covers every sweepable file of that dir.
+    val replacedAt: Map[String, Long] = perVersion
+      .flatMap { case (v, refs) =>
+        val whole = refs.filterNot(refIsFile).toSet
+        val splitDirs = refs.filter(refIsFile).map(refDir).distinct
+          .filterNot(whole.contains)
+        if (splitDirs.isEmpty) Seq.empty
+        else {
+          val mtime = fs.getFileStatus(manifestPath(root, v))
+            .getModificationTime
+          splitDirs.map(_ -> mtime)
+        }
+      }.groupBy(_._1).map { case (d, ts) => d -> ts.map(_._2).min }
     keptRefs.filter(refIsFile).map(refDir).distinct
       .filterNot(wholeDirs.contains).flatMap { d =>
         val dp = new Path(new Path(root, "data"), d)
-        if (!fs.exists(dp)) Seq.empty
+        // protect while the replacement is YOUNGER than the horizon;
+        // `>` (not `>=`) keeps the retainMillis = 0 test spelling
+        // ("no age guard") exact — the splitting manifest's rename
+        // can land in the same millisecond the sweep reads the clock
+        if (!fs.exists(dp) ||
+            replacedAt.getOrElse(d, Long.MaxValue) > horizon) Seq.empty
         else fs.listStatus(dp).toSeq
           .filter(st => st.getPath.getName.endsWith(".parquet") &&
             !keptFiles.contains(s"$d/${st.getPath.getName}") &&
@@ -1195,12 +1319,17 @@ object VersionedTable {
     * exactly those rows per statement keeps the `#file:` stats
     * prunable — O(batch) per commit, never O(table). METADATA-ONLY
     * commit: existing dirs are not rewritten (enable-then-compact is
-    * the migration recipe, like bucketing's). Honest limits: the SQL
-    * row-level DML write (Spark's delegated writer) and streaming
-    * epochs bypass the engine-side write and stay unclustered until
-    * the next maintenance fold; a pinned column later dropped by
-    * schema evolution makes the pin a silent no-op for writes that
-    * lack it (the commit must not fail over a layout hint).
+    * the migration recipe, like bucketing's). The two write paths
+    * that bypass the engine-side writer hold the pin through DSv2's
+    * `RequiresDistributionAndOrdering` instead: SQL row-level DML
+    * demands the ordered distribution on its rewrite set
+    * ([[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]
+    * on the replace write), and `writeStream.toTable` epochs demand
+    * it per micro-batch (the V1Write declaration in GraftCatalog) —
+    * so streamed tables no longer de-cluster between folds. Honest
+    * limit: a pinned column later dropped by schema evolution makes
+    * the pin a silent no-op for writes that lack it (the commit must
+    * not fail over a layout hint).
     * Mutually exclusive with [[enableBucketing]] — one physical
     * layout authority per table. */
   def enableClustering(spark: SparkSession, root: String,
@@ -2227,11 +2356,11 @@ object VersionedTable {
     val v = version.getOrElse(latestVersion(spark, root))
     if (v < 0) return Map.empty
     statsCache.getOrElseUpdate((new Path(root).toString, v),
-      manifestLines(spark, root, v)
+      new IndexedStats(manifestLines(spark, root, v)
         .filter(_.startsWith("#file:"))
         .flatMap(l => DataSkipping.parseLine(l.stripPrefix("#file:")))
         .filter(_.path.contains('/'))
-        .groupBy(_.path.takeWhile(_ != '/')))
+        .groupBy(_.path.takeWhile(_ != '/'))))
   }
 
   /** The file-skipped path list for a scan of `version` under

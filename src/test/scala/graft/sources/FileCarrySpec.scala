@@ -138,6 +138,48 @@ class FileCarrySpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("the file sweep's retention grace keys on the REPLACING " +
+    "commit's timestamp, not the replaced files' own mtimes: a " +
+    "recent split protects its old files for retainMillis") {
+    val root = manyFileTable()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
+    val origDir = VersionedTable.readManifest(spark, root, 0).head
+    VersionedTable.delete(spark, root, col("id") === 7L) // splits NOW
+    // age the dir's FILES two hours into the past — the real-world
+    // shape: data written long ago, replaced by a point-DML just now
+    val old = System.currentTimeMillis() - 2 * 3600L * 1000L
+    fs.listStatus(new org.apache.hadoop.fs.Path(dataRoot, origDir))
+      .foreach(st => fs.setTimes(st.getPath, old, -1))
+    val before = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dataRoot, origDir))
+      .map(_.getPath.getName).count(_.endsWith(".parquet"))
+    // an mtime-keyed sweep would reclaim the replaced files HERE —
+    // zero grace for an in-flight reader of the second-old v0 — but
+    // the split itself is seconds old, so the hour horizon protects
+    VersionedTable.vacuum(spark, root, keepVersions = 1,
+      retainMillis = 3600L * 1000L)
+    val after = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dataRoot, origDir))
+      .map(_.getPath.getName).count(_.endsWith(".parquet"))
+    assert(after == before,
+      s"a replacement younger than retainMillis must not sweep " +
+        s"($before -> $after files)")
+    // and the preview agrees: no "files"-scope row inside the window
+    val pv = VersionedTable.vacuumPreview(spark, root,
+      keepVersions = 1, retainMillis = 3600L * 1000L).collect()
+    assert(!pv.exists(_.getString(3) == "files"), s"got ${pv.toSeq}")
+    // outside the window the sweep proceeds as before
+    VersionedTable.vacuum(spark, root, keepVersions = 1,
+      retainMillis = 0L)
+    val swept = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dataRoot, origDir))
+      .map(_.getPath.getName).count(_.endsWith(".parquet"))
+    assert(swept < before, "retainMillis = 0 sweeps the replaced files")
+    assert(VersionedTable.read(spark, root).count() == 799)
+  }
+
   test("appends over a split manifest carry file refs verbatim; " +
     "NDV stays MAINTAINED through the split (per-file-ref sketch " +
     "lines replace the dropped dir line) and ANALYZE re-folds them " +
@@ -269,6 +311,65 @@ class FileCarrySpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(root, "data"), splitDir)),
       "after the fold ages out, the fragmented dir drops entirely")
     assert(VersionedTable.read(spark, root).count() == 899)
+  }
+
+  test("the ref-fragmentation advisor recommends a fold once " +
+    "point-DML history dominates the manifest, and goes quiet " +
+    "after OPTIMIZE REFS") {
+    import graft.ops.RefAdvisor
+    val root = freshRoot()
+    VersionedTable.init(spark, root,
+      spark.range(0, 2400).select(col("id"),
+        concat(lit("s"), col("id")).as("s"))
+        .repartitionByRange(24, col("id")))
+    // fresh table: nothing to fold, and the advisor says so
+    val a0 = RefAdvisor.advise(spark, root)
+    assert(!a0.recommend && a0.frag.fileRefs == 0 &&
+      a0.frag.foldRows.contains(0L), s"got $a0")
+    // one point delete splits the 24-file dir: ~23 carried refs —
+    // above the 16-ref floor AND the refs + their carried #file:
+    // lines dominate the manifest
+    val v1 = VersionedTable.delete(spark, root, col("id") === 7L)
+    val a1 = RefAdvisor.advise(spark, root)
+    assert(a1.frag.fileRefs >= RefAdvisor.DefaultMinRefs,
+      s"the split should carry >= 16 refs, got ${a1.frag}")
+    assert(a1.overheadShare >= RefAdvisor.DefaultShareThreshold &&
+      a1.recommend, s"got $a1")
+    // fold cost is MEASURED from the carried #file: lines, never
+    // guessed: exactly the carried rows (= the live snapshot minus
+    // whatever lives in the rewrite dirs)
+    val rewrittenRows = VersionedTable.readManifest(spark, root, v1)
+      .filterNot(VersionedTable.refIsFile)
+      .map(d => spark.read.parquet(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, "data"), d).toString)
+        .count()).sum
+    assert(a1.frag.foldRows.contains(
+      VersionedTable.read(spark, root).count() - rewrittenRows),
+      s"foldRows must equal the carried rows, got ${a1.frag}")
+    // the fold heals it: refs gone, advisor quiet, answers unchanged
+    val folded = VersionedTable.compactRefs(spark, root)
+    assert(folded == v1 + 1)
+    val a2 = RefAdvisor.advise(spark, root)
+    assert(!a2.recommend && a2.frag.fileRefs == 0,
+      s"after the fold the advisor must go quiet, got $a2")
+    assert(VersionedTable.read(spark, root).count() == 2399)
+    // pure-threshold checks (the SkewAdvisor.saltFor analog): the
+    // floor refuses small histories, the share guard refuses
+    // ref-light manifests, both name their reason
+    val few = VersionedTable.RefFragmentation(3, 1, 5, 3, 0, 20,
+      Some(300L))
+    assert(!RefAdvisor.adviseFrom(few).recommend &&
+      RefAdvisor.adviseFrom(few).basis.contains("floor"))
+    val light = VersionedTable.RefFragmentation(20, 2, 100, 20, 0,
+      400, Some(2000L))
+    assert(!RefAdvisor.adviseFrom(light).recommend &&
+      RefAdvisor.adviseFrom(light).basis.contains("share"))
+    val heavy = VersionedTable.RefFragmentation(20, 2, 3, 20, 10, 60,
+      None)
+    val ah = RefAdvisor.adviseFrom(heavy)
+    assert(ah.recommend && ah.frag.foldRows.isEmpty,
+      "uncovered refs: recommend on the share, refuse the cost " +
+        s"estimate — got $ah")
   }
 
   test("the #clusterby: pin keeps envelopes tight through appends " +

@@ -757,6 +757,58 @@ class GraftCatalogSpec extends SparkSpec {
     assert(feed == Set(0L, 1L, 2L, 3L))
   }
 
+  test("a cluster-pinned table range-clusters STREAMING epochs too: " +
+    "writeStream.toTable demands the ordered distribution per " +
+    "micro-batch, so a point lookup on the pinned column prunes the " +
+    "epoch's files") {
+    wh
+    spark.sql("CREATE TABLE graft.stc (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.stc VALUES (-1, 'seed')")
+    val root = rootOf("stc")
+    spark.sql("ALTER TABLE graft.stc CLUSTER BY (id)")
+    val ck = java.nio.file.Files.createTempDirectory("graft_stc_ck")
+      .toString
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // a test epoch is a few KB where production epochs are GBs, so
+    // AQE's coalescing (desirable in production — epoch files sized
+    // by BYTES, not by shuffle width) folds the whole batch into one
+    // range; disable it for the stream's duration to OBSERVE the
+    // range separation at test scale
+    val coalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+      "false")
+    try {
+      ms.addData((0L until 1600L).map(i => i -> s"s$i"): _*)
+      val q = ms.toDF().toDF("id", "s").writeStream
+        .option("checkpointLocation", ck).toTable("graft.stc")
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", coalesce)
+    assert(spark.sql("SELECT count(*) FROM graft.stc")
+      .as[Long].head == 1601L)
+    val v = VersionedTable.latestVersion(spark, root)
+    assert(VersionedTable.commitOp(spark, root, v)
+      .contains("stream_append"))
+    // the epoch landed as SEVERAL files with DISJOINT id envelopes:
+    // a point lookup keeps at most one epoch file (+ the seed dir's)
+    val (pruned, covered) = VersionedTable.pruneCounts(spark, root,
+      org.apache.spark.sql.functions.col("id") === 700L).get
+    assert(covered >= 4,
+      s"the clustered epoch should land as several range files, " +
+        s"got $covered covered files")
+    assert(pruned >= covered - 2,
+      s"a point lookup on the pinned column must prune the epoch " +
+        s"to at most one file (+seed), got $pruned/$covered")
+    // exactly-once unharmed: replaying the checkpoint lands nothing
+    val q2 = ms.toDF().toDF("id", "s").writeStream
+      .option("checkpointLocation", ck).toTable("graft.stc")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(VersionedTable.latestVersion(spark, root) == v)
+  }
+
   // the appId of the txn marker on version v (stream-<queryId> is
   // generated by the engine; resolve it from the manifest)
   private def manifestTxnApp(root: String, v: Int): String = {
@@ -1156,6 +1208,41 @@ class GraftCatalogSpec extends SparkSpec {
         "WHERE consumer = 'dash'").as[Long].head == 0L)
     assert(spark.sql("SELECT max(consumers_behind) FROM " +
       "graft.`rt_t$retention`").as[Long].head == 1L)
+  }
+
+  test("$refs serves the ref-fragmentation advisor: census, measured " +
+    "fold cost, and an actionable OPTIMIZE ... REFS recommendation " +
+    "that clears after the fold") {
+    wh
+    spark.sql("CREATE TABLE graft.rf_t (id BIGINT, s STRING)")
+    // REPARTITION_BY_RANGE with an explicit N survives AQE
+    // coalescing: 24 range files whose id envelopes tile the domain
+    spark.sql("INSERT INTO graft.rf_t SELECT " +
+      "/*+ REPARTITION_BY_RANGE(24, id) */ id, concat('s', id) " +
+      "FROM range(0, 2400)")
+    val quiet = spark.sql("SELECT * FROM graft.`rf_t$refs`").head()
+    assert(quiet.getLong(0) == 0L && quiet.isNullAt(8),
+      s"an unfragmented table recommends nothing, got $quiet")
+    // a point delete on the many-file dir splits it: carried refs
+    // (and their #file: lines) now dominate the manifest
+    spark.sql("DELETE FROM graft.rf_t WHERE id = 7")
+    val hot = spark.sql("SELECT * FROM graft.`rf_t$refs`").head()
+    assert(hot.getLong(0) >= 16L,
+      s"the split should carry >= 16 file refs, got $hot")
+    assert(hot.getDouble(6) >= 0.5 &&
+      hot.getString(8) == "OPTIMIZE graft.rf_t REFS",
+      s"expected the fold recommendation, got $hot")
+    assert(!hot.isNullAt(7) && hot.getLong(7) > 0L,
+      s"fold_rows must be measured from the carried #file: lines: " +
+        s"$hot")
+    // run the recommended statement VERBATIM — the signal must be
+    // directly actionable — and the advisor goes quiet
+    spark.sql(hot.getString(8))
+    val healed = spark.sql("SELECT * FROM graft.`rf_t$refs`").head()
+    assert(healed.getLong(0) == 0L && healed.isNullAt(8),
+      s"after the fold the advisor must go quiet, got $healed")
+    assert(spark.sql("SELECT count(*) FROM graft.rf_t")
+      .as[Long].head == 2399L)
   }
 
   test("SQL RENAME COLUMN refuses with the rewrite spelling and the " +

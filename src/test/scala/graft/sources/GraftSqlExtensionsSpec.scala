@@ -454,4 +454,62 @@ class GraftSqlExtensionsSpec extends SparkSpec {
     spark.sql("DROP TABLE gext.fmv")
     spark.sql("DROP TABLE gext.fb")
   }
+
+  test("FOLLOW survives a session restart through the durable " +
+    "_follow marker: resumeFollows re-arms a crashed follow (the " +
+    "missed base commit folds), reports already-active ones, and " +
+    "respects a deliberate STOP") {
+    wh
+    spark.sql("CREATE TABLE gext.fb2 (k STRING, x BIGINT)")
+    spark.sql("INSERT INTO gext.fb2 VALUES ('a', 1), ('b', 5)")
+    spark.sql("CREATE MATERIALIZED VIEW gext.fmv2 AS " +
+      "SELECT k, count(*) AS cnt, sum(x) AS sx FROM gext.fb2 GROUP BY k")
+    val root = rootOf("fmv2")
+    val qName = spark.sql(
+      "ALTER MATERIALIZED VIEW gext.fmv2 FOLLOW").head().getString(0)
+    assert(MaterializedView.followArmed(spark, root),
+      "FOLLOW must arm the durable marker")
+    // simulate a CRASH: the query dies WITHOUT the SQL STOP — the
+    // durable intent survives (that asymmetry is the whole feature)
+    spark.streams.active.find(_.name == qName).get.stop()
+    assert(!spark.streams.active.exists(_.name == qName))
+    assert(MaterializedView.followArmed(spark, root))
+    // a base commit lands while nobody is following
+    spark.sql("INSERT INTO gext.fb2 VALUES ('a', 9), ('c', 3)")
+    // "session restart recipe": one resumeFollows call re-arms every
+    // marked view under its deterministic name
+    val cat = spark.sessionState.catalogManager.catalog("gext")
+      .asInstanceOf[GraftCatalog]
+    val report = cat.resumeFollows()
+    assert(report.map(r => (r._2, r._3)) == Seq(qName -> true),
+      s"got $report")
+    val q2 = spark.streams.active.find(_.name == qName)
+      .getOrElse(fail("resumeFollows must re-register the query"))
+    try {
+      q2.processAllAvailable()
+      // the commit that landed during the outage folded (exactly-once
+      // rides the view's own #txn: watermark — no checkpoint needed)
+      assert(spark.sql("SELECT k, cnt, sx FROM gext.fmv2 ORDER BY k")
+        .collect().toSeq ==
+        spark.sql("SELECT k, count(*) AS cnt, sum(x) AS sx " +
+          "FROM gext.fb2 GROUP BY k ORDER BY k").collect().toSeq,
+        "the re-armed follow must fold the missed commit")
+      // idempotent: a second resume reports already-active, starts
+      // nothing new
+      val again = cat.resumeFollows()
+      assert(again.map(r => (r._2, r._3)) == Seq(qName -> false),
+        s"got $again")
+    } finally if (q2.isActive) q2.stop()
+    // ...that manual stop was another "crash"; SQL STOP is the
+    // deliberate disarm: re-arm once more, stop via SQL, and the
+    // marker clears so resumeFollows re-arms NOTHING
+    cat.resumeFollows()
+    spark.sql("ALTER MATERIALIZED VIEW gext.fmv2 FOLLOW STOP")
+    assert(!MaterializedView.followArmed(spark, root),
+      "SQL STOP must disarm the durable marker")
+    assert(cat.resumeFollows().isEmpty,
+      "a deliberately-stopped view must stay stopped across restarts")
+    spark.sql("DROP TABLE gext.fmv2")
+    spark.sql("DROP TABLE gext.fb2")
+  }
 }

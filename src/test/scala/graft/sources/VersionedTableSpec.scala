@@ -665,4 +665,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.retentionSchedule(spark, bare)
       .select("consumers_behind").as[Long].collect().forall(_ == 0L))
   }
+
+  test("retentionSchedule stays consistent when a kept manifest " +
+    "references an externally-removed dir: dirs_dropped never drifts " +
+    "negative") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a")) // v0: dir A
+    VersionedTable.append(spark, root, snapshot(2L -> "b"), 0) // v1: +B
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate an external actor deleting v1's fresh dir out from
+    // under the table — the manifest still references it
+    val appended = VersionedTable.readManifest(spark, root, 1)
+      .filterNot(VersionedTable.readManifest(spark, root, 0).toSet)
+    assert(appended.size == 1)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "data"), appended.head), true)
+    val sched = VersionedTable.retentionSchedule(spark, root)
+      .orderBy("keep_versions").collect()
+    assert(sched.forall(_.getLong(3) >= 0L),
+      s"dirs_dropped must never go negative, got ${sched.toSeq}")
+    // every kept setting keeps the one surviving dir: nothing drops
+    assert(sched.forall(_.getLong(3) == 0L), s"got ${sched.toSeq}")
+    assert(sched.forall(_.getLong(5) == 0L),
+      s"no reclaimable bytes from a dir that is already gone: " +
+        s"${sched.toSeq}")
+  }
 }
