@@ -31,6 +31,59 @@ object ScaleBench {
     dir.resolve("tbl").toString
   }
 
+  // one streaming-source table per decade dir, shared by the
+  // stream_epoch_cluster twins (both stream the SAME batch)
+  private val epochSrcCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** One `writeStream.toTable` micro-batch of the decade's documents
+    * into a fresh catalog sink — cluster-pinned or not. The timed gap
+    * between the twins is the per-epoch price of the pin's range
+    * shuffle. Canary (pinned): when the epoch lands as several files
+    * (AQE rightly folds a SMALL epoch to one), a point lookup on the
+    * pinned column must prune all but one of them. */
+  private def streamEpochRun(spark: SparkSession, dir: String,
+      cat: String, docs: DataFrame, pinned: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val vt = graft.sources.VersionedTable
+    val src = epochSrcCache.getOrElseUpdate(dir, {
+      val r = tempTableRoot("graft_sepoch_src")
+      vt.init(spark, r, docs.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        "CAST(lang AS STRING) AS lang",
+        "CAST(n_chars AS BIGINT) AS n_chars"))
+      r
+    })
+    val tbl = "sep_" + java.util.UUID.randomUUID.toString.take(8)
+    spark.sql(s"CREATE TABLE $cat.$tbl " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    // programmatic pin — this session runs without the SQL extension
+    // (the `ALTER TABLE ... CLUSTER BY` spelling needs it)
+    if (pinned) vt.enableClustering(spark,
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/" + tbl,
+      Seq("doc_id")): Unit
+    val ck = java.nio.file.Files.createTempDirectory("graft_sep_ck")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile): Unit))
+    val q = spark.readStream.format("graft-versioned-stream").load(src)
+      .writeStream.option("checkpointLocation", ck.toString)
+      .toTable(s"$cat.$tbl")
+    try q.processAllAvailable() finally q.stop()
+    val root =
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/" + tbl
+    if (pinned) {
+      require(vt.clusterSpec(spark, root)
+        .exists(_.map(_.toLowerCase) == Seq("doc_id")),
+        "stream_epoch_cluster: the pin must survive the stream")
+      val (pruned, covered) = vt.pruneCounts(spark, root,
+        col("doc_id") === 7L).get
+      require(covered <= 2 || pruned >= covered - 2,
+        s"stream_epoch_cluster: a clustered epoch's files must prune " +
+          s"on the pinned column, got $pruned/$covered")
+    }
+    spark.table(s"$cat.$tbl")
+  }
+
   private def ops(spark: SparkSession, dir: String): Seq[(String, () => DataFrame)] = {
     def docs = Tables.documents(spark, dir)
     def emb = Tables.embeddings(spark, dir)
@@ -1139,18 +1192,19 @@ object ScaleBench {
         }
       },
       // VACUUM'S FILE-LEVEL SWEEP measured against the dir-level
-      // sweep it extends: both fixtures hold the decade's docs as K
-      // commit dirs (K grows with the decade) of 4 files each. The
-      // PINNED table's point delete splits exactly ONE dir (bloom
-      // classification), so the sweep's candidate selection — the
-      // shared vacuumPreview/vacuum implementation, timed here via
-      // the non-destructive preview so reps are deterministic —
-      // lists the files of ONE dir: O(replaced files), expected
-      // ~FLAT as the table's file count grows. The UNPINNED twin's
-      // delete rewrites every dir (random hashes span all
-      // envelopes), so its preview must list EVERY old dir's files:
-      // O(table files), expected to grow with the decade. In-row
-      // canaries pin both shapes.
+      // candidate walk it extends: both fixtures hold the decade's
+      // docs as K commit dirs (K grows with the decade) of 4 files
+      // each, then one DELETE manufactures the table state whose
+      // vacuum cost we time — via the non-destructive vacuumPreview
+      // (the SHARED candidate-selection implementation), so reps are
+      // deterministic. The bloom-pinned table's point delete splits
+      // exactly ONE dir, so the file sweep lists ONE dir's files:
+      // O(replaced files), expected ~FLAT as the table's file count
+      // grows. The twin's delete uses a stats-untranslatable
+      // predicate (modulo), so every dir rewrites WHOLESALE and the
+      // preview must stat EVERY old dir's files: O(table files),
+      // expected to grow with the decade. In-row canaries pin both
+      // shapes.
       "vacuum_sweep" -> {
         lazy val swRoot: String = {
           val r = tempTableRoot("graft_vsweep")
@@ -1182,10 +1236,13 @@ object ScaleBench {
             swRoot, keepVersions = 1, retainMillis = 0L)
           val rows = pv.collect()
           val fileScoped = rows.filter(_.getString(3) == "files")
-          require(fileScoped.length == 1 &&
-            fileScoped.head.getLong(1) <= 6L,
-            s"vacuum_sweep: the sweep must touch ONE split dir's " +
-              s"few replaced files, got ${rows.toSeq}")
+          // bloom classification bounds the split to the matching
+          // file plus a handful of false positives — never the
+          // table's dir/file census (64 dirs × 4 files at sf10)
+          require(fileScoped.nonEmpty && fileScoped.length <= 8 &&
+            fileScoped.map(_.getLong(1)).sum <= 8L,
+            s"vacuum_sweep: the sweep must touch O(bloom-matching " +
+              s"files), got ${rows.toSeq}")
           pv
         }
       },
@@ -1206,12 +1263,9 @@ object ScaleBench {
                 col("doc_id") < (i + 1).toLong * step).repartition(4),
               expectedVersion = i - 1)
           }
-          // no blooms: the same point delete rewrites EVERY dir
-          val probe = d.groupBy("fp")
-            .agg(count(lit(1)).as("c"), min(col("doc_id")).as("m"))
-            .filter(col("c") === 1).orderBy("m").limit(1)
-            .head.getString(0)
-          vt.delete(spark, r, col("fp") === probe)
+          // a stats-untranslatable predicate: every dir rewrites
+          // WHOLESALE (no file carry), leaving K unreferenced dirs
+          vt.delete(spark, r, col("doc_id") % 977L === 3L)
           r
         }
         () => {
@@ -1225,6 +1279,19 @@ object ScaleBench {
           pv
         }
       },
+      // STREAMING EPOCH CLUSTER PREMIUM: one writeStream.toTable
+      // micro-batch of the decade's documents into a fresh catalog
+      // sink, cluster-pinned vs not. The pinned epoch pays one range
+      // shuffle of its own batch (the V1Write's
+      // RequiresDistributionAndOrdering declaration); the measured
+      // gap between the twins IS the per-micro-batch latency cost of
+      // keeping a streamed table clustered — the number that decides
+      // ship-vs-refuse for the pin's streaming parity. Batch size =
+      // the decade's docs (5k/50k/500k rows), a realistic epoch.
+      "stream_epoch_cluster" -> (() => streamEpochRun(spark, dir,
+        spjCat, docs, pinned = true)),
+      "stream_epoch_cluster_off" -> (() => streamEpochRun(spark, dir,
+        spjCat, docs, pinned = false)),
       // COMMIT COST OF A TRIPLE-PINNED TABLE measured: a FIXED
       // 1000-doc append against a table pinning all three stats
       // families (NDV+KLL sketches, bloom sidecar) — the number the

@@ -652,7 +652,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listFunctions(namespace: Array[String])
       : Array[Identifier] =
     if (namespace.isEmpty)
-      Array(Identifier.of(Array.empty, GraftBucket.FunctionName))
+      Array(Identifier.of(Array.empty, GraftBucket.FunctionName),
+        Identifier.of(Array.empty, GraftZOrder.FunctionName))
     else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace)
 
@@ -661,6 +662,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (ident.namespace().isEmpty &&
         ident.name() == GraftBucket.FunctionName)
       new GraftBucket.Unbound
+    else if (ident.namespace().isEmpty &&
+        ident.name() == GraftZOrder.FunctionName)
+      new GraftZOrder.Unbound
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 
@@ -976,8 +980,20 @@ private[sources] class GraftSqlTable(ident: String, root: String,
               info.schema().fieldNames.exists(_.equalsIgnoreCase(c))))
             .filter(_.nonEmpty)
 
+        // ZORDER pin: epochs order by the Morton key (the catalog's
+        // own zorder2 function transform), same seam as the DML write
+        private lazy val zorderPin: Boolean =
+          clusterPin.exists(_.size == 2) &&
+            VersionedTable.clusterZOrderMode(spark, root, None)
+
         private def clusterOrders(cols: Seq[String]): Array[SortOrder] =
-          cols.map(c => Expressions.sort(Expressions.column(c),
+          if (zorderPin)
+            Array(Expressions.sort(
+              Expressions.apply(GraftZOrder.FunctionName,
+                Expressions.column(cols.head),
+                Expressions.column(cols.last)),
+              SortDirection.ASCENDING))
+          else cols.map(c => Expressions.sort(Expressions.column(c),
             SortDirection.ASCENDING)).toArray
 
         override def requiredDistribution()
@@ -1319,8 +1335,25 @@ private[sources] class ReplaceSnapshotWrite(root: String,
         info.schema().fieldNames.exists(_.equalsIgnoreCase(c))))
       .filter(_.nonEmpty)
 
+  // ZORDER pin: the demanded ordering is the MORTON KEY itself,
+  // expressed as the catalog's own `zorder2` function transform
+  // (resolved through the relation's FunctionCatalog — the same seam
+  // the bucket SPJ proof rides), so SQL DML replacement files keep
+  // narrow (a, b) RECTANGLES, not just a lexicographic a-envelope.
+  // Needs BOTH columns; a schema-evolution edge that dropped one
+  // degrades to the lexicographic ordering on the survivor.
+  private lazy val zorderPin: Boolean =
+    clusterPin.exists(_.size == 2) &&
+      VersionedTable.clusterZOrderMode(SparkSession.active, root,
+        Some(operation.baseVersion))
+
   private def clusterOrders(cols: Seq[String]): Array[SortOrder] =
-    cols.map(c => Expressions.sort(Expressions.column(c),
+    if (zorderPin)
+      Array(Expressions.sort(
+        Expressions.apply(GraftZOrder.FunctionName,
+          Expressions.column(cols.head), Expressions.column(cols.last)),
+        SortDirection.ASCENDING))
+    else cols.map(c => Expressions.sort(Expressions.column(c),
       SortDirection.ASCENDING)).toArray
 
   override def requiredDistribution()

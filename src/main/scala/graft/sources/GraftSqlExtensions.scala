@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   OPTIMIZE graft.docs                           -- compact
   *   OPTIMIZE graft.docs ZORDER BY (a, b) [INTO 8 FILES]
   *   VACUUM graft.docs [RETAIN 24 HOURS] [KEEP 5 VERSIONS]
+  *     [RESPECT CONSUMERS [MAX LAG 100]]           -- floor-widened keep
   *   RESTORE TABLE graft.docs TO VERSION AS OF 3
   *   ANALYZE TABLE graft.docs COMPUTE STATISTICS [FOR ALL COLUMNS
   *     | FOR COLUMNS a, b]                         -- NDV (re)pin
@@ -157,6 +158,7 @@ object GraftSqlParser {
     (s"""(?is)\\s*VACUUM\\s+$Ident""" +
       """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?""" +
       """(?:\s+KEEP\s+(\d+)\s+VERSIONS)?""" +
+      """(?:\s+(RESPECT\s+CONSUMERS)(?:\s+MAX\s+LAG\s+(\d+))?)?""" +
       """(\s+DRY\s+RUN)?\s*;?\s*""").r
 
   private val RestoreRe: Regex =
@@ -183,7 +185,8 @@ object GraftSqlParser {
 
   private val AlterClusterRe: Regex =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ident""" +
-      """\s+CLUSTER\s+BY\s+(?:(NONE)|\(\s*([\w`\s,]+?)\s*\))\s*;?\s*""").r
+      """\s+CLUSTER\s+BY\s+(?:(NONE)|(ZORDER\s+)?""" +
+      """\(\s*([\w`\s,]+?)\s*\))\s*;?\s*""").r
 
   private val CompactRefsRe: Regex =
     (s"""(?is)\\s*OPTIMIZE\\s+$Ident\\s+REFS\\s*;?\\s*""").r
@@ -212,12 +215,19 @@ object GraftSqlParser {
       Some(GraftOptimizeCommand(parts(ident),
         Option(zcolA).map(a => (a, zcolB)),
         Option(nFiles).map(_.toInt)))
-    case VacuumRe(ident, hours, keep, dryRun) =>
+    case VacuumRe(ident, hours, keep, respect, maxLag, dryRun) =>
+      val respectConsumers: Option[Option[Int]] =
+        if (respect == null) None
+        else Some(Option(maxLag).map(m => m.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"MAX LAG $m is out of range — versions are Ints"))))
       if (dryRun != null)
         Some(GraftVacuumPreviewCommand(parts(ident),
-          Option(hours).map(_.toDouble), Option(keep).map(_.toInt)))
+          Option(hours).map(_.toDouble), Option(keep).map(_.toInt),
+          respectConsumers))
       else Some(GraftVacuumCommand(parts(ident),
-        Option(hours).map(_.toDouble), Option(keep).map(_.toInt)))
+        Option(hours).map(_.toDouble), Option(keep).map(_.toInt),
+        respectConsumers))
     case RestoreRe(ident, version) =>
       Some(GraftRestoreCommand(parts(ident), version.toInt))
     case AnalyzeRe(ident, all, colList) =>
@@ -236,13 +246,13 @@ object GraftSqlParser {
       Some(GraftMvFollowCommand(parts(ident), stop != null))
     case CompactRefsRe(ident) =>
       Some(GraftCompactRefsCommand(parts(ident)))
-    case AlterClusterRe(ident, none, colList) =>
+    case AlterClusterRe(ident, none, zorder, colList) =>
       val cols =
         if (none != null) Seq.empty
         else colList.split(',').toSeq
           .map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty)
-      Some(GraftClusterByCommand(parts(ident), cols))
+      Some(GraftClusterByCommand(parts(ident), cols, zorder != null))
     case ConsumerFloorRe(ident, consumer, floor) =>
       // the regex admits any digit run; an out-of-Int-range floor must
       // refuse descriptively, not leak a raw NumberFormatException
@@ -320,11 +330,20 @@ case class GraftOptimizeCommand(nameParts: Seq[String],
   }
 }
 
-/** `VACUUM t [RETAIN h HOURS] [KEEP n VERSIONS]` —
-  * [[VersionedTable.vacuum]] with Delta's retention spelling
-  * (default 1 hour, keep 1 version). */
+/** `VACUUM t [RETAIN h HOURS] [KEEP n VERSIONS]
+  * [RESPECT CONSUMERS [MAX LAG m]]` — [[VersionedTable.vacuum]] with
+  * Delta's retention spelling (default 1 hour, keep 1 version).
+  * RESPECT CONSUMERS is the OPT-IN other half of the advisory floor
+  * registry: the keep horizon widens so every registered floor stays
+  * satisfiable, each honored up to at most `m` versions of lag (a
+  * floor lagging further clamps — an abandoned consumer id must not
+  * pin storage forever; omit MAX LAG only when every registered id
+  * is curated). Plain VACUUM stays advisory-blind by design. The
+  * status row reports the effective keep and the clamp census, so
+  * the operator sees what the registry actually changed. */
 case class GraftVacuumCommand(nameParts: Seq[String],
-    retainHours: Option[Double], keepVersions: Option[Int])
+    retainHours: Option[Double], keepVersions: Option[Int],
+    respectConsumers: Option[Option[Int]] = None)
     extends LeafRunnableCommand with GraftMaintenanceCommand {
 
   override val output: Seq[Attribute] =
@@ -332,11 +351,20 @@ case class GraftVacuumCommand(nameParts: Seq[String],
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, nameParts)
+    val requested = keepVersions.getOrElse(1)
+    val (keep, status) = respectConsumers match {
+      case None => (requested, "OK")
+      case Some(maxLag) =>
+        val (k, respected, clamped) = VersionedTable
+          .consumerKeepVersions(spark, root, requested, maxLag)
+        (k, s"OK keep=$k (respected $respected consumer floor(s), " +
+          s"$clamped clamped by MAX LAG)")
+    }
     VersionedTable.vacuum(spark, root,
-      keepVersions = keepVersions.getOrElse(1),
+      keepVersions = keep,
       retainMillis = retainHours.map(h => (h * 3600 * 1000).toLong)
         .getOrElse(3600L * 1000L))
-    Seq(Row("OK"))
+    Seq(Row(status))
   }
 }
 
@@ -344,7 +372,8 @@ case class GraftVacuumCommand(nameParts: Seq[String],
   * aged-out unreferenced commit dir ([[VersionedTable.vacuumPreview]]);
   * deletes nothing. */
 case class GraftVacuumPreviewCommand(nameParts: Seq[String],
-    retainHours: Option[Double], keepVersions: Option[Int])
+    retainHours: Option[Double], keepVersions: Option[Int],
+    respectConsumers: Option[Option[Int]] = None)
     extends LeafRunnableCommand with GraftMaintenanceCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -359,8 +388,16 @@ case class GraftVacuumPreviewCommand(nameParts: Seq[String],
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, nameParts)
+    val requested = keepVersions.getOrElse(1)
+    // the DRY RUN previews exactly what the destructive spelling
+    // would do — including the consumer-widened keep horizon
+    val keep = respectConsumers match {
+      case None => requested
+      case Some(maxLag) => VersionedTable
+        .consumerKeepVersions(spark, root, requested, maxLag)._1
+    }
     VersionedTable.vacuumPreview(spark, root,
-      keepVersions = keepVersions.getOrElse(1),
+      keepVersions = keep,
       retainMillis = retainHours.map(h => (h * 3600 * 1000).toLong)
         .getOrElse(3600L * 1000L)).collect().toSeq
   }
@@ -639,14 +676,15 @@ case class GraftCompactRefsCommand(nameParts: Seq[String])
 }
 
 /** `ALTER TABLE t CLUSTER BY (c1, c2)` / `ALTER TABLE t CLUSTER BY
-  * NONE` — the Databricks liquid-clustering spelling over
+  * ZORDER (a, b)` / `ALTER TABLE t CLUSTER BY NONE` — the Databricks
+  * liquid-clustering spelling over
   * [[VersionedTable.enableClustering]]/[[VersionedTable
   * .disableClustering]]: pin (or drop) range clustering as a table
   * property, so every engine-side write keeps the pinned columns'
   * file envelopes tight. Metadata-only; `OPTIMIZE t` after enabling
   * is the one-time migration of existing data. */
 case class GraftClusterByCommand(nameParts: Seq[String],
-    cols: Seq[String])
+    cols: Seq[String], zorder: Boolean = false)
     extends LeafRunnableCommand with GraftMaintenanceCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -656,7 +694,7 @@ case class GraftClusterByCommand(nameParts: Seq[String],
     val root = GraftSqlParser.resolveRoot(spark, nameParts)
     val v =
       if (cols.isEmpty) VersionedTable.disableClustering(spark, root)
-      else VersionedTable.enableClustering(spark, root, cols)
+      else VersionedTable.enableClustering(spark, root, cols, zorder)
     Seq(Row(v.toLong))
   }
 }

@@ -739,6 +739,39 @@ object VersionedTable {
     else read(spark, creg)
   }
 
+  /** The keepVersions a consumer-RESPECTING vacuum must use: the
+    * requested setting widened so every REGISTERED floor stays
+    * satisfiable — the opt-in other half of the advisory registry
+    * (`VACUUM t ... RESPECT CONSUMERS [MAX LAG m]`). Each floor is
+    * honored up to at most `maxLag` versions behind the head: a
+    * floor lagging further is CLAMPED to `latest - maxLag` (the
+    * abandoned-id bound — one dead consumer id must not pin storage
+    * forever; its staleness stays visible in `$consumers`). With no
+    * registry or no floors below the requested horizon, the
+    * requested setting comes back unchanged. Returns (effective
+    * keepVersions, floors respected, floors clamped). */
+  def consumerKeepVersions(spark: SparkSession, root: String,
+      requested: Int, maxLag: Option[Int] = None): (Int, Int, Int) = {
+    require(requested >= 1, "must keep at least the live version")
+    maxLag.foreach(m => require(m >= 0,
+      s"MAX LAG must be non-negative, got $m"))
+    val latest = latestVersion(spark, root)
+    if (latest < 0) return (requested, 0, 0)
+    val fs = fsOf(spark, new Path(root))
+    if (!fs.exists(new Path(consumersRoot(root))))
+      return (requested, 0, 0)
+    val floors = consumerFloors(spark, root).select("floor_version")
+      .collect().map(_.getLong(0).toInt).toSeq
+    if (floors.isEmpty) return (requested, 0, 0)
+    val lagFloor = maxLag.map(m => latest - m).getOrElse(Int.MinValue)
+    val clamped = floors.count(_ < lagFloor)
+    val effectiveFloor = floors
+      .map(f => math.min(latest, math.max(f, lagFloor)))
+      .min
+    val needed = latest - math.max(effectiveFloor, 0) + 1
+    (math.max(requested, needed), floors.size, clamped)
+  }
+
   def retentionSchedule(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val latest = latestVersion(spark, root)
@@ -956,6 +989,16 @@ object VersionedTable {
         s"(${bucketSpec(spark, root, Some(base)).get}) and bucketing " +
         "owns data placement — compact() re-buckets; disableBucketing " +
         "first if you want z-order instead")
+    // same authority rule for the cluster pin: this commit would
+    // route through commitDirs' pin shuffle, silently re-clustering
+    // the z-sorted frame the op just paid a full sort for — a
+    // STANDING z-order layout is `ALTER TABLE ... CLUSTER BY ZORDER`
+    require(clusterSpec(spark, root, Some(base)).isEmpty,
+      s"OPTIMIZE ZORDER on $root: table is cluster-pinned " +
+        s"(${clusterSpec(spark, root, Some(base)).get.mkString(",")}) " +
+        "and the pin owns data placement — pin z-order instead " +
+        "(enableClustering(..., zorder = true) / ALTER TABLE ... " +
+        "CLUSTER BY ZORDER (a, b)) or disableClustering first")
     val snap = read(spark, root, Some(base))
     val zkey = graft.functions.ZOrderInterleave.zorder2(
       col(zorderCols._1).cast("long"), col(zorderCols._2).cast("long"))
@@ -1303,8 +1346,46 @@ object VersionedTable {
     if (v < 0) None
     else manifestLines(spark, root, v)
       .find(_.startsWith("#clusterby:"))
-      .map(_.stripPrefix("#clusterby:").split(',').toSeq
-        .map(_.trim).filter(_.nonEmpty))
+      .map(_.stripPrefix("#clusterby:"))
+      .map {
+        // `zorder(a,b)` = Morton-interleaved placement; the COLUMN
+        // LIST comes back either way, so every schema-presence check
+        // and layout-aware reader treats both modes uniformly
+        case ZOrderPin(inner) => inner.split(',').toSeq
+        case plain => plain.split(',').toSeq
+      }
+      .map(_.map(_.trim).filter(_.nonEmpty))
+  }
+
+  private val ZOrderPin = """(?i)zorder\((.+)\)""".r
+
+  /** Is the cluster pin Z-ORDER mode (Morton-interleaved placement on
+    * its two columns) rather than lexicographic range clustering? */
+  def clusterZOrderMode(spark: SparkSession, root: String,
+      version: Option[Int] = None): Boolean = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    v >= 0 && manifestLines(spark, root, v)
+      .find(_.startsWith("#clusterby:"))
+      .exists(l => ZOrderPin.unapplySeq(
+        l.stripPrefix("#clusterby:")).isDefined)
+  }
+
+  /** [[cluster]]'s two-column Z-ORDER sibling: range-partition + sort
+    * on the Morton interleave of `(a, b)` (the `optimize` ZORDER
+    * layout as a per-batch operation), so every output file gets a
+    * narrow min/max RECTANGLE in (a, b) space and predicates on
+    * EITHER column prune. Same cost class as [[cluster]]: one range
+    * shuffle of exactly this batch. */
+  def clusterZ(df: DataFrame, a: String, b: String,
+      nFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val zkey = graft.functions.ZOrderInterleave.zorder2(
+      col(a).cast("long"), col(b).cast("long"))
+    df.withColumn("__z", zkey)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
   }
 
   /** Pin RANGE CLUSTERING on `cols` — "liquid clustering lite" as a
@@ -1333,10 +1414,14 @@ object VersionedTable {
     * Mutually exclusive with [[enableBucketing]] — one physical
     * layout authority per table. */
   def enableClustering(spark: SparkSession, root: String,
-      cols: Seq[String]): Int = {
+      cols: Seq[String], zorder: Boolean = false): Int = {
     require(cols.nonEmpty, "name at least one cluster column")
     cols.foreach(c => require(c.nonEmpty && !c.contains(':') &&
-      !c.contains(','), s"cluster column must be a plain name: '$c'"))
+      !c.contains(',') && !c.contains('(') && !c.contains(')'),
+      s"cluster column must be a plain name: '$c'"))
+    require(!zorder || cols.size == 2,
+      s"ZORDER clustering interleaves exactly TWO columns, got " +
+        s"${cols.size} (${cols.mkString(", ")})")
     val base = latestVersion(spark, root)
     require(base >= 0, s"table $root has no committed version")
     require(bucketSpec(spark, root, Some(base)).isEmpty,
@@ -1352,11 +1437,32 @@ object VersionedTable {
       schema.fieldNames.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty, s"cluster column(s) not in table " +
       s"schema: ${missing.mkString(", ")}")
+    if (zorder) {
+      // the interleave masks each side to its low 31 bits; a string
+      // column would cast to NULL and silently garbage the layout —
+      // refuse anything that isn't an integral/date/timestamp domain
+      val zOk: Set[org.apache.spark.sql.types.DataType] = Set(
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.DateType,
+        org.apache.spark.sql.types.TimestampType)
+      val bad = cols.filter { c =>
+        schema.fields.find(_.name.equalsIgnoreCase(c))
+          .exists(f => !zOk.contains(f.dataType))
+      }
+      require(bad.isEmpty, s"ZORDER cluster columns must be " +
+        s"integral/date/timestamp (the Morton key interleaves low " +
+        s"bits): ${bad.mkString(", ")}")
+    }
+    val pin =
+      if (zorder) s"zorder(${cols.mkString(",")})"
+      else cols.mkString(",")
     val body = manifestLines(spark, root, base)
       .filterNot(l => l.startsWith("#op:") || l.startsWith("#txn:"))
     writeManifest(spark, root, base + 1,
-      "#op:enable_clustering" +: body :+
-        s"#clusterby:${cols.mkString(",")}")
+      "#op:enable_clustering" +: body :+ s"#clusterby:$pin")
     base + 1
   }
 
@@ -1648,7 +1754,17 @@ object VersionedTable {
             // mandate.
             val n = math.max(1,
               spark.conf.get("spark.sql.shuffle.partitions").toInt)
-            cluster(df, cols, n).write.parquet(dataDir.toString)
+            // ZORDER mode interleaves the two pinned columns (narrow
+            // min/max RECTANGLES per file — either column prunes);
+            // it needs BOTH columns, so a schema-evolution edge that
+            // dropped one degrades to range clustering on the
+            // survivors rather than failing the commit
+            val zmode = clusterZOrderMode(spark, root,
+              Some(expectedVersion)) && cols.size == 2
+            val out =
+              if (zmode) clusterZ(df, cols.head, cols.last, n)
+              else cluster(df, cols, n)
+            out.write.parquet(dataDir.toString)
           case None =>
             df.write.parquet(dataDir.toString) // invisible until manifest lands
         }

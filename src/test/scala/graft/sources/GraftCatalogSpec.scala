@@ -757,6 +757,62 @@ class GraftCatalogSpec extends SparkSpec {
     assert(feed == Set(0L, 1L, 2L, 3L))
   }
 
+  test("the ZORDER cluster pin maintains TWO-column locality through " +
+    "writes and point-DML: files get (x, y) rectangles, so the " +
+    "SECOND column prunes too — where the lexicographic pin serves " +
+    "only its leading column") {
+    wh
+    // zorder-pinned table vs the lexicographic twin, same 64x64 grid
+    spark.sql("CREATE TABLE graft.zc (x BIGINT, y BIGINT)")
+    spark.sql("CREATE TABLE graft.lc (x BIGINT, y BIGINT)")
+    spark.sql("ALTER TABLE graft.zc CLUSTER BY ZORDER (x, y)")
+    spark.sql("ALTER TABLE graft.lc CLUSTER BY (x, y)")
+    val grid = "SELECT id % 64 AS x, CAST(id / 64 AS BIGINT) AS y " +
+      "FROM range(0, 4096)"
+    spark.sql(s"INSERT INTO graft.zc $grid")
+    spark.sql(s"INSERT INTO graft.lc $grid")
+    val (zroot, lroot) = (rootOf("zc"), rootOf("lc"))
+    assert(VersionedTable.clusterZOrderMode(spark, zroot))
+    assert(!VersionedTable.clusterZOrderMode(spark, lroot))
+    def pruned(root: String, cond: org.apache.spark.sql.Column) =
+      VersionedTable.pruneCounts(spark, root, cond).get
+    // leading column: both layouts prune
+    val (zx, zxc) = pruned(zroot, col("x") === 5L)
+    assert(zxc >= 4 && zx >= zxc / 2,
+      s"zorder must prune on x, got $zx/$zxc")
+    // SECOND column: only the z-layout's rectangles prune — the
+    // lexicographic twin's x-range files each span ALL of y
+    val (zy, zyc) = pruned(zroot, col("y") === 5L)
+    assert(zy >= zyc / 2, s"zorder must prune on y, got $zy/$zyc")
+    // (a range boundary landing INSIDE one x value can leave one
+    // file with a partial y-range, so allow a stray prune — the
+    // contrast is half-the-files vs at-most-a-boundary-artifact)
+    val (ly, lyc) = pruned(lroot, col("y") === 5L)
+    assert(ly <= 1 && ly < lyc / 2,
+      s"the lexicographic twin cannot meaningfully prune on y (got " +
+        s"$ly/$lyc) — if it did, this test lost its contrast")
+    // point-DML through the SQL row-level write: the replace write
+    // demands ordering by the catalog's own zorder2 function
+    // transform (FunctionCatalog-resolved), so the rewrite keeps the
+    // rectangle discipline and y-pruning SURVIVES the DML
+    spark.sql("DELETE FROM graft.zc WHERE x = 7 AND y = 9")
+    assert(spark.sql("SELECT count(*) FROM graft.zc")
+      .as[Long].head == 4095L)
+    val (zy2, zyc2) = pruned(zroot, col("y") === 5L)
+    assert(zy2 >= zyc2 / 2,
+      s"y-pruning must survive the point-DML, got $zy2/$zyc2")
+    // an engine-side append z-clusters its own batch too
+    VersionedTable.append(spark, zroot,
+      spark.sql("SELECT id % 64 AS x, CAST(64 + id / 64 AS BIGINT) " +
+        "AS y FROM range(0, 4096)"),
+      VersionedTable.latestVersion(spark, zroot))
+    val (zy3, zyc3) = pruned(zroot, col("y") === 70L)
+    assert(zy3 >= zyc3 / 2,
+      s"appends must keep the z-layout, got $zy3/$zyc3")
+    spark.sql("DROP TABLE graft.zc")
+    spark.sql("DROP TABLE graft.lc")
+  }
+
   test("a cluster-pinned table range-clusters STREAMING epochs too: " +
     "writeStream.toTable demands the ordered distribution per " +
     "micro-batch, so a point lookup on the pinned column prunes the " +

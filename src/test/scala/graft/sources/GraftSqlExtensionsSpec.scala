@@ -455,6 +455,46 @@ class GraftSqlExtensionsSpec extends SparkSpec {
     spark.sql("DROP TABLE gext.fb")
   }
 
+  test("VACUUM ... RESPECT CONSUMERS widens the keep horizon to the " +
+    "registered floors, MAX LAG clamps abandoned ones, DRY RUN " +
+    "previews the widened horizon, and plain VACUUM stays " +
+    "advisory-blind") {
+    wh
+    spark.sql("CREATE TABLE gext.vc (id BIGINT)") // v0
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT OVERWRITE gext.vc SELECT id FROM range($i)"))
+    val root = rootOf("vc") // v0..v4, each overwrite orphans the last
+    spark.sql("ALTER TABLE gext.vc SET CONSUMER FLOOR 'tail' TO 1")
+    spark.sql("ALTER TABLE gext.vc SET CONSUMER FLOOR 'dash' TO 3")
+    // DRY RUN with the widened horizon: keeping from the lowest
+    // floor (1) leaves only v0's dir a candidate
+    val pvRows = spark.sql("VACUUM gext.vc RETAIN 0 HOURS KEEP 1 " +
+      "VERSIONS RESPECT CONSUMERS DRY RUN").collect()
+    assert(pvRows.length == 1, s"got ${pvRows.toSeq}")
+    // destructive spelling: the status row reports the widened keep
+    val st = spark.sql("VACUUM gext.vc RETAIN 0 HOURS KEEP 1 " +
+      "VERSIONS RESPECT CONSUMERS").head().getString(0)
+    assert(st.contains("keep=4") && st.contains("respected 2") &&
+      st.contains("0 clamped"), s"got $st")
+    assert(VersionedTable.earliestVersion(spark, root) == 1,
+      "the lowest floor (1) must stay readable")
+    // MAX LAG 1 clamps both floors to latest-1 = 3: v1, v2 go
+    val st2 = spark.sql("VACUUM gext.vc RETAIN 0 HOURS KEEP 1 " +
+      "VERSIONS RESPECT CONSUMERS MAX LAG 1").head().getString(0)
+    assert(st2.contains("keep=2") && st2.contains("respected 2"),
+      s"got $st2")
+    assert(VersionedTable.earliestVersion(spark, root) == 3,
+      "MAX LAG 1 must clamp the lagging floors to latest-1")
+    // the clamp census names what was ignored (floor 1 < latest-1;
+    // floor 3 sits exactly at the lag bound and is NOT clamped)
+    assert(st2.contains("1 clamped"), s"got $st2")
+    // plain VACUUM ignores the registry entirely (advisory default)
+    spark.sql("VACUUM gext.vc RETAIN 0 HOURS KEEP 1 VERSIONS")
+    assert(VersionedTable.earliestVersion(spark, root) == 4,
+      "plain VACUUM must stay advisory-blind")
+    spark.sql("DROP TABLE gext.vc")
+  }
+
   test("FOLLOW survives a session restart through the durable " +
     "_follow marker: resumeFollows re-arms a crashed follow (the " +
     "missed base commit folds), reports already-active ones, and " +
