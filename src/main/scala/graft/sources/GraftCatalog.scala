@@ -204,6 +204,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // recommendation — O(manifest) driver work
           return localTable(ident.toString,
             refsDf(baseIdent, p.toString))
+        case "advice" =>
+          // the one-stop maintenance dashboard: every ACTIONABLE
+          // signal the individual advisors raise, one row each
+          return localTable(ident.toString,
+            adviceDf(baseIdent, p.toString))
         case _ => throw new NoSuchTableException(ident)
       }
     }
@@ -317,6 +322,69 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .toDF("file_refs", "split_dirs", "whole_dirs",
         "ref_stats_lines", "ref_sketch_lines", "manifest_lines",
         "overhead_share", "fold_rows", "recommendation", "basis")
+  }
+
+  // `t$advice`: the ONE-STOP maintenance dashboard — a union of the
+  // individual advisors' ACTIONABLE verdicts (one row per signal,
+  // nothing when the table is healthy), so an operator monitors one
+  // table instead of four. Pure assembly: every row is computed by
+  // machinery that already exists and already refuses to guess —
+  // this table adds no policy of its own. Four measured families:
+  //  - skew: columns whose measured distribution advises a salt > 1
+  //    (the $skew view, actionable rows only)
+  //  - ref_fragmentation: the $refs advisor's fold recommendation
+  //  - starved_consumer: a registered floor BELOW the earliest
+  //    surviving version — that reader is already broken, not merely
+  //    lagging (the $retention forecast covers "would starve")
+  //  - stale_sketch: sketch lines degraded by a domain bump — the
+  //    named-refusal rows $stats/$skew surface, with the fix spelled
+  // O(manifest + registry) driver work, never a cluster job.
+  private def adviceDf(ident: Identifier, root: String)
+      : org.apache.spark.sql.DataFrame = {
+    val s = spark
+    import s.implicits._
+    val table = s"${name()}.${ident.toString}"
+    val parallelism = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val skewRows = graft.ops.SkewAdvisor.adviseAll(s, root, parallelism)
+      .filter(_._2.salt > 1)
+      .map { case (c, a) =>
+        ("skew", f"column '$c': hot share ${a.hotShare}%.3f " +
+          s"(${a.basis}) at parallelism $parallelism",
+          s"Skew.saltedJoin/saltedAgg on '$c' with salt ${a.salt}",
+          "measured hot-share × parallelism — see SkewAdvisor")
+      }
+    val refAdvice = graft.ops.RefAdvisor.advise(s, root)
+    val refRows =
+      if (!refAdvice.recommend) Seq.empty
+      else Seq(("ref_fragmentation",
+        s"${refAdvice.frag.fileRefs} file refs into " +
+          s"${refAdvice.frag.splitDirs} dirs, overhead share " +
+          f"${refAdvice.overheadShare}%.2f" +
+          refAdvice.frag.foldRows.map(r => s", fold cost $r rows")
+            .getOrElse(", fold cost unmeasured"),
+        s"OPTIMIZE $table REFS", refAdvice.basis))
+    val earliest = VersionedTable.earliestVersion(s, root)
+    val starvedRows = VersionedTable.consumerFloors(s, root)
+      .select("consumer", "floor_version").collect().toSeq
+      .filter(_.getLong(1) < earliest)
+      .map(r => ("starved_consumer",
+        s"consumer '${r.getString(0)}' floor ${r.getLong(1)} " +
+          s"predates the earliest surviving version $earliest",
+        s"restart/re-anchor consumer '${r.getString(0)}' (its " +
+          "versions are vacuumed) and keep future VACUUMs above its " +
+          "floor — RESPECT CONSUMERS or a wider KEEP",
+        "registered floor vs earliest surviving manifest"))
+    val (staleNdv, staleKll) = VersionedTable.staleSketchCols(s, root)
+    val staleRows = (staleNdv.map(_ -> "ndv") ++ staleKll.map(_ -> "kll"))
+      .toSeq.sorted
+      .map { case (c, fam) => ("stale_sketch",
+        s"column '$c': $fam sketch line predates the current " +
+          "sketch domain — estimates degraded to absence",
+        s"ANALYZE TABLE $table COMPUTE STATISTICS",
+        "sketch-domain version vs stored lines")
+      }
+    (skewRows ++ refRows ++ starvedRows ++ staleRows)
+      .toDF("signal", "measurement", "recommendation", "basis")
   }
 
   // `mv$mv`: the materialized view's bookkeeping — one row per
@@ -980,6 +1048,19 @@ private[sources] class GraftSqlTable(ident: String, root: String,
               info.schema().fieldNames.exists(_.equalsIgnoreCase(c))))
             .filter(_.nonEmpty)
 
+        // BUCKET pin: epochs demand the exact bucket layout — hash-
+        // clustered on the key into EXACTLY n partitions (strict: AQE
+        // must not fold buckets together; the pmod(murmur3(key,42),n)
+        // partition id then equals the delegated writer's part-NNNNN
+        // file prefix), key-sorted within each. The epoch commit
+        // verifies the staged files' purity before marking #bucketed:
+        // (see GraftStreamingWrite.commit) — the claim is earned per
+        // dir, never assumed from the plan.
+        private lazy val bucketPin: Option[(String, Int)] =
+          VersionedTable.bucketSpec(spark, root, None)
+            .filter { case (k, _) =>
+              info.schema().fieldNames.exists(_.equalsIgnoreCase(k)) }
+
         // ZORDER pin: epochs order by the Morton key (the catalog's
         // own zorder2 function transform), same seam as the DML write
         private lazy val zorderPin: Boolean =
@@ -998,21 +1079,32 @@ private[sources] class GraftSqlTable(ident: String, root: String,
 
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution =
-          clusterPin match {
-            case Some(cols) =>
+          (bucketPin, clusterPin) match {
+            case (Some((key, _)), _) =>
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(Array(Expressions.column(key)))
+            case (None, Some(cols)) =>
               org.apache.spark.sql.connector.distributions.Distributions
                 .ordered(clusterOrders(cols))
-            case None =>
+            case _ =>
               org.apache.spark.sql.connector.distributions.Distributions
                 .unspecified()
           }
 
         override def requiredOrdering(): Array[SortOrder] =
-          clusterPin.map(clusterOrders).getOrElse(Array.empty)
+          (bucketPin, clusterPin) match {
+            case (Some((key, _)), _) =>
+              Array(Expressions.sort(Expressions.column(key),
+                SortDirection.ASCENDING))
+            case (None, Some(cols)) => clusterOrders(cols)
+            case _ => Array.empty
+          }
 
-        override def requiredNumPartitions(): Int = 0
+        override def requiredNumPartitions(): Int =
+          bucketPin.map(_._2).getOrElse(0)
 
-        override def distributionStrictlyRequired(): Boolean = false
+        override def distributionStrictlyRequired(): Boolean =
+          bucketPin.isDefined
 
         // `df.writeStream.toTable("graft.t")`: every micro-batch is
         // one atomic append through the same commit point as batch
@@ -1573,6 +1665,26 @@ private[sources] class GraftStreamingWrite(root: String,
         require(fs.rename(staging, target),
           s"staging rename $staging -> $target failed")
         staging = target
+        // a bucket-pinned table's epoch arrived through the V1Write's
+        // strict clustered distribution, so partition index == bucket
+        // id == part-NNNNN prefix — but the #bucketed: mark is EARNED
+        // by verifying the physical files, exactly like the DML
+        // write's staged-purity check (one O(epoch) read; an impure
+        // or unverifiable epoch lands unmarked and the SPJ claim is
+        // withdrawn until the next fold, never wrong)
+        val bucketPure = VersionedTable
+          .bucketSpec(spark, root, Some(base)).exists { case (key, n) =>
+            scala.util.Try {
+              import org.apache.spark.sql.functions._
+              spark.read.parquet(target.toString)
+                .select(col(key),
+                  regexp_extract(input_file_name(), "part-(\\d+)-", 1)
+                    .cast("int").as("__claimed"))
+                .filter(col("__claimed").isNull ||
+                  GraftBucket.idColumn(col(key), n) =!= col("__claimed"))
+                .limit(1).count() == 0L
+            }.getOrElse(false)
+          }
         val dirs = VersionedTable.readManifest(spark, root, base)
         VersionedTable.publishDir(spark, root, commitName, base,
           carryDirs = dirs,
@@ -1581,7 +1693,8 @@ private[sources] class GraftStreamingWrite(root: String,
               .map("#schema:" + _.json).toSeq :+ "#op:stream_append",
           carryStatsLines = VersionedTable.carriedStatsLines(
             spark, root, base, dirs.toSet),
-          keepDirOnConflict = true): Unit
+          keepDirOnConflict = true,
+          bucketedNew = bucketPure): Unit
       }
     }
   }

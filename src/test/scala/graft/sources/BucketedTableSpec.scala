@@ -112,9 +112,10 @@ class BucketedTableSpec extends SparkSpec {
     }
   }
 
-  test("appends and SQL UPDATE both keep the claim (the row-level " +
-    "write demands the bucket distribution); a genuinely bypassing " +
-    "writer (a streaming epoch) withdraws it and compact() restores") {
+  test("appends, SQL UPDATE, and streaming epochs ALL keep the claim " +
+    "(row-level write and epoch write both demand the bucket " +
+    "distribution; the epoch commit verifies file purity before " +
+    "marking)") {
     wh
     spark.sql("CREATE TABLE gb.f2 (id BIGINT, v BIGINT) " +
       "PARTITIONED BY (bucket(4, id))")
@@ -158,25 +159,41 @@ class BucketedTableSpec extends SparkSpec {
           .filter(GraftBucket.idColumn(col("id"), 4) =!= b)
           .count() == 0, s"file ${f.getName} outside bucket $b")
       }
-      // a streaming epoch bypasses the bucket path — ITS dir is
-      // unmarked, the claim is withdrawn, answers stay right
+      // a streaming epoch now holds the bucket layout too (the
+      // V1Write demands the strict clustered distribution and the
+      // epoch commit VERIFIES file purity before marking) — the SPJ
+      // claim SURVIVES streaming ingest instead of degrading until
+      // the next compact
       val ck = java.nio.file.Files.createTempDirectory("graft_bck").toString
       implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long)]
-      ms.addData(500L -> 1L)
+      ms.addData(500L -> 1L, 501L -> 2L, 502L -> 3L, 17L -> 9L)
       val q = ms.toDF().toDF("id", "v").writeStream
         .option("checkpointLocation", ck).toTable("gb.f2")
       try q.processAllAvailable() finally q.stop()
       val dirs2 = VersionedTable.readManifest(spark, root,
         VersionedTable.latestVersion(spark, root))
-      assert(!dirs2.forall(VersionedTable.bucketedDirs(spark, root)
-        .contains), "the epoch dir must be unmarked")
-      assertShuffles(join())
-      // maintenance re-lays the table out and the claim comes back
-      VersionedTable.compact(spark, root)
+      // the EPOCH's own dir (absent from the pre-stream manifest)
+      val epochDir = dirs2.filterNot(
+        VersionedTable.readManifest(spark, root,
+          VersionedTable.latestVersion(spark, root) - 1).toSet)
+      assert(epochDir.nonEmpty && epochDir.forall(
+        VersionedTable.bucketedDirs(spark, root).contains),
+        s"the verified epoch dir must carry the #bucketed: mark, " +
+          s"got epoch=$epochDir marked=" +
+          VersionedTable.bucketedDirs(spark, root))
       assertNoShuffle(join())
-      assert(join().count() == 200)
+      for (dir <- epochDir;
+          f <- new java.io.File(dataRoot, dir).listFiles()
+          if f.getName.endsWith(".parquet")) {
+        val b = GraftBucket.fileBucket(f.getName).get
+        assert(spark.read.parquet(f.getAbsolutePath)
+          .filter(GraftBucket.idColumn(col("id"), 4) =!= b)
+          .count() == 0, s"epoch file ${f.getName} outside bucket $b")
+      }
+      assert(join().count() == 201) // 500..502 have no join partner;
+      // id=17 joined once more via its second (streamed) row
     }
   }
 

@@ -1301,6 +1301,75 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head == 2399L)
   }
 
+  test("$advice is the one-stop maintenance dashboard: empty when " +
+    "healthy, one actionable row per advisor signal, each clearing " +
+    "with its fix") {
+    wh
+    spark.sql("CREATE TABLE graft.adv (k BIGINT, v BIGINT)")
+    val root = rootOf("adv")
+    def rows(signal: String) = spark.sql(
+      s"SELECT measurement, recommendation FROM graft.`adv$$advice` " +
+        s"WHERE signal = '$signal'").collect()
+    // healthy table: no advice at all (the advisors refuse to guess;
+    // refusals render as ABSENCE here, same as $skew)
+    assert(spark.sql("SELECT * FROM graft.`adv$advice`").count() == 0)
+    // 1) REF FRAGMENTATION: a point delete on a 24-file range commit
+    spark.sql("INSERT INTO graft.adv SELECT " +
+      "/*+ REPARTITION_BY_RANGE(24, id) */ id % 2, id " +
+      "FROM range(0, 2400)")
+    spark.sql("DELETE FROM graft.adv WHERE v = 7")
+    val frag = rows("ref_fragmentation")
+    assert(frag.length == 1 &&
+      frag.head.getString(1) == "OPTIMIZE graft.adv REFS",
+      s"got ${frag.toSeq}")
+    spark.sql(frag.head.getString(1)) // run the advice VERBATIM
+    assert(rows("ref_fragmentation").isEmpty, "the fold must clear it")
+    // 2) SKEW: ndv-pinned two-value k advises a salt > 1; unique v
+    //    stays quiet (salt 1 is not actionable advice)
+    VersionedTable.enableNdvStats(spark, root, Seq("k", "v"))
+    spark.sql("ANALYZE TABLE graft.adv COMPUTE STATISTICS")
+    val skew = rows("skew")
+    assert(skew.length == 1 && skew.head.getString(0).contains("'k'") &&
+      skew.head.getString(1).contains("salt"), s"got ${skew.toSeq}")
+    // 3) STARVED CONSUMER: a floor below the earliest surviving
+    //    version after a vacuum — already broken, not merely lagging
+    spark.sql("ALTER TABLE graft.adv SET CONSUMER FLOOR 'tail' TO 0")
+    assert(rows("starved_consumer").isEmpty,
+      "floor 0 is fine while v0 survives")
+    spark.sql("VACUUM graft.adv RETAIN 0 HOURS KEEP 1 VERSIONS")
+    val starved = rows("starved_consumer")
+    assert(starved.length == 1 &&
+      starved.head.getString(0).contains("'tail'"),
+      s"got ${starved.toSeq}")
+    spark.sql("ALTER TABLE graft.adv SET CONSUMER FLOOR 'tail' TO " +
+      VersionedTable.latestVersion(spark, root))
+    assert(rows("starved_consumer").isEmpty,
+      "a re-anchored floor clears the signal")
+    // 4) STALE SKETCH: doctor the stored #ndv: lines to an old
+    //    domain (the NdvStatsSpec recipe), carry them into a fresh
+    //    manifest, and the row names the ANALYZE fix — which clears it
+    val v = VersionedTable.latestVersion(spark, root)
+    val mf = new java.io.File(root, s"_manifests/v$v.json")
+    val doctored = new String(
+      java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+      .linesIterator.map { l =>
+        if (l.startsWith(NdvStats.LinePrefix))
+          l.replace(s""""v":${NdvStats.DomainVersion},""", """"v":1,""")
+        else l
+      }.mkString("\n")
+    java.nio.file.Files.write(mf.toPath, doctored.getBytes("UTF-8"))
+    // drop the local FS's checksum sibling of the doctored manifest
+    new java.io.File(root, s"_manifests/.v$v.json.crc").delete()
+    spark.sql("INSERT INTO graft.adv VALUES (1, 990000)")
+    val stale = rows("stale_sketch")
+    assert(stale.nonEmpty && stale.forall(_.getString(1) ==
+      "ANALYZE TABLE graft.adv COMPUTE STATISTICS"),
+      s"got ${stale.toSeq}")
+    spark.sql(stale.head.getString(1))
+    assert(rows("stale_sketch").isEmpty, "re-ANALYZE clears it")
+    spark.sql("DROP TABLE graft.adv")
+  }
+
   test("SQL RENAME COLUMN refuses with the rewrite spelling and the " +
     "view workaround — never a silent O(table) rewrite from a " +
     "metadata-looking statement") {
