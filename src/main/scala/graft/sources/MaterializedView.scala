@@ -485,7 +485,12 @@ object MaterializedView {
     * any later vacuum — the generic `VersionedTable.compact` writes
     * no marker, leaving the watermark on an older manifest that an
     * aggressive vacuum could age out. */
-  def compact(spark: SparkSession, mvRoot: String): Int = {
+  def compact(spark: SparkSession, mvRoot: String): Int =
+    VersionedTable.withRetry() { compactOnce(spark, mvRoot) }
+
+  // one optimistic attempt — re-derived per retry (a refresh landing
+  // mid-compact re-reads through the new watermark next attempt)
+  private def compactOnce(spark: SparkSession, mvRoot: String): Int = {
     val w = watermark(spark, mvRoot)
     val v = VersionedTable.latestVersion(spark, mvRoot)
     val anchor = scala.util.Try(

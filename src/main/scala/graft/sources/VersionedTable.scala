@@ -479,7 +479,14 @@ object VersionedTable {
     * version reads back exactly the old one; prior versions stay
     * time-travelable until vacuumed. Just a [[commit]] of the current
     * read — the protocol needs no new machinery for maintenance ops. */
-  def compact(spark: SparkSession, root: String): Int = {
+  def compact(spark: SparkSession, root: String): Int = withRetry() {
+    // retry-safe under concurrent ingest: every maintenance fold is a
+    // pure function of the CURRENT snapshot, so on a version conflict
+    // (an append landed mid-fold) the sound move is re-derive from
+    // the new head and try again — bounded by withRetry's attempts,
+    // each attempt honest O(its input). The loser of the race is
+    // always the fold, never the ingest: appends carry forward intact
+    // by construction (the fold re-reads them on the next attempt).
     val base = latestVersion(spark, root)
     commit(spark, root, read(spark, root, Some(base)), expectedVersion = base,
       op = "compact")
@@ -498,6 +505,12 @@ object VersionedTable {
   def compactSmall(spark: SparkSession, root: String,
       smallDirMaxRows: Long): Int = {
     require(smallDirMaxRows > 0, "smallDirMaxRows must be positive")
+    withRetry() { compactSmallOnce(spark, root, smallDirMaxRows) }
+  }
+
+  // one optimistic attempt — re-derived per retry (see [[compact]])
+  private def compactSmallOnce(spark: SparkSession, root: String,
+      smallDirMaxRows: Long): Int = {
     val base = latestVersion(spark, root)
     require(base >= 0, s"table $root has no committed version")
     val dirs = readManifest(spark, root, base)
@@ -540,6 +553,12 @@ object VersionedTable {
   def compactRefs(spark: SparkSession, root: String,
       minRefs: Int = 2): Int = {
     require(minRefs >= 1, s"minRefs must be positive, got $minRefs")
+    withRetry() { compactRefsOnce(spark, root, minRefs) }
+  }
+
+  // one optimistic attempt — re-derived per retry (see [[compact]])
+  private def compactRefsOnce(spark: SparkSession, root: String,
+      minRefs: Int): Int = {
     val base = latestVersion(spark, root)
     require(base >= 0, s"table $root has no committed version")
     val refs = readManifest(spark, root, base)
@@ -977,8 +996,17 @@ object VersionedTable {
     * snapshot_bytes / target_file_size (~1 GB files in production). */
   def optimize(spark: SparkSession, root: String,
       zorderCols: (String, String), nFiles: Int): Int = {
-    import org.apache.spark.sql.functions.col
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    // retry-safe like [[compact]] — each attempt re-derives from the
+    // fresh head; an attempt costs the full sort shuffle, which is
+    // the honest price of not silently discarding the concurrent
+    // append the conflict is protecting
+    withRetry() { optimizeOnce(spark, root, zorderCols, nFiles) }
+  }
+
+  private def optimizeOnce(spark: SparkSession, root: String,
+      zorderCols: (String, String), nFiles: Int): Int = {
+    import org.apache.spark.sql.functions.col
     val base = latestVersion(spark, root)
     // two layouts can't own placement at once: the bucket pin routes
     // every commitDirs write through repartition(n, key), which would

@@ -429,6 +429,39 @@ class FileCarrySpec extends SparkSpec {
     assert(VersionedTable.read(spark, root3).columns.toSeq == Seq("s"))
   }
 
+  test("maintenance folds are retry-safe under concurrent ingest: " +
+    "compactRefs racing appendRetrying converges with neither lost") {
+    val root = manyFileTable()
+    VersionedTable.delete(spark, root, col("id") === 7L) // fragment it
+    assert(VersionedTable.readManifest(spark, root,
+      VersionedTable.latestVersion(spark, root))
+      .exists(VersionedTable.refIsFile))
+    // an ingest writer appending batches while the fold runs: both
+    // sides are optimistic retries, so EVERY interleaving converges —
+    // the fold re-derives from whichever head it lost to
+    val appender = new Thread(() => (0 until 5).foreach { i =>
+      VersionedTable.appendRetrying(spark, root,
+        spark.range(1000 + i * 10, 1010 + i * 10)
+          .select(col("id"), concat(lit("s"), col("id")).as("s")))
+      Thread.sleep(30)
+    })
+    appender.start()
+    val folded = VersionedTable.compactRefs(spark, root)
+    appender.join()
+    assert(folded > 0, "the fold must commit despite the race")
+    // neither side lost: the delete's complement plus every appended
+    // batch, exactly once
+    assert(VersionedTable.read(spark, root).count() == 799L + 50L)
+    // the fold's own manifest holds no file refs; appends that landed
+    // AFTER it add whole dirs, so the head is ref-free either way
+    assert(!VersionedTable.readManifest(spark, root,
+      VersionedTable.latestVersion(spark, root))
+      .exists(VersionedTable.refIsFile))
+    // and a second fold is a clean no-op
+    assert(VersionedTable.compactRefs(spark, root) ==
+      VersionedTable.latestVersion(spark, root))
+  }
+
   test("restore across a split is metadata-only and exact both ways") {
     val root = manyFileTable()
     val v = VersionedTable.delete(spark, root, col("id") === 7L)
