@@ -1121,6 +1121,39 @@ private[sources] class GraftSqlTable(ident: String, root: String,
           new InsertableRelation {
             override def insert(data: DataFrame, ow: Boolean): Unit = {
               val s = data.sparkSession
+              // V2Writes applies this Write's required distribution to
+              // the BATCH plan too (prepareQuery runs for AppendData as
+              // well as for micro-batch) — but the engine-side commit
+              // (commitDirs) owns the batch layout and shuffles again.
+              // Strip exactly the topmost node pair prepareQuery
+              // appends (a local Sort over a repartition) so a pinned
+              // table's INSERT pays ONE layout shuffle, not two. Only
+              // when a pin exists (so the topmost nodes are provably
+              // prepareQuery's — a user's own repartition hint sits
+              // BELOW them and survives); anything unexpected passes
+              // through untouched (worst case a redundant shuffle,
+              // never a wrong answer).
+              import org.apache.spark.sql.catalyst.plans.logical.{RebalancePartitions, RepartitionByExpression, Sort => LSort}
+              val pinned =
+                VersionedTable.bucketSpec(s, root, None).isDefined ||
+                  VersionedTable.clusterSpec(s, root, None).isDefined
+              val logical = data.queryExecution.logical
+              val stripped =
+                if (!pinned) logical
+                else logical match {
+                  case srt: LSort if !srt.global => srt.child match {
+                    case r: RepartitionByExpression => r.child
+                    case r: RebalancePartitions => r.child
+                    case _ => logical
+                  }
+                  case r: RepartitionByExpression => r.child
+                  case r: RebalancePartitions => r.child
+                  case other => other
+                }
+              val frame =
+                if (stripped eq logical) data
+                else org.apache.spark.sql.graft.PlanBridge
+                  .ofRows(s, stripped)
               // hands-free under concurrent writers: INSERT derives
               // nothing from the snapshot it lands on (append adds a
               // batch, overwrite replaces whatever is there), so
@@ -1130,8 +1163,8 @@ private[sources] class GraftSqlTable(ident: String, root: String,
               VersionedTable.withRetry() {
                 val latest = VersionedTable.latestVersion(s, root)
                 if (overwrite || ow)
-                  VersionedTable.commit(s, root, data, latest)
-                else VersionedTable.append(s, root, data, latest)
+                  VersionedTable.commit(s, root, frame, latest)
+                else VersionedTable.append(s, root, frame, latest)
               }: Unit
             }
           }

@@ -39,6 +39,12 @@ object GraftZOrder {
     override def resultType(): DataType = LongType
     override def name(): String = FunctionName
     override def canonicalName(): String = s"graft.$FunctionName"
+    // the MAGIC METHOD (ScalarFunction.MAGIC_METHOD_NAME): Spark
+    // compiles a direct Invoke on this signature — the per-row sort
+    // key of a zorder DML/epoch write stays codegen'd instead of
+    // boxing through produceResult reflection
+    def invoke(a: Long, b: Long): Long =
+      graft.functions.ZOrderInterleave.interleave(a, b)
     override def produceResult(input: InternalRow): java.lang.Long =
       if (input.isNullAt(0) || input.isNullAt(1)) null
       else graft.functions.ZOrderInterleave.interleave(
