@@ -381,9 +381,10 @@ case class GraftVacuumPreviewCommand(nameParts: Seq[String],
     AttributeReference("num_files", LongType, nullable = false)(),
     AttributeReference("bytes", LongType, nullable = false)(),
     // "dir" = the whole dir drops; "files" = the dir SURVIVES its
-    // carried file refs and only the listed replaced files sweep —
-    // without the discriminator a DBA would read a file-level sweep
-    // row as whole-dir data loss
+    // carried file refs and only the listed replaced files sweep;
+    // "changes" = an aged-out/orphaned CDC change entry — without
+    // the discriminator a DBA would read a file-level sweep row as
+    // whole-dir data loss
     AttributeReference("scope", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {

@@ -668,7 +668,24 @@ object VersionedTable {
       .map { case (d, sts) =>
         (d, sts.length.toLong, sts.map(_.getLen).sum, "files")
       }
-    (rows ++ sweepRows).sortBy(_._1)
+    // plus the CDC CHANGE-FILE sweep (scope "changes"): aged-out
+    // versions' commit-time change entries and orphans from
+    // failed/conflicted commits — the same shared candidate
+    // selection the destructive vacuum uses, so the DRY RUN's
+    // account is COMPLETE (a preview that silently omitted the
+    // change plane would under-report exactly on CDC-heavy tables,
+    // where retention review matters most)
+    val changeRows = changeSweepCandidates(spark, root, keepFrom,
+      retainMillis)
+      .map { st =>
+        val (n, b) =
+          if (st.isDirectory) {
+            val files = fs.listStatus(st.getPath)
+            (files.length.toLong, files.map(_.getLen).sum)
+          } else (1L, st.getLen)
+        (st.getPath.getName, n, b, "changes")
+      }
+    (rows ++ sweepRows ++ changeRows).sortBy(_._1)
       .toDF("commit_dir", "num_files", "bytes", "scope")
   }
 
@@ -3669,17 +3686,27 @@ object VersionedTable {
     // manifest references and that is older than the horizon — covers
     // aged-out versions' files AND orphans from failed/conflicted
     // commits (their dirs were never referenced by any manifest)
+    changeSweepCandidates(spark, root, keepFrom, retainMillis)
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  // the sweepable CDC change entries under _changes/ — ONE
+  // implementation shared by vacuum (destructive) and vacuumPreview
+  // (DRY RUN) so the two can never drift, same contract as
+  // vacuumCandidates/fileSweepCandidates
+  private def changeSweepCandidates(spark: SparkSession, root: String,
+      keepFrom: Int, retainMillis: Long)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val fs = fsOf(spark, new Path(root))
     val chDir = changesDir(root)
-    if (fs.exists(chDir)) {
-      val latestNow = latestVersion(spark, root)
-      val referenced = (keepFrom to math.max(latestNow, keepFrom))
-        .filter(v => fs.exists(manifestPath(root, v)))
-        .flatMap(v => changeFileNameOf(spark, root, v)).toSet
-      val horizon = System.currentTimeMillis() - retainMillis
-      fs.listStatus(chDir)
-        .filter(st => !referenced.contains(st.getPath.getName) &&
-          st.getModificationTime < horizon)
-        .foreach(st => fs.delete(st.getPath, true))
-    }
+    if (!fs.exists(chDir)) return Seq.empty
+    val latestNow = latestVersion(spark, root)
+    val referenced = (keepFrom to math.max(latestNow, keepFrom))
+      .filter(v => fs.exists(manifestPath(root, v)))
+      .flatMap(v => changeFileNameOf(spark, root, v)).toSet
+    val horizon = System.currentTimeMillis() - retainMillis
+    fs.listStatus(chDir).toSeq
+      .filter(st => !referenced.contains(st.getPath.getName) &&
+        st.getModificationTime < horizon)
   }
 }

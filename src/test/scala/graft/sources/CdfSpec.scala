@@ -390,6 +390,43 @@ class CdfSpec extends SparkSpec {
       VersionedTable.changesBetween(spark, root, 0, 2).collect())
   }
 
+  test("vacuumPreview accounts for the CHANGE-FILE sweep too: " +
+    "scope-'changes' rows list exactly what vacuum then deletes " +
+    "(shared candidate selection — DRY RUN and destructive never " +
+    "drift on the CDC plane)") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a"))
+    VersionedTable.enableChangeFeed(spark, root, "id") // v1
+    VersionedTable.merge(spark, root,
+      docs(1L -> "a2").withColumn("op", lit("U")), "id") // v2 + change file
+    VersionedTable.merge(spark, root,
+      docs(1L -> "a3").withColumn("op", lit("U")), "id") // v3 + change file
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val chDir = new org.apache.hadoop.fs.Path(root, "_changes")
+    val before = fs.listStatus(chDir).map(_.getPath.getName).toSet
+    assert(before.size >= 2, s"two keyed merges write change files: $before")
+    // DRY RUN at keep=1: v2's change entry ages out (v3's survives
+    // with its manifest), and the preview LISTS it under its own scope
+    val pv = VersionedTable.vacuumPreview(spark, root,
+      keepVersions = 1, retainMillis = 0L).collect()
+    val changeRows = pv.filter(_.getString(3) == "changes")
+    assert(changeRows.nonEmpty,
+      s"the preview must account for the change-file sweep: ${pv.toSeq}")
+    assert(changeRows.forall(_.getLong(2) > 0L),
+      s"change rows carry real bytes: ${changeRows.toSeq}")
+    // the destructive vacuum deletes EXACTLY the previewed entries
+    VersionedTable.vacuum(spark, root, keepVersions = 1,
+      retainMillis = 0L)
+    val after = fs.listStatus(chDir).map(_.getPath.getName).toSet
+    assert(before -- after == changeRows.map(_.getString(0)).toSet,
+      s"vacuum must sweep exactly the previewed change entries: " +
+        s"previewed=${changeRows.map(_.getString(0)).toSeq} " +
+        s"swept=${before -- after}")
+    // the surviving feed still serves from the kept change file
+    assert(VersionedTable.read(spark, root).count() == 1L)
+  }
+
   test("optimize clusters: per-file min/max envelopes narrow vs scattered layout") {
     val root = freshRoot()
     // write deliberately scattered: round-robin ids across partitions
