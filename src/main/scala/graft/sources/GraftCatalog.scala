@@ -1134,9 +1134,12 @@ private[sources] class GraftSqlTable(ident: String, root: String,
               // through untouched (worst case a redundant shuffle,
               // never a wrong answer).
               import org.apache.spark.sql.catalyst.plans.logical.{RebalancePartitions, RepartitionByExpression, Sort => LSort}
-              val pinned =
-                VersionedTable.bucketSpec(s, root, None).isDefined ||
-                  VersionedTable.clusterSpec(s, root, None).isDefined
+              // decide "pinned" from the SAME schema-filtered specs
+              // prepareQuery consulted (the lazy pins above) — a pin
+              // whose every column the write schema lacks appends
+              // nothing there, so stripping here would eat the
+              // USER'S own topmost layout hint instead of ours
+              val pinned = bucketPin.isDefined || clusterPin.isDefined
               val logical = data.queryExecution.logical
               val stripped =
                 if (!pinned) logical

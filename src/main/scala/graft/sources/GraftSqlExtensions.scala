@@ -622,16 +622,26 @@ case class GraftMvFollowCommand(nameParts: Seq[String], stop: Boolean)
     val name = GraftMvFollowCommand.queryNameFor(root)
     val existing = spark.streams.active.find(q => q.name == name)
     if (stop) {
-      val q = existing.getOrElse(throw new IllegalStateException(
-        s"no active FOLLOW for ${nameParts.mkString(".")} in this " +
-          "session — start one with ALTER MATERIALIZED VIEW " +
-          s"${nameParts.mkString(".")} FOLLOW"))
-      q.stop()
-      // STOP (and only STOP — never a crash) clears the durable
-      // follow intent, so a restarted session's resumeFollows
-      // re-arms crashed follows but respects deliberate stops
-      MaterializedView.disarmFollow(spark, root)
-      Seq(Row(name, q.id.toString, false))
+      existing match {
+        case Some(q) =>
+          q.stop()
+          // STOP (and only STOP — never a crash) clears the durable
+          // follow intent, so a restarted session's resumeFollows
+          // re-arms crashed follows but respects deliberate stops
+          MaterializedView.disarmFollow(spark, root)
+          Seq(Row(name, q.id.toString, false))
+        case None if MaterializedView.followArmed(spark, root) =>
+          // crashed follow: no query to stop, but the durable marker
+          // is still armed — STOP means "stay stopped", so disarm it
+          // directly instead of forcing the operator to FOLLOW (or
+          // resumeFollows) a dead view just to stop it again
+          MaterializedView.disarmFollow(spark, root)
+          Seq(Row(name, "", false))
+        case None => throw new IllegalStateException(
+          s"no active FOLLOW for ${nameParts.mkString(".")} in this " +
+            "session and no durable follow marker — start one with " +
+            s"ALTER MATERIALIZED VIEW ${nameParts.mkString(".")} FOLLOW")
+      }
     } else {
       existing.foreach(q => throw new IllegalStateException(
         s"${nameParts.mkString(".")} is already being followed by " +

@@ -1484,22 +1484,26 @@ object VersionedTable {
       s"schema: ${missing.mkString(", ")}")
     if (zorder) {
       // the interleave masks each side to its low 31 bits; a string
-      // column would cast to NULL and silently garbage the layout —
-      // refuse anything that isn't an integral/date/timestamp domain
+      // column would cast to NULL and silently garbage the layout,
+      // and DATE cannot cast to BIGINT at all in Spark 4 (ANSI
+      // forbids it), so admitting it here would make the pin a
+      // metadata-only success that poisons every LATER write —
+      // refuse anything that isn't an integral/timestamp domain
+      // (dates: pin `unix_date(d)` materialized as an int column)
       val zOk: Set[org.apache.spark.sql.types.DataType] = Set(
         org.apache.spark.sql.types.ByteType,
         org.apache.spark.sql.types.ShortType,
         org.apache.spark.sql.types.IntegerType,
         org.apache.spark.sql.types.LongType,
-        org.apache.spark.sql.types.DateType,
         org.apache.spark.sql.types.TimestampType)
       val bad = cols.filter { c =>
         schema.fields.find(_.name.equalsIgnoreCase(c))
           .exists(f => !zOk.contains(f.dataType))
       }
       require(bad.isEmpty, s"ZORDER cluster columns must be " +
-        s"integral/date/timestamp (the Morton key interleaves low " +
-        s"bits): ${bad.mkString(", ")}")
+        s"integral/timestamp (the Morton key interleaves low bits; " +
+        s"for a date, materialize unix_date(d) and pin that): " +
+        bad.mkString(", "))
     }
     val pin =
       if (zorder) s"zorder(${cols.mkString(",")})"

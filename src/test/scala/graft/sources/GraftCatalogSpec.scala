@@ -813,6 +813,38 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.lc")
   }
 
+  test("ZORDER refuses a DATE cluster column at PIN time: DATE " +
+    "cannot cast to BIGINT in Spark 4, so admitting the pin would " +
+    "be a metadata-only success that poisons every later write — " +
+    "the refusal names the unix_date recipe and the table stays " +
+    "writable") {
+    wh
+    spark.sql("CREATE TABLE graft.zd (d DATE, y BIGINT)")
+    spark.sql("INSERT INTO graft.zd VALUES (DATE'2024-01-01', 1)")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.zd CLUSTER BY ZORDER (d, y)")
+    }
+    assert((e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("unix_date"), s"got ${e.getMessage}")
+    // the pin never landed, so the write path stays healthy — the
+    // failure mode this guards was exactly the opposite order
+    assert(VersionedTable.clusterSpec(spark, rootOf("zd")).isEmpty)
+    spark.sql("INSERT INTO graft.zd VALUES (DATE'2024-01-02', 2)")
+    assert(spark.sql("SELECT count(*) FROM graft.zd")
+      .as[Long].head == 2L)
+    // the documented recipe works: materialize int days, pin THAT
+    spark.sql("CREATE TABLE graft.zd2 (dd INT, y BIGINT)")
+    spark.sql("INSERT INTO graft.zd2 SELECT unix_date(d), y FROM graft.zd")
+    spark.sql("ALTER TABLE graft.zd2 CLUSTER BY ZORDER (dd, y)")
+    assert(VersionedTable.clusterZOrderMode(spark, rootOf("zd2")))
+    spark.sql("INSERT INTO graft.zd2 VALUES (19724, 3)")
+    assert(spark.sql("SELECT count(*) FROM graft.zd2")
+      .as[Long].head == 3L)
+    spark.sql("DROP TABLE graft.zd")
+    spark.sql("DROP TABLE graft.zd2")
+  }
+
   test("a cluster-pinned table range-clusters STREAMING epochs too: " +
     "writeStream.toTable demands the ordered distribution per " +
     "micro-batch, so a point lookup on the pinned column prunes the " +

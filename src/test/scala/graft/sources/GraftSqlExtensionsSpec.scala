@@ -552,4 +552,41 @@ class GraftSqlExtensionsSpec extends SparkSpec {
     spark.sql("DROP TABLE gext.fmv2")
     spark.sql("DROP TABLE gext.fb2")
   }
+
+  test("FOLLOW STOP on a CRASHED follow disarms the durable marker " +
+    "directly: no query is active but the marker is, and STOP means " +
+    "'stay stopped' — not 'restart the dead follow just to stop it " +
+    "again'; only marker-AND-query absent refuses") {
+    wh
+    spark.sql("CREATE TABLE gext.fb3 (k STRING, x BIGINT)")
+    spark.sql("INSERT INTO gext.fb3 VALUES ('a', 1)")
+    spark.sql("CREATE MATERIALIZED VIEW gext.fmv3 AS " +
+      "SELECT k, count(*) AS cnt FROM gext.fb3 GROUP BY k")
+    val root = rootOf("fmv3")
+    val qName = spark.sql(
+      "ALTER MATERIALIZED VIEW gext.fmv3 FOLLOW").head().getString(0)
+    // crash: the query dies WITHOUT the SQL STOP, the marker survives
+    spark.streams.active.find(_.name == qName).get.stop()
+    assert(MaterializedView.followArmed(spark, root))
+    // STOP with no active query but an armed marker: disarm and
+    // report stopped=false (empty query id — there was none to stop)
+    val r = spark.sql(
+      "ALTER MATERIALIZED VIEW gext.fmv3 FOLLOW STOP").head()
+    assert(!r.getBoolean(2) && r.getString(1).isEmpty, s"got $r")
+    assert(!MaterializedView.followArmed(spark, root),
+      "STOP on a crashed follow must clear the durable intent")
+    // ...so a later restart recipe re-arms NOTHING
+    val cat = spark.sessionState.catalogManager.catalog("gext")
+      .asInstanceOf[GraftCatalog]
+    assert(cat.resumeFollows().isEmpty)
+    // now NOTHING is armed or active: STOP refuses
+    val e = intercept[Exception] {
+      spark.sql("ALTER MATERIALIZED VIEW gext.fmv3 FOLLOW STOP")
+        .collect()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage)
+      .getOrElse("")).contains("no active FOLLOW"))
+    spark.sql("DROP TABLE gext.fmv3")
+    spark.sql("DROP TABLE gext.fb3")
+  }
 }
