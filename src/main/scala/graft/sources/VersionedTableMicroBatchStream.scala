@@ -36,7 +36,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * start serves every batch's partitions.
   */
 class VersionedTableMicroBatchStream(spark: SparkSession, root: String,
-    tableSchema: StructType, options: CaseInsensitiveStringMap)
+    tableSchema: StructType, options: CaseInsensitiveStringMap,
+    checkpointLocation: String = "")
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsAdmissionControl {
@@ -138,7 +139,15 @@ class VersionedTableMicroBatchStream(spark: SparkSession, root: String,
     // FilePartitions (same schema, same conf)
     scanOver(Seq.empty).createReaderFactory()
 
-  override def commit(end: Offset): Unit = ()
+  // triggerOnly tickers never auto-publish: the follower they serve
+  // (an MV refresh) has its own deliberate floor convention
+  // (MaterializedView.publishFloor) keyed to the VIEW's watermark,
+  // not this checkpoint's offset — a second id here would just be
+  // registry noise
+  private val floors = StreamFloorPublisher(spark, root, options,
+    checkpointLocation, enabled = !triggerOnly)
+
+  override def commit(end: Offset): Unit = floors.onCommit(version(end))
 
   override def stop(): Unit = ()
 }
@@ -147,6 +156,90 @@ class VersionedTableMicroBatchStream(spark: SparkSession, root: String,
   * byte-compatible with the v1 source's LongOffset checkpoints. */
 case class VersionOffset(v: Int) extends Offset {
   override def json: String = v.toString
+}
+
+/** AUTO-PUBLISHES a streaming reader's version floor into the base's
+  * `_consumers` registry — what closes the one consumer class
+  * `VACUUM … RESPECT CONSUMERS` could not see: a bare `readStream`
+  * tail's position lives only in ITS checkpoint, so until now a
+  * consumer-respecting vacuum protected materialized views (which
+  * publish deliberately) but could still sweep the versions a lagging
+  * plain stream needs next.
+  *
+  * Identity: the CHECKPOINT location (leaf name + path hash, same
+  * shape as [[MaterializedView.floorConsumerId]]) — the checkpoint IS
+  * the consumer's durable position, so a restarted query re-claims
+  * its own registry row and two streams can never collide (distinct
+  * checkpoints) or duplicate (same checkpoint = same consumer).
+  *
+  * Cadence: every epoch would put one registry MERGE commit on every
+  * micro-batch's critical path for a capacity-planning signal, so the
+  * publish fires on the FIRST `commit()` after (re)start and then
+  * every `floorPublishEvery` epochs (default 10; 0 disables). Engine
+  * timing caveat: Spark invokes `source.commit(end)` when it
+  * CONSTRUCTS the next batch (`cleanUpLastExecutedMicroBatch` is a
+  * no-op for batch 0 and otherwise commits batch N−1's offsets), so
+  * a stream that runs one batch and then idles publishes nothing —
+  * which is harmless, because a floor only matters for a consumer
+  * the table is moving PAST, and every base commit that creates that
+  * lag also constructs the batch whose clean-up fires the publish.
+  * Between publishes the registered floor lags the true position by
+  * at most N batches, which only ever errs CONSERVATIVE (vacuum
+  * keeps a few extra versions, never too few). ADVISORY discipline:
+  * a publish failure must never fail the DATA stream — it is caught,
+  * counted, and retried at the next cadence point (the registry
+  * write's own concurrency is already handled by
+  * [[VersionedTable.publishConsumerFloor]]'s retry loop).
+  *
+  * The floor value is the COMMITTED end offset v: the checkpoint
+  * restarts reading deltas `(v, …]` from v's manifest chain, so
+  * "keep version ≥ v" is exactly the guarantee the next batch needs. */
+private[sources] class StreamFloorPublisher(spark: SparkSession,
+    root: String, consumerId: String, every: Int) {
+
+  private var commits = 0L
+  private[sources] var publishFailures = 0L
+
+  def onCommit(version: Int): Unit = {
+    if (every <= 0 || version < 0) return
+    commits += 1
+    if (commits == 1 || commits % every == 0) {
+      try VersionedTable.publishConsumerFloor(
+        spark, root, consumerId, version)
+      catch {
+        // advisory metadata: never kill the data stream over the
+        // registry — the floor just stays at its last value until
+        // the next cadence point retries
+        case scala.util.control.NonFatal(_) => publishFailures += 1
+      }
+    }
+  }
+}
+
+private[sources] object StreamFloorPublisher {
+
+  /** Registry id for a checkpoint: leaf name for readability plus a
+    * full-path hash for identity (two checkpoints sharing a leaf
+    * name must never overwrite each other's floors). */
+  def consumerIdFor(checkpoint: String): String = {
+    val p = new Path(checkpoint)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(p.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    s"stream:${p.getName}-$h"
+  }
+
+  def apply(spark: SparkSession, root: String,
+      options: CaseInsensitiveStringMap, checkpointLocation: String,
+      enabled: Boolean = true): StreamFloorPublisher = {
+    val every =
+      if (!enabled || checkpointLocation.isEmpty) 0
+      else Option(options.get("floorPublishEvery"))
+        .map(_.trim.toInt).getOrElse(10)
+    new StreamFloorPublisher(spark, root,
+      if (checkpointLocation.isEmpty) "" else consumerIdFor(checkpointLocation),
+      every)
+  }
 }
 
 /** CHANGE-FEED micro-batch stream over the versioned table — the
@@ -178,7 +271,7 @@ case class VersionOffset(v: Int) extends Offset {
   * [[VersionedTable.changeFeed]]. */
 class VersionedTableChangeFeedStream(spark: SparkSession, root: String,
     tableSchema: StructType, options: CaseInsensitiveStringMap,
-    startingVersion: Int)
+    startingVersion: Int, checkpointLocation: String = "")
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsAdmissionControl {
@@ -256,7 +349,10 @@ class VersionedTableChangeFeedStream(spark: SparkSession, root: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangeTaggedReaderFactory(scanOver(Seq.empty).createReaderFactory())
 
-  override def commit(end: Offset): Unit = ()
+  private val floors =
+    StreamFloorPublisher(spark, root, options, checkpointLocation)
+
+  override def commit(end: Offset): Unit = floors.onCommit(version(end))
 
   override def stop(): Unit = ()
 }
@@ -318,7 +414,8 @@ private[sources] class ChangeTaggedReaderFactory(
   * the LEGACY fallback for exactly that case (pre-CDC history). */
 class VersionedTableKeyedChangeFeedStream(spark: SparkSession,
     root: String, dataSchema: StructType,
-    options: CaseInsensitiveStringMap, startingVersion: Int, key: String)
+    options: CaseInsensitiveStringMap, startingVersion: Int, key: String,
+    checkpointLocation: String = "")
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsAdmissionControl {
@@ -413,7 +510,10 @@ class VersionedTableKeyedChangeFeedStream(spark: SparkSession,
       scanTable(Seq.empty).createReaderFactory(),
       scanChanges(Seq.empty).createReaderFactory())
 
-  override def commit(end: Offset): Unit = ()
+  private val floors =
+    StreamFloorPublisher(spark, root, options, checkpointLocation)
+
+  override def commit(end: Offset): Unit = floors.onCommit(version(end))
 
   override def stop(): Unit = ()
 }
@@ -489,12 +589,14 @@ class VersionedStreamTable(spark: SparkSession, root: String,
               .map(_.trim.toInt).getOrElse(0)
             Option(options.get("key")).map(_.trim).filter(_.nonEmpty) match {
               case Some(k) => new VersionedTableKeyedChangeFeedStream(
-                spark, root, dataSchema, options, starting, k)
+                spark, root, dataSchema, options, starting, k,
+                checkpointLocation)
               case None => new VersionedTableChangeFeedStream(
-                spark, root, dataSchema, options, starting)
+                spark, root, dataSchema, options, starting,
+                checkpointLocation)
             }
           } else new VersionedTableMicroBatchStream(
-            spark, root, tableSchema, options)
+            spark, root, tableSchema, options, checkpointLocation)
       }
     }
 }

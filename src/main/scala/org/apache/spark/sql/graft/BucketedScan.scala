@@ -294,7 +294,7 @@ private[graft] class BucketedDelegatingScan(spark: SparkSession,
         "spark.readStream.format(\"graft-versioned-stream\")" +
         ".option(\"readChangeFeed\", \"true\").load(<table root>)")
     new graft.sources.VersionedTableMicroBatchStream(spark, root,
-      delegate.readSchema(), options)
+      delegate.readSchema(), options, checkpointLocation)
   }
 }
 

@@ -465,7 +465,7 @@ private class StreamableDelegatingScan(spark: SparkSession,
         "spark.readStream.format(\"graft-versioned-stream\")" +
         ".option(\"readChangeFeed\", \"true\").load(<table root>)")
     new graft.sources.VersionedTableMicroBatchStream(spark, root,
-      delegate.readSchema(), options)
+      delegate.readSchema(), options, checkpointLocation)
   }
 }
 

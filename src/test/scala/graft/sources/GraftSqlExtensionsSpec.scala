@@ -495,6 +495,51 @@ class GraftSqlExtensionsSpec extends SparkSpec {
     spark.sql("DROP TABLE gext.vc")
   }
 
+  test("VACUUM ... RESPECT CONSUMERS protects a bare readStream.table " +
+    "consumer through its AUTO-published floor — no SET CONSUMER " +
+    "FLOOR statement anywhere; plain VACUUM stays advisory-blind") {
+    wh
+    spark.sql("CREATE TABLE gext.sf (id BIGINT)")                    // v0
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO gext.sf VALUES ($i)"))                 // v1..v4
+    val root = rootOf("sf")
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_sf_ck").toString
+    val q = spark.readStream.option("floorPublishEvery", "1")
+      .table("gext.sf")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    try {
+      q.processAllAvailable()
+      // the next base commit constructs the batch whose clean-up
+      // point publishes the snapshot batch's offset (v4)
+      spark.sql("INSERT INTO gext.sf VALUES (5)")                    // v5
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      def floor() = spark.sql(
+        "SELECT floor_version FROM gext.`sf$consumers` " +
+          "WHERE consumer LIKE 'stream:%'").as[Long].collect()
+      while (floor().isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(floor().toSeq == Seq(4L),
+        s"auto-published floor must be visible in $$consumers, got " +
+          floor().toSeq)
+    } finally q.stop()
+    // RESPECT CONSUMERS widens keep around the auto floor: latest=5,
+    // floor=4 → keep 2, so v4 stays readable for the lagging tail
+    val st = spark.sql("VACUUM gext.sf RETAIN 0 HOURS KEEP 1 " +
+      "VERSIONS RESPECT CONSUMERS").head().getString(0)
+    assert(st.contains("keep=2") && st.contains("respected 1"),
+      s"got $st")
+    assert(VersionedTable.earliestVersion(spark, root) == 4,
+      "the auto-published floor must stay readable")
+    // advisory default: a plain VACUUM ignores the registry
+    spark.sql("VACUUM gext.sf RETAIN 0 HOURS KEEP 1 VERSIONS")
+    assert(VersionedTable.earliestVersion(spark, root) == 5)
+    spark.sql("DROP TABLE gext.sf")
+  }
+
   test("FOLLOW survives a session restart through the durable " +
     "_follow marker: resumeFollows re-arms a crashed follow (the " +
     "missed base commit folds), reports already-active ones, and " +

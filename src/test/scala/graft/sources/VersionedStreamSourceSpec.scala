@@ -723,4 +723,123 @@ class VersionedStreamSourceSpec extends SparkSpec {
       assert(chain(e).contains("BEFORE"), s"wrong failure: ${chain(e)}")
     } finally q.stop()
   }
+
+  test("a bare readStream consumer AUTO-publishes its committed " +
+      "version floor under a checkpoint-derived id — first commit, " +
+      "then every floorPublishEvery epochs — so RESPECT CONSUMERS " +
+      "retention finally sees plain streaming readers; a restart " +
+      "re-claims the SAME registry row, and MAX LAG still clamps an " +
+      "abandoned floor") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a"))                // v0
+    VersionedTable.append(spark, root, docs(2L -> "b"), 0)           // v1
+    VersionedTable.append(spark, root, docs(3L -> "c"), 1)           // v2
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_floor_ck").toString
+    def floorRows() = VersionedTable.consumerFloors(spark, root)
+      .select("consumer", "floor_version").as[(String, Long)]
+      .collect().toSeq.filter(_._1.startsWith("stream:"))
+    // source.commit fires on the trigger cycle AFTER the batch (the
+    // engine's clean-up point), so give the publish a moment to land
+    def await(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(100)
+    }
+    def tail() = spark.readStream.format("graft-versioned-stream")
+      .option("floorPublishEvery", "1").load(root)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val q = tail()
+    val sid = try {
+      q.processAllAvailable()
+      // the engine fires source.commit(batch N-1) when it CONSTRUCTS
+      // batch N, so the snapshot batch's offset (v2) publishes when
+      // the first append-delta batch is planned
+      VersionedTable.append(spark, root, docs(4L -> "d"), 2)         // v3
+      q.processAllAvailable()
+      await(floorRows().nonEmpty)
+      val rows = floorRows()
+      assert(rows.size == 1 && rows.head._2 == 2L,
+        s"the snapshot batch's committed offset must publish when " +
+          s"the next batch constructs, got $rows")
+      // every=1: the next constructed batch advances the floor to 3
+      VersionedTable.append(spark, root, docs(5L -> "e"), 3)         // v4
+      q.processAllAvailable()
+      await(floorRows().exists(_._2 == 3L))
+      assert(floorRows() == Seq(rows.head._1 -> 3L),
+        s"cadence-1 publish must track each commit, got ${floorRows()}")
+      rows.head._1
+    } finally q.stop()
+    // the consumer now LAGS: another version lands while it is down
+    VersionedTable.append(spark, root, docs(6L -> "f"), 4)           // v5
+    // RESPECT CONSUMERS widens the requested horizon around the
+    // auto-published floor: keep must reach back to v3
+    val (keep, respected, clamped) =
+      VersionedTable.consumerKeepVersions(spark, root, requested = 1)
+    assert((keep, respected, clamped) == ((3, 1, 0)),
+      s"floor 3 at latest 5 must widen keep to 3, got " +
+        s"($keep, $respected, $clamped)")
+    // MAX LAG 1 treats the same floor as abandoned and clamps it
+    val (keep2, _, clamped2) = VersionedTable.consumerKeepVersions(
+      spark, root, requested = 1, maxLag = Some(1))
+    assert(keep2 == 2 && clamped2 == 1,
+      s"MAX LAG 1 must clamp the lagging floor, got ($keep2, $clamped2)")
+    // restart from the SAME checkpoint: the consumer re-claims its
+    // row (no id churn — one consumer, one registry entry); catching
+    // up on v5 constructs a batch whose clean-up commits offset 4
+    val q2 = tail()
+    try {
+      q2.processAllAvailable()
+      await(floorRows().exists(_._2 >= 4L))
+      val after = floorRows()
+      assert(after.size == 1 && after.head._1 == sid &&
+        after.head._2 >= 4L,
+        s"restart must re-claim the same id at the caught-up floor, " +
+          s"got $after")
+    } finally q2.stop()
+  }
+
+  test("floor auto-publish default cadence fires on the FIRST commit " +
+      "call (no option needed — a consumer the table moves past is " +
+      "visible to retention from its second batch on) and " +
+      "floorPublishEvery=0 disables it") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, docs(1L -> "a"))                // v0
+    def floorCount() = VersionedTable.consumerFloors(spark, root)
+      .filter(org.apache.spark.sql.functions.col("consumer")
+        .startsWith("stream:")).count()
+    def drive(ck: String, opts: Map[String, String]): Unit = {
+      val r = spark.readStream.format("graft-versioned-stream")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      val q = r.load(root)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      try {
+        q.processAllAvailable()
+        // force a SECOND batch so the engine's clean-up point (where
+        // source.commit fires) runs at least once
+        val v = VersionedTable.latestVersion(spark, root)
+        VersionedTable.append(spark, root,
+          docs((100L + v) -> s"x$v"), v)
+        q.processAllAvailable()
+        val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+        while (floorCount() == 0L && System.nanoTime() < deadline &&
+          opts.isEmpty) Thread.sleep(100)
+        if (opts.nonEmpty) Thread.sleep(1500) // absence check
+      } finally q.stop()
+    }
+    // default options: the first commit call publishes
+    drive(java.nio.file.Files
+      .createTempDirectory("graft_floor_d").toString, Map.empty)
+    assert(floorCount() == 1L,
+      "default cadence must publish on the first commit")
+    // opt-out: no SECOND registry row appears
+    drive(java.nio.file.Files
+      .createTempDirectory("graft_floor_o").toString,
+      Map("floorPublishEvery" -> "0"))
+    assert(floorCount() == 1L,
+      "floorPublishEvery=0 must not publish")
+  }
 }
