@@ -2242,7 +2242,47 @@ object PipelineQueries extends QueryPack {
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
   }
 
+  // `_commit_version` LINEAGE end-to-end: three INSERT commits land
+  // three doc_id classes, then ONE query joins per-row provenance
+  // against the $history audit plane with no string surgery — the
+  // lineage report (which commit wrote how many rows/chars, under
+  // which operation) is hash-gated against DuckDB recomputing the
+  // class → version mapping from the raw table. The in-gate canary
+  // pins the driver-side dir pruning a version predicate gets.
+  def pipelineVersionedLineage(s: SparkSession, d: String): DataFrame = {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vlin")
+    val cat = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpRoot.toString)
+      docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("vlin_docs")
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT)")                                           // v0
+      (0 to 2).foreach(k => s.sql(
+        s"INSERT INTO $cat.docs SELECT * FROM vlin_docs " +
+          s"WHERE doc_id % 3 = $k"))                                 // v1..v3
+      // provenance reads behave like partition pruning: a version
+      // predicate must answer from one commit's rows
+      val one = s.sql("SELECT count(*) FROM " +
+        s"$cat.docs WHERE _commit_version = 2").head.getLong(0)
+      val cls1 = docs(s, d).filter(col("doc_id") % 3 === 1).count()
+      require(one == cls1,
+        s"version-2 slice must be exactly class doc_id%3=1: $one/$cls1")
+      s.sql(
+        s"""SELECT t._commit_version AS commit_version, h.operation,
+           |  count(*) AS n, sum(t.n_chars) AS sum_chars
+           |FROM $cat.docs t
+           |JOIN $cat.`docs$$history` h ON t._commit_version = h.version
+           |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_versioned_lineage" -> pipelineVersionedLineage _,
     "pipeline_versioned_refs_advisor" -> pipelineVersionedRefsAdvisor _,
     "dedup_exact" -> dedupExact _,
     "dedup_sorted_neighborhood" -> dedupSortedNeighborhood _,
@@ -2686,6 +2726,14 @@ object PipelineQueries extends QueryPack {
         |FROM documents
         |WHERE doc_id < 450 AND NOT (doc_id BETWEEN 180 AND 260)
         |ORDER BY doc_id""".stripMargin,
+    // per-row provenance joined against the audit plane: version
+    // 1+k committed class doc_id%3=k, every commit an append —
+    // DuckDB recomputes the mapping from the raw table
+    "pipeline_versioned_lineage" ->
+      """SELECT 1 + (doc_id % 3) AS commit_version,
+        |  'append' AS operation, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // the advisor lifecycle (recommend → fold → quiet) is
     // answer-invisible: the oracle is the point delete's complement,
     // the probe spelled exactly as the Spark side computes it

@@ -73,6 +73,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var warehouse: Path = _
+  private var resumeFollowsOnFirstUse: Boolean = false
+  private val followsResumed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -80,7 +83,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     warehouse = new Path(Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name needs spark.sql.catalog.$name.warehouse")))
+    // `spark.sql.catalog.<name>.resumeFollows=true`: the zero-call
+    // spelling of the restart recipe — the first table access after
+    // session start re-arms every durable `_follow` marker. Armed
+    // LAZILY (first loadTable/listTables, once, CAS-guarded) rather
+    // than here: initialize() runs inside catalog RESOLUTION mid-
+    // analysis, and starting streaming queries from that seam would
+    // put stream startup latency (and any failure) on whichever
+    // innocent statement first named the catalog — the first actual
+    // table access is the earliest point that already expects
+    // warehouse I/O.
+    resumeFollowsOnFirstUse =
+      Option(options.get("resumeFollows")).exists(_.trim.toBoolean)
   }
+
+  /** One attempt per catalog instance (= per session in practice);
+    * a failure surfaces on the triggering statement — the explicit
+    * [[resumeFollows]] call remains the retry lever. */
+  private def maybeResumeFollows(): Unit =
+    if (resumeFollowsOnFirstUse &&
+      followsResumed.compareAndSet(false, true))
+      resumeFollows(): Unit
 
   override def name(): String = catalogName
 
@@ -152,6 +175,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    maybeResumeFollows()
     val dir = namespace.foldLeft(warehouse)((p, s) => new Path(p, s))
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(dir).filter(st => st.isDirectory && isTable(st.getPath))
@@ -162,6 +186,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     isTable(tablePath(ident))
 
   override def loadTable(ident: Identifier): Table = {
+    maybeResumeFollows()
     // Iceberg-style METADATA TABLES: `graft.`tbl$history`` /
     // `graft.`tbl$files`` / `graft.`tbl$stats`` surface the audit
     // plane through plain SQL.
@@ -982,19 +1007,37 @@ private[sources] class GraftSqlTable(ident: String, root: String,
 
   /** `_commit_dir`: per-row provenance (the immutable commit dir that
     * holds the row) and the group identity runtime row-level group
-    * filtering keys on. Hidden until referenced; referencing it
-    * switches the scan to the per-dir tagged path. */
+    * filtering keys on. `_commit_version`: its numeric sibling — the
+    * manifest version that committed the dir, what lineage queries
+    * join `$history` on without string surgery. Hidden until
+    * referenced; referencing either switches the scan to the per-dir
+    * tagged path, and single-column predicates on either prune whole
+    * dirs driver-side. A DATA column with the same name SHADOWS the
+    * metadata column (the MetadataColumn contract — a CDF-relayed
+    * sink legitimately owns a `_commit_version` data column), so
+    * colliding names are not declared at all. */
   override def metadataColumns(): Array[
     org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String =
-        org.apache.spark.sql.graft.DirTag.ColName
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "name of the immutable commit dir holding this row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String =
+          org.apache.spark.sql.graft.DirTag.ColName
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "name of the immutable commit dir holding this row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String =
+          org.apache.spark.sql.graft.DirTag.VersionColName
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "manifest version that committed this row's dir (joins " +
+            "$history.version)"
+      }).filterNot(m => inner.schema.fieldNames.contains(m.name()))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =

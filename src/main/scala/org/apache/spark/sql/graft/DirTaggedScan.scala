@@ -27,6 +27,37 @@ object DirTag {
   val field: StructField = StructField(ColName, StringType, nullable = false)
 
   def ref: NamedReference = Expressions.column(ColName)
+
+  /** `_commit_version`: the numeric sibling of `_commit_dir` — the
+    * manifest version that committed the row's dir, parsed from the
+    * dir name's `c<version>-<uuid>` encoding (every write path names
+    * dirs through `VersionedTable.newCommitName`). What lets lineage
+    * queries join `$history` directly (`SELECT h.op, count(*) FROM
+    * graft.t JOIN graft.`t$history` h ON _commit_version = h.version
+    * GROUP BY 1`) instead of string-slicing `_commit_dir`. Note the
+    * same caveat as the dir column: maintenance rewrites (OPTIMIZE /
+    * compact) re-home rows into a dir named by the MAINTENANCE
+    * version — provenance is "the commit that wrote these bytes",
+    * not original ingest time (CDC is the ingest-time plane). */
+  val VersionColName = "_commit_version"
+
+  val versionField: StructField =
+    StructField(VersionColName, org.apache.spark.sql.types.LongType,
+      nullable = false)
+
+  def versionRef: NamedReference = Expressions.column(VersionColName)
+
+  /** Parse the committing version out of a dir name (or a
+    * `dir/file.parquet` carry reference). −1 for a name outside the
+    * `c<digits>-…` convention — never throws on provenance. */
+  def versionOf(dirOrRef: String): Long = {
+    val dir = dirOrRef.takeWhile(_ != '/')
+    if (dir.length < 2 || dir.charAt(0) != 'c') return -1L
+    val digits = dir.drop(1).takeWhile(_.isDigit)
+    if (digits.isEmpty || digits.length + 1 >= dir.length ||
+      dir.charAt(digits.length + 1) != '-') -1L
+    else digits.toLong
+  }
 }
 
 /** Batch scan over a set of commit dirs that appends the constant
@@ -47,44 +78,61 @@ class DirTaggedScan(spark: SparkSession, root: String,
     dirsNow: () => Seq[String], dataSchema: StructType,
     prunedData: StructType, options: CaseInsensitiveStringMap,
     pushedExprs: Seq[org.apache.spark.sql.catalyst.expressions
-      .Expression] = Seq.empty)
+      .Expression] = Seq.empty,
+    metaCols: Seq[String] = Seq(DirTag.ColName))
     extends Scan with Batch {
 
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression}
 
+  private val metaFields: Array[StructField] = metaCols.map {
+    case DirTag.ColName => DirTag.field
+    case DirTag.VersionColName => DirTag.versionField
+    case other => throw new IllegalArgumentException(
+      s"unknown metadata column $other")
+  }.toArray
+
   override def readSchema(): StructType =
-    StructType(prunedData.fields :+ DirTag.field)
+    StructType(prunedData.fields ++ metaFields)
 
   override def description(): String =
     s"graft-dirtagged $root"
 
   override def toBatch: Batch = this
 
-  // split the pushed conjuncts: predicates on `_commit_dir` ALONE
-  // prune whole dirs driver-side (provenance reads behave like
-  // partition pruning — `WHERE _commit_dir = 'c00003-…'` opens one
-  // dir); predicates on data columns alone forward into each per-dir
+  // split the pushed conjuncts: predicates on `_commit_dir` ALONE or
+  // `_commit_version` ALONE prune whole dirs driver-side (provenance
+  // reads behave like partition pruning — `WHERE _commit_dir =
+  // 'c00003-…'` or `WHERE _commit_version = 3` opens one commit's
+  // dirs); predicates on data columns alone forward into each per-dir
   // parquet builder for row-group pruning; mixed-reference conjuncts
   // stay post-scan (Spark re-evaluates everything above the scan
   // anyway — pushing is I/O savings, never semantics)
+  private def isMetaName(n: String): Boolean =
+    n == DirTag.ColName || n == DirTag.VersionColName
   private val (dirExprs, dataExprs) = {
     val (d, rest) = pushedExprs.partition(e =>
       e.references.nonEmpty &&
-        e.references.forall(_.name == DirTag.ColName))
-    (d, rest.filterNot(_.references.exists(_.name == DirTag.ColName)))
+        (e.references.forall(_.name == DirTag.ColName) ||
+          e.references.forall(_.name == DirTag.VersionColName)))
+    (d, rest.filterNot(_.references.exists(r => isMetaName(r.name))))
   }
 
   private def dirSurvives(dir: String): Boolean = dirExprs.forall { e =>
+    val onVersion =
+      e.references.forall(_.name == DirTag.VersionColName)
     val bound = e.transform {
       case _: AttributeReference =>
-        BoundReference(0, org.apache.spark.sql.types.StringType,
+        BoundReference(0,
+          if (onVersion) org.apache.spark.sql.types.LongType
+          else org.apache.spark.sql.types.StringType,
           nullable = false)
     }
     val pred = org.apache.spark.sql.catalyst.expressions.Predicate
       .create(bound)
     pred.initialize(0)
     pred.eval(org.apache.spark.sql.catalyst.InternalRow(
-      UTF8String.fromString(dir)))
+      if (onVersion) DirTag.versionOf(dir)
+      else UTF8String.fromString(dir)))
   }
 
   private def scanFor(paths: Seq[String]): Scan = {
@@ -112,7 +160,7 @@ class DirTaggedScan(spark: SparkSession, root: String,
     // path-independent template factory (reads any FilePartition with
     // this schema/conf), same pattern as the streaming source
     new DirTaggedReaderFactory(
-      scanFor(Seq.empty).toBatch.createReaderFactory())
+      scanFor(Seq.empty).toBatch.createReaderFactory(), metaCols)
 }
 
 private[graft] object DirTaggedScan {
@@ -280,9 +328,12 @@ private object RuntimeFilteredDirScan {
 case class DirTaggedPartition(dir: String, inner: InputPartition)
     extends InputPartition
 
-/** Appends the constant `_commit_dir` value to every row of the
-  * wrapped partition reader — one shared JoinedRow, zero copies. */
-class DirTaggedReaderFactory(inner: PartitionReaderFactory)
+/** Appends the requested constant provenance suffix (`_commit_dir`
+  * and/or `_commit_version`, in declaration order) to every row of
+  * the wrapped partition reader — one shared JoinedRow, zero
+  * copies. */
+class DirTaggedReaderFactory(inner: PartitionReaderFactory,
+    metaCols: Seq[String] = Seq(DirTag.ColName))
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -296,7 +347,13 @@ class DirTaggedReaderFactory(inner: PartitionReaderFactory)
         private val joined =
           new org.apache.spark.sql.catalyst.expressions.JoinedRow
         private val tag = new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(Array[Any](UTF8String.fromString(dir)))
+          .GenericInternalRow(metaCols.map {
+            case DirTag.ColName =>
+              UTF8String.fromString(dir): Any
+            case DirTag.VersionColName => DirTag.versionOf(dir): Any
+            case other => throw new IllegalArgumentException(
+              s"unknown metadata column $other")
+          }.toArray)
         override def next(): Boolean = r.next()
         override def get(): InternalRow = joined(r.get(), tag)
         override def close(): Unit = r.close()
@@ -330,10 +387,19 @@ class DirAwareScanBuilder(spark: SparkSession, root: String,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var dirMode = false
+  private var metaRequested: Seq[String] = Seq.empty
   private var aggPushed = false
   private var prunedData: StructType = dataSchema
   private var stored: Seq[org.apache.spark.sql.catalyst.expressions
     .Expression] = Seq.empty
+
+  // the MetadataColumn contract: a DATA column with the same name
+  // SHADOWS the metadata column (a CDF-relayed sink legitimately has
+  // its own `_commit_version` data column) — only a requested name
+  // that is NOT in the table schema means provenance mode
+  private def isMetaName(n: String): Boolean =
+    (n == DirTag.ColName || n == DirTag.VersionColName) &&
+      !dataSchema.fieldNames.contains(n)
 
   // MIN/MAX/COUNT forward into Spark's own parquet aggregate pushdown
   // (footer-stats answers — `SELECT count(*) FROM graft.t` costs
@@ -377,10 +443,11 @@ class DirAwareScanBuilder(spark: SparkSession, root: String,
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    if (requiredSchema.fieldNames.contains(DirTag.ColName)) {
+    if (requiredSchema.fieldNames.exists(isMetaName)) {
       dirMode = true
+      metaRequested = requiredSchema.fieldNames.filter(isMetaName).toSeq
       prunedData = StructType(
-        requiredSchema.fields.filterNot(_.name == DirTag.ColName))
+        requiredSchema.fields.filterNot(f => isMetaName(f.name)))
     } else {
       prunedData = requiredSchema
       inner match {
@@ -393,7 +460,7 @@ class DirAwareScanBuilder(spark: SparkSession, root: String,
   override def build(): Scan =
     if (dirMode)
       new DirTaggedScan(spark, root, () => dirNames, dataSchema,
-        prunedData, options, stored)
+        prunedData, options, stored, metaRequested)
     else if (aggPushed) inner.build() // aggregate rows: no layout claims
     else bucketed match {
       // report the bucket layout only while the key column survives

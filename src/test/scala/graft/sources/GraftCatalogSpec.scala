@@ -813,6 +813,55 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.lc")
   }
 
+  test("_commit_version metadata column: the numeric sibling of " +
+    "_commit_dir — per-row commit provenance that joins $history " +
+    "directly, agrees with the dir-name encoding, tracks a DML " +
+    "rewrite, and prunes whole dirs driver-side when filtered alone") {
+    wh
+    spark.sql("CREATE TABLE graft.cv (id BIGINT, s STRING)")         // v0
+    spark.sql("INSERT INTO graft.cv VALUES (1, 'a'), (2, 'b')")      // v1
+    spark.sql("INSERT INTO graft.cv VALUES (3, 'c')")                // v2
+    // hidden until referenced: SELECT * carries no provenance
+    assert(!spark.sql("SELECT * FROM graft.cv").columns
+      .contains("_commit_version"))
+    // per-row: the version of the INSERT that committed the row
+    assert(spark.sql(
+      "SELECT id, _commit_version FROM graft.cv ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+    // both provenance columns together, and they agree with the
+    // dir-name encoding
+    spark.sql("SELECT _commit_dir, _commit_version FROM graft.cv")
+      .collect().foreach { r =>
+        assert(r.getString(0).startsWith(f"c${r.getLong(1)}%05d-"),
+          s"got $r")
+      }
+    // the headline use: lineage joined against $history with no
+    // string surgery
+    val lineage = spark.sql(
+      "SELECT h.operation, count(*) AS n FROM graft.cv t " +
+        "JOIN graft.`cv$history` h ON t._commit_version = h.version " +
+        "GROUP BY h.operation ORDER BY h.operation")
+      .as[(String, Long)].collect().toSeq
+    assert(lineage == Seq("append" -> 3L), s"got $lineage")
+    // a single-column predicate on _commit_version prunes whole dirs
+    // at plan time (provenance reads behave like partition pruning)
+    assert(spark.sql(
+      "SELECT id FROM graft.cv WHERE _commit_version = 2")
+      .as[Long].collect().toSeq == Seq(3L))
+    // a DML rewrite re-homes surviving rows under ITS version —
+    // provenance means "the commit that wrote these bytes"
+    spark.sql("UPDATE graft.cv SET s = 'b2' WHERE id = 2")           // v3
+    val afterDml = spark.sql(
+      "SELECT id, _commit_version FROM graft.cv ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(afterDml.find(_._1 == 2L).exists(_._2 == 3L),
+      s"the updated row must carry the DML version, got $afterDml")
+    assert(afterDml.find(_._1 == 3L).exists(_._2 == 2L),
+      s"an untouched dir keeps its original version, got $afterDml")
+    spark.sql("DROP TABLE graft.cv")
+  }
+
   test("ZORDER refuses a DATE cluster column at PIN time: DATE " +
     "cannot cast to BIGINT in Spark 4, so admitting the pin would " +
     "be a metadata-only success that poisons every later write — " +

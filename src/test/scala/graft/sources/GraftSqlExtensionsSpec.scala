@@ -598,6 +598,52 @@ class GraftSqlExtensionsSpec extends SparkSpec {
     spark.sql("DROP TABLE gext.fb2")
   }
 
+  test("spark.sql.catalog.<name>.resumeFollows=true re-arms marked " +
+    "views at FIRST catalog use — the zero-call restart recipe: a " +
+    "fresh catalog instance over a warehouse holding an armed view " +
+    "starts the follow on its first table access and the missed " +
+    "commit folds") {
+    wh
+    spark.sql("CREATE TABLE gext.rb (k STRING, x BIGINT)")
+    spark.sql("INSERT INTO gext.rb VALUES ('a', 1)")
+    spark.sql("CREATE MATERIALIZED VIEW gext.rmv AS " +
+      "SELECT k, count(*) AS cnt FROM gext.rb GROUP BY k")
+    val qName = spark.sql(
+      "ALTER MATERIALIZED VIEW gext.rmv FOLLOW").head().getString(0)
+    // crash: the query dies without SQL STOP — the marker survives
+    spark.streams.active.find(_.name == qName).get.stop()
+    // a base commit lands while nobody is following
+    spark.sql("INSERT INTO gext.rb VALUES ('b', 2)")
+    // "session restart": a FRESH catalog instance over the SAME
+    // warehouse, with the opt-in conf — no explicit resumeFollows call
+    spark.conf.set("spark.sql.catalog.gres",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gres.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.gres.resumeFollows", "true")
+    assert(!spark.streams.active.exists(_.name == qName))
+    // the first table access through the new catalog arms the follow
+    assert(spark.sql("SELECT count(*) FROM gres.rb")
+      .as[Long].head == 2L)
+    val q = spark.streams.active.find(_.name == qName).getOrElse(
+      fail("first catalog use must re-arm the marked view"))
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k, cnt FROM gres.rmv ORDER BY k")
+        .as[(String, Long)].collect().toSeq ==
+        Seq("a" -> 1L, "b" -> 1L),
+        "the commit missed during the outage must fold")
+    } finally {
+      // deliberate stop (disarm) so later suites see no stray query
+      spark.sql("ALTER MATERIALIZED VIEW gres.rmv FOLLOW STOP")
+    }
+    assert(!spark.streams.active.exists(_.name == qName))
+    spark.sql("DROP TABLE gres.rmv")
+    spark.sql("DROP TABLE gres.rb")
+    spark.conf.unset("spark.sql.catalog.gres")
+    spark.conf.unset("spark.sql.catalog.gres.warehouse")
+    spark.conf.unset("spark.sql.catalog.gres.resumeFollows")
+  }
+
   test("FOLLOW STOP on a CRASHED follow disarms the durable marker " +
     "directly: no query is active but the marker is, and STOP means " +
     "'stay stopped' — not 'restart the dead follow just to stop it " +
