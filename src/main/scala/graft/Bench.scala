@@ -175,7 +175,16 @@ object Bench {
       "sim_topk_ivfpq", "q30_bucket_join", "sim_pq_drift",
       // per-(application, dir) fixture tables build on first call
       "pipeline_versioned_spj_join", "pipeline_skew_advised_join",
-      "pipeline_skew_advised_agg")
+      "pipeline_skew_advised_agg",
+      // round-20 re-basing: the MV/stream LIFECYCLE fixtures
+      // (init + create + appends + DML + refreshes / stream epochs)
+      // build once per session via LifecycleFixtures; timed reps
+      // measure refresh/serve cost only — not comparable to r19 raw
+      // values (BASELINE notes the re-basing)
+      "pipeline_versioned_mv", "pipeline_versioned_mv_append",
+      "pipeline_versioned_mv_where", "pipeline_versioned_mv_follow",
+      "pipeline_versioned_refs_advisor", "stream_table_tail",
+      "stream_table_sink")
 
     // a query with ZERO successful runs reports null and lands in
     // "errors" (breakage can't masquerade as speed) — but only after

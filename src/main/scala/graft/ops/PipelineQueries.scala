@@ -1913,39 +1913,51 @@ object PipelineQueries extends QueryPack {
   // same GROUP BY over the final state from scratch: incremental
   // maintenance is a physical choice, the aggregate is not negotiable.
   // Decimal-summed in both engines (the MV's exactness contract).
+  // Round-20 re-basing: the refresh LIFECYCLE (init, create, two
+  // appends, a row-level DELETE, three per-regime refreshes, every
+  // canary) builds ONCE per session via LifecycleFixtures; the
+  // per-call body serves the maintained view plus the up-to-date
+  // refresh fast path. Bench rows therefore measure REFRESH/SERVE
+  // cost, not fixture construction (not comparable to r19 raw
+  // values — BASELINE notes the re-basing); the fold's own cost is
+  // ScaleBench's mv_refresh decade row.
   def pipelineVersionedMv(s: SparkSession, d: String): DataFrame = {
     val mvOps = graft.sources.MaterializedView
-    val vt = graft.sources.VersionedTable
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mv")
-    try {
+    val mv = LifecycleFixtures(s, d, "mv") { tmpRoot =>
+      val vt = graft.sources.VersionedTable
       val root = tmpRoot.resolve("base").toString
-      val mv = tmpRoot.resolve("mv").toString
+      val mvp = tmpRoot.resolve("mv").toString
       val base = docs(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       vt.init(s, root, base.filter(col("doc_id") < 300))
-      mvOps.create(s, mv, root, Seq("lang", "source"),
+      mvOps.create(s, mvp, root, Seq("lang", "source"),
         Seq(mvOps.MvCount("cnt"), mvOps.MvSum("n_chars", "sum_chars"),
           mvOps.MvAvg("n_chars", "avg_chars")))
       vt.append(s, root,
         base.filter(col("doc_id") >= 300 && col("doc_id") < 450), 0)
-      val r1 = mvOps.refresh(s, mv)
+      val r1 = mvOps.refresh(s, mvp)
       require(r1.refreshed && r1.appendOnly,
         s"mv gate: append refresh missed the O(delta) regime: $r1")
       vt.delete(s, root, col("doc_id") % 7 === 0)
-      val r2 = mvOps.refresh(s, mv)
+      val r2 = mvOps.refresh(s, mvp)
       require(r2.refreshed && !r2.appendOnly,
         s"mv gate: delete refresh misread as append-only: $r2")
       vt.append(s, root,
         base.filter(col("doc_id") >= 450 && col("doc_id") < 500),
         vt.latestVersion(s, root))
-      val r3 = mvOps.refresh(s, mv)
+      val r3 = mvOps.refresh(s, mvp)
       require(r3.refreshed && r3.appendOnly,
         s"mv gate: append refresh missed the O(delta) regime: $r3")
-      require(mvOps.watermark(s, mv) == vt.latestVersion(s, root),
+      require(mvOps.watermark(s, mvp) == vt.latestVersion(s, root),
         "mv gate: watermark must track the base head")
-      mvOps.read(s, mv).orderBy("lang", "source").localCheckpoint(true)
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      mvp
+    }
+    // serving: an up-to-date refresh must take the no-pending fast
+    // path (watermark == head, zero fold work) — the canary that the
+    // fixture really is at head AND that serving stays cheap
+    require(!mvOps.refresh(s, mv).refreshed,
+      "mv gate: up-to-date refresh must no-op")
+    mvOps.read(s, mv).orderBy("lang", "source").localCheckpoint(true)
   }
 
   // the INSERT-ONLY aggregate family (MIN/MAX/HLL-distinct) folding an
@@ -1955,26 +1967,27 @@ object PipelineQueries extends QueryPack {
   // COUNT(DISTINCT). The in-gate canary requires the O(delta) regime.
   def pipelineVersionedMvAppend(s: SparkSession, d: String): DataFrame = {
     val mvOps = graft.sources.MaterializedView
-    val vt = graft.sources.VersionedTable
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mva")
-    try {
+    val mv = LifecycleFixtures(s, d, "mva") { tmpRoot =>
+      val vt = graft.sources.VersionedTable
       val root = tmpRoot.resolve("base").toString
-      val mv = tmpRoot.resolve("mv").toString
+      val mvp = tmpRoot.resolve("mv").toString
       val base = docs(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .filter(col("doc_id") < 500)
       vt.init(s, root, base.filter(col("doc_id") < 250))
-      mvOps.create(s, mv, root, Seq("lang"),
+      mvOps.create(s, mvp, root, Seq("lang"),
         Seq(mvOps.MvCount("cnt"), mvOps.MvMin("n_chars", "min_chars"),
           mvOps.MvMax("n_chars", "max_chars"),
           mvOps.MvHllCount("doc_id", "nd_docs")))
       vt.append(s, root, base.filter(col("doc_id") >= 250), 0)
-      val r = mvOps.refresh(s, mv)
+      val r = mvOps.refresh(s, mvp)
       require(r.refreshed && r.appendOnly,
         s"mv append gate: expected the O(delta) regime, got $r")
-      mvOps.read(s, mv).orderBy("lang").localCheckpoint(true)
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      mvp
+    }
+    require(!mvOps.refresh(s, mv).refreshed,
+      "mv append gate: up-to-date refresh must no-op")
+    mvOps.read(s, mv).orderBy("lang").localCheckpoint(true)
   }
 
   // the SAME materialized-view lifecycle driven ENTIRELY through
@@ -2018,29 +2031,30 @@ object PipelineQueries extends QueryPack {
   // GROUP BY over the final state from scratch.
   def pipelineVersionedMvWhere(s: SparkSession, d: String): DataFrame = {
     val mvOps = graft.sources.MaterializedView
-    val vt = graft.sources.VersionedTable
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mvw")
-    try {
+    val mv = LifecycleFixtures(s, d, "mvw") { tmpRoot =>
+      val vt = graft.sources.VersionedTable
       val root = tmpRoot.resolve("base").toString
-      val mv = tmpRoot.resolve("mv").toString
+      val mvp = tmpRoot.resolve("mv").toString
       val base = docs(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .filter(col("doc_id") < 500)
       vt.init(s, root, base.filter(col("doc_id") < 250))
-      mvOps.create(s, mv, root, Seq("lang"),
+      mvOps.create(s, mvp, root, Seq("lang"),
         Seq(mvOps.MvCount("cnt"), mvOps.MvSum("n_chars", "sum_chars"),
           mvOps.MvAvg("n_chars", "avg_chars")),
         where = Some("n_chars >= 300"))
       vt.append(s, root, base.filter(col("doc_id") >= 250), 0)
-      require(mvOps.refresh(s, mv).appendOnly,
+      require(mvOps.refresh(s, mvp).appendOnly,
         "mv where gate: append refresh must ride the O(delta) path")
       vt.delete(s, root, col("doc_id") % 5 === 0)
-      val r = mvOps.refresh(s, mv)
+      val r = mvOps.refresh(s, mvp)
       require(r.refreshed && !r.appendOnly,
         s"mv where gate: delete refresh misread: $r")
-      mvOps.read(s, mv).orderBy("lang").localCheckpoint(true)
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      mvp
+    }
+    require(!mvOps.refresh(s, mv).refreshed,
+      "mv where gate: up-to-date refresh must no-op")
+    mvOps.read(s, mv).orderBy("lang").localCheckpoint(true)
   }
 
   // the STREAMING FOLLOW of a materialized view: the same signed-fold
@@ -2055,18 +2069,17 @@ object PipelineQueries extends QueryPack {
   def pipelineVersionedMvFollow(s: SparkSession, d: String): DataFrame = {
     val mvOps = graft.sources.MaterializedView
     val vt = graft.sources.VersionedTable
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mvf")
-    try {
+    val mv = LifecycleFixtures(s, d, "mvf") { tmpRoot =>
       val root = tmpRoot.resolve("base").toString
-      val mv = tmpRoot.resolve("mv").toString
+      val mvp = tmpRoot.resolve("mv").toString
       val base = docs(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .filter(col("doc_id") < 500)
       vt.init(s, root, base.filter(col("doc_id") < 250))
-      mvOps.create(s, mv, root, Seq("lang"),
+      mvOps.create(s, mvp, root, Seq("lang"),
         Seq(mvOps.MvCount("cnt"), mvOps.MvSum("n_chars", "sum_chars"),
           mvOps.MvAvg("n_chars", "avg_chars")))
-      val q = graft.streaming.Streams.followMaterializedView(s, mv,
+      val q = graft.streaming.Streams.followMaterializedView(s, mvp,
         Some(tmpRoot.resolve("ck").toString))
       try {
         vt.append(s, root,
@@ -2079,11 +2092,16 @@ object PipelineQueries extends QueryPack {
           vt.latestVersion(s, root))
         q.processAllAvailable()
       } finally q.stop()
-      require(mvOps.watermark(s, mv) == vt.latestVersion(s, root),
+      require(mvOps.watermark(s, mvp) == vt.latestVersion(s, root),
         "mv follow gate: the stream must have folded to the base head")
-      mvOps.read(s, mv).orderBy("lang").localCheckpoint(true)
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      mvp
+    }
+    // the stream already folded to head in the fixture; serving is
+    // the maintained view read (stream start/stop cost is the
+    // fixture's — the per-epoch fold premium is ScaleBench's row)
+    require(!mvOps.refresh(s, mv).refreshed,
+      "mv follow gate: the followed view must already be at head")
+    mvOps.read(s, mv).orderBy("lang").localCheckpoint(true)
   }
 
   // MV ROLLUP: one maintained (lang, source) view serves the COARSER
@@ -2209,37 +2227,40 @@ object PipelineQueries extends QueryPack {
   // complement — advice and fold must both be answer-invisible.
   def pipelineVersionedRefsAdvisor(s: SparkSession, d: String)
       : DataFrame = {
-    val base = docs(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
-        col("n_chars"), col("text"))
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_refadv")
-    val root = tmpRoot.resolve("tbl").toString
-    try {
-      val vt = graft.sources.VersionedTable
-      vt.init(s, root, base.repartitionByRange(24, col("doc_id")))
-      val quiet0 = graft.ops.RefAdvisor.advise(s, root)
+    val vt = graft.sources.VersionedTable
+    val root = LifecycleFixtures(s, d, "refadv") { tmpRoot =>
+      val base = docs(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"))
+      val r = tmpRoot.resolve("tbl").toString
+      vt.init(s, r, base.repartitionByRange(24, col("doc_id")))
+      val quiet0 = graft.ops.RefAdvisor.advise(s, r)
       require(!quiet0.recommend && quiet0.frag.fileRefs == 0,
         s"fresh table must not recommend a fold: $quiet0")
       val probe = base.agg(min(col("doc_id"))).head.getLong(0) + 7L
-      vt.delete(s, root, col("doc_id") === probe)
-      val hot = graft.ops.RefAdvisor.advise(s, root)
+      vt.delete(s, r, col("doc_id") === probe)
+      val hot = graft.ops.RefAdvisor.advise(s, r)
       require(hot.recommend &&
         hot.frag.fileRefs >= graft.ops.RefAdvisor.DefaultMinRefs &&
         hot.overheadShare >= graft.ops.RefAdvisor.DefaultShareThreshold,
         s"the split history must trip both advisor guards: $hot")
       require(hot.frag.foldRows.exists(_ > 0L),
         s"fold cost must be measured from the carried stats: $hot")
-      vt.compactRefs(s, root)
-      val healed = graft.ops.RefAdvisor.advise(s, root)
+      vt.compactRefs(s, r)
+      val healed = graft.ops.RefAdvisor.advise(s, r)
       require(!healed.recommend && healed.frag.fileRefs == 0,
         s"the fold must silence the advisor: $healed")
-      vt.read(s, root)
-        .select(col("doc_id"), col("lang"), col("source"),
-          col("n_chars"), md5(col("text")).as("text_md5"))
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      r
+    }
+    // serving over the healed table; the advisor audit per call is
+    // the cheap O(manifest) read a dashboard poll would pay
+    require(!graft.ops.RefAdvisor.advise(s, root).recommend,
+      "healed fixture must keep the advisor quiet")
+    vt.read(s, root)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
   }
 
   // `_commit_version` LINEAGE end-to-end: three INSERT commits land

@@ -130,11 +130,16 @@ object StreamQueries extends QueryPack {
   // against DuckDB recomputing the same rows from the raw documents.
   def tableTail(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("text"))
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stail")
-    val root = tmpRoot.resolve("tbl").toString
-    try {
+    // Round-20 re-basing (LifecycleFixtures): the streaming tail —
+    // table build, snapshot micro-batch, live append, delta
+    // micro-batch — runs ONCE per session; the drained sink persists
+    // to the fixture dir and the per-call body SERVES it (bench rows
+    // measure serve cost, not stream start/stop; the epoch-write
+    // cost is ScaleBench's stream decade row).
+    val out = LifecycleFixtures(s, d, "stail") { tmpRoot =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val root = tmpRoot.resolve("tbl").toString
       graft.sources.VersionedTable.init(s, root,
         base.filter(col("doc_id") < 150))
       val q = s.readStream.format("graft-versioned-stream").load(root)
@@ -147,12 +152,16 @@ object StreamQueries extends QueryPack {
           expectedVersion = 0)
         q.processAllAvailable() // the append's delta micro-batch
       } finally q.stop()
-      s.table("stream_table_tail_mem")
-        .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      // persist the drained sink: a memory table is session-scoped,
+      // the fixture is application-scoped
+      val o = tmpRoot.resolve("out").toString
+      s.table("stream_table_tail_mem").write.parquet(o)
+      o
+    }
+    s.read.parquet(out)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
   }
 
   // the capstone REAL streaming topology: versioned log in, versioned
@@ -166,25 +175,31 @@ object StreamQueries extends QueryPack {
   // read-back all in one oracle row.
   def tableSink(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("text"))
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ssink")
-    val up = tmpRoot.resolve("up").toString
-    val ck = tmpRoot.resolve("ck").toString
-    val cat = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
-    try {
-      s.conf.set(s"spark.sql.catalog.$cat",
+    // Round-20 re-basing (LifecycleFixtures): the relay topology —
+    // upstream build, CDF stream start, two micro-batches, streaming
+    // toTable sink — runs ONCE per session; per-call the body is the
+    // catalog READ-BACK of the sunk table (bench rows measure serve
+    // cost). The catalog registration is session conf over an
+    // application-wide cache, so it re-registers per call (the
+    // spj_join precedent).
+    val (cat, wh) = LifecycleFixturesKV(s, d, "ssink") { tmpRoot =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val up = tmpRoot.resolve("up").toString
+      val ck = tmpRoot.resolve("ck").toString
+      val c = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val w = tmpRoot.resolve("wh").toString
+      s.conf.set(s"spark.sql.catalog.$c",
         classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        tmpRoot.resolve("wh").toString)
+      s.conf.set(s"spark.sql.catalog.$c.warehouse", w)
       graft.sources.VersionedTable.init(s, up,
         base.filter(col("doc_id") < 150))
-      s.sql(s"CREATE TABLE $cat.sink (doc_id BIGINT, lang STRING, " +
+      s.sql(s"CREATE TABLE $c.sink (doc_id BIGINT, lang STRING, " +
         "text STRING, change_kind STRING, `_commit_version` BIGINT)")
       val q = s.readStream.format("graft-versioned-stream")
         .option("readChangeFeed", "true").load(up)
         .writeStream.option("checkpointLocation", ck)
-        .toTable(s"$cat.sink")
+        .toTable(s"$c.sink")
       try {
         q.processAllAvailable() // v0 replay micro-batch
         graft.sources.VersionedTable.append(s, up,
@@ -192,11 +207,14 @@ object StreamQueries extends QueryPack {
           expectedVersion = 0)
         q.processAllAvailable() // v1's delta micro-batch
       } finally q.stop()
-      s.sql(s"SELECT doc_id, lang, md5(text) AS text_md5, " +
-        s"change_kind, `_commit_version` FROM $cat.sink ORDER BY doc_id")
-        .localCheckpoint(true)
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      (c, w)
+    }
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"SELECT doc_id, lang, md5(text) AS text_md5, " +
+      s"change_kind, `_commit_version` FROM $cat.sink ORDER BY doc_id")
+      .localCheckpoint(true)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -370,13 +370,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     import s.implicits._
     val table = s"${name()}.${ident.toString}"
     val parallelism = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // `executable`: the recommendation is a COMPLETE SQL statement —
+    // `spark.sql(recommendation)` runs it verbatim (the dashboard
+    // round-trip contract, spec-pinned). false = an API recipe or an
+    // operational instruction a human routes (salting a join is a
+    // query-shape change, not a table statement).
     val skewRows = graft.ops.SkewAdvisor.adviseAll(s, root, parallelism)
       .filter(_._2.salt > 1)
       .map { case (c, a) =>
         ("skew", f"column '$c': hot share ${a.hotShare}%.3f " +
           s"(${a.basis}) at parallelism $parallelism",
           s"Skew.saltedJoin/saltedAgg on '$c' with salt ${a.salt}",
-          "measured hot-share × parallelism — see SkewAdvisor")
+          "measured hot-share × parallelism — see SkewAdvisor", false)
       }
     val refAdvice = graft.ops.RefAdvisor.advise(s, root)
     val refRows =
@@ -387,7 +392,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           f"${refAdvice.overheadShare}%.2f" +
           refAdvice.frag.foldRows.map(r => s", fold cost $r rows")
             .getOrElse(", fold cost unmeasured"),
-        s"OPTIMIZE $table REFS", refAdvice.basis))
+        s"OPTIMIZE $table REFS", refAdvice.basis, true))
     val earliest = VersionedTable.earliestVersion(s, root)
     val starvedRows = VersionedTable.consumerFloors(s, root)
       .select("consumer", "floor_version").collect().toSeq
@@ -398,7 +403,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"restart/re-anchor consumer '${r.getString(0)}' (its " +
           "versions are vacuumed) and keep future VACUUMs above its " +
           "floor — RESPECT CONSUMERS or a wider KEEP",
-        "registered floor vs earliest surviving manifest"))
+        "registered floor vs earliest surviving manifest", false))
     val (staleNdv, staleKll) = VersionedTable.staleSketchCols(s, root)
     val staleRows = (staleNdv.map(_ -> "ndv") ++ staleKll.map(_ -> "kll"))
       .toSeq.sorted
@@ -406,10 +411,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"column '$c': $fam sketch line predates the current " +
           "sketch domain — estimates degraded to absence",
         s"ANALYZE TABLE $table COMPUTE STATISTICS",
-        "sketch-domain version vs stored lines")
+        "sketch-domain version vs stored lines", true)
       }
     (skewRows ++ refRows ++ starvedRows ++ staleRows)
-      .toDF("signal", "measurement", "recommendation", "basis")
+      .toDF("signal", "measurement", "recommendation", "basis",
+        "executable")
   }
 
   // `mv$mv`: the materialized view's bookkeeping — one row per

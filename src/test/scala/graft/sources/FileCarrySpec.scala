@@ -462,6 +462,83 @@ class FileCarrySpec extends SparkSpec {
       VersionedTable.latestVersion(spark, root))
   }
 
+  test("DML vs DML: two snapshot-derived writers racing the same " +
+    "head (DELETE vs MERGE on overlapping dirs) — exactly one wins, " +
+    "the loser surfaces the version-conflict error (never a silent " +
+    "lost update), and the table equals the winner's serial result") {
+    // both writers snapshot the same base, rewrite, and try to
+    // commit base+1; the manifest rename is the commit point, so
+    // one MUST lose. A latch lines up the snapshot reads; in the
+    // (timing-dependent) case where one writer finishes before the
+    // other even snapshots, the run is SERIAL — legal, but not the
+    // interleaving under test — so retry on a fresh table.
+    def raceOnce(): Option[(String, Throwable, String)] = {
+      val root = manyFileTable(200)
+      val start = new java.util.concurrent.CountDownLatch(2)
+      val results = new java.util.concurrent.ConcurrentHashMap[
+        String, Either[Throwable, Int]]()
+      def runner(name: String)(body: => Int) = new Thread(() => {
+        start.countDown(); start.await()
+        try results.put(name, Right(body)): Unit
+        catch { case t: Throwable => results.put(name, Left(t)): Unit }
+      })
+      val del = runner("delete") {
+        VersionedTable.delete(spark, root, col("id") % 10 === 3L)
+      }
+      val mrg = runner("merge") {
+        VersionedTable.merge(spark, root,
+          Seq((3L, "m3", "U"), (1000L, "new", "U"))
+            .toDF("id", "s", "op"), "id")
+      }
+      del.start(); mrg.start(); del.join(); mrg.join()
+      val losers = results.entrySet().toArray.toSeq
+        .map(_.asInstanceOf[java.util.Map.Entry[
+          String, Either[Throwable, Int]]])
+        .collect { case e if e.getValue.isLeft =>
+          e.getKey -> e.getValue.left.toOption.get }
+      losers match {
+        case Seq((loser, err)) => Some((loser, err, root))
+        case Seq() => None // serial interleaving: retry
+        case both => fail(s"both writers failed: $both")
+      }
+    }
+    val (loser, err, root) = (1 to 10).iterator.map(_ => raceOnce())
+      .collectFirst { case Some(r) => r }
+      .getOrElse(fail("no conflicting interleaving in 10 attempts"))
+    // the loser's failure is the TYPED conflict with the retry
+    // recipe, not a raw FS error or a silent no-op
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(err).exists(_.isInstanceOf[VersionConflictException]),
+      s"loser must surface VersionConflictException, got: " +
+        chain(err).map(_.getClass.getSimpleName).mkString(" <- "))
+    // the table equals the WINNER's serial result exactly
+    val got = VersionedTable.read(spark, root)
+      .select("id", "s").as[(Long, String)].collect().toMap
+    if (loser == "merge") {
+      assert(got.size == 180 && !got.keySet.exists(_ % 10 == 3),
+        s"delete won: its serial result must stand (${got.size})")
+      assert(!got.contains(1000L),
+        "no row of the losing merge may leak")
+    } else {
+      assert(got.size == 201 && got(3L) == "m3" &&
+        got(1000L) == "new" && got(13L) == "s13",
+        s"merge won: its serial result must stand (${got.size})")
+    }
+    // the loser's orphaned commit dir was cleaned up: everything
+    // under data/ is referenced by some surviving manifest
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root, "data"))
+      .map(_.getPath.getName).toSet
+    val referenced = (0 to VersionedTable.latestVersion(spark, root))
+      .flatMap(v => VersionedTable.readManifest(spark, root, v))
+      .map(_.takeWhile(_ != '/')).toSet
+    assert(onDisk.subsetOf(referenced),
+      s"orphaned loser dirs must be removed: ${onDisk -- referenced}")
+  }
+
   test("restore across a split is metadata-only and exact both ways") {
     val root = manyFileTable()
     val v = VersionedTable.delete(spark, root, col("id") === 7L)

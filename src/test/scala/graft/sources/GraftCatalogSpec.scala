@@ -1451,6 +1451,46 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.adv")
   }
 
+  test("$advice SQL round-trip contract: rows flagged executable " +
+    "PARSE through the session's own parser and RUN verbatim (the " +
+    "dashboard pipe `spark.sql(recommendation)`); API recipes are " +
+    "flagged false so the pipe can filter on the column alone") {
+    wh
+    spark.sql("CREATE TABLE graft.advrt (k BIGINT, v BIGINT)")
+    val root = rootOf("advrt")
+    // plant one signal of each flavor: ref fragmentation (SQL), skew
+    // (API recipe), starved consumer (operational instruction)
+    spark.sql("INSERT INTO graft.advrt SELECT " +
+      "/*+ REPARTITION_BY_RANGE(24, id) */ id % 2, id " +
+      "FROM range(0, 2400)")
+    spark.sql("DELETE FROM graft.advrt WHERE v = 7")
+    VersionedTable.enableNdvStats(spark, root, Seq("k", "v"))
+    spark.sql("ANALYZE TABLE graft.advrt COMPUTE STATISTICS")
+    spark.sql("ALTER TABLE graft.advrt SET CONSUMER FLOOR 'dead' TO 0")
+    spark.sql("VACUUM graft.advrt RETAIN 0 HOURS KEEP 1 VERSIONS")
+    val all = spark.sql("SELECT signal, recommendation, executable " +
+      "FROM graft.`advrt$advice`").collect()
+    assert(all.map(_.getString(0)).toSet ==
+      Set("ref_fragmentation", "skew", "starved_consumer"),
+      s"got ${all.toSeq}")
+    // every executable recommendation PARSES through the session's
+    // own parser (extension statements included) — the contract that
+    // `SELECT recommendation FROM t$advice WHERE executable` can be
+    // piped back through spark.sql unconditionally
+    val (sqlRows, apiRows) = all.partition(_.getBoolean(2))
+    assert(sqlRows.map(_.getString(0)).toSeq == Seq("ref_fragmentation"))
+    sqlRows.foreach(r =>
+      spark.sessionState.sqlParser.parsePlan(r.getString(1)): Unit)
+    assert(apiRows.length == 2,
+      s"API recipes must be flagged false: ${apiRows.toSeq}")
+    // ...and RUNS, clearing its own signal
+    sqlRows.foreach(r => spark.sql(r.getString(1)): Unit)
+    assert(spark.sql("SELECT * FROM graft.`advrt$advice` " +
+      "WHERE executable").count() == 0,
+      "running every executable recommendation must clear them")
+    spark.sql("DROP TABLE graft.advrt")
+  }
+
   test("SQL RENAME COLUMN refuses with the rewrite spelling and the " +
     "view workaround — never a silent O(table) rewrite from a " +
     "metadata-looking statement") {
