@@ -736,7 +736,15 @@ object VersionedTable {
     * scaladoc. [[MaterializedView.publishFloor]] is the one-call
     * spelling for views. */
   def publishConsumerFloor(spark: SparkSession, root: String,
-      consumer: String, floorVersion: Int): Unit = {
+      consumer: String, floorVersion: Int): Unit =
+    publishConsumerFloor(spark, root, consumer, floorVersion,
+      ConsumerRegistryVacuumEvery)
+
+  /** [[publishConsumerFloor]] with the self-vacuum cadence exposed
+    * (spec hook — production callers use the default). */
+  private[sources] def publishConsumerFloor(spark: SparkSession,
+      root: String, consumer: String, floorVersion: Int,
+      selfVacuumEvery: Int): Unit = {
     require(consumer.nonEmpty, "consumer id must be non-empty")
     import spark.implicits._
     val creg = consumersRoot(root)
@@ -761,7 +769,29 @@ object VersionedTable {
         row.withColumn("op", org.apache.spark.sql.functions
           .lit("U")), "consumer"): Unit
     }
+    // SELF-VACUUM: the registry accrues one version per publish and
+    // NOTHING else ever vacuums it — a year-long stream at the
+    // default every-10-epoch cadence would pile up millions of tiny
+    // manifests, degrading the listStatus behind latestVersion on
+    // every subsequent publish. Only the HEAD has meaning (floors
+    // are merge-by-key, reads are head-only, nothing time-travels
+    // the registry), so every Nth publish folds history down to the
+    // keep window. Driver-side FS work over a control table of a few
+    // rows; concurrent publishers are safe (the horizon sits N
+    // versions below any snapshot a racing merge could hold, and
+    // retainMillis still grace-protects in-flight commit dirs).
+    // Best-effort like the publish itself: a failed sweep is retried
+    // by construction N publishes later.
+    val head = latestVersion(spark, creg)
+    if (head > 0 && head % selfVacuumEvery == 0)
+      try vacuum(spark, creg, keepVersions = selfVacuumEvery): Unit
+      catch { case scala.util.control.NonFatal(_) => () }
   }
+
+  /** Publishes between consumer-registry self-vacuums (and the
+    * versions each sweep keeps): bounds the registry's manifest
+    * count at ~2× this regardless of stream lifetime. */
+  private[sources] val ConsumerRegistryVacuumEvery = 64
 
   /** The registered consumer floors of `root` — empty when no reader
     * ever published. One row per consumer id, latest floor wins (the
@@ -3685,7 +3715,13 @@ object VersionedTable {
     // entries for swept files are dead bytes, not lies).
     fileSweepCandidates(spark, root, keepFrom, retainMillis)
       .foreach(st => fs.delete(st.getPath, false))
-    (0 until keepFrom).foreach(v => fs.delete(manifestPath(root, v), false))
+    // start at the earliest SURVIVING manifest, not 0: repeated
+    // vacuums of a long-lived table (the self-vacuuming consumer
+    // registry ticks one version per publish forever) would
+    // otherwise re-issue O(head) no-op deletes below the previous
+    // horizon on every sweep
+    (math.max(0, earliestVersion(spark, root)) until keepFrom)
+      .foreach(v => fs.delete(manifestPath(root, v), false))
     // change-dir sweep: anything under _changes/ that no SURVIVING
     // manifest references and that is older than the horizon — covers
     // aged-out versions' files AND orphans from failed/conflicted

@@ -666,6 +666,34 @@ class VersionedTableSpec extends SparkSpec {
       .select("consumers_behind").as[Long].collect().forall(_ == 0L))
   }
 
+  test("consumer registry self-vacuums on the publish cadence: the " +
+    "control table's manifest count stays bounded for the lifetime " +
+    "of a publishing stream, and the floors survive every sweep") {
+    val root = freshRoot()
+    VersionedTable.init(spark, root, snapshot(1L -> "a"))
+    val creg = root + "/_consumers"
+    // 9 publishes at cadence 4: registry versions 0..8, sweeps fire
+    // at heads 4 and 8 (head % 4 == 0), each keeping 4 versions
+    (1 to 9).foreach(i => VersionedTable.publishConsumerFloor(
+      spark, root, s"c${i % 3}", i, selfVacuumEvery = 4))
+    val fs = new org.apache.hadoop.fs.Path(creg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = fs.listStatus(
+      new org.apache.hadoop.fs.Path(creg, "_manifests"))
+      .map(_.getPath.getName).count(_.endsWith(".json"))
+    assert(manifests <= 4,
+      s"self-vacuum must bound the registry history, got $manifests " +
+        s"manifests (earliest ${VersionedTable.earliestVersion(spark, creg)})")
+    assert(VersionedTable.earliestVersion(spark, creg) == 5,
+      "sweep at head 8 keeps versions 5..8")
+    // merge-by-key state is intact: 3 consumer ids, latest floors win
+    val floors = VersionedTable.consumerFloors(spark, root)
+      .select("consumer", "floor_version")
+      .as[(String, Long)].collect().toMap
+    assert(floors == Map("c1" -> 7L, "c2" -> 8L, "c0" -> 9L),
+      s"got $floors")
+  }
+
   test("retentionSchedule stays consistent when a kept manifest " +
     "references an externally-removed dir: dirs_dropped never drifts " +
     "negative") {
