@@ -183,8 +183,8 @@ object Bench {
       // values (BASELINE notes the re-basing)
       "pipeline_versioned_mv", "pipeline_versioned_mv_append",
       "pipeline_versioned_mv_where", "pipeline_versioned_mv_follow",
-      "pipeline_versioned_refs_advisor", "stream_table_tail",
-      "stream_table_sink")
+      "pipeline_versioned_refs_advisor", "pipeline_versioned_lineage",
+      "stream_table_tail", "stream_table_sink")
 
     // a query with ZERO successful runs reports null and lands in
     // "errors" (breakage can't masquerade as speed) — but only after

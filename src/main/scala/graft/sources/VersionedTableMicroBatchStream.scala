@@ -229,13 +229,30 @@ private[sources] object StreamFloorPublisher {
     s"stream:${p.getName}-$h"
   }
 
+  /** Spark auto-creates `temporary-<uuid>` checkpoint dirs for
+    * queries started without one (console/memory exploration) and
+    * deletes them when the query stops — such a consumer can NEVER
+    * resume, so a durable registry floor under its one-run id would
+    * be a ghost: each notebook run would append a dead row that
+    * `RESPECT CONSUMERS` (without MAX LAG) then pins retention to
+    * forever. Non-durable checkpoint ⇒ no durable floor, unless the
+    * user EXPLICITLY sets floorPublishEvery (an opt-in is a
+    * statement that they'll manage the registry). The `temporary-`
+    * dir is the query ROOT; the per-source checkpoint handed here is
+    * `<root>/sources/<i>`, so every segment is checked. */
+  private def isTempCheckpoint(checkpoint: String): Boolean =
+    checkpoint.split('/').exists(_.startsWith("temporary-"))
+
   def apply(spark: SparkSession, root: String,
       options: CaseInsensitiveStringMap, checkpointLocation: String,
       enabled: Boolean = true): StreamFloorPublisher = {
+    val explicit = Option(options.get("floorPublishEvery"))
+      .map(_.trim.toInt)
     val every =
       if (!enabled || checkpointLocation.isEmpty) 0
-      else Option(options.get("floorPublishEvery"))
-        .map(_.trim.toInt).getOrElse(10)
+      else if (isTempCheckpoint(checkpointLocation))
+        explicit.getOrElse(0)
+      else explicit.getOrElse(10)
     new StreamFloorPublisher(spark, root,
       if (checkpointLocation.isEmpty) "" else consumerIdFor(checkpointLocation),
       every)

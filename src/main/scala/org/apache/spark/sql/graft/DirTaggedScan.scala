@@ -107,13 +107,22 @@ class DirTaggedScan(spark: SparkSession, root: String,
   // parquet builder for row-group pruning; mixed-reference conjuncts
   // stay post-scan (Spark re-evaluates everything above the scan
   // anyway — pushing is I/O savings, never semantics)
-  private def isMetaName(n: String): Boolean =
-    n == DirTag.ColName || n == DirTag.VersionColName
+  // membership in metaCols, not the name alone: the BUILDER already
+  // resolved shadowing (a DATA column named `_commit_version` on a
+  // CDF-relayed sink shadows the metadata column and never lands in
+  // metaCols), so a name-only match here would misroute a pushed
+  // DATA predicate into driver-side dir pruning and evaluate it
+  // against dir-name-parsed versions — silently dropping rows.
+  // Shadowed-name predicates are ordinary data predicates: they
+  // forward into the per-dir parquet builders like any other.
+  private def isMetaName(n: String): Boolean = metaCols.contains(n)
   private val (dirExprs, dataExprs) = {
     val (d, rest) = pushedExprs.partition(e =>
       e.references.nonEmpty &&
-        (e.references.forall(_.name == DirTag.ColName) ||
-          e.references.forall(_.name == DirTag.VersionColName)))
+        (e.references.forall(r => r.name == DirTag.ColName &&
+          isMetaName(DirTag.ColName)) ||
+          e.references.forall(r => r.name == DirTag.VersionColName &&
+            isMetaName(DirTag.VersionColName))))
     (d, rest.filterNot(_.references.exists(r => isMetaName(r.name))))
   }
 

@@ -862,6 +862,35 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.cv")
   }
 
+  test("a shadowing DATA column named _commit_version filters as " +
+    "DATA even in a provenance (dir-mode) scan: the pushed predicate " +
+    "must not be misread as driver-side dir pruning against the " +
+    "SINK's own commit versions") {
+    wh
+    // a CDF-relayed sink legitimately OWNS _commit_version as data:
+    // the upstream's versions (0, 0, 1), written here as commit v1
+    spark.sql("CREATE TABLE graft.shdw " +
+      "(id BIGINT, `_commit_version` BIGINT)")
+    spark.sql("INSERT INTO graft.shdw VALUES (1, 0), (2, 0), (3, 1)")
+    // data semantics when read alone (the shadowing contract)
+    assert(spark.sql("SELECT id FROM graft.shdw " +
+      "WHERE _commit_version = 0 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    // THE REGRESSION: reference the genuine _commit_dir meta column
+    // (forcing the dir-tagged scan) while filtering the shadowed
+    // DATA column. A name-only split routed `_commit_version = 0`
+    // into dir pruning, evaluated it against the sink's OWN commit
+    // version (1 — no dir survives), and silently returned 0 rows.
+    val got = spark.sql("SELECT id, _commit_dir FROM graft.shdw " +
+      "WHERE _commit_version = 0 ORDER BY id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      s"shadowed-column filter dropped rows in dir mode: " +
+        s"${got.toSeq}")
+    assert(got.forall(_.getString(1).startsWith("c00001-")),
+      s"all rows were written by sink commit v1, got ${got.toSeq}")
+    spark.sql("DROP TABLE graft.shdw")
+  }
+
   test("ZORDER refuses a DATE cluster column at PIN time: DATE " +
     "cannot cast to BIGINT in Spark 4, so admitting the pin would " +
     "be a metadata-only success that poisons every later write — " +

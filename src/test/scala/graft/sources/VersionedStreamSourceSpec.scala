@@ -809,11 +809,15 @@ class VersionedStreamSourceSpec extends SparkSpec {
     def floorCount() = VersionedTable.consumerFloors(spark, root)
       .filter(org.apache.spark.sql.functions.col("consumer")
         .startsWith("stream:")).count()
-    def drive(ck: String, opts: Map[String, String]): Unit = {
+    def drive(ck: String, opts: Map[String, String],
+        expectPublish: Boolean = false): Unit = {
       val r = spark.readStream.format("graft-versioned-stream")
       opts.foreach { case (k, v) => r.option(k, v) }
-      val q = r.load(root)
-        .writeStream.option("checkpointLocation", ck)
+      val w = r.load(root).writeStream
+      // empty ck = let Spark auto-create its `temporary-<uuid>`
+      // checkpoint (the console/memory exploration shape)
+      if (ck.nonEmpty) w.option("checkpointLocation", ck)
+      val q = w
         .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
         .start()
       try {
@@ -824,15 +828,17 @@ class VersionedStreamSourceSpec extends SparkSpec {
         VersionedTable.append(spark, root,
           docs((100L + v) -> s"x$v"), v)
         q.processAllAvailable()
+        val before = floorCount()
         val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
-        while (floorCount() == 0L && System.nanoTime() < deadline &&
-          opts.isEmpty) Thread.sleep(100)
-        if (opts.nonEmpty) Thread.sleep(1500) // absence check
+        while (floorCount() <= before && System.nanoTime() < deadline &&
+          expectPublish) Thread.sleep(100)
+        if (!expectPublish) Thread.sleep(1500) // absence check
       } finally q.stop()
     }
     // default options: the first commit call publishes
     drive(java.nio.file.Files
-      .createTempDirectory("graft_floor_d").toString, Map.empty)
+      .createTempDirectory("graft_floor_d").toString, Map.empty,
+      expectPublish = true)
     assert(floorCount() == 1L,
       "default cadence must publish on the first commit")
     // opt-out: no SECOND registry row appears
@@ -841,5 +847,16 @@ class VersionedStreamSourceSpec extends SparkSpec {
       Map("floorPublishEvery" -> "0"))
     assert(floorCount() == 1L,
       "floorPublishEvery=0 must not publish")
+    // Spark's auto-created `temporary-<uuid>` checkpoint: the
+    // consumer can never resume (the dir dies with the run), so no
+    // ghost floor may register from an exploratory readStream
+    drive("", Map.empty)
+    assert(floorCount() == 1L,
+      "a temp-checkpoint run must not register a ghost consumer")
+    // ...unless explicitly opted in (the user owns the registry then)
+    drive("", Map("floorPublishEvery" -> "1"), expectPublish = true)
+    assert(floorCount() == 2L,
+      "explicit floorPublishEvery must publish even from a temp " +
+        "checkpoint")
   }
 }
