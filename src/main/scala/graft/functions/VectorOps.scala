@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -225,11 +226,173 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryOp
   override def prettyName: String = "cosine_sim"
 }
 
+/** All `tables` random-hyperplane sign buckets of one vector in ONE
+  * fused loop: bucket(t) = OR over p of (Σ e(d)·plane(t,p,d) > 0 ?
+  * 1L<<p : 0) — element-for-element the spelling
+  * `array(bucketOf(0), …, bucketOf(tables-1))` built from
+  * tables×planes separate [[DotProduct]] subtrees computes, with
+  * identical IEEE accumulation order and identical NULL collapse (a
+  * NULL vector or any NULL element makes every `dot > 0` predicate
+  * UNKNOWN, so every `when` falls to its `otherwise(0)` — here: an
+  * all-zero bucket array; the row itself never nulls out, matching
+  * the posexplode consumers).
+  *
+  * Why it exists: the expression-tree spelling generates one 64-
+  * iteration loop PER (table, plane) into a single projection method
+  * — at the LSH defaults that is 32-48 fused loops whose generated
+  * code blows past the JIT's huge-method compile threshold, leaving
+  * the hot projection INTERPRETED (measured: a 12×4-table banding
+  * projection ran ~25µs per dot, ~250× its arithmetic; 16 subtrees
+  * were fine, 48 fell off the cliff). One expression, one small
+  * triple loop over a primitive double[] reference: the method stays
+  * JIT-compilable at any (tables, planes). */
+case class HyperplaneBuckets(child: Expression,
+    hyper: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def tables = hyper.length
+  private def planes = if (tables == 0) 0 else hyper.head.length
+  private def dim =
+    if (tables == 0 || planes == 0) 0 else hyper.head.head.length
+
+  @transient private lazy val flat: Array[Double] = {
+    val f = new Array[Double](tables * planes * dim)
+    var t = 0
+    while (t < tables) {
+      var p = 0
+      while (p < planes) {
+        System.arraycopy(hyper(t)(p), 0, f, (t * planes + p) * dim, dim)
+        p += 1
+      }
+      t += 1
+    }
+    f
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  // a NULL/null-bearing vector yields the ALL-ZERO bucket row, never a
+  // NULL row — the when/otherwise collapse of the subtree spelling
+  override def nullable: Boolean = false
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val out = new Array[Long](tables)
+    val a = child.eval(input)
+    if (a != null) {
+      val x = a.asInstanceOf[ArrayData]
+      val isF = elemIsFloat
+      val n = math.min(x.numElements(), dim)
+      var hasNull = false
+      var i = 0
+      while (i < n && !hasNull) { if (x.isNullAt(i)) hasNull = true; i += 1 }
+      if (!hasNull) {
+        var t = 0
+        while (t < tables) {
+          var bucket = 0L
+          var p = 0
+          while (p < planes) {
+            val base = (t * planes + p) * dim
+            var acc = 0.0
+            var d = 0
+            while (d < n) {
+              acc += (if (isF) x.getFloat(d).toDouble else x.getDouble(d)) *
+                flat(base + d)
+              d += 1
+            }
+            if (acc > 0) bucket |= (1L << p)
+            p += 1
+          }
+          out(t) = bucket
+          t += 1
+        }
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val flatRef = ctx.addReferenceObj("hyperplanes", flat, "double[]")
+    val out = ctx.freshName("buckets")
+    val x = ctx.freshName("x")
+    val n = ctx.freshName("n")
+    val hasNull = ctx.freshName("hasNull")
+    val i = ctx.freshName("i")
+    val t = ctx.freshName("t")
+    val p = ctx.freshName("p")
+    val d = ctx.freshName("d")
+    val acc = ctx.freshName("acc")
+    val base = ctx.freshName("base")
+    val bucket = ctx.freshName("bucket")
+    val elem =
+      if (elemIsFloat) s"(double) $x.getFloat($d)" else s"$x.getDouble($d)"
+    val code =
+      code"""
+        |${childGen.code}
+        |long[] $out = new long[$tables];
+        |if (!${childGen.isNull}) {
+        |  org.apache.spark.sql.catalyst.util.ArrayData $x = ${childGen.value};
+        |  int $n = java.lang.Math.min($x.numElements(), $dim);
+        |  boolean $hasNull = false;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($x.isNullAt($i)) { $hasNull = true; break; }
+        |  }
+        |  if (!$hasNull) {
+        |    for (int $t = 0; $t < $tables; $t++) {
+        |      long $bucket = 0L;
+        |      for (int $p = 0; $p < $planes; $p++) {
+        |        int $base = ($t * $planes + $p) * $dim;
+        |        double $acc = 0.0;
+        |        for (int $d = 0; $d < $n; $d++) {
+        |          $acc += $elem * $flatRef[$base + $d];
+        |        }
+        |        if ($acc > 0) $bucket |= (1L << $p);
+        |      }
+        |      $out[$t] = $bucket;
+        |    }
+        |  }
+        |}
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        |    .fromPrimitiveArray($out);
+       """.stripMargin
+    ev.copy(code = code,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen
+        .FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : HyperplaneBuckets = copy(child = c)
+
+  override def prettyName: String = "hyperplane_buckets"
+}
+
 object VectorOps {
 
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** All multi-table sign-LSH buckets of `e` in one fused expression —
+    * see [[HyperplaneBuckets]]. */
+  def hyperplaneBuckets(e: Column,
+      hyper: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(HyperplaneBuckets(ColumnBridge.expression(e), hyper))
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(

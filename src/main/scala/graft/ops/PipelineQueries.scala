@@ -18,6 +18,23 @@ object PipelineQueries extends QueryPack {
   private def events(s: SparkSession, d: String) = Tables.events(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  /** Materialize two INDEPENDENT frames concurrently: both
+    * localCheckpoint(eager) actions run from separate driver threads,
+    * so the scheduler overlaps their jobs (optimization guide §2.6 —
+    * Spark runs several jobs at once; actions are only sequential
+    * because driver code calls them sequentially). Results are
+    * identical to the sequential spelling — wall clock is the only
+    * change. */
+  private def checkpointBoth(a: DataFrame, b: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a.localCheckpoint(true))
+    val fb = Future(b.localCheckpoint(true))
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
   // ---- dedup ----
 
   def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -116,11 +133,14 @@ object PipelineQueries extends QueryPack {
     // the recall aggregate) — localCheckpoint(eager) materializes each
     // once so the full LSH pipeline / the O(subset²) exact join don't
     // execute twice per run (blocks belong to the returned frame; the
-    // ContextCleaner reaps them when the caller drops it)
-    val pairs = Dedup.embeddingNearDup(emb(s, d), planes = 4, tables = 12,
-      threshold = 0.3).localCheckpoint(true)
-    val exact = Dedup.exactCosinePairs(emb(s, d), maxId = 500L, threshold = 0.3)
-      .localCheckpoint(true)
+    // ContextCleaner reaps them when the caller drops it). The two
+    // subtrees are INDEPENDENT, so they materialize concurrently
+    // (checkpointBoth — optimization guide §2.6: the second job's
+    // tasks back-fill the first's straggler tail)
+    val (pairs, exact) = checkpointBoth(
+      Dedup.embeddingNearDup(emb(s, d), planes = 4, tables = 12,
+        threshold = 0.3),
+      Dedup.exactCosinePairs(emb(s, d), maxId = 500L, threshold = 0.3))
     // id_a < id_b, so id_b < 500 bounds BOTH ids into the subset
     val hits = pairs.filter(col("id_b") < 500)
       .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
@@ -146,12 +166,14 @@ object PipelineQueries extends QueryPack {
     // vec_id < 2000 bound: the within-cell self-join is Σ|cell|² — on
     // the demo cell count a full sf0.1 table would quadratically blow
     // up the bench (the dedup_minhash SF-independence discipline; at
-    // scale nCells grows ~√n and the bound is unnecessary)
-    val pairs = Dedup.semanticNearDup(
-      emb(s, d).filter(col("vec_id") < 2000), threshold = 0.3,
-      nCells = 8, nAssign = 3).localCheckpoint(true)
-    val exact = Dedup.exactCosinePairs(emb(s, d), maxId = 500L,
-      threshold = 0.3).localCheckpoint(true)
+    // scale nCells grows ~√n and the bound is unnecessary).
+    // Independent subtrees materialize concurrently (see
+    // dedupEmbedding).
+    val (pairs, exact) = checkpointBoth(
+      Dedup.semanticNearDup(
+        emb(s, d).filter(col("vec_id") < 2000), threshold = 0.3,
+        nCells = 8, nAssign = 3),
+      Dedup.exactCosinePairs(emb(s, d), maxId = 500L, threshold = 0.3))
     val hits = pairs.filter(col("id_b") < 500)
       .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))

@@ -582,18 +582,33 @@ object Dedup {
       seed: Long = 42L, threshold: Double = 0.95, dim: Int = 64): DataFrame = {
     val rng = new java.util.Random(seed)
     val hyper = Array.fill(tables, planes, dim)(rng.nextGaussian())
-    val e = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("e"))
-    def dot(v: Column, plane: Array[Double]): Column =
-      graft.functions.VectorOps.dotProduct(v, array(plane.toIndexedSeq.map(lit): _*))
-    def bucketOf(t: Int): Column = (0 until planes).map { p =>
-      when(dot(col("e"), hyper(t)(p)) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    // the RAW float array feeds the native expressions directly:
+    // DotProduct/CosineSim widen float elements exactly like the
+    // transform(cast) spelling (bit-identical results, VectorOpsSpec),
+    // while the HOF cast (a) runs interpreted and (b) gets DUPLICATED
+    // into every one of the tables×planes dot products when the
+    // optimizer collapses the projections — measured 500µs/row on the
+    // gate shape, ~50× the arithmetic. Float arrays also halve the
+    // join-back exchange bytes (guide §2.3, narrower types).
+    val e = emb.select(col("vec_id"), col("embedding").as("e"))
+    // ONE fused expression computes every table's bucket (identical
+    // bits to the per-(table,plane) DotProduct subtree spelling —
+    // HyperplaneBuckets doc): tables×planes separate fused loops in
+    // one projection overflow the JIT's method-size budget and drop
+    // the banding stage to interpreted bytecode
+    // EXPLICIT partition counts (scale-adaptive: defaultParallelism
+    // tracks the cluster) on the self-join/verify exchanges: these
+    // stages are CPU-dense per byte (quadratic within-bucket pair
+    // generation, per-pair cosine), and AQE's byte-targeted coalescing
+    // would legally fold the tiny gate-scale exchanges to ONE
+    // partition — serializing the pair evaluation on one core while
+    // the rest idle. REPARTITION_BY_NUM pins the width.
+    val par = emb.sparkSession.sparkContext.defaultParallelism
     val banded = e
       .select(col("vec_id"),
-        posexplode(array((0 until tables).map(bucketOf): _*))
-          .as(Seq("t", "bucket")))
-      .repartition(col("t"), col("bucket"))
+        posexplode(graft.functions.VectorOps
+          .hyperplaneBuckets(col("e"), hyper)).as(Seq("t", "bucket")))
+      .repartition(par, col("t"), col("bucket"))
     val a = banded.alias("a")
     val b = banded.alias("b")
     // narrow candidates; distinct collapses multi-table agreement so
@@ -605,7 +620,7 @@ object Dedup {
       .distinct()
     // vector join-back: one exchange subtree (repartitioned BELOW the
     // renames) feeds both the id_a and id_b sides via ReuseExchange
-    val ev = e.repartition(col("vec_id"))
+    val ev = e.repartition(par, col("vec_id"))
     cand
       .join(ev.select(col("vec_id").as("id_a"), col("e").as("e_a")), "id_a")
       .join(ev.select(col("vec_id").as("id_b"), col("e").as("e_b")), "id_b")
@@ -692,10 +707,14 @@ object Dedup {
       trainIters: Int = 8, sampleSize: Int = 512): DataFrame = {
     require(nAssign >= 1 && nAssign <= nCells,
       s"nAssign=$nAssign must be in [1, nCells=$nCells]")
-    val e = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("e"))
-    val sample = Similarity.trainingSample(e, "vec_id", "e",
-      sampleSize, seed)
+    // raw float arrays for the per-row dots and the pair cosine (the
+    // embeddingNearDup rationale); the cast survives ONLY on the
+    // training-sample input, whose driver-side decode needs doubles
+    val e = emb.select(col("vec_id"), col("embedding").as("e"))
+    val sample = Similarity.trainingSample(
+      emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e")),
+      "vec_id", "e", sampleSize, seed)
     // empty corpus: nothing to train on, nothing to pair — return the
     // empty pair set like every other dedup family member
     if (sample.isEmpty)
@@ -720,7 +739,11 @@ object Dedup {
           x => x("i")), 1, nAssign))
       .drop("sims")
       .select(col("vec_id"), col("e"), explode(col("cells")).as("cell"))
-      .repartition(col("cell"))
+      // explicit width: the within-cell self-join is CPU-dense per
+      // byte (Σ|cell|² cosines) — AQE's byte-targeted coalescing would
+      // serialize it at gate scale (the embeddingNearDup rationale)
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism,
+        col("cell"))
     val a = assigned.alias("a")
     val b = assigned.alias("b")
     a.join(b, col("a.cell") === col("b.cell") &&
@@ -832,10 +855,18 @@ object Dedup {
     * ground truth for `embeddingNearDup`'s recall (the embedding
     * family's twin of `ngramJaccardPairs`). Keep maxId small. */
   def exactCosinePairs(emb: DataFrame, maxId: Long, threshold: Double): DataFrame = {
+    // raw float arrays: CosineSim widens element-wise exactly like the
+    // transform(cast) spelling (see embeddingNearDup) — half the
+    // nested-loop join's broadcast bytes, zero interpreted HOFs
     val e = emb.filter(col("vec_id") < maxId)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("e"))
-    val a = e.alias("a")
+      .select(col("vec_id"), col("embedding").as("e"))
+    // the subset reads as ONE scan partition (one parquet file), so
+    // the nested-loop pair evaluation would run as a single task —
+    // O(subset²) cosine work on one core while 31 idle. Spreading the
+    // STREAM side by key splits the pair evaluation across the
+    // session's parallelism; one tiny exchange of ≤maxId narrow rows
+    // buys it (same pairs, same per-row arithmetic — layout only).
+    val a = e.repartition(col("vec_id")).alias("a")
     val b = e.alias("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

@@ -238,21 +238,16 @@ object Similarity {
     import emb.sparkSession.implicits._
     val rng = new java.util.Random(seed)
     val hyper = Array.fill(tables, planes, dim)(rng.nextGaussian())
-    def dot(v: Column, plane: Array[Double]): Column =
-      graft.functions.VectorOps.dotProduct(v, array(plane.toIndexedSeq.map(lit): _*))
-    // foldLeft(0L) rather than reduce: planes = 0 is the legitimate
-    // degenerate setting (one all-covering bucket — every vector is a
-    // candidate), which the verified-twin gate uses to prove the LSH
-    // machinery exact when the structure guarantees recall 1
-    def bucketOf(t: Int): Column = (0 until planes).map { p =>
-      when(dot(col("e"), hyper(t)(p)) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.foldLeft(lit(0L))((a, b) => a.bitwiseOR(b))
-    // (table, bucket) pairs exploded per row; the equi-join on both is
-    // the only wide op and each side carries narrow keys + the vector
+    // ONE fused expression for every table's bucket (identical bits to
+    // the per-(table,plane) DotProduct subtree spelling, including the
+    // planes = 0 degenerate all-covering bucket the verified twin
+    // uses): tables×planes separate fused loops in one projection
+    // overflow the JIT's method-size budget and leave the banding
+    // stage interpreted — see HyperplaneBuckets
     val e = asDouble(emb)
       .select(col("vec_id"), col("e"),
-        posexplode(array((0 until tables).map(bucketOf): _*))
-          .as(Seq("t", "bucket")))
+        posexplode(graft.functions.VectorOps
+          .hyperplaneBuckets(col("e"), hyper)).as(Seq("t", "bucket")))
     val qRenamed = e.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("qid"), col("t").as("qt"),
         col("bucket").as("qbucket"), col("e").as("qe"))

@@ -643,7 +643,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case a: TableChange.AddColumn =>
         val base = VersionedTable.latestVersion(spark, root)
         require(base >= 0, s"table $ident has no committed version")
-        val current = VersionedTable.read(spark, root, Some(base)).schema
+        val current = VersionedTable.tableSchema(spark, root, base)
+          .getOrElse(VersionedTable.read(spark, root, Some(base)).schema)
         require(a.fieldNames.length == 1,
           s"nested ADD COLUMN ${a.fieldNames.mkString(".")} is not supported")
         require(a.isNullable,
@@ -900,9 +901,12 @@ private[sources] class GraftSqlTable(ident: String, root: String,
   private lazy val inner: ParquetTable = {
     val v = pinnedVersion
     val dirs = VersionedTable.dataDirs(spark, root, Some(v))
+    // tableSchema resolves driver-side (manifest pin, else one footer)
+    // so a catalog table load never pays ParquetTable's distributed
+    // schema-inference job — every SQL statement loads the table anew
     ParquetTable(s"graft $ident", spark, CaseInsensitiveStringMap.empty(),
       dirs,
-      userSpecifiedSchema = VersionedTable.manifestSchema(spark, root, v),
+      userSpecifiedSchema = VersionedTable.tableSchema(spark, root, v),
       fallbackFileFormat = classOf[ParquetFileFormat])
   }
 
@@ -1740,7 +1744,9 @@ private[sources] class GraftStreamingWrite(root: String,
         require(base >= 0, s"table $root has no committed version")
         def shape(s: StructType) =
           s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.sql))
-        val current = VersionedTable.read(spark, root, Some(base)).schema
+        // per-epoch guard: resolve driver-side, never an inference job
+        val current = VersionedTable.tableSchema(spark, root, base)
+          .getOrElse(VersionedTable.read(spark, root, Some(base)).schema)
         require(shape(info.schema()) == shape(current),
           s"streaming append schema ${info.schema().simpleString} != " +
             s"table schema ${current.simpleString} — evolve via batch " +

@@ -372,6 +372,88 @@ object VersionedTable {
           .asInstanceOf[org.apache.spark.sql.types.StructType]
       }
 
+  /** Spark schema of one parquet file, resolved DRIVER-SIDE from its
+    * footer — no Spark job. Prefers the writer-recorded Spark schema
+    * (the `org.apache.spark.sql.parquet.row.metadata` footer key —
+    * the same key `spark.read.parquet`'s own inference prefers, so
+    * the result is bit-identical to inference on engine-written
+    * files), falling back to the parquet→Spark type conversion under
+    * the session's conf flags; `asNullable` matches the file-relation
+    * contract inference applies. None when the footer is unreadable —
+    * callers fall back to the inference job. */
+  private[sources] def footerSchema(spark: SparkSession, file: Path)
+      : Option[org.apache.spark.sql.types.StructType] =
+    scala.util.Try {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file,
+          spark.sparkContext.hadoopConfiguration))
+      try {
+        val md = reader.getFooter.getFileMetaData
+        Option(md.getKeyValueMetaData.get(
+          "org.apache.spark.sql.parquet.row.metadata"))
+          .flatMap(j => scala.util.Try(
+            org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .toOption)
+          .getOrElse(new org.apache.spark.sql.execution.datasources
+            .parquet.ParquetToSparkSchemaConverter(
+              spark.sessionState.conf).convert(md.getSchema)) match {
+          case s => forceNullable(s)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+        }
+      } finally reader.close()
+    }.toOption
+
+  // inference returns every field nullable (file relations surface
+  // missing/NULL values regardless of the writer's declared
+  // nullability) — replicate Spark's private StructType.asNullable
+  // exactly so the driver-side schema is indistinguishable from the
+  // inferred one
+  private def forceNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = forceNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(forceNullable(a.elementType), containsNull = true)
+      case m: MapType => MapType(forceNullable(m.keyType),
+        forceNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** One live data file of version `v` — the schema sample. File
+    * references resolve directly (zero I/O); whole-dir references
+    * cost one driver listing of the first non-empty dir. */
+  private def sampleDataFile(spark: SparkSession, root: String,
+      v: Int): Option[Path] = {
+    val dataRoot = new Path(root, "data")
+    readManifest(spark, root, v).iterator.map { ref =>
+      if (refIsFile(ref)) Some(new Path(dataRoot, ref))
+      else scala.util.Try {
+        val dp = new Path(dataRoot, ref)
+        fsOf(spark, dp).listStatus(dp).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .headOption
+      }.toOption.flatten
+    }.collectFirst { case Some(p) => p }
+  }
+
+  /** Version `v`'s read schema at O(manifest) cost and ZERO Spark
+    * jobs: the `#schema:` pin when the table evolved (heterogeneous
+    * files), else one driver-side footer read (files within a
+    * non-evolved table share their writer's schema — the [[append]]
+    * guard enforces it). None only when no file's footer resolves —
+    * callers fall back to `spark.read.parquet` inference, which runs
+    * a footer-sampling Spark job (and at 10^5 files, reads EVERY
+    * footer distributed — exactly the planning cost a manifest-owned
+    * schema exists to avoid). */
+  private[sources] def tableSchema(spark: SparkSession, root: String,
+      v: Int): Option[org.apache.spark.sql.types.StructType] =
+    manifestSchema(spark, root, v).orElse(
+      sampleDataFile(spark, root, v).flatMap(footerSchema(spark, _)))
+
   /** Snapshot read at `version` (default: latest). The returned frame
     * is pinned to the version's explicit file list — concurrent
     * commits and vacuums of OTHER versions never disturb it. Versions
@@ -379,12 +461,14 @@ object VersionedTable {
     * schema: files written before the evolved column existed surface
     * it as NULL, exactly Delta/Iceberg's additive-evolution read
     * semantics — and without the pin, plain parquet inference would
-    * nondeterministically pick whichever file's footer it sampled. */
+    * nondeterministically pick whichever file's footer it sampled.
+    * The schema always resolves driver-side ([[tableSchema]]) so a
+    * snapshot read never pays an inference job. */
   def read(spark: SparkSession, root: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, root))
     val dirs = dataDirs(spark, root, Some(v))
-    manifestSchema(spark, root, v) match {
+    tableSchema(spark, root, v) match {
       case Some(s) => spark.read.schema(s).parquet(dirs: _*)
       case None => spark.read.parquet(dirs: _*)
     }
@@ -438,7 +522,11 @@ object VersionedTable {
     // requires an explicit full rewrite via commit().
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.sql))
-    val current = read(spark, root, Some(expectedVersion)).schema
+    // schema guard resolves driver-side (one footer / the manifest
+    // pin) — the previous read(...).schema built a full file index
+    // AND ran an inference job per append
+    val current = tableSchema(spark, root, expectedVersion)
+      .getOrElse(read(spark, root, Some(expectedVersion)).schema)
     val curShape = shape(current)
     val newShape = shape(df.schema)
     val schemaLine: Option[String] =
@@ -1724,7 +1812,15 @@ object VersionedTable {
         org.apache.spark.sql.types.DataType
           .fromJson(l.stripPrefix("#schema:")).asInstanceOf[StructType]
     }.getOrElse {
-      if (wroteFiles) spark.read.parquet(dataDir.toString).schema
+      // driver-side footer read of the just-written dir — this sits
+      // inside every CDC-pinned rewrite commit, where an inference
+      // job per commit is pure protocol latency
+      if (wroteFiles) scala.util.Try {
+        fsOf(spark, dataDir).listStatus(dataDir).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .headOption.flatMap(footerSchema(spark, _))
+      }.toOption.flatten
+        .getOrElse(spark.read.parquet(dataDir.toString).schema)
       else oldSchema
     }
     // a rewrite that changes the schema non-additively has no single
@@ -2243,7 +2339,8 @@ object VersionedTable {
     require(base >= 0, s"table $root has no committed version")
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.sql))
-    val curShape = shape(read(spark, root, Some(base)).schema)
+    val curShape = shape(tableSchema(spark, root, base)
+      .getOrElse(read(spark, root, Some(base)).schema))
     val newShape = shape(newSchema)
     require(newShape.startsWith(curShape) && newShape != curShape,
       s"evolveSchema must APPEND columns: ${newSchema.simpleString} is " +
@@ -3336,10 +3433,7 @@ object VersionedTable {
     * listing walks every commit dir. */
   private def cheapSchema(spark: SparkSession, root: String,
       v: Int): Option[org.apache.spark.sql.types.StructType] =
-    manifestSchema(spark, root, v).orElse(
-      statsByDir(spark, root, Some(v)).values.flatten.headOption
-        .map(f => spark.read.parquet(
-          new Path(new Path(root, "data"), f.path).toString).schema))
+    tableSchema(spark, root, v)
 
   /** Resolve a user-facing filter `Column` into a catalyst predicate
     * against `schema` WITHOUT building (and file-listing) the real

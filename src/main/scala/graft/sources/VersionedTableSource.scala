@@ -77,9 +77,12 @@ class VersionedTableSource extends TableProvider with DataSourceRegister {
     // an evolved version's `#schema:` pin rides through as the user
     // schema — footer inference over mixed-schema commit dirs would
     // nondeterministically pick a pre-evolution file's column set,
-    // and the connector must read identically to VersionedTable.read
+    // and the connector must read identically to VersionedTable.read.
+    // Non-evolved versions resolve their (uniform) schema driver-side
+    // from one footer (VersionedTable.tableSchema), so a connector
+    // read never pays ParquetTable's distributed inference job.
     (ParquetTable(s"graft-versioned $root", spark, options, dirs,
-      userSpecifiedSchema = VersionedTable.manifestSchema(spark, root, v),
+      userSpecifiedSchema = VersionedTable.tableSchema(spark, root, v),
       fallbackFileFormat = classOf[ParquetFileFormat]), root, v)
   }
 

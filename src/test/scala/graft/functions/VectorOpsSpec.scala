@@ -106,4 +106,64 @@ class VectorOpsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(r == 11.0)
   }
+
+  test("hyperplaneBuckets is bit-identical to the per-(table,plane) " +
+      "DotProduct subtree spelling") {
+    import org.apache.spark.sql.Column
+    val rng = new scala.util.Random(13)
+    val dim = 16
+    val vecs = (Seq(
+      Array.fill(dim)(rng.nextFloat()),
+      Array.fill(dim)(rng.nextFloat()),
+      Array.fill(dim)(0.0f), // all-zero: every dot == 0, no bit set
+      Array.fill(8)(rng.nextFloat()), // shorter than dim
+      null, // NULL vector: all-zero buckets, row survives
+    )).toDF("e")
+    val withNulls = vecs.select(
+      when(rand(5) < 2.0, col("e")).otherwise(col("e")).as("e"))
+    for ((tables, planes) <- Seq((12, 4), (3, 5), (1, 0))) {
+      val hyper = {
+        val r = new java.util.Random(42L)
+        Array.fill(tables, planes, dim)(r.nextGaussian())
+      }
+      def dot(v: Column, plane: Array[Double]): Column =
+        VectorOps.dotProduct(v, array(plane.toIndexedSeq.map(lit): _*))
+      def bucketOf(t: Int): Column = (0 until planes).map { p =>
+        when(dot(col("e"), hyper(t)(p)) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.foldLeft(lit(0L))((a, b) => a.bitwiseOR(b))
+      val legacy = vecs.select(
+        array((0 until tables).map(bucketOf): _*).as("bs")).collect()
+        .map(_.getSeq[Long](0))
+      val fused = vecs.select(
+        VectorOps.hyperplaneBuckets(col("e"), hyper).as("bs")).collect()
+        .map(_.getSeq[Long](0))
+      assert(legacy.toSeq == fused.toSeq,
+        s"bucket mismatch at tables=$tables planes=$planes")
+    }
+  }
+
+  test("hyperplaneBuckets null-element vector yields all-zero buckets " +
+      "(the when/otherwise collapse), identically in both eval modes") {
+    val hyper = {
+      val r = new java.util.Random(42L)
+      Array.fill(4, 3, 4)(r.nextGaussian())
+    }
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1.0f, null, 2.0f, 3.0f)),
+      (2L, Seq[java.lang.Float](1.0f, 2.0f, 3.0f, 4.0f)),
+    ).toDF("id", "e")
+    def run() = df.select(col("id"),
+      VectorOps.hyperplaneBuckets(col("e"), hyper).as("bs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val on = run()
+    assert(on.find(_._1 == 1L).get._2 == Seq(0L, 0L, 0L, 0L))
+    assert(on.find(_._1 == 2L).get._2.exists(_ != 0L))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(on == run())
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
