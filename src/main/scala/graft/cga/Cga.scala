@@ -242,12 +242,18 @@ object Cga {
     * (`sampleSplit`/`updateSplit`) with this loop, so the two paths
     * compute identical trajectories (CgaSpec asserts it).
     *
-    * Exactly TWO jobs per iteration — the algorithmic minimum (the
-    * totals read and the convergence read are inherently sequential:
-    * the update needs the winner). All RNG is (seed, iteration,
-    * partition)-keyed, so a lost partition only costs a deterministic
-    * recompute, never a different answer. localCheckpoint every 20
-    * iterations bounds lineage depth. */
+    * Exactly ONE job per iteration: iteration i's totals reduce ALSO
+    * sums iteration i−1's unconverged-cell counts, which ride the
+    * state rows from the (narrow) update map — the convergence read
+    * that used to be its own job is piggybacked one iteration late.
+    * The trajectory is IDENTICAL to the two-job spelling (same
+    * (seed, iteration, partition)-keyed draws, same updates, same
+    * exit iteration — CgaSpec pins it); the only extra work is one
+    * discarded deterministic sample at the detection iteration, which
+    * nothing observes. All RNG is (seed, iteration, partition)-keyed,
+    * so a lost partition only costs a deterministic recompute, never
+    * a different answer. localCheckpoint every 20 iterations bounds
+    * lineage depth. */
   def runLoop(spark: SparkSession, cfg: CgaConfig,
       durableRoot: Option[String] = None, saveEvery: Int = 10): CgaResult = {
     import spark.implicits._
@@ -256,54 +262,105 @@ object Cga {
       latestIteration(spark, r).map(i => (loadVector(spark, r, i).rdd, i)))
     val parts = math.min(cfg.numSplits, sc.defaultParallelism)
     val bits = cfg.splitBits
-    var vectors: org.apache.spark.rdd.RDD[VectorSplit] = resumed.map(_._1)
-      .getOrElse(sc.range(0L, cfg.numSplits.toLong, 1L, parts)
-        .map(id => VectorSplit(id, Array.fill(bits)(0.5))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // state rows carry (split, unconvergedCellsFromProducingUpdate);
+    // init/resumed rows carry the -1 sentinel (unknown — never
+    // terminates the loop, exactly the sequential spelling's
+    // unConverged = -1 start)
+    var state: org.apache.spark.rdd.RDD[(VectorSplit, Long)] =
+      resumed.map(_._1)
+        .getOrElse(sc.range(0L, cfg.numSplits.toLong, 1L, parts)
+          .map(id => VectorSplit(id, Array.fill(bits)(0.5))))
+        .map(v => (v, -1L))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     var it = resumed.map(_._2).getOrElse(0)
     var winnerFitness = -1L
     var unConverged = -1L
     val t = cfg.tournamentSize
     val seed = cfg.seed
     val (delta, lLim, uLim) = (cfg.delta, cfg.lLimit, cfg.uLimit)
-    var prevCache: Option[org.apache.spark.rdd.RDD[_]] = None
-    while (unConverged != 0L && it < cfg.maxIterations) {
+    var prevSampled: Option[org.apache.spark.rdd.RDD[_]] = None
+    var done = false
+    while (!done && it < cfg.maxIterations) {
       val iteration = it
-      val sampled = vectors.mapPartitions { vs =>
+      // sampled rows keep the previous update's unconverged counts so
+      // the totals job below can fold them in
+      val sampled = state.mapPartitions { vs =>
         val rng = iterationRng(seed, iteration)
-        vs.map(v => sampleSplit(v, rng, t))
+        vs.map { case (v, u) => (sampleSplit(v, rng, t), u) }
       }.persist(StorageLevel.MEMORY_AND_DISK)
-      // job 1: per-candidate popcount totals (partial per partition +
-      // driver combine — the reference's global/<taskId> side files +
-      // findWinner re-read, CGA.java:126-164,195-260)
-      val totals = sampled.mapPartitions { ss =>
-        val acc = new Array[Long](t)
-        ss.foreach { s =>
-          var l = 0
-          while (l < t) { acc(l) += Genome.popcount(s.candidates(l)); l += 1 }
+      // THE job: per-candidate popcount totals (partial per partition
+      // + driver combine — the reference's global/<taskId> side files
+      // + findWinner re-read, CGA.java:126-164,195-260) fused with the
+      // previous iteration's convergence sum
+      val (totals, prevUnconv) = {
+        val (acc, u, unknown) = sampled.mapPartitions { ss =>
+          val acc = new Array[Long](t)
+          var u = 0L
+          var unknown = false
+          ss.foreach { case (s, pu) =>
+            if (pu < 0L) unknown = true else u += pu
+            var l = 0
+            while (l < t) { acc(l) += Genome.popcount(s.candidates(l)); l += 1 }
+          }
+          Iterator.single((acc, u, unknown))
+        }.reduce { (a, b) =>
+          var i = 0; while (i < t) { a._1(i) += b._1(i); i += 1 }
+          (a._1, a._2 + b._2, a._3 || b._3)
         }
-        Iterator.single(acc)
-      }.reduce { (a, b) =>
-        var i = 0; while (i < t) { a(i) += b(i); i += 1 }; a
+        (acc, if (unknown) -1L else u)
       }
-      val (w, l) = pickWinnerLoser(totals)
-      winnerFitness = totals(w)
-      val updated = sampled.map(ss => updateSplit(ss, w, l, delta, lLim, uLim))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      unConverged = updated.map(_._2).reduce(_ + _) // job 2
-      prevCache.foreach(_.unpersist(blocking = false))
-      sampled.unpersist(blocking = false)
-      prevCache = Some(updated)
-      vectors = updated.map(_._1)
-      it += 1
-      if (it % 20 == 0) { vectors.localCheckpoint(); () }
-      durableRoot.foreach { r =>
-        if (it % saveEvery == 0 || unConverged == 0L)
-          saveVector(spark.createDataset(vectors), r, it)
+      // previous iteration's sampled blocks: its update (= state) has
+      // now been materialized through this reduce
+      prevSampled.foreach(_.unpersist(blocking = false))
+      prevSampled = None
+      if (prevUnconv == 0L) {
+        // the PREVIOUS update converged — this iteration's sample is
+        // discarded unobserved; winnerFitness/it already describe the
+        // converged iteration (the sequential spelling's exit state)
+        unConverged = 0L
+        sampled.unpersist(blocking = false)
+        // converged-save parity with the sequential spelling's
+        // unConverged == 0 save (overwrite-idempotent if it already
+        // saved on the cadence)
+        durableRoot.foreach(r =>
+          saveVector(spark.createDataset(state.map(_._1)), r, it))
+        done = true
+      } else {
+        unConverged = prevUnconv
+        val (w, l) = pickWinnerLoser(totals)
+        winnerFitness = totals(w)
+        val updated = sampled
+          .map { case (ss, _) => updateSplit(ss, w, l, delta, lLim, uLim) }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        state.unpersist(blocking = false)
+        state = updated
+        prevSampled = Some(sampled)
+        it += 1
+        if (it % 20 == 0) { state.localCheckpoint(); () }
+        durableRoot.foreach { r =>
+          if (it % saveEvery == 0)
+            saveVector(spark.createDataset(state.map(_._1)), r, it)
+        }
       }
     }
-    prevCache.foreach(_.unpersist(blocking = false))
-    val finalVec = vectors.collect().sortBy(_.splitId).flatMap(_.probs)
+    if (!done && it >= cfg.maxIterations) {
+      // exited on the iteration budget: the LAST update's counts were
+      // never folded into a reduce — one final tiny job keeps the
+      // converged flag exact (the sequential spelling read it every
+      // iteration)
+      val (u, unknown) = state.mapPartitions { rows =>
+        var s = 0L
+        var unk = false
+        rows.foreach { case (_, pu) => if (pu < 0L) unk = true else s += pu }
+        Iterator.single((s, unk))
+      }.reduce((a, b) => (a._1 + b._1, a._2 || b._2))
+      unConverged = if (unknown) -1L else u
+      if (unConverged == 0L)
+        durableRoot.foreach(r =>
+          saveVector(spark.createDataset(state.map(_._1)), r, it))
+    }
+    prevSampled.foreach(_.unpersist(blocking = false))
+    val finalVec = state.map(_._1).collect().sortBy(_.splitId).flatMap(_.probs)
     CgaResult(finalVec, winnerFitness, it, unConverged == 0L)
   }
 }

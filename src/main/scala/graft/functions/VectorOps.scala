@@ -382,6 +382,152 @@ case class HyperplaneBuckets(child: Expression,
   override def prettyName: String = "hyperplane_buckets"
 }
 
+/** Every (subspace, centroid) dot of the product-quantization family
+  * in ONE expression: out[j·cb + c] = ⟨e[j·sub .. j·sub+sub),
+  * books(j)(c)⟩ — element-for-element what the
+  * `dot(slice(e, j·sub+1, sub), books(j)(c))` subtree spelling
+  * computes, including its null semantics (NULL vector or a NULL
+  * element inside subspace j's read range nulls exactly subspace j's
+  * entries; a vector shorter than j·sub yields 0.0 — the empty-slice
+  * fold) and its IEEE accumulation order.
+  *
+  * Why: the subtree spelling plants m·codebookSize (=256 at the PQ
+  * defaults) DotProduct+Slice+64-literal-array subtrees in one
+  * projection — the [[HyperplaneBuckets]] JIT cliff again, plus an
+  * expression tree that costs more to ANALYZE per statement than the
+  * query runs (measured: sim_pq_drift spent 0.87 s of its 1.05 s rep
+  * in the driver gap). One reference object, one triple loop. */
+case class SubspaceDots(child: Expression,
+    books: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private def m = books.length
+  private def cb = if (m == 0) 0 else books.head.length
+  private def sub = if (m == 0 || cb == 0) 0 else books.head.head.length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = true)
+
+  // the ARRAY itself never nulls — a NULL vector nulls every element,
+  // matching array(dot(slice(NULL)...)) = array of NULLs
+  override def nullable: Boolean = false
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val out = new Array[Any](m * cb)
+    val a = child.eval(input)
+    if (a != null) {
+      val x = a.asInstanceOf[ArrayData]
+      val isF = elemIsFloat
+      val len = x.numElements()
+      var j = 0
+      while (j < m) {
+        val start = j * sub
+        // slice(e, start+1, sub) length: clamped to the remainder;
+        // entirely past the end = empty slice = 0.0 dots
+        val n = math.max(0, math.min(len - start, sub))
+        var hasNull = false
+        var i = 0
+        while (i < n && !hasNull) {
+          if (x.isNullAt(start + i)) hasNull = true
+          i += 1
+        }
+        var c = 0
+        while (c < cb) {
+          if (hasNull) out(j * cb + c) = null
+          else {
+            val plane = books(j)(c)
+            var acc = 0.0
+            var d = 0
+            while (d < n) {
+              acc += (if (isF) x.getFloat(start + d).toDouble
+                else x.getDouble(start + d)) * plane(d)
+              d += 1
+            }
+            out(j * cb + c) = acc
+          }
+          c += 1
+        }
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : SubspaceDots = copy(child = c)
+
+  override def prettyName: String = "subspace_dots"
+}
+
+/** The m per-subspace SELF dots ⟨x_j, x_j⟩ of the PQ error audit, one
+  * expression — same slicing and null semantics as [[SubspaceDots]]. */
+case class SubspaceSelfDots(child: Expression, m: Int, sub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val out = new Array[Any](m)
+    val a = child.eval(input)
+    if (a != null) {
+      val x = a.asInstanceOf[ArrayData]
+      val isF = elemIsFloat
+      val len = x.numElements()
+      var j = 0
+      while (j < m) {
+        val start = j * sub
+        val n = math.max(0, math.min(len - start, sub))
+        var hasNull = false
+        var acc = 0.0
+        var d = 0
+        while (d < n && !hasNull) {
+          if (x.isNullAt(start + d)) hasNull = true
+          else {
+            val v = if (isF) x.getFloat(start + d).toDouble
+              else x.getDouble(start + d)
+            acc += v * v
+          }
+          d += 1
+        }
+        out(j) = if (hasNull) null else acc
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : SubspaceSelfDots = copy(child = c)
+
+  override def prettyName: String = "subspace_self_dots"
+}
+
 object VectorOps {
 
   def dotProduct(a: Column, b: Column): Column =
@@ -393,6 +539,15 @@ object VectorOps {
   def hyperplaneBuckets(e: Column,
       hyper: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(HyperplaneBuckets(ColumnBridge.expression(e), hyper))
+
+  /** Every (subspace, centroid) dot in one fused expression — see
+    * [[SubspaceDots]]. */
+  def subspaceDots(e: Column, books: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(SubspaceDots(ColumnBridge.expression(e), books))
+
+  /** Per-subspace self dots ⟨x_j, x_j⟩ — see [[SubspaceSelfDots]]. */
+  def subspaceSelfDots(e: Column, m: Int, sub: Int): Column =
+    ColumnBridge.column(SubspaceSelfDots(ColumnBridge.expression(e), m, sub))
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(

@@ -599,10 +599,22 @@ object PipelineQueries extends QueryPack {
       s.sparkContext.applicationId + "|" + d,
       graft.pipeline.GraphAnn.undirected(
         graft.pipeline.GraphAnn.nnDescentGraph(sub, k = 16, iters = 3)))
-    withRecall(graft.pipeline.GraphAnn.graphTopK(sub,
-        maxQueryId = 10L, k = 5, beam = 32, hops = 3,
-        prebuiltUndirected = Some(g)),
-      Similarity.bruteForceTopK(sub, maxQueryId = 10L, k = 5), k = 5)
+    // the brute recall twin is independent of the beam-search hops,
+    // which materialize eagerly (per-hop checkpoints) — overlap the
+    // twin's materialization with them (guide §2.6) instead of paying
+    // it serially after the last hop
+    val brute = {
+      import scala.concurrent.ExecutionContext.Implicits.global
+      scala.concurrent.Future(
+        Similarity.bruteForceTopK(sub, maxQueryId = 10L, k = 5)
+          .localCheckpoint(true))
+    }
+    val approx = graft.pipeline.GraphAnn.graphTopK(sub,
+      maxQueryId = 10L, k = 5, beam = 32, hops = 3,
+      prebuiltUndirected = Some(g))
+    withRecall(approx,
+      scala.concurrent.Await.result(brute,
+        scala.concurrent.duration.Duration.Inf), k = 5)
       .orderBy("qid", "rn")
   }
 

@@ -295,14 +295,20 @@ object Similarity {
   private def pqEncode(n: DataFrame,
       books: Array[Array[Array[Double]]], dim: Int): DataFrame = {
     val m = books.length
-    val sub = dim / m
-    def dot(v: Column, c: Array[Double]): Column =
-      graft.functions.VectorOps.dotProduct(v,
-        array(c.toIndexedSeq.map(lit): _*))
-    val withSims = (0 until m).foldLeft(n) { (df, j) =>
-      val xj = slice(col("e"), j * sub + 1, sub)
-      df.withColumn(s"__s$j", array(books(j).toIndexedSeq.map(c =>
-        dot(xj, c) - lit(0.5 * c.map(x => x * x).sum)): _*))
+    val codebookSize = books(0).length
+    // every (subspace, centroid) dot in ONE fused expression
+    // (SubspaceDots — identical bits to the per-(j,c) dot(slice(e))
+    // subtree spelling, whose m·codebookSize subtrees cost more to
+    // analyze per statement than the job runs); the per-subspace
+    // argmax then reads scalar slots out of the one array
+    val withSims = (0 until m).foldLeft(
+      n.withColumn("__sd",
+        graft.functions.VectorOps.subspaceDots(col("e"), books))) {
+      (df, j) =>
+        df.withColumn(s"__s$j",
+          array((0 until codebookSize).map(c =>
+            element_at(col("__sd"), j * codebookSize + c + 1) -
+              lit(0.5 * books(j)(c).map(x => x * x).sum)): _*))
     }
     withSims
       .withColumn("code", array((0 until m).map(j =>
@@ -452,19 +458,13 @@ object Similarity {
     * codebookSize multiplies the ADC recipe budgets per query. */
   private def queries(coded: DataFrame, maxQueryId: Long,
       books: Array[Array[Array[Double]]], dim: Int): DataFrame = {
-    val m = books.length
-    val codebookSize = books(0).length
-    val sub = dim / m
-    val lut = array((0 until m * codebookSize).map { t =>
-      val j = t / codebookSize
-      val c = books(j)(t % codebookSize)
-      graft.functions.VectorOps.dotProduct(
-        slice(col("qe"), j * sub + 1, sub),
-        array(c.toIndexedSeq.map(lit): _*))
-    }: _*)
+    // lut[j·codebookSize + c] IS SubspaceDots' output ordering — one
+    // fused expression in place of m·codebookSize dot subtrees (the
+    // pqEncode rationale)
     coded.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
-      .withColumn("lut", lut)
+      .withColumn("lut",
+        graft.functions.VectorOps.subspaceDots(col("qe"), books))
   }
 
   /** IVF-PQ — the composition a production vector index actually runs
@@ -525,16 +525,23 @@ object Similarity {
   private def quantizationErrorCol(
       books: Array[Array[Array[Double]]]): Column = {
     val m = books.length
+    val cb = books(0).length
     val sub = books(0)(0).length
-    def dot(v: Column, c: Array[Double]): Column =
-      graft.functions.VectorOps.dotProduct(v,
-        array(c.toIndexedSeq.map(lit): _*))
+    // ‖x_j‖² and every ⟨x_j, c⟩ come from the two fused expressions
+    // (SubspaceSelfDots / SubspaceDots — the pqEncode rationale); the
+    // per-subspace error keeps the legacy spelling's exact arithmetic
+    // order: (selfdot − 2·dot) + ‖c‖², with ‖c‖² picked from a literal
+    // array by the row's assigned code
+    val sd = graft.functions.VectorOps.subspaceDots(col("e"), books)
+    val self = graft.functions.VectorOps
+      .subspaceSelfDots(col("e"), m, sub)
     (0 until m).map { j =>
-      val xj = slice(col("e"), j * sub + 1, sub)
-      val errs = array(books(j).toIndexedSeq.map(c =>
-        graft.functions.VectorOps.dotProduct(xj, xj) -
-          lit(2.0) * dot(xj, c) + lit(c.map(x => x * x).sum)): _*)
-      element_at(errs, element_at(col("code"), j + 1))
+      val norms = array(books(j).toIndexedSeq.map(c =>
+        lit(c.map(x => x * x).sum)): _*)
+      val cj = element_at(col("code"), j + 1)
+      element_at(self, j + 1) -
+        lit(2.0) * element_at(sd, (cj + (j * cb)).cast("int")) +
+        element_at(norms, cj)
     }.reduce(_ + _)
   }
 
