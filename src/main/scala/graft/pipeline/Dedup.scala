@@ -29,6 +29,16 @@ import TextFunctions._
   */
 object Dedup {
 
+  /** Explicit exchange width for the CPU-dense self-join / verify
+    * stages below — scale-adaptive (defaultParallelism tracks the
+    * cluster), pinned so AQE's byte-targeted coalescing cannot fold a
+    * compute-heavy-but-byte-light exchange to one partition and
+    * serialize quadratic pair evaluation (observed at gate scale on
+    * every banding family member). */
+  private def par(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
+
   /** Exact dedup on whitespace-normalized content: keeps the smallest
     * doc_id per group ("first wins"), reports group size. */
   def exact(docs: DataFrame): DataFrame =
@@ -63,7 +73,7 @@ object Dedup {
       // in the caller's session — the round-2 spelling persisted here
       // and leaked both datasets for the session lifetime
       // (PlanAuditSpec asserts the reuse, DedupSpec the no-leak).
-      .repartition(col("band"), col("bkey"))
+      .repartition(par(docs), col("band"), col("bkey"))
     val a = banded.alias("a")
     val b = banded.alias("b")
     // narrow candidate pairs; distinct collapses multi-band agreement
@@ -81,7 +91,7 @@ object Dedup {
     // reusing: tokenization ran twice). PlanAuditSpec asserts both this
     // reuse and the banded self-join's.
     val ts = docs.select(col("doc_id"), tokenSet(col("text")).as("ts"))
-      .repartition(col("doc_id"))
+      .repartition(par(docs), col("doc_id"))
     pairs
       .join(ts.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
       .join(ts.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
@@ -149,7 +159,7 @@ object Dedup {
           bandedKeys(corpus, shingleN, k, bands).withColumn("is_new", lit(false)))
         // one exchange shared by both self-join branches (the
         // minhashPairs ReuseExchange discipline)
-        .repartition(col("band"), col("bkey"))
+        .repartition(par(newDocs), col("band"), col("bkey"))
     val a = both.alias("a")
     val b = both.alias("b")
     val pairs = a.join(b,
@@ -161,7 +171,7 @@ object Dedup {
     val ts = newDocs.select(col("doc_id"), col("text"))
       .unionByName(corpus.select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokenSet(col("text")).as("ts"))
-      .repartition(col("doc_id"))
+      .repartition(par(newDocs), col("doc_id"))
     pairs
       .join(ts.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
       .join(ts.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
@@ -374,7 +384,7 @@ object Dedup {
     val cand = probe.join(index, Seq("tok"))
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
-    val ts = t.repartition(col("doc_id"))
+    val ts = t.repartition(par(t), col("doc_id"))
     cand
       .join(ts.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
       .join(ts.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
@@ -455,7 +465,7 @@ object Dedup {
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
     val ts = clean.select(col("doc_id"), tokenSet(col("text")).as("ts"))
-      .repartition(col("doc_id"))
+      .repartition(par(clean), col("doc_id"))
     pairIds
       .join(ts.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
       .join(ts.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
@@ -657,7 +667,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val fps = TextAnalysis.winnowingFingerprints(docs, k, window)
       .select(col("doc_id"), col("fp_hash")).distinct()
-      .repartition(col("fp_hash"))
+      .repartition(par(docs), col("fp_hash"))
     val keyed = fps
       .withColumn("__df",
         count(lit(1)).over(Window.partitionBy(col("fp_hash"))))
@@ -866,7 +876,7 @@ object Dedup {
     // STREAM side by key splits the pair evaluation across the
     // session's parallelism; one tiny exchange of ≤maxId narrow rows
     // buys it (same pairs, same per-row arithmetic — layout only).
-    val a = e.repartition(col("vec_id")).alias("a")
+    val a = e.repartition(par(emb), col("vec_id")).alias("a")
     val b = e.alias("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

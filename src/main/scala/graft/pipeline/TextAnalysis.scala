@@ -512,8 +512,19 @@ object TextAnalysis {
   def boilerplateRemoval(docs: DataFrame, chunkSize: Int,
       maxDf: Int): DataFrame = {
     require(maxDf >= 1, "maxDf must be at least 1")
+    // one explicit chunk_text exchange BELOW both consumers: the df
+    // aggregate and the anti-join probe otherwise each re-run the
+    // tokenize+chunk scan (measured: two single-task ~0.3 s stages per
+    // rep at gate scale — and at corpus scale, two full scans).
+    // ReuseExchange collapses them, so the corpus chunks exactly once;
+    // the df aggregate's shuffle was already chunk-keyed, so this adds
+    // no net exchange. Width pinned scale-adaptively (the Dedup.par
+    // rationale: byte-targeted AQE coalescing must not serialize the
+    // chunk aggregate).
     val chunks = chunkTokens(docs, chunkSize)
       .select("doc_id", "chunk_idx", "chunk_text")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("chunk_text"))
     val blocklist = chunks
       .groupBy("chunk_text")
       .agg(countDistinct(col("doc_id")).as("df"))

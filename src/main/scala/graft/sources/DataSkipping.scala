@@ -71,14 +71,22 @@ object DataSkipping {
       commitName: String): Seq[String] = {
     val fs = dataDir.getFileSystem(conf)
     if (!fs.exists(dataDir)) return Seq.empty
-    fs.listStatus(dataDir).map(_.getPath)
+    val paths = fs.listStatus(dataDir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
       .sortBy(_.getName)
-      .map { p =>
+    // footer reads are independent metadata round-trips — read them
+    // concurrently (a commit of hundreds of files would otherwise
+    // serialize hundreds of storage RTTs inside the commit's critical
+    // section); Future.traverse keeps the sorted path order
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.traverse(paths.toSeq) { p => Future {
         val st = scala.util.Try(footerStats(conf, p))
           .getOrElse(FileStats("", -1L, Map.empty))
         "#file:" + encode(st.copy(path = s"$commitName/${p.getName}"))
-      }.toSeq
+      }}, Duration.Inf)
   }
 
   private def footerStats(conf: Configuration, file: Path): FileStats = {
