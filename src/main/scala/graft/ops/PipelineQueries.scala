@@ -1085,29 +1085,61 @@ object PipelineQueries extends QueryPack {
   // the result is MATERIALIZED (eager localCheckpoint) so the temp
   // table can be deleted before returning — without this, repeated
   // bench runs leak two full corpus copies into /tmp per repetition.
-  def pipelineVersionedMerge(s: SparkSession, d: String): DataFrame = {
-    val snap = docs(s, d)
-    val upd = snap.filter(col("doc_id") % 7 === 1)
-      .withColumn("source", lit("patched")).withColumn("op", lit("U"))
-    val del = snap.filter(col("doc_id") % 7 === 0)
-      .withColumn("op", lit("D"))
-    val ins = snap.filter(col("doc_id") % 7 === 2)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
-      .withColumn("source", lit("ingested")).withColumn("op", lit("U"))
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vtable")
-    val root = tmpRoot.resolve("tbl").toString
-    try {
+  /** v0 = the full docs snapshot, v1 = the planted merge changeset —
+    * the lifecycle fixture behind the merge/CDF gate family, built
+    * ONCE per (application, sf dir); each gate's per-rep body is pure
+    * read-only serving over it (the round-20 re-basing discipline:
+    * the operators those commits exercise — init, merge — have their
+    * own gates and ScaleBench decade rows, and re-measuring the
+    * fixture 3-5x per row only re-measured commit scaffolding). */
+  private def mergedDocsFixture(s: SparkSession, d: String): String =
+    LifecycleFixtures(s, d, "vmergefx") { tmpRoot =>
+      val snap = docs(s, d)
+      val upd = snap.filter(col("doc_id") % 7 === 1)
+        .withColumn("source", lit("patched")).withColumn("op", lit("U"))
+      val del = snap.filter(col("doc_id") % 7 === 0)
+        .withColumn("op", lit("D"))
+      val ins = snap.filter(col("doc_id") % 7 === 2)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("source", lit("ingested")).withColumn("op", lit("U"))
+      val root = tmpRoot.resolve("tbl").toString
       graft.sources.VersionedTable.init(s, root, snap)
       graft.sources.VersionedTable.merge(s, root,
         upd.unionByName(del).unionByName(ins), "doc_id")
-      s.read.format("graft-versioned").option("versionAsOf", 1).load(root)
+      root
+    }
+
+  /** The 3-append range-clustered layout (disjoint doc_id envelopes
+    * per commit dir) shared by the skip gate (reads the template) and
+    * the delete/update gates (clone it per rep — their DML mutates). */
+  private def rangeLayoutTemplate(s: SparkSession, d: String)
+      : java.nio.file.Path =
+    LifecycleFixtures.template(s, d, "vrangefx") { tmpRoot =>
+      val base = docs(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          md5(col("text")).as("text_md5"))
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
-  }
+          col("text"))
+      val root = tmpRoot.resolve("tbl").toString
+      val vt = graft.sources.VersionedTable
+      vt.init(s, root, base.filter(col("doc_id") < 150)
+        .repartitionByRange(2, col("doc_id")))
+      vt.append(s, root,
+        base.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+          .repartitionByRange(2, col("doc_id")), expectedVersion = 0)
+      vt.append(s, root,
+        base.filter(col("doc_id") >= 300 && col("doc_id") < 450)
+          .repartitionByRange(2, col("doc_id")), expectedVersion = 1)
+    }
+
+  def pipelineVersionedMerge(s: SparkSession, d: String): DataFrame =
+    // read-only serving over the shared merged-table fixture (the
+    // init+merge lifecycle builds once; this body times the versioned
+    // snapshot read of the post-merge version)
+    s.read.format("graft-versioned").option("versionAsOf", 1)
+      .load(mergedDocsFixture(s, d))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
 
   // CHANGE-DATA-FEED across the same planted merge: the row-level
   // delta v0 → v1 a downstream consumer would apply, hash-gated
@@ -1117,29 +1149,14 @@ object PipelineQueries extends QueryPack {
   // empty-feed-across-compact/optimize invariants are plan- and
   // property-asserted in CdfSpec (not SQL-expressible: they are
   // statements about I/O shape, not row values).
-  def pipelineVersionedChanges(s: SparkSession, d: String): DataFrame = {
-    val snap = docs(s, d)
-    val upd = snap.filter(col("doc_id") % 7 === 1)
-      .withColumn("source", lit("patched")).withColumn("op", lit("U"))
-    val del = snap.filter(col("doc_id") % 7 === 0)
-      .withColumn("op", lit("D"))
-    val ins = snap.filter(col("doc_id") % 7 === 2)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
-      .withColumn("source", lit("ingested")).withColumn("op", lit("U"))
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vchanges")
-    val root = tmpRoot.resolve("tbl").toString
-    try {
-      graft.sources.VersionedTable.init(s, root, snap)
-      graft.sources.VersionedTable.merge(s, root,
-        upd.unionByName(del).unionByName(ins), "doc_id")
-      graft.sources.VersionedTable.changesBetween(s, root, 0, 1)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          md5(col("text")).as("text_md5"), col("change_kind"))
-        .orderBy("doc_id", "change_kind")
-        .localCheckpoint(true)
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
-  }
+  def pipelineVersionedChanges(s: SparkSession, d: String): DataFrame =
+    // read-only: the content-diff feed over the shared fixture
+    graft.sources.VersionedTable
+      .changesBetween(s, mergedDocsFixture(s, d), 0, 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"), col("change_kind"))
+      .orderBy("doc_id", "change_kind")
+      .localCheckpoint(true)
 
   // the SAME feed read through the DSv2 connector's readChangeFeed
   // mode (Delta's option spelling: startingVersion/endingVersion) —
@@ -1147,32 +1164,16 @@ object PipelineQueries extends QueryPack {
   // the SAME EXCEPT-ALL oracle as pipeline_versioned_changes (one
   // truth, two spellings; the per-row _commit_version tag is dropped
   // for the cross-engine compare)
-  def pipelineVersionedChangesFeed(s: SparkSession, d: String): DataFrame = {
-    val snap = docs(s, d)
-    val upd = snap.filter(col("doc_id") % 7 === 1)
-      .withColumn("source", lit("patched")).withColumn("op", lit("U"))
-    val del = snap.filter(col("doc_id") % 7 === 0)
-      .withColumn("op", lit("D"))
-    val ins = snap.filter(col("doc_id") % 7 === 2)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
-      .withColumn("source", lit("ingested")).withColumn("op", lit("U"))
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vcfeed")
-    val root = tmpRoot.resolve("tbl").toString
-    try {
-      graft.sources.VersionedTable.init(s, root, snap)
-      graft.sources.VersionedTable.merge(s, root,
-        upd.unionByName(del).unionByName(ins), "doc_id")
-      s.read.format("graft-versioned")
-        .option("readChangeFeed", "true")
-        .option("startingVersion", "1").option("endingVersion", "1")
-        .load(root)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          md5(col("text")).as("text_md5"), col("change_kind"))
-        .orderBy("doc_id", "change_kind")
-        .localCheckpoint(true)
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
-  }
+  def pipelineVersionedChangesFeed(s: SparkSession, d: String): DataFrame =
+    // read-only: the connector CDF spelling over the shared fixture
+    s.read.format("graft-versioned")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "1")
+      .load(mergedDocsFixture(s, d))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"), col("change_kind"))
+      .orderBy("doc_id", "change_kind")
+      .localCheckpoint(true)
 
   // the SAME single-version feed through PURE SQL end-to-end: the
   // table lives in a throwaway graft catalog, the changeset lands via
@@ -1231,30 +1232,15 @@ object PipelineQueries extends QueryPack {
   // Delta-CDF vocabulary, so a downstream MERGE consumer applies the
   // feed without reconstructing row identity. Hash-gated against
   // DuckDB's FULL OUTER JOIN spelling of the same pairing.
-  def pipelineVersionedChangesKeyed(s: SparkSession, d: String): DataFrame = {
-    val snap = docs(s, d)
-    val upd = snap.filter(col("doc_id") % 7 === 1)
-      .withColumn("source", lit("patched")).withColumn("op", lit("U"))
-    val del = snap.filter(col("doc_id") % 7 === 0)
-      .withColumn("op", lit("D"))
-    val ins = snap.filter(col("doc_id") % 7 === 2)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
-      .withColumn("source", lit("ingested")).withColumn("op", lit("U"))
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vchangesk")
-    val root = tmpRoot.resolve("tbl").toString
-    try {
-      graft.sources.VersionedTable.init(s, root, snap)
-      graft.sources.VersionedTable.merge(s, root,
-        upd.unionByName(del).unionByName(ins), "doc_id")
-      graft.sources.VersionedTable.changesBetween(s, root, 0, 1,
-          key = Some("doc_id"))
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          md5(col("text")).as("text_md5"), col("change_kind"))
-        .orderBy("doc_id", "change_kind")
-        .localCheckpoint(true)
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
-  }
+  def pipelineVersionedChangesKeyed(s: SparkSession, d: String): DataFrame =
+    // read-only: the keyed feed over the shared fixture
+    graft.sources.VersionedTable
+      .changesBetween(s, mergedDocsFixture(s, d), 0, 1,
+        key = Some("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"), col("change_kind"))
+      .orderBy("doc_id", "change_kind")
+      .localCheckpoint(true)
 
   // the SAME keyed feed served from COMMIT-TIME CHANGE FILES
   // (enableChangeFeed before the merge, Delta's CDC-file approach):
@@ -1266,36 +1252,38 @@ object PipelineQueries extends QueryPack {
   // pipeline_versioned_changes_keyed: one vocabulary, two serving
   // regimes, identical rows.
   def pipelineVersionedCdcFiles(s: SparkSession, d: String): DataFrame = {
-    val snap = docs(s, d)
-    val upd = snap.filter(col("doc_id") % 7 === 1)
-      .withColumn("source", lit("patched")).withColumn("op", lit("U"))
-    val del = snap.filter(col("doc_id") % 7 === 0)
-      .withColumn("op", lit("D"))
-    val ins = snap.filter(col("doc_id") % 7 === 2)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
-      .withColumn("source", lit("ingested")).withColumn("op", lit("U"))
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vcdcf")
-    val root = tmpRoot.resolve("tbl").toString
-    try {
-      val vt = graft.sources.VersionedTable
-      vt.init(s, root, snap)
-      vt.enableChangeFeed(s, root, "doc_id") // v1, metadata-only
-      vt.merge(s, root, upd.unionByName(del).unionByName(ins), "doc_id")
-      require(vt.changeFilePathIfExists(s, root, 2).isDefined,
-        "merge did not materialize its commit-time change file")
-      val feed = vt.changesBetween(s, root, 1, 2, key = Some("doc_id"))
-      require(feed.queryExecution.optimizedPlan.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
-      }.isEmpty,
-        "keyed feed planned a snapshot join — change-file serving " +
-          "regressed")
-      feed
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          md5(col("text")).as("text_md5"), col("change_kind"))
-        .orderBy("doc_id", "change_kind")
-        .localCheckpoint(true)
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+    val vt = graft.sources.VersionedTable
+    // build-once fixture (init -> CDC pin -> merge); the body serves
+    // the change-file feed read-only, with both canaries still
+    // asserted per rep (driver-side manifest/plan checks)
+    val root = LifecycleFixtures(s, d, "vcdcffx") { tmpRoot =>
+      val snap = docs(s, d)
+      val upd = snap.filter(col("doc_id") % 7 === 1)
+        .withColumn("source", lit("patched")).withColumn("op", lit("U"))
+      val del = snap.filter(col("doc_id") % 7 === 0)
+        .withColumn("op", lit("D"))
+      val ins = snap.filter(col("doc_id") % 7 === 2)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("source", lit("ingested")).withColumn("op", lit("U"))
+      val r = tmpRoot.resolve("tbl").toString
+      vt.init(s, r, snap)
+      vt.enableChangeFeed(s, r, "doc_id") // v1, metadata-only
+      vt.merge(s, r, upd.unionByName(del).unionByName(ins), "doc_id")
+      r
+    }
+    require(vt.changeFilePathIfExists(s, root, 2).isDefined,
+      "merge did not materialize its commit-time change file")
+    val feed = vt.changesBetween(s, root, 1, 2, key = Some("doc_id"))
+    require(feed.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty,
+      "keyed feed planned a snapshot join — change-file serving " +
+        "regressed")
+    feed
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"), col("change_kind"))
+      .orderBy("doc_id", "change_kind")
+      .localCheckpoint(true)
   }
 
   // manifest-stats FILE SKIPPING end to end: three appends land three
@@ -1310,38 +1298,26 @@ object PipelineQueries extends QueryPack {
   // stats collection or the evaluator silently stopped pruning, the
   // gate fails loudly instead of degrading to a full scan.
   def pipelineVersionedSkip(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d)
+    // read-only over the shared 3-append range template (the same
+    // layout the delete/update gates clone); the pruning canary runs
+    // per rep — it is the gate's subject
+    val vt = graft.sources.VersionedTable
+    val root = rangeLayoutTemplate(s, d).resolve("tbl").toString
+    val cond = col("doc_id").between(320, 380) && col("n_chars") >= 0
+    val pred = vt.read(s, root).filter(cond)
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.get
+    val (_, prunedN, coveredN) = vt.prunedPaths(s, root, pred)
+    require(coveredN >= 6 && prunedN >= 4,
+      s"file skipping regressed: pruned $prunedN of $coveredN covered " +
+        "files for a range hitting one append of three")
+    vt.readWhere(s, root, cond)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        col("text"))
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vskip")
-    val root = tmpRoot.resolve("tbl").toString
-    try {
-      val vt = graft.sources.VersionedTable
-      vt.init(s, root, base.filter(col("doc_id") < 150)
-        .repartitionByRange(2, col("doc_id")))
-      vt.append(s, root,
-        base.filter(col("doc_id") >= 150 && col("doc_id") < 300)
-          .repartitionByRange(2, col("doc_id")), expectedVersion = 0)
-      vt.append(s, root,
-        base.filter(col("doc_id") >= 300 && col("doc_id") < 450)
-          .repartitionByRange(2, col("doc_id")), expectedVersion = 1)
-      val cond = col("doc_id").between(320, 380) && col("n_chars") >= 0
-      val pred = vt.read(s, root).filter(cond)
-        .queryExecution.analyzed.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            f.condition
-        }.get
-      val (_, prunedN, coveredN) = vt.prunedPaths(s, root, pred)
-      require(coveredN >= 6 && prunedN >= 4,
-        s"file skipping regressed: pruned $prunedN of $coveredN covered " +
-          "files for a range hitting one append of three")
-      vt.readWhere(s, root, cond)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          md5(col("text")).as("text_md5"))
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
   }
 
   // metadata-only COUNT(*): the manifest's per-file row counts sum to
@@ -1350,27 +1326,28 @@ object PipelineQueries extends QueryPack {
   // against DuckDB counting the same rows, with an in-gate canary
   // requiring the metadata count to equal a real scan's.
   def pipelineVersionedCount(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d)
-      .select(col("doc_id"), col("lang"), col("text"))
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vcount")
-    val root = tmpRoot.resolve("tbl").toString
-    try {
-      val vt = graft.sources.VersionedTable
-      vt.init(s, root, base.filter(col("doc_id") < 150))
-      vt.append(s, root,
+    // read-only over a build-once 3-append fixture: the gate's subject
+    // (metadata count == scan count) re-asserts per rep
+    val vt = graft.sources.VersionedTable
+    val root = LifecycleFixtures(s, d, "vcountfx") { tmpRoot =>
+      val base = docs(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val r = tmpRoot.resolve("tbl").toString
+      vt.init(s, r, base.filter(col("doc_id") < 150))
+      vt.append(s, r,
         base.filter(col("doc_id") >= 150 && col("doc_id") < 300),
         expectedVersion = 0)
-      vt.append(s, root,
+      vt.append(s, r,
         base.filter(col("doc_id") >= 300 && col("doc_id") < 450),
         expectedVersion = 1)
-      val n = vt.rowCount(s, root).getOrElse(
-        sys.error("manifest stats incomplete — metadata count unavailable"))
-      require(n == vt.read(s, root).count(),
-        s"metadata count $n diverged from the scan")
-      import s.implicits._
-      Seq(n).toDF("n_rows")
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      r
+    }
+    val n = vt.rowCount(s, root).getOrElse(
+      sys.error("manifest stats incomplete — metadata count unavailable"))
+    require(n == vt.read(s, root).count(),
+      s"metadata count $n diverged from the scan")
+    import s.implicits._
+    Seq(n).toDF("n_rows")
   }
 
   // row-level copy-on-write DELETE end to end: three range-clustered
@@ -1382,21 +1359,14 @@ object PipelineQueries extends QueryPack {
   // gated against DuckDB's NOT-predicate spelling of the survivor
   // set: pruning must be answer-invisible.
   def pipelineVersionedDelete(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        col("text"))
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vdelete")
+    // the 3-append fixture CLONES per rep (the DML mutates it): the
+    // timed body is copy + the stats-pruned DELETE + canary + read —
+    // the operator, not three commits of scaffolding
+    val tmpRoot = LifecycleFixtures.cloneDir(
+      rangeLayoutTemplate(s, d), "vdel")
     val root = tmpRoot.resolve("tbl").toString
     try {
       val vt = graft.sources.VersionedTable
-      vt.init(s, root, base.filter(col("doc_id") < 150)
-        .repartitionByRange(2, col("doc_id")))
-      vt.append(s, root,
-        base.filter(col("doc_id") >= 150 && col("doc_id") < 300)
-          .repartitionByRange(2, col("doc_id")), expectedVersion = 0)
-      vt.append(s, root,
-        base.filter(col("doc_id") >= 300 && col("doc_id") < 450)
-          .repartitionByRange(2, col("doc_id")), expectedVersion = 1)
       val before = vt.dataDirs(s, root, Some(2)).toSet
       val v = vt.delete(s, root, col("doc_id").between(180, 260))
       val after = vt.dataDirs(s, root, Some(v)).toSet
@@ -1418,21 +1388,12 @@ object PipelineQueries extends QueryPack {
   // canary as delete). Hash-gated against DuckDB's CASE WHEN
   // spelling.
   def pipelineVersionedUpdate(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        col("text"))
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vupdate")
+    // per-rep clone of the shared 3-append layout (see delete)
+    val tmpRoot = LifecycleFixtures.cloneDir(
+      rangeLayoutTemplate(s, d), "vupd")
     val root = tmpRoot.resolve("tbl").toString
     try {
       val vt = graft.sources.VersionedTable
-      vt.init(s, root, base.filter(col("doc_id") < 150)
-        .repartitionByRange(2, col("doc_id")))
-      vt.append(s, root,
-        base.filter(col("doc_id") >= 150 && col("doc_id") < 300)
-          .repartitionByRange(2, col("doc_id")), expectedVersion = 0)
-      vt.append(s, root,
-        base.filter(col("doc_id") >= 300 && col("doc_id") < 450)
-          .repartitionByRange(2, col("doc_id")), expectedVersion = 1)
       val before = vt.dataDirs(s, root, Some(2)).toSet
       val v = vt.update(s, root, col("doc_id").between(320, 400),
         Seq("source" -> lit("redacted"),
@@ -1837,16 +1798,24 @@ object PipelineQueries extends QueryPack {
   // the data-dir census unchanged across the restore — zero files
   // moved). Hash-gated against the full pre-delete row set.
   def pipelineVersionedRestore(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        col("text"))
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vrestore")
+    // (init + mistaken delete) builds once; restore mutates, so each
+    // rep clones — the timed body is the metadata-only RESTORE, its
+    // canaries, and the read-back
+    val tmpRoot = LifecycleFixtures.cloneDir(
+      LifecycleFixtures.template(s, d, "vrstfx") { p =>
+        val base = docs(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col("text"))
+        val r = p.resolve("tbl").toString
+        graft.sources.VersionedTable.init(s, r,
+          base.filter(col("doc_id") < 450)
+            .repartitionByRange(3, col("doc_id")))
+        graft.sources.VersionedTable.delete(s, r,
+          col("doc_id").between(100, 300)) // the mistake
+      }, "vrst")
     val root = tmpRoot.resolve("tbl").toString
     try {
       val vt = graft.sources.VersionedTable
-      vt.init(s, root, base.filter(col("doc_id") < 450)
-        .repartitionByRange(3, col("doc_id")))
-      vt.delete(s, root, col("doc_id").between(100, 300)) // the mistake
       val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
       val fs = dataRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
       val dirsBefore = fs.listStatus(dataRoot).length
@@ -2148,24 +2117,27 @@ object PipelineQueries extends QueryPack {
   def pipelineVersionedMvRollup(s: SparkSession, d: String): DataFrame = {
     val mvOps = graft.sources.MaterializedView
     val vt = graft.sources.VersionedTable
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mvr")
-    try {
+    // lifecycle (init -> create -> append -> O(delta) refresh, canary
+    // included) builds once; the per-rep body times the ROLLUP serve —
+    // the round-20 re-basing discipline (the refresh fold stays
+    // measured by ScaleBench's mv_refresh decade row)
+    val mv = LifecycleFixtures(s, d, "mvrollfx") { tmpRoot =>
       val root = tmpRoot.resolve("base").toString
-      val mv = tmpRoot.resolve("mv").toString
+      val m = tmpRoot.resolve("mv").toString
       val base = docs(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .filter(col("doc_id") < 500)
       vt.init(s, root, base.filter(col("doc_id") < 250))
-      mvOps.create(s, mv, root, Seq("lang", "source"),
+      mvOps.create(s, m, root, Seq("lang", "source"),
         Seq(mvOps.MvCount("cnt"), mvOps.MvSum("n_chars", "sum_chars"),
           mvOps.MvAvg("n_chars", "avg_chars")))
       vt.append(s, root, base.filter(col("doc_id") >= 250), 0)
-      require(mvOps.refresh(s, mv).appendOnly,
+      require(mvOps.refresh(s, m).appendOnly,
         "mv rollup gate: the append must ride the O(delta) path")
-      mvOps.rollup(s, mv, Seq("lang"))
-        .orderBy("lang").localCheckpoint(true)
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+      m
+    }
+    mvOps.rollup(s, mv, Seq("lang"))
+      .orderBy("lang").localCheckpoint(true)
   }
 
   // BLOOM FILE SKIPPING, end to end: the base pins blooms on a
@@ -2227,11 +2199,17 @@ object PipelineQueries extends QueryPack {
     val base = docs(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("text"))
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vfcarry")
+    // the 8-file range-clustered commit builds once; the DML mutates,
+    // so each rep clones it — the timed body is the splitting DELETE
+    // plus its carry canaries and the read-back
+    val tmpRoot = LifecycleFixtures.cloneDir(
+      LifecycleFixtures.template(s, d, "vfc8fx") { p =>
+        graft.sources.VersionedTable.init(s, p.resolve("tbl").toString,
+          base.repartitionByRange(8, col("doc_id")))
+      }, "vfc")
     val root = tmpRoot.resolve("tbl").toString
     try {
       val vt = graft.sources.VersionedTable
-      vt.init(s, root, base.repartitionByRange(8, col("doc_id")))
       val thr = base.agg(max(col("doc_id"))).head.getLong(0) / 8L
       val v = vt.delete(s, root, col("doc_id") <= thr)
       val refs = vt.dataDirs(s, root, Some(v))
