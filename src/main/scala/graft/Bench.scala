@@ -195,7 +195,8 @@ object Bench {
       "pipeline_versioned_skip", "pipeline_versioned_count",
       "pipeline_versioned_delete", "pipeline_versioned_update",
       "pipeline_versioned_file_carry", "pipeline_versioned_restore",
-      "pipeline_versioned_mv_rollup")
+      "pipeline_versioned_mv_rollup", "pipeline_versioned_bloom_skip",
+      "pipeline_ingest")
 
     // a query with ZERO successful runs reports null and lands in
     // "errors" (breakage can't masquerade as speed) — but only after
